@@ -1,0 +1,40 @@
+"""Parquet loaders for the driver-generated testdata.
+
+Scans are declared with explicit schemas (schemas.TESTDATA) so Catalyst gets
+stable column pruning / predicate pushdown targets, and small dimension
+tables are flagged for broadcast by the callers that join them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import TABLE_NAMES, TESTDATA
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# Tables safely below any broadcast threshold at every benchmark SF; at true
+# 100 TB scale region/nation stay tiny (fixed cardinality) while the rest
+# grow — join code uses ``broadcast()`` only on the fixed-cardinality dims
+# plus derived small aggregates.
+SMALL_DIMS = {"region", "nation"}
+
+
+def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one testdata table as a DataFrame with its pinned schema."""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return spark.read.schema(TESTDATA[name]).parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {name: load(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every testdata table as a temp view (the reference's whole
+    query API is SQL over a temp view, spark_job.py:31-37 — generalized)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
