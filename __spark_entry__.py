@@ -16,11 +16,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+    aggregates,
+    joins,
     relational,
+    setops,
+    windows,
 )
 
 
-_MODULES = [relational]
+_MODULES = [relational, joins, aggregates, windows, setops]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schemas import TABLE_NAMES, TESTDATA
 
@@ -26,7 +27,12 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
     """Load one testdata table as a DataFrame with its pinned schema."""
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.schema(TESTDATA[name]).parquet(path)
+    df = spark.read.schema(TESTDATA[name]).parquet(path)
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk (read as long via nanosAsLong);
+        # integer-divide to µs — float division would lose precision at 1e18
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

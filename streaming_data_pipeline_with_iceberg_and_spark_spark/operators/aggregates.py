@@ -1,0 +1,290 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A10).
+
+All stock Spark hash aggregation — partial (map-side) + final agg come free
+from Catalyst; no query here forces an extra shuffle beyond the one the
+group-by key requires. ``approx_count_distinct`` (HLL) is rows-only: its
+estimate is engine-specific by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load, register_views
+
+
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: global (no-group) aggregation over lineitem."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+AGG_GLOBAL_SQL = """
+SELECT COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+"""
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: distinct + count-distinct per group."""
+    orders = load(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_cust"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+AGG_COUNT_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_distinct_cust,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: statistical aggregates (sample semantics on both engines)."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev("l_quantity"), 6).alias("std_qty"),
+        F.round(F.variance("l_extendedprice"), 4).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("covar_disc_tax"),
+        F.round(F.stddev_pop("l_discount"), 8).alias("stdpop_disc"),
+    )
+
+
+AGG_STATS_SQL = """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+       ROUND(var_samp(l_extendedprice), 4) AS var_price,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_discount, l_tax), 8) AS covar_disc_tax,
+       ROUND(stddev_pop(l_discount), 8) AS stdpop_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact percentiles / median (continuous interpolation both engines).
+
+    ``percentile_approx`` exists for the at-scale path; exact ``percentile``
+    is used here because it is oracle-comparable.
+    """
+    li = load(spark, "lineitem", sf_dir)
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("p95_qty"),
+        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT l_linestatus,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+       ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: collect_set (sorted for determinism) + first/last via min/max."""
+    orders = load(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+    )
+
+
+AGG_COLLECT_SQL = """
+SELECT o_orderstatus,
+       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       MIN(o_orderkey) AS first_key,
+       MAX(o_orderkey) AS last_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: conditional aggregation (count_if / filtered sums)."""
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias(
+            "purchase_value_raw"
+        ),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+    ).withColumn("purchase_value", F.round("purchase_value_raw", 2)).drop(
+        "purchase_value_raw"
+    )
+
+
+AGG_CONDITIONAL_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (value > 100) AS n_big,
+       COUNT(*) FILTER (event_type = 'error') AS n_errors,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: rollup with grouping indicators."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+       COALESCE(l_linestatus, '(all)') AS linestatus,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: cube over two order dimensions."""
+    orders = load(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "avg_price",
+        )
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       COUNT(*) AS n,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: explicit GROUPING SETS via SQL over registered views (the
+    reference's query surface is SQL-over-views, spark_job.py:31-37)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(CAST(year(o_orderdate) AS INT), -1) AS yr,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(CAST(year(o_orderdate) AS INT), -1) AS yr,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: pivot event counts per user over a pinned value list (pinning the
+    list keeps the plan a single pass — no extra distinct-scan job)."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: HLL approximate count-distinct — rows-only (estimates are
+    engine-specific); the scale path for 100 TB cardinality estimation."""
+    ev = load(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+QUERIES = {
+    "agg_global": agg_global,
+    "agg_count_distinct": agg_count_distinct,
+    "agg_stats": agg_stats,
+    "agg_percentiles": agg_percentiles,
+    "agg_collect": agg_collect,
+    "agg_conditional": agg_conditional,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_pivot": agg_pivot,
+    "agg_approx_distinct": agg_approx_distinct,
+}
+
+ORACLES = {
+    "agg_global": AGG_GLOBAL_SQL,
+    "agg_count_distinct": AGG_COUNT_DISTINCT_SQL,
+    "agg_stats": AGG_STATS_SQL,
+    "agg_percentiles": AGG_PERCENTILES_SQL,
+    "agg_collect": AGG_COLLECT_SQL,
+    "agg_conditional": AGG_CONDITIONAL_SQL,
+    "agg_rollup": AGG_ROLLUP_SQL,
+    "agg_cube": AGG_CUBE_SQL,
+    "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
+    "agg_pivot": AGG_PIVOT_SQL,
+    # agg_approx_distinct intentionally rows-only
+}

@@ -1,0 +1,299 @@
+"""Window-function operators (SURVEY.md §2.5, W1-W5).
+
+All stock ``pyspark.sql.Window``. Every ordering includes a unique tiebreaker
+(custkey / orderkey / event_id) so results are deterministic under the
+driver's hash compare. Partition keys are the natural distribution keys
+(nation, customer, user) — at 100 TB each window is one shuffle on its
+partition key; no global windows (an ``orderBy`` without ``partitionBy``
+funnels everything to one task and is banned in this module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number / rank / dense_rank per nation by acctbal."""
+    cust = load(spark, "customer", sf_dir)
+    w_tie = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    w_val = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.row_number().over(w_tie).alias("rn"),
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT c_nationkey, c_custkey,
+       ROUND(c_acctbal, 2) AS acctbal,
+       ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+       RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+FROM customer
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead per user ordered by event time (speed-delta pattern —
+    the reference's ``sudden_braking`` flag computed properly)."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        (F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")).alias(
+            "secs_to_next"
+        ),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT user_id, event_id, value,
+       LAG(value)  OVER w AS prev_value,
+       ROUND(value - LAG(value) OVER w, 2) AS value_delta,
+       CAST(floor(epoch(LEAD(ts) OVER w)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS secs_to_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: cumulative sum per customer over order history."""
+    orders = load(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count("*").over(w).alias("order_seq"),
+    )
+
+
+WINDOW_RUNNING_SUM_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS running_spend,
+       COUNT(*) OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: sliding row frame — 3-event moving average per user."""
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg3"),
+        F.count("*").over(w).alias("frame_size"),
+    )
+
+
+WINDOW_MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER w, 6) AS moving_avg3,
+       COUNT(*) OVER w AS frame_size
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_range_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: range frame on event time — 30-day trailing spend per customer.
+    Spark range frames need a numeric ordering column → epoch seconds."""
+    orders = load(spark, "orders", sf_dir).withColumn(
+        "epoch_s", F.col("o_orderdate").cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )
+
+
+WINDOW_RANGE_30D_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS spend_30d,
+       COUNT(*) OVER w AS n_orders_30d
+FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: top-3 orders per customer by price (row_number ≤ k pattern)."""
+    orders = load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price, rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ntile / percent_rank / cume_dist over account balance."""
+    cust = load(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+WINDOW_NTILE_SQL = """
+SELECT c_mktsegment, c_custkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: first_value / last_value / nth_value over the full partition."""
+    ev = load(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+WINDOW_FIRST_LAST_SQL = """
+SELECT user_id, event_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type)  OVER w AS last_type,
+       NTH_VALUE(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: batch sessionization by 30-minute inactivity gap —
+    lag → gap flag → running sum session id → per-session rollup.
+    Two window passes + one group-by, all on the user_id shuffle key."""
+    ev = load(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    )
+    with_session = (
+        ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT *,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(LAG(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       ROUND(SUM(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+QUERIES = {
+    "window_rank": window_rank,
+    "window_lag_lead": window_lag_lead,
+    "window_running_sum": window_running_sum,
+    "window_moving_avg": window_moving_avg,
+    "window_range_30d": window_range_30d,
+    "window_topk_per_group": window_topk_per_group,
+    "window_ntile_pct": window_ntile_pct,
+    "window_first_last": window_first_last,
+    "sessionize": sessionize,
+}
+
+ORACLES = {
+    "window_rank": WINDOW_RANK_SQL,
+    "window_lag_lead": WINDOW_LAG_LEAD_SQL,
+    "window_running_sum": WINDOW_RUNNING_SUM_SQL,
+    "window_moving_avg": WINDOW_MOVING_AVG_SQL,
+    "window_range_30d": WINDOW_RANGE_30D_SQL,
+    "window_topk_per_group": WINDOW_TOPK_SQL,
+    "window_ntile_pct": WINDOW_NTILE_SQL,
+    "window_first_last": WINDOW_FIRST_LAST_SQL,
+    "sessionize": SESSIONIZE_SQL,
+}
