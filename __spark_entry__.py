@@ -17,14 +17,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
     aggregates,
+    arrays,
+    dedup,
     joins,
+    multimodal,
     relational,
     setops,
+    similarity,
+    textops,
     windows,
 )
 
 
-_MODULES = [relational, joins, aggregates, windows, setops]
+_MODULES = [
+    relational,
+    joins,
+    aggregates,
+    windows,
+    setops,
+    arrays,
+    dedup,
+    similarity,
+    textops,
+    multimodal,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

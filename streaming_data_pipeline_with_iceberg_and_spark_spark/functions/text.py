@@ -1,0 +1,48 @@
+"""Text-processing column expressions: tokenize, normalize, shingle, hash.
+
+All built-in functions (split/transform/slice/md5/conv) — no UDFs, so the
+whole path stays JVM-side. Hashes that must be oracle-reproducible use md5
+(cross-engine stable); engine-internal hashing (MinHash perms) uses xxhash64
+(faster, Spark-native).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# words drawn from the synthetic corpus vocabulary; generic function-word list
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def normalize(text: Column | str) -> Column:
+    """Dedup normalization: lowercase, strip non-alnum, collapse whitespace."""
+    text = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token array, via transform over a
+    sequence of start offsets (no explode needed at this stage)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def md5_bucket16(s: Column) -> Column:
+    """Deterministic 16-bit hash from md5 (cross-engine reproducible):
+    first 4 hex chars → int in [0, 65535]."""
+    return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("int")
+
+
+def md5_bucket32(s: Column) -> Column:
+    """32-bit variant (8 hex chars)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")

@@ -1,0 +1,337 @@
+"""Deduplication operators (SURVEY.md §2.8 L1/L2; north-star extension).
+
+Five dedup strategies over ``documents``, each designed scale-first:
+
+- exact / fingerprint: one hash-groupBy shuffle — the 100 TB workhorse.
+- MinHash+LSH: shingle → K permuted min-hashes → band buckets → candidate
+  join. Cost is O(docs × shingles) + a join keyed on (band, signature) —
+  never all-pairs. Seeds fixed for determinism.
+- SimHash: 16-bit md5-based token simhash — bit-level majority vote done as
+  16 column expressions in ONE aggregation pass (no explode×bits).
+- n-gram Jaccard: exact set Jaccard, but only over candidate pairs that
+  share ≥1 shingle (inverted-index join), never the full cross product.
+- embedding cosine: same-label blocking (the IVF-style coarse partition) +
+  higher-order-function cosine; all-pairs only within a block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_bucket16, normalize, shingles, tokens
+from ..functions.vector import cosine
+from ..io import load
+
+# MinHash parameters: 32 permutations in 8 bands of 4 rows; fixed seeds.
+_MH_PERMS = 32
+_MH_BANDS = 8
+_MH_ROWS = _MH_PERMS // _MH_BANDS
+_MH_PRIME = (1 << 61) - 1  # Mersenne prime for (a*x + b) % p permutation hashes
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content hash — groups + deterministic survivor."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 variant: normalized fingerprint (lowercase, strip punctuation,
+    collapse whitespace, sort distinct tokens) — catches reordered copies."""
+    docs = load(spark, "documents", sf_dir)
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(normalize("text")))))
+    )
+    return (
+        docs.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_FINGERPRINT_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), '\\s+'))), ' ')) AS fingerprint,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens("text"), 3)).alias("sh"),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash + LSH banding near-dup candidates (rows-only check:
+    the permutation hashes are engine-internal xxhash64).
+
+    Pipeline (all DataFrame ops, one explode, two shuffles):
+      shingle → xxhash64 → 32 permuted mins per doc (single groupBy with 32
+      min() aggs — not 32 passes) → 8 band signatures → explode bands →
+      self-join on (band, signature) → distinct candidate pairs → estimated
+      Jaccard from signature agreement → top-20.
+    """
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    # constrain to 31 bits so (a*h + b) stays within long under ANSI mode
+    h = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(1 << 31)))
+    # 32 permutations (a_i * h + b_i) mod p, min per doc; fixed a_i/b_i seeds
+    mins = h.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * (i + 1))) % _MH_PRIME
+            ).alias(f"m{i}")
+            for i in range(_MH_PERMS)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                *[F.col(f"m{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+            ).alias(f"band{b}")
+            for b in range(_MH_BANDS)
+        ],
+        F.array(*[F.col(f"m{i}") for i in range(_MH_PERMS)]).alias("sig"),
+    )
+    exploded = bands.select(
+        "doc_id",
+        "sig",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(_MH_BANDS)])).alias(
+            "band_idx", "band_sig"
+        ),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = pairs.withColumn(
+        "est_jaccard",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(float(_MH_PERMS)),
+            6,
+        ),
+    )
+    return (
+        est.select("doc_a", "doc_b", "est_jaccard")
+        .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 variant: 16-bit SimHash per document, md5-based so the oracle can
+    reproduce it. Majority vote per bit via 16 conditional sums in one
+    aggregation (single shuffle on doc_id)."""
+    docs = load(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).withColumn("h", md5_bucket16(F.col("tok")))
+    bit_votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"bit{i}")
+            for i in range(16)
+        ]
+    )
+    simhash = bit_votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"bit{i}") > 0, F.lit(1 << i)).otherwise(0)
+                for i in range(16)
+            ],
+            F.lit(0),
+        ).cast("int").alias("simhash16"),
+    )
+    return simhash
+
+
+DEDUP_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) AS h FROM tok
+), votes AS (
+  SELECT doc_id,
+         {bit_exprs}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({recombine} AS INT) AS simhash16 FROM votes
+""".format(
+    bit_exprs=",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS bit{i}"
+        for i in range(16)
+    ),
+    recombine=" + ".join(
+        f"(CASE WHEN bit{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    ),
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 variant: exact 3-gram Jaccard over candidate pairs sharing ≥1
+    shingle (inverted-index join — never all-pairs). Top-50 most similar."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(50)
+
+
+DEDUP_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, len(s) AS n_sh FROM sh
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 50
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3: embedding near-dup — same-label blocking (coarse IVF-style
+    partition bounds the pair count), cosine ≥ 0.3 pairs."""
+    emb = load(spark, "embeddings", sf_dir)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 5).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 5) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 5) >= 0.3
+ORDER BY cos_sim DESC, vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+    # dedup_minhash_lsh intentionally rows-only (xxhash64 is engine-internal)
+}

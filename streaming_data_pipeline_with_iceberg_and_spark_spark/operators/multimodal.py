@@ -1,0 +1,180 @@
+"""Multimodal column operators (SURVEY.md §2.8 L5).
+
+Convention: media travel as opaque ``binary`` columns + a typed metadata
+struct — the Spark-idiomatic layout for 100 TB of images/audio/video (bytes
+stay columnar in parquet; metadata prunes without touching payloads).
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_image`` raises NotImplementedError; ``fake_decode_features`` is the
+deterministic stand-in used by the mapInPandas pipeline so the Spark-side
+plumbing (schema, Arrow batching, partition shape) is real and tested.
+Payloads here are synthesized from ``documents.text`` bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load
+
+# metadata struct carried beside every media payload column
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - intentional stub
+    """Real codec hook (PIL/libjpeg not in this container)."""
+    raise NotImplementedError(
+        "image decode requires a codec library; use fake_decode_features "
+        "for deterministic pipeline tests"
+    )
+
+
+def fake_decode_features(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in decoder: (byte_sum % 997, fake_w, fake_h)."""
+    byte_sum = sum(payload) % 997
+    fake_w = 16 + (payload[0] % 64) if payload else 0
+    fake_h = 16 + (payload[-1] % 64) if payload else 0
+    return byte_sum, fake_w, fake_h
+
+
+def with_media_column(docs: DataFrame) -> DataFrame:
+    """Attach a synthetic binary payload + metadata struct to documents."""
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5("text").alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: binary payload + metadata projection (no decode needed —
+    metadata-only scans must not touch payload bytes at scale)."""
+    docs = load(spark, "documents", sf_dir)
+    media = with_media_column(docs)
+    return media.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+MM_BINARY_METADATA_SQL = """
+SELECT doc_id,
+       'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum_mod", T.IntegerType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+    ]
+)
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: Arrow-batched feature extraction over binary payloads via
+    mapInPandas — the real multimodal hot path shape (rows-only check;
+    matches pure-Python reimplementation in tests/test_multimodal.py).
+
+    At scale: payload batches stream through Arrow; the Python worker sees
+    pandas chunks, never the whole partition; output schema is fixed."""
+    media = with_media_column(load(spark, "documents", sf_dir))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "byte_sum_mod": [f[0] for f in feats],
+                    "fake_width": [f[1] for f in feats],
+                    "fake_height": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: frame sampling plumbing — treat each doc as an n_chars-frame clip,
+    emit every 100th frame index (sequence + explode; pure column ops)."""
+    docs = load(spark, "documents", sf_dir)
+    frames = F.sequence(
+        F.lit(0), F.col("n_chars").cast("int") - 1, F.lit(100)
+    )
+    return docs.select(
+        "doc_id", F.explode(frames).alias("frame_idx")
+    ).withColumn("sample_tag", F.concat(F.lit("f"), F.col("frame_idx")))
+
+
+MM_FRAME_SAMPLE_SQL = """
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       'f' || CAST(i AS VARCHAR) AS sample_tag
+FROM documents, unnest(range(0, n_chars, 100)) AS t(i)
+"""
+
+
+def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+L1: content-hash dedup over binary payloads (metadata-only)."""
+    media = with_media_column(load(spark, "documents", sf_dir))
+    return (
+        media.groupBy(F.col("meta.content_md5").alias("content_md5"))
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.max(F.col("meta.n_bytes")).alias("n_bytes"),
+        )
+    )
+
+
+MM_CONTENT_DEDUP_SQL = """
+SELECT md5(text) AS content_md5,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies,
+       MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS n_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "mm_binary_metadata": mm_binary_metadata,
+    "mm_feature_extract": mm_feature_extract,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_content_dedup": mm_content_dedup,
+}
+
+ORACLES = {
+    "mm_binary_metadata": MM_BINARY_METADATA_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_content_dedup": MM_CONTENT_DEDUP_SQL,
+    # mm_feature_extract intentionally rows-only (Pandas-UDF path; verified
+    # against a pure-Python oracle in tests/test_multimodal.py)
+}

@@ -1,0 +1,196 @@
+"""Similarity search over embeddings (SURVEY.md §2.8 L3).
+
+- Brute-force cosine top-k: the exactness baseline. The query set is tiny
+  (broadcast side); the corpus streams — at 100 TB this is one scan of the
+  corpus per query batch, no shuffle of the corpus itself.
+- LSH (random-hyperplane) ANN: sign-bit bucket join — candidates share a
+  bucket; corpus side is bucketed once (reusable), query side is tiny.
+  Engine-internal hashing → rows-only check, plus a recall unit test vs the
+  exact baseline (tests/test_similarity.py).
+- IVF-style coarse blocking is exercised by dedup_embedding_cosine (label
+  blocks); a learned k-means coarse quantizer would slot in the same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot
+from ..io import load
+
+_N_PLANES = 4  # per hash table → 16 buckets
+_N_TABLES = 2  # independent tables; candidates = union over tables
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every 50th vector (query set).
+
+    The query side is broadcast; per-query top-k via window over the scored
+    scan — TakeOrdered shape, corpus never shuffles on a pair key.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        load(spark, "embeddings", sf_dir)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("embedding")), 5).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+KNN_BRUTEFORCE_SQL = """
+SELECT q_id, rank, vec_id, cos_sim
+FROM (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         ROUND(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 5) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 5) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+  JOIN embeddings e ON e.vec_id != q.vec_id
+)
+WHERE rank <= 5
+"""
+
+
+def knn_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dot-product (inner-product) top-3 — same shape, different metric."""
+    emb = load(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        load(spark, "embeddings", sf_dir)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(dot(F.col("q_vec"), F.col("embedding")), 5).alias("dot_prod"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_prod"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "rank", "vec_id", "dot_prod")
+    )
+
+
+KNN_DOT_SQL = """
+SELECT q_id, rank, vec_id, dot_prod
+FROM (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         ROUND(list_inner_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 5) AS dot_prod,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND(list_inner_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 5) DESC,
+                                     e.vec_id ASC) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+  JOIN embeddings e ON e.vec_id != q.vec_id
+)
+WHERE rank <= 3
+"""
+
+
+def _bucket_for_table(t: int) -> F.Column:
+    """Sign-bit bucket id for hash table ``t``.
+
+    Deterministic pseudo-random planes: plane (t, p)'s weight for dimension d
+    is a fixed hash-derived value in [-1, 1] — a pure column expression (no
+    numpy materialization, no driver loop over data)."""
+    sign_bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("embedding") - 1),
+                        lambda d: (
+                            F.pmod(F.xxhash64(F.lit(t * 1000 + p), d), F.lit(2001))
+                            - 1000
+                        ).cast("double")
+                        / 1000.0,
+                    ),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for p in range(_N_PLANES)
+    ]
+    return sum(
+        [F.when(sign_bits[p] == 1, F.lit(1 << p)).otherwise(0) for p in range(_N_PLANES)],
+        F.lit(0),
+    ).cast("int")
+
+
+def _hyperplane_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, table, bucket, embedding) — one row per hash table.
+
+    The corpus is bucketed once per table; at scale this projection is what
+    you'd persist (bucketed/partitioned by (table, bucket)) and reuse across
+    query batches."""
+    tables = F.array(*[_bucket_for_table(t) for t in range(_N_TABLES)])
+    return emb.select(
+        "vec_id", "embedding", F.posexplode(tables).alias("tbl", "bucket")
+    )
+
+
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table random-hyperplane LSH: top-5 per query among
+    candidates sharing a bucket in ANY table (rows-only check; recall vs
+    exact baseline asserted in tests/test_extensions.py)."""
+    emb = _hyperplane_buckets(load(spark, "embeddings", sf_dir))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "q_vec", "vec_id", "embedding")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = cands.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("embedding")), 5).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "knn_dot_topk": knn_dot_topk,
+    "ann_lsh_hyperplane": ann_lsh_hyperplane,
+}
+
+ORACLES = {
+    "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "knn_dot_topk": KNN_DOT_SQL,
+    # ann_lsh_hyperplane intentionally rows-only (engine-internal hashing)
+}

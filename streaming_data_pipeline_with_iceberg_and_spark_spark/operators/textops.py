@@ -1,0 +1,312 @@
+"""Text analysis operators (SURVEY.md §2.8 L4/L6).
+
+Language-ID, quality scoring, token counting, TF-IDF, n-gram frequency,
+fingerprinting — all built-in column expressions / one-explode pipelines.
+At 100 TB each of these is a single scan (+ one shuffle for the global
+aggregations); nothing is per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokens
+from ..io import load
+
+# marker stopwords per language for the n-gram/stopword language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "la", "y", "los"],
+}
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, avg token length."""
+    docs = load(spark, "documents", sf_dir)
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = """
+WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       ROUND(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks), 6) AS avg_token_len,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM t
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering: length bounds, punct/digit/stopword ratios, and a
+    composite keep/drop flag (the L6 boilerplate-filter shape)."""
+    docs = load(spark, "documents", sf_dir)
+    toks = tokens("text")
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    digits = n_chars - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    out = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars_meta"),
+        (punct / n_chars).alias("_punct_ratio"),
+        (digits / n_chars).alias("_digit_ratio"),
+        (n_stop / F.size(toks)).alias("_stop_ratio"),
+        F.size(toks).alias("n_tokens"),
+    )
+    return out.select(
+        "doc_id",
+        "n_chars_meta",
+        F.round("_punct_ratio", 6).alias("punct_ratio"),
+        F.round("_digit_ratio", 6).alias("digit_ratio"),
+        F.round("_stop_ratio", 6).alias("stopword_ratio"),
+        (
+            (F.col("n_tokens") >= 5)
+            & (F.col("_punct_ratio") < 0.2)
+            & (F.col("_stop_ratio") > 0.0)
+        ).alias("keep"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio_raw,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / length(text) AS digit_ratio_raw,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> list_contains({stopwords}, x))) AS DOUBLE)
+             / len(string_split_regex(lower(trim(text)), '\\s+')) AS stop_ratio_raw
+  FROM documents
+)
+SELECT doc_id,
+       n_chars AS n_chars_meta,
+       ROUND(punct_ratio_raw, 6) AS punct_ratio,
+       ROUND(digit_ratio_raw, 6) AS digit_ratio,
+       ROUND(stop_ratio_raw, 6) AS stopword_ratio,
+       (len(toks) >= 5 AND punct_ratio_raw < 0.2 AND stop_ratio_raw > 0.0) AS keep
+FROM t
+""".format(stopwords="[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]")
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-stopword votes per language, argmax with
+    deterministic tie-break (score desc, language code asc), 'und' if zero."""
+    docs = load(spark, "documents", sf_dir)
+    toks = tokens("text")
+    score_cols = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        score_cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax: sort (score desc, lang asc) → first; array_sort on struct sorts
+    # ascending by field order, so sort (-score, lang) and take element 1
+    best = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-c.getField("score")).alias("neg"), c.getField("lang").alias("lang"),
+                    c.getField("score").alias("score"),
+                )
+                for c in score_cols
+            ]
+        )
+    ).getItem(0)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise("und")
+        .alias("detected_lang"),
+        best.getField("score").alias("marker_hits"),
+    )
+
+
+TEXT_LANG_ID_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         {score_exprs}
+  FROM t
+), ranked AS (
+  SELECT doc_id, lang,
+         unnest(list_sort([{structs}])) AS s
+  FROM scores
+), first_pick AS (
+  SELECT doc_id, lang, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s.neg, s.lang) AS rn
+  FROM ranked
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN s.score > 0 THEN s.lang ELSE 'und' END AS detected_lang,
+       CAST(s.score AS INT) AS marker_hits
+FROM first_pick WHERE rn = 1
+""".format(
+    score_exprs=",\n         ".join(
+        "CAST(len(list_filter(toks, x -> list_contains({m}, x))) AS INT) AS score_{lang}".format(
+            m="[" + ", ".join(f"'{w}'" for w in ws) + "]", lang=lang
+        )
+        for lang, ws in sorted(_LANG_MARKERS.items())
+    ),
+    structs=", ".join(
+        f"{{'neg': -score_{lang}, 'lang': '{lang}', 'score': score_{lang}}}"
+        for lang in sorted(_LANG_MARKERS)
+    ),
+)
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: global top-20 terms by summed tf·idf (one explode, two
+    aggregations; df join is broadcast — term dictionary is small)."""
+    docs = load(spark, "documents", sf_dir)
+    n_docs = docs.count()  # scalar, computed once (count-star over metadata)
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_counts), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    return (
+        scored.groupBy("term")
+        .agg(F.round(F.sum("tfidf"), 6).alias("total_tfidf"), F.max("df").alias("df"))
+        .orderBy(F.desc("total_tfidf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH tf AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), tfc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2
+), dfc AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term,
+       ROUND(SUM(tf * ln(CAST(n_docs AS DOUBLE) / df)), 6) AS total_tfidf,
+       MAX(df) AS df
+FROM tfc JOIN dfc USING (term), n
+GROUP BY term
+ORDER BY total_tfidf DESC, term ASC
+LIMIT 20
+"""
+
+
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram frequency: global top-20 word bigrams (zip_with of the token
+    array against its own tail — no self-join)."""
+    docs = load(spark, "documents", sf_dir)
+    toks = tokens("text")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda x, y: F.when(y.isNotNull(), F.concat_ws(" ", x, y)),
+        ),
+        lambda b: b.isNotNull(),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+TEXT_BIGRAM_SQL = """
+WITH t AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), bg AS (
+  SELECT unnest(list_filter(
+           list_transform(list_zip(toks, toks[2:]),
+                          p -> CASE WHEN p[2] IS NOT NULL
+                                    THEN p[1] || ' ' || p[2] END),
+           x -> x IS NOT NULL)) AS bigram
+  FROM t
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def text_rollup_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup: doc counts + char stats by (lang, source)."""
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+        )
+    )
+
+
+TEXT_ROLLUP_SQL = """
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_bigram_freq": text_bigram_freq,
+    "text_rollup_by_lang_source": text_rollup_by_lang_source,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "text_lang_id": TEXT_LANG_ID_SQL,
+    "text_tfidf_top_terms": TEXT_TFIDF_SQL,
+    "text_bigram_freq": TEXT_BIGRAM_SQL,
+    "text_rollup_by_lang_source": TEXT_ROLLUP_SQL,
+}

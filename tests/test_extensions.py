@@ -1,0 +1,83 @@
+"""Unit tests for the rows-only extension operators (no SQL oracle):
+MinHash-LSH, hyperplane ANN (recall vs exact), Pandas-UDF feature extract
+(vs pure-Python oracle), and the vector function helpers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_with_iceberg_and_spark_spark.functions.vector import cosine, dot, l2_distance
+from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import dedup, multimodal, similarity
+
+
+def test_vector_functions_match_python(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [4.0, -5.0, 6.0]
+    df = spark.createDataFrame(
+        [(a, b)], "a array<float>, b array<float>"
+    ).select(
+        dot("a", "b").alias("dot"),
+        cosine("a", "b").alias("cos"),
+        l2_distance("a", "b").alias("l2"),
+    )
+    row = df.collect()[0]
+    exp_dot = sum(x * y for x, y in zip(a, b))
+    exp_cos = exp_dot / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+    exp_l2 = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    assert abs(row.dot - exp_dot) < 1e-9
+    assert abs(row.cos - exp_cos) < 1e-9
+    assert abs(row.l2 - exp_l2) < 1e-9
+
+
+def test_minhash_lsh_deterministic_and_plausible(spark, sf_dir):
+    out1 = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    out2 = dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    assert out1 == out2, "fixed seeds must make LSH deterministic"
+    assert len(out1) > 0
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in out1)
+    assert all(r.doc_a < r.doc_b for r in out1)
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ann_lsh_hyperplane(spark, sf_dir).collect()
+    }
+    # candidate lists are bucket-restricted; require non-trivial overlap
+    # (random data, 8 planes → recall is modest but must be > 0)
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.05, f"ANN recall suspiciously low: {recall}"
+
+
+def test_mm_feature_extract_matches_python_oracle(spark, sf_dir):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    rows = multimodal.mm_feature_extract(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text for r in load(spark, "documents", sf_dir).collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        payload = texts[r.doc_id].encode("utf-8")
+        byte_sum, w, h = multimodal.fake_decode_features(payload)
+        assert r.n_bytes == len(payload)
+        assert r.byte_sum_mod == byte_sum
+        assert r.fake_width == w
+        assert r.fake_height == h
+
+
+def test_decode_image_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff")
