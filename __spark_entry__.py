@@ -19,6 +19,7 @@ from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
     aggregates,
     arrays,
     dedup,
+    eventtime,
     joins,
     multimodal,
     relational,
@@ -35,6 +36,7 @@ _MODULES = [
     aggregates,
     windows,
     setops,
+    eventtime,
     arrays,
     dedup,
     similarity,

@@ -1,0 +1,130 @@
+"""Event-time window aggregations in batch mode (SURVEY.md §2.7 T6/T7).
+
+Same ``F.window`` / ``F.session_window`` operators Structured Streaming uses,
+run over the bounded events table so they are oracle-checkable; the streaming
+variants (with watermarks) live in ``streaming/windowed.py`` and are tested
+with fixture micro-batches. Window bounds are emitted as epoch seconds
+(bigint) — engine-neutral and hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+
+
+def window_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: 5-minute tumbling window counts per event type."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+WINDOW_TUMBLING_SQL = """
+SELECT CAST(floor(epoch(time_bucket(INTERVAL 5 MINUTE, ts))) AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def window_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: 10-minute windows sliding every 5 minutes (each event lands in 2)."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+# each event belongs to windows starting at bucket(ts) and bucket(ts) - 300;
+# express the two memberships as a UNION ALL then aggregate
+WINDOW_SLIDING_SQL = """
+WITH memb AS (
+  SELECT CAST(floor(epoch(time_bucket(INTERVAL 5 MINUTE, ts))) AS BIGINT) AS window_start, value
+  FROM events
+  UNION ALL
+  SELECT CAST(floor(epoch(time_bucket(INTERVAL 5 MINUTE, ts))) AS BIGINT) - 300, value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+FROM memb
+GROUP BY 1
+"""
+
+
+def window_session_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: session windows (30-min gap) per user via F.session_window —
+    the built-in operator counterpart of the manual ``sessionize`` query
+    (operators/windows.py), which doubles as its cross-check."""
+    ev = load(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# oracle: replicate gap-sessionization; session end extends 30min past last
+# event, but session_start = first event ts (same as manual sessionize)
+WINDOW_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "window_tumbling_5min": window_tumbling_5min,
+    "window_sliding_10m_5m": window_sliding_10m_5m,
+    "window_session_30min": window_session_30min,
+}
+
+ORACLES = {
+    "window_tumbling_5min": WINDOW_TUMBLING_SQL,
+    "window_sliding_10m_5m": WINDOW_SLIDING_SQL,
+    "window_session_30min": WINDOW_SESSION_SQL,
+}

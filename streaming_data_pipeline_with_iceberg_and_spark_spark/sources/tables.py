@@ -1,0 +1,105 @@
+"""Managed-table warehouse with the reference's write semantics.
+
+The reference writes to an Iceberg table in a Glue catalog
+(/root/reference/spark-data-pipeline/spark_job.py:47-64): parquet+snappy,
+copy-on-write row-level modes, optional partition columns, append if the
+table exists else create (``tableExists`` probe :59).
+
+This module keeps that exact control flow behind one class. Backend:
+
+- **Iceberg** (``local`` hadoop catalog) when the runtime jar is on the
+  classpath — identical ``saveAsTable`` surface plus namespace DDL
+  (spark_job.py:144).
+- **Parquet warehouse** fallback (this container ships no Iceberg jar):
+  append/overwrite parquet under ``warehouse/<namespace>/<table>`` with the
+  same partitionBy and probe-then-route behavior. Not transactional across
+  writers — documented limitation of the fallback, not of the design.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import iceberg_runtime_available
+
+WRITE_OPTIONS = {
+    # mirror of spark_job.py:49-54
+    "write.format.default": "parquet",
+    "write.delete.mode": "copy-on-write",
+    "write.update.mode": "copy-on-write",
+    "write.merge.mode": "copy-on-write",
+    "write.parquet.compression-codec": "snappy",
+}
+
+
+class Warehouse:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        catalog: str = "local",
+        namespace: str = "db",
+    ):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.catalog = catalog
+        self.namespace = namespace
+        self.use_iceberg = iceberg_runtime_available()
+
+    # -- naming -----------------------------------------------------------
+    def full_name(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.warehouse_dir, self.namespace, table)
+
+    # -- DDL --------------------------------------------------------------
+    def create_namespace(self) -> None:
+        """CREATE NAMESPACE IF NOT EXISTS (spark_job.py:144)."""
+        if self.use_iceberg:
+            self.spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
+            )
+        else:
+            os.makedirs(os.path.join(self.warehouse_dir, self.namespace), exist_ok=True)
+
+    def table_exists(self, table: str) -> bool:
+        """spark.catalog.tableExists probe (spark_job.py:59)."""
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self.full_name(table))
+        path = self._path(table)
+        return os.path.isdir(path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(path)
+        )
+
+    # -- writes -----------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_cols: list[str] | None = None,
+        mode: str | None = None,
+    ) -> None:
+        """Append if the table exists, else create — the reference's routing
+        (spark_job.py:59-64). ``mode`` forces append/overwrite explicitly."""
+        mode = mode or ("append" if self.table_exists(table) else "overwrite")
+        if self.use_iceberg:
+            writer = df.write.format("iceberg")
+            for k, v in WRITE_OPTIONS.items():
+                writer = writer.option(k, v)
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.mode(mode).saveAsTable(self.full_name(table))
+        else:
+            writer = df.write.option("compression", "snappy")
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.mode(mode).parquet(self._path(table))
+
+    # -- reads ------------------------------------------------------------
+    def read(self, table: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(self.full_name(table))
+        return self.spark.read.parquet(self._path(table))

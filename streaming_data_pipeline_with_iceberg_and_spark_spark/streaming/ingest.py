@@ -1,0 +1,102 @@
+"""Reference-parity ETL: NDJSON → enrichment → managed table.
+
+The reference's whole pipeline (spark_job.py:78-123 + the ``while True`` loop
+:172-188) collapses into one Structured Streaming query:
+
+    poll SQS / sleep(10)      → trigger(processingTime='10 seconds')
+    get_messages(10)          → maxFilesPerTrigger=10
+    spark.read.json(files)    → readStream file source
+    SQL enrichment :156-164   → enrich() below (same three derived columns)
+    saveAsTable append :59-64 → foreachBatch → Warehouse.write
+    poller.commit() :185      → checkpointLocation (exactly-once upgrade:
+                                the reference can duplicate a batch if it
+                                crashes between write :61 and commit :185)
+
+``enrich`` is also usable on bounded DataFrames — batch and streaming share
+the same transformation, which is the point of the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.ndjson import read_stream
+from ..sources.tables import Warehouse
+
+
+def enrich(df: DataFrame) -> DataFrame:
+    """The reference's enrichment projection (spark_job.py:156-164):
+    SELECT *, input_file, processed_time, processed_date.
+
+    In streaming, ``input_file_name()`` is unreliable; ``_metadata.file_path``
+    is the supported column — used when available, else fallback."""
+    if "_metadata" in df.columns or df.isStreaming:
+        input_file = F.col("_metadata.file_path")
+    else:
+        input_file = F.input_file_name()
+    return df.select(
+        "*",
+        input_file.alias("input_file"),
+        F.current_timestamp().alias("processed_time"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd").alias("processed_date"),
+    )
+
+
+def with_event_time(df: DataFrame, col: str = "timestamp") -> DataFrame:
+    """Parse the producer's string timestamp (gps-tracking-simulation.py:58)
+    into a real event-time column — the fix the reference never applies
+    (SURVEY.md §1.2)."""
+    return df.withColumn("event_ts", F.to_timestamp(col, "yyyy-MM-dd HH:mm:ss"))
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    warehouse: Warehouse,
+    table: str = "gps_tracking_table",
+    checkpoint_dir: str | None = None,
+    partition_cols: list[str] | None = None,
+    trigger_seconds: int = 10,
+    max_files_per_trigger: int = 10,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Run the reference pipeline as one streaming query.
+
+    ``available_now=True`` drains all pending files then stops (used by
+    tests and backfills); otherwise ProcessingTime(trigger_seconds) mirrors
+    the reference's sleep(10) cadence."""
+    warehouse.create_namespace()
+    stream = read_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    enriched = enrich(stream.withColumn("_metadata", F.col("_metadata")))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        warehouse.write(batch_df.drop("_metadata"), table, partition_cols)
+
+    writer = enriched.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def run_batch_ingest(
+    spark: SparkSession,
+    files: list[str] | str,
+    warehouse: Warehouse,
+    table: str = "gps_tracking_table",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """The reference's original batch path (process_message → load_data_to_
+    iceberg, spark_job.py:78-123) for explicit file lists."""
+    from ..sources.ndjson import read_batch
+
+    warehouse.create_namespace()
+    df = enrich(read_batch(spark, files))
+    warehouse.write(df, table, partition_cols)

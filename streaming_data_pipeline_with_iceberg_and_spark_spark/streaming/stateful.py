@@ -1,0 +1,119 @@
+"""Arbitrary stateful streaming (SURVEY.md §2.7 T10): per-vehicle trip
+segmentation with ``applyInPandasWithState``.
+
+A trip = consecutive GPS readings for one vehicle with gaps < GAP_SECONDS.
+State per vehicle: current trip's start/end/count/distance-proxy. When the
+watermark passes a trip's end + gap, the trip is emitted and state dropped —
+state size is O(active vehicles), not O(events): the property that keeps
+this runnable on an unbounded 100 TB stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_SECONDS = 120
+
+TRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("vehicle_id", T.StringType()),
+        T.StructField("trip_start", T.TimestampType()),
+        T.StructField("trip_end", T.TimestampType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("max_speed", T.DoubleType()),
+    ]
+)
+
+# state tuple: (trip_start_epoch_us, trip_end_epoch_us, n_points, max_speed)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("max_speed", T.DoubleType()),
+    ]
+)
+
+
+def _segment(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for one vehicle into trip state; emit
+    trips closed by a gap (or by processing-time timeout for idle vehicles)."""
+    vehicle_id = key[0]
+    if state.hasTimedOut:
+        if state.exists:
+            s, e, n, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "vehicle_id": [vehicle_id],
+                    "trip_start": [pd.Timestamp(s, unit="us")],
+                    "trip_end": [pd.Timestamp(e, unit="us")],
+                    "n_points": [n],
+                    "max_speed": [mx],
+                }
+            )
+        return
+
+    rows = pd.concat(list(batches), ignore_index=True)
+    rows = rows.sort_values("event_ts")
+    ts_us = rows["event_ts"].astype("int64") // 1000  # ns → µs
+    speeds = rows["speed_kmh"].astype(float)
+
+    completed: list[tuple[str, int, int, int, float]] = []
+    if state.exists:
+        start_us, end_us, n, mx = state.get
+    else:
+        start_us = end_us = -1
+        n = 0
+        mx = 0.0
+
+    for t, sp in zip(ts_us, speeds):
+        if start_us < 0:
+            start_us, end_us, n, mx = t, t, 1, sp
+        elif t - end_us > GAP_SECONDS * 1_000_000:
+            completed.append((vehicle_id, start_us, end_us, n, mx))
+            start_us, end_us, n, mx = t, t, 1, sp
+        else:
+            end_us = t
+            n += 1
+            mx = max(mx, sp)
+
+    state.update((int(start_us), int(end_us), int(n), float(mx)))
+    state.setTimeoutDuration(GAP_SECONDS * 1000)
+
+    if completed:
+        yield pd.DataFrame(
+            {
+                "vehicle_id": [c[0] for c in completed],
+                "trip_start": [pd.Timestamp(c[1], unit="us") for c in completed],
+                "trip_end": [pd.Timestamp(c[2], unit="us") for c in completed],
+                "n_points": [c[3] for c in completed],
+                "max_speed": [c[4] for c in completed],
+            }
+        )
+
+
+def trip_segments(events: DataFrame) -> DataFrame:
+    """events(vehicle_id, event_ts, speed_kmh, ...) → closed-trip stream."""
+    return (
+        events.select("vehicle_id", "event_ts", "speed_kmh")
+        .groupBy("vehicle_id")
+        .applyInPandasWithState(
+            _segment,
+            outputStructType=TRIP_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,260 @@
+"""Streaming + ETL-parity tests (SURVEY.md §5.3/§5.4).
+
+Fixtures mirror the reference's data model edge cases (FIXTURES.md §A1):
+an all-EV file (fuel_level 100% null — the schema-inference trap), an empty
+file, a duplicate file, and late events for watermark semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.ndjson import read_batch
+from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.tables import Warehouse
+from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+    enrich,
+    run_batch_ingest,
+    start_ingest,
+    with_event_time,
+)
+from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.windowed import (
+    dedup_within_watermark,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def _gps_record(vehicle_id="veh00001", ts="2024-01-01 10:00:00", ev=False, **kw):
+    rec = {
+        "vehicle_id": vehicle_id,
+        "latitude": 12.345678,
+        "longitude": -45.678901,
+        "speed_kmh": 55.5,
+        "direction": "NE",
+        "fuel_level": None if ev else 42.5,
+        "battery_level": 88.0,
+        "seat_belt_status": "Fastened",
+        "collision_detected": False,
+        "sudden_braking": False,
+        "timestamp": ts,
+    }
+    rec.update(kw)
+    return rec
+
+
+def _write_ndjson(path, records):
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture
+def gps_dir(tmp_path):
+    d = tmp_path / "incoming"
+    d.mkdir()
+    _write_ndjson(
+        d / "batch1.json",
+        [_gps_record(ts=f"2024-01-01 10:00:{s:02d}") for s in range(10)],
+    )
+    # all-EV file: fuel_level entirely null — must stay DoubleType
+    _write_ndjson(
+        d / "batch2_ev.json",
+        [_gps_record(vehicle_id="veh00002", ev=True, ts=f"2024-01-01 10:05:{s:02d}") for s in range(5)],
+    )
+    (d / "batch3_empty.json").write_text("")
+    return str(d)
+
+
+def test_batch_ingest_enrichment_parity(spark, tmp_path, gps_dir):
+    """The reference's enrichment columns (spark_job.py:156-164) + explicit
+    schema keeps fuel_level DoubleType even for the all-EV file."""
+    wh = Warehouse(spark, str(tmp_path / "warehouse"))
+    files = [os.path.join(gps_dir, f) for f in sorted(os.listdir(gps_dir))]
+    run_batch_ingest(spark, files, wh, table="gps")
+    out = wh.read("gps")
+    assert out.count() == 15
+    assert {"input_file", "processed_time", "processed_date"} <= set(out.columns)
+    assert dict(out.dtypes)["fuel_level"] == "double"
+    assert dict(out.dtypes)["processed_time"] == "timestamp"
+    ev_rows = out.filter(F.col("vehicle_id") == "veh00002")
+    assert ev_rows.count() == 5
+    assert ev_rows.filter(F.col("fuel_level").isNull()).count() == 5
+    # input_file lineage points at the actual source file
+    assert out.filter(F.col("input_file").contains("batch1.json")).count() == 10
+
+
+def test_streaming_ingest_exactly_once_restart(spark, tmp_path, gps_dir):
+    """Checkpointed streaming ingest: draining twice with the same checkpoint
+    must not duplicate rows (the upgrade over the reference's at-least-once
+    delete-after-commit, spark_job.py:61 vs :185)."""
+    wh = Warehouse(spark, str(tmp_path / "warehouse"))
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ingest(spark, gps_dir, wh, table="gps_stream", checkpoint_dir=ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert wh.read("gps_stream").count() == 15
+    # restart with same checkpoint, no new files → no new rows
+    q2 = start_ingest(spark, gps_dir, wh, table="gps_stream", checkpoint_dir=ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert wh.read("gps_stream").count() == 15
+    # drop a new file in → only its rows are appended
+    _write_ndjson(
+        os.path.join(gps_dir, "batch4.json"),
+        [_gps_record(vehicle_id="veh00003", ts="2024-01-01 10:10:00")],
+    )
+    q3 = start_ingest(spark, gps_dir, wh, table="gps_stream", checkpoint_dir=ckpt, available_now=True)
+    q3.awaitTermination(120)
+    assert wh.read("gps_stream").count() == 16
+
+
+def _drain_to_memory(df, name, timeout=120):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_tumbling_window_with_watermark_drops_late(spark, tmp_path):
+    """Append mode emits a window only after the watermark passes its end;
+    rows older than the watermark are dropped. Two drains sharing one
+    checkpoint (watermark state persists across restarts)."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_win")
+    schema = None
+
+    def drain():
+        stream = with_event_time(
+            spark.readStream.schema(schema).json(str(d))
+        )
+        agg = tumbling_counts(stream, window="5 minutes", watermark="10 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: two on-time windows + a sentinel that advances the watermark
+    _write_ndjson(
+        d / "f1.json",
+        [_gps_record(ts=f"2024-01-01 10:{m:02d}:00") for m in (0, 1, 6, 7)]
+        + [_gps_record(ts="2024-01-01 10:30:00")],
+    )
+    schema = read_batch(spark, str(d / "f1.json")).schema
+    drain()
+    rows = {
+        (r.window_start.strftime("%H:%M"), r.n)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # watermark = 10:30 - 10min = 10:20 → 10:00 and 10:05 finalized
+    assert rows == {("10:00", 2), ("10:05", 2)}
+
+    # phase 2: a late event (10:02, below watermark → dropped) + a future
+    # event that pushes the watermark past the sentinel's window
+    _write_ndjson(
+        d / "f2.json",
+        [_gps_record(ts="2024-01-01 10:02:00"), _gps_record(ts="2024-01-01 11:00:00")],
+    )
+    drain()
+    rows = {
+        (r.window_start.strftime("%H:%M"), r.n)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # 10:30 window emitted with 1 row; late 10:02 did NOT re-emit 10:00
+    assert rows == {("10:00", 2), ("10:05", 2), ("10:30", 1)}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    d = tmp_path / "dup"
+    d.mkdir()
+    recs = [_gps_record(ts="2024-01-01 10:00:00")] * 3 + [
+        _gps_record(vehicle_id="veh00009", ts="2024-01-01 10:00:30")
+    ]
+    _write_ndjson(d / "f1.json", recs)
+    stream = with_event_time(
+        spark.readStream.schema(read_batch(spark, str(d / "f1.json")).schema).json(str(d))
+    )
+    deduped = dedup_within_watermark(stream, ["vehicle_id", "timestamp"])
+    _drain_to_memory(deduped, "dedup_test")
+    out = spark.sql("select * from dedup_test").collect()
+    assert len(out) == 2
+
+
+def test_session_window_streaming(spark, tmp_path):
+    d = tmp_path / "sess"
+    d.mkdir()
+    recs = [
+        _gps_record(ts="2024-01-01 10:00:00"),
+        _gps_record(ts="2024-01-01 10:00:10"),  # same session (gap 10s < 30s)
+        _gps_record(ts="2024-01-01 10:05:00"),  # new session
+        _gps_record(ts="2024-01-01 12:00:00"),  # far future: advances watermark
+    ]
+    _write_ndjson(d / "f1.json", recs)
+    stream = with_event_time(
+        spark.readStream.schema(read_batch(spark, str(d / "f1.json")).schema).json(str(d))
+    )
+    sess = session_counts(stream, gap="30 seconds", watermark="1 minute")
+    _drain_to_memory(sess, "session_test")
+    out = sorted(
+        (r.session_start.strftime("%H:%M:%S"), r.n)
+        for r in spark.sql("select * from session_test").collect()
+    )
+    assert ("10:00:00", 2) in out
+    assert ("10:05:00", 1) in out
+
+
+def test_stateful_trip_segmentation(spark, tmp_path):
+    """applyInPandasWithState trip segmentation: gap > 120 s splits trips."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.stateful import trip_segments
+
+    d = tmp_path / "trips"
+    d.mkdir()
+    recs = [
+        _gps_record(ts="2024-01-01 10:00:00", speed_kmh=10.0),
+        _gps_record(ts="2024-01-01 10:00:30", speed_kmh=99.0),
+        _gps_record(ts="2024-01-01 10:01:00", speed_kmh=20.0),
+        # gap of 10 minutes → trip 1 closes when this arrives
+        _gps_record(ts="2024-01-01 10:11:00", speed_kmh=30.0),
+    ]
+    _write_ndjson(d / "f1.json", recs)
+    stream = with_event_time(
+        spark.readStream.schema(read_batch(spark, str(d / "f1.json")).schema).json(str(d))
+    )
+    trips = trip_segments(stream)
+    q = (
+        trips.writeStream.format("memory")
+        .queryName("trips_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from trips_test").collect()
+    assert len(out) == 1  # first trip closed; second still open in state
+    t = out[0]
+    assert t.n_points == 3
+    assert t.max_speed == 99.0
+    assert t.trip_start.strftime("%H:%M:%S") == "10:00:00"
+    assert t.trip_end.strftime("%H:%M:%S") == "10:01:00"
+
+
+def test_enrich_batch_matches_reference_shape(spark, gps_dir):
+    df = enrich(read_batch(spark, os.path.join(gps_dir, "batch1.json")))
+    assert df.columns[-3:] == ["input_file", "processed_time", "processed_date"]
+    row = df.limit(1).collect()[0]
+    assert row.processed_date == time.strftime("%Y-%m-%d")
