@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the engine's headline queries at one scale factor.
+
+Contract (driver): run on ``local[$SPARK_GRAFT_CPUS]`` against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) and print exactly
+ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": s, ...}, "sf": 0.1}
+
+Each query is forced with a ``noop``-format write so the full plan executes on
+executors without driver-side collect overhead — the same way throughput would
+be measured on a real cluster. A warm-up run of the flagship query amortizes
+JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Headline set: one representative per operator family (scan+agg, joins incl.
+# as-of, windows, sessionization, rollup, dedup incl. MinHash, similarity,
+# text, arrays). Keep this list stable across rounds so BENCH_r{N}.json files
+# are comparable.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_broadcast_dims",
+    "join_asof",
+    "agg_rollup",
+    "window_moving_avg",
+    "window_topk_per_group",
+    "sessionize",
+    "window_tumbling_5min",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "text_tfidf_top_terms",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without materializing rows on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # Warm-up: JVM, codegen, parquet footer caches.
+    _force(qs["q5_revenue_by_nation"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
