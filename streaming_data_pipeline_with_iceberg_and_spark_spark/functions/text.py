@@ -30,10 +30,21 @@ def normalize(text: Column | str) -> Column:
 
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles from a token array, via transform over a
-    sequence of start offsets (no explode needed at this stage)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    sequence of start offsets (no explode needed at this stage).
+
+    The token array is bound ONCE as a lambda variable (outer transform over
+    a 1-element array) — writing ``slice(toks, ...)`` directly inside the
+    offset lambda would re-evaluate the tokenizer expression per offset,
+    turning an O(len) projection into O(len²) per row.
+    """
+    return F.flatten(
+        F.transform(
+            F.array(toks),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        )
     )
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket16, normalize, shingles, tokens
-from ..functions.vector import cosine
+from ..functions.vector import dot, norm
 from ..io import load
 
 # MinHash parameters: 32 permutations in 8 bands of 4 rows; fixed seeds.
@@ -92,11 +92,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: MinHash + LSH banding near-dup candidates (rows-only check:
     the permutation hashes are engine-internal xxhash64).
 
-    Pipeline (all DataFrame ops, one explode, two shuffles):
+    Pipeline (all DataFrame ops, ONE pass over the corpus):
       shingle → xxhash64 → 32 permuted mins per doc (single groupBy with 32
       min() aggs — not 32 passes) → 8 band signatures → explode bands →
-      self-join on (band, signature) → distinct candidate pairs → estimated
-      Jaccard from signature agreement → top-20.
+      groupBy (band, signature) collecting bucket members → in-bucket pair
+      generation with higher-order functions → distinct candidate pairs →
+      estimated Jaccard from signature agreement → top-20.
+
+    Scale notes: a self-join on (band, signature) would recompute the whole
+    shingle/minhash subplan for both sides and shuffle the corpus twice; the
+    bucket-groupBy form shuffles once and generates pairs locally. Buckets are
+    capped at 200 members (sorted, deterministic) — an LSH bucket that large
+    means a degenerate band signature, and capping bounds the worst-case pair
+    blowup to 200² per bucket regardless of corpus size.
     """
     sh = _doc_shingles(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
@@ -129,21 +137,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band_idx", "band_sig"
         ),
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band_idx", "band_sig")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("doc_id", "sig"))), 1, 200
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "members",
+                            lambda x: F.transform(
+                                F.col("members"),
+                                lambda y: F.struct(
+                                    x["doc_id"].alias("doc_a"),
+                                    y["doc_id"].alias("doc_b"),
+                                    x["sig"].alias("sig_a"),
+                                    y["sig"].alias("sig_b"),
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["doc_a"] < p["doc_b"],
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     est = pairs.withColumn(
@@ -286,7 +311,9 @@ LIMIT 50
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2/L3: embedding near-dup — same-label blocking (coarse IVF-style
     partition bounds the pair count), cosine ≥ 0.3 pairs."""
-    emb = load(spark, "embeddings", sf_dir)
+    # norm precomputed per row before the pair join (1 array pass per pair
+    # instead of 3 — same trick as knn_bruteforce)
+    emb = load(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -299,9 +326,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 5).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                5,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.3)
         .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")

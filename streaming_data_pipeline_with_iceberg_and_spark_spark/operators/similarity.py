@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot
+from ..functions.vector import dot, norm
 from ..io import load
 
 _N_PLANES = 4  # per hash table → 16 buckets
@@ -29,18 +29,21 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query side is broadcast; per-query top-k via window over the scored
     scan — TakeOrdered shape, corpus never shuffles on a pair key.
     """
-    emb = load(spark, "embeddings", sf_dir)
+    # Norms are precomputed per row BEFORE the pair join — cosine() inline
+    # would re-walk both arrays per pair (3 higher-order passes instead of 1).
+    emb = load(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
     )
-    scored = (
-        load(spark, "embeddings", sf_dir)
-        .join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("embedding")), 5).alias("cos_sim"),
-        )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            5,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -144,19 +147,21 @@ def _hyperplane_buckets(emb: DataFrame) -> DataFrame:
     you'd persist (bucketed/partitioned by (table, bucket)) and reuse across
     query batches."""
     tables = F.array(*[_bucket_for_table(t) for t in range(_N_TABLES)])
-    return emb.select(
-        "vec_id", "embedding", F.posexplode(tables).alias("tbl", "bucket")
-    )
+    passthrough = [c for c in emb.columns if c != "label"]
+    return emb.select(*passthrough, F.posexplode(tables).alias("tbl", "bucket"))
 
 
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: top-5 per query among
     candidates sharing a bucket in ANY table (rows-only check; recall vs
     exact baseline asserted in tests/test_extensions.py)."""
-    emb = _hyperplane_buckets(load(spark, "embeddings", sf_dir))
+    emb = _hyperplane_buckets(
+        load(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
+    )
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
         F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
@@ -167,13 +172,16 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("q_bucket"))
             & (F.col("vec_id") != F.col("q_id")),
         )
-        .select("q_id", "q_vec", "vec_id", "embedding")
+        .select("q_id", "q_vec", "q_nrm", "vec_id", "embedding", "nrm")
         .dropDuplicates(["q_id", "vec_id"])
     )
     scored = cands.select(
         "q_id",
         "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col("embedding")), 5).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            5,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
