@@ -26,12 +26,14 @@ from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
     setops,
     similarity,
     textops,
+    tpch_extra,
     windows,
 )
 
 
 _MODULES = [
     relational,
+    tpch_extra,
     joins,
     aggregates,
     windows,

@@ -250,17 +250,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
+    # Inverted-index pair counting: group each shingle's posting list once and
+    # emit its pairs locally — a self-join on shingle would evaluate the
+    # shingle pipeline twice and shuffle both copies. No cap here: the result
+    # is exact Jaccard (oracle-matched), and posting-list pair blowup is the
+    # inherent cost of exactness (the capped/approximate path is
+    # dedup_minhash_lsh).
+    postings = inv.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        postings.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda x: F.transform(
+                                F.col("ids"),
+                                lambda y: F.struct(
+                                    x.alias("doc_a"), y.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["doc_a"] < p["doc_b"],
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.alias("sa")
