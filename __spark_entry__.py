@@ -22,6 +22,7 @@ from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
     eventtime,
     joins,
     multimodal,
+    pandas_ops,
     relational,
     setops,
     similarity,
@@ -44,6 +45,7 @@ _MODULES = [
     similarity,
     textops,
     multimodal,
+    pandas_ops,
 ]
 
 
