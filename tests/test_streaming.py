@@ -258,3 +258,55 @@ def test_enrich_batch_matches_reference_shape(spark, gps_dir):
     assert df.columns[-3:] == ["input_file", "processed_time", "processed_date"]
     row = df.limit(1).collect()[0]
     assert row.processed_date == time.strftime("%Y-%m-%d")
+
+
+def test_stream_static_join(spark, tmp_path, gps_dir):
+    """J8: stream enriched against a static dim — no streaming state."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.joins import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("veh00001", "sedan"), ("veh00002", "ev-truck")],
+        ["vehicle_id", "model"],
+    )
+    schema = read_batch(spark, os.path.join(gps_dir, "batch1.json")).schema
+    stream = with_event_time(spark.readStream.schema(schema).json(gps_dir))
+    joined = stream_static_enrich(stream, dim, on="vehicle_id")
+    _drain_to_memory(joined, "ssj_test")
+    out = spark.sql("select vehicle_id, model from ssj_test").collect()
+    assert len(out) == 15  # 10 + 5 records, all matched
+    models = {(r.vehicle_id, r.model) for r in out}
+    assert models == {("veh00001", "sedan"), ("veh00002", "ev-truck")}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """J9: watermarked stream-stream join — right event within 5 minutes
+    after the left event joins; one outside the interval does not."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ld = tmp_path / "left"
+    rd = tmp_path / "right"
+    ld.mkdir()
+    rd.mkdir()
+    _write_ndjson(ld / "l.json", [_gps_record(ts="2024-01-01 10:00:00")])
+    _write_ndjson(
+        rd / "r.json",
+        [
+            _gps_record(ts="2024-01-01 10:03:00"),  # within 5 min → joins
+            _gps_record(ts="2024-01-01 10:30:00"),  # outside → dropped
+        ],
+    )
+    schema = read_batch(spark, str(ld / "l.json")).schema
+    left = with_event_time(spark.readStream.schema(schema).json(str(ld))).select(
+        "vehicle_id", "event_ts"
+    )
+    right = with_event_time(spark.readStream.schema(schema).json(str(rd))).select(
+        F.col("vehicle_id").alias("vehicle_id_r"),
+        F.col("event_ts").alias("event_ts_r"),
+    )
+    joined = stream_stream_interval_join(left, right, key="vehicle_id")
+    _drain_to_memory(joined, "s2s_test")
+    out = spark.sql("select * from s2s_test").collect()
+    assert len(out) == 1
+    assert out[0].event_ts_r.strftime("%H:%M") == "10:03"
