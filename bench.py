@@ -30,7 +30,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_revenue_by_nation",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
     "join_broadcast_dims",
     "join_asof",
     "agg_rollup",

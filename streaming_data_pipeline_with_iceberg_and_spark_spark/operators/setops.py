@@ -146,7 +146,26 @@ GROUP BY user_id, event_type
 """
 
 
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 sortWithinPartitions: repartition by key, order locally — the
+    shuffle-once write-preparation pattern (no global sort exchange; contrast
+    with orderBy, which adds a range-partition exchange). The oracle compare
+    is order-insensitive, so content equality is what's checked."""
+    li = load(spark, "lineitem", sf_dir)
+    return (
+        li.repartition("l_returnflag")
+        .sortWithinPartitions("l_returnflag", "l_shipdate")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+    )
+
+
+SORT_WITHIN_PARTITIONS_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate FROM lineitem
+"""
+
+
 QUERIES = {
+    "sort_within_partitions": sort_within_partitions,
     "set_union": set_union,
     "set_intersect": set_intersect,
     "set_except": set_except,
@@ -157,6 +176,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sort_within_partitions": SORT_WITHIN_PARTITIONS_SQL,
     "set_union": SET_UNION_SQL,
     "set_intersect": SET_INTERSECT_SQL,
     "set_except": SET_EXCEPT_SQL,

@@ -293,7 +293,35 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via polynomial rolling hash over token hashes:
+    h = fold(h * 31 + md5_32(tok)) mod 2^31 — one array pass per doc
+    (F.aggregate), cross-engine reproducible (md5-based token hash), no
+    shuffle beyond the scan."""
+    from ..functions.text import md5_bucket32, tokens
+
+    docs = load(spark, "documents", sf_dir)
+    rolling = F.aggregate(
+        F.transform(tokens("text"), md5_bucket32),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + t) % F.lit(1 << 31).cast("long"),
+    )
+    return docs.select("doc_id", rolling.alias("fingerprint"))
+
+
+TEXT_ROLLING_HASH_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                          tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT))),
+         (acc, t) -> (acc * 31 + t) % 2147483648) AS fingerprint
+FROM documents
+"""
+
+
 QUERIES = {
+    "text_rolling_hash": text_rolling_hash,
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -303,6 +331,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,

@@ -310,3 +310,45 @@ def test_stream_stream_interval_join(spark, tmp_path):
     out = spark.sql("select * from s2s_test").collect()
     assert len(out) == 1
     assert out[0].event_ts_r.strftime("%H:%M") == "10:03"
+
+
+def test_rate_source_keyed_feeder(spark):
+    """S3: the reference's Kinesis producer keyed by vehicle_id
+    (producer/gps-tracking-simulation.py:37-47) re-expressed as Spark's
+    ``rate`` source with a derived partition key — the local stand-in for a
+    keyed message bus."""
+    feed = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .select(
+            F.concat(
+                F.lit("veh"), F.lpad((F.col("value") % 20).cast("string"), 5, "0")
+            ).alias("vehicle_id"),
+            F.col("timestamp").alias("event_ts"),
+            (F.pmod(F.col("value").cast("double") * 7.3, F.lit(120.0))).alias(
+                "speed_kmh"
+            ),
+        )
+    )
+    q = (
+        feed.writeStream.format("memory")
+        .queryName("rate_feed")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from rate_feed").collect()[0].c
+            if n >= 20:
+                break
+            time.sleep(1)
+        assert n >= 20
+        keys = spark.sql("select distinct vehicle_id from rate_feed").collect()
+        assert all(r.vehicle_id.startswith("veh000") for r in keys)
+        assert len(keys) <= 20
+    finally:
+        q.stop()
