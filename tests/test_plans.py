@@ -1,0 +1,105 @@
+"""Physical-plan regression tests (SURVEY.md §4).
+
+Correctness is gated by the DuckDB oracle; these tests gate the SCALE
+properties — the plan shapes that decide whether the same code survives a
+100× data blow-up. A refactor that silently turns a broadcast join into a
+cartesian product, or un-pushes a scan filter, fails here long before a
+benchmark would catch it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from streaming_data_pipeline_with_iceberg_and_spark_spark.plans import (
+    explain_string,
+    pushed_filters,
+    read_schemas,
+)
+
+QUERIES = entry_mod.queries()
+
+
+@pytest.fixture(scope="module")
+def plan(spark, sf_dir):
+    def _plan(name: str) -> str:
+        return explain_string(QUERIES[name](spark, sf_dir))
+
+    return _plan
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    # q1 touches 7 of lineitem's 11 columns; the scan must not read the rest
+    schemas = read_schemas(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert schemas and all("l_partkey" not in s and "l_suppkey" not in s for s in schemas)
+
+
+def test_q5_broadcasts_fixed_dims(plan):
+    p = plan("q5_revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q3_ordered_limit_not_global_sort(plan):
+    assert "TakeOrderedAndProject" in plan("q3_shipping_priority")
+
+
+def test_q1_partial_aggregation(plan):
+    # map-side combine: partial_sum before the exchange
+    assert "partial_sum" in plan("q1_pricing_summary")
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
+    # formatted mode tags codegen'd operators with "[codegen id : N]" — only
+    # visible once AQE finalizes the plan, so execute first
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    df.collect()
+    assert "codegen id" in explain_string(df)
+
+
+def test_no_cartesian_in_join_suite(spark, sf_dir):
+    for name in [
+        "join_broadcast_dims",
+        "join_left_outer",
+        "join_semi",
+        "join_anti",
+        "join_range_shipdelay",
+        "join_asof",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q18_large_volume_orders",
+    ]:
+        p = explain_string(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+
+
+def test_semi_anti_join_shapes(plan):
+    assert "LeftSemi" in plan("join_semi")
+    assert "LeftAnti" in plan("join_anti")
+
+
+def test_dedup_exact_is_single_shuffle_agg(plan):
+    p = plan("dedup_exact")
+    # one hash aggregate pair around one exchange; no join, no sort
+    assert p.count("Exchange") <= 2  # agg exchange (+AQE reads)
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_knn_broadcasts_query_side(plan):
+    # the query set is the broadcast side; the corpus streams through
+    p = plan("knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_events_scan_prunes_props(spark, sf_dir):
+    # window_tumbling_5min needs neither props nor value strings
+    schemas = read_schemas(QUERIES["window_tumbling_5min"](spark, sf_dir))
+    assert schemas and all("props" not in s for s in schemas)
