@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "knn_bruteforce",
+    "knn_bruteforce_vectorized",
     "text_tfidf_top_terms",
 ]
 

@@ -191,9 +191,64 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 via mapInPandas + numpy matrix multiply — the
+    100 TB scale path for brute-force scoring (Arrow batches, BLAS-backed
+    GEMM, per-batch partial top-k so only k·|Q| rows leave each partition).
+
+    Same semantics as ``knn_bruteforce``; rows-only check (float accumulation
+    order differs from the sequential-fold oracle in the last bits) plus a
+    parity unit test in tests/test_extensions.py."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, "embeddings", sf_dir)
+    # the query batch is bounded (a user request), so shipping it in the
+    # closure is the broadcast — the corpus never leaves the executors
+    q_rows = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    k = 5
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_mat @ mat.T  # |Q| x batch
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                mask = ids != q_ids[qi]
+                cand = np.where(mask)[0]
+                top = cand[np.argsort(-row[cand], kind="stable")[:k]]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_v.extend(ids[top])
+                out_s.extend(np.round(row[top], 5))
+            yield pd.DataFrame(
+                {"q_id": out_q, "vec_id": out_v, "cos_sim": out_s}
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="q_id long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_dot_topk": knn_dot_topk,
+    "knn_bruteforce_vectorized": knn_bruteforce_vectorized,
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
 }
 

@@ -81,3 +81,19 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff")
+
+
+def test_knn_vectorized_parity_with_exact(spark, sf_dir):
+    """The numpy/mapInPandas scale path returns the same neighbors as the
+    higher-order-function exact path (float-tie rank swaps aside)."""
+    exact = {
+        (r.q_id, r.vec_id): r.cos_sim
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    vec = {
+        (r.q_id, r.vec_id): r.cos_sim
+        for r in similarity.knn_bruteforce_vectorized(spark, sf_dir).collect()
+    }
+    common = exact.keys() & vec.keys()
+    assert len(common) >= 0.95 * len(exact)
+    assert all(abs(exact[kk] - vec[kk]) < 1e-4 for kk in common)
