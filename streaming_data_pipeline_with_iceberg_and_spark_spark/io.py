@@ -35,6 +35,28 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
     return df
 
 
+def load_spread(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """Load + repartition across all cores before CPU-heavy per-row work.
+
+    The small corpus tables (documents/embeddings) arrive as ONE parquet
+    row group → one input split → any expensive projection (shingling,
+    hashing, vector math, Pandas UDFs) serializes into a single task.
+    ``maxPartitionBytes`` can't split a single row group, so spread
+    explicitly. With ``key`` the spread is a hash partitioning that a
+    downstream ``groupBy(key)`` reuses (no second shuffle). On a real
+    multi-split 100 TB scan this helper is unnecessary — callers use it
+    only where per-row compute dominates scan width.
+    """
+    df = load(spark, name, sf_dir)
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, key) if key else df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {name: load(spark, name, sf_dir) for name in TABLE_NAMES}
 

@@ -16,18 +16,33 @@ Five dedup strategies over ``documents``, each designed scale-first:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket16, normalize, shingles, tokens
 from ..functions.vector import dot, norm
-from ..io import load
+from ..io import load, load_spread
 
 # MinHash parameters: 32 permutations in 8 bands of 4 rows; fixed seeds.
 _MH_PERMS = 32
 _MH_BANDS = 8
 _MH_ROWS = _MH_PERMS // _MH_BANDS
-_MH_PRIME = (1 << 61) - 1  # Mersenne prime for (a*x + b) % p permutation hashes
+# Universal-hash family (a*x + b) mod p over 31-bit shingle hashes. p must be
+# small enough that the product actually wraps (p=2^61-1 with 31-bit x never
+# wraps — every "permutation" would be a monotone transform of x and all 32
+# mins would collapse onto the same argmin shingle, degenerating the whole
+# signature). 31-bit Mersenne prime + 31-bit coefficients keep a*x+b < 2^63
+# (no ANSI overflow) while mixing properly.
+_MH_P = (1 << 31) - 1
+_MH_AB = [
+    (
+        random.Random(f"42-{i}-a").randrange(1, _MH_P),
+        random.Random(f"42-{i}-b").randrange(0, _MH_P),
+    )
+    for i in range(_MH_PERMS)
+]
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +96,10 @@ GROUP BY 1
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
+    # Hash-spread on doc_id BEFORE the expensive shingle/token work (single
+    # input split would serialize it); the hash partitioning on doc_id is
+    # reused by the downstream minhash groupBy(doc_id) — no second shuffle.
+    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
     return docs.select(
         "doc_id",
         F.array_distinct(shingles(tokens("text"), 3)).alias("sh"),
@@ -115,9 +133,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins = h.groupBy("doc_id").agg(
         *[
             F.min(
-                (F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * (i + 1))) % _MH_PRIME
+                F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MH_P))
             ).alias(f"m{i}")
-            for i in range(_MH_PERMS)
+            for i, (a, b) in enumerate(_MH_AB)
         ]
     )
     bands = mins.select(
@@ -196,7 +214,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 variant: 16-bit SimHash per document, md5-based so the oracle can
     reproduce it. Majority vote per bit via 16 conditional sums in one
     aggregation (single shuffle on doc_id)."""
-    docs = load(spark, "documents", sf_dir)
+    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     ).withColumn("h", md5_bucket16(F.col("tok")))

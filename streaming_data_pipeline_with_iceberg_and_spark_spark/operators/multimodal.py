@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..io import load
+from ..io import load, load_spread
 
 # metadata struct carried beside every media payload column
 MEDIA_META = T.StructType(
@@ -103,7 +103,7 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale: payload batches stream through Arrow; the Python worker sees
     pandas chunks, never the whole partition; output schema is fixed."""
-    media = with_media_column(load(spark, "documents", sf_dir))
+    media = with_media_column(load_spread(spark, "documents", sf_dir))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..io import load
+from ..io import load, load_spread
 
 _EARTH_RADIUS_KM = 6371.0
 
@@ -53,7 +53,13 @@ def pandas_udf_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the events table (the GPS lat/lon columns of the reference's record
     schema, producer/gps-tracking-simulation.py:54-55, re-expressed on
     testdata). Oracle: same closed form in SQL."""
-    ev = load(spark, "events", sf_dir).filter(F.col("event_id") % 20 == 0)
+    # filter BEFORE the spread so the parallelizing shuffle moves only
+    # surviving rows (the single-split scan would serialize the Arrow path)
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 20 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     coords = ev.select(
         "event_id",
         (F.pmod(F.col("value"), F.lit(180.0)) - 90.0).alias("lat"),

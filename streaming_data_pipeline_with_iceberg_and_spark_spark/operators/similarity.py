@@ -7,8 +7,10 @@
   bucket; corpus side is bucketed once (reusable), query side is tiny.
   Engine-internal hashing → rows-only check, plus a recall unit test vs the
   exact baseline (tests/test_similarity.py).
-- IVF-style coarse blocking is exercised by dedup_embedding_cosine (label
-  blocks); a learned k-means coarse quantizer would slot in the same shape.
+- IVF ANN: learned coarse quantizer (√N cells, one Lloyd step) + nprobe cell
+  probing — the classic inverted-file layout; candidate join keyed on cell.
+  (dedup_embedding_cosine's label blocking is the same shape with given
+  blocks.)
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot, norm
-from ..io import load
+from ..io import load, load_spread
 
 _N_PLANES = 4  # per hash table → 16 buckets
 _N_TABLES = 2  # independent tables; candidates = union over tables
@@ -31,8 +33,12 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Norms are precomputed per row BEFORE the pair join — cosine() inline
     # would re-walk both arrays per pair (3 higher-order passes instead of 1).
-    emb = load(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+    # Corpus side is spread across cores (single-split file would serialize
+    # the scoring); the tiny query side reads the file directly.
+    emb = load_spread(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
+    queries = load(spark, "embeddings", sf_dir).withColumn(
+        "nrm", norm("embedding")
+    ).filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
@@ -75,7 +81,7 @@ def knn_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     scored = (
-        load(spark, "embeddings", sf_dir)
+        load_spread(spark, "embeddings", sf_dir)
         .join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -156,7 +162,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates sharing a bucket in ANY table (rows-only check; recall vs
     exact baseline asserted in tests/test_extensions.py)."""
     emb = _hyperplane_buckets(
-        load(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
+        load_spread(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
     )
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -234,8 +240,10 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"q_id": out_q, "vec_id": out_v, "cos_sim": out_s}
             )
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(
-        score, schema="q_id long, vec_id long, cos_sim double"
+    partial = (
+        load_spread(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, schema="q_id long, vec_id long, cos_sim double")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -245,15 +253,143 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NPROBE = 2
+
+
+def _ivf_assign_fn(cent_mat, nprobe: int):
+    """mapInPandas closure: nearest ``nprobe`` cells per vector via one GEMM
+    against the (tiny, broadcast-in-closure) centroid matrix."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            # nearest-by-L2 == max dot - ||c||²/2 (corpus norms cancel)
+            scores = mat @ cent_mat.T - 0.5 * (cent_mat**2).sum(axis=1)
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(nprobe),
+                    "probe_rank": np.tile(np.arange(nprobe), n),
+                    "cell": order.reshape(-1),
+                    "embedding": [e for e in pdf["embedding"] for _ in range(nprobe)],
+                }
+            )
+
+    return assign
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Coarse quantizer: C ≈ √N deterministic pseudo-random seeds + one
+    declarative Lloyd refinement (assign via GEMM, means via posexplode+avg —
+    both single-shuffle, both scale to any corpus size)."""
+    import numpy as np
+
+    emb = load_spread(spark, "embeddings", sf_dir)
+    n = emb.count()
+    n_cells = max(4, int(n**0.5))
+    seeds = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(997)), "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cent_mat = np.array(
+        [r["embedding"] for r in sorted(seeds, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        _ivf_assign_fn(cent_mat, 1),
+        schema="vec_id long, probe_rank int, cell int, embedding array<float>",
+    )
+    means = (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("val").alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    # empty cells keep their seed vector (stable cell ids)
+    for r in means:
+        cent_mat[r["cell"]] = np.array(r["centroid"], dtype=np.float64)
+    return cent_mat
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization: k-means-style cells,
+    corpus assigned to its nearest cell, each query probes its ``nprobe``
+    nearest cells and scores exact cosine only inside them. Rows-only check
+    (quantizer is engine-internal); recall vs the exact baseline asserted in
+    tests/test_extensions.py.
+
+    Scale shape: the quantizer (C ≈ √N vectors) is the only driver-side
+    state; assignment is one Arrow/GEMM pass over the corpus; the candidate
+    join is keyed on cell (never all-pairs) with the tiny probe side
+    broadcast. At 100 TB the assigned corpus would be written out
+    partitioned by cell and reused across query batches."""
+    cent_mat = _ivf_centroids(spark, sf_dir)
+    emb = load_spread(spark, "embeddings", sf_dir)
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            _ivf_assign_fn(cent_mat, 1),
+            schema="vec_id long, probe_rank int, cell int, embedding array<float>",
+        )
+        .select("vec_id", "cell", "embedding")
+        .withColumn("nrm", norm("embedding"))
+    )
+    probes = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(
+            _ivf_assign_fn(cent_mat, _IVF_NPROBE),
+            schema="vec_id long, probe_rank int, cell int, embedding array<float>",
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("cell").alias("q_cell"),
+            F.col("embedding").alias("q_vec"),
+        )
+        .withColumn("q_nrm", norm("q_vec"))
+    )
+    cands = corpus.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cands.select(
+        "q_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            5,
+        ).alias("cos_sim"),
+    ).dropDuplicates(["q_id", "vec_id"])
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "cos_sim")
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_dot_topk": knn_dot_topk,
     "knn_bruteforce_vectorized": knn_bruteforce_vectorized,
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
+    "ann_ivf": ann_ivf,
 }
 
 ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_dot_topk": KNN_DOT_SQL,
-    # ann_lsh_hyperplane intentionally rows-only (engine-internal hashing)
+    # ann_lsh_hyperplane / ann_ivf intentionally rows-only (engine-internal
+    # hashing / learned quantizer); both recall-tested vs the exact baseline
 }

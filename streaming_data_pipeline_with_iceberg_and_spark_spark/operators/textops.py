@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, tokens
-from ..io import load
+from ..io import load, load_spread
 
 # marker stopwords per language for the n-gram/stopword language-ID heuristic
 _LANG_MARKERS = {
@@ -25,7 +25,7 @@ _LANG_MARKERS = {
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, avg token length."""
-    docs = load(spark, "documents", sf_dir)
+    docs = load_spread(spark, "documents", sf_dir)
     toks = tokens("text")
     return docs.select(
         "doc_id",
@@ -56,7 +56,7 @@ FROM t
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering: length bounds, punct/digit/stopword ratios, and a
     composite keep/drop flag (the L6 boilerplate-filter shape)."""
-    docs = load(spark, "documents", sf_dir)
+    docs = load_spread(spark, "documents", sf_dir)
     toks = tokens("text")
     n_chars = F.length("text")
     punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
@@ -111,7 +111,7 @@ FROM t
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: marker-stopword votes per language, argmax with
     deterministic tie-break (score desc, language code asc), 'und' if zero."""
-    docs = load(spark, "documents", sf_dir)
+    docs = load_spread(spark, "documents", sf_dir)
     toks = tokens("text")
     score_cols = []
     for lang, markers in sorted(_LANG_MARKERS.items()):
@@ -187,7 +187,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     n_docs = docs.count()  # scalar, computed once (count-star over metadata)
     tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        load_spread(spark, "documents", sf_dir)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -225,7 +226,7 @@ LIMIT 20
 def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram frequency: global top-20 word bigrams (zip_with of the token
     array against its own tail — no self-join)."""
-    docs = load(spark, "documents", sf_dir)
+    docs = load_spread(spark, "documents", sf_dir)
     toks = tokens("text")
     bigrams = F.filter(
         F.zip_with(
@@ -300,7 +301,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the scan."""
     from ..functions.text import md5_bucket32, tokens
 
-    docs = load(spark, "documents", sf_dir)
+    docs = load_spread(spark, "documents", sf_dir)
     rolling = F.aggregate(
         F.transform(tokens("text"), md5_bucket32),
         F.lit(0).cast("long"),

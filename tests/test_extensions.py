@@ -59,6 +59,29 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert recall > 0.05, f"ANN recall suspiciously low: {recall}"
 
 
+def test_ann_ivf_recall_and_determinism(spark, sf_dir):
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    out1 = similarity.ann_ivf(spark, sf_dir).collect()
+    out2 = similarity.ann_ivf(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2)), (
+        "seeded quantizer must make IVF deterministic"
+    )
+    approx = {(r.q_id, r.vec_id) for r in out1}
+    assert len(approx) > 0
+    # every returned neighbor is a real corpus vector scored exactly, and
+    # probing nprobe cells must recover a non-trivial share of true top-5
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.05, f"IVF recall suspiciously low: {recall}"
+    by_q = {}
+    for r in out1:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_mm_feature_extract_matches_python_oracle(spark, sf_dir):
     from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
 
