@@ -53,6 +53,45 @@ FROM t
 """
 
 
+# BPE-style pre-tokenizer: contraction suffixes, letter runs, 1-3 digit
+# groups, punctuation runs — the GPT-2/cl100k pre-split shape restricted to
+# constructs whose semantics agree between Java regex (Spark) and RE2
+# (DuckDB oracle): plain alternation, no lookaround.
+_BPE_REGEX = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]{1,3}|[^a-z0-9\s']+|'"
+
+
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: regex pre-tokenization (the way LLM token
+    budgets are actually estimated) vs plain whitespace counts."""
+    docs = load_spread(spark, "documents", sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_REGEX), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.round(
+            F.size(toks) / F.size(tokens("text")), 6
+        ).alias("bpe_per_ws_token"),
+    )
+
+
+TEXT_TOKEN_BPE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{rx}') AS bpe,
+         string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(bpe) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(bpe)) AS INT) AS n_distinct_bpe,
+       CAST(len(ws) AS INT) AS n_ws_tokens,
+       ROUND(CAST(len(bpe) AS DOUBLE) / len(ws), 6) AS bpe_per_ws_token
+FROM t
+""".format(rx=_BPE_REGEX.replace("'", "''"))
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering: length bounds, punct/digit/stopword ratios, and a
     composite keep/drop flag (the L6 boilerplate-filter shape)."""
@@ -324,6 +363,7 @@ FROM documents
 QUERIES = {
     "text_rolling_hash": text_rolling_hash,
     "text_token_stats": text_token_stats,
+    "text_token_bpe": text_token_bpe,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -334,6 +374,7 @@ QUERIES = {
 ORACLES = {
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_token_bpe": TEXT_TOKEN_BPE_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_tfidf_top_terms": TEXT_TFIDF_SQL,

@@ -98,6 +98,42 @@ class Warehouse:
                 writer = writer.partitionBy(*partition_cols)
             writer.mode(mode).parquet(self._path(table))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 8,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> str:
+        """Bucketed managed table: pre-shuffles rows into ``n_buckets`` by
+        ``bucket_cols`` at WRITE time, so every later equi-join or groupBy on
+        the bucket key between same-bucketed tables reads shuffle-free — the
+        pay-once-join-many layout for 100 TB fact⋈fact joins.
+
+        Bucket metadata only flows through the session catalog (a bare
+        ``read.parquet`` would forget it), so this registers an external
+        table under ``<namespace>.<table>`` and returns that name. With the
+        Iceberg runtime present the equivalent is the ``bucket(n, col)``
+        hidden-partition transform; the session-catalog parquet form below
+        works in both modes.
+        """
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self.namespace}")
+        name = f"{self.namespace}.{table}"
+        if mode == "overwrite":
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        writer = (
+            df.write.format("parquet")
+            .option("compression", "snappy")
+            .option("path", self._path(table))
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.mode(mode).saveAsTable(name)
+        return name
+
     # -- reads ------------------------------------------------------------
     def read(self, table: str) -> DataFrame:
         if self.use_iceberg:

@@ -103,3 +103,40 @@ def test_events_scan_prunes_props(spark, sf_dir):
     # window_tumbling_5min needs neither props nor value strings
     schemas = read_schemas(QUERIES["window_tumbling_5min"](spark, sf_dir))
     assert schemas and all("props" not in s for s in schemas)
+
+
+def test_bucketed_join_reads_shuffle_free(spark, sf_dir, tmp_path):
+    """Same-bucketed fact tables join with NO Exchange on either side — the
+    co-located fact⋈fact layout that replaces a per-query corpus shuffle at
+    100 TB with a one-time bucketed write."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.tables import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path), namespace="bktdb")
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    t_li = wh.write_bucketed(li, "li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    t_o = wh.write_bucketed(
+        orders, "orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"]
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.read.table(t_li)
+        b = spark.read.table(t_o)
+        joined = a.join(b, a.l_orderkey == b.o_orderkey).groupBy("o_orderkey").count()
+        p = explain_string(joined)
+        assert "SortMergeJoin" in p, p
+        # join itself is exchange-free; the only allowed exchange is the
+        # post-join aggregation... which groups on the SAME bucket key, so
+        # even that one is elided — fully shuffle-free plan
+        assert "Exchange" not in p, p
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
