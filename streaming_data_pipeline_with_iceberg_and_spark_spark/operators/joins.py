@@ -295,6 +295,66 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
 """
 
 
+_SALT_N = 8
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 under skew: hand-salted join. The derived key sends ~90% of fact
+    rows to ONE hot key — the straggler shape that kills naive shuffles at
+    100 TB. Salting composes the fix from plain operators: the fact side gets
+    a deterministic salt in [0, N), the dim side is replicated across all N
+    salts (explode), and the join key becomes (key, salt), spreading the hot
+    key over N reducers. Semantically identical to the unsalted join — the
+    DuckDB oracle runs the plain join. The merge hint forces the sort-merge
+    path (a broadcast would hide the shuffle being demonstrated); AQE's
+    skew-join split does this at runtime for SMJ, salting also covers the
+    cases AQE can't see (e.g. skewed groupBy before any join).
+    """
+    li = load(spark, "lineitem", sf_dir)
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 100 < 90, F.lit(0).cast("long"))
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("hot_key"),
+        "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT_N)).alias(
+            "salt"
+        ),
+    )
+    dim = (
+        spark.range(0, 100)
+        .select(
+            F.col("id").alias("hot_key"),
+            (F.col("id") % 7 + 1).alias("rate"),
+        )
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_N)])))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    joined = fact.join(dim.hint("merge"), ["hot_key", "salt"])
+    # decimal accumulation: exact regardless of partitioning/order, so the
+    # salted plan provably returns the oracle's numbers bit-for-bit
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return joined.groupBy("hot_key").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(price_dec * F.col("rate"))
+        .cast("decimal(24,2)")
+        .alias("weighted_price"),
+    )
+
+
+JOIN_SALTED_SKEW_SQL = """
+SELECT hot_key, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * rate) AS DECIMAL(24,2))
+           AS weighted_price
+FROM (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+                  ELSE l_orderkey % 100 END AS hot_key,
+             l_extendedprice
+      FROM lineitem) f
+JOIN (SELECT range AS hot_key, range % 7 + 1 AS rate FROM range(0, 100)) d
+USING (hot_key)
+GROUP BY hot_key
+"""
+
+
 QUERIES = {
     "join_broadcast_dims": join_broadcast_dims,
     "join_left_outer": join_left_outer,
@@ -305,6 +365,7 @@ QUERIES = {
     "join_theta_band": join_theta_band,
     "join_range_shipdelay": join_range_shipdelay,
     "join_asof": join_asof,
+    "join_salted_skew": join_salted_skew,
 }
 
 ORACLES = {
@@ -317,4 +378,5 @@ ORACLES = {
     "join_theta_band": JOIN_THETA_BAND_SQL,
     "join_range_shipdelay": JOIN_RANGE_SQL,
     "join_asof": JOIN_ASOF_SQL,
+    "join_salted_skew": JOIN_SALTED_SKEW_SQL,
 }

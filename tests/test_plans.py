@@ -105,6 +105,44 @@ def test_events_scan_prunes_props(spark, sf_dir):
     assert schemas and all("props" not in s for s in schemas)
 
 
+def test_dynamic_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """A join whose dim side carries a selective filter prunes the fact
+    table's partitions at RUNTIME (DPP): only the partition directories the
+    surviving dim keys name are scanned. At 100 TB this is the difference
+    between reading one day and reading the whole table."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    fact_dir = str(tmp_path / "orders_by_month")
+    load(spark, "orders", sf_dir).withColumn(
+        "o_month", F.month("o_orderdate")
+    ).write.partitionBy("o_month").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    months = spark.range(1, 13).select(
+        F.col("id").cast("int").alias("m"), (F.col("id") * 10).alias("quota")
+    )
+    # filter on a NON-join column: a literal filter on m itself would be
+    # constant-propagated through the join into a *static* partition filter
+    # (Catalyst does that without DPP); quota==30 only resolves to m=3 at
+    # runtime, which is exactly what DPP exists for
+    dim = months.filter(F.col("quota") == 30)
+    joined = fact.join(dim, fact.o_month == dim.m).agg(
+        F.count("*").alias("n"), F.sum("quota").alias("q")
+    )
+    p = explain_string(joined)
+    assert "dynamicpruning" in p.lower(), p
+    assert joined.collect()[0]["n"] > 0
+
+
+def test_salted_skew_join_is_sort_merge(plan):
+    # the merge hint must hold (a broadcast would bypass the salted shuffle
+    # the operator exists to demonstrate)
+    p = plan("join_salted_skew")
+    assert "SortMergeJoin" in p, p
+    assert "CartesianProduct" not in p
+
+
 def test_bucketed_join_reads_shuffle_free(spark, sf_dir, tmp_path):
     """Same-bucketed fact tables join with NO Exchange on either side — the
     co-located fact⋈fact layout that replaces a per-query corpus shuffle at
