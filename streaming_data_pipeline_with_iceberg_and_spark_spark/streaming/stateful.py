@@ -117,3 +117,79 @@ def trip_segments(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# --- transformWithStateInPandas (Spark 4.x successor API) -----------------
+
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("vehicle_id", T.StringType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("max_speed", T.DoubleType()),
+        T.StructField("total_speed", T.DoubleType()),
+    ]
+)
+
+
+def running_vehicle_stats(events: DataFrame) -> DataFrame:
+    """Per-vehicle running aggregates via ``transformWithStateInPandas`` —
+    the Spark 4.x arbitrary-stateful API (typed state handles, RocksDB state
+    store). Emits the updated running (count, max, sum of speed) per vehicle
+    per micro-batch; state is one small ValueState row per active vehicle.
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (the TWS operator rejects the default HDFS
+    provider) and the ``protobuf`` package (the TWS Python state-server
+    protocol is protobuf-framed; without it the driver worker exits at
+    init). Environments lacking protobuf should use :func:`trip_segments`
+    (applyInPandasWithState) — same stateful capability, no extra deps."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("mx", T.DoubleType()),
+                        T.StructField("total", T.DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx, total = (
+                self._stats.get() if self._stats.exists() else (0, 0.0, 0.0)
+            )
+            for pdf in rows:
+                speeds = pdf["speed_kmh"].astype(float)
+                n += len(pdf)
+                mx = max(mx, float(speeds.max()))
+                total += float(speeds.sum())
+            self._stats.update((int(n), float(mx), float(total)))
+            yield pd.DataFrame(
+                {
+                    "vehicle_id": [key[0]],
+                    "n_points": [n],
+                    "max_speed": [mx],
+                    "total_speed": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("vehicle_id", "speed_kmh")
+        .groupBy("vehicle_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningStats(),
+            outputStructType=RUNNING_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

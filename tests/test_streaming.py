@@ -253,6 +253,76 @@ def test_stateful_trip_segmentation(spark, tmp_path):
     assert t.trip_end.strftime("%H:%M:%S") == "10:01:00"
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas state-server protocol needs protobuf",
+)
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4.x stateful API): running
+    per-vehicle stats accumulate across micro-batches through RocksDB-backed
+    ValueState."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.stateful import (
+        running_vehicle_stats,
+    )
+
+    d = tmp_path / "tws"
+    d.mkdir()
+    _write_ndjson(
+        d / "f1.json",
+        [
+            _gps_record(ts="2024-01-01 10:00:00", speed_kmh=10.0),
+            _gps_record(ts="2024-01-01 10:00:30", speed_kmh=99.0),
+        ],
+    )
+    _write_ndjson(
+        d / "f2.json",
+        [
+            _gps_record(ts="2024-01-01 10:01:00", speed_kmh=20.0),
+            _gps_record(ts="2024-01-01 10:01:30", speed_kmh=30.0),
+        ],
+    )
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            read_batch(spark, str(d / "f1.json")).schema
+        ).option("maxFilesPerTrigger", 1).json(str(d))
+        q = (
+            running_vehicle_stats(stream)
+            .writeStream.format("memory")
+            .queryName("tws_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("select * from tws_test").collect()
+        # one emission per micro-batch; the final one is cumulative over both
+        assert len(out) == 2
+        final = max(out, key=lambda r: r.n_points)
+        assert final.n_points == 4
+        assert final.max_speed == 99.0
+        assert abs(final.total_speed - 159.0) < 1e-9
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
 def test_enrich_batch_matches_reference_shape(spark, gps_dir):
     df = enrich(read_batch(spark, os.path.join(gps_dir, "batch1.json")))
     assert df.columns[-3:] == ["input_file", "processed_time", "processed_date"]
