@@ -97,8 +97,8 @@ GROUP BY 1
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hash-spread on doc_id BEFORE the expensive shingle/token work (single
-    # input split would serialize it); the hash partitioning on doc_id is
-    # reused by the downstream minhash groupBy(doc_id) — no second shuffle.
+    # input split would serialize it); keyed on doc_id so any downstream
+    # per-document grouping (e.g. simhash) reuses the exchange.
     docs = load_spread(spark, "documents", sf_dir, key="doc_id")
     return docs.select(
         "doc_id",
@@ -111,32 +111,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the permutation hashes are engine-internal xxhash64).
 
     Pipeline (all DataFrame ops, ONE pass over the corpus):
-      shingle → xxhash64 → 32 permuted mins per doc (single groupBy with 32
-      min() aggs — not 32 passes) → 8 band signatures → explode bands →
-      groupBy (band, signature) collecting bucket members → in-bucket pair
-      generation with higher-order functions → distinct candidate pairs →
-      estimated Jaccard from signature agreement → top-20.
+      shingle → xxhash64 → 32 permuted mins per doc (higher-order
+      `array_min(transform(...))` — per-document, map-side only, NO shuffle)
+      → 8 band signatures → explode bands → groupBy (band, signature)
+      collecting bucket members → in-bucket pair generation with higher-order
+      functions → distinct candidate pairs → estimated Jaccard from signature
+      agreement → top-20.
 
-    Scale notes: a self-join on (band, signature) would recompute the whole
+    Scale notes: the signature is a pure per-document computation, so it is
+    expressed as array expressions instead of explode + groupBy(doc_id) —
+    that variant shuffles every shingle hash (corpus-sized IO); this one
+    shuffles only 8 (band, sig) rows per document into the bucket groupBy.
+    A self-join on (band, signature) would recompute the whole
     shingle/minhash subplan for both sides and shuffle the corpus twice; the
     bucket-groupBy form shuffles once and generates pairs locally. Buckets are
     capped at 200 members (sorted, deterministic) — an LSH bucket that large
     means a degenerate band signature, and capping bounds the worst-case pair
     blowup to 200² per bucket regardless of corpus size.
     """
-    sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0)
+    # constrain to 31 bits so (a*h + b) stays within long under ANSI mode;
+    # hashed once per shingle (the hs projection is non-cheap, so Catalyst
+    # keeps it materialized rather than inlining it into all 32 consumers)
+    hs = sh.select(
+        "doc_id",
+        F.transform(
+            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
+        ).alias("hs"),
     )
-    # constrain to 31 bits so (a*h + b) stays within long under ANSI mode
-    h = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(1 << 31)))
     # 32 permutations (a_i * h + b_i) mod p, min per doc; fixed a_i/b_i seeds
-    mins = h.groupBy("doc_id").agg(
+    mins = hs.select(
+        "doc_id",
         *[
-            F.min(
-                F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MH_P))
+            F.array_min(
+                F.transform(
+                    "hs", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_P))
+                )
             ).alias(f"m{i}")
             for i, (a, b) in enumerate(_MH_AB)
-        ]
+        ],
     )
     bands = mins.select(
         "doc_id",

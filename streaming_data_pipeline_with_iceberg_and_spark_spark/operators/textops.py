@@ -8,7 +8,7 @@ aggregations); nothing is per-row Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, tokens
@@ -221,8 +221,14 @@ FROM first_pick WHERE rn = 1
 
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: global top-20 terms by summed tf·idf (one explode, two
-    aggregations; df join is broadcast — term dictionary is small)."""
+    """TF-IDF: global top-20 terms by summed tf·idf, in ONE corpus scan.
+
+    df (document frequency) comes from ``count(*) over (partition by term)``
+    on the (doc_id, term) tf rows — a join back to a separate df aggregate
+    would evaluate the tokenize/explode subplan twice (two full corpus scans;
+    Spark does not CSE across a self-join). The final ``groupBy(term)`` then
+    reuses the window's hash-partitioning on term: explode → shuffle
+    (doc_id, term) → shuffle (term) → done, no second scan."""
     docs = load(spark, "documents", sf_dir)
     n_docs = docs.count()  # scalar, computed once (count-star over metadata)
     tf = (
@@ -231,10 +237,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_counts = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_counts), "term").withColumn(
-        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
-    )
+    # one (doc_id, term) row per doc containing the term → count(*) = df
+    scored = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
     return (
         scored.groupBy("term")
         .agg(F.round(F.sum("tfidf"), 6).alias("total_tfidf"), F.max("df").alias("df"))
