@@ -22,8 +22,10 @@ from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
     eventtime,
     joins,
     multimodal,
+    mutations,
     pandas_ops,
     relational,
+    sampling,
     setops,
     similarity,
     textops,
@@ -46,6 +48,8 @@ _MODULES = [
     textops,
     multimodal,
     pandas_ops,
+    mutations,
+    sampling,
 ]
 
 

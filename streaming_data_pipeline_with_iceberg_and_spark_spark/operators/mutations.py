@@ -1,0 +1,115 @@
+"""Row-level mutation queries: MERGE (upsert), UPDATE, DELETE with
+copy-on-write semantics (SURVEY.md §2.1 S7).
+
+The reference's Iceberg table declares copy-on-write delete/update/merge
+modes (/root/reference/spark-data-pipeline/spark_job.py:50-52) without ever
+issuing a row-level op. These queries exercise the declared capability
+end-to-end through ``Warehouse.merge`` / ``update_where`` / ``delete_where``:
+each materializes a table into a scratch warehouse, applies the mutation, and
+returns the resulting table so the DuckDB oracle can verify the *semantics*
+(upsert = source ∪ anti-joined target; update = CASE projection; delete =
+negated filter).
+
+Determinism notes: the update expressions avoid ROUND (banker's-vs-half-up
+divergence between engines) — additive/constant mutations only.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..sources.tables import Warehouse
+
+_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _scratch(spark: SparkSession) -> Warehouse:
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="spark_graft_cow_"), namespace="mut")
+    wh.create_namespace()
+    return wh
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert into orders: urgent orders get a surcharge (matched → update),
+    every 1000th orderkey is re-inserted under a shifted key as a new 'N'
+    order (not matched → insert). Returns the merged table."""
+    orders = load(spark, "orders", sf_dir).select(*_ORDERS_COLS)
+    wh = _scratch(spark)
+    wh.write(orders, "orders_cow", mode="overwrite")
+    updates = orders.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(10.0)
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 1000 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    wh.merge(updates.unionByName(inserts).select(*_ORDERS_COLS), "orders_cow",
+             ["o_orderkey"])
+    return wh.read("orders_cow").select(*_ORDERS_COLS)
+
+
+MERGE_UPSERT_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N',
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT * FROM src
+UNION ALL
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       o.o_orderdate, o.o_orderpriority
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+"""
+
+
+def delete_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE finished ('F') orders, then UPDATE high-priority survivors with
+    a handling fee — two sequential CoW mutations; returns the final table."""
+    orders = load(spark, "orders", sf_dir).select(*_ORDERS_COLS)
+    wh = _scratch(spark)
+    wh.write(orders, "orders_cow", mode="overwrite")
+    wh.delete_where("orders_cow", "o_orderstatus = 'F'")
+    wh.update_where(
+        "orders_cow",
+        "o_orderpriority = '2-HIGH'",
+        {"o_totalprice": "o_totalprice + 5.0"},
+    )
+    return wh.read("orders_cow").select(*_ORDERS_COLS)
+
+
+DELETE_UPDATE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice + 5.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE NOT (o_orderstatus = 'F')
+"""
+
+
+QUERIES = {
+    "merge_upsert_orders": merge_upsert_orders,
+    "delete_update_orders": delete_update_orders,
+}
+
+ORACLES = {
+    "merge_upsert_orders": MERGE_UPSERT_SQL,
+    "delete_update_orders": DELETE_UPDATE_SQL,
+}

@@ -1,0 +1,120 @@
+"""Deterministic sampling / dataset-split operators (north-star extension —
+training-data pipelines; companion to the dedup/text ops of SURVEY.md §2.8).
+
+Splits and samples must be (a) deterministic across runs and engines — no
+RNG, no row order dependence — and (b) computable per-row with no shuffle, so
+they hold under any partitioning at 100 TB. Both properties come from keying
+on an md5 bucket of the stable document id (``md5_bucket16``, the same
+cross-engine-reproducible hash the simhash op uses): assignment is a pure
+projection, the scan stays pushdown-friendly, and re-running on a grown
+corpus never reassigns an existing document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_bucket16
+from ..io import load
+
+# bucket in [0, 100): 80 train / 10 val / 10 test
+_BUCKETS = 100
+_TRAIN_HI = 80
+_VAL_HI = 90
+
+
+def _bucket() -> F.Column:
+    return F.pmod(
+        md5_bucket16(F.col("doc_id").cast("string")), F.lit(_BUCKETS)
+    )
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment per document — pure projection,
+    stable under corpus growth (a document's split never changes)."""
+    docs = load(spark, "documents", sf_dir)
+    b = _bucket()
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < _TRAIN_HI, "train")
+        .when(b < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SPLIT_SQL = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample (hash-bucket filter — reproducible,
+    unlike ``df.sample`` whose output depends on partitioning/seed plumbing).
+    The filter is a scan-level predicate: no shuffle, no materialized
+    sample frame."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.filter(_bucket() % 10 == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SAMPLE_HASH_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100) % 10 = 0
+"""
+
+
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cap: keep the ``cap`` lowest-bucket documents per lang —
+    the deterministic analogue of stratified downsampling (balances a skewed
+    language distribution). One shuffle on the (low-cardinality) stratum key;
+    rank by (hash bucket, doc_id) so ties are stable."""
+    from pyspark.sql import Window
+
+    cap = 50
+    docs = load(spark, "documents", sf_dir).withColumn(
+        "bucket", md5_bucket16(F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang").orderBy("bucket", "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, bucket
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 50
+"""
+
+
+QUERIES = {
+    "split_train_val_test": split_train_val_test,
+    "sample_hash_fraction": sample_hash_fraction,
+    "sample_stratified_by_lang": sample_stratified_by_lang,
+}
+
+ORACLES = {
+    "split_train_val_test": SPLIT_SQL,
+    "sample_hash_fraction": SAMPLE_HASH_SQL,
+    "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,
+}

@@ -19,8 +19,10 @@ This module keeps that exact control flow behind one class. Backend:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..session import iceberg_runtime_available
 
@@ -133,6 +135,81 @@ class Warehouse:
             writer = writer.sortBy(*sort_cols)
         writer.mode(mode).saveAsTable(name)
         return name
+
+    # -- row-level mutations (copy-on-write semantics) ---------------------
+    # The reference declares CoW delete/update/merge modes on its Iceberg
+    # table (spark_job.py:50-52) but never issues a row-level op. These
+    # methods provide that declared surface: MERGE INTO / UPDATE / DELETE SQL
+    # when the Iceberg runtime is present (Iceberg rewrites only the files
+    # containing matched rows), else an explicit copy-on-write rewrite of the
+    # parquet warehouse table (whole-table rewrite — the fallback's
+    # documented cost, not the design's; at scale the Iceberg path is the
+    # real one and partition pruning bounds the rewrite set).
+
+    def _rewrite_cow(self, df: DataFrame, table: str) -> None:
+        """Materialize ``df`` as the new table contents via staging + swap
+        (a direct overwrite would delete the files the plan is reading)."""
+        path = self._path(table)
+        staging = path + "__cow_staging"
+        df.write.option("compression", "snappy").mode("overwrite").parquet(staging)
+        old = path + "__cow_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.replace(path, old)
+        os.replace(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def merge(self, source: DataFrame, table: str, key_cols: list[str]) -> None:
+        """Upsert: MERGE INTO ... WHEN MATCHED UPDATE SET * / WHEN NOT
+        MATCHED INSERT * on ``key_cols``. ``source`` must carry the target
+        schema and unique keys."""
+        if self.use_iceberg:
+            source.createOrReplaceTempView("_merge_source")
+            on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+            self.spark.sql(
+                f"MERGE INTO {self.full_name(table)} t USING _merge_source s "
+                f"ON {on} WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        # CoW: keep target rows whose key has no update, then add the source.
+        # The anti-join's build side is the (typically small) update batch's
+        # keys — AQE picks broadcast when it fits.
+        kept = self.read(table).join(
+            source.select(*key_cols), key_cols, "left_anti"
+        )
+        self._rewrite_cow(source.unionByName(kept), table)
+
+    def delete_where(self, table: str, condition: str) -> None:
+        """Row-level DELETE with CoW semantics."""
+        if self.use_iceberg:
+            self.spark.sql(
+                f"DELETE FROM {self.full_name(table)} WHERE {condition}"
+            )
+            return
+        cond = F.expr(condition)
+        self._rewrite_cow(
+            self.read(table).filter(~F.coalesce(cond, F.lit(False))), table
+        )
+
+    def update_where(
+        self, table: str, condition: str, assignments: dict[str, str]
+    ) -> None:
+        """Row-level UPDATE ``SET col = expr`` under ``condition`` (CoW)."""
+        if self.use_iceberg:
+            sets = ", ".join(f"{c} = {e}" for c, e in assignments.items())
+            self.spark.sql(
+                f"UPDATE {self.full_name(table)} SET {sets} WHERE {condition}"
+            )
+            return
+        cond = F.expr(condition)
+        updated = self.read(table).withColumns(
+            {
+                c: F.when(cond, F.expr(e)).otherwise(F.col(c))
+                for c, e in assignments.items()
+            }
+        )
+        self._rewrite_cow(updated, table)
 
     # -- reads ------------------------------------------------------------
     def read(self, table: str) -> DataFrame:
