@@ -177,47 +177,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("members") > 1)
     )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "members",
-                            lambda x: F.transform(
-                                F.col("members"),
-                                lambda y: F.struct(
-                                    x["doc_id"].alias("doc_a"),
-                                    y["doc_id"].alias("doc_b"),
-                                    x["sig"].alias("sig_a"),
-                                    y["sig"].alias("sig_b"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["doc_a"] < p["doc_b"],
-                )
-            ).alias("p")
+    # i<j pairs directly (members sorted by doc_id → slice past i is always
+    # the greater side): half the candidates of the generate-all-then-filter
+    # form, and each emitted pair is 3 scalars — the signature-agreement
+    # count is folded inside the lambda instead of carrying two 32-long sig
+    # arrays per pair through the explode.
+    mem = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(mem) - 1),
+            lambda i: F.transform(
+                F.slice(mem, i + 1, F.size(mem)),
+                lambda y: F.struct(
+                    F.element_at(mem, i)["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.aggregate(
+                        F.zip_with(
+                            F.element_at(mem, i)["sig"],
+                            y["sig"],
+                            lambda x, z: F.when(x == z, 1).otherwise(0),
+                        ),
+                        F.lit(0),
+                        lambda acc, x: acc + x,
+                    ).alias("n_agree"),
+                ),
+            ),
         )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
         .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = pairs.withColumn(
-        "est_jaccard",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    "sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)
-                ),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            )
-            / F.lit(float(_MH_PERMS)),
-            6,
-        ),
-    )
     return (
-        est.select("doc_a", "doc_b", "est_jaccard")
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_agree") / F.lit(float(_MH_PERMS)), 6
+            ).alias("est_jaccard"),
+        )
         .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
         .limit(20)
     )
@@ -290,26 +289,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = inv.groupBy("shingle").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
+    # i<j pairs directly from the sorted posting list (slice past i is the
+    # greater side) — half the generate-all-then-filter candidate volume.
+    ids = F.col("ids")
+    id_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids)),
+                lambda y: F.struct(
+                    F.element_at(ids, i).alias("doc_a"), y.alias("doc_b")
+                ),
+            ),
+        )
+    )
     inter = (
         postings.filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "ids",
-                            lambda x: F.transform(
-                                F.col("ids"),
-                                lambda y: F.struct(
-                                    x.alias("doc_a"), y.alias("doc_b")
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["doc_a"] < p["doc_b"],
-                )
-            ).alias("p")
-        )
+        .select(F.explode(id_pairs).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )

@@ -107,14 +107,64 @@ WHERE rk <= 50
 """
 
 
+_CTX = 2048  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (LLM pretraining layout): within
+    each language stream, documents are concatenated in stable doc_id order
+    and cut into fixed ``_CTX``-token windows. Each document's pack id and
+    offset fall out of a running token-count window — one shuffle on the
+    stratum key, no per-row Python.
+
+    At 100 TB the partitionBy stratum would be (lang, shard) to bound any
+    one window partition; the assignment stays a single window pass."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = load(spark, "documents", sf_dir).withColumn(
+        "n_tokens", F.size(tokens("text"))
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(cum_before / _CTX).cast("long").alias("pack_id"),
+        F.pmod(cum_before, F.lit(_CTX)).cast("long").alias("pack_offset"),
+    )
+
+
+PACK_SQL = """
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+FROM (
+  SELECT doc_id, lang,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         COALESCE(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
     "sample_hash_fraction": sample_hash_fraction,
     "sample_stratified_by_lang": sample_stratified_by_lang,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLES = {
     "split_train_val_test": SPLIT_SQL,
     "sample_hash_fraction": SAMPLE_HASH_SQL,
     "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,
+    "pack_sequences": PACK_SQL,
 }

@@ -21,6 +21,7 @@ from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest impor
     enrich,
     run_batch_ingest,
     start_ingest,
+    start_upsert_ingest,
     with_event_time,
 )
 from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.windowed import (
@@ -321,6 +322,46 @@ def test_transform_with_state_running_stats(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_streaming_upsert_keeps_latest_per_vehicle(spark, tmp_path):
+    """foreachBatch MERGE (CDC/latest-state pattern): newer readings replace
+    older rows per vehicle across micro-batches; table stays one row/key."""
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_ndjson(
+        d / "f1.json",
+        [
+            _gps_record(vehicle_id="v1", ts="2024-01-01 10:00:00", speed_kmh=10.0),
+            _gps_record(vehicle_id="v2", ts="2024-01-01 10:00:00", speed_kmh=20.0),
+        ],
+    )
+    _write_ndjson(
+        d / "f2.json",
+        [
+            # newer v1 reading + brand-new v3
+            _gps_record(vehicle_id="v1", ts="2024-01-01 10:05:00", speed_kmh=99.0),
+            _gps_record(vehicle_id="v3", ts="2024-01-01 10:05:00", speed_kmh=30.0),
+        ],
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    q = start_upsert_ingest(
+        spark,
+        str(d),
+        wh,
+        table="vehicle_latest",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # forces multi-batch → real cross-batch merge
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vehicle_id: (r.speed_kmh, r.timestamp)
+        for r in wh.read("vehicle_latest").collect()
+    }
+    assert set(got) == {"v1", "v2", "v3"}
+    assert got["v1"] == (99.0, "2024-01-01 10:05:00"), "newest v1 must win"
+    assert got["v2"][0] == 20.0
+    assert got["v3"][0] == 30.0
 
 
 def test_enrich_batch_matches_reference_shape(spark, gps_dir):
