@@ -69,6 +69,15 @@ def main() -> int:
 
     # Warm-up: JVM, codegen, parquet footer caches.
     _force(qs["q5_revenue_by_nation"](spark, sf_dir))
+    # Warm Python workers: the per-core worker fork + Arrow init is cluster
+    # startup cost, not per-query cost — a long-lived cluster holds warm
+    # workers. Touch every core once with a no-op mapInPandas.
+    cores = spark.sparkContext.defaultParallelism
+    _force(
+        spark.range(cores * 4, numPartitions=cores).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
