@@ -140,12 +140,91 @@ ORDER BY user_id
 """
 
 
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (§2.9 table-function surface, Spark 4): split each
+    document into fixed 16-token chunks via ``LATERAL chunk_doc(text)`` —
+    one input row expands to a variable number of output rows with its own
+    schema, the shape a lateral explode of a built-in expression can't
+    carry custom per-row logic into.
+
+    UDTFs are row-at-a-time Python — the slow path. This entry exists to
+    cover the surface; the equivalent hot path is a sequence/slice
+    higher-order expression (see ``pack_sequences`` / ``shingles`` for the
+    builtin-first pattern). Oracle: DuckDB lateral unnest over list slices."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = (text or "").lower().strip().split()
+            n_chunks = max((len(toks) + 15) // 16, 1)
+            for i in range(n_chunks):
+                chunk = toks[i * 16 : (i + 1) * 16]
+                yield i, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load(spark, "documents", sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") % 10 == 0
+    ).createOrReplaceTempView("_docs_to_chunk")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens "
+        "FROM _docs_to_chunk, LATERAL chunk_doc(text) AS c"
+    )
+
+
+TEXT_CHUNK_UDTF_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(t[i*16+1 : (i+1)*16], ' ') AS chunk,
+       CAST(least(len(t) - i*16, 16) AS INT) AS n_tokens
+FROM toks, UNNEST(range(0, greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1))) AS u(i)
+"""
+
+
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` the events
+    props payload once into a VARIANT and extract typed fields with
+    ``variant_get`` — the schema-on-read layout for heterogeneous JSON at
+    scale (binary-encoded, no per-query re-parse, no rigid StructType).
+    Oracle: DuckDB json_extract."""
+    ev = load(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    return (
+        ev.withColumn("k", F.variant_get(v, "$.k", "int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 6) AS avg_k,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "pandas_udf_haversine": pandas_udf_haversine,
     "grouped_ols_trend": grouped_ols_trend,
+    "text_chunk_udtf": text_chunk_udtf,
+    "json_variant_extract": json_variant_extract,
 }
 
 ORACLES = {
     "pandas_udf_haversine": PANDAS_HAVERSINE_SQL,
     "grouped_ols_trend": GROUPED_OLS_SQL,
+    "text_chunk_udtf": TEXT_CHUNK_UDTF_SQL,
+    "json_variant_extract": JSON_VARIANT_SQL,
 }
