@@ -62,10 +62,18 @@ ORDER BY o_orderpriority
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: shipping volume between two nations, by year and direction.
 
-    supplier-side and customer-side nation dims are both broadcast; the
-    lineitem⋈orders backbone stays a shuffled fact-fact join."""
+    The two-nation predicate is applied to the supplier and customer dims
+    BEFORE they touch the facts, and each (tiny, filtered) dim is broadcast
+    onto its fact side first — lineitem and orders both shrink ~|nations|/2
+    ÷ |nations| before the only shuffle (the fact⋈fact join on orderkey).
+    Joining the backbone first and filtering after would shuffle the full
+    date-range volume of both facts. The direction-pair disjunction can only
+    be evaluated after the backbone join; restricting each side to the two
+    nations first is equivalent (every surviving pair draws from {n1, n2})."""
     n1, n2 = "NATION_3", "NATION_7"
-    nation = F.broadcast(load(spark, "nation", sf_dir))
+    nation = F.broadcast(
+        load(spark, "nation", sf_dir).filter(F.col("n_name").isin(n1, n2))
+    )
     supp = (
         load(spark, "supplier", sf_dir)
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
@@ -79,16 +87,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") <= F.lit("1997-12-31"))
+    ).join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    orders = load(spark, "orders", sf_dir).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     )
-    orders = load(spark, "orders", sf_dir)
-    joined = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .filter(
-            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
-            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
-        )
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+        | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
     )
     return (
         joined.groupBy(
@@ -143,15 +148,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    orders = load(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
-        & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+    # semi-reduce orders by the region's customers BEFORE the fact⋈fact
+    # join — the semi's build side is small (one region's customers), so it
+    # broadcasts, and the orderkey shuffle moves only ASIA orders
+    orders = (
+        load(spark, "orders", sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") <= F.lit("1997-12-31"))
+        )
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
     )
     li = load(spark, "lineitem", sf_dir)
     vol = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust_nat, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
