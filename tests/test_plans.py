@@ -143,6 +143,42 @@ def test_salted_skew_join_is_sort_merge(plan):
     assert "CartesianProduct" not in p
 
 
+def test_q7_single_fact_shuffle_join(plan):
+    """q7's only shuffle join is the lineitem⋈orders backbone; every dim is
+    broadcast onto its fact side BEFORE the backbone (the nation filter
+    semi-reduces both facts pre-shuffle)."""
+    # formatted explain prints each op in the tree ("SortMergeJoin Inner (N)")
+    # and again in the detail section ("(N) SortMergeJoin") — count tree form
+    p = plan("q7_volume_shipping")
+    assert p.count("SortMergeJoin Inner") == 1, p
+    assert p.count("BroadcastHashJoin Inner") >= 3, p
+
+
+def test_split_assignment_is_map_only(plan):
+    """Hash-based split/sample assignment must be a pure projection — zero
+    exchanges, so it holds under any partitioning at any scale."""
+    for name in ("split_train_val_test", "sample_hash_fraction"):
+        p = plan(name)
+        assert "Exchange" not in p, name
+        assert "Join" not in p, name
+
+
+def test_minhash_signature_stage_no_early_shuffle(plan):
+    """The MinHash signature is computed per-document map-side; the first
+    shuffle in the pipeline is the (band, sig) bucket groupBy, the
+    dedup of candidate pairs, and the final top-k — nothing corpus-wide.
+    load_spread adds one round-robin-by-key spread of the single-split local
+    file; budget = spread + bucket agg (pair) + dropDuplicates (pair) +
+    TakeOrdered, with no join anywhere."""
+    import re
+
+    p = plan("dedup_minhash_lsh")
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p
+    # count unique exchange nodes via their detail-section "(N) Exchange"
+    # lines (the tree prints each op a second time)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4, p
+
+
 def test_bucketed_join_reads_shuffle_free(spark, sf_dir, tmp_path):
     """Same-bucketed fact tables join with NO Exchange on either side — the
     co-located fact⋈fact layout that replaces a per-query corpus shuffle at
