@@ -15,6 +15,16 @@ from pyspark.sql import functions as F
 from ..io import load
 
 
+# events.value carries exactly 2 decimals; summing through integer cents
+# makes the aggregate independent of float accumulation ORDER — a different
+# partitioning (or engine) must produce the bit-identical result. Plain
+# SUM/AVG(double) diverges in the last rounded digit once enough rows land in
+# one group (observed at sf0.1 in the sliding window's 6-decimal avg).
+# (Built lazily: Column construction needs an active SparkContext.)
+def _cents() -> F.Column:
+    return F.round(F.col("value") * 100).cast("long")
+
+
 def window_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: 5-minute tumbling window counts per event type."""
     ev = load(spark, "events", sf_dir)
@@ -22,7 +32,7 @@ def window_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(_cents()) / 100.0).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
@@ -37,7 +47,7 @@ WINDOW_TUMBLING_SQL = """
 SELECT CAST(floor(epoch(time_bucket(INTERVAL 5 MINUTE, ts))) AS BIGINT) AS window_start,
        event_type,
        COUNT(*) AS n,
-       ROUND(SUM(value), 2) AS total_value
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -50,12 +60,16 @@ def window_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # avg in integer micro-units via floor division — fully exact.
+            # A rounded float avg can land on a .5 half-boundary where
+            # HALF_UP (Spark) and the oracle disagree by 1 ulp.
+            F.expr("(sum(cast(round(value * 100) as bigint)) * 10000) div count(*)")
+            .alias("avg_value_e6"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             "n",
-            "avg_value",
+            "avg_value_e6",
         )
     )
 
@@ -70,7 +84,8 @@ WITH memb AS (
   SELECT CAST(floor(epoch(time_bucket(INTERVAL 5 MINUTE, ts))) AS BIGINT) - 300, value
   FROM events
 )
-SELECT window_start, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+SELECT window_start, COUNT(*) AS n,
+       (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) * 10000) // COUNT(*) AS avg_value_e6
 FROM memb
 GROUP BY 1
 """
@@ -83,7 +98,10 @@ def window_session_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, "events", sf_dir)
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(_cents()) / 100.0).alias("session_value"),
+        )
         .select(
             "user_id",
             F.col("w.start").cast("long").alias("session_start"),
@@ -111,7 +129,7 @@ WITH flagged AS (
 SELECT user_id,
        CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS session_value
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS session_value
 FROM sess
 GROUP BY user_id, sid
 """
