@@ -216,6 +216,11 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    out_schema = "q_id long, vec_id long, cos_sim double"
+    if not q_rows:
+        # empty query set (routine at scale: a filter can drop every row) —
+        # the closure below would axis-error on a 0-d matrix
+        return spark.createDataFrame([], out_schema)
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -223,6 +228,8 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batch from an empty partition
+                continue
             ids = pdf["vec_id"].to_numpy()
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -243,7 +250,7 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = (
         load_spread(spark, "embeddings", sf_dir)
         .select("vec_id", "embedding")
-        .mapInPandas(score, schema="q_id long, vec_id long, cos_sim double")
+        .mapInPandas(score, schema=out_schema)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -264,6 +271,8 @@ def _ivf_assign_fn(cent_mat, nprobe: int):
 
     def assign(batches):
         for pdf in batches:
+            if pdf.empty:  # empty Arrow batch from an empty partition
+                continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             # nearest-by-L2 == max dot - ||c||²/2 (corpus norms cancel)
             scores = mat @ cent_mat.T - 0.5 * (cent_mat**2).sum(axis=1)
