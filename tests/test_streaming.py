@@ -324,6 +324,42 @@ def test_transform_with_state_running_stats(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
 
 
+def test_update_mode_reemits_growing_window(spark, tmp_path):
+    """T11 output modes: in UPDATE mode a window re-emits each micro-batch
+    that changes it (growing count), where append-mode would stay silent
+    until the watermark closes the window."""
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_ndjson(
+        d / "f1.json", [_gps_record(ts="2024-01-01 10:00:10")]
+    )
+    _write_ndjson(
+        d / "f2.json",
+        [_gps_record(ts="2024-01-01 10:00:20"), _gps_record(ts="2024-01-01 10:00:30")],
+    )
+    schema = read_batch(spark, str(d / "f1.json")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        tumbling_counts(with_event_time(stream))
+        .writeStream.format("memory")
+        .queryName("upd_mode")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [
+        r.n for r in spark.sql("select n from upd_mode order by n").collect()
+    ]
+    # same window emitted twice with growing counts: 1 (batch 1), 3 (batch 2)
+    assert emitted == [1, 3]
+
+
 def test_streaming_upsert_keeps_latest_per_vehicle(spark, tmp_path):
     """foreachBatch MERGE (CDC/latest-state pattern): newer readings replace
     older rows per vehicle across micro-batches; table stays one row/key."""
