@@ -135,14 +135,82 @@ GROUP BY user_id, sid
 """
 
 
+def resample_ffill_1min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: resample each user's events to a 1-minute grid,
+    forward-filling the last observed value (LOCF) — the standard telemetry
+    densification the reference's GPS domain implies but never builds.
+
+    Scale shape: instead of generating a calendar grid and left-joining
+    observations onto it (a join + a full-history window), each observation
+    emits its own validity interval — ``lead(minute)`` then explode a
+    minute sequence carrying the value. One window pass + one explode, no
+    join, and a user's output is proportional to their gap span only."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir).filter(
+        (F.col("user_id") < 5)
+        & (F.col("ts") >= F.lit("2024-01-02"))
+        & (F.col("ts") < F.lit("2024-01-03"))
+    )
+    # one observation per (user, minute): latest arrival (max event_id) wins
+    per_min = ev.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.max_by("value", "event_id").alias("obs_value"))
+    w = Window.partitionBy("user_id").orderBy("minute")
+    return (
+        per_min.withColumn("next_min", F.lead("minute").over(w))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("minute"),
+                    F.coalesce(
+                        F.col("next_min") - F.expr("interval 1 minute"),
+                        F.col("minute"),
+                    ),
+                    F.expr("interval 1 minute"),
+                )
+            ).alias("minute"),
+            "obs_value",
+        )
+        .select(
+            "user_id",
+            F.col("minute").cast("long").alias("minute_ts"),
+            F.col("obs_value").alias("value_ffill"),
+        )
+    )
+
+
+RESAMPLE_FFILL_SQL = """
+WITH per_min AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute,
+         arg_max(value, event_id) AS obs_value
+  FROM events
+  WHERE user_id < 5 AND ts >= '2024-01-02' AND ts < '2024-01-03'
+  GROUP BY 1, 2
+), nxt AS (
+  SELECT *, LEAD(minute) OVER (PARTITION BY user_id ORDER BY minute) AS next_min
+  FROM per_min
+)
+SELECT user_id,
+       CAST(floor(epoch(u.m)) AS BIGINT) AS minute_ts,
+       obs_value AS value_ffill
+FROM nxt, UNNEST(generate_series(minute,
+                                 COALESCE(next_min - INTERVAL 1 MINUTE, minute),
+                                 INTERVAL 1 MINUTE)) AS u(m)
+"""
+
+
 QUERIES = {
     "window_tumbling_5min": window_tumbling_5min,
     "window_sliding_10m_5m": window_sliding_10m_5m,
     "window_session_30min": window_session_30min,
+    "resample_ffill_1min": resample_ffill_1min,
 }
 
 ORACLES = {
     "window_tumbling_5min": WINDOW_TUMBLING_SQL,
     "window_sliding_10m_5m": WINDOW_SLIDING_SQL,
     "window_session_30min": WINDOW_SESSION_SQL,
+    "resample_ffill_1min": RESAMPLE_FFILL_SQL,
 }
