@@ -69,3 +69,58 @@ def test_union_except_roundtrip(spark, data):
     half = df.filter(F.col("v") % 2 == 0)
     rest = df.exceptAll(half)
     assert sorted(half.unionAll(rest).collect()) == sorted(df.collect())
+
+
+def test_split_assignment_invariants(spark, sf_dir):
+    """Deterministic split: total partition, stable across runs, bucket↔split
+    agreement, and growth-stability (a subset's assignments are unchanged)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        split_train_val_test,
+    )
+
+    out = split_train_val_test(spark, sf_dir)
+    rows = out.collect()
+    n = len(rows)
+    assert n > 0
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, 0)
+        by_split[r.split] += 1
+        expected = "train" if r.bucket < 80 else ("val" if r.bucket < 90 else "test")
+        assert r.split == expected
+    assert set(by_split) <= {"train", "val", "test"}
+    assert sum(by_split.values()) == n  # total partition, no overlap/loss
+    # growth stability: restricting the corpus must not reassign anyone
+    subset = {
+        r.doc_id: r.split
+        for r in split_train_val_test(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .collect()
+    }
+    full = {r.doc_id: r.split for r in rows}
+    assert all(full[d] == s for d, s in subset.items())
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing: offsets in [0, CTX); packs fill contiguously per language
+    (pack_id never decreases along doc_id order; consecutive docs' offsets
+    chain: next_offset == (offset + n_tokens) mod arithmetic on the stream)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        _CTX,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < _CTX
+        assert r.pack_id >= 0
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.pack_id == cum // _CTX, (lang, r)
+            assert r.pack_offset == cum % _CTX, (lang, r)
+            cum += r.n_tokens

@@ -400,6 +400,36 @@ def test_streaming_upsert_keeps_latest_per_vehicle(spark, tmp_path):
     assert got["v3"][0] == 30.0
 
 
+def test_streaming_upsert_restart_is_exactly_once(spark, tmp_path):
+    """Restarting the upsert stream from its checkpoint neither re-applies
+    old batches (merge is idempotent) nor misses new files."""
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_ndjson(
+        d / "f1.json",
+        [_gps_record(vehicle_id="v1", ts="2024-01-01 10:00:00", speed_kmh=10.0)],
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    q = start_upsert_ingest(spark, str(d), wh, table="latest", checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    first = {r.vehicle_id: r.speed_kmh for r in wh.read("latest").collect()}
+    assert first == {"v1": 10.0}
+    # new file lands; restart from the same checkpoint
+    _write_ndjson(
+        d / "f2.json",
+        [
+            _gps_record(vehicle_id="v1", ts="2024-01-01 10:05:00", speed_kmh=50.0),
+            _gps_record(vehicle_id="v2", ts="2024-01-01 10:05:00", speed_kmh=20.0),
+        ],
+    )
+    q = start_upsert_ingest(spark, str(d), wh, table="latest", checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    got = {r.vehicle_id: r.speed_kmh for r in wh.read("latest").collect()}
+    assert got == {"v1": 50.0, "v2": 20.0}
+    assert wh.read("latest").count() == 2  # no duplicate rows from replay
+
+
 def test_enrich_batch_matches_reference_shape(spark, gps_dir):
     df = enrich(read_batch(spark, os.path.join(gps_dir, "batch1.json")))
     assert df.columns[-3:] == ["input_file", "processed_time", "processed_date"]
