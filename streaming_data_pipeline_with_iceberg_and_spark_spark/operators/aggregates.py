@@ -261,8 +261,83 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (A9's inverse): wide per-priority order metrics →
+    long (priority, metric, value) rows via ``DataFrame.unpivot`` — the
+    tidy-format reshape feeding per-metric downstream aggregation."""
+    orders = load(spark, "orders", sf_dir)
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        # sum exact integer cents, divide ONCE — a per-row division before
+        # the sum reintroduces float accumulation-order dependence
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0
+        ).alias("gross"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "gross", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+AGG_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS gross,
+         CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'gross', gross FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_customers', n_customers FROM wide
+"""
+
+
+def histogram_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document length with cumulative share — the
+    distribution profile a corpus-curation pass starts from. One aggregation
+    + one tiny window over the bucket list."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    binned = docs.groupBy(
+        (F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket_lo")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("bucket_lo").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return binned.select(
+        "bucket_lo",
+        "n",
+        F.round(
+            F.sum("n").over(w) / F.sum("n").over(total), 6
+        ).alias("cum_share"),
+    )
+
+
+HISTOGRAM_SQL = """
+WITH binned AS (
+  SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket_lo, COUNT(*) AS n
+  FROM documents GROUP BY 1
+)
+SELECT bucket_lo, n,
+       ROUND(SUM(n) OVER (ORDER BY bucket_lo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(SUM(n) OVER () AS DOUBLE), 6) AS cum_share
+FROM binned
+"""
+
+
 QUERIES = {
     "agg_global": agg_global,
+    "agg_unpivot": agg_unpivot,
+    "histogram_doc_length": histogram_doc_length,
     "agg_count_distinct": agg_count_distinct,
     "agg_stats": agg_stats,
     "agg_percentiles": agg_percentiles,
@@ -277,6 +352,8 @@ QUERIES = {
 
 ORACLES = {
     "agg_global": AGG_GLOBAL_SQL,
+    "agg_unpivot": AGG_UNPIVOT_SQL,
+    "histogram_doc_length": HISTOGRAM_SQL,
     "agg_count_distinct": AGG_COUNT_DISTINCT_SQL,
     "agg_stats": AGG_STATS_SQL,
     "agg_percentiles": AGG_PERCENTILES_SQL,
