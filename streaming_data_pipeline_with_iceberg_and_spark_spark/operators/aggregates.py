@@ -22,7 +22,12 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        # avg in integer micro-units (discount has 2 decimals): a rounded
+        # float avg flips its last digit with accumulation order — i.e. with
+        # the executor core count
+        F.expr(
+            "(sum(cast(round(l_discount * 100) as bigint)) * 10000) div count(*)"
+        ).alias("avg_disc_e6"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
@@ -32,7 +37,7 @@ SELECT COUNT(*) AS n_rows,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        ROUND(MIN(l_extendedprice), 2) AS min_price,
        ROUND(MAX(l_extendedprice), 2) AS max_price,
-       ROUND(AVG(l_discount), 6) AS avg_disc,
+       (CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) * 10000) // COUNT(*) AS avg_disc_e6,
        COUNT(DISTINCT l_orderkey) AS n_orders
 FROM lineitem
 """
