@@ -274,9 +274,11 @@ SELECT doc_id, CAST({recombine} AS INT) AS simhash16 FROM votes
 )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 variant: exact 3-gram Jaccard over candidate pairs sharing ≥1
-    shingle (inverted-index join — never all-pairs). Top-50 most similar."""
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for every candidate pair sharing ≥1 shingle
+    (inverted-index join — never all-pairs). Columns: doc_a, doc_b, jac
+    (unrounded double). Shared subplan of dedup_ngram_jaccard and
+    dedup_clusters."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
@@ -311,18 +313,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
-    jac = (
+    return (
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            (
                 F.col("n_inter")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+            ).alias("jac"),
         )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 variant: exact 3-gram Jaccard over candidate pairs sharing ≥1
+    shingle (inverted-index join — never all-pairs). Top-50 most similar."""
+    jac = _jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round("jac", 6).alias("jaccard")
     )
     return jac.orderBy(F.desc("jaccard"), "doc_a", "doc_b").limit(50)
 
@@ -351,6 +360,148 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 50
+"""
+
+
+# Near-dup edge threshold for cluster formation. The corpus' pair-similarity
+# distribution is bimodal (planted near-dups ≥0.7, background noise <0.3), so
+# 0.5 sits in a wide empty band — engine/oracle double-division agreement at
+# the boundary is a non-issue.
+_CC_THRESHOLD = 0.5
+_CC_MAX_ITERS = 50
+
+
+def _connected_components(verts: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation connected components.
+
+    ``verts``: one column ``doc_id``; ``edges``: ``doc_a``/``doc_b``
+    (undirected). Returns ``doc_id, cluster_id`` where cluster_id is the
+    minimum doc_id reachable from doc_id.
+
+    Scale design: this runs on the *edge-induced subgraph only* — after
+    similarity thresholding, duplicate pairs are a small fraction of the
+    corpus, so the iterated frames are tiny relative to the input even at
+    100 TB (the full corpus is touched once, by a broadcast left join in the
+    caller). Each iteration is one join + one min-groupBy, O(E) shuffled
+    rows, converging in O(component diameter) rounds — near-dup components
+    are dense (almost cliques), so 2-3 rounds in practice.
+    ``localCheckpoint`` truncates the plan each round: without it the
+    lineage doubles per iteration and Catalyst re-analysis dominates. For
+    adversarial graphs with giant high-diameter components, switch to the
+    alternating large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce", SOCC'14) — same building blocks.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = verts.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(_CC_MAX_ITERS):
+        nbr = sym.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        new = (
+            labels.union(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 follow-through: candidate pairs → duplicate *clusters*. Edges are
+    exact-Jaccard ≥ 0.5 pairs; connected components assign every document a
+    cluster_id (min doc_id in its component); is_survivor marks the canonical
+    representative. Oracle: DuckDB recursive CTE transitive closure."""
+    jac = _jaccard_pairs(spark, sf_dir)
+    edges = jac.filter(F.col("jac") >= F.lit(_CC_THRESHOLD)).select("doc_a", "doc_b")
+    verts = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = _connected_components(verts, edges)
+    docs = load(spark, "documents", sf_dir)
+    cluster_id = F.coalesce("cluster_id", F.col("doc_id"))
+    return docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        cluster_id.alias("cluster_id"),
+        (cluster_id == F.col("doc_id")).alias("is_survivor"),
+    )
+
+
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: keep each cluster's canonical survivor (and
+    all singletons) — what a training-data pipeline actually feeds forward."""
+    survivors = dedup_clusters(spark, sf_dir).filter("is_survivor")
+    docs = load(spark, "documents", sf_dir)
+    return docs.join(F.broadcast(survivors.select("doc_id")), "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# Shared CTE chain: 3-gram shingles → inverted index → exact Jaccard →
+# threshold edges → recursive-CTE reachability → min-reachable component id.
+_CC_ORACLE_CTES = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, len(s) AS n_sh FROM sh
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b,
+         n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jac
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jac >= 0.5
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jac WHERE jac >= 0.5
+), reach(a, b) AS (
+  SELECT DISTINCT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), comp AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+)
+"""
+
+DEDUP_CLUSTERS_SQL = _CC_ORACLE_CTES + """
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_survivor
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+DEDUP_APPLY_SQL = _CC_ORACLE_CTES + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN comp c USING (doc_id)
+WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
 """
 
 
@@ -399,6 +550,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
+    "dedup_apply": dedup_apply,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
@@ -407,6 +560,8 @@ ORACLES = {
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_apply": DEDUP_APPLY_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     # dedup_minhash_lsh intentionally rows-only (xxhash64 is engine-internal)
 }

@@ -120,3 +120,42 @@ def test_knn_vectorized_parity_with_exact(spark, sf_dir):
     common = exact.keys() & vec.keys()
     assert len(common) >= 0.95 * len(exact)
     assert all(abs(exact[kk] - vec[kk]) < 1e-4 for kk in common)
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Transitive closure beyond cliques: a 4-chain (1-2, 2-3, 3-4) needs
+    multiple propagation rounds; the corpus oracle's near-clique clusters
+    never exercise that depth. Also: two disjoint components stay disjoint."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        _connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    verts = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (10,), (11,)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _connected_components(verts, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_apply_removes_only_nonsurvivors(spark, sf_dir):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        dedup_apply,
+        dedup_clusters,
+    )
+
+    clusters = dedup_clusters(spark, sf_dir).collect()
+    survivors = {r["doc_id"] for r in clusters if r["is_survivor"]}
+    kept = {r["doc_id"] for r in dedup_apply(spark, sf_dir).collect()}
+    assert kept == survivors
+    # every cluster's id is its own survivor
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
