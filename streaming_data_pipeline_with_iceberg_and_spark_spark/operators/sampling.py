@@ -155,11 +155,68 @@ FROM (
 """
 
 
+_EPOCH = 1  # epoch seed: vary to re-shuffle between training epochs
+
+
+def shuffle_epoch_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order for one epoch: rank every document
+    by md5(doc_id:epoch). Reproducible across runs/engines and re-rollable per
+    epoch by bumping the seed.
+
+    A naive ``row_number() OVER (ORDER BY key)`` is a single-partition window
+    — the one thing that cannot scale. Instead the dense global rank is
+    computed in two phases: (1) per-bucket rank, windowed by the key's 16-bit
+    prefix bucket (65,536-way parallel); (2) bucket offsets from the bucket
+    histogram — a window over at most 65,536 metadata rows regardless of
+    corpus size — broadcast-joined back. Because the bucket is a prefix of
+    the key, (bucket, key) order equals key order, so the result is
+    bit-identical to the naive global window."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    key = F.md5(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(_EPOCH)))
+    )
+    keyed = docs.select("doc_id", key.alias("k")).withColumn(
+        "bucket", F.conv(F.substring("k", 1, 4), 16, 10).cast("int")
+    )
+    in_bucket = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("k", "doc_id")
+    )
+    counts = keyed.groupBy("bucket").agg(F.count("*").alias("n"))
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return (
+        keyed.withColumn("rk", in_bucket)
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id", (F.col("off") + F.col("rk")).cast("long").alias("epoch_rank")
+        )
+    )
+
+
+SHUFFLE_EPOCH_SQL = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':1'), doc_id
+       ) AS epoch_rank
+FROM documents
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
     "sample_hash_fraction": sample_hash_fraction,
     "sample_stratified_by_lang": sample_stratified_by_lang,
     "pack_sequences": pack_sequences,
+    "shuffle_epoch_rank": shuffle_epoch_rank,
 }
 
 ORACLES = {
@@ -167,4 +224,5 @@ ORACLES = {
     "sample_hash_fraction": SAMPLE_HASH_SQL,
     "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,
     "pack_sequences": PACK_SQL,
+    "shuffle_epoch_rank": SHUFFLE_EPOCH_SQL,
 }
