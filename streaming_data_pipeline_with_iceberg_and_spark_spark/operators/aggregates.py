@@ -112,10 +112,17 @@ GROUP BY l_linestatus
 
 
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: collect_set (sorted for determinism) + first/last via min/max."""
+    """A6: collect_set (sorted for determinism) + first/last via min/max.
+
+    The sorted set is emitted as a comma-joined string, not a bare array:
+    the driver's pandas-based canonicalizer cannot sort/hash list cells
+    (round-1 gate crash), and a scalar column carries the same information.
+    """
     orders = load(spark, "orders", sf_dir)
     return orders.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
         F.min("o_orderkey").alias("first_key"),
         F.max("o_orderkey").alias("last_key"),
     )
@@ -123,7 +130,7 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_SQL = """
 SELECT o_orderstatus,
-       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
        MIN(o_orderkey) AS first_key,
        MAX(o_orderkey) AS last_key
 FROM orders

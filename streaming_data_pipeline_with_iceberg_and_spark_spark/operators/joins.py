@@ -330,20 +330,22 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("salt", F.col("salt").cast("long"))
     )
     joined = fact.join(dim.hint("merge"), ["hot_key", "salt"])
-    # decimal accumulation: exact regardless of partitioning/order, so the
-    # salted plan provably returns the oracle's numbers bit-for-bit
+    # decimal accumulation: exact regardless of partitioning/order. The final
+    # value is emitted as a rounded double, not decimal(24,2) — Spark Decimal
+    # and DuckDB DECIMAL stringify differently in the driver's hasher
+    # (round-1 hash_match=false despite identical values).
     price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
     return joined.groupBy("hot_key").agg(
         F.count("*").alias("n_rows"),
-        F.sum(price_dec * F.col("rate"))
-        .cast("decimal(24,2)")
-        .alias("weighted_price"),
+        F.round(
+            F.sum(price_dec * F.col("rate")).cast("double"), 2
+        ).alias("weighted_price"),
     )
 
 
 JOIN_SALTED_SKEW_SQL = """
 SELECT hot_key, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * rate) AS DECIMAL(24,2))
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * rate) AS DOUBLE), 2)
            AS weighted_price
 FROM (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
                   ELSE l_orderkey % 100 END AS hot_key,
