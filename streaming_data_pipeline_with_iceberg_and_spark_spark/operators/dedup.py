@@ -274,22 +274,38 @@ SELECT doc_id, CAST({recombine} AS INT) AS simhash16 FROM votes
 )
 
 
+# Stop-shingle document-frequency cap. A shingle shared by m documents emits
+# O(m²) candidate pairs from one posting list onto ONE reducer — at 100 TB a
+# boilerplate 3-gram ("terms of service …") has m in the millions and the job
+# never finishes. Shingles with df > cap carry ~no similarity signal (they
+# are corpus-wide boilerplate), so Jaccard is defined over the informative
+# (df ≤ cap) shingle space on BOTH the engine and the oracle side: exact
+# agreement is preserved while worst-case pair volume per shingle is bounded
+# by cap²/2 regardless of corpus size.
+_JACCARD_DF_CAP = 100
+
+
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard for every candidate pair sharing ≥1 shingle
-    (inverted-index join — never all-pairs). Columns: doc_a, doc_b, jac
-    (unrounded double). Shared subplan of dedup_ngram_jaccard and
-    dedup_clusters."""
+    """Exact 3-gram Jaccard over the informative-shingle space for every
+    candidate pair sharing ≥1 retained shingle (inverted-index join — never
+    all-pairs; stop-shingles with document frequency > _JACCARD_DF_CAP are
+    dropped before pair generation, bounding per-posting-list pair blowup).
+    Columns: doc_a, doc_b, jac (unrounded double). Shared subplan of
+    dedup_ngram_jaccard and dedup_clusters."""
     sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    # Inverted-index pair counting: group each shingle's posting list once and
-    # emit its pairs locally — a self-join on shingle would evaluate the
-    # shingle pipeline twice and shuffle both copies. No cap here: the result
-    # is exact Jaccard (oracle-matched), and posting-list pair blowup is the
-    # inherent cost of exactness (the capped/approximate path is
-    # dedup_minhash_lsh).
+    # One groupBy builds the posting lists; the df filter is a free predicate
+    # on the already-grouped result (no extra shuffle). Set sizes are derived
+    # from the retained postings so numerator and denominator live in the
+    # same filtered shingle space.
     postings = inv.groupBy("shingle").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    kept = postings.filter(F.size("ids") <= _JACCARD_DF_CAP)
+    sizes = (
+        kept.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
     )
     # i<j pairs directly from the sorted posting list (slice past i is the
     # greater side) — half the generate-all-then-filter candidate volume.
@@ -306,7 +322,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter = (
-        postings.filter(F.size("ids") > 1)
+        kept.filter(F.size("ids") > 1)
         .select(F.explode(id_pairs).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
@@ -344,13 +360,16 @@ WITH toks AS (
          list_distinct([array_to_string(t[i:i+2], ' ')
                         FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
   FROM toks
-), sizes AS (
-  SELECT doc_id, len(s) AS n_sh FROM sh
 ), inv AS (
   SELECT doc_id, unnest(s) AS shingle FROM sh
+), kinv AS (
+  SELECT doc_id, shingle FROM inv
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM kinv GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kinv a JOIN kinv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -454,8 +473,9 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE chain: 3-gram shingles → inverted index → exact Jaccard →
-# threshold edges → recursive-CTE reachability → min-reachable component id.
+# Shared CTE chain: 3-gram shingles → inverted index (stop-shingles with
+# df > 100 dropped, mirroring _JACCARD_DF_CAP) → exact Jaccard → threshold
+# edges → recursive-CTE reachability → min-reachable component id.
 _CC_ORACLE_CTES = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
@@ -464,13 +484,16 @@ WITH RECURSIVE toks AS (
          list_distinct([array_to_string(t[i:i+2], ' ')
                         FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
   FROM toks
-), sizes AS (
-  SELECT doc_id, len(s) AS n_sh FROM sh
 ), inv AS (
   SELECT doc_id, unnest(s) AS shingle FROM sh
+), kinv AS (
+  SELECT doc_id, shingle FROM inv
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM kinv GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kinv a JOIN kinv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), jac AS (
   SELECT doc_a, doc_b,

@@ -143,6 +143,37 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_jaccard_stop_shingle_cap_bounds_pair_blowup(spark, tmp_path):
+    """1,000 docs sharing one boilerplate shingle must NOT emit the ~500k
+    all-pairs of that posting list (df > _JACCARD_DF_CAP drops it before
+    pair generation), while planted near-dups sharing *rare* shingles
+    survive with high Jaccard."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import _jaccard_pairs
+
+    boiler = "terms of service apply"
+    rows = []
+    for i in range(1000):
+        # each doc: the shared boilerplate + unique filler (no cross-doc 3-grams)
+        text = f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d"
+        rows.append((i, text, "en", "web", len(text)))
+    # planted near-dup pair sharing rare shingles only
+    dup = "rare alpha beta gamma delta epsilon zeta"
+    rows.append((2000, dup + " tail0", "en", "web", len(dup)))
+    rows.append((2001, dup + " tail1", "en", "web", len(dup)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = _jaccard_pairs(spark, str(tmp_path)).collect()
+    # boilerplate posting list (df=1000 > cap) contributes zero pairs;
+    # only the planted pair (plus nothing else) shares a retained shingle
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(2000, 2001)}
+    jac = pairs[0].jac
+    # shared: 6 shingles of "rare..zeta" window; each doc has 8 total
+    assert jac > 0.5, f"planted near-dup should score high, got {jac}"
+
+
 def test_dedup_apply_removes_only_nonsurvivors(spark, sf_dir):
     from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
         dedup_apply,
