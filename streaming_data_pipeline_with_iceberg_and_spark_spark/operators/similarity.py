@@ -24,9 +24,23 @@ from ..io import load, load_spread
 _N_PLANES = 4  # per hash table → 16 buckets
 _N_TABLES = 2  # independent tables; candidates = union over tables
 
+# Fixed-size benchmark query set. In production the query side is an
+# independent small table (a user batch); here it is carved from the corpus,
+# so BOTH predicates matter: the modulus spreads queries across the id range,
+# and the id ceiling bounds |Q| ≤ _Q_CAP for ANY corpus size — without it the
+# broadcast/closure side (and the O(|Q|·N) pair work) grows linearly with the
+# corpus, a scale-killer at 100 TB. Pure predicate (no orderBy/limit) so it
+# composes with the exploded LSH frame and pushes into the parquet scan.
+_Q_CAP = 20
+
+
+def _query_pred(mod: int) -> F.Column:
+    return (F.col("vec_id") % mod == 0) & (F.col("vec_id") < mod * _Q_CAP)
+
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for every 50th vector (query set).
+    """Exact cosine top-5 neighbors for a fixed-size query set (every 50th
+    vector, capped at _Q_CAP queries).
 
     The query side is broadcast; per-query top-k via window over the scored
     scan — TakeOrdered shape, corpus never shuffles on a pair key.
@@ -38,7 +52,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
     queries = load(spark, "embeddings", sf_dir).withColumn(
         "nrm", norm("embedding")
-    ).filter(F.col("vec_id") % 50 == 0).select(
+    ).filter(_query_pred(50)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
@@ -67,7 +81,7 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
                             ORDER BY ROUND(list_cosine_similarity(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 5) DESC,
                                      e.vec_id ASC) AS rank
-  FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+  FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000) q
   JOIN embeddings e ON e.vec_id != q.vec_id
 )
 WHERE rank <= 5
@@ -77,7 +91,7 @@ WHERE rank <= 5
 def knn_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dot-product (inner-product) top-3 — same shape, different metric."""
     emb = load(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+    queries = emb.filter(_query_pred(100)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     scored = (
@@ -105,7 +119,7 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY q.vec_id
                             ORDER BY ROUND(list_inner_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 5) DESC,
                                      e.vec_id ASC) AS rank
-  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000) q
   JOIN embeddings e ON e.vec_id != q.vec_id
 )
 WHERE rank <= 3
@@ -164,7 +178,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _hyperplane_buckets(
         load_spread(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
     )
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+    queries = emb.filter(_query_pred(50)).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
@@ -212,7 +226,7 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query batch is bounded (a user request), so shipping it in the
     # closure is the broadcast — the corpus never leaves the executors
     q_rows = (
-        emb.filter(F.col("vec_id") % 50 == 0)
+        emb.filter(_query_pred(50))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -355,7 +369,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", norm("embedding"))
     )
     probes = (
-        emb.filter(F.col("vec_id") % 50 == 0)
+        emb.filter(_query_pred(50))
         .select("vec_id", "embedding")
         .mapInPandas(
             _ivf_assign_fn(cent_mat, _IVF_NPROBE),
