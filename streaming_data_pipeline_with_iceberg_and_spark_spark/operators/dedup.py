@@ -418,7 +418,10 @@ def _connected_components(verts: DataFrame, edges: DataFrame) -> DataFrame:
     labels = verts.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint(eager=True)
+    converged = False
+    rounds = 0
     for _ in range(_CC_MAX_ITERS):
+        rounds += 1
         nbr = sym.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "cluster_id")
@@ -437,7 +440,18 @@ def _connected_components(verts: DataFrame, edges: DataFrame) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are plausible-looking but WRONG (a >_CC_MAX_ITERS
+        # diameter component keeps multiple cluster_ids). Fail loudly rather
+        # than return silently-wrong clusters; such graphs need the
+        # alternating large-star/small-star algorithm (O(log n) rounds).
+        raise RuntimeError(
+            f"connected components did not converge in {_CC_MAX_ITERS} rounds; "
+            "component diameter exceeds the iteration cap"
+        )
+    _connected_components.last_rounds = rounds
     return labels
 
 

@@ -153,10 +153,17 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     builtin-first pattern). Oracle: DuckDB lateral unnest over list slices."""
     from pyspark.sql.functions import udtf
 
+    import re
+
     @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
     class ChunkDoc:
         def eval(self, text: str):
-            toks = (text or "").lower().strip().split()
+            # Mirror the oracle's string_split_regex(lower(trim(text)), '\s+')
+            # exactly: trim() strips SPACES only (a trailing \n survives and
+            # yields a trailing empty token), and str.split() would drop
+            # empty tokens — "" tokenizes to [''] on both sides here — and
+            # split on Unicode spaces the RE2/Java '\s' never matches.
+            toks = re.split(r"[ \t\n\r\f\v]+", (text or "").lower().strip(" "))
             n_chunks = max((len(toks) + 15) // 16, 1)
             for i in range(n_chunks):
                 chunk = toks[i * 16 : (i + 1) * 16]

@@ -143,6 +143,20 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_fast_convergence_on_corpus(spark, sf_dir):
+    """The corpus' planted near-dup components are near-cliques: label
+    propagation must settle in ≤3 rounds (incl. the confirming round). A
+    regression here means the edge set got pathological — switch to
+    large-star/small-star before raising the cap."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        _connected_components,
+        dedup_clusters,
+    )
+
+    dedup_clusters(spark, sf_dir).collect()
+    assert _connected_components.last_rounds <= 3
+
+
 def test_jaccard_stop_shingle_cap_bounds_pair_blowup(spark, tmp_path):
     """1,000 docs sharing one boilerplate shingle must NOT emit the ~500k
     all-pairs of that posting list (df > _JACCARD_DF_CAP drops it before
@@ -172,6 +186,41 @@ def test_jaccard_stop_shingle_cap_bounds_pair_blowup(spark, tmp_path):
     jac = pairs[0].jac
     # shared: 6 shingles of "rare..zeta" window; each doc has 8 total
     assert jac > 0.5, f"planted near-dup should score high, got {jac}"
+
+
+def test_text_chunk_udtf_matches_oracle_on_degenerate_docs(spark, tmp_path):
+    """Empty / whitespace-only / Unicode-space docs: the UDTF tokenizer must
+    agree with the DuckDB oracle (latent divergence — corpus has no such
+    docs, so the gate can't catch it)."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.pandas_ops import (
+        TEXT_CHUNK_UDTF_SQL,
+        text_chunk_udtf,
+    )
+
+    rows = [
+        (0, "", "en", "web", 0),
+        (10, "   ", "en", "web", 3),
+        (20, "a b c", "en", "web", 5),  # NBSP is NOT \s whitespace
+        (30, "one two  three\t four \n", "en", "web", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_id, r.chunk_idx, r.chunk, r.n_tokens)
+        for r in text_chunk_udtf(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = set(map(tuple, con.execute(TEXT_CHUNK_UDTF_SQL).fetchall()))
+    assert got == want
 
 
 def test_dedup_apply_removes_only_nonsurvivors(spark, sf_dir):
