@@ -47,6 +47,13 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_bruteforce_vectorized",
     "text_tfidf_top_terms",
+    # Appended round 2 (append-only so earlier BENCH_r{N}.json stay
+    # comparable): the iterative CC path, IVF ANN, MERGE/CoW mutation,
+    # sampling/split projection.
+    "dedup_clusters",
+    "ann_ivf",
+    "merge_upsert_orders",
+    "split_train_val_test",
 ]
 
 
