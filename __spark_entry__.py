@@ -74,6 +74,7 @@ _PRIORITY = [
     "merge_upsert_orders",
     "split_train_val_test",
     # round 2
+    "q12_shipdelay_priority",
     "window_topk_per_group",
     "sort_limit_topk",
     "window_session_30min",

@@ -551,8 +551,56 @@ ORDER BY c_nationkey
 """
 
 
+def q12_shipdelay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 variant: the testdata lineitem has no l_shipmode /
+    l_commitdate / l_receiptdate (schemas.py pins the 11 on-disk columns),
+    so the Q12 category is a derived ship-delay band and the one-year window
+    runs on l_shipdate. The SHAPE is preserved exactly — fact⋈fact equi-join
+    + two-way conditional priority count grouped by a low-cardinality
+    category — which is what exercises the Catalyst path (shuffle join into
+    partial conditional aggregation).
+    """
+    li = load(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load(spark, "orders", sf_dir)
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    band = (
+        F.when(delay <= 30, "1-FAST")
+        .when(delay <= 90, "2-REGULAR")
+        .otherwise("3-SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(band.alias("ship_band"), high.alias("is_high"))
+        .groupBy("ship_band")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_band")
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '1-FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN '2-REGULAR'
+            ELSE '3-SLOW' END AS ship_band,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
+    "q12_shipdelay_priority": q12_shipdelay_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -568,6 +616,7 @@ QUERIES = {
 
 ORACLES = {
     "q4_order_priority": Q4_SQL,
+    "q12_shipdelay_priority": Q12_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,
