@@ -184,6 +184,11 @@ def shuffle_epoch_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("bucket").orderBy("k", "doc_id")
     )
     counts = keyed.groupBy("bucket").agg(F.count("*").alias("n"))
+    # This partition-less window triggers Spark's "No Partition Defined"
+    # warning 8x per run — EXPECTED and bounded by design: it runs over the
+    # bucket histogram only (≤65,536 metadata rows at ANY corpus size), not
+    # the corpus. Do not "fix" by partitioning it; the offsets must be a
+    # global prefix sum.
     offsets = counts.select(
         "bucket",
         F.coalesce(
