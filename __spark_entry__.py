@@ -73,8 +73,13 @@ _PRIORITY = [
     "pandas_udf_haversine",
     "merge_upsert_orders",
     "split_train_val_test",
-    # round 2
+    # round 2 — new operators this round first (no driver-green row yet)
     "q12_shipdelay_priority",
+    "pii_redact",
+    "text_gopher_quality",
+    "text_repeated_ngrams",
+    "rollup_multi_granularity",
+    "sample_temperature_by_lang",
     "window_topk_per_group",
     "sort_limit_topk",
     "window_session_30min",

@@ -201,8 +201,55 @@ FROM nxt, UNNEST(generate_series(minute,
 """
 
 
+def rollup_multi_granularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: event counts and value
+    totals at minute / hour / day granularities in ONE grouping-sets pass
+    (one shuffle produces all three granularities; three separate groupBys
+    would scan and shuffle the fact three times). At 100 TB this is the
+    materialized-rollup shape: compute once, serve every zoom level."""
+    ev = load(spark, "events", sf_dir).select(
+        F.date_trunc("minute", "ts").alias("m"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        _cents().alias("cents"),
+    )
+    return (
+        ev.groupingSets([["m"], ["h"], ["d"]], "m", "h", "d")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+        )
+        .select(
+            F.when(F.col("m").isNotNull(), "minute")
+            .when(F.col("h").isNotNull(), "hour")
+            .otherwise("day")
+            .alias("granularity"),
+            F.coalesce("m", "h", "d").cast("long").alias("bucket_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+ROLLUP_MULTI_SQL = """
+SELECT CASE WHEN GROUPING(m) = 0 THEN 'minute'
+            WHEN GROUPING(h) = 0 THEN 'hour'
+            ELSE 'day' END AS granularity,
+       CAST(floor(epoch(COALESCE(m, h, d))) AS BIGINT) AS bucket_start,
+       COUNT(*) AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM (SELECT date_trunc('minute', ts) AS m,
+             date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             value
+      FROM events)
+GROUP BY GROUPING SETS ((m), (h), (d))
+"""
+
+
 QUERIES = {
     "window_tumbling_5min": window_tumbling_5min,
+    "rollup_multi_granularity": rollup_multi_granularity,
     "window_sliding_10m_5m": window_sliding_10m_5m,
     "window_session_30min": window_session_30min,
     "resample_ffill_1min": resample_ffill_1min,
@@ -210,6 +257,7 @@ QUERIES = {
 
 ORACLES = {
     "window_tumbling_5min": WINDOW_TUMBLING_SQL,
+    "rollup_multi_granularity": ROLLUP_MULTI_SQL,
     "window_sliding_10m_5m": WINDOW_SLIDING_SQL,
     "window_session_30min": WINDOW_SESSION_SQL,
     "resample_ffill_1min": RESAMPLE_FFILL_SQL,

@@ -216,8 +216,53 @@ FROM documents
 """
 
 
+def sample_temperature_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (α = 0.5): downsample each
+    language toward the α-flattened distribution p_s ∝ n_s^α, anchored so
+    the rarest language keeps everything — keep-rate_s = sqrt(n_min / n_s)
+    (lang is the skewed stratum in this corpus; source is uniform).
+
+    The keep decision is INTEGER-exact on both engines: keep iff
+    (bucket/65536)² < n_min/n_s ⟺ bucket²·n_s < 65536²·n_min — no float
+    boundary to disagree on. Scale shape: the source histogram is tiny
+    (|sources| rows), broadcast back onto the corpus; the keep test is a
+    pure per-row predicate — one small shuffle for the histogram, none for
+    the corpus."""
+    docs = load(spark, "documents", sf_dir)
+    hist = docs.groupBy("lang").agg(F.count("*").alias("n_s"))
+    n_min = hist.agg(F.min("n_s").alias("n_min"))
+    rates = hist.crossJoin(F.broadcast(n_min))
+    keyed = docs.withColumn("bucket", md5_bucket16(F.col("doc_id").cast("string")))
+    keep = (
+        F.col("bucket").cast("long") * F.col("bucket") * F.col("n_s")
+        < F.lit(65536 * 65536) * F.col("n_min")
+    )
+    return (
+        keyed.join(F.broadcast(rates), "lang")
+        .filter(keep)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = """
+WITH h AS (
+  SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang
+), m AS (
+  SELECT MIN(n_s) AS n_min FROM h
+)
+SELECT d.doc_id, d.lang,
+       CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket
+FROM documents d JOIN h USING (lang), m
+WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) AS BIGINT)
+      * CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+      * n_s
+      < 4294967296 * n_min
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
+    "sample_temperature_by_lang": sample_temperature_by_lang,
     "sample_hash_fraction": sample_hash_fraction,
     "sample_stratified_by_lang": sample_stratified_by_lang,
     "pack_sequences": pack_sequences,
@@ -226,6 +271,7 @@ QUERIES = {
 
 ORACLES = {
     "split_train_val_test": SPLIT_SQL,
+    "sample_temperature_by_lang": SAMPLE_TEMPERATURE_SQL,
     "sample_hash_fraction": SAMPLE_HASH_SQL,
     "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,
     "pack_sequences": PACK_SQL,

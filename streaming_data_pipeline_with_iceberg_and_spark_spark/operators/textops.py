@@ -366,8 +366,166 @@ FROM documents
 """
 
 
+# PII patterns restricted to constructs whose semantics agree between Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+# ASCII \b — no lookaround. Counts are taken on the ORIGINAL text per
+# pattern (independent), redaction is applied sequentially in a fixed order
+# (email → ipv4 → phone) on both sides so overlapping matches resolve
+# identically.
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d{3}[ .-]\d{3}[ .-]\d{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training data: count emails / IPv4 / phone-shaped spans
+    per document and emit the md5 of the redacted text (the text itself can
+    be arbitrarily large; the hash proves both engines redacted identically).
+    Pure column expressions — one scan, no shuffle, no Python in the row
+    path; at 100 TB this runs at parquet-scan speed."""
+    docs = load_spread(spark, "documents", sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), F.lit(0))).alias(
+            "n_ipv4"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+PII_REDACT_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '@EMAIL@')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '@IPV4@')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '@PHONE@')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '@EMAIL@', '<EMAIL>', 'g'),
+           '@IPV4@', '<IP>', 'g'),
+           '@PHONE@', '<PHONE>', 'g')) AS redacted_hash
+FROM documents
+""".replace("@EMAIL@", _PII_EMAIL).replace("@IPV4@", _PII_IPV4).replace(
+    "@PHONE@", _PII_PHONE
+)
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1 shape):
+    token-count bounds, mean-word-length band, minimum fraction of words
+    containing an alphabetic character, and a stopword-presence check —
+    composed into one keep flag. Complements ``text_quality_score`` (ratio
+    scores) with the hard-rule variant production pipelines apply first.
+    One scan, zero shuffles."""
+    docs = load_spread(spark, "documents", sf_dir)
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+        / n_tokens
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_tokens
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    has_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
+    keep = (
+        (n_tokens >= 5)
+        & (n_tokens <= 100000)
+        & (mean_len >= 2.0)
+        & (mean_len <= 12.0)
+        & (alpha_frac >= 0.8)
+        & has_stop
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        keep.alias("keep"),
+    )
+
+
+TEXT_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) AS mean_len,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+         len(list_filter(toks, x -> list_contains({stopwords}, x))) > 0 AS has_stop
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(mean_len, 6) AS mean_word_len,
+       ROUND(alpha_frac, 6) AS alpha_word_frac,
+       (n_tokens >= 5 AND n_tokens <= 100000 AND mean_len >= 2.0
+        AND mean_len <= 12.0 AND alpha_frac >= 0.8 AND has_stop) AS keep
+FROM s
+""".format(stopwords="[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]")
+
+
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: word 5-grams appearing in ≥2 distinct documents,
+    top-20 by document frequency. This is the analysis that FEEDS the
+    stop-shingle caps in the dedup paths — at 100 TB you run it on a sample
+    to learn the corpus' boilerplate before tuning df thresholds. Distinct
+    5-grams per doc → one explode → one count shuffle."""
+    from ..functions.text import shingles
+
+    docs = load_spread(spark, "documents", sf_dir)
+    inv = docs.select(
+        F.explode(F.array_distinct(shingles(tokens("text"), 5))).alias("ngram")
+    )
+    return (
+        inv.groupBy("ngram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .orderBy(F.desc("df"), "ngram")
+        .limit(20)
+    )
+
+
+TEXT_REPEATED_NGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+4], ' ')
+                        FOR i IN range(1, greatest(len(t) - 4, 1) + 1)]) AS s
+  FROM toks
+), inv AS (
+  SELECT unnest(s) AS ngram FROM sh
+)
+SELECT ngram, COUNT(*) AS df
+FROM inv
+GROUP BY ngram
+HAVING COUNT(*) >= 2
+ORDER BY df DESC, ngram
+LIMIT 20
+"""
+
+
 QUERIES = {
     "text_rolling_hash": text_rolling_hash,
+    "pii_redact": pii_redact,
+    "text_gopher_quality": text_gopher_quality,
+    "text_repeated_ngrams": text_repeated_ngrams,
     "text_token_stats": text_token_stats,
     "text_token_bpe": text_token_bpe,
     "text_quality_score": text_quality_score,
@@ -379,6 +537,9 @@ QUERIES = {
 
 ORACLES = {
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
+    "pii_redact": PII_REDACT_SQL,
+    "text_gopher_quality": TEXT_GOPHER_SQL,
+    "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_token_bpe": TEXT_TOKEN_BPE_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,

@@ -223,6 +223,75 @@ def test_text_chunk_udtf_matches_oracle_on_degenerate_docs(spark, tmp_path):
     assert got == want
 
 
+def test_pii_redact_planted_pii_matches_oracle(spark, tmp_path):
+    """Corpus has no PII, so the gate only proves the all-zeros case; plant
+    emails/IPs/phones (incl. adjacent and overlapping-class spans) and
+    require exact engine/oracle agreement on counts and redacted hash."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        PII_REDACT_SQL,
+        pii_redact,
+    )
+
+    rows = [
+        (0, "contact alice@example.com or bob.smith+x@mail.co today", "en", "web", 50),
+        (1, "server at 10.0.0.1 and 192.168.254.3, call 555-123-4567", "en", "web", 50),
+        (2, "+1 555 123 4567 is not matched but 555 123 4567 is", "en", "web", 50),
+        (3, "no pii here at all", "en", "web", 18),
+        (4, "a@b.io next to 1.2.3.4 next to 800-555-1212", "en", "web", 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r.doc_id, r.n_emails, r.n_ipv4, r.n_phones, r.redacted_hash)
+        for r in pii_redact(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = set(map(tuple, con.execute(PII_REDACT_SQL).fetchall()))
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][1] == 2 and by_id[3][1:4] == (0, 0, 0)
+    assert by_id[1][2] == 2 and by_id[1][3] == 1
+
+
+def test_sample_temperature_flattens_lang_distribution(spark, sf_dir):
+    """Keep-rate per language must track sqrt(n_min/n_s): the rarest
+    language is kept (almost) fully, the most common is downsampled
+    hardest, and the sampled distribution is flatter than the input."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        sample_temperature_by_lang,
+    )
+
+    before = {
+        r["lang"]: r["n"]
+        for r in load(spark, "documents", sf_dir).groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    after = {}
+    for r in sample_temperature_by_lang(spark, sf_dir).collect():
+        after[r["lang"]] = after.get(r["lang"], 0) + 1
+    n_min = min(before.values())
+    for lang, n_s in before.items():
+        expected = (n_min / n_s) ** 0.5
+        got = after.get(lang, 0) / n_s
+        # md5 buckets are uniform-ish; allow generous sampling noise
+        assert abs(got - expected) < 0.25, (lang, got, expected)
+    # flatter: max/min ratio must shrink
+    assert max(after.values()) / min(after.values()) < max(before.values()) / min(
+        before.values()
+    )
+
+
 def test_dedup_apply_removes_only_nonsurvivors(spark, sf_dir):
     from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
         dedup_apply,
