@@ -461,7 +461,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id (min doc_id in its component); is_survivor marks the canonical
     representative. Oracle: DuckDB recursive CTE transitive closure."""
     jac = _jaccard_pairs(spark, sf_dir)
-    edges = jac.filter(F.col("jac") >= F.lit(_CC_THRESHOLD)).select("doc_a", "doc_b")
+    # Materialize the thresholded edge list ONCE: everything downstream
+    # (sym ×2, verts ×2) re-evaluates its input plan, and the input here is
+    # the full shingle/inverted-index/Jaccard pipeline — without this
+    # truncation the corpus-wide subplan executes ~4× per clustering run.
+    edges = (
+        jac.filter(F.col("jac") >= F.lit(_CC_THRESHOLD))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     verts = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .union(edges.select(F.col("doc_b").alias("doc_id")))
