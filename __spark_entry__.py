@@ -80,6 +80,7 @@ _PRIORITY = [
     "text_repeated_ngrams",
     "rollup_multi_granularity",
     "sample_temperature_by_lang",
+    "agg_hll_mergeable",
     "window_topk_per_group",
     "sort_limit_topk",
     "window_session_30min",

@@ -273,6 +273,35 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality (Apache DataSketches HLL): per-event-type
+    user sketches, plus an 'ALL' row whose estimate comes from UNIONING the
+    per-type sketches — never re-touching the raw data. This is THE 100 TB
+    distinct-counting pattern: partial sketches are tiny, commutative, and
+    re-aggregable across partitions / days / retries, where exact distinct
+    would shuffle every row to one reducer per re-slice. Rows-only check
+    (estimates are engine-specific); accuracy + union-consistency asserted
+    in tests/test_extensions.py."""
+    ev = load(spark, "events", sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        "approx_users",
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    return typed.unionByName(merged)
+
+
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (A9's inverse): wide per-priority order metrics →
     long (priority, metric, value) rows via ``DataFrame.unpivot`` — the
@@ -360,6 +389,7 @@ QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "agg_pivot": agg_pivot,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_hll_mergeable": agg_hll_mergeable,
 }
 
 ORACLES = {

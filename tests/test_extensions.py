@@ -292,6 +292,26 @@ def test_sample_temperature_flattens_lang_distribution(spark, sf_dir):
     )
 
 
+def test_hll_sketch_accuracy_and_union_consistency(spark, sf_dir):
+    """Per-type HLL estimates must sit within 5% of exact, and the 'ALL' row
+    (union of per-type sketches, raw data never re-read) must sit within 5%
+    of the true global distinct."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.aggregates import (
+        agg_hll_mergeable,
+    )
+
+    rows = {r["event_type"]: r for r in agg_hll_mergeable(spark, sf_dir).collect()}
+    for et, r in rows.items():
+        if et == "ALL":
+            continue
+        assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"]
+    exact_all = (
+        load(spark, "events", sf_dir).agg(F.countDistinct("user_id")).collect()[0][0]
+    )
+    assert abs(rows["ALL"]["approx_users"] - exact_all) <= 0.05 * exact_all
+
+
 def test_dedup_apply_removes_only_nonsurvivors(spark, sf_dir):
     from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
         dedup_apply,

@@ -179,6 +179,49 @@ def test_minhash_signature_stage_no_early_shuffle(plan):
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 4, p
 
 
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: a selective filter on one join side must
+    inject a bloom filter onto the probe side's scan (Spark's
+    InjectRuntimeFilter), so at 100 TB the big fact side drops non-joining
+    rows BEFORE the shuffle instead of shuffling them to be discarded.
+    Thresholds are lowered because the testdata is far below the production
+    defaults (10GB application-side scan)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    # force SMJ: with a broadcast join Spark (rightly) skips the bloom filter
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, "lineitem", sf_dir)
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = explain_string(j)
+        assert "bloom_filter_agg" in p, p
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_reads_shuffle_free(spark, sf_dir, tmp_path):
     """Same-bucketed fact tables join with NO Exchange on either side — the
     co-located fact⋈fact layout that replaces a per-query corpus shuffle at
