@@ -81,6 +81,7 @@ _PRIORITY = [
     "rollup_multi_granularity",
     "sample_temperature_by_lang",
     "agg_hll_mergeable",
+    "mm_patch_token_budget",
     "window_topk_per_group",
     "sort_limit_topk",
     "window_session_30min",

@@ -164,8 +164,58 @@ GROUP BY 1
 """
 
 
+_PATCH = 14  # ViT-style patch edge (pixels)
+_MAX_SIDE = 64  # resize rule: cap the longest side before patching
+
+
+def mm_patch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VLM token accounting: patch-grid token count per image after a
+    resize-to-cap rule — the budgeting pass a multimodal training pipeline
+    runs BEFORE decode to plan packing. Image dims come from the same
+    deterministic fake-decoder rule as ``mm_feature_extract`` (16 + first/
+    last byte % 64), but expressed as pure column expressions so the whole
+    query stays JVM-side and oracle-checkable — at scale this is a
+    metadata-only scan that never touches payload bytes."""
+    docs = load(spark, "documents", sf_dir)
+    w = F.lit(16) + F.ascii(F.substring("text", 1, 1)) % 64
+    h = F.lit(16) + F.ascii(F.substring("text", -1, 1)) % 64
+    # resize: scale so max(w,h) ≤ _MAX_SIDE, preserving aspect (integer floor)
+    scale = F.least(F.lit(1.0), F.lit(_MAX_SIDE) / F.greatest(w, h))
+    rw = F.greatest(F.lit(1), F.floor(w * scale)).cast("int")
+    rh = F.greatest(F.lit(1), F.floor(h * scale)).cast("int")
+    npx = F.ceil(rw / F.lit(_PATCH)).cast("int")
+    npy = F.ceil(rh / F.lit(_PATCH)).cast("int")
+    return docs.select(
+        "doc_id",
+        rw.alias("resized_w"),
+        rh.alias("resized_h"),
+        (npx * npy).alias("n_patches"),
+        (npx * npy + 1).alias("vision_tokens"),
+    )
+
+
+MM_PATCH_TOKEN_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         16 + ascii(substr(text, 1, 1)) % 64 AS w,
+         16 + ascii(substr(text, -1, 1)) % 64 AS h
+  FROM documents
+), resized AS (
+  SELECT doc_id,
+         CAST(greatest(1, floor(w * least(1.0, 64 / greatest(w, h)))) AS INT) AS resized_w,
+         CAST(greatest(1, floor(h * least(1.0, 64 / greatest(w, h)))) AS INT) AS resized_h
+  FROM dims
+)
+SELECT doc_id, resized_w, resized_h,
+       CAST(ceil(resized_w / 14.0) * ceil(resized_h / 14.0) AS INT) AS n_patches,
+       CAST(ceil(resized_w / 14.0) * ceil(resized_h / 14.0) + 1 AS INT) AS vision_tokens
+FROM resized
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": mm_binary_metadata,
+    "mm_patch_token_budget": mm_patch_token_budget,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
     "mm_content_dedup": mm_content_dedup,
@@ -173,6 +223,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_binary_metadata": MM_BINARY_METADATA_SQL,
+    "mm_patch_token_budget": MM_PATCH_TOKEN_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_content_dedup": MM_CONTENT_DEDUP_SQL,
     # mm_feature_extract intentionally rows-only (Pandas-UDF path; verified

@@ -304,13 +304,16 @@ def _ivf_assign_fn(cent_mat, nprobe: int):
     return assign
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str):
+def _ivf_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None):
     """Coarse quantizer: C ≈ √N deterministic pseudo-random seeds + one
     declarative Lloyd refinement (assign via GEMM, means via posexplode+avg —
-    both single-shuffle, both scale to any corpus size)."""
+    both single-shuffle, both scale to any corpus size). Pass a persisted
+    ``emb`` to share the corpus scan with the caller (quantizer training
+    makes 3 passes of its own)."""
     import numpy as np
 
-    emb = load_spread(spark, "embeddings", sf_dir)
+    if emb is None:
+        emb = load_spread(spark, "embeddings", sf_dir)
     n = emb.count()
     n_cells = max(4, int(n**0.5))
     seeds = (
@@ -357,8 +360,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is keyed on cell (never all-pairs) with the tiny probe side
     broadcast. At 100 TB the assigned corpus would be written out
     partitioned by cell and reused across query batches."""
-    cent_mat = _ivf_centroids(spark, sf_dir)
-    emb = load_spread(spark, "embeddings", sf_dir)
+    # One scan+spread, persisted and shared across the 4 corpus passes
+    # (count, seed pick, Lloyd assign, final assign+score) — without this the
+    # parquet scan AND its repartition shuffle run once per pass. Spark keys
+    # the cache on the logical plan, so repeated ann_ivf calls reuse one
+    # cached copy rather than accumulating. At 100 TB the equivalent is
+    # writing the assigned corpus out partitioned by cell once.
+    emb = load_spread(spark, "embeddings", sf_dir).persist()
+    cent_mat = _ivf_centroids(spark, sf_dir, emb)
     corpus = (
         emb.select("vec_id", "embedding")
         .mapInPandas(
