@@ -180,6 +180,36 @@ class Warehouse:
         )
         self._rewrite_cow(source.unionByName(kept), table)
 
+    def merge_additive(
+        self,
+        source: DataFrame,
+        table: str,
+        key_cols: list[str],
+        add_cols: list[str],
+    ) -> None:
+        """Incremental-rollup MERGE: matched keys ADD ``add_cols`` instead of
+        replacing (``n = t.n + s.n``); unmatched keys insert. The table must
+        consist of exactly ``key_cols + add_cols`` (a rollup table). This is
+        the continuous-aggregate maintenance op: each micro-batch folds its
+        partial aggregate in, so serving reads never re-scan raw data."""
+        if self.use_iceberg:
+            source.createOrReplaceTempView("_merge_add_source")
+            on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+            sets = ", ".join(f"{c} = t.{c} + s.{c}" for c in add_cols)
+            self.spark.sql(
+                f"MERGE INTO {self.full_name(table)} t USING _merge_add_source s "
+                f"ON {on} WHEN MATCHED THEN UPDATE SET {sets} "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        combined = (
+            self.read(table)
+            .unionByName(source)
+            .groupBy(*key_cols)
+            .agg(*[F.sum(c).alias(c) for c in add_cols])
+        )
+        self._rewrite_cow(combined, table)
+
     def delete_where(self, table: str, condition: str) -> None:
         """Row-level DELETE with CoW semantics."""
         if self.use_iceberg:

@@ -86,6 +86,71 @@ def start_ingest(
     return writer.start()
 
 
+def start_rollup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    warehouse: Warehouse,
+    table: str = "speed_rollup_1min",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming continuous aggregate: a per-minute per-vehicle rollup
+    (event count + speed sum; avg derives at read time) maintained
+    incrementally — each micro-batch computes its PARTIAL aggregate and
+    folds it into the rollup table with an additive MERGE. Serving reads
+    never touch raw events, and each batch shuffles only its own rows.
+
+    Additive updates are not naturally replay-safe (foreachBatch delivers
+    at-least-once on restart), so applied batch ids are recorded in a
+    ``<table>__batchlog`` table and replayed batch ids are skipped — the
+    same idempotence upgrade the checkpoint gives plain appends. The resi-
+    dual crash window (between rollup write and log write) mirrors the
+    reference's write-then-commit gap (spark_job.py:61 vs :185); an
+    Iceberg/Delta deployment closes it by writing both in one transaction.
+    """
+    log_table = table + "__batchlog"
+    warehouse.create_namespace()
+    stream = read_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    parsed = with_event_time(stream)
+
+    def rollup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if warehouse.table_exists(log_table):
+            seen = (
+                warehouse.read(log_table)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if seen:
+                return
+        partial = (
+            batch_df.withColumn("bucket_start", F.date_trunc("minute", "event_ts"))
+            .groupBy("bucket_start", "vehicle_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("speed_kmh").alias("speed_sum"),
+            )
+        )
+        if warehouse.table_exists(table):
+            warehouse.merge_additive(
+                partial, table, ["bucket_start", "vehicle_id"], ["n", "speed_sum"]
+            )
+        else:
+            warehouse.write(partial, table, mode="overwrite")
+        log_row = spark.createDataFrame([(batch_id,)], "batch_id long")
+        warehouse.write(log_row, log_table, mode="append")
+
+    writer = parsed.writeStream.foreachBatch(rollup_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_upsert_ingest(
     spark: SparkSession,
     source_dir: str,

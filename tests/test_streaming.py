@@ -430,6 +430,69 @@ def test_streaming_upsert_restart_is_exactly_once(spark, tmp_path):
     assert wh.read("latest").count() == 2  # no duplicate rows from replay
 
 
+def test_streaming_rollup_incremental_additive_merge(spark, tmp_path):
+    """Continuous aggregate: multi-batch ingest must produce the same
+    per-minute per-vehicle rollup as a one-shot batch aggregation of all
+    rows, and a replayed batch id must be a no-op (batch-log idempotence)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_rollup_ingest,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_ndjson(
+        d / "f1.json",
+        [
+            _gps_record(vehicle_id="v1", ts="2024-01-01 10:00:05", speed_kmh=10.0),
+            _gps_record(vehicle_id="v1", ts="2024-01-01 10:00:45", speed_kmh=20.0),
+            _gps_record(vehicle_id="v2", ts="2024-01-01 10:00:10", speed_kmh=40.0),
+        ],
+    )
+    _write_ndjson(
+        d / "f2.json",
+        [
+            # same (minute, vehicle) bucket as f1 → must ADD, not replace
+            _gps_record(vehicle_id="v1", ts="2024-01-01 10:00:55", speed_kmh=30.0),
+            _gps_record(vehicle_id="v1", ts="2024-01-01 10:01:05", speed_kmh=50.0),
+        ],
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    q = start_rollup_ingest(
+        spark,
+        str(d),
+        wh,
+        table="rollup",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # forces multi-batch → real cross-batch adds
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.bucket_start), r.vehicle_id): (r.n, r.speed_sum)
+        for r in wh.read("rollup").collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "v1"): (3, 60.0),
+        ("2024-01-01 10:00:00", "v2"): (1, 40.0),
+        ("2024-01-01 10:01:00", "v1"): (1, 50.0),
+    }
+    # replayed batch id (at-least-once delivery) must not double-add
+    applied = sorted(r.batch_id for r in wh.read("rollup__batchlog").collect())
+    q2 = start_rollup_ingest(
+        spark,
+        str(d),
+        wh,
+        table="rollup",
+        checkpoint_dir=str(tmp_path / "ckpt"),  # same checkpoint → no new batches
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (str(r.bucket_start), r.vehicle_id): (r.n, r.speed_sum)
+        for r in wh.read("rollup").collect()
+    }
+    assert got2 == got, "restart from checkpoint must not re-add batches"
+    assert sorted(r.batch_id for r in wh.read("rollup__batchlog").collect()) == applied
+
+
 def test_enrich_batch_matches_reference_shape(spark, gps_dir):
     df = enrich(read_batch(spark, os.path.join(gps_dir, "batch1.json")))
     assert df.columns[-3:] == ["input_file", "processed_time", "processed_date"]
