@@ -222,6 +222,49 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew handling at runtime: a join where 90% of rows share one hot
+    key must show SortMergeJoin(skew=true) in the FINAL adaptive plan — the
+    hot partition was split instead of landing on one straggler task. This
+    is the safety net for skew the salting demo (join_salted_skew) handles
+    manually; thresholds are lowered to make the tiny test input register
+    as skewed."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 180_200
+        # the adaptive plan is final only after execution of THIS dataframe
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_join_reads_shuffle_free(spark, sf_dir, tmp_path):
     """Same-bucketed fact tables join with NO Exchange on either side — the
     co-located fact⋈fact layout that replaces a per-query corpus shuffle at
