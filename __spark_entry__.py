@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
     aggregates,
+    analytics,
     arrays,
     dedup,
     eventtime,
@@ -50,6 +51,7 @@ _MODULES = [
     pandas_ops,
     mutations,
     sampling,
+    analytics,
 ]
 
 # The driver's correctness gate checked exactly the first 50 registry entries
@@ -82,6 +84,8 @@ _PRIORITY = [
     "sample_temperature_by_lang",
     "agg_hll_mergeable",
     "mm_patch_token_budget",
+    "funnel_conversion",
+    "cohort_retention",
     "window_topk_per_group",
     "sort_limit_topk",
     "window_session_30min",

@@ -1,0 +1,139 @@
+"""Product-analytics operators over the event stream: funnel conversion and
+cohort retention — the two query shapes every event-analytics engine ships.
+
+Scale-first design: the funnel is ONE groupBy(user) pass with the stage
+logic as array expressions (the textbook formulation — one min-join per
+stage — re-scans and re-shuffles the fact once per stage); retention is one
+user-keyed aggregation plus one small distinct. The reference has no
+analytics layer at all (its one query is an enrichment projection,
+spark_job.py:156-164); these extend the engine the same way the dedup/text
+ops do, with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user converts stage k only
+    with an event strictly after their stage-(k-1) conversion time. One
+    shuffle total: per-user sorted timestamp arrays per stage, then the
+    "first event after t" lookups are array expressions — no re-joining the
+    fact per stage, which at 100 TB would triple the shuffle volume."""
+    ev = load(spark, "events", sf_dir).filter(F.col("event_type").isin(_FUNNEL))
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == t, F.col("ts"))
+                )
+            ).alias(f"ts_{t}")
+            for t in _FUNNEL
+        ]
+    )
+    t1 = F.element_at("ts_view", 1)
+    t2 = F.element_at(F.filter("ts_click", lambda c: c > t1), 1)
+    t3 = F.element_at(F.filter("ts_purchase", lambda p: p > t2), 1)
+    staged = per_user.select(
+        t1.alias("t1"), t2.alias("t2"), t3.alias("t3")
+    ).agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return staged.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n_users")),
+                F.struct(F.lit("2_click").alias("stage"), F.col("n2").alias("n_users")),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"), F.col("n3").alias("n_users")
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY 1
+)
+SELECT '1_view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL
+SELECT '2_click', (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT '3_purchase', (SELECT COUNT(*) FROM p)
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-cohort retention curve: day-k retention = share of users with
+    any event k days after their first event day. One user-keyed min, one
+    (user, day) distinct, one small count — at scale both shuffles key on
+    user_id so they share the exchange."""
+    ev = load(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    total = first.agg(F.count("*").alias("cohort_size"))
+    days = (
+        ev.join(first, "user_id")
+        .select("user_id", F.datediff("d", "d0").cast("int").alias("day_k"))
+        .distinct()
+    )
+    return (
+        days.groupBy("day_k")
+        .agg(F.count("*").alias("n_users"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "day_k",
+            "n_users",
+            F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("day_k")
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+), days AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_diff('day', f.d0, CAST(e.ts AS DATE)) AS INT) AS day_k
+  FROM events e JOIN first f USING (user_id)
+), total AS (
+  SELECT COUNT(*) AS cohort_size FROM first
+)
+SELECT day_k, COUNT(*) AS n_users,
+       ROUND(COUNT(*) / (SELECT cohort_size FROM total), 6) AS retention
+FROM days
+GROUP BY day_k
+ORDER BY day_k
+"""
+
+
+QUERIES = {
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
+}
+
+ORACLES = {
+    "funnel_conversion": FUNNEL_SQL,
+    "cohort_retention": COHORT_SQL,
+}
