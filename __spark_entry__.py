@@ -86,6 +86,7 @@ _PRIORITY = [
     "mm_patch_token_budget",
     "funnel_conversion",
     "cohort_retention",
+    "ann_pq",
     "window_topk_per_group",
     "sort_limit_topk",
     "window_session_30min",

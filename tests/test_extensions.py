@@ -82,6 +82,38 @@ def test_ann_ivf_recall_and_determinism(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ann_pq_recall_and_determinism(spark, sf_dir):
+    """PQ/ADC top-5 must be deterministic and recover a non-trivial share of
+    the exact L2 top-5 (computed densely here — 4-bit codes on random data
+    give modest but real recall)."""
+    import numpy as np
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        _query_pred,
+    )
+
+    out1 = similarity.ann_pq(spark, sf_dir).collect()
+    out2 = similarity.ann_pq(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    approx = {(r.q_id, r.vec_id) for r in out1}
+    assert len(approx) > 0
+
+    emb = load(spark, "embeddings", sf_dir)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q_rows = emb.filter(_query_pred(50)).select("vec_id", "embedding").collect()
+    exact = set()
+    for qr in q_rows:
+        q = np.array(qr["embedding"], dtype=np.float64)
+        d = ((mat - q) ** 2).sum(axis=1)
+        order = [i for i in np.argsort(d, kind="stable") if ids[i] != qr["vec_id"]]
+        exact.update((qr["vec_id"], ids[i]) for i in order[:5])
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.1, f"PQ recall suspiciously low: {recall}"
+
+
 def test_mm_feature_extract_matches_python_oracle(spark, sf_dir):
     from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
 
