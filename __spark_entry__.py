@@ -87,6 +87,7 @@ _PRIORITY = [
     "funnel_conversion",
     "cohort_retention",
     "ann_pq",
+    "decontaminate_eval_overlap",
     "window_topk_per_group",
     "sort_limit_topk",
     "window_session_30min",

@@ -521,9 +521,67 @@ LIMIT 20
 """
 
 
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (train/eval leakage): flag every
+    training document sharing ≥1 word 5-gram with the held-out eval set
+    (stand-in: the doc_id % 10 == 0 decile). The eval side's distinct n-gram set is
+    bounded (eval suites are small) so the semi-join broadcasts; the corpus
+    side is one shingle explode — no corpus self-join, no all-pairs. This is
+    the exact-substring variant of decontamination (Brown et al., GPT-3
+    appendix C shape); the near-dup variants live in operators/dedup.py."""
+    from ..functions.text import shingles
+
+    docs = load_spread(spark, "documents", sf_dir)
+    is_eval = F.col("doc_id") % 10 == 0
+    sh = docs.select(
+        "doc_id",
+        is_eval.alias("is_eval"),
+        F.explode(F.array_distinct(shingles(tokens("text"), 5))).alias("ngram"),
+    )
+    eval_ngrams = sh.filter("is_eval").select("ngram").distinct()
+    contaminated = (
+        sh.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_ngrams), "ngram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.filter(~is_eval)
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+         string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_eval,
+         unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                               FOR i IN range(1, greatest(len(t) - 4, 1) + 1)])) AS ngram
+  FROM toks
+), eval_ngrams AS (
+  SELECT DISTINCT ngram FROM sh WHERE is_eval
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE NOT is_eval AND ngram IN (SELECT ngram FROM eval_ngrams)
+)
+SELECT d.doc_id, c.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN contaminated c USING (doc_id)
+WHERE d.doc_id % 10 != 0
+"""
+
+
 QUERIES = {
     "text_rolling_hash": text_rolling_hash,
     "pii_redact": pii_redact,
+    "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "text_gopher_quality": text_gopher_quality,
     "text_repeated_ngrams": text_repeated_ngrams,
     "text_token_stats": text_token_stats,
@@ -538,6 +596,7 @@ QUERIES = {
 ORACLES = {
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pii_redact": PII_REDACT_SQL,
+    "decontaminate_eval_overlap": DECONTAMINATE_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
