@@ -88,6 +88,8 @@ _PRIORITY = [
     "cohort_retention",
     "ann_pq",
     "decontaminate_eval_overlap",
+    "text_unigram_logprob",
+    "split_leakage_free",
     "window_topk_per_group",
     "sort_limit_topk",
     "window_session_30min",

@@ -260,8 +260,45 @@ WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) A
 """
 
 
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware 80/10/10 split: the split unit is the NEAR-DUP CLUSTER
+    (from dedup_clusters), not the document, so near-duplicate documents can
+    never straddle train/test — the classic eval-leakage bug a plain
+    per-document hash split ships silently. Hash assignment on cluster_id
+    keeps every property of the plain split (deterministic, pure projection
+    after the one-time clustering, stable under corpus growth)."""
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir)
+    b = F.pmod(
+        md5_bucket16(F.col("cluster_id").cast("string")), F.lit(_BUCKETS)
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < _TRAIN_HI, "train")
+        .when(b < _VAL_HI, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _leakage_free_sql() -> str:
+    from .dedup import _CC_ORACLE_CTES
+
+    return _CC_ORACLE_CTES + """
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)) AS INT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4)) AS INT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
+    "split_leakage_free": split_leakage_free,
     "sample_temperature_by_lang": sample_temperature_by_lang,
     "sample_hash_fraction": sample_hash_fraction,
     "sample_stratified_by_lang": sample_stratified_by_lang,
@@ -271,6 +308,7 @@ QUERIES = {
 
 ORACLES = {
     "split_train_val_test": SPLIT_SQL,
+    "split_leakage_free": _leakage_free_sql(),
     "sample_temperature_by_lang": SAMPLE_TEMPERATURE_SQL,
     "sample_hash_fraction": SAMPLE_HASH_SQL,
     "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,

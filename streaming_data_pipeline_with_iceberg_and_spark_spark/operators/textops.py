@@ -578,10 +578,61 @@ WHERE d.doc_id % 10 != 0
 """
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality signal: mean per-token unigram
+    log-probability of each document under the corpus' own (add-one
+    smoothed) unigram distribution — unusually improbable token streams
+    (garbled text, wrong-language spans) score low and get filtered.
+
+    Two passes, both single-shuffle: (1) global unigram counts — a
+    word-count; (2) re-score each document by joining its exploded tokens
+    against the (small, broadcast) vocabulary table and averaging. At
+    100 TB the vocabulary stays bounded (natural-language vocab growth is
+    sublinear), so the broadcast holds."""
+    docs = load_spread(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = tok.agg(
+        F.count("*").alias("n_total"), F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log((F.col("cnt") + 1.0) / (F.col("n_total") + F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+
+
+TEXT_UNIGRAM_LP_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+), totals AS (
+  SELECT COUNT(*) AS n_total, COUNT(DISTINCT tok) AS v FROM tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(ln((cnt + 1.0) / (n_total + v))), 6) AS mean_logprob
+FROM tok JOIN vocab USING (tok), totals
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_rolling_hash": text_rolling_hash,
     "pii_redact": pii_redact,
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
+    "text_unigram_logprob": text_unigram_logprob,
     "text_gopher_quality": text_gopher_quality,
     "text_repeated_ngrams": text_repeated_ngrams,
     "text_token_stats": text_token_stats,
@@ -597,6 +648,7 @@ ORACLES = {
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "pii_redact": PII_REDACT_SQL,
     "decontaminate_eval_overlap": DECONTAMINATE_SQL,
+    "text_unigram_logprob": TEXT_UNIGRAM_LP_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,

@@ -324,6 +324,24 @@ def test_sample_temperature_flattens_lang_distribution(spark, sf_dir):
     )
 
 
+def test_leakage_free_split_keeps_clusters_together(spark, sf_dir):
+    """Every near-dup cluster must land whole in one split (that is the
+    operator's reason to exist), and the corpus must actually contain a
+    multi-member cluster for the assertion to mean anything."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        split_leakage_free,
+    )
+
+    rows = split_leakage_free(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert any(
+        len([r for r in rows if r["cluster_id"] == cid]) > 1 for cid in by_cluster
+    ), "corpus has no multi-member cluster; test is vacuous"
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+
 def test_hll_sketch_accuracy_and_union_consistency(spark, sf_dir):
     """Per-type HLL estimates must sit within 5% of exact, and the 'ALL' row
     (union of per-type sketches, raw data never re-read) must sit within 5%
