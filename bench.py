@@ -54,6 +54,9 @@ HEADLINE = [
     "ann_ivf",
     "merge_upsert_orders",
     "split_train_val_test",
+    "ann_pq",
+    "funnel_conversion",
+    "decontaminate_eval_overlap",
 ]
 
 
