@@ -300,3 +300,87 @@ def test_bucketed_join_reads_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+
+
+def test_pure_projection_ops_no_exchange(plan):
+    """PII redaction, Gopher quality rules, and VLM patch budgeting are
+    per-row column expressions — zero joins and no shuffle beyond the
+    documented single-file spread (load_spread's round-robin of the local
+    one-row-group corpus file, unnecessary on a real multi-split scan), so
+    they run at parquet-scan speed regardless of corpus size."""
+    import re
+
+    # (name, allowed exchanges: 1 = the load_spread round-robin only)
+    for name, spread in (
+        ("pii_redact", 1),
+        ("text_gopher_quality", 1),
+        ("mm_patch_token_budget", 0),
+    ):
+        p = plan(name)
+        assert len(re.findall(r"\(\d+\) Exchange", p)) <= spread, name
+        assert "RoundRobinPartitioning" in p if spread else True, name
+        assert "Join" not in p, name
+
+
+def test_funnel_is_single_user_shuffle_no_join(plan):
+    """The funnel is ONE user-keyed aggregation; the per-stage conversion
+    lookups are array expressions. The textbook min-join-per-stage plan
+    would re-shuffle the event fact once per funnel stage."""
+    import re
+
+    p = plan("funnel_conversion")
+    assert "Join" not in p, p
+    # user-keyed agg + global roll-up — nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+
+
+def test_rollup_multi_granularity_single_pass(plan):
+    """Grouping sets emit minute/hour/day from ONE expand + one shuffle;
+    the naive three-groupBy union would scan and shuffle the fact 3×."""
+    import re
+
+    p = plan("rollup_multi_granularity")
+    assert "Expand" in p, p
+    assert "Union" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
+
+
+def test_hll_sketch_partial_aggregation(plan):
+    """HLL sketches must combine map-side (partial_hll_sketch_agg before the
+    exchange) — the mergeability that makes sketch distinct re-aggregable
+    across partitions/days is only real if the plan exploits it."""
+    p = plan("agg_hll_mergeable")
+    assert "partial_hll_sketch_agg" in p, p
+
+
+def test_decontaminate_broadcasts_eval_ngrams(plan):
+    """The eval-side n-gram set is bounded (eval suites are small) and must
+    broadcast into a semi-join; a sort-merge n-gram join would shuffle the
+    full corpus explode."""
+    p = plan("decontaminate_eval_overlap")
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_unigram_logprob_broadcasts_vocab(plan):
+    """Vocabulary and totals join back to the exploded tokens via broadcast
+    (natural-language vocab growth is sublinear in corpus size); an SMJ here
+    would re-shuffle every token occurrence."""
+    p = plan("text_unigram_logprob")
+    assert "SortMergeJoin" not in p, p
+
+
+def test_ann_pq_corpus_never_joins(plan):
+    """PQ encode and ADC scoring are mapInPandas passes over the corpus with
+    the query distance tables closure-shipped — no join touches corpus rows;
+    the only shuffle is the final per-query top-k."""
+    p = plan("ann_pq")
+    assert "Join" not in p, p
+
+
+def test_temperature_sample_broadcasts_histogram(plan):
+    """The per-language histogram is |langs| rows — broadcast back onto the
+    corpus; the keep decision is then a pure per-row predicate."""
+    p = plan("sample_temperature_by_lang")
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
