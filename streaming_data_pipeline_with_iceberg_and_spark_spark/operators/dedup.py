@@ -589,8 +589,136 @@ ORDER BY cos_sim DESC, vec_a, vec_b
 """
 
 
+_SPAN = 10  # tokens per non-overlapping span
+
+
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style SUB-document exact dedup (Raffel et al. 2020 §2.2 shape, on
+    fixed 10-token spans — the synthetic corpus has no line breaks): any
+    span occurring verbatim in ≥2 distinct documents is removed from ALL of
+    them; per-document span accounting plus the md5 of the surviving text
+    proves both engines reconstruct byte-identically.
+
+    Shapes: one posexplode, one span-keyed groupBy for the duplicate-span
+    set, one join back (span-keyed — AQE broadcasts it when the boilerplate
+    set is small), one ordered re-aggregation keyed on doc_id. Nothing is
+    all-pairs; every stage keys on either span or doc_id."""
+    docs = load_spread(spark, "documents", sf_dir)
+    toked = docs.select("doc_id", tokens("text").alias("t"))
+    spans = F.transform(
+        F.sequence(F.lit(0), ((F.size("t") - 1) / F.lit(_SPAN)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice("t", i * _SPAN + 1, _SPAN)),
+    )
+    ex = toked.select("doc_id", F.posexplode(spans).alias("pos", "span"))
+    dups = (
+        ex.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(True).alias("dup"))
+    )
+    marked = ex.join(dups, "span", "left")
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("dup").isNull(), F.struct("pos", "span"))
+                )
+            ),
+            lambda s: s["span"],
+        ),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.count("dup").alias("n_dropped"),
+        F.md5(kept_text).alias("kept_hash"),
+    )
+
+
+DEDUP_SPAN_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), sp AS (
+  SELECT doc_id,
+         [{'pos': i - 1,
+           'span': array_to_string(toks[((i-1)*10+1):((i-1)*10+10)], ' ')}
+          FOR i IN range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT) + 1)] AS spans
+  FROM t
+), exu AS (
+  SELECT doc_id, unnest(spans) AS s FROM sp
+), ex AS (
+  SELECT doc_id, s.pos AS pos, s.span AS span FROM exu
+), dups AS (
+  SELECT span FROM ex GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT e.doc_id,
+       COUNT(*) AS n_spans,
+       COUNT(d.span) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN d.span IS NULL THEN e.span END,
+                               ' ' ORDER BY e.pos), '')) AS kept_hash
+FROM ex e LEFT JOIN dups d USING (span)
+GROUP BY e.doc_id
+"""
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): k-means-cluster the embedding
+    space with the IVF coarse quantizer, then within each cluster drop
+    every vector that has a same-cluster neighbor with cosine ≥ _SEM_TAU
+    and a smaller vec_id (keep-lowest-id). Returns the surviving vectors
+    with their cluster.
+
+    Scale shape: pair work is blocked by cluster (≈√N members per cell vs
+    corpus-wide all-pairs); the quantizer is the only driver-side state; at
+    100 TB the assigned corpus is written out partitioned by cell once and
+    within-cell pairs stay executor-local. Rows-only check (the quantizer
+    is engine-internal); precision — every drop justified by a recomputed
+    ≥τ neighbor — and determinism asserted in tests/test_extensions.py."""
+    from .similarity import _ivf_assign_fn, _ivf_centroids
+
+    emb = load_spread(spark, "embeddings", sf_dir).persist()
+    cent = _ivf_centroids(spark, sf_dir, emb)
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            _ivf_assign_fn(cent, 1),
+            schema="vec_id long, probe_rank int, cell int, embedding array<float>",
+        )
+        .select("vec_id", "cell", "embedding")
+        .withColumn("nrm", norm("embedding"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            (
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SEM_TAU)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        assigned.join(drops, "vec_id", "left_anti")
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    )
+
+
+_SEM_TAU = 0.35
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_span_exact": dedup_span_exact,
+    "dedup_semantic": dedup_semantic,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -602,6 +730,9 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_span_exact": DEDUP_SPAN_SQL,
+    # dedup_semantic intentionally rows-only (engine-internal quantizer);
+    # precision + determinism asserted in tests/test_extensions.py
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

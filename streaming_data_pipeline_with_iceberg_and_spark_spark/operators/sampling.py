@@ -296,8 +296,57 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
+_ILV_LCM = 12  # lcm of the weight domain {1,2,3,4} → integer-exact slots
+
+
+def mixture_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source-mixture interleave — the data-ordering
+    primitive for training mixtures (curriculum / domain-weight schedules):
+    source s with weight w_s occupies every (LCM/w_s)-th virtual slot, so
+    every prefix of the merged stream approximates the target mixture.
+    Weights here derive from the source index (1 + idx % 4); slot keys are
+    INTEGER-exact (rank · LCM/w) so the two engines cannot disagree on tie
+    order. First 200 slots returned.
+
+    Scale shape: per-source rank is a window partitioned by source (each
+    partition bounded by that source's size); the global cut is an
+    orderBy+limit → TakeOrderedAndProject, never a single-partition global
+    window."""
+    docs = load(spark, "documents", sf_dir)
+    w = (1 + F.regexp_extract("source", r"(\d+)", 1).cast("int") % 4).alias(
+        "weight"
+    )
+    from pyspark.sql import Window
+
+    r = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    ranked = docs.select("doc_id", "source", w, r.cast("long").alias("src_rank"))
+    slot = (F.col("src_rank") * (F.lit(_ILV_LCM) / F.col("weight")).cast("long")).alias(
+        "slot"
+    )
+    return (
+        ranked.select("doc_id", "source", "weight", "src_rank", slot)
+        .orderBy("slot", "source", "doc_id")
+        .limit(200)
+    )
+
+
+MIXTURE_INTERLEAVE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         1 + CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4 AS weight,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, weight, src_rank, src_rank * (12 // weight) AS slot
+FROM r
+ORDER BY slot, source, doc_id
+LIMIT 200
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
+    "mixture_weighted_interleave": mixture_weighted_interleave,
     "split_leakage_free": split_leakage_free,
     "sample_temperature_by_lang": sample_temperature_by_lang,
     "sample_hash_fraction": sample_hash_fraction,
@@ -308,6 +357,7 @@ QUERIES = {
 
 ORACLES = {
     "split_train_val_test": SPLIT_SQL,
+    "mixture_weighted_interleave": MIXTURE_INTERLEAVE_SQL,
     "split_leakage_free": _leakage_free_sql(),
     "sample_temperature_by_lang": SAMPLE_TEMPERATURE_SQL,
     "sample_hash_fraction": SAMPLE_HASH_SQL,

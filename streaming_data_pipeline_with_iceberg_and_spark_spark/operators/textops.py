@@ -628,8 +628,73 @@ GROUP BY doc_id
 """
 
 
+def text_within_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style WITHIN-document repetition rules (Rae et al. 2021
+    §A1.1): the fraction of duplicate word 2-grams and the share of
+    occurrences claimed by the single most frequent 2-gram, composed into a
+    keep flag — the loop/babble detector. Complements
+    ``text_repeated_ngrams``, which finds ACROSS-document boilerplate.
+
+    The gram array is materialized once per row in a prior projection (a
+    lambda re-binding would re-run the tokenizer per distinct gram); the
+    mode count is quadratic in per-doc distinct grams but embarrassingly
+    parallel and bounded by document length — zero shuffles at any corpus
+    scale."""
+    from ..functions.text import shingles
+
+    docs = load_spread(spark, "documents", sf_dir)
+    g = docs.select(
+        "doc_id", shingles(tokens("text"), 2).alias("grams")
+    )
+    grams = F.col("grams")
+    n = F.size(grams)
+    d = F.size(F.array_distinct(grams))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda u: F.size(F.filter(grams, lambda x: x == u)),
+        )
+    )
+    dup_frac = (n - d) / n
+    top_share = top / n
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        F.round(top_share, 6).alias("top_2gram_share"),
+        ((dup_frac <= 0.6) & (top_share <= 0.1)).alias("keep"),
+    )
+
+
+TEXT_WITHIN_DOC_REP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+1], ' ')
+          FOR i IN range(1, greatest(len(toks) - 1, 1) + 1)] AS grams
+  FROM t
+), s AS (
+  SELECT doc_id,
+         len(grams) AS n,
+         len(list_distinct(grams)) AS d,
+         list_max(list_transform(list_distinct(grams),
+                                 u -> len(list_filter(grams, x -> x = u)))) AS topc
+  FROM g
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_grams,
+       ROUND((n - d) / CAST(n AS DOUBLE), 6) AS dup_2gram_frac,
+       ROUND(topc / CAST(n AS DOUBLE), 6) AS top_2gram_share,
+       ((n - d) / CAST(n AS DOUBLE) <= 0.6
+        AND topc / CAST(n AS DOUBLE) <= 0.1) AS keep
+FROM s
+"""
+
+
 QUERIES = {
     "text_rolling_hash": text_rolling_hash,
+    "text_within_doc_repetition": text_within_doc_repetition,
     "pii_redact": pii_redact,
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "text_unigram_logprob": text_unigram_logprob,
@@ -646,6 +711,7 @@ QUERIES = {
 
 ORACLES = {
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
+    "text_within_doc_repetition": TEXT_WITHIN_DOC_REP_SQL,
     "pii_redact": PII_REDACT_SQL,
     "decontaminate_eval_overlap": DECONTAMINATE_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LP_SQL,

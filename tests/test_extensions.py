@@ -378,3 +378,98 @@ def test_dedup_apply_removes_only_nonsurvivors(spark, sf_dir):
         by_cluster.setdefault(r["cluster_id"], []).append(r["doc_id"])
     for cid, members in by_cluster.items():
         assert cid == min(members)
+
+
+def test_dedup_semantic_precision_and_determinism(spark, sf_dir):
+    """Every vector dedup_semantic drops must have a REAL same-cluster
+    neighbor with cosine >= tau and a smaller id (precision = 1 by
+    recomputation); kept set is deterministic across runs; survivors
+    contain the minimum vec_id of every cluster (the keep-lowest rule can
+    never drop a cluster's first member)."""
+    import numpy as np
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    kept1 = dedup.dedup_semantic(spark, sf_dir).collect()
+    kept2 = dedup.dedup_semantic(spark, sf_dir).collect()
+    assert kept1 == kept2, "quantizer seeds are fixed — must be deterministic"
+    kept_ids = {r.vec_id for r in kept1}
+    all_rows = load(spark, "embeddings", sf_dir).select("vec_id", "embedding").collect()
+    assert 0 < len(kept_ids) <= len(all_rows)
+
+    cluster_of = {r.vec_id: r.cell for r in kept1}
+    dropped = [r.vec_id for r in all_rows if r.vec_id not in kept_ids]
+    if not dropped:
+        return
+    # recompute: each dropped vector needs a >= tau cosine neighbor with a
+    # smaller id (cluster labels for dropped rows are engine-internal, so
+    # verify against the whole corpus — a superset check: the corpus-wide
+    # neighbor must exist for the in-cluster one to have existed)
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in all_rows}
+    for did in dropped:
+        v = vecs[did]
+        ok = any(
+            oid < did
+            and float(
+                vecs[oid] @ v / (np.linalg.norm(vecs[oid]) * np.linalg.norm(v))
+            )
+            >= dedup._SEM_TAU - 1e-9
+            for oid in vecs
+        )
+        assert ok, f"vec {did} dropped without a >=tau smaller-id neighbor"
+    # every cluster's smallest surviving member must be its smallest member
+    # among kept rows (sanity on the keep-lowest-id rule within clusters)
+    by_cell: dict[int, list[int]] = {}
+    for r in kept1:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    assert all(min(v) in kept_ids for v in by_cell.values())
+
+
+def test_dedup_span_exact_removes_planted_boilerplate(spark, tmp_path):
+    """Two documents sharing a verbatim 10-token boilerplate span must both
+    lose exactly that span; the unique remainder survives byte-identically."""
+    import hashlib
+
+    boiler = " ".join(f"tos{i}" for i in range(10))
+    uniq_a = " ".join(f"worda{i}" for i in range(10))
+    uniq_b = " ".join(f"wordb{i}" for i in range(10))
+    rows = [
+        (1, f"{boiler} {uniq_a}", "en", "src0", 1),
+        (2, f"{boiler} {uniq_b}", "en", "src0", 1),
+        (3, uniq_a.replace("worda", "wordc"), "en", "src0", 1),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in dedup.dedup_span_exact(spark, sf).collect()}
+    assert out[1].n_spans == 2 and out[1].n_dropped == 1
+    assert out[2].n_spans == 2 and out[2].n_dropped == 1
+    assert out[3].n_spans == 1 and out[3].n_dropped == 0
+    assert out[1].kept_hash == hashlib.md5(uniq_a.encode()).hexdigest()
+    assert out[2].kept_hash == hashlib.md5(uniq_b.encode()).hexdigest()
+
+
+def test_mixture_interleave_prefix_tracks_weights(spark, sf_dir):
+    """Any prefix of the interleaved stream must approximate the weight
+    mixture: a weight-4 source appears ~4x as often as a weight-1 source in
+    the first 200 slots."""
+    from collections import Counter
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import sampling
+
+    rows = sampling.mixture_weighted_interleave(spark, sf_dir).collect()
+    assert len(rows) == 200
+    by_weight = Counter()
+    for r in rows:
+        by_weight[r.weight] += 1
+    # 20 sources, weights 1..4 evenly; counts should scale ~linearly with
+    # weight (integer slotting makes it exact up to boundary effects)
+    assert by_weight[4] > 2.5 * by_weight[1], by_weight
+    # slots are non-decreasing in rank within each source
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append((r.src_rank, r.slot))
+    for seq in per_src.values():
+        ranks = [x[0] for x in sorted(seq)]
+        assert ranks == list(range(1, len(ranks) + 1)), "prefix must be rank-contiguous"
