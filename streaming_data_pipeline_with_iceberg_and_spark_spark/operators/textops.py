@@ -521,18 +521,28 @@ LIMIT 20
 """
 
 
+#: Hard ceiling on the eval-set stand-in: only doc_ids below this can be
+#: "eval", so the broadcast eval n-gram set is bounded by a CONSTANT number
+#: of documents (<= _EVAL_ID_CAP/10) at ANY corpus size — the same invariant
+#: as similarity._Q_CAP.  A real deployment passes a fixed eval table; the
+#: id-ceiling stand-in keeps the sf0.01 oracle byte-identical (ids < cap).
+_EVAL_ID_CAP = 100_000
+
+
 def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check (train/eval leakage): flag every
     training document sharing ≥1 word 5-gram with the held-out eval set
-    (stand-in: the doc_id % 10 == 0 decile). The eval side's distinct n-gram set is
-    bounded (eval suites are small) so the semi-join broadcasts; the corpus
-    side is one shingle explode — no corpus self-join, no all-pairs. This is
-    the exact-substring variant of decontamination (Brown et al., GPT-3
-    appendix C shape); the near-dup variants live in operators/dedup.py."""
+    (stand-in: the doc_id % 10 == 0 decile, id-capped at ``_EVAL_ID_CAP`` so
+    the eval side is a FIXED-size set, not a corpus decile). The eval side's
+    distinct n-gram set is bounded by the cap so the semi-join broadcasts at
+    any corpus size; the corpus side is one shingle explode — no corpus
+    self-join, no all-pairs. This is the exact-substring variant of
+    decontamination (Brown et al., GPT-3 appendix C shape); the near-dup
+    variants live in operators/dedup.py."""
     from ..functions.text import shingles
 
     docs = load_spread(spark, "documents", sf_dir)
-    is_eval = F.col("doc_id") % 10 == 0
+    is_eval = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < _EVAL_ID_CAP)
     sh = docs.select(
         "doc_id",
         is_eval.alias("is_eval"),
@@ -558,7 +568,7 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_SQL = """
 WITH toks AS (
-  SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+  SELECT doc_id, doc_id % 10 = 0 AND doc_id < 100000 AS is_eval,
          string_split_regex(lower(trim(text)), '\\s+') AS t
   FROM documents
 ), sh AS (
@@ -574,7 +584,7 @@ WITH toks AS (
 )
 SELECT d.doc_id, c.doc_id IS NOT NULL AS contaminated
 FROM documents d LEFT JOIN contaminated c USING (doc_id)
-WHERE d.doc_id % 10 != 0
+WHERE NOT (d.doc_id % 10 = 0 AND d.doc_id < 100000)
 """
 
 
