@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .schemas import TABLE_NAMES, TESTDATA
 
@@ -23,16 +24,39 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 SMALL_DIMS = {"region", "nation"}
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer for the `ts` column's timestamp unit.
+
+    Reads only file metadata (no data pages). Spark cannot read
+    TIMESTAMP(NANOS) as a timestamp directly, so nanos files need the
+    nanosAsLong escape hatch + an explicit µs conversion; micros files are
+    Spark-native. Detecting instead of assuming means a regenerated fixture
+    with a different unit can never silently corrupt event times.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        unit = getattr(pq.ParquetFile(path).schema_arrow.field("ts").type, "unit", None)
+        return unit == "ns"
+    except Exception:
+        return False  # unreadable footer → trust the pinned micros schema
+
+
 def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one testdata table as a DataFrame with its pinned schema."""
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.schema(TESTDATA[name]).parquet(path)
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk (read as long via nanosAsLong);
-        # integer-divide to µs — float division would lose precision at 1e18
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    if name == "events" and _events_ts_is_nanos(path):
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType()) if f.name == "ts" else f
+                for f in TESTDATA[name].fields
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
+        # integer-divide nanos → µs; float division would lose precision at 1e18
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(TESTDATA[name]).parquet(path)
 
 
 def load_spread(

@@ -304,18 +304,33 @@ def _ivf_assign_fn(cent_mat, nprobe: int):
     return assign
 
 
+# Hard ceiling on IVF cell count. √N is the classical heuristic, but the
+# centroid matrix lives driver-side (collect + closure-ship), so it must be
+# CONSTANT-bounded: at 4096 cells × 128-dim float64 the codebook is ~4 MB no
+# matter how large the corpus. Past the cap, cells get proportionally more
+# members — recall is preserved by raising nprobe, not cell count (FAISS
+# takes the same approach for IVF on billion-vector corpora).
+_IVF_MAX_CELLS = 4096
+
+
+def _ivf_n_cells(n: int) -> int:
+    """Cell count for an n-vector corpus: √N, clamped to [4, _IVF_MAX_CELLS]."""
+    return max(4, min(_IVF_MAX_CELLS, int(n**0.5)))
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None):
-    """Coarse quantizer: C ≈ √N deterministic pseudo-random seeds + one
-    declarative Lloyd refinement (assign via GEMM, means via posexplode+avg —
-    both single-shuffle, both scale to any corpus size). Pass a persisted
-    ``emb`` to share the corpus scan with the caller (quantizer training
-    makes 3 passes of its own)."""
+    """Coarse quantizer: C = _ivf_n_cells(N) deterministic pseudo-random
+    seeds + one declarative Lloyd refinement (assign via GEMM, means via
+    posexplode+avg — both single-shuffle, both scale to any corpus size).
+    Driver-side state is bounded: both collects below return ≤ _IVF_MAX_CELLS
+    rows by construction. Pass a persisted ``emb`` to share the corpus scan
+    with the caller (quantizer training makes 3 passes of its own)."""
     import numpy as np
 
     if emb is None:
         emb = load_spread(spark, "embeddings", sf_dir)
     n = emb.count()
-    n_cells = max(4, int(n**0.5))
+    n_cells = _ivf_n_cells(n)
     seeds = (
         emb.select("vec_id", "embedding")
         .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(997)), "vec_id")
@@ -355,8 +370,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantizer is engine-internal); recall vs the exact baseline asserted in
     tests/test_extensions.py.
 
-    Scale shape: the quantizer (C ≈ √N vectors) is the only driver-side
-    state; assignment is one Arrow/GEMM pass over the corpus; the candidate
+    Scale shape: the quantizer (≤ _IVF_MAX_CELLS vectors, constant-bounded)
+    is the only driver-side state; assignment is one Arrow/GEMM pass over
+    the corpus; the candidate
     join is keyed on cell (never all-pairs) with the tiny probe side
     broadcast. At 100 TB the assigned corpus would be written out
     partitioned by cell and reused across query batches."""

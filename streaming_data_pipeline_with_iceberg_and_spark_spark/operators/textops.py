@@ -596,9 +596,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two passes, both single-shuffle: (1) global unigram counts — a
     word-count; (2) re-score each document by joining its exploded tokens
-    against the (small, broadcast) vocabulary table and averaging. At
-    100 TB the vocabulary stays bounded (natural-language vocab growth is
-    sublinear), so the broadcast holds."""
+    against the vocabulary table and averaging. Invariant: the tok↔vocab
+    join carries NO broadcast hint — a web-corpus vocabulary (typos, URLs,
+    hashes) grows unboundedly with corpus size, so a forced broadcast would
+    OOM the driver at 100 TB. Both sides shuffle-partition on `tok`; AQE is
+    free to downgrade to broadcast at small SF where vocab fits. `totals`
+    stays broadcast — it is a single row at any scale."""
     docs = load_spread(spark, "documents", sf_dir)
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
@@ -606,7 +609,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"), F.countDistinct("tok").alias("v")
     )
     scored = (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",

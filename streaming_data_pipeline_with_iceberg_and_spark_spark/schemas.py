@@ -138,8 +138,10 @@ TESTDATA = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            # on disk: TIMESTAMP(NANOS) → long; io.load converts to µs timestamp
-            T.StructField("ts", T.LongType()),
+            # on disk: timestamp[us] (Spark-native). io.load sniffs the parquet
+            # footer and, only if a file is TIMESTAMP(NANOS), falls back to a
+            # nanosAsLong read + µs conversion — never assumed, always detected.
+            T.StructField("ts", T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),

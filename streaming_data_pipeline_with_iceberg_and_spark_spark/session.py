@@ -74,8 +74,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
-        # testdata events.parquet stores TIMESTAMP(NANOS), unreadable as Spark
-        # TimestampType; read as long + convert in io.load (truncate to µs)
+        # escape hatch for TIMESTAMP(NANOS) parquet inputs (unreadable as a
+        # Spark timestamp): io.load sniffs the footer unit and only for nanos
+        # files reads ts as long + converts to µs. No effect on micros files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if iceberg_runtime_available():

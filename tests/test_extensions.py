@@ -82,6 +82,17 @@ def test_ann_ivf_recall_and_determinism(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_cell_count_constant_bounded():
+    """The IVF codebook is driver-side state (collect + closure-ship), so
+    its size must not grow with the corpus: √N below the cap, constant
+    above it — a 100 TB corpus collects exactly _IVF_MAX_CELLS rows."""
+    assert similarity._ivf_n_cells(0) == 4
+    assert similarity._ivf_n_cells(10_000) == 100
+    assert similarity._ivf_n_cells(similarity._IVF_MAX_CELLS**2) == similarity._IVF_MAX_CELLS
+    assert similarity._ivf_n_cells(10**12) == similarity._IVF_MAX_CELLS
+    assert similarity._ivf_n_cells(10**14) == similarity._IVF_MAX_CELLS
+
+
 def test_ann_pq_recall_and_determinism(spark, sf_dir):
     """PQ/ADC top-5 must be deterministic and recover a non-trivial share of
     the exact L2 top-5 (computed densely here — 4-bit codes on random data

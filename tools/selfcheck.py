@@ -51,6 +51,35 @@ def canon_rows(cols, rows):
     return out
 
 
+# DuckDB result types that hash differently from Spark's output even when
+# values are numerically equal: HUGEINT (SUM of integers), DECIMAL (literal
+# arithmetic).  Three rounds lost a query each to this class (q12 most
+# recently) — every aggregate in an oracle must be cast to BIGINT/DOUBLE.
+_ORACLE_TYPE_BLOCKLIST = ("HUGEINT", "DECIMAL")
+
+
+def lint_oracle_types(sf_dir: str, only: list[str] | None = None) -> list[str]:
+    """Return 'query: column TYPE' for every oracle column whose DuckDB type
+    would value-hash differently from Spark. Schema-only: each oracle runs
+    wrapped in LIMIT 0, so the lint is cheap at any SF."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    problems = []
+    oracles = entrymod.oracle_sql()
+    for name in only or list(oracles):
+        sql = oracles[name]
+        try:
+            rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        except Exception as e:  # broken SQL shows up in the value check instead
+            problems.append(f"{name}: oracle failed to parse: {e}")
+            continue
+        for col, typ in zip(rel.columns, rel.types):
+            if any(b in str(typ).upper() for b in _ORACLE_TYPE_BLOCKLIST):
+                problems.append(f"{name}: column {col} is {typ} — cast to BIGINT/DOUBLE")
+    return problems
+
+
 def run(sf_dir: str, only: list[str]) -> int:
     spark = get_spark("selfcheck")
     con = duckdb.connect()
@@ -108,6 +137,14 @@ def run(sf_dir: str, only: list[str]) -> int:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--lint-types", action="store_true",
+                    help="schema-only lint: flag HUGEINT/DECIMAL oracle columns")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
+    if args.lint_types:
+        problems = lint_oracle_types(args.sf, args.queries)
+        for p in problems:
+            print(f"LINT {p}")
+        print(f"{len(problems)} type problems")
+        sys.exit(1 if problems else 0)
     sys.exit(run(args.sf, args.queries))
