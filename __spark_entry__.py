@@ -104,6 +104,10 @@ _PRIORITY = [
     "dedup_semantic",
     "text_within_doc_repetition",
     "mixture_weighted_interleave",
+    # (b') new in round 4 — no driver row yet
+    "agg_histogram_quantiles",
+    "events_anomaly_mad",
+    "quantize_embeddings_int8",
     # (c) stale-signal re-checks (green in r1/r2 only, fixtures since regenerated)
     "q1_pricing_summary",
     "q5_revenue_by_nation",
@@ -113,9 +117,6 @@ _PRIORITY = [
     "join_range_shipdelay",
     "agg_percentiles",
     "agg_rollup",
-    "window_rank",
-    "null_handling",
-    "json_extraction",
 ]
 
 

@@ -57,6 +57,11 @@ HEADLINE = [
     "ann_pq",
     "funnel_conversion",
     "decontaminate_eval_overlap",
+    # Appended round 4: mergeable quantile sketch, robust anomaly scan,
+    # int8 embedding compression.
+    "agg_histogram_quantiles",
+    "events_anomaly_mad",
+    "quantize_embeddings_int8",
 ]
 
 

