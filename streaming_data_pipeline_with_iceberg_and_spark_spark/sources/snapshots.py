@@ -102,6 +102,32 @@ class SnapshotTable:
         parent_dirs = log[-1]["dirs"] if log else []
         return self._commit({"op": "append", "dirs": parent_dirs + [d]})["id"]
 
+    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """Idempotent streaming append: one snapshot per micro-batch, keyed
+        by ``batch_id``. Replayed batches (foreachBatch is at-least-once on
+        restart) are detected in the commit log and skipped, so the table is
+        exactly-once end-to-end — the gap the reference leaves open between
+        its table write and its SQS commit (spark_job.py:61 vs :185) closes
+        because here the commit IS the atomic metadata swap.
+
+        A crash after the data write but before the commit leaves an orphan
+        data dir; the replay detects it (present on disk, referenced by no
+        snapshot) and rewrites it. Returns the committed version, or None if
+        the batch was a replay."""
+        log = self._log()
+        if any(s.get("batch_id") == batch_id for s in log):
+            return None
+        nxt = (log[-1]["id"] + 1) if log else 1
+        d = os.path.join(self.root, "data", f"s{nxt}")
+        referenced = {p for s in log for p in s["dirs"]}
+        if os.path.isdir(d) and d not in referenced:  # orphan of a crashed commit
+            shutil.rmtree(d)
+        self._write_data_dir(df, nxt)
+        parent_dirs = log[-1]["dirs"] if log else []
+        return self._commit(
+            {"op": "append", "dirs": parent_dirs + [d], "batch_id": batch_id}
+        )["id"]
+
     def overwrite(self, df: DataFrame) -> int:
         """Overwrite commit: new version sees only this batch's dir. Old
         versions keep their files — time travel to them still works."""

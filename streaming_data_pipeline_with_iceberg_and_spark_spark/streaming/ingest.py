@@ -205,6 +205,46 @@ def start_upsert_ingest(
     return writer.start()
 
 
+def start_snapshot_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    table_root: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """The reference's core loop, snapshot-complete: streaming NDJSON ingest
+    where every micro-batch commits one SNAPSHOT of a versioned table
+    (``sources.snapshots.SnapshotTable``) — the closest in-sandbox
+    re-expression of its Iceberg commit-per-poll design (spark_job.py:
+    172-188: poll → read → enrich → Iceberg snapshot commit). Beyond the
+    reference: the commit is idempotent under foreachBatch replay (batch_id
+    in the commit log), every historical version stays time-travelable, and
+    ``compact_every`` folds small-file compaction into the stream — one
+    compaction commit every N batches, the maintenance Iceberg runs as
+    ``rewrite_data_files``."""
+    from ..sources.snapshots import SnapshotTable
+
+    snap = SnapshotTable(spark, table_root)
+    stream = read_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    enriched = enrich(stream.withColumn("_metadata", F.col("_metadata")))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        v = snap.append_batch(batch_df.drop("_metadata"), batch_id)
+        if v is not None and compact_every and v % compact_every == 0:
+            snap.compact()
+
+    writer = enriched.writeStream.foreachBatch(commit_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

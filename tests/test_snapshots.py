@@ -110,3 +110,104 @@ def test_missing_table_and_version_errors(spark, table):
     table.append(spark.range(0, 1))
     with pytest.raises(SnapshotError, match="no snapshot 99"):
         table.read(version=99)
+
+
+def test_append_batch_is_replay_idempotent(spark, table):
+    v1 = table.append_batch(spark.range(0, 3), batch_id=0)
+    assert v1 == 1
+    # foreachBatch replay after restart: same batch_id must be a no-op
+    assert table.append_batch(spark.range(0, 3), batch_id=0) is None
+    assert _ids(table.read()) == [0, 1, 2]
+    v2 = table.append_batch(spark.range(3, 5), batch_id=1)
+    assert v2 == 2 and _ids(table.read()) == [0, 1, 2, 3, 4]
+
+
+def test_append_batch_recovers_orphan_data_dir(spark, table):
+    """Crash window: data dir written but commit never happened. The replay
+    must rewrite the orphan instead of failing on mode=errorifexists."""
+    table.append_batch(spark.range(0, 2), batch_id=0)
+    # simulate the crashed half-commit for the NEXT version
+    orphan = os.path.join(table.root, "data", "s2")
+    spark.range(90, 95).write.parquet(orphan)
+    v = table.append_batch(spark.range(2, 4), batch_id=1)
+    assert v == 2
+    assert _ids(table.read()) == [0, 1, 2, 3]
+
+
+def test_streaming_snapshot_ingest_one_snapshot_per_batch(spark, tmp_path):
+    """The reference's poll→read→enrich→snapshot-commit loop as one
+    streaming query: every micro-batch is a time-travelable version, and a
+    restart with new files appends new snapshots without duplicating old
+    rows."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_snapshot_ingest,
+    )
+    from tests.test_streaming import _gps_record, _write_ndjson
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_ndjson(src / "f1.json", [_gps_record(ts="2024-01-01 10:00:00")] * 4)
+    _write_ndjson(
+        src / "f2.json",
+        [_gps_record(vehicle_id="veh00002", ts="2024-01-01 10:01:00")] * 3,
+    )
+    root = str(tmp_path / "snap_table")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_snapshot_ingest(
+        spark, str(src), root, checkpoint_dir=ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    snap = SnapshotTable(spark, root)
+    hist = snap.history().collect()
+    assert len(hist) == 2  # one snapshot per micro-batch (1 file each)
+    assert snap.read().count() == 7
+    assert snap.read(version=1).count() in (3, 4)  # first batch only
+    # restart with one new file: exactly-once, one more snapshot
+    _write_ndjson(
+        src / "f3.json",
+        [_gps_record(vehicle_id="veh00003", ts="2024-01-01 10:02:00")],
+    )
+    q2 = start_snapshot_ingest(
+        spark, str(src), root, checkpoint_dir=ckpt, max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    assert snap.current_version() == 3
+    assert snap.read().count() == 8
+    df = snap.read()
+    assert df.filter(df.vehicle_id == "veh00001").count() == 4  # no dupes
+
+
+def test_streaming_snapshot_ingest_with_inline_compaction(spark, tmp_path):
+    """compact_every=2 folds rewrite_data_files into the stream: after 2
+    append commits the 3rd commit is a compaction with identical data."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_snapshot_ingest,
+    )
+    from tests.test_streaming import _gps_record, _write_ndjson
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(4):
+        _write_ndjson(
+            src / f"f{i}.json", [_gps_record(ts=f"2024-01-01 10:00:0{i}")] * 2
+        )
+    root = str(tmp_path / "snap_table")
+    q = start_snapshot_ingest(
+        spark,
+        str(src),
+        root,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        compact_every=2,
+    )
+    q.awaitTermination(120)
+    snap = SnapshotTable(spark, root)
+    ops = [r["op"] for r in snap.history().collect()]
+    assert "compact" in ops, ops
+    assert snap.read().count() == 8
