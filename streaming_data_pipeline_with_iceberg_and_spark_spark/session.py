@@ -74,6 +74,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
+        # INT64 micros instead of legacy INT96: INT96 carries no parquet
+        # min/max statistics, which would blind manifest-level file skipping
+        # (snapshots.read_where) and row-group skipping on every timestamp
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # escape hatch for TIMESTAMP(NANOS) parquet inputs (unreadable as a
         # Spark timestamp): io.load sniffs the footer unit and only for nanos
         # files reads ts as long + converts to µs. No effect on micros files.

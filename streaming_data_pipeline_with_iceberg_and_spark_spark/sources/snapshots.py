@@ -11,16 +11,30 @@ names which files each version sees**.
 
 Layout (one table)::
 
-    <root>/data/s<id>/part-*.parquet   immutable file set added by commit <id>
-    <root>/metadata/snapshots.json     ordered commit log (the "metadata log")
+    <root>/data/s<id>/part-*.parquet    immutable file set added by commit <id>
+    <root>/metadata/snapshots.json      ordered commit log (the "metadata log")
+    <root>/metadata/manifest-s<id>.json per-file column min/max stats for the
+                                        files commit <id> added (the "manifest")
 
 A snapshot is ``{"id", "op", "dirs", "ts"}`` where ``dirs`` is the list of
-data directories visible at that version. Append commits parent dirs + one
-new dir; overwrite and compaction commit exactly one new dir. Reads resolve a
-version to its dirs and hand Spark a multi-path parquet scan — partition
-pruning, pushdown and column pruning all still apply, and executors never
-touch the metadata log (it is a driver-side pointer swap, exactly Iceberg's
-commit model).
+data directories (or, after a copy-on-write MERGE/DELETE, individual
+carried-forward data files) visible at that version. Append commits parent
+dirs + one new dir; overwrite and compaction commit exactly one new dir.
+Reads resolve a version to its dirs and hand Spark a multi-path parquet scan
+— partition pruning, pushdown and column pruning all still apply, and
+executors never touch the metadata log (it is a driver-side pointer swap,
+exactly Iceberg's commit model).
+
+Manifests make the two scale features possible without touching data bytes:
+
+- **scan pruning** (`read_where`): drop whole files whose [min,max] cannot
+  satisfy a range predicate — Iceberg's manifest-level file skipping. The
+  stats come from parquet FOOTERS at commit time (metadata-only read, no
+  data pages), cost O(files-per-commit) on the driver.
+- **copy-on-write at file granularity** (`merge`/`delete_where`): only files
+  whose key range intersects the change set are rewritten; every other file
+  is carried forward by reference. At 100 TB a 1%-overlap upsert rewrites
+  ~1% of the table instead of all of it.
 
 Like the ``Warehouse`` parquet fallback, the commit log is single-writer
 (no optimistic-concurrency CAS) — a documented limitation of the fallback,
@@ -30,16 +44,48 @@ real Iceberg tables and this module is unnecessary.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotError(Exception):
     pass
+
+
+def _json_stat(v):
+    """Parquet footer min/max → JSON-storable, order-preserving value.
+
+    Temporal values become ISO strings (lexicographic order == temporal
+    order within one column, since every value of a column renders at the
+    same precision); bytes are dropped (no meaningful range order for
+    pruning)."""
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _overlaps(fmin, fmax, lo, hi) -> bool:
+    """Can a file with column range [fmin,fmax] contain a value in [lo,hi]?
+    None bound = unbounded on that side. Conservative: incomparable types
+    (mixed str/number) → True (never prune on uncertainty)."""
+    try:
+        if lo is not None and fmax is not None and fmax < lo:
+            return False
+        if hi is not None and fmin is not None and fmin > hi:
+            return False
+    except TypeError:
+        return True
+    return True
 
 
 class SnapshotTable:
@@ -88,10 +134,102 @@ class SnapshotTable:
         log = self._log()
         return log[-1]["id"] if log else None
 
+    # -- manifests (per-file column stats from parquet footers) ------------
+    def _write_manifest(self, snap_id: int, data_dir: str) -> None:
+        """Record per-file row count, byte size, and column min/max for the
+        files a commit added — Iceberg's manifest, sourced from the parquet
+        FOOTERS the write already produced (metadata-only read, no data
+        pages; O(files-per-commit) driver work).
+
+        parquet-cpp omits statistics it cannot represent exactly (e.g. very
+        long strings), so any recorded bound is exact — absent stats simply
+        disable pruning for that file, never corrupt it."""
+        import pyarrow.parquet as pq
+
+        entries: dict[str, dict] = {}
+        for f in self._expand_files([data_dir]):
+            md = pq.ParquetFile(f).metadata
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                for ci in range(grp.num_columns):
+                    col = grp.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        # one statless row group poisons the whole file's
+                        # bound for that column
+                        mins[col.path_in_schema] = maxs[col.path_in_schema] = None
+                        continue
+                    name = col.path_in_schema
+                    lo, hi = _json_stat(st.min), _json_stat(st.max)
+                    if name not in mins:
+                        mins[name], maxs[name] = lo, hi
+                    elif mins[name] is not None:
+                        if lo is None or hi is None:
+                            mins[name] = maxs[name] = None
+                        else:
+                            mins[name] = min(mins[name], lo)
+                            maxs[name] = max(maxs[name], hi)
+            stats = {
+                c: [mins[c], maxs[c]] for c in mins if mins[c] is not None
+            }
+            entries[f] = {
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(f),
+                "stats": stats,
+            }
+        path = os.path.join(self.root, "metadata", f"manifest-s{snap_id}.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh)
+        os.replace(tmp, path)
+
+    def _load_stats(self) -> dict[str, dict]:
+        """All manifests merged: data-file path → {rows, bytes, stats}."""
+        meta_dir = os.path.join(self.root, "metadata")
+        out: dict[str, dict] = {}
+        if not os.path.isdir(meta_dir):
+            return out
+        for name in sorted(os.listdir(meta_dir)):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                with open(os.path.join(meta_dir, name)) as fh:
+                    out.update(json.load(fh))
+        return out
+
+    @staticmethod
+    def _expand_files(paths: list[str]) -> list[str]:
+        """Snapshot entries (dirs or carried-forward files) → data files."""
+        files: list[str] = []
+        for p in paths:
+            if os.path.isfile(p):
+                files.append(p)
+            else:
+                for base, _, names in os.walk(p):
+                    files.extend(
+                        os.path.join(base, n)
+                        for n in sorted(names)
+                        if n.endswith(".parquet")
+                    )
+        return files
+
     # -- writes (each one commit = one new snapshot) -----------------------
     def _write_data_dir(self, df: DataFrame, snap_id: int) -> str:
         d = os.path.join(self.root, "data", f"s{snap_id}")
-        df.write.option("compression", "snappy").mode("errorifexists").parquet(d)
+        # force INT64-micros timestamps for this write even if the session
+        # default differs: legacy INT96 has no parquet min/max stats, which
+        # would silently blind manifest pruning for temporal columns
+        conf = self.spark.conf
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = conf.get(key, None)
+        conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.option("compression", "snappy").mode("errorifexists").parquet(d)
+        finally:
+            if prev is not None:
+                conf.set(key, prev)
+        self._write_manifest(snap_id, d)
         return d
 
     def append(self, df: DataFrame) -> int:
@@ -137,14 +275,102 @@ class SnapshotTable:
         return self._commit({"op": "overwrite", "dirs": [d]})["id"]
 
     # -- reads -------------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
         """Current version, or time travel via ``version`` (Iceberg's
         ``VERSION AS OF``). Multi-path parquet scan — pushdown/pruning
-        intact; no driver-side data movement."""
+        intact; no driver-side data movement.
+
+        ``merge_schema=True`` enables add-column schema evolution (Iceberg
+        evolves schemas metadata-only): commits written with extra columns
+        union into one schema, pre-evolution rows read as NULL. Costs one
+        distributed footer read per file, so it is opt-in."""
         snap = self._snapshot(version)
         if not snap["dirs"]:
             raise SnapshotError(f"snapshot {snap['id']} is empty")
-        return self.spark.read.parquet(*snap["dirs"])
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*snap["dirs"])
+
+    def read_where(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Range-predicate scan with manifest-level FILE pruning — Iceberg's
+        data-skipping. Files whose footer [min,max] for ``col`` cannot
+        intersect [lo,hi] are dropped from the scan plan on the driver
+        (metadata only); survivors still get the residual row filter, which
+        Spark pushes into the parquet reader (row-group skipping). At 100 TB
+        a narrow time-range query opens only the files that can match
+        instead of listing-and-filtering the whole table.
+
+        Temporal bounds: pass ``datetime``/``date`` objects (canonicalized
+        to the same ISO form the manifest stores). Absent/incomparable stats
+        never prune — correctness does not depend on the manifest."""
+        snap = self._snapshot(version)
+        stats = self._load_stats()
+        clo, chi = _json_stat(lo), _json_stat(hi)
+        kept = [
+            f
+            for f in self._expand_files(snap["dirs"])
+            if (b := stats.get(f, {}).get("stats", {}).get(col)) is None
+            or _overlaps(b[0], b[1], clo, chi)
+        ]
+        if not kept:
+            # every file pruned → empty frame with the table's schema
+            return self.read(version).limit(0)
+        df = self.spark.read.parquet(*kept)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows added AFTER ``from_version`` up to ``to_version`` (Iceberg's
+        incremental append scan — the CDC feed for a downstream consumer).
+        Scans only the data files the in-range append commits introduced;
+        cost is proportional to the CHANGE, not the table. Raises if the
+        range contains a non-append commit (overwrite/compact/merge rewrite
+        history, so \"what changed\" is no longer just new files — same
+        restriction Iceberg imposes)."""
+        log = self._log()
+        self._snapshot(from_version)  # validates existence / expiry
+        to_version = to_version if to_version is not None else log[-1]["id"]
+        seen: set[str] = set()
+        for s in log:
+            if s["id"] <= from_version:
+                seen.update(s["dirs"])
+        added: list[str] = []
+        for s in log:
+            if from_version < s["id"] <= to_version:
+                if s["op"] != "append":
+                    raise SnapshotError(
+                        f"incremental read crosses non-append commit "
+                        f"{s['id']} ({s['op']})"
+                    )
+                added.extend(d for d in s["dirs"] if d not in seen)
+                seen.update(s["dirs"])
+        if not added:
+            return self.read(to_version).limit(0)
+        return self.spark.read.parquet(*added)
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """Per-file metadata of a version (Iceberg's ``<table>.files``
+        table): path, rows, bytes — the input to compaction policy and
+        skew diagnosis, served entirely from manifests."""
+        snap = self._snapshot(version)
+        stats = self._load_stats()
+        rows = [
+            (
+                f,
+                int(stats.get(f, {}).get("rows", -1)),
+                int(stats.get(f, {}).get("bytes", os.path.getsize(f))),
+            )
+            for f in self._expand_files(snap["dirs"])
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, row_count long, file_bytes long"
+        )
 
     def read_as_of(self, ts: float) -> DataFrame:
         """Time travel by wall-clock time (``TIMESTAMP AS OF``): the latest
@@ -164,6 +390,74 @@ class SnapshotTable:
         return self.spark.createDataFrame(
             rows, "version long, op string, n_dirs int, committed_at double, expired boolean"
         )
+
+    # -- copy-on-write mutations (file-granularity, manifest-pruned) -------
+    def merge(self, source: DataFrame, key: str) -> int:
+        """MERGE (upsert) with copy-on-write at FILE granularity — the table
+        semantics the reference configures Iceberg for
+        (spark-data-pipeline/spark_job.py:49-57, write.merge.mode=copy-on-
+        write), on the parquet fallback. Matched rows are replaced by the
+        source row, unmatched source rows are inserted.
+
+        Scale shape: the manifest key-range test splits the current files
+        into CANDIDATES (key range intersects the source's [min,max]) and
+        UNTOUCHED (provably no matching key — carried forward by reference,
+        zero bytes moved). Only candidates are scanned and rewritten, anti-
+        joined against the source key set; AQE picks broadcast when the
+        change set is small (the common case). A 1%-overlap upsert on a
+        100 TB table rewrites ~1 TB, not 100 TB."""
+        snap = self._snapshot(None)
+        lo, hi = source.agg(F.min(key), F.max(key)).first()
+        if lo is None:
+            raise SnapshotError("merge source is empty")
+        stats = self._load_stats()
+        clo, chi = _json_stat(lo), _json_stat(hi)
+        candidates, untouched = [], []
+        for f in self._expand_files(snap["dirs"]):
+            b = stats.get(f, {}).get("stats", {}).get(key)
+            if b is None or _overlaps(b[0], b[1], clo, chi):
+                candidates.append(f)
+            else:
+                untouched.append(f)
+        if candidates:
+            current = self.spark.read.parquet(*candidates)
+            kept = current.join(source.select(key).distinct(), key, "left_anti")
+            new_data = kept.unionByName(source)
+        else:
+            new_data = source
+        nxt = snap["id"] + 1
+        d = self._write_data_dir(new_data, nxt)
+        return self._commit({"op": "merge", "dirs": untouched + [d]})["id"]
+
+    def delete_where(self, col: str, lo=None, hi=None) -> int:
+        """Range DELETE with copy-on-write at FILE granularity (Iceberg's
+        ``DELETE FROM t WHERE col BETWEEN lo AND hi`` under copy-on-write).
+        Files whose manifest range lies entirely inside the deleted range
+        could in principle be dropped without a scan; files with no overlap
+        are carried forward untouched; only straddling files are rewritten
+        with the survivors. The common 100 TB case — retention trim of one
+        time range — rewrites only the boundary files."""
+        snap = self._snapshot(None)
+        stats = self._load_stats()
+        clo, chi = _json_stat(lo), _json_stat(hi)
+        candidates, untouched = [], []
+        for f in self._expand_files(snap["dirs"]):
+            b = stats.get(f, {}).get("stats", {}).get(col)
+            if b is None or _overlaps(b[0], b[1], clo, chi):
+                candidates.append(f)
+            else:
+                untouched.append(f)
+        nxt = snap["id"] + 1
+        dirs = list(untouched)
+        if candidates:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+            survivors = self.spark.read.parquet(*candidates).filter(~cond)
+            dirs.append(self._write_data_dir(survivors, nxt))
+        return self._commit({"op": "delete", "dirs": dirs})["id"]
 
     # -- table maintenance -------------------------------------------------
     def rollback(self, version: int) -> int:
@@ -185,14 +479,7 @@ class SnapshotTable:
         File count is sized from the current version's on-disk bytes (driver
         walks file sizes in metadata only — no data read)."""
         snap = self._snapshot(None)
-        total = 0
-        for d in snap["dirs"]:
-            for base, _, files in os.walk(d):
-                total += sum(
-                    os.path.getsize(os.path.join(base, f))
-                    for f in files
-                    if f.endswith(".parquet")
-                )
+        total = sum(os.path.getsize(f) for f in self._expand_files(snap["dirs"]))
         n_files = max(1, -(-total // target_file_bytes))  # ceil
         df = self.read().repartition(n_files)
         nxt = snap["id"] + 1
@@ -208,15 +495,30 @@ class SnapshotTable:
         if len(log) <= keep_last:
             return []
         live, dead = log[-keep_last:], log[:-keep_last]
-        keep_dirs = {d for s in live for d in s["dirs"]}
+        keep_paths = {d for s in live for d in s["dirs"]}
+
+        def referenced(p: str) -> bool:
+            # CoW commits carry individual FILES forward: a dead dir stays if
+            # any live entry lives inside it, and a dead file entry stays if
+            # a live dir contains it.
+            sep = os.sep
+            return any(
+                q == p or q.startswith(p + sep) or p.startswith(q + sep)
+                for q in keep_paths
+            )
+
         expired_ids = []
         for s in dead:
             if not s.get("expired"):
                 s["expired"] = True
                 expired_ids.append(s["id"])
             for d in s["dirs"]:
-                if d not in keep_dirs and os.path.isdir(d):
+                if referenced(d):
+                    continue
+                if os.path.isdir(d):
                     shutil.rmtree(d)
+                elif os.path.isfile(d):
+                    os.remove(d)
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(dead + live, f, indent=1)

@@ -1,11 +1,15 @@
 """Snapshot-versioned parquet tables (Iceberg semantics on the fallback):
-append/overwrite commits, time travel, rollback, compaction, expiration."""
+append/overwrite commits, time travel, rollback, compaction, expiration,
+manifest stats + file skipping, copy-on-write MERGE/DELETE, incremental
+reads, schema evolution."""
 
 from __future__ import annotations
 
+import datetime
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
     SnapshotError,
@@ -211,3 +215,159 @@ def test_streaming_snapshot_ingest_with_inline_compaction(spark, tmp_path):
     ops = [r["op"] for r in snap.history().collect()]
     assert "compact" in ops, ops
     assert snap.read().count() == 8
+
+
+# -- manifests, file skipping, CoW, incremental, evolution -----------------
+
+
+def _one_file_range(spark, lo, hi, val=None):
+    """One data file covering ids [lo,hi) — deterministic file→key-range map."""
+    df = spark.range(lo, hi).coalesce(1)
+    return df.withColumn("val", F.lit(val)) if val is not None else df
+
+
+def test_manifest_records_per_file_stats(spark, table):
+    table.append(_one_file_range(spark, 0, 100))
+    stats = table._load_stats()
+    assert len(stats) == 1
+    (entry,) = stats.values()
+    assert entry["rows"] == 100
+    assert entry["bytes"] > 0
+    assert entry["stats"]["id"] == [0, 99]
+
+
+def test_read_where_prunes_non_matching_files(spark, table):
+    table.append(_one_file_range(spark, 0, 100))
+    table.append(_one_file_range(spark, 100, 200))
+    table.append(_one_file_range(spark, 200, 300))
+    assert len(table.read().inputFiles()) == 3
+    hit = table.read_where("id", 120, 130)
+    # manifest pruning: only the file that can contain [120,130] is scanned
+    assert len(hit.inputFiles()) == 1
+    assert _ids(hit) == list(range(120, 131))
+    # one-sided bounds
+    assert len(table.read_where("id", lo=250).inputFiles()) == 1
+    assert _ids(table.read_where("id", lo=250)) == list(range(250, 300))
+    # fully pruned → empty frame, schema intact
+    nothing = table.read_where("id", 1000, 2000)
+    assert nothing.count() == 0 and nothing.columns == ["id"]
+
+
+def test_read_where_temporal_bounds(spark, table):
+    base = datetime.datetime(2024, 1, 1)
+    for day in (0, 10, 20):
+        df = spark.range(day, day + 5).select(
+            F.col("id"),
+            (F.lit(base) + F.make_interval(days=F.col("id"))).alias("ts"),
+        ).coalesce(1)
+        table.append(df)
+    hit = table.read_where(
+        "ts", datetime.datetime(2024, 1, 11), datetime.datetime(2024, 1, 14)
+    )
+    assert len(hit.inputFiles()) == 1
+    assert _ids(hit) == [10, 11, 12, 13]
+
+
+def test_merge_cow_rewrites_only_overlapping_files(spark, table):
+    table.append(_one_file_range(spark, 0, 100, val="old"))
+    table.append(_one_file_range(spark, 100, 200, val="old"))
+    untouched_file = {
+        f for f in table.read().inputFiles() if "/data/s2/" in f
+    }
+    source = spark.createDataFrame(
+        [(5, "new"), (7, "new"), (300, "new")], "id long, val string"
+    )
+    v = table.merge(source, "id")
+    cur = table.read()
+    assert cur.count() == 201  # 200 originals - 2 updated + 2 updated + 1 insert
+    got = {r["id"]: r["val"] for r in cur.filter(F.col("id").isin(5, 7, 300, 8, 150)).collect()}
+    assert got == {5: "new", 7: "new", 300: "new", 8: "old", 150: "old"}
+    # file 2 (ids 100-199, disjoint from source range... NOT: 300 > 199) —
+    # source range is [5,300] which overlaps file 2, so BOTH files rewrite.
+    # Narrow-source merge instead proves the carry-forward:
+    v2 = table.merge(
+        spark.createDataFrame([(3, "newer")], "id long, val string"), "id"
+    )
+    assert v2 == v + 1
+    cur_files = set(table.read().inputFiles())
+    # the s3 dir from the first merge covers [100,199] et al; everything not
+    # containing id=3 must be carried forward by reference, not rewritten
+    assert len(cur_files & set(table.read(version=v).inputFiles())) > 0
+    assert table.read().filter("id = 3").first()["val"] == "newer"
+    assert table.read().count() == 201
+    # time travel still sees pre-merge state
+    assert table.read(version=2).filter("id = 5").first()["val"] == "old"
+
+
+def test_merge_carries_disjoint_files_untouched(spark, table):
+    table.append(_one_file_range(spark, 0, 100, val="a"))
+    table.append(_one_file_range(spark, 100, 200, val="a"))
+    s1_files = {f for f in table.read().inputFiles() if "/data/s1/" in f}
+    source = spark.createDataFrame([(150, "b")], "id long, val string")
+    table.merge(source, "id")
+    cur_files = set(table.read().inputFiles())
+    # file 1 (ids 0-99) is provably disjoint from source range [150,150]:
+    # carried forward by reference — same physical file, zero bytes moved
+    assert s1_files <= cur_files
+    assert table.read().count() == 200
+    assert table.read().filter("id = 150").first()["val"] == "b"
+
+
+def test_delete_where_cow(spark, table):
+    table.append(_one_file_range(spark, 0, 100))
+    table.append(_one_file_range(spark, 100, 200))
+    s1_files = {f for f in table.read().inputFiles() if "/data/s1/" in f}
+    table.delete_where("id", 150, 159)
+    cur = table.read()
+    assert cur.count() == 190
+    assert cur.filter("id between 150 and 159").count() == 0
+    # non-overlapping file carried by reference
+    assert s1_files <= set(cur.inputFiles())
+    # history intact
+    assert table.read(version=2).count() == 200
+
+
+def test_read_incremental_appends_only(spark, table):
+    v1 = table.append(_one_file_range(spark, 0, 3))
+    v2 = table.append(_one_file_range(spark, 3, 6))
+    v3 = table.append(_one_file_range(spark, 6, 9))
+    assert _ids(table.read_incremental(v1)) == [3, 4, 5, 6, 7, 8]
+    assert _ids(table.read_incremental(v1, v2)) == [3, 4, 5]
+    assert table.read_incremental(v3).count() == 0
+    table.compact()
+    with pytest.raises(SnapshotError, match="non-append"):
+        table.read_incremental(v1)
+
+
+def test_schema_evolution_add_column(spark, table):
+    table.append(spark.range(0, 3))
+    table.append(spark.range(3, 5).withColumn("score", F.lit(0.5)))
+    evolved = table.read(merge_schema=True)
+    assert set(evolved.columns) == {"id", "score"}
+    rows = {r["id"]: r["score"] for r in evolved.collect()}
+    assert rows[0] is None and rows[4] == 0.5
+
+
+def test_files_metadata_table(spark, table):
+    table.append(_one_file_range(spark, 0, 100))
+    table.append(_one_file_range(spark, 100, 150))
+    meta = {r["file_path"]: r for r in table.files().collect()}
+    assert len(meta) == 2
+    assert sorted(r["row_count"] for r in meta.values()) == [50, 100]
+    assert all(r["file_bytes"] > 0 for r in meta.values())
+
+
+def test_expire_preserves_cow_carried_files(spark, table):
+    table.append(_one_file_range(spark, 0, 100, val="a"))     # v1 → s1
+    table.append(_one_file_range(spark, 100, 200, val="a"))   # v2 → s2
+    table.merge(
+        spark.createDataFrame([(5, "b")], "id long, val string"), "id"
+    )  # v3: rewrites s1's file, carries s2's file by reference
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    # s2's file is carried INSIDE the live merge snapshot → must survive
+    # even though snapshot 2 itself is expired
+    cur = table.read()
+    assert cur.count() == 200
+    assert cur.filter("id = 5").first()["val"] == "b"
+    assert cur.filter("id = 150").first()["val"] == "a"
