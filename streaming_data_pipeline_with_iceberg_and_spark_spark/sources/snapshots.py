@@ -486,6 +486,61 @@ class SnapshotTable:
         d = self._write_data_dir(df, nxt)
         return self._commit({"op": "compact", "dirs": [d]})["id"]
 
+    def cluster_by(
+        self,
+        cols: list[str],
+        target_file_bytes: int = 128 * 1024 * 1024,
+        bits: int | None = None,
+    ) -> int:
+        """Z-order clustering rewrite (Iceberg's ``rewrite_data_files``
+        with a zorder sort strategy): range-partition + sort the table by an
+        interleaved-bit space-filling curve over ``cols`` so each output
+        file covers a compact hyper-rectangle of the multi-column space.
+        After clustering, manifest min/max on EVERY clustered column is
+        tight, so ``read_where`` prunes files for predicates on any of them
+        — a plain sort can only do this for its leading column. This is the
+        layout lever for the 100 TB case of "query by time AND by key".
+
+        The z-value is built from JVM-side bit arithmetic (shift/and/or —
+        whole-stage codegen, no UDF): each column is min/max-scaled to a
+        ``bits``-wide integer rank, then ranks are bit-interleaved. Columns
+        must be numeric or timestamp (cast to double for scaling — scaling
+        only affects layout, never values). One 1-row bounds agg + one range
+        shuffle; data bytes are rewritten once, as compaction would."""
+        snap = self._snapshot(None)
+        if not cols:
+            raise SnapshotError("cluster_by needs at least one column")
+        k = len(cols)
+        bits = bits or min(16, 63 // k)
+        total = sum(os.path.getsize(f) for f in self._expand_files(snap["dirs"]))
+        n_files = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.read()
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"lo{i}") for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"hi{i}") for i, c in enumerate(cols)],
+        ).first()
+        top = (1 << bits) - 1
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            lo, hi = bounds[f"lo{j}"], bounds[f"hi{j}"]
+            span = (hi - lo) if (lo is not None and hi is not None and hi > lo) else 1.0
+            rank = ((F.col(c).cast("double") - F.lit(lo or 0.0)) / F.lit(span) * top).cast(
+                "long"
+            )
+            rank = F.coalesce(F.least(F.lit(top), F.greatest(F.lit(0), rank)), F.lit(0))
+            for i in range(bits):
+                bit = F.shiftright(rank, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+        clustered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        nxt = snap["id"] + 1
+        d = self._write_data_dir(clustered, nxt)
+        return self._commit({"op": f"cluster({','.join(cols)})", "dirs": [d]})["id"]
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Expire all but the last ``keep_last`` snapshots and DELETE data
         dirs no live snapshot references (Iceberg's ``expire_snapshots`` —

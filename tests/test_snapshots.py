@@ -371,3 +371,38 @@ def test_expire_preserves_cow_carried_files(spark, table):
     assert cur.count() == 200
     assert cur.filter("id = 5").first()["val"] == "b"
     assert cur.filter("id = 150").first()["val"] == "a"
+
+
+def test_cluster_by_zorder_enables_multicolumn_skipping(spark, table):
+    """A 2-D grid written in shuffled order: before clustering every file
+    spans the whole range of both x and y (no pruning possible); after
+    cluster_by(["x","y"]) each file covers a compact rectangle, so a point
+    predicate on EITHER column prunes most files."""
+    n = 40_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.xxhash64("id") % 200).alias("x"),
+            ((F.xxhash64("id", F.lit(1))) % 200).alias("y"),
+            F.col("id"),
+        )
+        .repartition(4)  # shuffled layout: wide min/max everywhere
+    )
+    table.append(df)
+    pre_files = len(table.read().inputFiles())
+    pre_x = len(table.read_where("x", 7, 7).inputFiles())
+    assert pre_x == pre_files  # unclustered: nothing prunable
+    v = table.cluster_by(["x", "y"], target_file_bytes=64 * 1024)
+    post_files = len(table.read().inputFiles())
+    assert post_files >= 4  # small target → several files
+    hit_x = table.read_where("x", 7, 7)
+    hit_y = table.read_where("y", -13, -13)
+    assert len(hit_x.inputFiles()) < post_files
+    assert len(hit_y.inputFiles()) < post_files
+    # values are untouched by the layout rewrite
+    assert hit_x.count() == table.read(version=1).filter("x = 7").count()
+    assert hit_y.count() == table.read(version=1).filter("y = -13").count()
+    assert table.read(version=v).count() == n
+    # clustering is a rewrite: incremental reads across it must refuse
+    with pytest.raises(SnapshotError, match="non-append"):
+        table.read_incremental(1)
