@@ -88,13 +88,140 @@ def _overlaps(fmin, fmax, lo, hi) -> bool:
     return True
 
 
-class SnapshotTable:
-    """One snapshot-versioned table rooted at ``root``."""
+#: Hidden-partitioning transforms (Iceberg partition spec, table 28-1):
+#: name → (derive_expr(col, arg), map_bound(value, arg) | None if not monotonic)
+def _days_expr(c, _):
+    return F.to_date(F.col(c))
 
-    def __init__(self, spark: SparkSession, root: str):
+
+def _hours_expr(c, _):
+    return F.date_trunc("hour", F.col(c))
+
+
+def _months_expr(c, _):
+    return F.trunc(F.col(c), "month")
+
+
+def _truncate_expr(c, w):
+    return F.substring(F.col(c), 1, w)
+
+
+def _truncate_num_expr(c, w):
+    return (F.floor(F.col(c) / F.lit(w)) * F.lit(w)).cast("long")
+
+
+def _bucket_expr(c, n):
+    # hash the STRING rendering: xxhash64 is type-sensitive, and the point-
+    # lookup side hashes a Python literal — casting both sides to string
+    # guarantees the same bucket for the same logical value
+    return F.pmod(F.xxhash64(F.col(c).cast("string")), F.lit(n))
+
+
+class SnapshotTable:
+    """One snapshot-versioned table rooted at ``root``.
+
+    ``partition_spec`` (persisted in ``metadata/spec.json`` on first write)
+    enables Iceberg-style HIDDEN partitioning: each entry is a transform
+    over a source column —
+
+    - ``("days"|"hours"|"months", col)`` — temporal bucketing
+    - ``("truncate", col, width)`` — string prefix / numeric bin
+    - ``("bucket", col, n)`` — hash bucket (xxhash64 mod n)
+    - ``("identity", col)`` — the raw value
+
+    Writers derive a ``__p_*`` column per transform, range-partition the
+    batch on those columns and sort within partitions, so every data file
+    covers a tight slice of partition-value space; the manifest then records
+    exact per-file bounds for the derived columns. Readers never see the
+    derived columns (``read`` drops ``__p_*``), and ``read_where`` maps a
+    predicate on the SOURCE column into partition space to prune files —
+    the user queries ``ts``, never ``days(ts)``, exactly Iceberg's contract.
+    Unlike Hive-style dir trees this needs no directory explosion and keeps
+    one multi-path scan."""
+
+    def __init__(self, spark: SparkSession, root: str, partition_spec: list[tuple] | None = None):
         self.spark = spark
         self.root = root
         self._meta_path = os.path.join(root, "metadata", "snapshots.json")
+        self._spec_path = os.path.join(root, "metadata", "spec.json")
+        if os.path.exists(self._spec_path):
+            with open(self._spec_path) as f:
+                self.partition_spec = [tuple(t) for t in json.load(f)]
+        else:
+            self.partition_spec = [tuple(t) for t in (partition_spec or [])]
+
+    # -- hidden partitioning ----------------------------------------------
+    def _persist_spec(self) -> None:
+        if self.partition_spec and not os.path.exists(self._spec_path):
+            os.makedirs(os.path.dirname(self._spec_path), exist_ok=True)
+            tmp = self._spec_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump([list(t) for t in self.partition_spec], f)
+            os.replace(tmp, self._spec_path)
+
+    @staticmethod
+    def _pname(t: tuple) -> str:
+        return "__p_" + "_".join(str(x) for x in t)
+
+    def _derive_expr(self, t: tuple, df: DataFrame):
+        kind, col = t[0], t[1]
+        if kind == "identity":
+            return F.col(col)
+        if kind == "days":
+            return _days_expr(col, None)
+        if kind == "hours":
+            return _hours_expr(col, None)
+        if kind == "months":
+            return _months_expr(col, None)
+        if kind == "truncate":
+            is_str = dict(df.dtypes).get(col) == "string"
+            return (_truncate_expr if is_str else _truncate_num_expr)(col, t[2])
+        if kind == "bucket":
+            return _bucket_expr(col, t[2])
+        raise SnapshotError(f"unknown partition transform {t!r}")
+
+    def _apply_layout(self, df: DataFrame, n_files: int | None = None) -> DataFrame:
+        """Derive partition columns and lay the batch out so each output
+        file covers a contiguous slice of partition-value space (range
+        partition + in-file sort → tight manifest bounds)."""
+        if not self.partition_spec:
+            return df
+        self._persist_spec()
+        pnames = []
+        for t in self.partition_spec:
+            name = self._pname(t)
+            df = df.withColumn(name, self._derive_expr(t, df))
+            pnames.append(name)
+        # explicit partition count: an implicit repartitionByRange is AQE-
+        # coalescible, which at small batch sizes folds every partition value
+        # into ONE file and defeats per-file pruning. Range partitioning
+        # never splits one partition value, so empty slots cost nothing.
+        n = n_files or int(self.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        return df.repartitionByRange(n, *pnames).sortWithinPartitions(*pnames)
+
+    @staticmethod
+    def _strip_hidden(df: DataFrame) -> DataFrame:
+        hidden = [c for c in df.columns if c.startswith("__p_")]
+        return df.drop(*hidden) if hidden else df
+
+    def _map_bound(self, t: tuple, v):
+        """Source-column bound → partition-space bound, for MONOTONIC
+        transforms only (bucket is handled separately, equality-only)."""
+        kind = t[0]
+        if v is None:
+            return None
+        if kind == "identity":
+            return v
+        if kind == "days":
+            return v.date() if isinstance(v, _dt.datetime) else v
+        if kind == "hours":
+            return v.replace(minute=0, second=0, microsecond=0)
+        if kind == "months":
+            d = v.date() if isinstance(v, _dt.datetime) else v
+            return d.replace(day=1)
+        if kind == "truncate":
+            return v[: t[2]] if isinstance(v, str) else (v // t[2]) * t[2]
+        return None
 
     # -- metadata log ------------------------------------------------------
     def _log(self) -> list[dict]:
@@ -236,7 +363,7 @@ class SnapshotTable:
         """Append commit: new version sees parent's dirs + this batch's dir."""
         log = self._log()
         nxt = (log[-1]["id"] + 1) if log else 1
-        d = self._write_data_dir(df, nxt)
+        d = self._write_data_dir(self._apply_layout(df), nxt)
         parent_dirs = log[-1]["dirs"] if log else []
         return self._commit({"op": "append", "dirs": parent_dirs + [d]})["id"]
 
@@ -260,7 +387,7 @@ class SnapshotTable:
         referenced = {p for s in log for p in s["dirs"]}
         if os.path.isdir(d) and d not in referenced:  # orphan of a crashed commit
             shutil.rmtree(d)
-        self._write_data_dir(df, nxt)
+        self._write_data_dir(self._apply_layout(df), nxt)
         parent_dirs = log[-1]["dirs"] if log else []
         return self._commit(
             {"op": "append", "dirs": parent_dirs + [d], "batch_id": batch_id}
@@ -271,7 +398,7 @@ class SnapshotTable:
         versions keep their files — time travel to them still works."""
         log = self._log()
         nxt = (log[-1]["id"] + 1) if log else 1
-        d = self._write_data_dir(df, nxt)
+        d = self._write_data_dir(self._apply_layout(df), nxt)
         return self._commit({"op": "overwrite", "dirs": [d]})["id"]
 
     # -- reads -------------------------------------------------------------
@@ -290,7 +417,7 @@ class SnapshotTable:
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*snap["dirs"])
+        return self._strip_hidden(reader.parquet(*snap["dirs"]))
 
     def read_where(
         self, col: str, lo=None, hi=None, version: int | None = None
@@ -308,13 +435,32 @@ class SnapshotTable:
         never prune — correctness does not depend on the manifest."""
         snap = self._snapshot(version)
         stats = self._load_stats()
-        clo, chi = _json_stat(lo), _json_stat(hi)
-        kept = [
-            f
-            for f in self._expand_files(snap["dirs"])
-            if (b := stats.get(f, {}).get("stats", {}).get(col)) is None
-            or _overlaps(b[0], b[1], clo, chi)
-        ]
+        # prune in source-column space, then (hidden partitioning) also in
+        # partition space: a days(ts) spec maps a ts range predicate onto the
+        # derived-day bounds each file's manifest carries; a bucket(col,n)
+        # spec prunes point lookups to the one matching hash bucket
+        checks = [(col, _json_stat(lo), _json_stat(hi))]
+        for t in self.partition_spec:
+            if t[1] != col:
+                continue
+            if t[0] == "bucket":
+                if lo is not None and lo == hi:
+                    b = self.spark.range(1).select(
+                        F.pmod(F.xxhash64(F.lit(lo).cast("string")), F.lit(t[2]))
+                    ).first()[0]
+                    checks.append((self._pname(t), b, b))
+            else:
+                plo, phi = self._map_bound(t, lo), self._map_bound(t, hi)
+                if plo is not None or phi is not None:
+                    checks.append((self._pname(t), _json_stat(plo), _json_stat(phi)))
+        kept = []
+        for f in self._expand_files(snap["dirs"]):
+            fstats = stats.get(f, {}).get("stats", {})
+            if all(
+                (b := fstats.get(c)) is None or _overlaps(b[0], b[1], clo, chi)
+                for c, clo, chi in checks
+            ):
+                kept.append(f)
         if not kept:
             # every file pruned → empty frame with the table's schema
             return self.read(version).limit(0)
@@ -323,7 +469,7 @@ class SnapshotTable:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
-        return df
+        return self._strip_hidden(df)
 
     def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows added AFTER ``from_version`` up to ``to_version`` (Iceberg's
@@ -352,7 +498,7 @@ class SnapshotTable:
                 seen.update(s["dirs"])
         if not added:
             return self.read(to_version).limit(0)
-        return self.spark.read.parquet(*added)
+        return self._strip_hidden(self.spark.read.parquet(*added))
 
     def files(self, version: int | None = None) -> DataFrame:
         """Per-file metadata of a version (Iceberg's ``<table>.files``
@@ -420,13 +566,13 @@ class SnapshotTable:
             else:
                 untouched.append(f)
         if candidates:
-            current = self.spark.read.parquet(*candidates)
+            current = self._strip_hidden(self.spark.read.parquet(*candidates))
             kept = current.join(source.select(key).distinct(), key, "left_anti")
             new_data = kept.unionByName(source)
         else:
             new_data = source
         nxt = snap["id"] + 1
-        d = self._write_data_dir(new_data, nxt)
+        d = self._write_data_dir(self._apply_layout(new_data), nxt)
         return self._commit({"op": "merge", "dirs": untouched + [d]})["id"]
 
     def delete_where(self, col: str, lo=None, hi=None) -> int:
@@ -455,8 +601,10 @@ class SnapshotTable:
                 cond = cond & (F.col(col) >= F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(col) <= F.lit(hi))
-            survivors = self.spark.read.parquet(*candidates).filter(~cond)
-            dirs.append(self._write_data_dir(survivors, nxt))
+            survivors = self._strip_hidden(
+                self.spark.read.parquet(*candidates).filter(~cond)
+            )
+            dirs.append(self._write_data_dir(self._apply_layout(survivors), nxt))
         return self._commit({"op": "delete", "dirs": dirs})["id"]
 
     # -- table maintenance -------------------------------------------------
@@ -481,7 +629,11 @@ class SnapshotTable:
         snap = self._snapshot(None)
         total = sum(os.path.getsize(f) for f in self._expand_files(snap["dirs"]))
         n_files = max(1, -(-total // target_file_bytes))  # ceil
-        df = self.read().repartition(n_files)
+        df = (
+            self._apply_layout(self.read(), n_files=n_files)
+            if self.partition_spec
+            else self.read().repartition(n_files)
+        )
         nxt = snap["id"] + 1
         d = self._write_data_dir(df, nxt)
         return self._commit({"op": "compact", "dirs": [d]})["id"]

@@ -406,3 +406,81 @@ def test_cluster_by_zorder_enables_multicolumn_skipping(spark, table):
     # clustering is a rewrite: incremental reads across it must refuse
     with pytest.raises(SnapshotError, match="non-append"):
         table.read_incremental(1)
+
+
+# -- hidden partitioning ---------------------------------------------------
+
+
+def _events_like(spark, n, start_day=1):
+    base = datetime.datetime(2024, 1, start_day)
+    return spark.range(n).select(
+        F.col("id"),
+        (F.lit(base) + F.make_interval(mins=F.col("id"))).alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+    )
+
+
+def test_hidden_partitioning_days_prunes_and_hides(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), partition_spec=[("days", "ts")]
+    )
+    t.append(_events_like(spark, 5 * 24 * 60))  # 5 days of minutes
+    # derived __p_* columns are HIDDEN from readers
+    assert all(not c.startswith("__p_") for c in t.read().columns)
+    assert t.read().count() == 5 * 24 * 60
+    n_files = len(t.read().inputFiles())
+    assert n_files > 1  # range layout split the days across files
+    hit = t.read_where(
+        "ts",
+        datetime.datetime(2024, 1, 3),
+        datetime.datetime(2024, 1, 3, 23, 59),
+    )
+    assert len(hit.inputFiles()) < n_files  # day-partition pruning worked
+    assert hit.count() == 24 * 60
+    assert all(not c.startswith("__p_") for c in hit.columns)
+
+
+def test_hidden_partitioning_spec_persists(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root, partition_spec=[("days", "ts")])
+    t.append(_events_like(spark, 100))
+    # a fresh handle with NO spec argument picks the persisted spec up
+    t2 = SnapshotTable(spark, root)
+    assert t2.partition_spec == [("days", "ts")]
+    t2.append(_events_like(spark, 50, start_day=20))
+    assert t2.read().count() == 150
+
+
+def test_hidden_partitioning_bucket_point_lookup(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), partition_spec=[("bucket", "id", 8)]
+    )
+    t.append(spark.range(0, 4000).select(F.col("id"), (F.col("id") * 2).alias("v")))
+    n_files = len(t.read().inputFiles())
+    assert n_files > 1
+    hit = t.read_where("id", 1234, 1234)
+    assert len(hit.inputFiles()) < n_files  # bucket pruning
+    assert [r["v"] for r in hit.collect()] == [2468]
+    # range lookups on a bucket spec cannot use the bucket — still correct
+    rng = t.read_where("id", 10, 12)
+    assert sorted(r["id"] for r in rng.collect()) == [10, 11, 12]
+
+
+def test_hidden_partitioning_survives_merge_and_compact(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), partition_spec=[("days", "ts")]
+    )
+    t.append(_events_like(spark, 2 * 24 * 60))
+    t.merge(
+        _events_like(spark, 10).withColumn("user_id", F.lit(99)), "id"
+    )
+    assert t.read().filter("user_id = 99").count() == 10
+    assert all(not c.startswith("__p_") for c in t.read().columns)
+    t.compact(target_file_bytes=32 * 1024)
+    assert t.read().count() == 2 * 24 * 60
+    n_files = len(t.read().inputFiles())
+    hit = t.read_where(
+        "ts", datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 1, 11, 59)
+    )
+    assert hit.count() == 12 * 60
+    assert len(hit.inputFiles()) <= n_files
