@@ -705,7 +705,80 @@ FROM s
 """
 
 
+#: heavy-hitters: Misra-Gries capacity per partition (constant memory) and
+#: candidates emitted per partition (bounds the phase-2 broadcast at
+#: _HH_CAND × num_partitions rows — constants, independent of corpus size)
+_HH_CAP = 4000
+_HH_CAND = 200
+
+
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by exact count via two-phase heavy hitters — the
+    bounded-shuffle alternative to a full-vocabulary word count.
+
+    Phase 1 (candidate generation, mapInPandas): each partition streams its
+    documents once keeping a Misra-Gries-style summary — exact batch counts
+    merged into at most ``_HH_CAP`` counters; on overflow every counter is
+    decremented by the (CAP+1)-th largest (the batched decrement step), so
+    partition memory is CONSTANT and any token with local share > 1/CAP
+    survives. Each partition emits only its top ``_HH_CAND`` candidates:
+    ≤ CAND·P tiny rows cross the wire instead of the whole vocabulary (at
+    100 TB a web-corpus vocab is billions of distinct tokens; the candidate
+    set is a few thousand rows).
+
+    Phase 2 (exact verification): one more scan counts ONLY the broadcast
+    candidate union, so the output is exact, not an estimate — which is
+    what makes this entry oracle-checkable against a plain SQL word count.
+    A true global top-20 token is Zipf-heavy in essentially every
+    partition, far above the 1/CAP survival bar.
+
+    cite: Misra & Gries 1982; SpaceSaving (Metwally et al. 2005) — public
+    literature; candidate+verify composition per common MapReduce practice.
+    """
+    import pandas as pd
+
+    docs = load_spread(spark, "documents", sf_dir)
+
+    def part_candidates(batches):
+        cnt = pd.Series(dtype="int64")
+        for pdf in batches:
+            toks = pdf["text"].str.lower().str.strip().str.split().explode()
+            cnt = cnt.add(toks.value_counts(), fill_value=0)
+            if len(cnt) > _HH_CAP:
+                thresh = cnt.nlargest(_HH_CAP + 1).iloc[-1]
+                cnt = cnt[cnt > thresh] - thresh
+        top = cnt.nlargest(_HH_CAND)
+        yield pd.DataFrame({"token": top.index.astype(str)})
+
+    cands = (
+        docs.select("text")
+        .mapInPandas(part_candidates, "token string")
+        .distinct()
+    )
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TEXT_HEAVY_HITTERS_SQL = """
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM t GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "text_heavy_hitters": text_heavy_hitters,
     "text_rolling_hash": text_rolling_hash,
     "text_within_doc_repetition": text_within_doc_repetition,
     "pii_redact": pii_redact,
@@ -723,6 +796,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "text_within_doc_repetition": TEXT_WITHIN_DOC_REP_SQL,
     "pii_redact": PII_REDACT_SQL,

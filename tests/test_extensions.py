@@ -559,3 +559,19 @@ def test_mixture_interleave_prefix_tracks_weights(spark, sf_dir):
     for seq in per_src.values():
         ranks = [x[0] for x in sorted(seq)]
         assert ranks == list(range(1, len(ranks) + 1)), "prefix must be rank-contiguous"
+
+
+def test_heavy_hitters_candidate_phase_survives_cap_overflow(spark, tmp_path, monkeypatch):
+    """Misra-Gries phase with vocab ≫ CAP: the decrement step must keep
+    true heavy tokens while holding per-partition state at ≤ CAP counters.
+    Corpus: 50k distinct rare tokens + one token on every row."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import textops
+
+    monkeypatch.setattr(textops, "_HH_CAP", 1000)
+    rows = [(i, f"heavy rare{i} rare{i + 50_000}") for i in range(20_000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.text_heavy_hitters(spark, sf_dir).collect()
+    assert out[0]["token"] == "heavy"
+    assert out[0]["n"] == 20_000  # phase 2 makes the count EXACT
