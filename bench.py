@@ -62,6 +62,7 @@ HEADLINE = [
     "agg_histogram_quantiles",
     "events_anomaly_mad",
     "quantize_embeddings_int8",
+    "text_heavy_hitters",
 ]
 
 

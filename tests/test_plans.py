@@ -423,3 +423,33 @@ def test_anomaly_mad_no_cartesian(plan):
     per-group med/mad frames join back as equi-joins — never a cartesian."""
     p = plan("events_anomaly_mad")
     assert "CartesianProduct" not in p, p
+
+
+def test_heavy_hitters_verify_pass_broadcasts_candidates(plan):
+    """Phase 2 must semi-join the exploded token stream against a BROADCAST
+    candidate set (≤ CAND·P rows by construction) — a shuffled join here
+    would move the full vocabulary, the exact cost the operator exists to
+    avoid."""
+    p = plan("text_heavy_hitters")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_snapshot_read_where_pushes_residual_filter(spark, tmp_path):
+    """File skipping happens driver-side from manifests; the survivor scan
+    must STILL push the row-level residual into the parquet reader so
+    row-group skipping stacks on top of file skipping."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.plans import pushed_filters
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 1000).coalesce(1))
+    t.append(spark.range(1000, 2000).coalesce(1))
+    df = t.read_where("id", 1200, 1300)
+    pushed = pushed_filters(df)
+    assert any("id" in p for p in pushed), pushed
+    assert len(df.inputFiles()) == 1  # manifest skipped the other file
