@@ -693,6 +693,13 @@ class SnapshotTable:
         d = self._write_data_dir(clustered, nxt)
         return self._commit({"op": f"cluster({','.join(cols)})", "dirs": [d]})["id"]
 
+    def incremental_feed(
+        self, checkpoint: str, start_version: int | None = None
+    ) -> "SnapshotFeed":
+        """A checkpointed incremental consumer over this table — Iceberg's
+        stream-from-table. See :class:`SnapshotFeed`."""
+        return SnapshotFeed(self, checkpoint, start_version)
+
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
         """Expire all but the last ``keep_last`` snapshots and DELETE data
         dirs no live snapshot references (Iceberg's ``expire_snapshots`` —
@@ -731,3 +738,57 @@ class SnapshotTable:
             json.dump(dead + live, f, indent=1)
         os.replace(tmp, self._meta_path)
         return expired_ids
+
+
+class SnapshotFeed:
+    """Checkpointed incremental consumer over a :class:`SnapshotTable` —
+    the downstream half of the CDC story (Iceberg's Spark streaming read of
+    a table). Each ``poll()`` hands back exactly the rows appended since the
+    consumer's cursor; ``commit()`` durably advances the cursor AFTER the
+    consumer has processed the batch, so a crash between poll and commit
+    replays the same delta on restart (at-least-once; the consumer makes it
+    exactly-once by keying its own sink on the version, the same discipline
+    ``append_batch`` applies upstream).
+
+    Per-poll cost is proportional to the CHANGE (only the new commits'
+    files are scanned), never the table. A non-append commit in the gap
+    (overwrite/compact/merge) raises — the consumer must re-bootstrap from
+    a full ``read()``, exactly Iceberg's streaming-read contract."""
+
+    def __init__(self, table: SnapshotTable, checkpoint: str, start_version: int | None = None):
+        self.table = table
+        self.checkpoint = checkpoint
+        if os.path.exists(checkpoint):
+            with open(checkpoint) as f:
+                self.cursor = json.load(f)["version"]
+        else:
+            self.cursor = (
+                start_version
+                if start_version is not None
+                else (table.current_version() or 0)
+            )
+            self._persist()
+
+    def _persist(self) -> None:
+        os.makedirs(os.path.dirname(self.checkpoint) or ".", exist_ok=True)
+        tmp = self.checkpoint + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": self.cursor}, f)
+        os.replace(tmp, self.checkpoint)
+
+    def poll(self) -> tuple[DataFrame, int] | None:
+        """(delta rows, target version) since the cursor, or None if the
+        table has not advanced. Does NOT move the cursor — call
+        ``commit(version)`` once the batch is durably processed."""
+        cur = self.table.current_version()
+        if cur is None or cur <= self.cursor:
+            return None
+        if self.cursor == 0:
+            # bootstrap: first poll of a from-the-beginning feed is the
+            # whole table at the current version
+            return self.table.read(cur), cur
+        return self.table.read_incremental(self.cursor, cur), cur
+
+    def commit(self, version: int) -> None:
+        self.cursor = version
+        self._persist()

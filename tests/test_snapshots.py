@@ -484,3 +484,43 @@ def test_hidden_partitioning_survives_merge_and_compact(spark, tmp_path):
     )
     assert hit.count() == 12 * 60
     assert len(hit.inputFiles()) <= n_files
+
+
+def test_incremental_feed_polls_only_deltas_and_survives_restart(spark, table, tmp_path):
+    ckpt = str(tmp_path / "feed.json")
+    table.append(_one_file_range(spark, 0, 3))
+    feed = table.incremental_feed(ckpt)  # cursor = current (v1)
+    assert feed.poll() is None  # nothing new yet
+    table.append(_one_file_range(spark, 3, 6))
+    delta, v = feed.poll()
+    assert _ids(delta) == [3, 4, 5] and v == 2
+    # crash BEFORE commit: a fresh consumer replays the same delta
+    feed2 = table.incremental_feed(ckpt)
+    delta2, v2 = feed2.poll()
+    assert _ids(delta2) == [3, 4, 5] and v2 == 2
+    feed2.commit(v2)
+    # post-commit: cursor durably advanced, nothing to poll
+    feed3 = table.incremental_feed(ckpt)
+    assert feed3.poll() is None
+    table.append(_one_file_range(spark, 6, 8))
+    d3, v3 = feed3.poll()
+    assert _ids(d3) == [6, 7] and v3 == 3
+
+
+def test_incremental_feed_bootstrap_from_beginning(spark, table, tmp_path):
+    table.append(_one_file_range(spark, 0, 4))
+    table.append(_one_file_range(spark, 4, 6))
+    feed = table.incremental_feed(str(tmp_path / "f.json"), start_version=0)
+    delta, v = feed.poll()
+    assert _ids(delta) == [0, 1, 2, 3, 4, 5] and v == 2  # full table once
+    feed.commit(v)
+    assert feed.poll() is None
+
+
+def test_incremental_feed_refuses_rewritten_history(spark, table, tmp_path):
+    table.append(_one_file_range(spark, 0, 3))
+    feed = table.incremental_feed(str(tmp_path / "f.json"))
+    table.append(_one_file_range(spark, 3, 5))
+    table.compact()
+    with pytest.raises(SnapshotError, match="non-append"):
+        feed.poll()
