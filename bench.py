@@ -109,9 +109,15 @@ def main() -> int:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         cold += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of two warm runs: single-run numbers on a shared box swing
+        # 2-3× on sub-second queries from GC/scheduler noise; the minimum
+        # is the standard steady-state estimator for a fixed plan
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
