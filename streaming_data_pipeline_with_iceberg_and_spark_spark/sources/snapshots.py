@@ -36,14 +36,21 @@ Manifests make the two scale features possible without touching data bytes:
   is carried forward by reference. At 100 TB a 1%-overlap upsert rewrites
   ~1% of the table instead of all of it.
 
-Like the ``Warehouse`` parquet fallback, the commit log is single-writer
-(no optimistic-concurrency CAS) — a documented limitation of the fallback,
-not the design; with the Iceberg jar present ``Warehouse`` already routes to
-real Iceberg tables and this module is unnecessary.
+Commits use Iceberg's optimistic-concurrency protocol: data files are
+written outside any lock, then the metadata swap happens under a short
+exclusive lock (O_CREAT|O_EXCL lock file) — append-shaped commits union
+their files with whatever parent is current, rewrite-shaped commits
+(merge/delete/compact/cluster) validate they still sit on the version they
+read and raise :class:`SnapshotConflict` to be retried otherwise. The
+streaming path (``append_batch``) remains one-writer-per-checkpoint by
+construction, as a checkpointed stream is. With the Iceberg jar present
+``Warehouse`` already routes to real Iceberg tables and this module is
+unnecessary.
 """
 
 from __future__ import annotations
 
+import contextlib
 import datetime as _dt
 import json
 import os
@@ -56,6 +63,13 @@ from pyspark.sql import functions as F
 
 class SnapshotError(Exception):
     pass
+
+
+class SnapshotConflict(SnapshotError):
+    """A rewrite-shaped commit (merge/delete/compact/cluster) raced a
+    concurrent commit: the table moved past the version the rewrite read.
+    Re-read and retry — committing anyway would silently drop the rows the
+    concurrent commit added to the rewritten files."""
 
 
 def _json_stat(v):
@@ -230,19 +244,77 @@ class SnapshotTable:
         with open(self._meta_path) as f:
             return json.load(f)
 
-    def _commit(self, entry: dict) -> dict:
-        """Append one snapshot to the log (write-new + atomic rename, so a
-        crashed commit leaves the previous log intact — a torn write can
-        never corrupt published versions)."""
-        log = self._log()
-        entry["id"] = (log[-1]["id"] + 1) if log else 1
-        entry["ts"] = time.time()
-        os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(log + [entry], f, indent=1)
-        os.replace(tmp, self._meta_path)
-        return entry
+    @contextlib.contextmanager
+    def _locked(self, timeout: float = 10.0):
+        """Exclusive commit lock via O_CREAT|O_EXCL (atomic on POSIX and on
+        the object-store gateways that emulate it). Held only for the
+        metadata read-validate-swap — data writes happen OUTSIDE the lock,
+        so contention cost is microseconds per commit regardless of batch
+        size. A lock older than 60 s is presumed orphaned by a dead writer
+        and broken (commits are metadata-only; no live holder keeps it
+        that long)."""
+        lock = self._meta_path + ".lock"
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between probe and stat
+                if time.time() > deadline:
+                    raise SnapshotError(f"commit lock timeout at {lock}")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            os.remove(lock)
+
+    def _commit(
+        self,
+        entry: dict,
+        new_dirs: list[str] | None = None,
+        expected_parent: int | None = None,
+    ) -> dict:
+        """Optimistic-concurrency commit (Iceberg's protocol): the log is
+        re-read UNDER an exclusive lock, validated, and swapped atomically
+        (write-new + rename — a torn write can never corrupt published
+        versions).
+
+        ``new_dirs`` marks an APPEND-shaped commit: the visible file set is
+        recomputed under the lock as current-parent + new_dirs, so two
+        concurrent appenders serialize and neither loses the other's files.
+        ``expected_parent`` marks a REWRITE-shaped commit (merge/delete/
+        compact/cluster): it must land on exactly the version it read, or
+        it raises :class:`SnapshotConflict` for the caller to retry against
+        fresh state — silently committing would drop rows a concurrent
+        append added to the rewritten files."""
+        with self._locked():
+            log = self._log()
+            if expected_parent is not None:
+                current = log[-1]["id"] if log else 0
+                if current != expected_parent:
+                    raise SnapshotConflict(
+                        f"commit based on version {expected_parent} but table "
+                        f"is now at {current}; re-read and retry"
+                    )
+            if new_dirs is not None:
+                parent_dirs = log[-1]["dirs"] if log else []
+                entry["dirs"] = parent_dirs + new_dirs
+            entry["id"] = (log[-1]["id"] + 1) if log else 1
+            entry["ts"] = time.time()
+            os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(log + [entry], f, indent=1)
+            os.replace(tmp, self._meta_path)
+            return entry
 
     def _snapshot(self, version: int | None) -> dict:
         log = self._log()
@@ -262,7 +334,7 @@ class SnapshotTable:
         return log[-1]["id"] if log else None
 
     # -- manifests (per-file column stats from parquet footers) ------------
-    def _write_manifest(self, snap_id: int, data_dir: str) -> None:
+    def _write_manifest_for(self, data_dir: str) -> None:
         """Record per-file row count, byte size, and column min/max for the
         files a commit added — Iceberg's manifest, sourced from the parquet
         FOOTERS the write already produced (metadata-only read, no data
@@ -306,7 +378,9 @@ class SnapshotTable:
                 "bytes": os.path.getsize(f),
                 "stats": stats,
             }
-        path = os.path.join(self.root, "metadata", f"manifest-s{snap_id}.json")
+        path = os.path.join(
+            self.root, "metadata", f"manifest-{os.path.basename(data_dir)}.json"
+        )
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
@@ -343,7 +417,12 @@ class SnapshotTable:
 
     # -- writes (each one commit = one new snapshot) -----------------------
     def _write_data_dir(self, df: DataFrame, snap_id: int) -> str:
-        d = os.path.join(self.root, "data", f"s{snap_id}")
+        """Deterministically-named write — the streaming path
+        (``append_batch``), whose orphan-recovery logic depends on
+        predicting the next dir name. Single-writer by construction."""
+        return self._write_dir_at(df, os.path.join(self.root, "data", f"s{snap_id}"))
+
+    def _write_dir_at(self, df: DataFrame, d: str) -> str:
         # force INT64-micros timestamps for this write even if the session
         # default differs: legacy INT96 has no parquet min/max stats, which
         # would silently blind manifest pruning for temporal columns
@@ -356,16 +435,31 @@ class SnapshotTable:
         finally:
             if prev is not None:
                 conf.set(key, prev)
-        self._write_manifest(snap_id, d)
+        self._write_manifest_for(d)
         return d
 
-    def append(self, df: DataFrame) -> int:
-        """Append commit: new version sees parent's dirs + this batch's dir."""
+    def _write_new_dir(self, df: DataFrame) -> str:
+        """Write one immutable data dir under a COLLISION-FREE unique name
+        (sequence hint + random token). Dir names are opaque labels — the
+        log, not the name, defines visibility — so concurrent writers can
+        never interleave files into one directory (errorifexists alone
+        cannot guarantee that: its existence check races). A writer that
+        dies between data write and commit leaves an orphan dir, invisible
+        to every reader — the same orphan-file story Iceberg has."""
+        import uuid
+
         log = self._log()
         nxt = (log[-1]["id"] + 1) if log else 1
-        d = self._write_data_dir(self._apply_layout(df), nxt)
-        parent_dirs = log[-1]["dirs"] if log else []
-        return self._commit({"op": "append", "dirs": parent_dirs + [d]})["id"]
+        d = os.path.join(self.root, "data", f"s{nxt}-{uuid.uuid4().hex[:8]}")
+        return self._write_dir_at(df, d)
+
+    def append(self, df: DataFrame) -> int:
+        """Append commit: new version sees parent's dirs + this batch's
+        dir. Safe under concurrent appenders: the data dir is written
+        outside the commit lock, and the visible-set union happens under it
+        (see _commit), so no writer can overwrite another's files."""
+        d = self._write_new_dir(self._apply_layout(df))
+        return self._commit({"op": "append"}, new_dirs=[d])["id"]
 
     def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
         """Idempotent streaming append: one snapshot per micro-batch, keyed
@@ -571,9 +665,11 @@ class SnapshotTable:
             new_data = kept.unionByName(source)
         else:
             new_data = source
-        nxt = snap["id"] + 1
-        d = self._write_data_dir(self._apply_layout(new_data), nxt)
-        return self._commit({"op": "merge", "dirs": untouched + [d]})["id"]
+        d = self._write_new_dir(self._apply_layout(new_data))
+        return self._commit(
+            {"op": "merge", "dirs": untouched + [d]},
+            expected_parent=snap["id"],
+        )["id"]
 
     def delete_where(self, col: str, lo=None, hi=None) -> int:
         """Range DELETE with copy-on-write at FILE granularity (Iceberg's
@@ -593,7 +689,6 @@ class SnapshotTable:
                 candidates.append(f)
             else:
                 untouched.append(f)
-        nxt = snap["id"] + 1
         dirs = list(untouched)
         if candidates:
             cond = F.lit(True)
@@ -604,8 +699,10 @@ class SnapshotTable:
             survivors = self._strip_hidden(
                 self.spark.read.parquet(*candidates).filter(~cond)
             )
-            dirs.append(self._write_data_dir(self._apply_layout(survivors), nxt))
-        return self._commit({"op": "delete", "dirs": dirs})["id"]
+            dirs.append(self._write_new_dir(self._apply_layout(survivors)))
+        return self._commit(
+            {"op": "delete", "dirs": dirs}, expected_parent=snap["id"]
+        )["id"]
 
     # -- table maintenance -------------------------------------------------
     def rollback(self, version: int) -> int:
@@ -634,9 +731,10 @@ class SnapshotTable:
             if self.partition_spec
             else self.read().repartition(n_files)
         )
-        nxt = snap["id"] + 1
-        d = self._write_data_dir(df, nxt)
-        return self._commit({"op": "compact", "dirs": [d]})["id"]
+        d = self._write_new_dir(df)
+        return self._commit(
+            {"op": "compact", "dirs": [d]}, expected_parent=snap["id"]
+        )["id"]
 
     def cluster_by(
         self,
@@ -689,9 +787,11 @@ class SnapshotTable:
             .sortWithinPartitions("__z")
             .drop("__z")
         )
-        nxt = snap["id"] + 1
-        d = self._write_data_dir(clustered, nxt)
-        return self._commit({"op": f"cluster({','.join(cols)})", "dirs": [d]})["id"]
+        d = self._write_new_dir(clustered)
+        return self._commit(
+            {"op": f"cluster({','.join(cols)})", "dirs": [d]},
+            expected_parent=snap["id"],
+        )["id"]
 
     def incremental_feed(
         self, checkpoint: str, start_version: int | None = None
