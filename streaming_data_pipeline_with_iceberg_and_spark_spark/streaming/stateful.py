@@ -193,3 +193,89 @@ def running_vehicle_stats(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --- streaming heavy hitters (sharded Misra-Gries state) ------------------
+
+#: constant per-shard state bound and per-batch emission size
+HH_CAP = 1000
+HH_EMIT = 20
+
+HH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+    ]
+)
+
+#: MG summary as parallel arrays — the whole shard state is ≤ HH_CAP entries
+HH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("toks", T.ArrayType(T.StringType())),
+        T.StructField("cnts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _update_heavy_hitters(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold one shard's micro-batch tokens into its Misra-Gries summary
+    (exact batch counts merged, then the batched decrement on overflow) and
+    emit the shard's current top ``HH_EMIT``. State never exceeds
+    ``HH_CAP`` counters regardless of stream length or vocabulary."""
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        return
+    if state.exists:
+        toks, cnts = state.get
+        cnt = pd.Series(list(cnts), index=list(toks), dtype="int64")
+    else:
+        cnt = pd.Series(dtype="int64")
+    for pdf in batches:
+        cnt = cnt.add(pdf["token"].value_counts(), fill_value=0)
+        if len(cnt) > HH_CAP:
+            thresh = cnt.nlargest(HH_CAP + 1).iloc[-1]
+            cnt = cnt[cnt > thresh] - thresh
+    cnt = cnt.astype("int64")
+    state.update((list(cnt.index.astype(str)), [int(v) for v in cnt.values]))
+    top = cnt.nlargest(HH_EMIT)
+    yield pd.DataFrame(
+        {
+            "shard": [int(key[0])] * len(top),
+            "token": top.index.astype(str),
+            "est_count": top.values.astype("int64"),
+        }
+    )
+
+
+def streaming_heavy_hitters(tokens_stream: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Continuously-maintained top tokens over an unbounded stream — the
+    streaming twin of ``operators.textops.text_heavy_hitters``. Tokens are
+    sharded by hash (a token always lands on the same shard, so per-token
+    counts never split); each shard folds its share of every micro-batch
+    into a constant-size Misra-Gries summary held in keyed state and emits
+    its current top list. The global view is the union of ≤ 16·HH_EMIT tiny
+    rows per batch; total state is n_shards · HH_CAP counters — CONSTANT in
+    stream length and vocabulary, which is what makes this runnable forever
+    on an unbounded feed where exact streaming word count would grow state
+    without bound.
+
+    ``tokens_stream`` needs one ``token`` string column."""
+    from pyspark.sql import functions as F
+
+    return (
+        tokens_stream.withColumn(
+            "shard", F.pmod(F.xxhash64("token"), F.lit(n_shards)).cast("int")
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _update_heavy_hitters,
+            outputStructType=HH_OUT_SCHEMA,
+            stateStructType=HH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -592,3 +592,59 @@ def test_rate_source_keyed_feeder(spark):
         assert len(keys) <= 20
     finally:
         q.stop()
+
+
+def test_streaming_heavy_hitters_maintains_topk_across_batches(spark, tmp_path):
+    """Sharded MG state: counts accumulate ACROSS micro-batches (a token
+    heavy only in aggregate must surface), state stays bounded, and the
+    latest emission's estimates equal exact counts when under capacity."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    # batch 1: 'alpha' x30, noise; batch 2: 'alpha' x5, 'beta' x40
+    with open(d / "b1.json", "w") as f:
+        for line in (["alpha"] * 30 + [f"n{i}" for i in range(20)]):
+            f.write(_json.dumps({"token": line}) + "\n")
+    stream = spark.readStream.schema("token string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(d))
+    out = streaming_heavy_hitters(stream, n_shards=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    with open(d / "b2.json", "w") as f:
+        for line in (["alpha"] * 5 + ["beta"] * 40):
+            f.write(_json.dumps({"token": line}) + "\n")
+    q2 = (
+        streaming_heavy_hitters(
+            spark.readStream.schema("token string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d)),
+            n_shards=4,
+        )
+        .writeStream.format("memory")
+        .queryName("hh_test2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql(
+        "select token, max(est_count) as est from hh_test2 group by token"
+    ).collect()
+    est = {r["token"]: r["est"] for r in rows}
+    # cross-batch accumulation: alpha = 30 + 5, beta = 40 (single shard each,
+    # under capacity → MG estimates are exact)
+    assert est["alpha"] == 35
+    assert est["beta"] == 40
