@@ -487,13 +487,24 @@ class SnapshotTable:
             {"op": "append", "dirs": parent_dirs + [d], "batch_id": batch_id}
         )["id"]
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, batch_id=None) -> int | None:
         """Overwrite commit: new version sees only this batch's dir. Old
-        versions keep their files — time travel to them still works."""
-        log = self._log()
-        nxt = (log[-1]["id"] + 1) if log else 1
-        d = self._write_data_dir(self._apply_layout(df), nxt)
-        return self._commit({"op": "overwrite", "dirs": [d]})["id"]
+        versions keep their files — time travel to them still works.
+
+        ``batch_id`` (any JSON value) makes the overwrite REPLAY-SAFE the
+        same way ``append_batch`` is: a commit whose batch_id already
+        appears in the log is skipped (returns None) — the idempotence key
+        an exactly-once consumer needs when it crashes between writing a
+        derived table and advancing its cursor."""
+        if batch_id is not None and any(
+            sn.get("batch_id") == batch_id for sn in self._log()
+        ):
+            return None
+        d = self._write_new_dir(self._apply_layout(df))
+        entry = {"op": "overwrite", "dirs": [d]}
+        if batch_id is not None:
+            entry["batch_id"] = batch_id
+        return self._commit(entry)["id"]
 
     # -- reads -------------------------------------------------------------
     def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
@@ -892,3 +903,75 @@ class SnapshotFeed:
     def commit(self, version: int) -> None:
         self.cursor = version
         self._persist()
+
+
+def remove_orphans(table: SnapshotTable, grace_seconds: float = 3600.0) -> list[str]:
+    """Delete data dirs referenced by NO snapshot in the log — the debris of
+    writers that died between data write and commit (Iceberg's
+    ``remove_orphan_files``). A grace period protects dirs an IN-FLIGHT
+    writer has written but not yet committed: only dirs older than
+    ``grace_seconds`` are eligible, so cleanup can run concurrently with
+    writers. Metadata-only: reads the log and stats dirs, never data."""
+    data_root = os.path.join(table.root, "data")
+    if not os.path.isdir(data_root):
+        return []
+    referenced: set[str] = set()
+    for s in table._log():
+        for p in s["dirs"]:
+            referenced.add(p)
+            # a carried-forward FILE keeps its containing commit dir alive
+            if p.endswith(".parquet"):
+                referenced.add(os.path.dirname(p))
+    removed = []
+    now = time.time()
+    for name in sorted(os.listdir(data_root)):
+        d = os.path.join(data_root, name)
+        if not os.path.isdir(d):
+            continue
+        if any(q == d or q.startswith(d + os.sep) for q in referenced):
+            continue
+        if now - os.path.getmtime(d) < grace_seconds:
+            continue
+        shutil.rmtree(d)
+        removed.append(d)
+    return removed
+
+
+def maintain_additive_rollup(
+    feed: "SnapshotFeed",
+    target: SnapshotTable,
+    keys: list[str],
+    sums: list[str],
+) -> int | None:
+    """One maintenance cycle of a table-to-table incremental aggregate:
+    poll the source feed for appended rows, fold their PARTIAL sums into
+    the rollup, commit the new rollup version keyed by the source version,
+    then advance the feed cursor. Returns the source version processed, or
+    None if the source has not advanced.
+
+    Exactly-once without distributed transactions: the rollup commit's
+    ``batch_id`` is the source version, so a crash between the rollup
+    commit and the cursor advance replays the same delta, the replay's
+    commit is skipped as a duplicate, and only the cursor moves — the same
+    idempotence discipline the streaming ingest applies, now spanning two
+    snapshot tables. Each cycle aggregates ONLY the delta (grouped sums are
+    additive), then folds it into the current rollup — at scale the fold
+    re-aggregates rollup+partial, whose size is bounded by group
+    cardinality, never by source row count."""
+    polled = feed.poll()
+    if polled is None:
+        return None
+    delta, v = polled
+    partial = delta.groupBy(*keys).agg(*[F.sum(c).alias(c) for c in sums])
+    if target.current_version() is None:
+        new_rollup = partial
+    else:
+        new_rollup = (
+            target.read()
+            .unionByName(partial)
+            .groupBy(*keys)
+            .agg(*[F.sum(c).alias(c) for c in sums])
+        )
+    target.overwrite(new_rollup, batch_id=f"src-v{v}")
+    feed.commit(v)
+    return v

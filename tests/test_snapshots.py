@@ -587,3 +587,80 @@ def test_stale_commit_lock_is_broken(spark, table):
     os.utime(lock, (old, old))
     assert table.append(spark.range(0, 3)) == 1  # broke the stale lock
     assert not os.path.exists(lock)
+
+
+def test_remove_orphans_reclaims_uncommitted_dirs(spark, table, tmp_path):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        remove_orphans,
+    )
+
+    table.append(_one_file_range(spark, 0, 10))
+    # debris of a writer that died before its commit
+    orphan = os.path.join(table.root, "data", "s9-deadbeef")
+    spark.range(5).coalesce(1).write.parquet(orphan)
+    # fresh orphan is protected by the grace period (could be in-flight)
+    assert remove_orphans(table, grace_seconds=3600) == []
+    assert os.path.isdir(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = remove_orphans(table, grace_seconds=3600)
+    assert removed == [orphan]
+    assert not os.path.isdir(orphan)
+    # committed data untouched
+    assert _ids(table.read()) == list(range(10))
+
+
+def test_remove_orphans_keeps_dirs_with_carried_files(spark, table):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        remove_orphans,
+    )
+
+    table.append(_one_file_range(spark, 0, 100, val="a"))
+    table.append(_one_file_range(spark, 100, 200, val="a"))
+    table.merge(
+        spark.createDataFrame([(5, "b")], "id long, val string"), "id"
+    )
+    table.expire_snapshots(keep_last=1)
+    # age every data dir past the grace period: only true orphans may go
+    for name in os.listdir(os.path.join(table.root, "data")):
+        d = os.path.join(table.root, "data", name)
+        old = time.time() - 7200
+        os.utime(d, (old, old))
+    remove_orphans(table, grace_seconds=3600)
+    # the carried s2 file (inside an expired snapshot's dir) must survive
+    assert table.read().count() == 200
+    assert table.read().filter("id = 150").first()["val"] == "a"
+
+
+def test_maintain_additive_rollup_incremental_and_replay_safe(spark, table, tmp_path):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+        maintain_additive_rollup,
+    )
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+        )
+
+    rollup = SnapshotTable(spark, str(tmp_path / "rollup"))
+    table.append(batch(0, 50))
+    feed = table.incremental_feed(str(tmp_path / "cur.json"), start_version=0)
+    assert maintain_additive_rollup(feed, rollup, ["k"], ["v"]) == 1
+    table.append(batch(50, 80))
+    assert maintain_additive_rollup(feed, rollup, ["k"], ["v"]) == 2
+    # rollup == full recompute over all source rows
+    want = {
+        r["k"]: r["v"]
+        for r in batch(0, 80).groupBy("k").agg(F.sum("v").alias("v")).collect()
+    }
+    got = {r["k"]: r["v"] for r in rollup.read().collect()}
+    assert got == want
+    # crash between rollup commit and cursor advance: rewind the cursor and
+    # re-run — the duplicate commit must be skipped, sums unchanged
+    feed.commit(1)
+    assert maintain_additive_rollup(feed, rollup, ["k"], ["v"]) == 2
+    got2 = {r["k"]: r["v"] for r in rollup.read().collect()}
+    assert got2 == want
+    # nothing new → no-op
+    assert maintain_additive_rollup(feed, rollup, ["k"], ["v"]) is None
