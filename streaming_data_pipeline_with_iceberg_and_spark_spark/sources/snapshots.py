@@ -307,6 +307,12 @@ class SnapshotTable:
             if new_dirs is not None:
                 parent_dirs = log[-1]["dirs"] if log else []
                 entry["dirs"] = parent_dirs + new_dirs
+                pdel = log[-1].get("deletes") if log else None
+                if pdel:
+                    # merge-on-read deletes stay pending until a rewrite
+                    # materializes them; their applies_to scopes exclude
+                    # the newly appended dirs
+                    entry["deletes"] = pdel
             entry["id"] = (log[-1]["id"] + 1) if log else 1
             entry["ts"] = time.time()
             os.makedirs(os.path.dirname(self._meta_path), exist_ok=True)
@@ -483,9 +489,11 @@ class SnapshotTable:
             shutil.rmtree(d)
         self._write_data_dir(self._apply_layout(df), nxt)
         parent_dirs = log[-1]["dirs"] if log else []
-        return self._commit(
-            {"op": "append", "dirs": parent_dirs + [d], "batch_id": batch_id}
-        )["id"]
+        entry = {"op": "append", "dirs": parent_dirs + [d], "batch_id": batch_id}
+        pdel = log[-1].get("deletes") if log else None
+        if pdel:
+            entry["deletes"] = pdel
+        return self._commit(entry)["id"]
 
     def overwrite(self, df: DataFrame, batch_id=None) -> int | None:
         """Overwrite commit: new version sees only this batch's dir. Old
@@ -506,6 +514,59 @@ class SnapshotTable:
             entry["batch_id"] = batch_id
         return self._commit(entry)["id"]
 
+    # -- merge-on-read deletes --------------------------------------------
+    @staticmethod
+    def _delete_applies(path: str, dl: dict) -> bool:
+        """A delete applies to the files VISIBLE when it committed
+        (``applies_to``) — rows appended later are unaffected, Iceberg v2's
+        sequence-number semantics. A carried-forward file inherits its
+        origin dir's deletes by prefix."""
+        sep = os.sep
+        return any(path == q or path.startswith(q + sep) for q in dl["applies_to"])
+
+    def _apply_one_delete(self, df: DataFrame, dl: dict) -> DataFrame:
+        if dl["type"] == "pred":
+            cond = F.lit(True)
+            if dl["lo"] is not None:
+                cond = cond & (F.col(dl["col"]) >= F.lit(dl["lo"]))
+            if dl["hi"] is not None:
+                cond = cond & (F.col(dl["col"]) <= F.lit(dl["hi"]))
+            return df.filter(~cond)
+        keys = self.spark.read.parquet(dl["path"]).select(dl["col"]).distinct()
+        return df.join(keys, dl["col"], "left_anti")
+
+    def _union_with_deletes(
+        self, paths: list[str], deletes: list[dict], merge_schema: bool = False
+    ) -> DataFrame:
+        """Multi-path scan with merge-on-read deletes applied per scope:
+        paths sharing the same applicable-delete subset scan together, the
+        predicate deletes stay pushdown-able filters, equality deletes are
+        one anti-join against a small delete file. Un-deleted paths scan
+        with zero overhead."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        if not deletes:
+            return reader.parquet(*paths)
+        from collections import defaultdict
+
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for pth in paths:
+            key = tuple(
+                i for i, dl in enumerate(deletes) if self._delete_applies(pth, dl)
+            )
+            groups[key].append(pth)
+        parts = []
+        for key, ps in groups.items():
+            df = reader.parquet(*ps)
+            for i in key:
+                df = self._apply_one_delete(df, deletes[i])
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df, allowMissingColumns=merge_schema)
+        return out
+
     # -- reads -------------------------------------------------------------
     def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
         """Current version, or time travel via ``version`` (Iceberg's
@@ -519,10 +580,11 @@ class SnapshotTable:
         snap = self._snapshot(version)
         if not snap["dirs"]:
             raise SnapshotError(f"snapshot {snap['id']} is empty")
-        reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return self._strip_hidden(reader.parquet(*snap["dirs"]))
+        return self._strip_hidden(
+            self._union_with_deletes(
+                snap["dirs"], snap.get("deletes", []), merge_schema
+            )
+        )
 
     def read_where(
         self, col: str, lo=None, hi=None, version: int | None = None
@@ -569,7 +631,7 @@ class SnapshotTable:
         if not kept:
             # every file pruned → empty frame with the table's schema
             return self.read(version).limit(0)
-        df = self.spark.read.parquet(*kept)
+        df = self._union_with_deletes(kept, snap.get("deletes", []))
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -671,26 +733,50 @@ class SnapshotTable:
             else:
                 untouched.append(f)
         if candidates:
-            current = self._strip_hidden(self.spark.read.parquet(*candidates))
+            current = self._strip_hidden(
+                self._union_with_deletes(candidates, snap.get("deletes", []))
+            )
             kept = current.join(source.select(key).distinct(), key, "left_anti")
             new_data = kept.unionByName(source)
         else:
             new_data = source
         d = self._write_new_dir(self._apply_layout(new_data))
-        return self._commit(
-            {"op": "merge", "dirs": untouched + [d]},
-            expected_parent=snap["id"],
-        )["id"]
+        entry = {"op": "merge", "dirs": untouched + [d]}
+        if snap.get("deletes"):
+            entry["deletes"] = snap["deletes"]
+        return self._commit(entry, expected_parent=snap["id"])["id"]
 
-    def delete_where(self, col: str, lo=None, hi=None) -> int:
-        """Range DELETE with copy-on-write at FILE granularity (Iceberg's
-        ``DELETE FROM t WHERE col BETWEEN lo AND hi`` under copy-on-write).
-        Files whose manifest range lies entirely inside the deleted range
-        could in principle be dropped without a scan; files with no overlap
-        are carried forward untouched; only straddling files are rewritten
-        with the survivors. The common 100 TB case — retention trim of one
-        time range — rewrites only the boundary files."""
+    def delete_where(self, col: str, lo=None, hi=None, mode: str = "cow") -> int:
+        """Range DELETE (Iceberg's ``DELETE FROM t WHERE col BETWEEN lo AND
+        hi``), in either of the format's two modes:
+
+        - ``mode="cow"`` (copy-on-write): files whose manifest range
+          overlaps [lo,hi] are rewritten with the survivors; disjoint files
+          carry forward untouched. Reads stay delete-free; the common
+          100 TB retention trim rewrites only boundary files.
+        - ``mode="mor"`` (merge-on-read): a METADATA-ONLY commit records
+          the predicate, scoped to the files visible now; readers apply it
+          as a pushdown-able filter and later appends are unaffected
+          (Iceberg v2 sequence-number semantics). The delete is O(1)
+          regardless of table size; the next compaction materializes it.
+        """
         snap = self._snapshot(None)
+        if mode == "mor":
+            deletes = snap.get("deletes", []) + [
+                {
+                    "type": "pred",
+                    "col": col,
+                    "lo": _json_stat(lo),
+                    "hi": _json_stat(hi),
+                    "applies_to": list(snap["dirs"]),
+                }
+            ]
+            return self._commit(
+                {"op": "delete-mor", "dirs": list(snap["dirs"]), "deletes": deletes},
+                expected_parent=snap["id"],
+            )["id"]
+        if mode != "cow":
+            raise SnapshotError(f"unknown delete mode {mode!r}")
         stats = self._load_stats()
         clo, chi = _json_stat(lo), _json_stat(hi)
         candidates, untouched = [], []
@@ -708,11 +794,38 @@ class SnapshotTable:
             if hi is not None:
                 cond = cond & (F.col(col) <= F.lit(hi))
             survivors = self._strip_hidden(
-                self.spark.read.parquet(*candidates).filter(~cond)
+                self._union_with_deletes(
+                    candidates, snap.get("deletes", [])
+                ).filter(~cond)
             )
             dirs.append(self._write_new_dir(self._apply_layout(survivors)))
+        entry = {"op": "delete", "dirs": dirs}
+        if snap.get("deletes"):
+            # pending MOR deletes still cover the carried-forward files;
+            # the rewritten dir is outside every applies_to scope
+            entry["deletes"] = snap["deletes"]
+        return self._commit(entry, expected_parent=snap["id"])["id"]
+
+    def delete_keys(self, keys: DataFrame, col: str) -> int:
+        """Equality-delete file (Iceberg v2 merge-on-read equality deletes):
+        the keys to drop are written as a SMALL delete file and recorded in
+        metadata; readers anti-join it against the files that were visible
+        at delete time, so the delete costs O(|keys|) no matter how large
+        the table is and later appends of the same keys are unaffected.
+        The next compaction materializes and clears it. This is the GDPR /
+        per-record-erasure shape: deleting a thousand user ids from a
+        100 TB table writes kilobytes."""
+        snap = self._snapshot(None)
+        import uuid
+
+        d = os.path.join(self.root, "data", f"del{snap['id']}-{uuid.uuid4().hex[:8]}")
+        keys.select(col).distinct().write.parquet(d)
+        deletes = snap.get("deletes", []) + [
+            {"type": "eq", "col": col, "path": d, "applies_to": list(snap["dirs"])}
+        ]
         return self._commit(
-            {"op": "delete", "dirs": dirs}, expected_parent=snap["id"]
+            {"op": "delete-keys", "dirs": list(snap["dirs"]), "deletes": deletes},
+            expected_parent=snap["id"],
         )["id"]
 
     # -- table maintenance -------------------------------------------------
@@ -821,6 +934,9 @@ class SnapshotTable:
             return []
         live, dead = log[-keep_last:], log[:-keep_last]
         keep_paths = {d for s in live for d in s["dirs"]}
+        keep_paths |= {
+            dl["path"] for s in live for dl in s.get("deletes", []) if "path" in dl
+        }
 
         def referenced(p: str) -> bool:
             # CoW commits carry individual FILES forward: a dead dir stays if
@@ -837,7 +953,10 @@ class SnapshotTable:
             if not s.get("expired"):
                 s["expired"] = True
                 expired_ids.append(s["id"])
-            for d in s["dirs"]:
+            dead_paths = list(s["dirs"]) + [
+                dl["path"] for dl in s.get("deletes", []) if "path" in dl
+            ]
+            for d in dead_paths:
                 if referenced(d):
                     continue
                 if os.path.isdir(d):
@@ -922,6 +1041,9 @@ def remove_orphans(table: SnapshotTable, grace_seconds: float = 3600.0) -> list[
             # a carried-forward FILE keeps its containing commit dir alive
             if p.endswith(".parquet"):
                 referenced.add(os.path.dirname(p))
+        for dl in s.get("deletes", []):
+            if "path" in dl:
+                referenced.add(dl["path"])
     removed = []
     now = time.time()
     for name in sorted(os.listdir(data_root)):

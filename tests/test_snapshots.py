@@ -664,3 +664,81 @@ def test_maintain_additive_rollup_incremental_and_replay_safe(spark, table, tmp_
     assert got2 == want
     # nothing new → no-op
     assert maintain_additive_rollup(feed, rollup, ["k"], ["v"]) is None
+
+
+# -- merge-on-read deletes -------------------------------------------------
+
+
+def test_mor_predicate_delete_is_metadata_only_and_scoped(spark, table):
+    table.append(_one_file_range(spark, 0, 100))
+    files_before = set(table.read().inputFiles())
+    v = table.delete_where("id", 10, 19, mode="mor")
+    # metadata-only: the SAME physical files serve the new version
+    assert set(table.read().inputFiles()) == files_before
+    assert _ids(table.read()) == [i for i in range(100) if not 10 <= i <= 19]
+    # time travel to pre-delete still sees everything
+    assert len(_ids(table.read(version=1))) == 100
+    # appends AFTER the delete are outside its scope, even in-range ids
+    table.append(_one_file_range(spark, 10, 12))
+    got = _ids(table.read())
+    assert got.count(10) == 1 and got.count(11) == 1 and got.count(50) == 1
+    # compaction materializes: delete list cleared, rows still gone
+    table.compact()
+    snap = table._log()[-1]
+    assert not snap.get("deletes")
+    assert sorted(_ids(table.read())) == sorted(
+        [i for i in range(100) if not 10 <= i <= 19] + [10, 11]
+    )
+    assert v == 2
+
+
+def test_mor_equality_delete_keys(spark, table):
+    table.append(_one_file_range(spark, 0, 1000, val="a"))
+    files_before = set(table.read().inputFiles())
+    table.delete_keys(
+        spark.createDataFrame([(7,), (8,), (500,)], "id long"), "id"
+    )
+    cur = table.read()
+    assert set(cur.inputFiles()) >= files_before  # data files unchanged
+    got = _ids(cur)
+    assert 7 not in got and 8 not in got and 500 not in got
+    assert len(got) == 997
+    # re-inserting a deleted key later is visible (scoped semantics)
+    table.append(_one_file_range(spark, 7, 8, val="new"))
+    assert _ids(table.read()).count(7) == 1
+    # read_where composes with the delete
+    hit = table.read_where("id", 0, 20)
+    assert _ids(hit) == [i for i in range(21) if i not in (8,)] 
+
+
+def test_mor_delete_not_resurrected_by_merge(spark, table):
+    table.append(_one_file_range(spark, 0, 100, val="a"))
+    table.delete_where("id", 90, 99, mode="mor")
+    # CoW merge rewrites the file the MOR delete covers: deleted rows must
+    # NOT come back, and the pending delete must not eat the upserts
+    table.merge(
+        spark.createDataFrame([(95, "b"), (5, "b")], "id long, val string"), "id"
+    )
+    got = {r["id"]: r["val"] for r in table.read().collect()}
+    assert 91 not in got and 99 not in got  # still deleted
+    assert got[95] == "b" and got[5] == "b"  # upserts landed
+    # ids 0..89 survive (90 rows, id 5 updated in place) + 95 re-inserted
+    assert len(got) == 91
+
+
+def test_expire_and_orphans_respect_delete_files(spark, table):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        remove_orphans,
+    )
+
+    table.append(_one_file_range(spark, 0, 50))
+    table.delete_keys(spark.createDataFrame([(3,)], "id long"), "id")
+    del_path = table._log()[-1]["deletes"][0]["path"]
+    # age everything; the delete file is referenced by the live snapshot
+    for name in os.listdir(os.path.join(table.root, "data")):
+        d = os.path.join(table.root, "data", name)
+        old = time.time() - 7200
+        os.utime(d, (old, old))
+    assert remove_orphans(table, grace_seconds=3600) == []
+    assert os.path.isdir(del_path)
+    assert 3 not in _ids(table.read())
