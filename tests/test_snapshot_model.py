@@ -1,0 +1,89 @@
+"""Model-based property test: random operation sequences on a SnapshotTable
+must match a trivial in-memory multiset model. CoW and MOR deletes differ
+physically but are logically identical, so one model covers both — any
+divergence (resurrected rows, double-deletes, lost appends, merge/compact
+interactions) fails here even if no hand-written scenario anticipated it."""
+
+from __future__ import annotations
+
+import tempfile
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+    SnapshotTable,
+)
+
+_ID = st.integers(min_value=0, max_value=24)
+_VAL = st.sampled_from(["a", "b", "c"])
+
+_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=6)),
+    st.tuples(st.just("delete_cow"), _ID, _ID),
+    st.tuples(st.just("delete_mor"), _ID, _ID),
+    st.tuples(st.just("delete_keys"), st.lists(_ID, min_size=1, max_size=4)),
+    st.tuples(st.just("merge"), st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=4)),
+    st.tuples(st.just("compact"),),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP, min_size=2, max_size=7))
+def test_snapshot_table_matches_multiset_model(spark, ops):
+    table = SnapshotTable(spark, tempfile.mkdtemp() + "/t")
+    model: Counter = Counter()  # (id, val) -> multiplicity
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id long, val string")
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            table.append(df_of(op[1]))
+            model.update(op[1])
+        elif kind in ("delete_cow", "delete_mor"):
+            lo, hi = min(op[1], op[2]), max(op[1], op[2])
+            if table.current_version() is None:
+                continue
+            table.delete_where(
+                "id", lo, hi, mode="cow" if kind == "delete_cow" else "mor"
+            )
+            for (i, v) in list(model):
+                if lo <= i <= hi:
+                    del model[(i, v)]
+        elif kind == "delete_keys":
+            if table.current_version() is None:
+                continue
+            table.delete_keys(df_of([(k, "x") for k in op[1]]).select("id"), "id")
+            for (i, v) in list(model):
+                if i in op[1]:
+                    del model[(i, v)]
+        elif kind == "merge":
+            if table.current_version() is None:
+                continue
+            src = {i: v for i, v in op[1]}  # last write wins per key
+            table.merge(df_of(list(src.items())), "id")
+            for (i, v) in list(model):
+                if i in src:
+                    del model[(i, v)]
+            model.update(src.items())
+        elif kind == "compact":
+            if table.current_version() is None:
+                continue
+            table.compact()
+        # invariant after every op: table == model
+        if table.current_version() is None:
+            assert not model
+            continue
+        got = Counter(
+            (r["id"], r["val"])
+            for r in table.read().select("id", "val").collect()
+        )
+        assert got == +model, f"after {op}: {got} != {+model}"
