@@ -453,3 +453,19 @@ def test_snapshot_read_where_pushes_residual_filter(spark, tmp_path):
     pushed = pushed_filters(df)
     assert any("id" in p for p in pushed), pushed
     assert len(df.inputFiles()) == 1  # manifest skipped the other file
+
+
+def test_mor_predicate_delete_stays_pushed_down(spark, tmp_path):
+    """A merge-on-read predicate delete must reach the parquet reader as a
+    pushed filter (row-group skipping), not as a post-scan Filter only —
+    the property that keeps MOR reads cheap at scale."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.plans import pushed_filters
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 1000).coalesce(1))
+    t.delete_where("id", 100, 199, mode="mor")
+    pushed = pushed_filters(t.read())
+    assert any("id" in p for p in pushed), pushed

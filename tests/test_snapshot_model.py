@@ -9,9 +9,9 @@ from __future__ import annotations
 import tempfile
 from collections import Counter
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
     SnapshotTable,
@@ -30,14 +30,19 @@ _OP = st.one_of(
 )
 
 
+@pytest.mark.parametrize(
+    "spec",
+    [None, [("bucket", "id", 4)]],
+    ids=["unpartitioned", "hidden-bucket-partitioned"],
+)
 @settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_OP, min_size=2, max_size=7))
-def test_snapshot_table_matches_multiset_model(spark, ops):
-    table = SnapshotTable(spark, tempfile.mkdtemp() + "/t")
+def test_snapshot_table_matches_multiset_model(spark, spec, ops):
+    table = SnapshotTable(spark, tempfile.mkdtemp() + "/t", partition_spec=spec)
     model: Counter = Counter()  # (id, val) -> multiplicity
 
     def df_of(rows):
