@@ -109,6 +109,7 @@ _PRIORITY = [
     "events_anomaly_mad",
     "quantize_embeddings_int8",
     "text_heavy_hitters",
+    "q21_waiting_suppliers",
     # (c) stale-signal re-checks (green in r1/r2 only, fixtures since regenerated)
     "q1_pricing_summary",
     "q5_revenue_by_nation",

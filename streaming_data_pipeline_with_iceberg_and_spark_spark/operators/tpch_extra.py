@@ -598,6 +598,78 @@ ORDER BY 1
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 variant (the on-disk lineitem has no l_commitdate /
+    l_receiptdate, so "late" derives as l_shipdate > o_orderdate + 60 days,
+    mirroring the q12 adaptation): suppliers who were the ONLY late
+    supplier in a finished multi-supplier order. The Q21 SHAPE is preserved
+    exactly — fact⋈fact join + EXISTS(another supplier in the order) + NOT
+    EXISTS(another LATE supplier) — expressed in the decorrelated
+    aggregation form Catalyst rewrites correlated subqueries into: one
+    per-order distinct-count pass answers both quantifiers, so the fact
+    tables shuffle once. supplier is a broadcast dim."""
+    li = load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    stats = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    )
+    waiting = (
+        j.filter("late")
+        .join(stats.filter((F.col("ns") >= 2) & (F.col("nl") == 1)), "l_orderkey")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supplier = load(spark, "supplier", sf_dir)
+    return (
+        waiting.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            waiting.l_suppkey == supplier.s_suppkey,
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), stats AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl
+  FROM j GROUP BY 1
+), waiting AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM j JOIN stats USING (l_orderkey)
+  WHERE late AND ns >= 2 AND nl = 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q12_shipdelay_priority": q12_shipdelay_priority,
@@ -611,6 +683,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
 }
 
@@ -627,5 +700,6 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_SQL,
     "q18_large_volume_orders": Q18_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
 }
