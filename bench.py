@@ -63,6 +63,7 @@ HEADLINE = [
     "events_anomaly_mad",
     "quantize_embeddings_int8",
     "text_heavy_hitters",
+    "q21_waiting_suppliers",
 ]
 
 

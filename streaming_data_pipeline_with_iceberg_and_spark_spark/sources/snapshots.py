@@ -917,6 +917,14 @@ class SnapshotTable:
             expected_parent=snap["id"],
         )["id"]
 
+    def register_view(self, name: str, version: int | None = None) -> None:
+        """Expose a version as a temp view for ad-hoc SQL — the
+        reference's SQL-over-temp-view entry point
+        (spark-data-pipeline/spark_job.py:31-37) extended with time travel:
+        ``t.register_view("events_v3", version=3)`` then
+        ``spark.sql("SELECT ... FROM events_v3")``."""
+        self.read(version).createOrReplaceTempView(name)
+
     def incremental_feed(
         self, checkpoint: str, start_version: int | None = None
     ) -> "SnapshotFeed":

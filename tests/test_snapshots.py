@@ -742,3 +742,12 @@ def test_expire_and_orphans_respect_delete_files(spark, table):
     assert remove_orphans(table, grace_seconds=3600) == []
     assert os.path.isdir(del_path)
     assert 3 not in _ids(table.read())
+
+
+def test_register_view_time_travel_sql(spark, table):
+    table.append(_one_file_range(spark, 0, 5))
+    table.overwrite(_one_file_range(spark, 100, 103))
+    table.register_view("snap_now")
+    table.register_view("snap_v1", version=1)
+    assert spark.sql("SELECT COUNT(*) AS n FROM snap_now").first()["n"] == 3
+    assert spark.sql("SELECT MAX(id) AS m FROM snap_v1").first()["m"] == 4
