@@ -469,3 +469,13 @@ def test_mor_predicate_delete_stays_pushed_down(spark, tmp_path):
     t.delete_where("id", 100, 199, mode="mor")
     pushed = pushed_filters(t.read())
     assert any("id" in p for p in pushed), pushed
+
+
+def test_q21_single_fact_shuffle_broadcast_supplier(plan):
+    """The double-quantifier q21 shape must keep exactly one fact-fact
+    shuffle family (lineitem⋈orders + the per-order stats reuse) and
+    broadcast the supplier dim — a second sort-merge of the fact against
+    supplier would mean the decorrelation regressed."""
+    p = plan("q21_waiting_suppliers")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
