@@ -751,3 +751,23 @@ def test_register_view_time_travel_sql(spark, table):
     table.register_view("snap_v1", version=1)
     assert spark.sql("SELECT COUNT(*) AS n FROM snap_now").first()["n"] == 3
     assert spark.sql("SELECT MAX(id) AS m FROM snap_v1").first()["m"] == 4
+
+
+def test_hidden_partitioning_composes_with_evolution_and_feed(spark, tmp_path):
+    """Spec-layout writers + schema evolution + incremental feed together:
+    derived __p_* columns must stay hidden through every read path, and the
+    evolved column must backfill as NULL."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), partition_spec=[("bucket", "id", 4)]
+    )
+    t.append(spark.range(0, 40))
+    feed = t.incremental_feed(str(tmp_path / "cur.json"))
+    t.append(spark.range(40, 60).withColumn("score", F.lit(1.5)))
+    delta, v = feed.poll()
+    assert set(delta.columns) == {"id", "score"}  # no __p_* leakage
+    assert delta.count() == 20
+    feed.commit(v)
+    evolved = t.read(merge_schema=True)
+    assert set(evolved.columns) == {"id", "score"}
+    rows = {r["id"]: r["score"] for r in evolved.collect()}
+    assert len(rows) == 60 and rows[0] is None and rows[45] == 1.5
