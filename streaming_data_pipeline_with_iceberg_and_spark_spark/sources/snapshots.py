@@ -638,6 +638,70 @@ class SnapshotTable:
             df = df.filter(F.col(col) <= F.lit(hi))
         return self._strip_hidden(df)
 
+    def read_where_all(
+        self, filters: list[tuple], version: int | None = None
+    ) -> DataFrame:
+        """Conjunction of range predicates with file skipping on EVERY
+        clause — the read path z-order clustering exists for: after
+        ``cluster_by(["x","y"])`` a query constraining both x and y
+        intersects each clause's surviving file set, multiplying the
+        skip rates. ``filters`` is ``[(col, lo, hi), ...]`` (None = open
+        bound); row-level residuals still push into the parquet reader."""
+        snap = self._snapshot(version)
+        stats = self._load_stats()
+        canon = [(c, _json_stat(lo), _json_stat(hi)) for c, lo, hi in filters]
+        kept = []
+        for f in self._expand_files(snap["dirs"]):
+            fstats = stats.get(f, {}).get("stats", {})
+            if all(
+                (b := fstats.get(c)) is None or _overlaps(b[0], b[1], clo, chi)
+                for c, clo, chi in canon
+            ):
+                kept.append(f)
+        if not kept:
+            return self.read(version).limit(0)
+        df = self._union_with_deletes(kept, snap.get("deletes", []))
+        for c, lo, hi in filters:
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return self._strip_hidden(df)
+
+    def fast_count(self, version: int | None = None) -> int | None:
+        """COUNT(*) served from manifests alone — no file opened, no Spark
+        job (Iceberg's stats-based count pushdown). Returns None when the
+        metadata cannot answer exactly: pending merge-on-read deletes, or a
+        file missing from every manifest."""
+        snap = self._snapshot(version)
+        if snap.get("deletes"):
+            return None
+        stats = self._load_stats()
+        total = 0
+        for f in self._expand_files(snap["dirs"]):
+            rows = stats.get(f, {}).get("rows")
+            if rows is None:
+                return None
+            total += rows
+        return total
+
+    def fast_min_max(self, col: str, version: int | None = None) -> tuple | None:
+        """MIN/MAX of a column from manifests alone (no scan). None when
+        any visible file lacks exact bounds for the column or merge-on-read
+        deletes are pending (a deleted row could hold the extremum)."""
+        snap = self._snapshot(version)
+        if snap.get("deletes"):
+            return None
+        stats = self._load_stats()
+        lo = hi = None
+        for f in self._expand_files(snap["dirs"]):
+            b = stats.get(f, {}).get("stats", {}).get(col)
+            if b is None:
+                return None
+            lo = b[0] if lo is None else min(lo, b[0])
+            hi = b[1] if hi is None else max(hi, b[1])
+        return None if lo is None else (lo, hi)
+
     def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows added AFTER ``from_version`` up to ``to_version`` (Iceberg's
         incremental append scan — the CDC feed for a downstream consumer).
@@ -865,30 +929,58 @@ class SnapshotTable:
         cols: list[str],
         target_file_bytes: int = 128 * 1024 * 1024,
         bits: int | None = None,
+        incremental: bool = False,
     ) -> int:
         """Z-order clustering rewrite (Iceberg's ``rewrite_data_files``
-        with a zorder sort strategy): range-partition + sort the table by an
+        with a zorder sort strategy): range-partition + sort by an
         interleaved-bit space-filling curve over ``cols`` so each output
         file covers a compact hyper-rectangle of the multi-column space.
         After clustering, manifest min/max on EVERY clustered column is
-        tight, so ``read_where`` prunes files for predicates on any of them
-        — a plain sort can only do this for its leading column. This is the
-        layout lever for the 100 TB case of "query by time AND by key".
+        tight, so ``read_where``/``read_where_all`` prune files for
+        predicates on any of them — a plain sort can only do this for its
+        leading column. This is the layout lever for the 100 TB case of
+        "query by time AND by key".
+
+        ``incremental=True`` rewrites ONLY the files added since the last
+        clustering on the same columns (the liquid-clustering /
+        incremental-OPTIMIZE model): already-clustered output is carried
+        forward by reference, so maintenance cost tracks ingest rate, not
+        table size. Each increment's files are individually tight, so
+        pruning still works across generations — a range just intersects a
+        few files per generation instead of one.
 
         The z-value is built from JVM-side bit arithmetic (shift/and/or —
         whole-stage codegen, no UDF): each column is min/max-scaled to a
         ``bits``-wide integer rank, then ranks are bit-interleaved. Columns
         must be numeric or timestamp (cast to double for scaling — scaling
         only affects layout, never values). One 1-row bounds agg + one range
-        shuffle; data bytes are rewritten once, as compaction would."""
+        shuffle; rewritten bytes are read once, as compaction would."""
         snap = self._snapshot(None)
         if not cols:
             raise SnapshotError("cluster_by needs at least one column")
         k = len(cols)
         bits = bits or min(16, 63 // k)
-        total = sum(os.path.getsize(f) for f in self._expand_files(snap["dirs"]))
+        if incremental:
+            done = {
+                e["new_dir"]
+                for e in self._log()
+                if e.get("cluster_cols") == list(cols) and e.get("new_dir")
+            }
+            keep = [d for d in snap["dirs"] if d in done]
+            todo = [d for d in snap["dirs"] if d not in done]
+            if not todo:
+                return snap["id"]
+            df = self._strip_hidden(
+                self._union_with_deletes(
+                    self._expand_files(todo), snap.get("deletes", [])
+                )
+            )
+            total = sum(os.path.getsize(f) for f in self._expand_files(todo))
+        else:
+            keep = []
+            df = self.read()
+            total = sum(os.path.getsize(f) for f in self._expand_files(snap["dirs"]))
         n_files = max(1, -(-total // target_file_bytes))  # ceil
-        df = self.read()
         bounds = df.agg(
             *[F.min(F.col(c).cast("double")).alias(f"lo{i}") for i, c in enumerate(cols)],
             *[F.max(F.col(c).cast("double")).alias(f"hi{i}") for i, c in enumerate(cols)],
@@ -912,10 +1004,17 @@ class SnapshotTable:
             .drop("__z")
         )
         d = self._write_new_dir(clustered)
-        return self._commit(
-            {"op": f"cluster({','.join(cols)})", "dirs": [d]},
-            expected_parent=snap["id"],
-        )["id"]
+        entry = {
+            "op": f"cluster({','.join(cols)})",
+            "dirs": keep + [d],
+            "cluster_cols": list(cols),
+            "new_dir": d,
+        }
+        if incremental and snap.get("deletes"):
+            # pending MOR deletes were materialized for the rewritten files
+            # but still cover the carried-forward clustered generations
+            entry["deletes"] = snap["deletes"]
+        return self._commit(entry, expected_parent=snap["id"])["id"]
 
     def register_view(self, name: str, version: int | None = None) -> None:
         """Expose a version as a temp view for ad-hoc SQL — the

@@ -771,3 +771,65 @@ def test_hidden_partitioning_composes_with_evolution_and_feed(spark, tmp_path):
     assert set(evolved.columns) == {"id", "score"}
     rows = {r["id"]: r["score"] for r in evolved.collect()}
     assert len(rows) == 60 and rows[0] is None and rows[45] == 1.5
+
+
+def test_read_where_all_intersects_multi_column_pruning(spark, table):
+    """After z-ordering, a 2-column conjunction must prune at least as hard
+    as either single-column predicate alone."""
+    n = 40_000
+    df = spark.range(n).select(
+        (F.xxhash64("id") % 100).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 100).alias("y"),
+        F.col("id"),
+    ).repartition(4)
+    table.append(df)
+    table.cluster_by(["x", "y"], target_file_bytes=64 * 1024)
+    total = len(table.read().inputFiles())
+    fx = len(table.read_where("x", 5, 10).inputFiles())
+    both = table.read_where_all([("x", 5, 10), ("y", -20, -10)])
+    assert len(both.inputFiles()) <= fx < total
+    want = table.read().filter(
+        "x between 5 and 10 and y between -20 and -10"
+    ).count()
+    assert both.count() == want
+
+
+def test_fast_count_and_min_max_from_manifests(spark, table):
+    assert table.append(_one_file_range(spark, 0, 500)) == 1
+    table.append(_one_file_range(spark, 500, 750))
+    assert table.fast_count() == 750
+    assert table.fast_min_max("id") == (0, 749)
+    assert table.fast_count(version=1) == 500
+    # pending MOR deletes make metadata answers inexact → refuse
+    table.delete_where("id", 0, 9, mode="mor")
+    assert table.fast_count() is None
+    assert table.fast_min_max("id") is None
+    # compaction materializes → fast paths return
+    table.compact()
+    assert table.fast_count() == 740
+    assert table.fast_min_max("id") == (10, 749)
+
+
+def test_incremental_clustering_rewrites_only_new_commits(spark, table):
+    df1 = spark.range(0, 20_000).select(
+        (F.xxhash64("id") % 50).alias("x"), F.col("id")
+    ).repartition(4)
+    table.append(df1)
+    v_full = table.cluster_by(["x"], target_file_bytes=64 * 1024)
+    gen1_files = set(table.read().inputFiles())
+    # new ingest, then INCREMENTAL clustering: generation-1 files untouched
+    df2 = spark.range(20_000, 30_000).select(
+        (F.xxhash64("id") % 50).alias("x"), F.col("id")
+    ).repartition(4)
+    table.append(df2)
+    v_inc = table.cluster_by(["x"], target_file_bytes=64 * 1024, incremental=True)
+    assert v_inc == v_full + 2
+    cur_files = set(table.read().inputFiles())
+    assert gen1_files <= cur_files  # carried by reference, zero bytes moved
+    assert table.read().count() == 30_000
+    # pruning still effective across generations
+    hit = table.read_where("x", 7, 7)
+    assert len(hit.inputFiles()) < len(cur_files)
+    assert hit.count() == table.read().filter("x = 7").count()
+    # nothing new → no-op returning current version
+    assert table.cluster_by(["x"], incremental=True) == v_inc
