@@ -110,6 +110,7 @@ _PRIORITY = [
     "quantize_embeddings_int8",
     "text_heavy_hitters",
     "q21_waiting_suppliers",
+    "agg_bitmap_distinct",
     # (c) stale-signal re-checks (green in r1/r2 only, fixtures since regenerated)
     "q1_pricing_summary",
     "q5_revenue_by_nation",

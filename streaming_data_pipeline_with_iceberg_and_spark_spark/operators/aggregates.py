@@ -469,6 +469,45 @@ GROUP BY 1
 """
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via roaring-style bitmaps — the
+    precise sibling of ``agg_hll_mergeable``: per-(event_type, bucket)
+    bitmaps are partial-aggregatable map-side and re-mergeable across
+    partitions / days / retries with ``bitmap_or_agg``, like HLL sketches
+    but with zero error. The ALL row is computed by bucket-wise OR of the
+    per-type bitmaps — never re-touching raw data. Cost model: bitmap size
+    is bounded per bucket (2^15 bits), so state scales with the id range,
+    not the row count — at 100 TB this is THE exact-distinct pattern when
+    ids are dense integers; HLL remains the fallback for sparse/string
+    keys. Oracle-checked: results are exact COUNT(DISTINCT)."""
+    ev = load(spark, "events", sf_dir).select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    per_bucket = ev.groupBy("event_type", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    typed = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("exact_users")
+    )
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("exact_users"))
+        .select(F.lit("ALL").alias("event_type"), "exact_users")
+    )
+    return typed.unionByName(merged)
+
+
+AGG_BITMAP_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+"""
+
+
 QUERIES = {
     "agg_global": agg_global,
     "agg_unpivot": agg_unpivot,
@@ -484,10 +523,12 @@ QUERIES = {
     "agg_pivot": agg_pivot,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_hll_mergeable": agg_hll_mergeable,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
     "agg_histogram_quantiles": agg_histogram_quantiles,
 }
 
 ORACLES = {
+    "agg_bitmap_distinct": AGG_BITMAP_SQL,
     "agg_global": AGG_GLOBAL_SQL,
     "agg_unpivot": AGG_UNPIVOT_SQL,
     "histogram_doc_length": HISTOGRAM_SQL,
