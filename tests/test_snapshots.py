@@ -783,11 +783,15 @@ def test_read_where_all_intersects_multi_column_pruning(spark, table):
         F.col("id"),
     ).repartition(4)
     table.append(df)
-    table.cluster_by(["x", "y"], target_file_bytes=64 * 1024)
+    table.cluster_by(["x", "y"], target_file_bytes=32 * 1024)
     total = len(table.read().inputFiles())
+    assert total >= 6  # enough files for pruning to be observable
     fx = len(table.read_where("x", 5, 10).inputFiles())
     both = table.read_where_all([("x", 5, 10), ("y", -20, -10)])
-    assert len(both.inputFiles()) <= fx < total
+    # intersection semantics: the conjunction can never scan MORE files
+    # than either clause alone, and must beat the full scan
+    assert len(both.inputFiles()) <= fx
+    assert len(both.inputFiles()) < total
     want = table.read().filter(
         "x between 5 and 10 and y between -20 and -10"
     ).count()
