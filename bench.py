@@ -64,6 +64,7 @@ HEADLINE = [
     "quantize_embeddings_int8",
     "text_heavy_hitters",
     "q21_waiting_suppliers",
+    "ann_ivfpq",
 ]
 
 

@@ -153,10 +153,22 @@ class SnapshotTable:
     Unlike Hive-style dir trees this needs no directory explosion and keeps
     one multi-path scan."""
 
-    def __init__(self, spark: SparkSession, root: str, partition_spec: list[tuple] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partition_spec: list[tuple] | None = None,
+        ref: str = "main",
+    ):
         self.spark = spark
         self.root = root
-        self._meta_path = os.path.join(root, "metadata", "snapshots.json")
+        self.ref = ref
+        self._meta_path = os.path.join(
+            root,
+            "metadata",
+            "snapshots.json" if ref == "main" else f"snapshots-{ref}.json",
+        )
+        self._refs_path = os.path.join(root, "metadata", "refs.json")
         self._spec_path = os.path.join(root, "metadata", "spec.json")
         if os.path.exists(self._spec_path):
             with open(self._spec_path) as f:
@@ -1024,6 +1036,204 @@ class SnapshotTable:
         ``spark.sql("SELECT ... FROM events_v3")``."""
         self.read(version).createOrReplaceTempView(name)
 
+    # -- refs: branches, tags, write-audit-publish -------------------------
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        import re
+
+        if name == "main" or not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_-]{0,63}", name):
+            raise SnapshotError(f"invalid ref name {name!r}")
+
+    def _load_refs(self) -> dict[str, int]:
+        if not os.path.exists(self._refs_path):
+            return {}
+        with open(self._refs_path) as f:
+            return json.load(f)
+
+    def _branch_logs(self) -> list[list[dict]]:
+        """Every branch's commit log (for liveness accounting in
+        expire/orphan cleanup: a branch references data dirs main does not)."""
+        meta_dir = os.path.join(self.root, "metadata")
+        out = []
+        if not os.path.isdir(meta_dir):
+            return out
+        for name in sorted(os.listdir(meta_dir)):
+            if name.startswith("snapshots-") and name.endswith(".json"):
+                with open(os.path.join(meta_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def create_branch(self, name: str, version: int | None = None) -> "SnapshotTable":
+        """Fork a BRANCH at ``version`` (default: current head) — Iceberg's
+        snapshot refs. The branch gets its own commit log seeded with this
+        ref's lineage up to the fork point; data dirs are immutable and
+        SHARED, so forking moves zero bytes. Branch commits use the branch
+        log's own lock — staging writes never contend with main ingest.
+        This is the write half of WAP (write-audit-publish): write to the
+        branch, audit it with any read/query, then :meth:`fast_forward`."""
+        self._check_ref_name(name)
+        head = self._snapshot(version)  # validates existence / expiry
+        target = SnapshotTable(self.spark, self.root, ref=name)
+        if os.path.exists(target._meta_path):
+            raise SnapshotError(f"branch {name!r} already exists")
+        lineage = [s for s in self._log() if s["id"] <= head["id"]]
+        os.makedirs(os.path.dirname(target._meta_path), exist_ok=True)
+        tmp = target._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(lineage, f, indent=1)
+        os.replace(tmp, target._meta_path)
+        return target
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """Open an existing branch of this table."""
+        self._check_ref_name(name)
+        t = SnapshotTable(self.spark, self.root, ref=name)
+        if not os.path.exists(t._meta_path):
+            raise SnapshotError(f"no branch {name!r} at {self.root}")
+        return t
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: fast-forward THIS ref to the branch head —
+        the atomic publish half of WAP (Iceberg's
+        ``fast_forward(table, 'main', branch)``). Requires this ref's log to
+        be a strict prefix of the branch's (the branch saw every commit we
+        have); otherwise the table moved under the audit and the caller gets
+        :class:`SnapshotConflict` to re-stage against fresh state. The swap
+        is one metadata rename under this ref's commit lock — audited data
+        files become visible without being rewritten or even touched."""
+        branch_log = self.branch(name)._log()
+        with self._locked():
+            log = self._log()
+            # ids alone cannot detect divergence (divergent histories share
+            # id numbers) — the branch must carry the SAME commits we have
+            ids = [(s["id"], s["dirs"]) for s in log]
+            branch_ids = [(s["id"], s["dirs"]) for s in branch_log]
+            if branch_ids[: len(ids)] != ids:
+                raise SnapshotConflict(
+                    f"{self.ref} diverged from branch {name!r}; "
+                    f"re-stage the branch from the current head and retry"
+                )
+            if len(branch_ids) == len(ids):
+                return log[-1]["id"] if log else 0  # nothing to publish
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(branch_log, f, indent=1)
+            os.replace(tmp, self._meta_path)
+            return branch_log[-1]["id"]
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch POINTER (its log). Data dirs only it referenced
+        become orphans once past the grace window — reclaimed by
+        :func:`remove_orphans`, exactly Iceberg's dropped-ref story."""
+        self._check_ref_name(name)
+        t = SnapshotTable(self.spark, self.root, ref=name)
+        if os.path.exists(t._meta_path):
+            os.remove(t._meta_path)
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin an immutable, named TAG to ``version`` (default: current
+        head). Tags are retention roots: :meth:`expire_snapshots` keeps a
+        tagged snapshot readable no matter how old — the audit/repro handle
+        ("the exact table the model trained on") Iceberg tags exist for."""
+        self._check_ref_name(name)
+        snap = self._snapshot(version)
+        with self._locked():
+            refs = self._load_refs()
+            if name in refs:
+                raise SnapshotError(f"tag {name!r} already exists")
+            refs[name] = snap["id"]
+            tmp = self._refs_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(refs, f, indent=1)
+            os.replace(tmp, self._refs_path)
+        return snap["id"]
+
+    def read_tag(self, name: str) -> DataFrame:
+        refs = self._load_refs()
+        if name not in refs:
+            raise SnapshotError(f"no tag {name!r} at {self.root}")
+        return self.read(version=refs[name])
+
+    def drop_tag(self, name: str) -> None:
+        with self._locked():
+            refs = self._load_refs()
+            refs.pop(name, None)
+            tmp = self._refs_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(refs, f, indent=1)
+            os.replace(tmp, self._refs_path)
+
+    def refs(self) -> DataFrame:
+        """Named refs as a DataFrame (Iceberg's ``<table>.refs`` metadata
+        table): every tag plus every branch with its head version."""
+        main_path = os.path.join(self.root, "metadata", "snapshots.json")
+        main_head = 0
+        if os.path.exists(main_path):
+            with open(main_path) as f:
+                mlog = json.load(f)
+            main_head = mlog[-1]["id"] if mlog else 0
+        rows = [("main", "branch", main_head)] + [
+            (n, "tag", v) for n, v in sorted(self._load_refs().items())
+        ]
+        meta_dir = os.path.join(self.root, "metadata")
+        if os.path.isdir(meta_dir):
+            for fn in sorted(os.listdir(meta_dir)):
+                if fn.startswith("snapshots-") and fn.endswith(".json"):
+                    bname = fn[len("snapshots-") : -len(".json")]
+                    with open(os.path.join(meta_dir, fn)) as f:
+                        blog = json.load(f)
+                    rows.append((bname, "branch", blog[-1]["id"] if blog else 0))
+        return self.spark.createDataFrame(
+            rows, "ref_name string, ref_type string, version long"
+        )
+
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Per-partition file/row/byte counts (Iceberg's ``<table>.
+        partitions`` metadata table), served from MANIFESTS alone — the
+        skew/compaction diagnostic that needs no data scan. A file whose
+        manifest bounds pin every partition column to one value (min==max —
+        the normal case after the range-partition+sort write layout) is
+        attributed exactly; a file spanning partition values is reported
+        under partition NULL with exact=false rather than guessed."""
+        if not self.partition_spec:
+            raise SnapshotError("partitions() needs a partition_spec")
+        snap = self._snapshot(version)
+        stats = self._load_stats()
+        pnames = [self._pname(t) for t in self.partition_spec]
+        agg: dict[tuple | None, list[int]] = {}
+        for f in self._expand_files(snap["dirs"]):
+            ent = stats.get(f, {})
+            fstats = ent.get("stats", {})
+            if not fstats and int(ent.get("rows", 0)) == 0:
+                continue  # empty partition slot — no rows, nothing to report
+            vals = []
+            for c in pnames:
+                b = fstats.get(c)
+                if b is None or b[0] != b[1]:
+                    vals = None
+                    break
+                vals.append(str(b[0]))
+            key = tuple(vals) if vals is not None else None
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += int(ent.get("rows", 0))
+            cur[2] += int(ent.get("bytes", 0))
+        rows = [
+            (
+                None if k is None else list(k),
+                k is not None,
+                c[0],
+                c[1],
+                c[2],
+            )
+            for k, c in sorted(agg.items(), key=lambda kv: (kv[0] is None, kv[0]))
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition array<string>, exact boolean, file_count long, "
+            "row_count long, total_bytes long",
+        )
+
     def incremental_feed(
         self, checkpoint: str, start_version: int | None = None
     ) -> "SnapshotFeed":
@@ -1039,11 +1249,21 @@ class SnapshotTable:
         log = self._log()
         if len(log) <= keep_last:
             return []
-        live, dead = log[-keep_last:], log[:-keep_last]
+        # retention roots: the trailing keep_last snapshots, every TAGGED
+        # snapshot (tags pin history), and every dir a BRANCH still sees
+        tagged = set(self._load_refs().values())
+        recent_ids = {s["id"] for s in log[-keep_last:]}
+        live = [s for s in log if s["id"] in recent_ids or s["id"] in tagged]
+        dead = [s for s in log if s["id"] not in recent_ids and s["id"] not in tagged]
         keep_paths = {d for s in live for d in s["dirs"]}
         keep_paths |= {
             dl["path"] for s in live for dl in s.get("deletes", []) if "path" in dl
         }
+        for blog in self._branch_logs():
+            keep_paths |= {d for s in blog for d in s["dirs"]}
+            keep_paths |= {
+                dl["path"] for s in blog for dl in s.get("deletes", []) if "path" in dl
+            }
 
         def referenced(p: str) -> bool:
             # CoW commits carry individual FILES forward: a dead dir stays if
@@ -1070,9 +1290,11 @@ class SnapshotTable:
                     shutil.rmtree(d)
                 elif os.path.isfile(d):
                     os.remove(d)
+        # live/dead alias entries of ``log``; the expired flags were set
+        # in place, so dumping ``log`` preserves commit order
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(dead + live, f, indent=1)
+            json.dump(log, f, indent=1)
         os.replace(tmp, self._meta_path)
         return expired_ids
 
@@ -1142,15 +1364,16 @@ def remove_orphans(table: SnapshotTable, grace_seconds: float = 3600.0) -> list[
     if not os.path.isdir(data_root):
         return []
     referenced: set[str] = set()
-    for s in table._log():
-        for p in s["dirs"]:
-            referenced.add(p)
-            # a carried-forward FILE keeps its containing commit dir alive
-            if p.endswith(".parquet"):
-                referenced.add(os.path.dirname(p))
-        for dl in s.get("deletes", []):
-            if "path" in dl:
-                referenced.add(dl["path"])
+    for log in [table._log()] + table._branch_logs():
+        for s in log:
+            for p in s["dirs"]:
+                referenced.add(p)
+                # a carried-forward FILE keeps its containing commit dir alive
+                if p.endswith(".parquet"):
+                    referenced.add(os.path.dirname(p))
+            for dl in s.get("deletes", []):
+                if "path" in dl:
+                    referenced.add(dl["path"])
     removed = []
     now = time.time()
     for name in sorted(os.listdir(data_root)):

@@ -837,3 +837,112 @@ def test_incremental_clustering_rewrites_only_new_commits(spark, table):
     assert hit.count() == table.read().filter("x = 7").count()
     # nothing new → no-op returning current version
     assert table.cluster_by(["x"], incremental=True) == v_inc
+
+
+def test_wap_branch_stage_audit_publish(spark, table):
+    """Write-audit-publish: stage on a branch, audit it, fast-forward main.
+    Main must be byte-identical until the publish, and the publish must be
+    metadata-only (no data rewrite — the staged dir itself becomes visible)."""
+    v1 = table.append(spark.range(0, 4))
+    audit = table.create_branch("audit")
+    audit.append(spark.range(100, 103))
+    # staging is invisible on main
+    assert table.current_version() == v1
+    assert _ids(table.read()) == [0, 1, 2, 3]
+    # the audit: any read/query over the branch
+    assert _ids(audit.read()) == [0, 1, 2, 3, 100, 101, 102]
+    staged_files = set(audit.read().inputFiles())
+    published = table.fast_forward("audit")
+    assert published == audit.current_version()
+    assert _ids(table.read()) == [0, 1, 2, 3, 100, 101, 102]
+    # publish was a pointer swap: main now reads the staged files themselves
+    assert set(table.read().inputFiles()) == staged_files
+    # history before the fork is still time-travelable on main
+    assert _ids(table.read(version=v1)) == [0, 1, 2, 3]
+
+
+def test_fast_forward_conflicts_when_main_diverged(spark, table):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotConflict,
+    )
+
+    table.append(spark.range(0, 2))
+    audit = table.create_branch("audit")
+    audit.append(spark.range(10, 12))
+    table.append(spark.range(5, 6))  # main moves under the audit
+    with pytest.raises(SnapshotConflict):
+        table.fast_forward("audit")
+    # main unharmed by the failed publish
+    assert _ids(table.read()) == [0, 1, 5]
+
+
+def test_branch_requires_existing_and_valid_names(spark, table):
+    table.append(spark.range(0, 2))
+    with pytest.raises(SnapshotError):
+        table.branch("nope")
+    with pytest.raises(SnapshotError):
+        table.create_branch("main")  # reserved
+    with pytest.raises(SnapshotError):
+        table.create_branch("../evil")
+    table.create_branch("ok-1")
+    with pytest.raises(SnapshotError):
+        table.create_branch("ok-1")  # duplicate
+
+
+def test_tag_pins_history_through_expire(spark, table):
+    v1 = table.append(spark.range(0, 3))
+    table.create_tag("train-2024", v1)
+    table.overwrite(spark.range(50, 52))
+    table.overwrite(spark.range(90, 95))
+    expired = table.expire_snapshots(keep_last=1)
+    # the tagged snapshot survives expiration; the untagged middle one dies
+    assert v1 not in expired
+    assert 2 in expired
+    assert _ids(table.read_tag("train-2024")) == [0, 1, 2]
+    with pytest.raises(SnapshotError):
+        table.read(version=2)
+    # dropping the tag releases the pin on the NEXT expire
+    table.drop_tag("train-2024")
+    assert v1 in table.expire_snapshots(keep_last=1)
+
+
+def test_refs_metadata_table(spark, table):
+    v1 = table.append(spark.range(0, 2))
+    table.create_tag("t1", v1)
+    audit = table.create_branch("b1")
+    audit.append(spark.range(5, 7))
+    got = {(r.ref_name, r.ref_type): r.version for r in table.refs().collect()}
+    assert got[("main", "branch")] == v1
+    assert got[("t1", "tag")] == v1
+    assert got[("b1", "branch")] == audit.current_version()
+
+
+def test_partitions_metadata_table(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "part_snap"), partition_spec=[("days", "ts")]
+    )
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(i, base + datetime.timedelta(days=i % 3)) for i in range(90)]
+    t.append(spark.createDataFrame(rows, "id long, ts timestamp"))
+    parts = t.partitions().collect()
+    exact = {tuple(r.partition): r for r in parts if r.exact}
+    assert set(exact) == {("2024-03-01",), ("2024-03-02",), ("2024-03-03",)}
+    assert sum(r.row_count for r in parts) == 90
+    assert all(r.file_count >= 1 for r in parts)
+
+
+def test_dropped_branch_dirs_become_orphans(spark, table, tmp_path):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        remove_orphans,
+    )
+
+    table.append(spark.range(0, 2))
+    audit = table.create_branch("audit")
+    audit.append(spark.range(10, 12))
+    # while the branch lives, its staged dir is NOT an orphan
+    assert remove_orphans(table, grace_seconds=0.0) == []
+    assert _ids(audit.read()) == [0, 1, 10, 11]
+    table.drop_branch("audit")
+    removed = remove_orphans(table, grace_seconds=0.0)
+    assert len(removed) == 1  # the branch-only staged dir
+    assert _ids(table.read()) == [0, 1]  # main untouched
