@@ -1353,6 +1353,136 @@ class SnapshotFeed:
         self._persist()
 
 
+class MultiTableTransaction:
+    """Atomic commit across several :class:`SnapshotTable`s — the multi-table
+    transaction a REST catalog gives Iceberg, re-expressed with a write-ahead
+    intent log. The ETL fan-out shape ("write the fact table AND its N
+    derived tables, all-or-nothing") needs this; per-table commits alone can
+    leave a reader seeing the fact rows without the rollup rows.
+
+    Protocol:
+
+    1. ``stage_append``/``stage_overwrite`` write each table's data dirs
+       immediately, OUTSIDE any lock (the expensive distributed work; dir
+       names are collision-free and invisible until committed).
+    2. ``commit`` atomically renames an INTENT file listing every staged
+       (table, op, dirs) into the transaction dir — **this rename is the
+       commit point** — then applies each table's metadata commit through
+       the table's own lock-validate-swap, then deletes the intent.
+    3. A crash after the intent rename leaves a recoverable transaction:
+       :func:`recover_transactions` re-applies any table whose staged dirs
+       no snapshot references yet (dir uuids make the check exact), so the
+       transaction completes instead of tearing. A crash BEFORE the rename
+       leaves only orphan dirs — invisible, reclaimed by
+       :func:`remove_orphans` (run recovery before orphan cleanup).
+
+    Readers between the intent rename and the last per-table apply can see
+    a table the transaction has not reached yet — the same read-committed
+    window a catalog-side multi-table commit closes with a single CAS; with
+    only a filesystem underneath, the intent log bounds it to
+    "every committed transaction completes".
+
+    Staged ops are append/overwrite (fan-out writes); rewrite-shaped ops
+    (merge/delete) keep their single-table CAS semantics on purpose — a
+    rewrite's conflict window must stay tied to the version it read."""
+
+    def __init__(self, tables: list[SnapshotTable], txn_dir: str):
+        roots = [(t.root, t.ref) for t in tables]
+        if len(set(roots)) != len(roots):
+            raise SnapshotError("duplicate table in transaction")
+        self.tables = {(t.root, t.ref): t for t in tables}
+        self.txn_dir = txn_dir
+        self.staged: list[dict] = []
+        self._committed = False
+
+    def _table(self, root_ref: tuple[str, str]) -> SnapshotTable:
+        try:
+            return self.tables[root_ref]
+        except KeyError:
+            raise SnapshotError(f"table {root_ref} not part of this transaction")
+
+    def stage_append(self, table: SnapshotTable, df: DataFrame) -> None:
+        key = (table.root, table.ref)
+        self._table(key)
+        d = table._write_new_dir(table._apply_layout(df))
+        self.staged.append(
+            {"root": table.root, "ref": table.ref, "op": "append", "new_dirs": [d]}
+        )
+
+    def stage_overwrite(self, table: SnapshotTable, df: DataFrame) -> None:
+        key = (table.root, table.ref)
+        self._table(key)
+        d = table._write_new_dir(table._apply_layout(df))
+        self.staged.append(
+            {"root": table.root, "ref": table.ref, "op": "overwrite", "new_dirs": [d]}
+        )
+
+    def commit(self) -> dict[tuple[str, str], int]:
+        """Publish every staged write. Returns {(root, ref): version}."""
+        import uuid
+
+        if self._committed:
+            raise SnapshotError("transaction already committed")
+        if not self.staged:
+            raise SnapshotError("nothing staged")
+        os.makedirs(self.txn_dir, exist_ok=True)
+        intent = os.path.join(self.txn_dir, f"txn-{uuid.uuid4().hex}.json")
+        tmp = intent + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.staged, f, indent=1)
+        os.replace(tmp, intent)  # ← the commit point
+        versions = _apply_staged(self.tables, self.staged)
+        os.remove(intent)
+        self._committed = True
+        return versions
+
+
+def _apply_staged(
+    tables: dict[tuple[str, str], SnapshotTable], staged: list[dict]
+) -> dict[tuple[str, str], int]:
+    """Apply staged (op, new_dirs) commits, SKIPPING any whose dirs a
+    snapshot already references — the idempotence that makes transaction
+    recovery safe to run any number of times, even interleaved with new
+    commits (dir names are uuid-unique, so the reference check is exact)."""
+    versions: dict[tuple[str, str], int] = {}
+    for s in staged:
+        t = tables[(s["root"], s["ref"])]
+        referenced = {d for snap in t._log() for d in snap["dirs"]}
+        if any(d in referenced for d in s["new_dirs"]):
+            versions[(t.root, t.ref)] = t.current_version()
+            continue
+        if s["op"] == "append":
+            entry = t._commit({"op": "append"}, new_dirs=list(s["new_dirs"]))
+        else:
+            entry = t._commit({"op": "overwrite", "dirs": list(s["new_dirs"])})
+        versions[(t.root, t.ref)] = entry["id"]
+    return versions
+
+
+def recover_transactions(spark: SparkSession, txn_dir: str) -> list[str]:
+    """Complete every interrupted multi-table transaction whose intent file
+    survived a crash (run at warehouse startup, BEFORE orphan cleanup).
+    Idempotent: already-applied tables are detected by dir reference and
+    skipped. Returns the recovered intent paths."""
+    if not os.path.isdir(txn_dir):
+        return []
+    recovered = []
+    for name in sorted(os.listdir(txn_dir)):
+        if not (name.startswith("txn-") and name.endswith(".json")):
+            continue
+        intent = os.path.join(txn_dir, name)
+        with open(intent) as f:
+            staged = json.load(f)
+        tables = {
+            (s["root"], s["ref"]): SnapshotTable(spark, s["root"], ref=s["ref"])
+            for s in staged
+        }
+        _apply_staged(tables, staged)
+        os.remove(intent)
+        recovered.append(intent)
+    return recovered
+
+
 def remove_orphans(table: SnapshotTable, grace_seconds: float = 3600.0) -> list[str]:
     """Delete data dirs referenced by NO snapshot in the log — the debris of
     writers that died between data write and commit (Iceberg's

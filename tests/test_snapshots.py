@@ -946,3 +946,81 @@ def test_dropped_branch_dirs_become_orphans(spark, table, tmp_path):
     removed = remove_orphans(table, grace_seconds=0.0)
     assert len(removed) == 1  # the branch-only staged dir
     assert _ids(table.read()) == [0, 1]  # main untouched
+
+
+def test_multi_table_transaction_atomic_fanout(spark, tmp_path):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+    )
+
+    facts = SnapshotTable(spark, str(tmp_path / "facts"))
+    rollup = SnapshotTable(spark, str(tmp_path / "rollup"))
+    facts.append(spark.range(0, 5))
+    txn = MultiTableTransaction([facts, rollup], str(tmp_path / "txns"))
+    txn.stage_append(facts, spark.range(5, 8))
+    txn.stage_overwrite(rollup, spark.range(100, 102))
+    # staged but uncommitted: invisible everywhere
+    assert _ids(facts.read()) == [0, 1, 2, 3, 4]
+    assert rollup.current_version() is None
+    versions = txn.commit()
+    assert _ids(facts.read()) == list(range(8))
+    assert _ids(rollup.read()) == [100, 101]
+    assert versions[(facts.root, "main")] == 2
+    assert versions[(rollup.root, "main")] == 1
+    # intent consumed; double-commit refused
+    assert os.listdir(str(tmp_path / "txns")) == []
+    with pytest.raises(SnapshotError):
+        txn.commit()
+
+
+def test_transaction_recovery_completes_partial_apply(spark, tmp_path):
+    """Crash between the intent rename (the commit point) and the last
+    per-table apply: recovery must finish the transaction exactly once."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+        recover_transactions,
+    )
+
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    a.append(spark.range(0, 3))
+    txn = MultiTableTransaction([a, b], str(tmp_path / "txns"))
+    txn.stage_append(a, spark.range(3, 5))
+    txn.stage_append(b, spark.range(10, 12))
+    # simulate the crash: write the intent, apply ONLY table a
+    os.makedirs(str(tmp_path / "txns"), exist_ok=True)
+    intent = str(tmp_path / "txns" / "txn-deadbeef.json")
+    with open(intent, "w") as f:
+        _json.dump(txn.staged, f)
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources import snapshots as snapmod
+
+    snapmod._apply_staged({(a.root, "main"): a}, [txn.staged[0]])
+    assert _ids(a.read()) == [0, 1, 2, 3, 4]
+    assert b.current_version() is None
+    recovered = recover_transactions(spark, str(tmp_path / "txns"))
+    assert recovered == [intent]
+    # b completed; a NOT double-applied
+    assert _ids(b.read()) == [10, 11]
+    assert a.current_version() == 2
+    assert _ids(a.read()) == [0, 1, 2, 3, 4]
+    # recovery is idempotent on an empty txn dir
+    assert recover_transactions(spark, str(tmp_path / "txns")) == []
+
+
+def test_abandoned_stage_is_orphaned_not_visible(spark, tmp_path):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+        remove_orphans,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 2))
+    txn = MultiTableTransaction([t], str(tmp_path / "txns"))
+    txn.stage_append(t, spark.range(2, 4))
+    del txn  # crashed before commit(): no intent file was ever written
+    assert _ids(t.read()) == [0, 1]
+    removed = remove_orphans(t, grace_seconds=0.0)
+    assert len(removed) == 1
+    assert _ids(t.read()) == [0, 1]
