@@ -111,6 +111,7 @@ _PRIORITY = [
     "text_heavy_hitters",
     "q21_waiting_suppliers",
     "agg_bitmap_distinct",
+    "ann_ivfpq",
     # (c) stale-signal re-checks (green in r1/r2 only, fixtures since regenerated)
     "q1_pricing_summary",
     "q5_revenue_by_nation",

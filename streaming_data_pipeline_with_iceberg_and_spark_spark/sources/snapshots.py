@@ -1401,20 +1401,32 @@ class MultiTableTransaction:
         except KeyError:
             raise SnapshotError(f"table {root_ref} not part of this transaction")
 
-    def stage_append(self, table: SnapshotTable, df: DataFrame) -> None:
+    def stage_append(self, table: SnapshotTable, df: DataFrame, batch_id=None) -> None:
         key = (table.root, table.ref)
         self._table(key)
         d = table._write_new_dir(table._apply_layout(df))
         self.staged.append(
-            {"root": table.root, "ref": table.ref, "op": "append", "new_dirs": [d]}
+            {
+                "root": table.root,
+                "ref": table.ref,
+                "op": "append",
+                "new_dirs": [d],
+                "batch_id": batch_id,
+            }
         )
 
-    def stage_overwrite(self, table: SnapshotTable, df: DataFrame) -> None:
+    def stage_overwrite(self, table: SnapshotTable, df: DataFrame, batch_id=None) -> None:
         key = (table.root, table.ref)
         self._table(key)
         d = table._write_new_dir(table._apply_layout(df))
         self.staged.append(
-            {"root": table.root, "ref": table.ref, "op": "overwrite", "new_dirs": [d]}
+            {
+                "root": table.root,
+                "ref": table.ref,
+                "op": "overwrite",
+                "new_dirs": [d],
+                "batch_id": batch_id,
+            }
         )
 
     def commit(self) -> dict[tuple[str, str], int]:
@@ -1451,12 +1463,27 @@ def _apply_staged(
         if any(d in referenced for d in s["new_dirs"]):
             versions[(t.root, t.ref)] = t.current_version()
             continue
+        base = {"op": s["op"]}
+        if s.get("batch_id") is not None:
+            # stamp the idempotence key into the commit so a replayed
+            # micro-batch can detect the whole transaction as applied
+            base["batch_id"] = s["batch_id"]
         if s["op"] == "append":
-            entry = t._commit({"op": "append"}, new_dirs=list(s["new_dirs"]))
+            entry = t._commit(base, new_dirs=list(s["new_dirs"]))
         else:
-            entry = t._commit({"op": "overwrite", "dirs": list(s["new_dirs"])})
+            entry = t._commit({**base, "dirs": list(s["new_dirs"])})
         versions[(t.root, t.ref)] = entry["id"]
     return versions
+
+
+def transaction_batch_seen(tables: list[SnapshotTable], batch_id) -> bool:
+    """Has a multi-table transaction keyed by ``batch_id`` already committed
+    to ANY of these tables? (After :func:`recover_transactions` has run,
+    any-committed implies all-committed — the replay-skip test a streaming
+    fan-out sink needs.)"""
+    return any(
+        s.get("batch_id") == batch_id for t in tables for s in t._log()
+    )
 
 
 def recover_transactions(spark: SparkSession, txn_dir: str) -> list[str]:

@@ -245,6 +245,75 @@ def start_snapshot_ingest(
     return writer.start()
 
 
+def start_transactional_fanout_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    facts_root: str,
+    rollup_root: str,
+    txn_dir: str,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Streaming fan-out with MULTI-TABLE atomicity: each micro-batch
+    appends the raw facts AND refreshes the per-minute per-vehicle rollup
+    as one transaction — a reader can never see the facts without the
+    matching rollup (or vice versa). This closes the last consistency gap
+    in the reference's loop: it writes one table then commits its queue
+    cursor (spark_job.py:61 vs :185); a second derived table would widen
+    that window, and only a catalog-level transaction closes it.
+
+    Exactly-once under foreachBatch replay: each batch starts by completing
+    any crashed transaction (``recover_transactions`` — self-healing), then
+    skips the batch if its ``batch_id`` is already stamped on either table
+    (after recovery, any-committed means all-committed). Per-batch work
+    scales with the BATCH: the rollup fold re-aggregates rollup+partial,
+    bounded by group cardinality, never by total facts."""
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+        transaction_batch_seen,
+    )
+
+    facts = SnapshotTable(spark, facts_root)
+    rollup = SnapshotTable(spark, rollup_root)
+    stream = read_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    parsed = with_event_time(stream)
+
+    def fanout_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_transactions(spark, txn_dir)
+        if transaction_batch_seen([facts, rollup], batch_id):
+            return
+        partial = (
+            batch_df.withColumn("bucket_start", F.date_trunc("minute", "event_ts"))
+            .groupBy("bucket_start", "vehicle_id")
+            .agg(F.count("*").alias("n"), F.sum("speed_kmh").alias("speed_sum"))
+        )
+        if rollup.current_version() is not None:
+            folded = (
+                rollup.read()
+                .unionByName(partial)
+                .groupBy("bucket_start", "vehicle_id")
+                .agg(F.sum("n").alias("n"), F.sum("speed_sum").alias("speed_sum"))
+            )
+        else:
+            folded = partial
+        txn = MultiTableTransaction([facts, rollup], txn_dir)
+        txn.stage_append(facts, batch_df, batch_id=batch_id)
+        txn.stage_overwrite(rollup, folded, batch_id=batch_id)
+        txn.commit()
+
+    writer = parsed.writeStream.foreachBatch(fanout_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

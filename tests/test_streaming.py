@@ -648,3 +648,52 @@ def test_streaming_heavy_hitters_maintains_topk_across_batches(spark, tmp_path):
     # under capacity → MG estimates are exact)
     assert est["alpha"] == 35
     assert est["beta"] == 40
+
+
+def test_transactional_fanout_atomic_and_replay_safe(spark, tmp_path, gps_dir):
+    """Multi-table streaming fan-out: facts append + rollup refresh commit
+    as ONE transaction per micro-batch; a checkpointed restart replays
+    nothing, and the rollup always agrees with the facts it shipped with."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_transactional_fanout_ingest,
+    )
+
+    facts_root = str(tmp_path / "facts")
+    rollup_root = str(tmp_path / "rollup")
+    txn_dir = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_transactional_fanout_ingest(
+            spark, gps_dir, facts_root, rollup_root, txn_dir, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    drain()
+    facts = SnapshotTable(spark, facts_root)
+    rollup = SnapshotTable(spark, rollup_root)
+    assert facts.read().count() == 15
+    # the rollup is consistent with the facts: totals agree
+    assert rollup.read().agg(F.sum("n")).first()[0] == 15
+    v_facts, v_rollup = facts.current_version(), rollup.current_version()
+    # restart with same checkpoint, no new files → nothing moves
+    drain()
+    assert facts.current_version() == v_facts
+    assert rollup.current_version() == v_rollup
+    # new file → exactly its rows land in BOTH tables
+    _write_ndjson(
+        os.path.join(gps_dir, "batch4.json"),
+        [_gps_record(vehicle_id="veh00009", ts="2024-01-01 11:00:00")],
+    )
+    drain()
+    assert facts.read().count() == 16
+    assert rollup.read().agg(F.sum("n")).first()[0] == 16
+    # per-vehicle-minute grouping is real: the new vehicle has its own row
+    assert (
+        rollup.read().filter(F.col("vehicle_id") == "veh00009").first()["n"] == 1
+    )
+    # no intent debris left behind
+    assert os.listdir(txn_dir) == []
