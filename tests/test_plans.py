@@ -479,3 +479,48 @@ def test_q21_single_fact_shuffle_broadcast_supplier(plan):
     p = plan("q21_waiting_suppliers")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_reduces_fact_shuffle(spark, sf_dir):
+    """With broadcast unavailable (the 100 TB case: even the \"small\" join
+    side exceeds executor memory), Catalyst's runtime bloom-filter semi-join
+    reduction must inject `bloom_filter_agg` on the selective build side and
+    `might_contain` on the fact scan — pruning fact rows BEFORE the shuffle,
+    the optimization that keeps selective fact⋈dim joins viable at scale.
+    Pinned here so a session-config regression can't silently drop it."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = load(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, "lineitem", sf_dir)
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan
+        # and the reduction must not have broken the result
+        assert j.count() == 1
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
