@@ -314,6 +314,69 @@ def start_transactional_fanout_ingest(
     return writer.start()
 
 
+def start_incremental_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_root: str,
+    seen_root: str,
+    txn_dir: str,
+    fingerprint_cols: list[str],
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """Incremental exact dedup at ingest: each micro-batch keeps only rows
+    whose content fingerprint has never been seen — within the batch OR in
+    any previous batch — and commits the novel rows plus their fingerprints
+    atomically. This is how dedup actually runs on a growing 100 TB corpus:
+    the alternative (re-running `dedup_exact` over the whole table per
+    ingest) re-shuffles the entire corpus every batch; here per-batch cost
+    is one anti-join of the BATCH against the fingerprint table.
+
+    Scale shape: the fingerprint table holds one xxhash64 per unique row
+    ever ingested — a 64-bit column, ~1/1000th the corpus bytes; the
+    anti-join shuffles the batch (small) against it, and at real scale the
+    fingerprint table would be bucketed on ``fp`` so the join co-locates
+    without re-shuffling the seen side. Atomicity matters here: committing
+    the corpus but not the fingerprints would let a replay re-admit
+    duplicates, the multi-table transaction makes corpus+fingerprints one
+    commit and ``batch_id`` makes replays skips."""
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+        transaction_batch_seen,
+    )
+
+    corpus = SnapshotTable(spark, corpus_root)
+    seen = SnapshotTable(spark, seen_root)
+    stream = read_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_transactions(spark, txn_dir)
+        if transaction_batch_seen([corpus, seen], batch_id):
+            return
+        fp = F.xxhash64(*fingerprint_cols)
+        batch_fp = batch_df.withColumn("fp", fp).dropDuplicates(["fp"])
+        if seen.current_version() is not None:
+            novel = batch_fp.join(seen.read(), "fp", "left_anti")
+        else:
+            novel = batch_fp
+        txn = MultiTableTransaction([corpus, seen], txn_dir)
+        txn.stage_append(corpus, novel.drop("fp"), batch_id=batch_id)
+        txn.stage_append(seen, novel.select("fp"), batch_id=batch_id)
+        txn.commit()
+
+    writer = stream.writeStream.foreachBatch(dedup_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

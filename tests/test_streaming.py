@@ -697,3 +697,66 @@ def test_transactional_fanout_atomic_and_replay_safe(spark, tmp_path, gps_dir):
     )
     # no intent debris left behind
     assert os.listdir(txn_dir) == []
+
+
+def test_incremental_dedup_ingest_cross_batch(spark, tmp_path):
+    """Exact dedup at ingest must hold within a batch, ACROSS batches, and
+    under checkpointed replay — duplicates arriving in a later micro-batch
+    are dropped by the fingerprint anti-join, never re-admitted."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_dedup_ingest,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch window 1: one in-file duplicate (10:00:03 twice)
+    recs = [_gps_record(ts=f"2024-01-01 10:00:{s:02d}") for s in range(5)]
+    _write_ndjson(src / "a.json", recs + [recs[3]])
+    corpus_root = str(tmp_path / "corpus")
+    seen_root = str(tmp_path / "seen")
+    txn_dir = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_dedup_ingest(
+            spark,
+            str(src),
+            corpus_root,
+            seen_root,
+            txn_dir,
+            fingerprint_cols=["vehicle_id", "timestamp"],
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    corpus = SnapshotTable(spark, corpus_root)
+    seen = SnapshotTable(spark, seen_root)
+    assert corpus.read().count() == 5  # in-batch duplicate dropped
+    assert seen.read().count() == 5
+    # batch window 2: 3 repeats of window 1 + 2 novel rows
+    _write_ndjson(
+        src / "b.json",
+        [recs[0], recs[1], recs[2]]
+        + [_gps_record(vehicle_id="veh00002", ts=f"2024-01-01 10:01:0{s}") for s in range(2)],
+    )
+    drain()
+    assert corpus.read().count() == 7  # only the 2 novel rows landed
+    assert seen.read().count() == 7
+    # replay with no new files: nothing moves
+    v = corpus.current_version()
+    drain()
+    assert corpus.current_version() == v
+    assert corpus.read().count() == 7
+    # the deduped corpus has unique fingerprints
+    dup = (
+        corpus.read()
+        .groupBy("vehicle_id", "timestamp")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
