@@ -65,6 +65,7 @@ HEADLINE = [
     "text_heavy_hitters",
     "q21_waiting_suppliers",
     "ann_ivfpq",
+    "kmeans_cluster_profile",
 ]
 
 

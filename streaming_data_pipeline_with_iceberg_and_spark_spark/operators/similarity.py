@@ -318,49 +318,62 @@ def _ivf_n_cells(n: int) -> int:
     return max(4, min(_IVF_MAX_CELLS, int(n**0.5)))
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None):
-    """Coarse quantizer: C = _ivf_n_cells(N) deterministic pseudo-random
-    seeds + one declarative Lloyd refinement (assign via GEMM, means via
-    posexplode+avg — both single-shuffle, both scale to any corpus size).
-    Driver-side state is bounded: both collects below return ≤ _IVF_MAX_CELLS
-    rows by construction. Pass a persisted ``emb`` to share the corpus scan
-    with the caller (quantizer training makes 3 passes of its own)."""
+def _kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame | None = None,
+    k: int | None = None,
+    iters: int = 1,
+):
+    """Distributed Lloyd k-means with CONSTANT-bounded driver state:
+    ``k`` deterministic pseudo-random seeds, then ``iters`` refinement
+    rounds — assignment is one Arrow/GEMM pass over the corpus, means are
+    one posexplode+avg shuffle whose output is ≤ k rows; only the k×d
+    centroid matrix ever reaches the driver. Pass a persisted ``emb`` to
+    share the corpus scan with the caller (each round makes a pass of its
+    own). ``k=None`` → the IVF default √N clamped to _IVF_MAX_CELLS."""
     import numpy as np
 
     if emb is None:
         emb = load_spread(spark, "embeddings", sf_dir)
-    n = emb.count()
-    n_cells = _ivf_n_cells(n)
+    if k is None:
+        k = _ivf_n_cells(emb.count())
     seeds = (
         emb.select("vec_id", "embedding")
         .orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(997)), "vec_id")
-        .limit(n_cells)
+        .limit(k)
         .collect()
     )
     cent_mat = np.array(
         [r["embedding"] for r in sorted(seeds, key=lambda r: r["vec_id"])],
         dtype=np.float64,
     )
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
-        _ivf_assign_fn(cent_mat, 1),
-        schema="vec_id long, probe_rank int, cell int, embedding array<float>",
-    )
-    means = (
-        assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("cell", "pos")
-        .agg(F.avg("val").alias("v"))
-        .groupBy("cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-            ).alias("centroid")
+    for _ in range(iters):
+        assigned = emb.select("vec_id", "embedding").mapInPandas(
+            _ivf_assign_fn(cent_mat, 1),
+            schema="vec_id long, probe_rank int, cell int, embedding array<float>",
         )
-        .collect()
-    )
-    # empty cells keep their seed vector (stable cell ids)
-    for r in means:
-        cent_mat[r["cell"]] = np.array(r["centroid"], dtype=np.float64)
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        # empty cells keep their previous vector (stable cell ids)
+        for r in means:
+            cent_mat[r["cell"]] = np.array(r["centroid"], dtype=np.float64)
     return cent_mat
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None):
+    """IVF coarse quantizer: √N cells (clamped), one Lloyd refinement."""
+    return _kmeans_centroids(spark, sf_dir, emb, k=None, iters=1)
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +690,58 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 16
+_KMEANS_ITERS = 3
+
+
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means clustering profile over the embedding corpus:
+    fit k=16 centroids with 3 Lloyd rounds, assign every vector, report
+    per-cluster size and mean L2 distance-to-centroid. This is the curation
+    primitive behind SemDeDup-style semantic blocking, diversity-balanced
+    sampling, and domain discovery over a training corpus — exposed
+    first-class instead of buried inside ``dedup_semantic``.
+
+    Scale shape: each Lloyd round is one Arrow/GEMM pass + one ≤k-row agg;
+    the only driver state is the k×d centroid matrix — at 100 TB the round
+    count stays the knob, never the state size. Rows-only check (the fit is
+    engine-internal floating-point); invariants tested in
+    tests/test_extensions.py."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_spread(spark, "embeddings", sf_dir).persist()
+    cent_mat = _kmeans_centroids(spark, sf_dir, emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    cent_half = 0.5 * (cent_mat**2).sum(axis=1)
+
+    def assign_dist(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            scores = mat @ cent_mat.T - cent_half
+            cells = np.argmax(scores, axis=1)
+            diff = mat - cent_mat[cells]
+            yield pd.DataFrame(
+                {
+                    "cluster": cells,
+                    "dist": np.sqrt((diff**2).sum(axis=1)),
+                }
+            )
+
+    assigned = emb.select("embedding").mapInPandas(
+        assign_dist, schema="cluster int, dist double"
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
     ⌊x_i/scale + ½⌋ — 4× smaller embeddings for storage/serving, the
@@ -732,6 +797,7 @@ QUERIES = {
     "ann_lsh_hyperplane": ann_lsh_hyperplane,
     "ann_ivf": ann_ivf,
     "ann_ivfpq": ann_ivfpq,
+    "kmeans_cluster_profile": kmeans_cluster_profile,
     "quantize_embeddings_int8": quantize_embeddings_int8,
 }
 

@@ -616,3 +616,36 @@ def test_heavy_hitters_candidate_phase_survives_cap_overflow(spark, tmp_path, mo
     out = textops.text_heavy_hitters(spark, sf_dir).collect()
     assert out[0]["token"] == "heavy"
     assert out[0]["n"] == 20_000  # phase 2 makes the count EXACT
+
+
+def test_kmeans_cluster_profile_invariants(spark, sf_dir):
+    """The k-means profile must be deterministic at its rounded precision,
+    cover every corpus vector exactly once, and actually refine: multi-round
+    centroids give a weakly LOWER mean distance than the raw seeds."""
+    import numpy as np
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        _KMEANS_K,
+        _kmeans_centroids,
+    )
+
+    out1 = similarity.kmeans_cluster_profile(spark, sf_dir).collect()
+    out2 = similarity.kmeans_cluster_profile(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    n_corpus = load(spark, "embeddings", sf_dir).count()
+    assert sum(r.n for r in out1) == n_corpus
+    assert 1 <= len(out1) <= _KMEANS_K
+    assert all(r.avg_dist >= 0 for r in out1)
+
+    # refinement: inertia under the fitted centroids <= under the raw seeds
+    rows = load(spark, "embeddings", sf_dir).select("embedding").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def inertia(cent):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return np.sqrt(d2.min(axis=1)).mean()
+
+    seeds = _kmeans_centroids(spark, sf_dir, k=_KMEANS_K, iters=0)
+    fitted = _kmeans_centroids(spark, sf_dir, k=_KMEANS_K, iters=3)
+    assert inertia(fitted) <= inertia(seeds) + 1e-9
