@@ -112,6 +112,7 @@ _PRIORITY = [
     "q21_waiting_suppliers",
     "agg_bitmap_distinct",
     "ann_ivfpq",
+    "ann_ivf_index",
     "kmeans_cluster_profile",
     # (c) stale-signal re-checks (green in r1/r2 only, fixtures since regenerated)
     "q1_pricing_summary",

@@ -649,3 +649,63 @@ def test_kmeans_cluster_profile_invariants(spark, sf_dir):
     seeds = _kmeans_centroids(spark, sf_dir, k=_KMEANS_K, iters=0)
     fitted = _kmeans_centroids(spark, sf_dir, k=_KMEANS_K, iters=3)
     assert inertia(fitted) <= inertia(seeds) + 1e-9
+
+
+def test_ivf_index_prunes_files_appends_and_recalls(spark, sf_dir, tmp_path):
+    """The materialized IVF index must (a) answer queries from MANIFEST-
+    pruned scans — a single-cell read opens strictly fewer files than the
+    whole index; (b) recover non-trivial exact-top-5 recall; (c) find
+    vectors added through incremental append; (d) keep old index versions
+    time-travelable after the append."""
+    import numpy as np
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        IvfIndex,
+        _query_pred,
+    )
+
+    idx = IvfIndex(spark, str(tmp_path / "ivfidx"))
+    emb = load(spark, "embeddings", sf_dir)
+    v1 = idx.build(emb)
+    # (a) pruning: one probed cell touches a strict subset of index files
+    all_files = set(idx.table.read().inputFiles())
+    one_cell = set(idx.table.read_where("cell", 0, 0).inputFiles())
+    assert one_cell and one_cell < all_files
+    # (b) recall vs the exact baseline
+    queries = emb.filter(_query_pred(50))
+    out = idx.query(queries, k=5).collect()
+    approx = {(r.q_id, r.vec_id) for r in out}
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    assert len(approx) > 0
+    assert len(exact & approx) / len(exact) > 0.05
+    # (c) append: a synthetic vector identical to a query must become its
+    # top hit (cosine 1.0) without rebuilding
+    q0 = queries.orderBy("vec_id").first()
+    new_id = 10_000_000
+    idx.append(
+        spark.createDataFrame(
+            [(new_id, q0["embedding"])], "vec_id long, embedding array<float>"
+        )
+    )
+    out2 = idx.query(queries, k=5).collect()
+    top = {r.q_id: r for r in out2 if r.rank == 1}
+    assert top[q0["vec_id"]].vec_id == new_id
+    assert top[q0["vec_id"]].cos_sim == 1.0
+    # (d) the pre-append index version still answers without the new vector
+    assert idx.table.read(version=v1).filter(
+        F.col("vec_id") == new_id
+    ).count() == 0
+
+
+def test_ann_ivf_index_registry_entry(spark, sf_dir):
+    out = similarity.ann_ivf_index(spark, sf_dir).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
