@@ -809,12 +809,10 @@ class IvfIndex:
             ],
             "q_id long, q_cell int, q_vec array<float>",
         ).withColumn("q_nrm", norm("q_vec"))
-        # one pruned scan per probed cell; each opens only that cell's files
+        # ONE manifest-pruned scan over every probed cell: files of unprobed
+        # cells are never opened, and the IN filter pushes into the reader
         cells = sorted({int(c) for c in probe.reshape(-1)})
-        scans = [self.table.read_where("cell", c, c) for c in cells]
-        corpus = scans[0]
-        for s in scans[1:]:
-            corpus = corpus.unionByName(s)
+        corpus = self.table.read_where_in("cell", cells)
         cands = corpus.join(
             F.broadcast(probes),
             (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),

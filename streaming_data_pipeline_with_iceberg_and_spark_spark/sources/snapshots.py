@@ -650,6 +650,31 @@ class SnapshotTable:
             df = df.filter(F.col(col) <= F.lit(hi))
         return self._strip_hidden(df)
 
+    def read_where_in(
+        self, col: str, values: list, version: int | None = None
+    ) -> DataFrame:
+        """IN-set scan with manifest file pruning: keep a file only if SOME
+        requested value falls inside its [min,max] for ``col`` — the
+        multi-point cousin of ``read_where``'s range pruning (Iceberg prunes
+        IN predicates the same way). One multi-path scan over the survivors,
+        with the row-level IN filter pushed into the parquet reader. The
+        serving pattern behind partition-keyed indexes (e.g. probing a set
+        of IVF cells) and multi-tenant point reads."""
+        snap = self._snapshot(version)
+        if not values:
+            return self.read(version).limit(0)
+        stats = self._load_stats()
+        canon = sorted({_json_stat(v) for v in values})
+        kept = []
+        for f in self._expand_files(snap["dirs"]):
+            b = stats.get(f, {}).get("stats", {}).get(col)
+            if b is None or any(_overlaps(b[0], b[1], v, v) for v in canon):
+                kept.append(f)
+        if not kept:
+            return self.read(version).limit(0)
+        df = self._union_with_deletes(kept, snap.get("deletes", []))
+        return self._strip_hidden(df.filter(F.col(col).isin(list(values))))
+
     def read_where_all(
         self, filters: list[tuple], version: int | None = None
     ) -> DataFrame:

@@ -1024,3 +1024,20 @@ def test_abandoned_stage_is_orphaned_not_visible(spark, tmp_path):
     removed = remove_orphans(t, grace_seconds=0.0)
     assert len(removed) == 1
     assert _ids(t.read()) == [0, 1]
+
+
+def test_read_where_in_prunes_and_filters(spark, table):
+    """IN-set reads must skip files whose [min,max] contains none of the
+    requested values, and still return exactly the matching rows."""
+    for lo in (0, 1000, 2000, 3000):
+        table.append(spark.range(lo, lo + 1000).coalesce(1))
+    all_files = set(table.read().inputFiles())
+    hit = table.read_where_in("id", [5, 7, 2500])
+    assert set(hit.inputFiles()) < all_files
+    assert len(set(hit.inputFiles())) == 2  # first + third commit files only
+    assert _ids(hit) == [5, 7, 2500]
+    # empty value set → empty frame, schema intact
+    assert table.read_where_in("id", []).count() == 0
+    # values nowhere in the table → all files pruned
+    none = table.read_where_in("id", [99_999])
+    assert none.count() == 0
