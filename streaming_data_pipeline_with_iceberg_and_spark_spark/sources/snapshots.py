@@ -1378,6 +1378,102 @@ class SnapshotFeed:
         self._persist()
 
 
+class SnapshotWarehouse:
+    """Catalog over snapshot tables in one warehouse root — the namespace
+    layer the reference gets from its Glue/Iceberg catalog
+    (spark-data-pipeline/spark_job.py:47-58: catalog config + namespace +
+    `create table if not exists`), re-expressed on the filesystem: each
+    table lives at ``<root>/<name>``, multi-table transactions share
+    ``<root>/_txns``, and opening the warehouse completes any transaction a
+    crashed writer left behind (the recovery a catalog service would run).
+
+    The catalog is intentionally thin: a table IS its directory (a dir with
+    a ``metadata/snapshots.json`` is a table), so listing needs no separate
+    registry that could drift from reality."""
+
+    _TXN_DIR = "_txns"
+
+    def __init__(self, spark: SparkSession, root: str, recover: bool = True):
+        self.spark = spark
+        self.root = root
+        self.txn_dir = os.path.join(root, self._TXN_DIR)
+        os.makedirs(root, exist_ok=True)
+        if recover:
+            recover_transactions(spark, self.txn_dir)
+
+    @staticmethod
+    def _check_table_name(name: str) -> None:
+        import re
+
+        if name == SnapshotWarehouse._TXN_DIR or not re.fullmatch(
+            r"[A-Za-z0-9][A-Za-z0-9_.-]{0,127}", name
+        ):
+            raise SnapshotError(f"invalid table name {name!r}")
+
+    def create_table(
+        self, name: str, partition_spec: list[tuple] | None = None
+    ) -> SnapshotTable:
+        """CREATE TABLE IF NOT EXISTS semantics (the reference's DDL shape):
+        opening an existing table ignores a differing ``partition_spec`` the
+        same way its persisted spec always wins."""
+        self._check_table_name(name)
+        return SnapshotTable(
+            self.spark, os.path.join(self.root, name), partition_spec=partition_spec
+        )
+
+    def table(self, name: str) -> SnapshotTable:
+        self._check_table_name(name)
+        root = os.path.join(self.root, name)
+        if not os.path.exists(os.path.join(root, "metadata", "snapshots.json")):
+            raise SnapshotError(f"no table {name!r} in warehouse {self.root}")
+        return SnapshotTable(self.spark, root)
+
+    def table_exists(self, name: str) -> bool:
+        self._check_table_name(name)
+        return os.path.exists(
+            os.path.join(self.root, name, "metadata", "snapshots.json")
+        )
+
+    def list_tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self.root)
+            if os.path.exists(os.path.join(self.root, n, "metadata", "snapshots.json"))
+        )
+
+    def drop_table(self, name: str) -> None:
+        """DROP TABLE: removes data AND history (Iceberg's drop with purge)."""
+        self._check_table_name(name)
+        root = os.path.join(self.root, name)
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+
+    def transaction(self, names: list[str]) -> MultiTableTransaction:
+        """Open a multi-table transaction over named catalog tables, homed
+        in the warehouse's shared transaction dir (so warehouse open can
+        recover it after a crash)."""
+        return MultiTableTransaction(
+            [self.table(n) if self.table_exists(n) else self.create_table(n) for n in names],
+            self.txn_dir,
+        )
+
+    def register_views(self, version_suffix: bool = False) -> None:
+        """Expose every table as a temp view for ad-hoc SQL (the reference's
+        SQL-over-temp-view entry point, spark_job.py:31-37, across a whole
+        namespace). ``version_suffix=True`` additionally registers
+        ``<name>_v<current>`` — pinned views a long-running notebook can
+        keep querying while ingest advances the table."""
+        for name in self.list_tables():
+            t = self.table(name)
+            t.register_view(name)
+            if version_suffix:
+                v = t.current_version()
+                if v is not None:
+                    t.register_view(f"{name}_v{v}", version=v)
+
+
 class MultiTableTransaction:
     """Atomic commit across several :class:`SnapshotTable`s — the multi-table
     transaction a REST catalog gives Iceberg, re-expressed with a write-ahead

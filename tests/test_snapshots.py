@@ -1041,3 +1041,56 @@ def test_read_where_in_prunes_and_filters(spark, table):
     # values nowhere in the table → all files pruned
     none = table.read_where_in("id", [99_999])
     assert none.count() == 0
+
+
+def test_snapshot_warehouse_catalog_ddl_and_sql(spark, tmp_path):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotWarehouse,
+    )
+
+    wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+    assert wh.list_tables() == []
+    ev = wh.create_table("events")
+    ev.append(spark.range(0, 5))
+    wh.create_table("stats").append(
+        spark.range(0, 3).select(F.col("id").alias("k"))
+    )
+    assert wh.list_tables() == ["events", "stats"]
+    assert wh.table_exists("events") and not wh.table_exists("nope")
+    with pytest.raises(SnapshotError):
+        wh.table("nope")
+    with pytest.raises(SnapshotError):
+        wh.create_table("_txns")  # reserved
+    # SQL over the whole namespace, with pinned version views
+    ev.append(spark.range(5, 8))
+    wh.register_views(version_suffix=True)
+    assert spark.sql("SELECT COUNT(*) c FROM events").first()["c"] == 8
+    assert spark.sql("SELECT COUNT(*) c FROM events_v2").first()["c"] == 8
+    # drop removes data and listing
+    wh.drop_table("stats")
+    assert wh.list_tables() == ["events"]
+
+
+def test_snapshot_warehouse_transaction_and_open_recovery(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotWarehouse,
+    )
+
+    wh = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+    txn = wh.transaction(["facts", "rollup"])
+    txn.stage_append(wh.table("facts") if wh.table_exists("facts") else wh.create_table("facts"), spark.range(0, 4))
+    txn.stage_overwrite(wh.create_table("rollup"), spark.range(100, 101))
+    # simulate a crash right after the commit point: intent written, nothing applied
+    _os.makedirs(wh.txn_dir, exist_ok=True)
+    with open(_os.path.join(wh.txn_dir, "txn-crashed.json"), "w") as f:
+        _json.dump(txn.staged, f)
+    # neither table advanced yet
+    assert wh.create_table("facts").current_version() is None
+    # REOPENING the warehouse completes the transaction
+    wh2 = SnapshotWarehouse(spark, str(tmp_path / "wh"))
+    assert sorted(r["id"] for r in wh2.table("facts").read().collect()) == [0, 1, 2, 3]
+    assert sorted(r["id"] for r in wh2.table("rollup").read().collect()) == [100]
+    assert _os.listdir(wh2.txn_dir) == []
