@@ -585,8 +585,12 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    out_schema = "q_id long, rank int, vec_id long, approx_l2 double"
     emb = load_spread(spark, "embeddings", sf_dir).persist()
     cent_mat = _ivf_centroids(spark, sf_dir, emb)  # (C, d) float64
+    if cent_mat.ndim < 2:
+        # empty corpus (routine at scale after a filter): no quantizer
+        return spark.createDataFrame([], out_schema)
     cent_half = 0.5 * (cent_mat**2).sum(axis=1)
 
     # PQ codebooks trained on RESIDUALS of a bounded hash-ordered sample
@@ -597,7 +601,6 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_K)
         .collect()
     )
-    out_schema = "q_id long, rank int, vec_id long, approx_l2 double"
     if not seeds:
         return spark.createDataFrame([], out_schema)
     seed_mat = np.array(
@@ -870,6 +873,9 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_spread(spark, "embeddings", sf_dir).persist()
     cent_mat = _kmeans_centroids(spark, sf_dir, emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+    if cent_mat.ndim < 2:
+        # empty corpus: nothing to cluster
+        return spark.createDataFrame([], "cluster int, n long, avg_dist double")
     cent_half = 0.5 * (cent_mat**2).sum(axis=1)
 
     def assign_dist(batches):
