@@ -286,6 +286,10 @@ def _ivf_assign_fn(cent_mat, nprobe: int):
     import numpy as np
     import pandas as pd
 
+    # a tiny corpus can yield fewer cells than nprobe — clamp, or the
+    # repeat/tile frame widths below disagree with argsort's column count
+    nprobe = min(nprobe, cent_mat.shape[0])
+
     def assign(batches):
         for pdf in batches:
             if pdf.empty:  # empty Arrow batch from an empty partition
@@ -523,8 +527,10 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    # tables[q][s][k] = ||q_s - c_sk||² — |Q|·M·K floats, tiny and closure-shipped
-    tables = np.empty((len(q_ids), _PQ_M, _PQ_K), dtype=np.float64)
+    # tables[q][s][k] = ||q_s - c_sk||² — |Q|·M·K floats, tiny and closure-
+    # shipped; a corpus smaller than _PQ_K yields a shorter codebook, so
+    # size from the fitted rows
+    tables = np.empty((len(q_ids), _PQ_M, books[0].shape[0]), dtype=np.float64)
     for s, book in enumerate(books):
         seg = q_mat[:, s * sub : (s + 1) * sub]
         tables[:, s, :] = (
@@ -638,13 +644,17 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    # small corpora: fewer cells than nprobe / fewer codebook rows than
+    # _PQ_K — size everything from the actual fitted shapes
+    p_eff = min(_IVF_NPROBE, cent_mat.shape[0])
+    n_book = books[0].shape[0]
     # probed cells per query + per-(query,probe) ADC tables over the query's
     # residual in that cell: tables[q, j, s, k] = ||(q − c_cell)_s − book_sk||²
     probe_cells = np.argsort(
         -(q_mat @ cent_mat.T - cent_half), axis=1, kind="stable"
-    )[:, :_IVF_NPROBE]
-    tables = np.empty((len(q_ids), _IVF_NPROBE, _PQ_M, _PQ_K), dtype=np.float64)
-    for j in range(_IVF_NPROBE):
+    )[:, :p_eff]
+    tables = np.empty((len(q_ids), p_eff, _PQ_M, n_book), dtype=np.float64)
+    for j in range(p_eff):
         q_res = q_mat - cent_mat[probe_cells[:, j]]
         for s, book in enumerate(books):
             seg = q_res[:, s * sub : (s + 1) * sub]
@@ -665,7 +675,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_q, out_v, out_d = [], [], []
             for qi in range(len(q_ids)):
                 cand_idx, cand_dist = [], []
-                for j in range(_IVF_NPROBE):
+                for j in range(probe_cells.shape[1]):
                     mask = (cells == probe_cells[qi, j]) & (ids != q_ids[qi])
                     idx = np.where(mask)[0]
                     if not len(idx):
@@ -709,9 +719,11 @@ class IvfIndex:
 
     Index storage is a :class:`~..sources.snapshots.SnapshotTable`, so the
     index inherits time travel (query the index as-of a version), snapshot
-    isolation under concurrent append, and compaction."""
-
-    _CENT_FILE = "ivf_centroids.json"
+    isolation under concurrent append, and compaction. The centroid file is
+    written BEFORE its commit and referenced from the snapshot's summary
+    props, so data and quantizer can never disagree: a crash mid-rebuild
+    leaves an orphan centroid file (harmless), never a committed index
+    whose rows were partitioned by centroids a reader cannot see."""
 
     def __init__(self, spark: SparkSession, root: str):
         from ..sources.snapshots import SnapshotTable
@@ -721,20 +733,32 @@ class IvfIndex:
         self.table = SnapshotTable(
             spark, root, partition_spec=[("identity", "cell")]
         )
-        self._cent_path = os.path.join(root, "metadata", self._CENT_FILE)
 
-    # -- centroid persistence ---------------------------------------------
-    def _save_centroids(self, cent_mat) -> None:
-        os.makedirs(os.path.dirname(self._cent_path), exist_ok=True)
-        tmp = self._cent_path + ".tmp"
+    # -- centroid persistence (content-addressed, committed via props) -----
+    def _write_centroids(self, cent_mat) -> str:
+        import uuid
+
+        path = os.path.join(
+            self.root, "metadata", f"ivf_centroids-{uuid.uuid4().hex[:12]}.json"
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump([[float(x) for x in row] for row in cent_mat], f)
-        os.replace(tmp, self._cent_path)
+        os.replace(tmp, path)
+        return path
 
-    def _load_centroids(self):
+    def _load_centroids(self, version: int | None = None):
         import numpy as np
 
-        with open(self._cent_path) as f:
+        props = self.table.snapshot_props(version)
+        path = props.get("ivf_centroids")
+        if path is None:
+            raise ValueError(
+                f"index at {self.root} has no quantizer (empty or pre-build "
+                "snapshot) — run build() on a non-empty corpus"
+            )
+        with open(path) as f:
             return np.array(json.load(f), dtype=np.float64)
 
     # -- lifecycle ---------------------------------------------------------
@@ -745,13 +769,20 @@ class IvfIndex:
         iters: int = 1,
     ) -> int:
         """(Re)build: fit the quantizer on ``emb``, encode and overwrite the
-        whole index. One overwrite commit — readers keep snapshot isolation
-        while the rebuild runs."""
+        whole index. Centroids write first, then ONE overwrite commit
+        carries both the rows and the centroid pointer — readers keep
+        snapshot isolation (and a consistent quantizer) while the rebuild
+        runs."""
         emb = emb.persist()
         n = emb.count()
         cent_mat = _kmeans_centroids(
             self.spark, "", emb, k=k or _ivf_n_cells(n), iters=iters
         )
+        props = (
+            {"ivf_centroids": self._write_centroids(cent_mat)}
+            if cent_mat.ndim == 2
+            else None
+        )
         assigned = (
             emb.select("vec_id", "embedding")
             .mapInPandas(
@@ -761,15 +792,16 @@ class IvfIndex:
             .select("vec_id", "cell", "embedding")
             .withColumn("nrm", norm("embedding"))
         )
-        v = self.table.overwrite(assigned)
-        self._save_centroids(cent_mat)
-        return v
+        return self.table.overwrite(assigned, props=props)
 
     def append(self, emb: DataFrame) -> int:
-        """Incremental maintenance: encode new vectors with the stored
-        centroids and append — cost proportional to the batch, the index
-        layout (and every prior version) untouched."""
+        """Incremental maintenance: encode new vectors with the CURRENT
+        snapshot's centroids and append — cost proportional to the batch,
+        the index layout (and every prior version) untouched. The append
+        commit re-stamps the same centroid pointer, so every version's
+        props name the quantizer its rows were encoded with."""
         cent_mat = self._load_centroids()
+        props = self.table.snapshot_props()
         assigned = (
             emb.select("vec_id", "embedding")
             .mapInPandas(
@@ -779,24 +811,33 @@ class IvfIndex:
             .select("vec_id", "cell", "embedding")
             .withColumn("nrm", norm("embedding"))
         )
-        return self.table.append(assigned)
+        return self.table.append(assigned, props=props)
 
     def query(
-        self, queries: DataFrame, k: int = 5, nprobe: int = _IVF_NPROBE
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = _IVF_NPROBE,
+        version: int | None = None,
     ) -> DataFrame:
-        """Top-k cosine neighbors for a bounded query batch. The probed
-        cells are computed driver-side from the (tiny) centroid matrix, and
-        each cell's rows come from a MANIFEST-PRUNED scan — files of
-        unprobed cells are never opened (asserted in tests)."""
+        """Top-k cosine neighbors for a bounded query batch, optionally
+        against a time-traveled index ``version`` (its own centroids
+        resolve from that snapshot's props). The probed cells are computed
+        driver-side from the (tiny) centroid matrix, and their rows come
+        from a MANIFEST-PRUNED scan — files of unprobed cells are never
+        opened (asserted in tests)."""
         import numpy as np
 
         q_rows = queries.select("vec_id", "embedding").collect()
         out_schema = "q_id long, rank int, vec_id long, cos_sim double"
         if not q_rows:
             return self.spark.createDataFrame([], out_schema)
-        cent_mat = self._load_centroids()
+        if self.table.snapshot_props(version).get("ivf_centroids") is None:
+            return self.spark.createDataFrame([], out_schema)  # empty index
+        cent_mat = self._load_centroids(version)
         cent_half = 0.5 * (cent_mat**2).sum(axis=1)
         q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+        nprobe = min(nprobe, cent_mat.shape[0])
         probe = np.argsort(
             -(q_mat @ cent_mat.T - cent_half), axis=1, kind="stable"
         )[:, :nprobe]
@@ -815,7 +856,7 @@ class IvfIndex:
         # ONE manifest-pruned scan over every probed cell: files of unprobed
         # cells are never opened, and the IN filter pushes into the reader
         cells = sorted({int(c) for c in probe.reshape(-1)})
-        corpus = self.table.read_where_in("cell", cells)
+        corpus = self.table.read_where_in("cell", cells, version=version)
         cands = corpus.join(
             F.broadcast(probes),
             (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),

@@ -471,13 +471,26 @@ class SnapshotTable:
         d = os.path.join(self.root, "data", f"s{nxt}-{uuid.uuid4().hex[:8]}")
         return self._write_dir_at(df, d)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, props: dict | None = None) -> int:
         """Append commit: new version sees parent's dirs + this batch's
         dir. Safe under concurrent appenders: the data dir is written
         outside the commit lock, and the visible-set union happens under it
-        (see _commit), so no writer can overwrite another's files."""
+        (see _commit), so no writer can overwrite another's files.
+
+        ``props`` (JSON-able dict) is stored on the snapshot entry —
+        Iceberg's snapshot summary properties; readers fetch it via
+        :meth:`snapshot_props` to pin artifacts (e.g. a quantizer file) to
+        the exact commit they describe."""
         d = self._write_new_dir(self._apply_layout(df))
-        return self._commit({"op": "append"}, new_dirs=[d])["id"]
+        entry: dict = {"op": "append"}
+        if props:
+            entry["props"] = props
+        return self._commit(entry, new_dirs=[d])["id"]
+
+    def snapshot_props(self, version: int | None = None) -> dict:
+        """Summary properties stored with a snapshot commit (empty dict if
+        none)."""
+        return dict(self._snapshot(version).get("props") or {})
 
     def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
         """Idempotent streaming append: one snapshot per micro-batch, keyed
@@ -507,7 +520,7 @@ class SnapshotTable:
             entry["deletes"] = pdel
         return self._commit(entry)["id"]
 
-    def overwrite(self, df: DataFrame, batch_id=None) -> int | None:
+    def overwrite(self, df: DataFrame, batch_id=None, props: dict | None = None) -> int | None:
         """Overwrite commit: new version sees only this batch's dir. Old
         versions keep their files — time travel to them still works.
 
@@ -515,7 +528,8 @@ class SnapshotTable:
         same way ``append_batch`` is: a commit whose batch_id already
         appears in the log is skipped (returns None) — the idempotence key
         an exactly-once consumer needs when it crashes between writing a
-        derived table and advancing its cursor."""
+        derived table and advancing its cursor. ``props`` as in
+        :meth:`append`."""
         if batch_id is not None and any(
             sn.get("batch_id") == batch_id for sn in self._log()
         ):
@@ -524,6 +538,8 @@ class SnapshotTable:
         entry = {"op": "overwrite", "dirs": [d]}
         if batch_id is not None:
             entry["batch_id"] = batch_id
+        if props:
+            entry["props"] = props
         return self._commit(entry)["id"]
 
     # -- merge-on-read deletes --------------------------------------------
@@ -664,7 +680,9 @@ class SnapshotTable:
         if not values:
             return self.read(version).limit(0)
         stats = self._load_stats()
-        canon = sorted({_json_stat(v) for v in values})
+        # a plain set: membership pruning is order-independent, and sorting
+        # would TypeError on mixed-type value lists
+        canon = {_json_stat(v) for v in values}
         kept = []
         for f in self._expand_files(snap["dirs"]):
             b = stats.get(f, {}).get("stats", {}).get(col)
@@ -1157,27 +1175,44 @@ class SnapshotTable:
 
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Pin an immutable, named TAG to ``version`` (default: current
-        head). Tags are retention roots: :meth:`expire_snapshots` keeps a
-        tagged snapshot readable no matter how old — the audit/repro handle
-        ("the exact table the model trained on") Iceberg tags exist for."""
+        head) ON THIS REF. Tags are retention roots: :meth:`expire_snapshots`
+        keeps a tagged snapshot readable no matter how old — the audit/repro
+        handle ("the exact table the model trained on") Iceberg tags exist
+        for. The tag records which ref it was created on: snapshot ids are
+        per-lineage numbers, so a branch's id 4 and main's id 4 are
+        DIFFERENT commits — resolution always goes through the recorded
+        ref's own log."""
         self._check_ref_name(name)
         snap = self._snapshot(version)
         with self._locked():
             refs = self._load_refs()
             if name in refs:
                 raise SnapshotError(f"tag {name!r} already exists")
-            refs[name] = snap["id"]
+            refs[name] = {"version": snap["id"], "ref": self.ref}
             tmp = self._refs_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(refs, f, indent=1)
             os.replace(tmp, self._refs_path)
         return snap["id"]
 
+    @staticmethod
+    def _tag_entry(raw) -> dict:
+        # pre-ref-qualified tags stored a bare version int (main-lineage)
+        return raw if isinstance(raw, dict) else {"version": raw, "ref": "main"}
+
     def read_tag(self, name: str) -> DataFrame:
         refs = self._load_refs()
         if name not in refs:
             raise SnapshotError(f"no tag {name!r} at {self.root}")
-        return self.read(version=refs[name])
+        ent = self._tag_entry(refs[name])
+        src = self if ent["ref"] == self.ref else SnapshotTable(
+            self.spark, self.root, ref=ent["ref"]
+        )
+        if not os.path.exists(src._meta_path):
+            raise SnapshotError(
+                f"tag {name!r} points into dropped ref {ent['ref']!r}"
+            )
+        return src.read(version=ent["version"])
 
     def drop_tag(self, name: str) -> None:
         with self._locked():
@@ -1198,7 +1233,8 @@ class SnapshotTable:
                 mlog = json.load(f)
             main_head = mlog[-1]["id"] if mlog else 0
         rows = [("main", "branch", main_head)] + [
-            (n, "tag", v) for n, v in sorted(self._load_refs().items())
+            (n, "tag", self._tag_entry(v)["version"])
+            for n, v in sorted(self._load_refs().items())
         ]
         meta_dir = os.path.join(self.root, "metadata")
         if os.path.isdir(meta_dir):
@@ -1274,9 +1310,15 @@ class SnapshotTable:
         log = self._log()
         if len(log) <= keep_last:
             return []
-        # retention roots: the trailing keep_last snapshots, every TAGGED
-        # snapshot (tags pin history), and every dir a BRANCH still sees
-        tagged = set(self._load_refs().values())
+        # retention roots: the trailing keep_last snapshots, every snapshot
+        # TAGGED on this ref (tags pin history; a tag on another ref
+        # protects its dirs through that ref's own log below), and every
+        # dir a BRANCH still sees
+        tagged = {
+            self._tag_entry(v)["version"]
+            for v in self._load_refs().values()
+            if self._tag_entry(v)["ref"] == self.ref
+        }
         recent_ids = {s["id"] for s in log[-keep_last:]}
         live = [s for s in log if s["id"] in recent_ids or s["id"] in tagged]
         dead = [s for s in log if s["id"] not in recent_ids and s["id"] not in tagged]
@@ -1522,7 +1564,7 @@ class MultiTableTransaction:
         except KeyError:
             raise SnapshotError(f"table {root_ref} not part of this transaction")
 
-    def stage_append(self, table: SnapshotTable, df: DataFrame, batch_id=None) -> None:
+    def _stage(self, table: SnapshotTable, df: DataFrame, op: str, batch_id) -> None:
         key = (table.root, table.ref)
         self._table(key)
         d = table._write_new_dir(table._apply_layout(df))
@@ -1530,25 +1572,22 @@ class MultiTableTransaction:
             {
                 "root": table.root,
                 "ref": table.ref,
-                "op": "append",
+                "op": op,
                 "new_dirs": [d],
                 "batch_id": batch_id,
+                # the version this stage was computed against — recovery
+                # uses it to detect that a non-transactional writer raced a
+                # crashed OVERWRITE (applying anyway would revert their
+                # commit); appends commute and carry no parent pin
+                "parent": table.current_version(),
             }
         )
 
+    def stage_append(self, table: SnapshotTable, df: DataFrame, batch_id=None) -> None:
+        self._stage(table, df, "append", batch_id)
+
     def stage_overwrite(self, table: SnapshotTable, df: DataFrame, batch_id=None) -> None:
-        key = (table.root, table.ref)
-        self._table(key)
-        d = table._write_new_dir(table._apply_layout(df))
-        self.staged.append(
-            {
-                "root": table.root,
-                "ref": table.ref,
-                "op": "overwrite",
-                "new_dirs": [d],
-                "batch_id": batch_id,
-            }
-        )
+        self._stage(table, df, "overwrite", batch_id)
 
     def commit(self) -> dict[tuple[str, str], int]:
         """Publish every staged write. Returns {(root, ref): version}."""
@@ -1571,12 +1610,22 @@ class MultiTableTransaction:
 
 
 def _apply_staged(
-    tables: dict[tuple[str, str], SnapshotTable], staged: list[dict]
+    tables: dict[tuple[str, str], SnapshotTable],
+    staged: list[dict],
+    recovery: bool = False,
 ) -> dict[tuple[str, str], int]:
     """Apply staged (op, new_dirs) commits, SKIPPING any whose dirs a
     snapshot already references — the idempotence that makes transaction
-    recovery safe to run any number of times, even interleaved with new
-    commits (dir names are uuid-unique, so the reference check is exact)."""
+    recovery safe to run any number of times (dir names are uuid-unique, so
+    the reference check is exact).
+
+    ``recovery=True`` additionally enforces the OVERWRITE staleness pin: if
+    the table moved past the version the overwrite was computed against,
+    applying it would silently revert the racing writer's commit — raise
+    :class:`SnapshotConflict` instead (the live ``commit()`` path applies
+    immediately after the intent rename, so only crash recovery can observe
+    this). Appends apply regardless: the visible-set union commutes with
+    any interleaved commit."""
     versions: dict[tuple[str, str], int] = {}
     for s in staged:
         t = tables[(s["root"], s["ref"])]
@@ -1584,6 +1633,16 @@ def _apply_staged(
         if any(d in referenced for d in s["new_dirs"]):
             versions[(t.root, t.ref)] = t.current_version()
             continue
+        if (
+            recovery
+            and s["op"] == "overwrite"
+            and t.current_version() != s.get("parent")
+        ):
+            raise SnapshotConflict(
+                f"crashed overwrite for {t.root} was staged at version "
+                f"{s.get('parent')} but the table is now at "
+                f"{t.current_version()}"
+            )
         base = {"op": s["op"]}
         if s.get("batch_id") is not None:
             # stamp the idempotence key into the commit so a replayed
@@ -1611,13 +1670,24 @@ def recover_transactions(spark: SparkSession, txn_dir: str) -> list[str]:
     """Complete every interrupted multi-table transaction whose intent file
     survived a crash (run at warehouse startup, BEFORE orphan cleanup).
     Idempotent: already-applied tables are detected by dir reference and
-    skipped. Returns the recovered intent paths."""
+    skipped; intents replay in COMMIT order (file mtime — each intent's
+    rename is its commit point). An intent whose overwrite was raced by a
+    non-transactional writer is NOT applied (applying would revert that
+    writer's commit): it is renamed to ``*.aborted.json`` for inspection —
+    routing all writers to transaction-managed tables through their
+    :class:`SnapshotWarehouse` (which recovers on open) prevents the race,
+    the same discipline a catalog service enforces. Returns the recovered
+    intent paths."""
     if not os.path.isdir(txn_dir):
         return []
     recovered = []
-    for name in sorted(os.listdir(txn_dir)):
-        if not (name.startswith("txn-") and name.endswith(".json")):
-            continue
+    names = [
+        n
+        for n in os.listdir(txn_dir)
+        if n.startswith("txn-") and n.endswith(".json") and not n.endswith(".aborted.json")
+    ]
+    names.sort(key=lambda n: os.path.getmtime(os.path.join(txn_dir, n)))
+    for name in names:
         intent = os.path.join(txn_dir, name)
         with open(intent) as f:
             staged = json.load(f)
@@ -1625,7 +1695,11 @@ def recover_transactions(spark: SparkSession, txn_dir: str) -> list[str]:
             (s["root"], s["ref"]): SnapshotTable(spark, s["root"], ref=s["ref"])
             for s in staged
         }
-        _apply_staged(tables, staged)
+        try:
+            _apply_staged(tables, staged, recovery=True)
+        except SnapshotConflict:
+            os.replace(intent, intent[: -len(".json")] + ".aborted.json")
+            continue
         os.remove(intent)
         recovered.append(intent)
     return recovered

@@ -245,6 +245,27 @@ def start_snapshot_ingest(
     return writer.start()
 
 
+def _max_seen_batch(tables, stream_id: str) -> int:
+    """Highest batch number this STREAM has stamped on any of ``tables``
+    (-1 if none). Batch keys are namespaced ``<stream_id>#<n>`` so two
+    different pipelines writing the same table can never mistake each
+    other's batch numbers for their own (un-namespaced ids silently DROP
+    batches in that case). Scanned once per stream start — replays only
+    happen right after a restart, so the per-batch guard is an in-memory
+    watermark compare, not an O(log) re-parse."""
+    mx = -1
+    prefix = stream_id + "#"
+    for t in tables:
+        for s in t._log():
+            b = s.get("batch_id")
+            if isinstance(b, str) and b.startswith(prefix):
+                try:
+                    mx = max(mx, int(b[len(prefix) :]))
+                except ValueError:
+                    pass
+    return mx
+
+
 def start_transactional_fanout_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -254,6 +275,7 @@ def start_transactional_fanout_ingest(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int = 10,
+    stream_id: str = "fanout",
 ) -> StreamingQuery:
     """Streaming fan-out with MULTI-TABLE atomicity: each micro-batch
     appends the raw facts AND refreshes the per-minute per-vehicle rollup
@@ -263,17 +285,17 @@ def start_transactional_fanout_ingest(
     cursor (spark_job.py:61 vs :185); a second derived table would widen
     that window, and only a catalog-level transaction closes it.
 
-    Exactly-once under foreachBatch replay: each batch starts by completing
-    any crashed transaction (``recover_transactions`` — self-healing), then
-    skips the batch if its ``batch_id`` is already stamped on either table
-    (after recovery, any-committed means all-committed). Per-batch work
+    Exactly-once under foreachBatch replay: the stream's first batch
+    completes any crashed transaction (``recover_transactions``) and reads
+    the highest ``<stream_id>#<n>`` batch key stamped on either table; the
+    per-batch replay guard is then a driver-memory watermark compare, so
+    steady-state overhead does not grow with history. Per-batch work
     scales with the BATCH: the rollup fold re-aggregates rollup+partial,
     bounded by group cardinality, never by total facts."""
     from ..sources.snapshots import (
         MultiTableTransaction,
         SnapshotTable,
         recover_transactions,
-        transaction_batch_seen,
     )
 
     facts = SnapshotTable(spark, facts_root)
@@ -282,10 +304,13 @@ def start_transactional_fanout_ingest(
         spark, source_dir, max_files_per_trigger=max_files_per_trigger
     )
     parsed = with_event_time(stream)
+    state = {"max_seen": None}
 
     def fanout_batch(batch_df: DataFrame, batch_id: int) -> None:
-        recover_transactions(spark, txn_dir)
-        if transaction_batch_seen([facts, rollup], batch_id):
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([facts, rollup], stream_id)
+        if batch_id <= state["max_seen"]:
             return
         partial = (
             batch_df.withColumn("bucket_start", F.date_trunc("minute", "event_ts"))
@@ -302,9 +327,11 @@ def start_transactional_fanout_ingest(
         else:
             folded = partial
         txn = MultiTableTransaction([facts, rollup], txn_dir)
-        txn.stage_append(facts, batch_df, batch_id=batch_id)
-        txn.stage_overwrite(rollup, folded, batch_id=batch_id)
+        key = f"{stream_id}#{batch_id}"
+        txn.stage_append(facts, batch_df, batch_id=key)
+        txn.stage_overwrite(rollup, folded, batch_id=key)
         txn.commit()
+        state["max_seen"] = batch_id
 
     writer = parsed.writeStream.foreachBatch(fanout_batch).outputMode("append")
     if checkpoint_dir:
@@ -324,28 +351,37 @@ def start_incremental_dedup_ingest(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int = 10,
+    stream_id: str = "dedup_ingest",
 ) -> StreamingQuery:
-    """Incremental exact dedup at ingest: each micro-batch keeps only rows
-    whose content fingerprint has never been seen — within the batch OR in
-    any previous batch — and commits the novel rows plus their fingerprints
+    """Incremental dedup at ingest: each micro-batch keeps only rows whose
+    content fingerprint has never been seen — within the batch OR in any
+    previous batch — and commits the novel rows plus their fingerprints
     atomically. This is how dedup actually runs on a growing 100 TB corpus:
     the alternative (re-running `dedup_exact` over the whole table per
     ingest) re-shuffles the entire corpus every batch; here per-batch cost
     is one anti-join of the BATCH against the fingerprint table.
 
-    Scale shape: the fingerprint table holds one xxhash64 per unique row
-    ever ingested — a 64-bit column, ~1/1000th the corpus bytes; the
-    anti-join shuffles the batch (small) against it, and at real scale the
-    fingerprint table would be bucketed on ``fp`` so the join co-locates
-    without re-shuffling the seen side. Atomicity matters here: committing
-    the corpus but not the fingerprints would let a replay re-admit
-    duplicates, the multi-table transaction makes corpus+fingerprints one
-    commit and ``batch_id`` makes replays skips."""
+    The fingerprint is 128 bits (two independently-seeded xxhash64 halves):
+    a single 64-bit hash collides with ~50% probability near 5 billion
+    unique rows — exactly the target scale — and a collision would silently
+    drop a distinct row forever; at 128 bits the probability is ~2⁻⁶⁴ even
+    at a trillion rows. (A strictly-exact variant would verify on the
+    columns themselves at the cost of storing them in the seen table.)
+
+    Scale shape: the fingerprint table holds 16 bytes per unique row ever
+    ingested — a small fraction of corpus bytes; the anti-join shuffles the
+    batch (small) against it, and at real scale the fingerprint table
+    would be bucketed on the fingerprint so the join co-locates without
+    re-shuffling the seen side. Atomicity matters here: committing the
+    corpus but not the fingerprints would let a replay re-admit
+    duplicates; the multi-table transaction makes corpus+fingerprints one
+    commit, and the namespaced ``<stream_id>#<n>`` batch key (checked
+    against an in-memory watermark seeded once at stream start) makes
+    replays skips."""
     from ..sources.snapshots import (
         MultiTableTransaction,
         SnapshotTable,
         recover_transactions,
-        transaction_batch_seen,
     )
 
     corpus = SnapshotTable(spark, corpus_root)
@@ -353,21 +389,35 @@ def start_incremental_dedup_ingest(
     stream = read_stream(
         spark, source_dir, max_files_per_trigger=max_files_per_trigger
     )
+    state = {"max_seen": None}
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
-        recover_transactions(spark, txn_dir)
-        if transaction_batch_seen([corpus, seen], batch_id):
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([corpus, seen], stream_id)
+        if batch_id <= state["max_seen"]:
             return
-        fp = F.xxhash64(*fingerprint_cols)
-        batch_fp = batch_df.withColumn("fp", fp).dropDuplicates(["fp"])
+        batch_fp = batch_df.withColumn(
+            "fp_hi", F.xxhash64(*fingerprint_cols)
+        ).withColumn(
+            "fp_lo", F.xxhash64(F.lit(1), *fingerprint_cols)
+        ).dropDuplicates(["fp_hi", "fp_lo"])
         if seen.current_version() is not None:
-            novel = batch_fp.join(seen.read(), "fp", "left_anti")
+            novel = batch_fp.join(seen.read(), ["fp_hi", "fp_lo"], "left_anti")
         else:
             novel = batch_fp
-        txn = MultiTableTransaction([corpus, seen], txn_dir)
-        txn.stage_append(corpus, novel.drop("fp"), batch_id=batch_id)
-        txn.stage_append(seen, novel.select("fp"), batch_id=batch_id)
-        txn.commit()
+        # both staged writes derive from novel — persist so the source scan,
+        # hashing, and the anti-join run once, not once per staged table
+        novel = novel.persist()
+        try:
+            txn = MultiTableTransaction([corpus, seen], txn_dir)
+            key = f"{stream_id}#{batch_id}"
+            txn.stage_append(corpus, novel.drop("fp_hi", "fp_lo"), batch_id=key)
+            txn.stage_append(seen, novel.select("fp_hi", "fp_lo"), batch_id=key)
+            txn.commit()
+        finally:
+            novel.unpersist()
+        state["max_seen"] = batch_id
 
     writer = stream.writeStream.foreachBatch(dedup_batch).outputMode("append")
     if checkpoint_dir:

@@ -709,3 +709,60 @@ def test_ann_ivf_index_registry_entry(spark, sf_dir):
         by_q.setdefault(r.q_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def _tiny_sf_dir(spark, tmp_path, n):
+    """A scratch sf dir whose embeddings table has only ``n`` vectors —
+    smaller than _PQ_K and (for n=1) than nprobe, the shapes a selective
+    filter routinely produces at scale."""
+    import numpy as np
+
+    d = tmp_path / f"tiny_sf_{n}"
+    d.mkdir()
+    rng = np.random.RandomState(7)
+    rows = [
+        (i * 50, [float(x) for x in rng.randn(64)], 0) for i in range(n)
+    ]  # vec_id i*50 → satisfies _query_pred(50)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_pq_family_survives_tiny_corpus(spark, tmp_path):
+    """ann_pq / ann_ivfpq on corpora smaller than the codebook size
+    (_PQ_K=16) or the probe count must produce valid (possibly short)
+    results, not shape errors — a selective corpus filter makes this
+    routine at scale."""
+    for n in (1, 3):
+        sf = _tiny_sf_dir(spark, tmp_path, n)
+        for fn in (similarity.ann_pq, similarity.ann_ivfpq):
+            out = fn(spark, sf).collect()
+            # n-1 possible neighbors per query, at most
+            assert all(r.rank <= max(0, n - 1) + 1 for r in out)
+            if n == 1:
+                assert out == []  # the only vector is the query itself
+
+
+def test_ivf_index_centroids_travel_with_versions(spark, sf_dir, tmp_path):
+    """Centroids commit WITH the data (snapshot props): after a rebuild
+    with a different k, a time-traveled query of the old version must use
+    the OLD quantizer — data and quantizer can never disagree."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        IvfIndex,
+        _query_pred,
+    )
+
+    idx = IvfIndex(spark, str(tmp_path / "idx"))
+    emb = load(spark, "embeddings", sf_dir)
+    v1 = idx.build(emb)
+    queries = emb.filter(_query_pred(50))
+    out_v1 = sorted(map(tuple, idx.query(queries, k=5).collect()))
+    # rebuild with different quantizer geometry → new version, new centroids
+    v2 = idx.build(emb, k=4, iters=2)
+    assert idx.table.snapshot_props(v1) != idx.table.snapshot_props(v2)
+    # time-traveled query reproduces v1 exactly (old centroids + old rows)
+    assert sorted(map(tuple, idx.query(queries, k=5, version=v1).collect())) == out_v1
+    # nprobe larger than the cell count clamps instead of crashing
+    assert len(idx.query(queries, k=5, nprobe=64).collect()) > 0

@@ -1094,3 +1094,66 @@ def test_snapshot_warehouse_transaction_and_open_recovery(spark, tmp_path):
     assert sorted(r["id"] for r in wh2.table("facts").read().collect()) == [0, 1, 2, 3]
     assert sorted(r["id"] for r in wh2.table("rollup").read().collect()) == [100]
     assert _os.listdir(wh2.txn_dir) == []
+
+
+def test_recovery_aborts_stale_overwrite_instead_of_reverting(spark, tmp_path):
+    """A crashed transaction whose OVERWRITE was raced by a plain writer
+    must NOT be applied at recovery (that would silently revert the
+    writer's newer commit) — it aborts, visibly, and the newer data wins."""
+    import json as _json
+    import os as _os
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+        recover_transactions,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(0, 3))
+    txn = MultiTableTransaction([t], str(tmp_path / "txns"))
+    txn.stage_overwrite(t, spark.range(50, 52))
+    _os.makedirs(str(tmp_path / "txns"), exist_ok=True)
+    with open(_os.path.join(str(tmp_path / "txns"), "txn-crashed.json"), "w") as f:
+        _json.dump(txn.staged, f)
+    # a non-transactional writer commits AFTER the crash
+    t.append(spark.range(3, 5))
+    recovered = recover_transactions(spark, str(tmp_path / "txns"))
+    assert recovered == []  # nothing applied
+    assert _ids(t.read()) == [0, 1, 2, 3, 4]  # newer data intact
+    aborted = [n for n in _os.listdir(str(tmp_path / "txns")) if n.endswith(".aborted.json")]
+    assert len(aborted) == 1  # surfaced for inspection, not silently dropped
+    # a crashed APPEND still recovers — the union commutes with the race
+    txn2 = MultiTableTransaction([t], str(tmp_path / "txns"))
+    txn2.stage_append(t, spark.range(10, 12))
+    with open(_os.path.join(str(tmp_path / "txns"), "txn-crash2.json"), "w") as f:
+        _json.dump(txn2.staged, f)
+    t.append(spark.range(5, 6))
+    assert len(recover_transactions(spark, str(tmp_path / "txns"))) == 1
+    assert _ids(t.read()) == [0, 1, 2, 3, 4, 5, 10, 11]
+
+
+def test_tag_on_branch_resolves_branch_snapshot(spark, table):
+    """Snapshot ids are per-lineage numbers: a tag created on a branch must
+    resolve through the BRANCH's log, even when main later mints the same
+    id for a different commit."""
+    table.append(spark.range(0, 2))  # main id 1
+    b = table.create_branch("wip")
+    b.append(spark.range(100, 103))  # branch id 2
+    b.create_tag("staged-data")  # pins branch id 2
+    table.append(spark.range(5, 8))  # main's OWN id 2 — different commit
+    assert _ids(table.read_tag("staged-data")) == [0, 1, 100, 101, 102]
+    assert _ids(b.read_tag("staged-data")) == [0, 1, 100, 101, 102]
+    # dropping the branch makes the tag dangle loudly, not wrongly
+    table.drop_branch("wip")
+    with pytest.raises(SnapshotError):
+        table.read_tag("staged-data")
+
+
+def test_read_where_in_uncanonicalizable_values(spark, table):
+    from decimal import Decimal
+
+    table.append(spark.range(0, 10).coalesce(1))
+    # a value _json_stat cannot canonicalize (Decimal → None) must not
+    # crash the pruning layer (None is unorderable against ints); the file
+    # is kept conservatively and Spark's IN evaluates it fine
+    assert _ids(table.read_where_in("id", [3, Decimal(5)])) == [3, 5]

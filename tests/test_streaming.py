@@ -760,3 +760,35 @@ def test_incremental_dedup_ingest_cross_batch(spark, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_fanout_batch_keys_are_namespaced(spark, tmp_path, gps_dir):
+    """A facts table previously written by ANOTHER pipeline that stamps
+    plain integer batch ids must not make the fan-out stream mistake those
+    ids for its own and silently skip micro-batches."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_transactional_fanout_ingest,
+    )
+
+    facts_root = str(tmp_path / "facts")
+    facts = SnapshotTable(spark, facts_root)
+    # another pipeline's history: append_batch stamps raw ints 0 and 1
+    facts.append_batch(spark.range(0, 3).selectExpr(
+        "CAST(id AS STRING) vehicle_id", "CAST(id AS DOUBLE) speed_kmh",
+        "timestamp'2024-01-01 09:00:00' event_ts"
+    ), batch_id=0)
+    pre_rows = facts.read().count()
+    q = start_transactional_fanout_ingest(
+        spark,
+        gps_dir,
+        facts_root,
+        str(tmp_path / "rollup"),
+        str(tmp_path / "txns"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    # the stream's batch 0 must have landed despite the foreign batch_id 0
+    assert facts.read().count() == pre_rows + 15
