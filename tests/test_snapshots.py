@@ -1157,3 +1157,52 @@ def test_read_where_in_uncanonicalizable_values(spark, table):
     # crash the pruning layer (None is unorderable against ints); the file
     # is kept conservatively and Spark's IN evaluates it fine
     assert _ids(table.read_where_in("id", [3, Decimal(5)])) == [3, 5]
+
+
+def test_changelog_across_rewrites_and_append_fast_path(spark, table):
+    v1 = table.append(spark.range(0, 5))
+    v2 = table.append(spark.range(5, 8))
+    # append-only range: insert rows only, computed from the file diff
+    cl = table.changelog(v1, v2).collect()
+    assert {r["_change_type"] for r in cl} == {"insert"}
+    assert sorted(r["id"] for r in cl) == [5, 6, 7]
+    # rewrite in range: CoW delete of 2..6 → deletes + no inserts
+    v3 = table.delete_where("id", 2, 6)
+    cl2 = table.changelog(v2, v3).collect()
+    by_type = {}
+    for r in cl2:
+        by_type.setdefault(r["_change_type"], []).append(r["id"])
+    assert sorted(by_type.get("delete", [])) == [2, 3, 4, 5, 6]
+    assert by_type.get("insert") is None
+    # full range: net effect of appends + delete vs v1
+    cl3 = table.changelog(v1, v3).collect()
+    ins = sorted(r["id"] for r in cl3 if r["_change_type"] == "insert")
+    dels = sorted(r["id"] for r in cl3 if r["_change_type"] == "delete")
+    assert ins == [7] and dels == [2, 3, 4]
+    # compaction is layout-only: changelog across it is empty
+    v4 = table.compact()
+    assert table.changelog(v3, v4).count() == 0
+
+
+def test_maintain_table_policy_cycle(spark, table, tmp_path):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        maintain_table,
+    )
+
+    # empty table: no-op
+    assert maintain_table(table) == {
+        "compacted": False, "expired": [], "orphans_removed": []
+    }
+    # streaming-shaped ingest: many small files
+    for lo in range(0, 60, 10):
+        table.append(spark.range(lo, lo + 10).repartition(8))
+    n_before = len(set(table.read().inputFiles()))
+    assert n_before > 16
+    out = maintain_table(table, max_files=16, keep_last=2, orphan_grace_seconds=0.0)
+    assert out["compacted"] is True
+    assert len(out["expired"]) > 0
+    assert len(set(table.read().inputFiles())) < n_before
+    assert sorted(r["id"] for r in table.read().collect()) == list(range(60))
+    # under the threshold now: second cycle does nothing
+    out2 = maintain_table(table, max_files=16, keep_last=2)
+    assert out2["compacted"] is False and out2["expired"] == []
