@@ -114,6 +114,8 @@ _PRIORITY = [
     "ann_ivfpq",
     "ann_ivf_index",
     "kmeans_cluster_profile",
+    "snapshot_time_travel_orders",
+    "snapshot_changelog_orders",
     # (c) stale-signal re-checks (green in r1/r2 only, fixtures since regenerated)
     "q1_pricing_summary",
     "q5_revenue_by_nation",

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..sources.snapshots import SnapshotTable
 from ..sources.tables import Warehouse
 
 _ORDERS_COLS = [
@@ -104,12 +105,64 @@ WHERE NOT (o_orderstatus = 'F')
 """
 
 
+def snapshot_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot layer end-to-end with an exact oracle: commit orders to a
+    versioned table, run a CoW range DELETE as v2, then TIME TRAVEL back to
+    v1 — the returned frame must be byte-equivalent to the original orders
+    even though the current version no longer contains the deleted rows
+    (sources/snapshots.py; Iceberg's ``VERSION AS OF``)."""
+    orders = load(spark, "orders", sf_dir).select(*_ORDERS_COLS)
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_graft_tt_"))
+    v1 = t.append(orders)
+    t.delete_where("o_orderkey", 100, 5000, mode="cow")
+    return t.read(version=v1).select(*_ORDERS_COLS)
+
+
+SNAPSHOT_TIME_TRAVEL_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
+def snapshot_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshot versions, oracle-checked: v1 = orders,
+    v2 appends every 97th order under a shifted key, v3 CoW-deletes keys in
+    [100, 5000]. ``changelog(v1, v3)`` must emit exactly the appended rows
+    as inserts and the deleted originals as deletes (the shifted keys sit
+    above the delete range, so the two changes never overlap)."""
+    orders = load(spark, "orders", sf_dir).select(*_ORDERS_COLS)
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_graft_cl_"))
+    v1 = t.append(orders)
+    t.append(
+        orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+        )
+    )
+    v3 = t.delete_where("o_orderkey", 100, 5000, mode="cow")
+    return t.changelog(v1, v3).select("o_orderkey", "o_totalprice", "_change_type")
+
+
+SNAPSHOT_CHANGELOG_SQL = """
+SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+       'insert' AS _change_type
+FROM orders WHERE o_orderkey % 97 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'delete' AS _change_type
+FROM orders WHERE o_orderkey BETWEEN 100 AND 5000
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "delete_update_orders": delete_update_orders,
+    "snapshot_time_travel_orders": snapshot_time_travel_orders,
+    "snapshot_changelog_orders": snapshot_changelog_orders,
 }
 
 ORACLES = {
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "delete_update_orders": DELETE_UPDATE_SQL,
+    "snapshot_time_travel_orders": SNAPSHOT_TIME_TRAVEL_SQL,
+    "snapshot_changelog_orders": SNAPSHOT_CHANGELOG_SQL,
 }
