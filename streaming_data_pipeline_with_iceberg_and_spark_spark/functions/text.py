@@ -57,3 +57,20 @@ def md5_bucket16(s: Column) -> Column:
 def md5_bucket32(s: Column) -> Column:
     """32-bit variant (8 hex chars)."""
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def mg_fold(cnt, new_counts, cap: int):
+    """One Misra-Gries merge step over pandas Series keyed by token: add the
+    batch's exact counts, then on overflow apply the batched decrement (drop
+    the (cap+1)-th largest count from every survivor). The single shared
+    implementation of the summary fold — the batch two-phase heavy hitters
+    (operators/textops.py) and the streaming sharded state
+    (streaming/stateful.py) must decrement identically or their results
+    silently diverge. State never exceeds ``cap`` counters.
+
+    cite: Misra & Gries 1982 (public literature)."""
+    cnt = cnt.add(new_counts, fill_value=0)
+    if len(cnt) > cap:
+        thresh = cnt.nlargest(cap + 1).iloc[-1]
+        cnt = cnt[cnt > thresh] - thresh
+    return cnt

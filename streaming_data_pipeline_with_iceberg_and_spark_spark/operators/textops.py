@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, tokens
+from ..functions.text import STOPWORDS, mg_fold, tokens
 from ..io import load, load_spread
 
 # marker stopwords per language for the n-gram/stopword language-ID heuristic
@@ -743,10 +743,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt = pd.Series(dtype="int64")
         for pdf in batches:
             toks = pdf["text"].str.lower().str.strip().str.split().explode()
-            cnt = cnt.add(toks.value_counts(), fill_value=0)
-            if len(cnt) > _HH_CAP:
-                thresh = cnt.nlargest(_HH_CAP + 1).iloc[-1]
-                cnt = cnt[cnt > thresh] - thresh
+            cnt = mg_fold(cnt, toks.value_counts(), _HH_CAP)
         top = cnt.nlargest(_HH_CAND)
         yield pd.DataFrame({"token": top.index.astype(str)})
 

@@ -257,15 +257,25 @@ class SnapshotTable:
             return json.load(f)
 
     @contextlib.contextmanager
-    def _locked(self, timeout: float = 10.0):
+    def _locked(self, timeout: float = 10.0, path: str | None = None):
         """Exclusive commit lock via O_CREAT|O_EXCL (atomic on POSIX and on
         the object-store gateways that emulate it). Held only for the
         metadata read-validate-swap — data writes happen OUTSIDE the lock,
         so contention cost is microseconds per commit regardless of batch
         size. A lock older than 60 s is presumed orphaned by a dead writer
         and broken (commits are metadata-only; no live holder keeps it
-        that long)."""
-        lock = self._meta_path + ".lock"
+        that long). Breaking RENAMES the stale file to a unique tombstone
+        rather than unlinking it: with unlink, two waiters could both pass
+        the staleness check and the second would delete the lock the first
+        had just re-created — rename is claimed by exactly one waiter and
+        every loser re-enters the normal O_EXCL race.
+
+        ``path`` overrides the guarded file (default: this ref's log) —
+        used for state SHARED across refs (``refs.json``), which must not
+        be guarded by a per-ref lock."""
+        import uuid
+
+        lock = (path or self._meta_path) + ".lock"
         os.makedirs(os.path.dirname(lock), exist_ok=True)
         deadline = time.time() + timeout
         while True:
@@ -275,10 +285,9 @@ class SnapshotTable:
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lock) > 60:
-                        os.remove(lock)
-                        continue
+                        os.rename(lock, f"{lock}.stale-{uuid.uuid4().hex[:8]}")
                 except OSError:
-                    continue  # holder released between probe and stat
+                    pass  # holder released / another waiter claimed the break
                 if time.time() > deadline:
                     raise SnapshotError(f"commit lock timeout at {lock}")
                 time.sleep(0.05)
@@ -405,16 +414,32 @@ class SnapshotTable:
             json.dump(entries, fh)
         os.replace(tmp, path)
 
-    def _load_stats(self) -> dict[str, dict]:
-        """All manifests merged: data-file path → {rows, bytes, stats}."""
+    def _load_stats(self, snap: dict | None = None) -> dict[str, dict]:
+        """Manifests merged: data-file path → {rows, bytes, stats}. With
+        ``snap``, only the manifests covering that snapshot's entries are
+        read — per-query metadata cost tracks the VERSION's file set, not
+        every commit ever made (a long-lived streaming table accumulates
+        unbounded history). Carried-forward files resolve to their origin
+        dir's manifest."""
         meta_dir = os.path.join(self.root, "metadata")
         out: dict[str, dict] = {}
         if not os.path.isdir(meta_dir):
             return out
+        wanted: set[str] | None = None
+        if snap is not None:
+            wanted = set()
+            for p in snap["dirs"]:
+                base = os.path.basename(
+                    os.path.dirname(p) if p.endswith(".parquet") else p
+                )
+                wanted.add(f"manifest-{base}.json")
         for name in sorted(os.listdir(meta_dir)):
-            if name.startswith("manifest-") and name.endswith(".json"):
-                with open(os.path.join(meta_dir, name)) as fh:
-                    out.update(json.load(fh))
+            if not (name.startswith("manifest-") and name.endswith(".json")):
+                continue
+            if wanted is not None and name not in wanted:
+                continue
+            with open(os.path.join(meta_dir, name)) as fh:
+                out.update(json.load(fh))
         return out
 
     @staticmethod
@@ -513,12 +538,10 @@ class SnapshotTable:
         if os.path.isdir(d) and d not in referenced:  # orphan of a crashed commit
             shutil.rmtree(d)
         self._write_data_dir(self._apply_layout(df), nxt)
-        parent_dirs = log[-1]["dirs"] if log else []
-        entry = {"op": "append", "dirs": parent_dirs + [d], "batch_id": batch_id}
-        pdel = log[-1].get("deletes") if log else None
-        if pdel:
-            entry["deletes"] = pdel
-        return self._commit(entry)["id"]
+        # the visible set unions with the CURRENT parent under the commit
+        # lock (new_dirs path) — a pre-computed parent would silently drop
+        # any ad-hoc append()/compact() that landed since the log read above
+        return self._commit({"op": "append", "batch_id": batch_id}, new_dirs=[d])["id"]
 
     def overwrite(self, df: DataFrame, batch_id=None, props: dict | None = None) -> int | None:
         """Overwrite commit: new version sees only this batch's dir. Old
@@ -629,7 +652,7 @@ class SnapshotTable:
         to the same ISO form the manifest stores). Absent/incomparable stats
         never prune — correctness does not depend on the manifest."""
         snap = self._snapshot(version)
-        stats = self._load_stats()
+        stats = self._load_stats(snap)
         # prune in source-column space, then (hidden partitioning) also in
         # partition space: a days(ts) spec maps a ts range predicate onto the
         # derived-day bounds each file's manifest carries; a bucket(col,n)
@@ -640,8 +663,17 @@ class SnapshotTable:
                 continue
             if t[0] == "bucket":
                 if lo is not None and lo == hi:
+                    # route the probe literal THROUGH the column's type
+                    # before the string rendering the writer hashed: a
+                    # Python int 5 probing a DOUBLE column must render
+                    # '5.0' (the stored form), not '5' — else the matching
+                    # bucket's files are silently pruned
+                    dtype = dict(self.read(version).dtypes).get(col, "string")
                     b = self.spark.range(1).select(
-                        F.pmod(F.xxhash64(F.lit(lo).cast("string")), F.lit(t[2]))
+                        F.pmod(
+                            F.xxhash64(F.lit(lo).cast(dtype).cast("string")),
+                            F.lit(t[2]),
+                        )
                     ).first()[0]
                     checks.append((self._pname(t), b, b))
             else:
@@ -679,7 +711,7 @@ class SnapshotTable:
         snap = self._snapshot(version)
         if not values:
             return self.read(version).limit(0)
-        stats = self._load_stats()
+        stats = self._load_stats(snap)
         # a plain set: membership pruning is order-independent, and sorting
         # would TypeError on mixed-type value lists
         canon = {_json_stat(v) for v in values}
@@ -703,7 +735,7 @@ class SnapshotTable:
         skip rates. ``filters`` is ``[(col, lo, hi), ...]`` (None = open
         bound); row-level residuals still push into the parquet reader."""
         snap = self._snapshot(version)
-        stats = self._load_stats()
+        stats = self._load_stats(snap)
         canon = [(c, _json_stat(lo), _json_stat(hi)) for c, lo, hi in filters]
         kept = []
         for f in self._expand_files(snap["dirs"]):
@@ -731,7 +763,7 @@ class SnapshotTable:
         snap = self._snapshot(version)
         if snap.get("deletes"):
             return None
-        stats = self._load_stats()
+        stats = self._load_stats(snap)
         total = 0
         for f in self._expand_files(snap["dirs"]):
             rows = stats.get(f, {}).get("rows")
@@ -747,7 +779,7 @@ class SnapshotTable:
         snap = self._snapshot(version)
         if snap.get("deletes"):
             return None
-        stats = self._load_stats()
+        stats = self._load_stats(snap)
         lo = hi = None
         for f in self._expand_files(snap["dirs"]):
             b = stats.get(f, {}).get("stats", {}).get(col)
@@ -820,7 +852,7 @@ class SnapshotTable:
         table): path, rows, bytes — the input to compaction policy and
         skew diagnosis, served entirely from manifests."""
         snap = self._snapshot(version)
-        stats = self._load_stats()
+        stats = self._load_stats(snap)
         rows = [
             (
                 f,
@@ -871,7 +903,7 @@ class SnapshotTable:
         lo, hi = source.agg(F.min(key), F.max(key)).first()
         if lo is None:
             raise SnapshotError("merge source is empty")
-        stats = self._load_stats()
+        stats = self._load_stats(snap)
         clo, chi = _json_stat(lo), _json_stat(hi)
         candidates, untouched = [], []
         for f in self._expand_files(snap["dirs"]):
@@ -925,7 +957,7 @@ class SnapshotTable:
             )["id"]
         if mode != "cow":
             raise SnapshotError(f"unknown delete mode {mode!r}")
-        stats = self._load_stats()
+        stats = self._load_stats(snap)
         clo, chi = _json_stat(lo), _json_stat(hi)
         candidates, untouched = [], []
         for f in self._expand_files(snap["dirs"]):
@@ -1213,7 +1245,10 @@ class SnapshotTable:
         ref's own log."""
         self._check_ref_name(name)
         snap = self._snapshot(version)
-        with self._locked():
+        # refs.json is SHARED across refs — guard it with its own lock, not
+        # the per-ref commit lock (tag ops from two refs would otherwise
+        # hold different locks and lose each other's writes)
+        with self._locked(path=self._refs_path):
             refs = self._load_refs()
             if name in refs:
                 raise SnapshotError(f"tag {name!r} already exists")
@@ -1244,7 +1279,7 @@ class SnapshotTable:
         return src.read(version=ent["version"])
 
     def drop_tag(self, name: str) -> None:
-        with self._locked():
+        with self._locked(path=self._refs_path):
             refs = self._load_refs()
             refs.pop(name, None)
             tmp = self._refs_path + ".tmp"
@@ -1288,7 +1323,7 @@ class SnapshotTable:
         if not self.partition_spec:
             raise SnapshotError("partitions() needs a partition_spec")
         snap = self._snapshot(version)
-        stats = self._load_stats()
+        stats = self._load_stats(snap)
         pnames = [self._pname(t) for t in self.partition_spec]
         agg: dict[tuple | None, list[int]] = {}
         for f in self._expand_files(snap["dirs"]):
@@ -1335,7 +1370,16 @@ class SnapshotTable:
         """Expire all but the last ``keep_last`` snapshots and DELETE data
         dirs no live snapshot references (Iceberg's ``expire_snapshots`` —
         the storage-reclaim half of the snapshot model). Returns expired ids.
-        Expired versions refuse time travel with a clear error."""
+        Expired versions refuse time travel with a clear error.
+
+        Runs under the commit lock like every other log writer: an unlocked
+        read-mutate-replace would silently erase any commit that landed
+        between expire's log read and its log write. Dead dirs' manifests
+        are deleted with them, so metadata cost tracks LIVE history."""
+        with self._locked():
+            return self._expire_locked(keep_last)
+
+    def _expire_locked(self, keep_last: int) -> list[int]:
         log = self._log()
         if len(log) <= keep_last:
             return []
@@ -1384,6 +1428,13 @@ class SnapshotTable:
                     continue
                 if os.path.isdir(d):
                     shutil.rmtree(d)
+                    # its manifest is now pure debris — metadata reads must
+                    # not pay for expired history forever
+                    m = os.path.join(
+                        self.root, "metadata", f"manifest-{os.path.basename(d)}.json"
+                    )
+                    if os.path.exists(m):
+                        os.remove(m)
                 elif os.path.isfile(d):
                     os.remove(d)
         # live/dead alias entries of ``log``; the expired flags were set
@@ -1653,25 +1704,34 @@ def _apply_staged(
     applying it would silently revert the racing writer's commit — raise
     :class:`SnapshotConflict` instead (the live ``commit()`` path applies
     immediately after the intent rename, so only crash recovery can observe
-    this). Appends apply regardless: the visible-set union commutes with
-    any interleaved commit."""
+    this). Every pin is validated BEFORE anything applies — a mid-list
+    conflict must abort the whole intent, not leave it half-applied (the
+    torn state transactions exist to prevent). Appends apply regardless:
+    the visible-set union commutes with any interleaved commit."""
+
+    def _already_applied(t: SnapshotTable, s: dict) -> bool:
+        referenced = {d for snap in t._log() for d in snap["dirs"]}
+        return any(d in referenced for d in s["new_dirs"])
+
+    if recovery:
+        for s in staged:
+            t = tables[(s["root"], s["ref"])]
+            if (
+                s["op"] == "overwrite"
+                and not _already_applied(t, s)
+                and t.current_version() != s.get("parent")
+            ):
+                raise SnapshotConflict(
+                    f"crashed overwrite for {t.root} was staged at version "
+                    f"{s.get('parent')} but the table is now at "
+                    f"{t.current_version()}"
+                )
     versions: dict[tuple[str, str], int] = {}
     for s in staged:
         t = tables[(s["root"], s["ref"])]
-        referenced = {d for snap in t._log() for d in snap["dirs"]}
-        if any(d in referenced for d in s["new_dirs"]):
+        if _already_applied(t, s):
             versions[(t.root, t.ref)] = t.current_version()
             continue
-        if (
-            recovery
-            and s["op"] == "overwrite"
-            and t.current_version() != s.get("parent")
-        ):
-            raise SnapshotConflict(
-                f"crashed overwrite for {t.root} was staged at version "
-                f"{s.get('parent')} but the table is now at "
-                f"{t.current_version()}"
-            )
         base = {"op": s["op"]}
         if s.get("batch_id") is not None:
             # stamp the idempotence key into the commit so a replayed
@@ -1741,6 +1801,12 @@ def remove_orphans(table: SnapshotTable, grace_seconds: float = 3600.0) -> list[
     writer has written but not yet committed: only dirs older than
     ``grace_seconds`` are eligible, so cleanup can run concurrently with
     writers. Metadata-only: reads the log and stats dirs, never data."""
+    meta_dir = os.path.join(table.root, "metadata")
+    if os.path.isdir(meta_dir):
+        for n in os.listdir(meta_dir):
+            if ".lock.stale-" in n:  # tombstones of broken stale locks
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(meta_dir, n))
     data_root = os.path.join(table.root, "data")
     if not os.path.isdir(data_root):
         return []
@@ -1822,7 +1888,26 @@ def maintain_additive_rollup(
     snapshot tables. Each cycle aggregates ONLY the delta (grouped sums are
     additive), then folds it into the current rollup — at scale the fold
     re-aggregates rollup+partial, whose size is bounded by group
-    cardinality, never by source row count."""
+    cardinality, never by source row count.
+
+    Cursor reconciliation: a crash between the rollup commit and the
+    cursor advance leaves the cursor BEHIND the rollup. If the source
+    advances before the retry, the retry's batch_id (``src-v{v'}``) would
+    not match the committed ``src-v{v}`` and the already-folded range
+    would re-fold — so each cycle first fast-forwards the cursor to the
+    highest ``src-v*`` the TARGET has committed (the rollup log is the
+    durable record of what was folded)."""
+    if target.current_version() is not None:
+        folded_to = -1
+        for s in target._log():
+            b = s.get("batch_id")
+            if isinstance(b, str) and b.startswith("src-v"):
+                try:
+                    folded_to = max(folded_to, int(b[len("src-v") :]))
+                except ValueError:
+                    pass
+        if folded_to > feed.cursor:
+            feed.commit(folded_to)
     polled = feed.poll()
     if polled is None:
         return None

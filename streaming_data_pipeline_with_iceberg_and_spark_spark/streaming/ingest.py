@@ -232,9 +232,17 @@ def start_snapshot_ingest(
     )
     enriched = enrich(stream.withColumn("_metadata", F.col("_metadata")))
 
+    # cadence counts committed BATCHES, not table versions — compaction
+    # commits (and any other maintenance) consume versions of their own,
+    # which would drift "every N batches" into "every N-1" after the first
+    n_committed = {"n": 0}
+
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         v = snap.append_batch(batch_df.drop("_metadata"), batch_id)
-        if v is not None and compact_every and v % compact_every == 0:
+        if v is None:
+            return  # replay
+        n_committed["n"] += 1
+        if compact_every and n_committed["n"] % compact_every == 0:
             snap.compact()
 
     writer = enriched.writeStream.foreachBatch(commit_batch).outputMode("append")

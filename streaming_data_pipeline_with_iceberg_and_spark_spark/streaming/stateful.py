@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.text import mg_fold
+
 GAP_SECONDS = 120
 
 TRIP_SCHEMA = T.StructType(
@@ -235,10 +237,7 @@ def _update_heavy_hitters(
     else:
         cnt = pd.Series(dtype="int64")
     for pdf in batches:
-        cnt = cnt.add(pdf["token"].value_counts(), fill_value=0)
-        if len(cnt) > HH_CAP:
-            thresh = cnt.nlargest(HH_CAP + 1).iloc[-1]
-            cnt = cnt[cnt > thresh] - thresh
+        cnt = mg_fold(cnt, pdf["token"].value_counts(), HH_CAP)
     cnt = cnt.astype("int64")
     state.update((list(cnt.index.astype(str)), [int(v) for v in cnt.values]))
     top = cnt.nlargest(HH_EMIT)

@@ -659,7 +659,11 @@ def test_maintain_additive_rollup_incremental_and_replay_safe(spark, table, tmp_
     # crash between rollup commit and cursor advance: rewind the cursor and
     # re-run — the duplicate commit must be skipped, sums unchanged
     feed.commit(1)
-    assert maintain_additive_rollup(feed, rollup, ["k"], ["v"]) == 2
+    # cursor reconciliation fast-forwards to the rollup's highest committed
+    # src-v* BEFORE polling, so the replay is a no-op (None) — the delta is
+    # not even re-read — and the cursor lands back where the fold left it
+    assert maintain_additive_rollup(feed, rollup, ["k"], ["v"]) is None
+    assert feed.cursor == 2
     got2 = {r["k"]: r["v"] for r in rollup.read().collect()}
     assert got2 == want
     # nothing new → no-op
@@ -1206,3 +1210,122 @@ def test_maintain_table_policy_cycle(spark, table, tmp_path):
     # under the threshold now: second cycle does nothing
     out2 = maintain_table(table, max_files=16, keep_last=2)
     assert out2["compacted"] is False and out2["expired"] == []
+
+
+def test_append_batch_unions_with_concurrent_ad_hoc_appends(spark, table):
+    """append_batch must union its dir with the CURRENT parent under the
+    commit lock — an ad-hoc append racing it can never be erased."""
+    import threading
+
+    table.append(spark.range(0, 5))
+    errs = []
+
+    def batcher():
+        try:
+            table.append_batch(spark.range(100, 105), batch_id=7)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def adhoc():
+        try:
+            table.append(spark.range(200, 203))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=batcher), threading.Thread(target=adhoc)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    assert _ids(table.read()) == list(range(0, 5)) + list(range(100, 105)) + list(
+        range(200, 203)
+    )
+
+
+def test_expire_deletes_dead_dirs_manifests(spark, table):
+    """Expired dirs take their manifests with them — per-query metadata
+    cost must track live history, not every commit ever made."""
+    table.append(spark.range(0, 3))
+    table.overwrite(spark.range(10, 13))
+    table.overwrite(spark.range(20, 23))
+    meta = os.path.join(table.root, "metadata")
+    n_manifests_before = len([n for n in os.listdir(meta) if n.startswith("manifest-")])
+    assert n_manifests_before == 3
+    table.expire_snapshots(keep_last=2)
+    remaining = [n for n in os.listdir(meta) if n.startswith("manifest-")]
+    assert len(remaining) == 2  # v1's manifest reclaimed with its dir
+    # stats still serve the live versions
+    assert table.fast_count() == 3
+
+
+def test_rollup_cursor_reconciles_after_crash_before_commit(spark, table, tmp_path):
+    """Crash between the rollup commit and the cursor advance, THEN the
+    source advances: the retry must not fold the old delta twice."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+        maintain_additive_rollup,
+    )
+
+    src = table
+    src.append(spark.range(0, 5).selectExpr("id % 2 AS k", "id AS v"))
+    target = SnapshotTable(spark, str(tmp_path / "rollup"))
+    ckpt = str(tmp_path / "cursor.json")
+    feed = src.incremental_feed(ckpt, start_version=0)
+    v = maintain_additive_rollup(feed, target, ["k"], ["v"])
+    assert v == 1
+    # simulate the crash: cursor file rolled back to before the fold
+    with open(ckpt, "w") as f:
+        _json.dump({"version": 0}, f)
+    # source advances before the retry
+    src.append(spark.range(10, 12).selectExpr("id % 2 AS k", "id AS v"))
+    feed2 = src.incremental_feed(ckpt)
+    assert feed2.cursor == 0
+    maintain_additive_rollup(feed2, target, ["k"], ["v"])
+    got = {r["k"]: r["v"] for r in target.read().collect()}
+    # exact sums: 0+2+4+10=16 (k=0), 1+3+11=15 (k=1) — no double count
+    assert got == {0: 16, 1: 15}
+
+
+def test_bucket_pruning_probe_type_canonicalization(spark, tmp_path):
+    """A Python int probing a DOUBLE bucket column must hash the stored
+    rendering ('5.0'), not '5' — else the matching files are pruned and the
+    lookup silently returns nothing."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "bd"), partition_spec=[("bucket", "price", 8)]
+    )
+    t.append(
+        spark.range(0, 400).selectExpr("id", "CAST(id % 20 AS DOUBLE) AS price")
+    )
+    hit = t.read_where("price", 5, 5)
+    assert hit.count() == 20  # int probe finds the double rows
+    assert len(hit.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_recovery_aborts_whole_intent_before_any_apply(spark, tmp_path):
+    """A conflicted overwrite pin must abort the ENTIRE intent before any
+    entry applies — recovery must never half-apply a transaction."""
+    import json as _json
+    import os as _os
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+        recover_transactions,
+    )
+
+    a = SnapshotTable(spark, str(tmp_path / "a"))
+    b = SnapshotTable(spark, str(tmp_path / "b"))
+    b.append(spark.range(0, 2))
+    txn = MultiTableTransaction([a, b], str(tmp_path / "txns"))
+    txn.stage_append(a, spark.range(10, 12))       # entry 1: append to a
+    txn.stage_overwrite(b, spark.range(50, 52))    # entry 2: overwrite b
+    _os.makedirs(str(tmp_path / "txns"), exist_ok=True)
+    with open(_os.path.join(str(tmp_path / "txns"), "txn-crashed.json"), "w") as f:
+        _json.dump(txn.staged, f)
+    b.append(spark.range(2, 4))  # racing writer moves b past the pin
+    assert recover_transactions(spark, str(tmp_path / "txns")) == []
+    # NOTHING applied: a untouched (no half-applied append), b keeps both commits
+    assert a.current_version() is None
+    assert _ids(b.read()) == [0, 1, 2, 3]
