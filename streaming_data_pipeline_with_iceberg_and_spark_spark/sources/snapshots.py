@@ -170,6 +170,7 @@ class SnapshotTable:
         )
         self._refs_path = os.path.join(root, "metadata", "refs.json")
         self._spec_path = os.path.join(root, "metadata", "spec.json")
+        self._dtype_cache: dict[tuple[str, int], str] = {}
         if os.path.exists(self._spec_path):
             with open(self._spec_path) as f:
                 self.partition_spec = [tuple(t) for t in json.load(f)]
@@ -637,6 +638,44 @@ class SnapshotTable:
             )
         )
 
+    #: arrow type string → Spark DDL type, for the bucket-probe rendering
+    _ARROW_DDL = {
+        "int64": "bigint",
+        "int32": "int",
+        "int16": "smallint",
+        "int8": "tinyint",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "large_string": "string",
+        "bool": "boolean",
+        "date32[day]": "date",
+    }
+
+    def _col_dtype(self, snap: dict, col: str, version: int | None) -> str:
+        """Spark DDL type of ``col`` from ONE parquet footer (metadata-only;
+        a full reader construction would pay schema resolution over the
+        whole snapshot's file set on every point lookup). Falls back to the
+        reader's schema for types outside the map."""
+        key = (col, snap["id"])
+        cached = self._dtype_cache.get(key)
+        if cached is not None:
+            return cached
+        dtype = None
+        try:
+            import pyarrow.parquet as pq
+
+            files = self._expand_files(snap["dirs"])
+            if files:
+                s = str(pq.ParquetFile(files[0]).schema_arrow.field(col).type)
+                dtype = "timestamp" if s.startswith("timestamp") else self._ARROW_DDL.get(s)
+        except Exception:
+            dtype = None
+        if dtype is None:
+            dtype = dict(self.read(version).dtypes).get(col, "string")
+        self._dtype_cache[key] = dtype
+        return dtype
+
     def read_where(
         self, col: str, lo=None, hi=None, version: int | None = None
     ) -> DataFrame:
@@ -668,7 +707,7 @@ class SnapshotTable:
                     # Python int 5 probing a DOUBLE column must render
                     # '5.0' (the stored form), not '5' — else the matching
                     # bucket's files are silently pruned
-                    dtype = dict(self.read(version).dtypes).get(col, "string")
+                    dtype = self._col_dtype(snap, col, version)
                     b = self.spark.range(1).select(
                         F.pmod(
                             F.xxhash64(F.lit(lo).cast(dtype).cast("string")),
@@ -835,6 +874,8 @@ class SnapshotTable:
         Multiset semantics: duplicate rows diff by count."""
         log = self._log()
         self._snapshot(from_version)
+        if to_version is not None:
+            self._snapshot(to_version)  # nonexistent targets raise, both paths
         to_version = to_version if to_version is not None else log[-1]["id"]
         in_range = [s for s in log if from_version < s["id"] <= to_version]
         if all(s["op"] == "append" for s in in_range):
@@ -1244,19 +1285,24 @@ class SnapshotTable:
         DIFFERENT commits — resolution always goes through the recorded
         ref's own log."""
         self._check_ref_name(name)
-        snap = self._snapshot(version)
-        # refs.json is SHARED across refs — guard it with its own lock, not
-        # the per-ref commit lock (tag ops from two refs would otherwise
-        # hold different locks and lose each other's writes)
-        with self._locked(path=self._refs_path):
-            refs = self._load_refs()
-            if name in refs:
-                raise SnapshotError(f"tag {name!r} already exists")
-            refs[name] = {"version": snap["id"], "ref": self.ref}
-            tmp = self._refs_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(refs, f, indent=1)
-            os.replace(tmp, self._refs_path)
+        # two locks, fixed order (commit lock → refs lock):
+        # - the per-ref COMMIT lock excludes a concurrent expire_snapshots,
+        #   which would otherwise reclaim the snapshot between our
+        #   validation and the tag write (a retention root pointing at
+        #   deleted data);
+        # - the shared REFS lock serializes refs.json writers across refs
+        #   (tag ops from two refs hold different commit locks).
+        with self._locked():
+            snap = self._snapshot(version)  # validate UNDER the lock
+            with self._locked(path=self._refs_path):
+                refs = self._load_refs()
+                if name in refs:
+                    raise SnapshotError(f"tag {name!r} already exists")
+                refs[name] = {"version": snap["id"], "ref": self.ref}
+                tmp = self._refs_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(refs, f, indent=1)
+                os.replace(tmp, self._refs_path)
         return snap["id"]
 
     @staticmethod
@@ -1372,17 +1418,37 @@ class SnapshotTable:
         the storage-reclaim half of the snapshot model). Returns expired ids.
         Expired versions refuse time travel with a clear error.
 
-        Runs under the commit lock like every other log writer: an unlocked
-        read-mutate-replace would silently erase any commit that landed
-        between expire's log read and its log write. Dead dirs' manifests
-        are deleted with them, so metadata cost tracks LIVE history."""
+        The LOG REWRITE runs under the commit lock like every other log
+        writer (an unlocked read-mutate-replace would silently erase any
+        commit that landed in between), but file DELETION happens after the
+        lock releases: deleting terabytes can exceed the 60 s staleness
+        window the lock-break heuristic assumes for metadata-only holders,
+        and once the swapped log no longer references a path, deleting it
+        outside the lock races nothing (expired versions already refuse
+        reads). Dead dirs' manifests are deleted with them, so metadata
+        cost tracks LIVE history."""
         with self._locked():
-            return self._expire_locked(keep_last)
+            expired_ids, doomed = self._expire_metadata(keep_last)
+        for d in doomed:
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                # its manifest is now pure debris — metadata reads must
+                # not pay for expired history forever
+                m = os.path.join(
+                    self.root, "metadata", f"manifest-{os.path.basename(d)}.json"
+                )
+                if os.path.exists(m):
+                    os.remove(m)
+            elif os.path.isfile(d):
+                os.remove(d)
+        return expired_ids
 
-    def _expire_locked(self, keep_last: int) -> list[int]:
+    def _expire_metadata(self, keep_last: int) -> tuple[list[int], list[str]]:
+        """Lock-held half: mark + swap the log, return (expired ids, paths
+        safe to delete once the swap is visible)."""
         log = self._log()
         if len(log) <= keep_last:
-            return []
+            return [], []
         # retention roots: the trailing keep_last snapshots, every snapshot
         # TAGGED on this ref (tags pin history; a tag on another ref
         # protects its dirs through that ref's own log below), and every
@@ -1415,7 +1481,8 @@ class SnapshotTable:
                 for q in keep_paths
             )
 
-        expired_ids = []
+        expired_ids: list[int] = []
+        doomed: list[str] = []
         for s in dead:
             if not s.get("expired"):
                 s["expired"] = True
@@ -1423,27 +1490,14 @@ class SnapshotTable:
             dead_paths = list(s["dirs"]) + [
                 dl["path"] for dl in s.get("deletes", []) if "path" in dl
             ]
-            for d in dead_paths:
-                if referenced(d):
-                    continue
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-                    # its manifest is now pure debris — metadata reads must
-                    # not pay for expired history forever
-                    m = os.path.join(
-                        self.root, "metadata", f"manifest-{os.path.basename(d)}.json"
-                    )
-                    if os.path.exists(m):
-                        os.remove(m)
-                elif os.path.isfile(d):
-                    os.remove(d)
+            doomed.extend(d for d in dead_paths if not referenced(d))
         # live/dead alias entries of ``log``; the expired flags were set
         # in place, so dumping ``log`` preserves commit order
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(log, f, indent=1)
         os.replace(tmp, self._meta_path)
-        return expired_ids
+        return expired_ids, doomed
 
 
 class SnapshotFeed:
@@ -1709,16 +1763,23 @@ def _apply_staged(
     torn state transactions exist to prevent). Appends apply regardless:
     the visible-set union commutes with any interleaved commit."""
 
-    def _already_applied(t: SnapshotTable, s: dict) -> bool:
-        referenced = {d for snap in t._log() for d in snap["dirs"]}
-        return any(d in referenced for d in s["new_dirs"])
+    # one log read per TABLE, one applied-flag per entry — recovery must
+    # not re-parse every table's full log once per validation AND once per
+    # apply (entries' dir uuids are disjoint, so flags stay valid as
+    # earlier entries commit)
+    refd: dict[tuple[str, str], set[str]] = {}
+    for key, t in tables.items():
+        refd[key] = {d for snap in t._log() for d in snap["dirs"]}
+    applied = [
+        any(d in refd[(s["root"], s["ref"])] for d in s["new_dirs"]) for s in staged
+    ]
 
     if recovery:
-        for s in staged:
+        for s, done in zip(staged, applied):
             t = tables[(s["root"], s["ref"])]
             if (
                 s["op"] == "overwrite"
-                and not _already_applied(t, s)
+                and not done
                 and t.current_version() != s.get("parent")
             ):
                 raise SnapshotConflict(
@@ -1727,9 +1788,9 @@ def _apply_staged(
                     f"{t.current_version()}"
                 )
     versions: dict[tuple[str, str], int] = {}
-    for s in staged:
+    for s, done in zip(staged, applied):
         t = tables[(s["root"], s["ref"])]
-        if _already_applied(t, s):
+        if done:
             versions[(t.root, t.ref)] = t.current_version()
             continue
         base = {"op": s["op"]}
@@ -1858,8 +1919,15 @@ def maintain_table(
     snap = table._snapshot(None)
     n_files = len(table._expand_files(snap["dirs"]))
     if n_files > max_files:
-        table.compact(target_file_bytes=target_file_bytes)
-        out["compacted"] = True
+        try:
+            table.compact(target_file_bytes=target_file_bytes)
+            out["compacted"] = True
+        except SnapshotConflict:
+            # live ingest committed mid-rewrite — routine in the exact
+            # deployment this runs in; skip this cycle's compaction (the
+            # next cycle retries against fresh state) but still expire and
+            # sweep orphans below
+            out["compact_conflict"] = True
     if keep_last is not None:
         out["expired"] = table.expire_snapshots(keep_last=keep_last)
     out["orphans_removed"] = remove_orphans(

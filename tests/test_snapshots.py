@@ -1329,3 +1329,31 @@ def test_recovery_aborts_whole_intent_before_any_apply(spark, tmp_path):
     # NOTHING applied: a untouched (no half-applied append), b keeps both commits
     assert a.current_version() is None
     assert _ids(b.read()) == [0, 1, 2, 3]
+
+
+def test_maintain_table_survives_compaction_conflict(spark, table, monkeypatch):
+    """Maintenance alongside live ingest: a compaction conflict must not
+    crash the cycle — expire and orphan cleanup still run."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotConflict,
+        maintain_table,
+    )
+
+    for lo in range(0, 30, 10):
+        table.append(spark.range(lo, lo + 10).repartition(8))
+
+    def conflicted_compact(**kw):
+        raise SnapshotConflict("ingest raced the rewrite")
+
+    monkeypatch.setattr(table, "compact", conflicted_compact)
+    out = maintain_table(table, max_files=4, keep_last=1, orphan_grace_seconds=0.0)
+    assert out["compacted"] is False
+    assert out.get("compact_conflict") is True
+    assert len(out["expired"]) > 0  # the rest of the cycle still ran
+
+
+def test_changelog_validates_to_version(spark, table):
+    table.append(spark.range(0, 3))
+    table.append(spark.range(3, 5))
+    with pytest.raises(SnapshotError, match="no snapshot 99"):
+        table.changelog(1, 99)
