@@ -27,6 +27,13 @@ _OP = st.one_of(
     st.tuples(st.just("delete_keys"), st.lists(_ID, min_size=1, max_size=4)),
     st.tuples(st.just("merge"), st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=4)),
     st.tuples(st.just("compact"),),
+    # round-4 surface: refs, transactions, maintenance — fuzzed against the
+    # same multiset model (branch_wap/txn_append add rows; expire/maintain
+    # must be content-preserving on the current version)
+    st.tuples(st.just("branch_wap"), st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=4)),
+    st.tuples(st.just("txn_append"), st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=4)),
+    st.tuples(st.just("expire"),),
+    st.tuples(st.just("maintain"),),
 )
 
 
@@ -44,6 +51,7 @@ _OP = st.one_of(
 def test_snapshot_table_matches_multiset_model(spark, spec, ops):
     table = SnapshotTable(spark, tempfile.mkdtemp() + "/t", partition_spec=spec)
     model: Counter = Counter()  # (id, val) -> multiplicity
+    seq = {"n": 0}  # unique branch names within one generated sequence
 
     def df_of(rows):
         return spark.createDataFrame(rows, "id long, val string")
@@ -83,6 +91,33 @@ def test_snapshot_table_matches_multiset_model(spark, spec, ops):
             if table.current_version() is None:
                 continue
             table.compact()
+        elif kind == "branch_wap":
+            if table.current_version() is None:
+                continue
+            seq["n"] += 1
+            b = table.create_branch(f"wip{seq['n']}")
+            b.append(df_of(op[1]))
+            table.fast_forward(f"wip{seq['n']}")
+            model.update(op[1])
+        elif kind == "txn_append":
+            from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+                MultiTableTransaction,
+            )
+
+            txn = MultiTableTransaction([table], table.root + "_txns")
+            txn.stage_append(table, df_of(op[1]))
+            txn.commit()
+            model.update(op[1])
+        elif kind == "expire":
+            if table.current_version() is None:
+                continue
+            table.expire_snapshots(keep_last=1)
+        elif kind == "maintain":
+            from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+                maintain_table,
+            )
+
+            maintain_table(table, max_files=8, orphan_grace_seconds=3600.0)
         # invariant after every op: table == model
         if table.current_version() is None:
             assert not model
