@@ -105,6 +105,9 @@ _PRIORITY = [
     "text_within_doc_repetition",
     "mixture_weighted_interleave",
     # (b') new in round 4 — no driver row yet
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_excess_share_suppliers",
     "agg_histogram_quantiles",
     "events_anomaly_mad",
     "quantize_embeddings_int8",

@@ -670,7 +670,217 @@ LIMIT 20
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 variant (no partsupp — supply cost derived from lineitem):
+    for each STANDARD part of size ≤ 15, the ASIA supplier(s) offering the lowest
+    observed unit price (avg extendedprice/quantity, rounded to cents).
+
+    Catalyst shape: Q2's correlated MIN subquery, decorrelated here as a
+    per-part window MIN — one shuffle on p_partkey, no second scan of the
+    cost relation (a groupBy-min + self-join would scan it twice). The
+    region→nation→supplier dim chain is filtered FIRST and broadcast, so the
+    fact scan shrinks to ASIA rows before any shuffle; unit cost is rounded
+    to 2 decimals in both engines so the MIN-equality join is robust to
+    summation-order float drift."""
+    from pyspark.sql import Window
+
+    region = load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = load(spark, "nation", sf_dir).join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = (
+        load(spark, "supplier", sf_dir)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, "part", sf_dir).filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    )
+    li = load(spark, "lineitem", sf_dir)
+    cost = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+                "supply_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         ROUND(AVG(l_extendedprice / l_quantity), 2) AS supply_cost
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_size <= 15 AND p_type = 'STANDARD' AND r_name = 'ASIA'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM cost c
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM cost c2
+                     WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 variant (no partsupp — part value derived from lineitem):
+    parts whose discounted revenue through NATION_3 suppliers exceeds 0.1%
+    of that nation's total, ordered by value.
+
+    Catalyst shape: Q11's scalar-subquery HAVING — the global threshold is a
+    1-row aggregate OF THE SAME grouped relation, broadcast back as a cross
+    join (no per-row subquery re-execution, no second fact scan: the grouped
+    frame is computed once and feeds both the total and the filter). Both
+    engines compare cent-rounded values so the threshold cut is
+    float-drift-robust."""
+    supp = (
+        load(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(
+                load(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load(spark, "lineitem", sf_dir)
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_value")
+        )
+    )
+    threshold = per_part.agg(
+        F.round(F.sum("part_value") * 0.001, 2).alias("cutoff")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("cutoff"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name = 'NATION_3')
+  GROUP BY 1
+)
+SELECT p_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT ROUND(SUM(part_value) * 0.001, 2) FROM per_part)
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 variant (no partsupp — supplied share derived from
+    lineitem): ASIA suppliers who in 1996 shipped more than half the total
+    1996 volume of some 'small'-prefixed part.
+
+    Catalyst shape: Q20's nested correlated-aggregate IN — the correlated
+    `0.5 * SUM(qty)` becomes a per-part grouped total joined back onto the
+    per-(supplier, part) totals, then a left-semi onto supplier. Quantity
+    sums are integer-valued doubles (exact under any summation order), so
+    the share threshold is deterministic across engines. Both grouped
+    frames derive from ONE filtered scan of lineitem (small-part 1996 rows),
+    and the share join keys on p_partkey — partial aggregation upstream
+    keeps the shuffle proportional to distinct (part, supplier) pairs, not
+    raw lineitem rows."""
+    part = (
+        load(spark, "part", sf_dir)
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, "lineitem", sf_dir)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supplied_qty")
+    )
+    per_part = per_pair.groupBy("l_partkey").agg(
+        F.sum("supplied_qty").alias("total_qty")
+    )
+    excess = (
+        per_pair.join(per_part, "l_partkey")
+        .filter(F.col("supplied_qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    region = load(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = load(spark, "nation", sf_dir).join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load(spark, "supplier", sf_dir).join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+), per_pair AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supplied_qty
+  FROM li GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, SUM(supplied_qty) AS total_qty
+  FROM per_pair GROUP BY 1
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (SELECT l_suppkey
+                    FROM per_pair JOIN per_part USING (l_partkey)
+                    WHERE supplied_qty > 0.5 * total_qty)
+ORDER BY s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q20_excess_share_suppliers": q20_excess_share_suppliers,
     "q4_order_priority": q4_order_priority,
     "q12_shipdelay_priority": q12_shipdelay_priority,
     "q7_volume_shipping": q7_volume_shipping,
@@ -688,6 +898,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q20_excess_share_suppliers": Q20_SQL,
     "q4_order_priority": Q4_SQL,
     "q12_shipdelay_priority": Q12_SQL,
     "q7_volume_shipping": Q7_SQL,

@@ -524,3 +524,30 @@ def test_runtime_bloom_filter_reduces_fact_shuffle(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q2_single_shuffle_min_cost(plan):
+    """q2's correlated-MIN decorrelation must resolve as ONE shuffle family
+    on p_partkey (the grouped cost relation feeds the window MIN in place) —
+    a groupBy-min + self-join rewrite would scan and shuffle the cost
+    relation twice. All dims (part, supplier⋈nation⋈region) broadcast."""
+    p = plan("q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # window MIN runs on the partkey-grouped frame; no sort-merge self-join
+    assert "SortMergeJoin" not in p
+
+
+def test_q20_semi_join_share_filter(plan):
+    """q20's nested correlated-aggregate IN must become semi/broadcast joins
+    over ONE filtered lineitem scan — never a per-row subquery or cartesian."""
+    p = plan("q20_excess_share_suppliers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q11_threshold_is_broadcast_scalar(plan):
+    """q11's global-threshold scalar must be broadcast back onto the grouped
+    frame (1-row nested-loop is fine); the fact side shuffles once."""
+    p = plan("q11_important_parts")
+    assert "CartesianProduct" not in p
