@@ -66,6 +66,10 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "ann_ivfpq",
     "kmeans_cluster_profile",
+    # Appended round 4, second segment: the partsupp-free TPC-H completions.
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_excess_share_suppliers",
 ]
 
 

@@ -102,6 +102,55 @@ def _overlaps(fmin, fmax, lo, hi) -> bool:
     return True
 
 
+#: File-level bloom filters (the sidecar tier of the two-tier design —
+#: Iceberg's `write.parquet.bloom-filter-enabled.column.<col>` property):
+#: 7 probes ≈ the optimum for ~10 bits/value, giving ~1% false positives.
+_BLOOM_K = 7
+_BLOOM_MIN_BITS = 1 << 13  # 1 KiB floor per (file, column)
+_BLOOM_MAX_BITS = 1 << 21  # 256 KiB cap — beyond ~200k distinct values per
+#                            file the FPP degrades gracefully toward "keep"
+#                            (never toward wrong pruning)
+
+
+def _bloom_canon(v) -> str | None:
+    """Canonical string a bloom value hashes as, or None if the type is not
+    bloom-eligible. Integers (including numpy scalars) and strings only —
+    floats/temporals have unstable renderings across engines, and a canon
+    mismatch between build and probe would cause WRONG pruning, so they are
+    excluded rather than risked. A None canon always means 'cannot prune'."""
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, str):
+        return v
+    import numbers
+
+    if isinstance(v, numbers.Integral):
+        return str(int(v))
+    return None
+
+
+def _bloom_positions(canon: str, m: int) -> list[int]:
+    """k bit positions via double hashing over one sha1 digest — stable
+    across processes (unlike Python's salted hash()) and identical on the
+    executor (build) and driver (probe) sides by construction."""
+    import hashlib
+
+    d = hashlib.sha1(canon.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:16], "little") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_hit(entry: dict, canon: str) -> bool:
+    """May the file contain ``canon``? entry = {"m": bits, "bits": b64}."""
+    import base64
+
+    bits = base64.b64decode(entry["bits"])
+    return all(
+        bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(canon, entry["m"])
+    )
+
+
 #: Hidden-partitioning transforms (Iceberg partition spec, table 28-1):
 #: name → (derive_expr(col, arg), map_bound(value, arg) | None if not monotonic)
 def _days_expr(c, _):
@@ -159,6 +208,7 @@ class SnapshotTable:
         root: str,
         partition_spec: list[tuple] | None = None,
         ref: str = "main",
+        bloom_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -173,17 +223,32 @@ class SnapshotTable:
         self._dtype_cache: dict[tuple[str, int], str] = {}
         if os.path.exists(self._spec_path):
             with open(self._spec_path) as f:
-                self.partition_spec = [tuple(t) for t in json.load(f)]
+                raw = json.load(f)
+            if isinstance(raw, dict):
+                self.partition_spec = [tuple(t) for t in raw.get("partitions", [])]
+                self.bloom_cols = list(raw.get("bloom_cols", []))
+            else:  # pre-bloom spec format: a bare partition-transform list
+                self.partition_spec = [tuple(t) for t in raw]
+                self.bloom_cols = list(bloom_cols or [])
         else:
             self.partition_spec = [tuple(t) for t in (partition_spec or [])]
+            self.bloom_cols = list(bloom_cols or [])
 
     # -- hidden partitioning ----------------------------------------------
     def _persist_spec(self) -> None:
-        if self.partition_spec and not os.path.exists(self._spec_path):
+        if (self.partition_spec or self.bloom_cols) and not os.path.exists(
+            self._spec_path
+        ):
             os.makedirs(os.path.dirname(self._spec_path), exist_ok=True)
             tmp = self._spec_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump([list(t) for t in self.partition_spec], f)
+                json.dump(
+                    {
+                        "partitions": [list(t) for t in self.partition_spec],
+                        "bloom_cols": self.bloom_cols,
+                    },
+                    f,
+                )
             os.replace(tmp, self._spec_path)
 
     @staticmethod
@@ -475,12 +540,130 @@ class SnapshotTable:
         prev = conf.get(key, None)
         conf.set(key, "TIMESTAMP_MICROS")
         try:
-            df.write.option("compression", "snappy").mode("errorifexists").parquet(d)
+            self._persist_spec()
+            w = df.write.option("compression", "snappy")
+            # tier-1 blooms: parquet-mr writes NATIVE per-column bloom
+            # filters (Iceberg's write.parquet.bloom-filter-enabled.column.*
+            # property) — the JVM parquet reader then row-group-skips
+            # equality predicates inside surviving files with zero custom
+            # read-side code
+            for c in self.bloom_cols:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            w.mode("errorifexists").parquet(d)
         finally:
             if prev is not None:
                 conf.set(key, prev)
         self._write_manifest_for(d)
+        self._write_sidecar_blooms(d)
         return d
+
+    def _write_sidecar_blooms(self, data_dir: str) -> None:
+        """Tier-2 blooms: one driver-readable bloom per (file, bloom column),
+        built distributed (one ``applyInPandas`` pass grouped by file) and
+        stored in a sidecar JSON next to the dir's manifest. parquet-mr's
+        native blooms live inside each file's footer, which plan-time
+        Python cannot read — this sidecar is what lets ``read_where`` /
+        ``read_where_in`` drop whole FILES from the scan for point lookups
+        on high-cardinality unclustered keys, where min/max bounds span
+        everything and prune nothing. Sized ~10 bits per distinct value
+        (capped at _BLOOM_MAX_BITS); driver state is bounded at
+        O(files-per-commit × 256 KiB). Only int/string columns build blooms
+        (see _bloom_canon); unsupported types or all-null groups simply
+        produce no entry — absence never prunes."""
+        cols = list(self.bloom_cols)
+        if not cols:
+            return
+        files = self._expand_files([data_dir])
+        if not files:
+            return
+        df = self.spark.read.parquet(*files)
+        cols = [c for c in cols if c in df.columns]
+        if not cols:
+            return
+        sel = df.select(F.col("_metadata.file_path").alias("__file"), *cols)
+        lo_bits, hi_bits = _BLOOM_MIN_BITS, _BLOOM_MAX_BITS
+
+        def build(pdf):
+            import base64
+
+            import numpy as np
+            import pandas as pd
+
+            out = []
+            fpath = pdf["__file"].iloc[0]
+            for c in cols:
+                ser = pdf[c].dropna()
+                # Arrow→pandas turns nullable int64 into float64; restore
+                # ints when lossless, else the column is not bloom-eligible
+                if ser.dtype.kind == "f":
+                    try:
+                        as_int = ser.astype("int64")
+                        if (as_int == ser).all():
+                            ser = as_int
+                    except (ValueError, OverflowError, TypeError):
+                        pass
+                vals = ser.unique()
+                canons = []
+                ok = True
+                for v in vals:
+                    cv = _bloom_canon(v)
+                    if cv is None:
+                        ok = False
+                        break
+                    canons.append(cv)
+                if not ok or not canons:
+                    continue
+                m = lo_bits
+                while m < 10 * len(canons) and m < hi_bits:
+                    m <<= 1
+                bits = np.zeros(m // 8, dtype=np.uint8)
+                for cv in canons:
+                    for p in _bloom_positions(cv, m):
+                        bits[p >> 3] |= np.uint8(1 << (p & 7))
+                out.append(
+                    (fpath, c, m, base64.b64encode(bits.tobytes()).decode())
+                )
+            return pd.DataFrame(out, columns=["file", "col", "m", "bits"])
+
+        rows = sel.groupBy("__file").applyInPandas(
+            build, "file string, col string, m long, bits string"
+        ).collect()
+        blooms: dict[str, dict] = {}
+        for r in rows:
+            path = r["file"]
+            if path.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                path = unquote(urlparse(path).path)
+            blooms.setdefault(path, {})[r["col"]] = {"m": r["m"], "bits": r["bits"]}
+        out_path = os.path.join(
+            self.root, "metadata", f"bloom-{os.path.basename(data_dir)}.json"
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(blooms, fh)
+        os.replace(tmp, out_path)
+
+    def _load_blooms(self, snap: dict) -> dict[str, dict]:
+        """Bloom sidecars for the snapshot's dirs, merged: data-file path →
+        {col: {"m", "bits"}}. Loaded LAZILY — only point-lookup planning
+        pays for bloom bytes, and only for the probed version's file set."""
+        meta_dir = os.path.join(self.root, "metadata")
+        out: dict[str, dict] = {}
+        if not os.path.isdir(meta_dir):
+            return out
+        wanted = set()
+        for p in snap["dirs"]:
+            base = os.path.basename(
+                os.path.dirname(p) if p.endswith(".parquet") else p
+            )
+            wanted.add(f"bloom-{base}.json")
+        for name in sorted(os.listdir(meta_dir)):
+            if name in wanted:
+                with open(os.path.join(meta_dir, name)) as fh:
+                    out.update(json.load(fh))
+        return out
 
     def _write_new_dir(self, df: DataFrame) -> str:
         """Write one immutable data dir under a COLLISION-FREE unique name
@@ -727,6 +910,20 @@ class SnapshotTable:
                 for c, clo, chi in checks
             ):
                 kept.append(f)
+        # point lookup → bloom tier: min/max bounds on a high-cardinality
+        # unclustered key usually span every file and prune nothing; the
+        # per-file sidecar bloom drops files whose value set provably
+        # excludes the probe (~1% false-keep, never false-prune)
+        if kept and lo is not None and hi is not None and lo == hi:
+            probe = _bloom_canon(lo)
+            if probe is not None:
+                blooms = self._load_blooms(snap)
+                kept = [
+                    f
+                    for f in kept
+                    if (e := blooms.get(f, {}).get(col)) is None
+                    or _bloom_hit(e, probe)
+                ]
         if not kept:
             # every file pruned → empty frame with the table's schema
             return self.read(version).limit(0)
@@ -759,6 +956,19 @@ class SnapshotTable:
             b = stats.get(f, {}).get("stats", {}).get(col)
             if b is None or any(_overlaps(b[0], b[1], v, v) for v in canon):
                 kept.append(f)
+        # bloom tier: keep a file only if SOME requested value may be in it.
+        # Any non-bloom-eligible probe value disables bloom pruning for the
+        # whole set (that value alone could live anywhere).
+        if kept:
+            probes = [_bloom_canon(v) for v in values]
+            if all(p is not None for p in probes):
+                blooms = self._load_blooms(snap)
+                kept = [
+                    f
+                    for f in kept
+                    if (e := blooms.get(f, {}).get(col)) is None
+                    or any(_bloom_hit(e, p) for p in probes)
+                ]
         if not kept:
             return self.read(version).limit(0)
         df = self._union_with_deletes(kept, snap.get("deletes", []))
@@ -1434,11 +1644,14 @@ class SnapshotTable:
                 shutil.rmtree(d)
                 # its manifest is now pure debris — metadata reads must
                 # not pay for expired history forever
-                m = os.path.join(
-                    self.root, "metadata", f"manifest-{os.path.basename(d)}.json"
-                )
-                if os.path.exists(m):
-                    os.remove(m)
+                for prefix in ("manifest", "bloom"):
+                    m = os.path.join(
+                        self.root,
+                        "metadata",
+                        f"{prefix}-{os.path.basename(d)}.json",
+                    )
+                    if os.path.exists(m):
+                        os.remove(m)
             elif os.path.isfile(d):
                 os.remove(d)
         return expired_ids
