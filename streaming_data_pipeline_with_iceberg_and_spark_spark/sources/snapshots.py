@@ -690,6 +690,7 @@ class SnapshotTable:
         Iceberg's snapshot summary properties; readers fetch it via
         :meth:`snapshot_props` to pin artifacts (e.g. a quantizer file) to
         the exact commit they describe."""
+        self._check_stale_writer(df)
         d = self._write_new_dir(self._apply_layout(df))
         entry: dict = {"op": "append"}
         if props:
@@ -741,6 +742,7 @@ class SnapshotTable:
             sn.get("batch_id") == batch_id for sn in self._log()
         ):
             return None
+        self._check_stale_writer(df)
         d = self._write_new_dir(self._apply_layout(df))
         entry = {"op": "overwrite", "dirs": [d]}
         if batch_id is not None:
@@ -802,6 +804,181 @@ class SnapshotTable:
             out = out.unionByName(df, allowMissingColumns=merge_schema)
         return out
 
+    # -- rename/drop schema evolution (Iceberg metadata-only evolution) ----
+    def _schema_ops(self, snap: dict) -> list[dict]:
+        """Rename/drop ops visible at this snapshot, in commit order. Ops
+        live IN the commit log, so time travel reads pre-evolution versions
+        with pre-evolution names and branches inherit exactly the ops their
+        fork point saw — no separate schema-log to keep consistent."""
+        return [
+            s
+            for s in self._log()
+            if s["op"] in ("rename-column", "drop-column") and s["id"] <= snap["id"]
+        ]
+
+    def _path_epochs(self) -> dict[str, int]:
+        """Data path → id of the commit that WROTE it (first log appearance,
+        carried-forward files normalized to their origin dir). A file's
+        epoch decides which schema ops post-date it and therefore apply when
+        reading it."""
+        epochs: dict[str, int] = {}
+        for s in self._log():
+            for p in s["dirs"]:
+                d = os.path.dirname(p) if p.endswith(".parquet") else p
+                if d not in epochs:
+                    epochs[d] = s["id"]
+        return epochs
+
+    @staticmethod
+    def _path_epoch(epochs: dict[str, int], path: str) -> int:
+        d = os.path.dirname(path) if path.endswith(".parquet") else path
+        return epochs.get(d, 0)
+
+    def _local_name(self, col: str, ops: list[dict], epoch: int) -> str | None:
+        """Map a CURRENT column name to the name a file written at ``epoch``
+        used — the inverse rename chain. None = the current column's lineage
+        did not exist yet in that file (it was dropped and re-introduced
+        later), so its stats/blooms must not prune on it."""
+        name = col
+        for op in reversed([o for o in ops if o["id"] > epoch]):
+            if op["op"] == "rename-column" and op["to"] == name:
+                name = op["from"]
+            elif op["op"] == "drop-column" and op["name"] == name:
+                return None
+        return name
+
+    def _read_paths(
+        self, snap: dict, paths: list[str], merge_schema: bool = False
+    ) -> DataFrame:
+        """Schema-aware scan of a snapshot's paths: files sharing the same
+        applicable op set scan together (renames stay rare, so almost
+        always ONE multi-path scan — the fast path is untouched); each
+        group applies its renames/drops in commit order (both are safe
+        no-ops on absent columns), then groups union by name with NULL
+        backfill. The rename itself moved zero data bytes — Iceberg's
+        metadata-only evolution contract."""
+        ops = self._schema_ops(snap)
+        if not ops:
+            return self._union_with_deletes(paths, snap.get("deletes", []), merge_schema)
+        epochs = self._path_epochs()
+        from collections import defaultdict
+
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for p in paths:
+            e = self._path_epoch(epochs, p)
+            key = tuple(o["id"] for o in ops if o["id"] > e)
+            groups[key].append(p)
+        parts = []
+        for key in sorted(groups, key=len):  # newest epoch (fewest ops) first
+            df = self._union_with_deletes(
+                groups[key], snap.get("deletes", []), merge_schema
+            )
+            for op in ops:
+                if op["id"] not in key:
+                    continue
+                if op["op"] == "rename-column":
+                    df = df.withColumnRenamed(op["from"], op["to"])
+                else:
+                    df = df.drop(op["name"])
+            parts.append(df)
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        # current schema leads the column order (parts[0] is the newest
+        # epoch); stragglers only exist under merge_schema
+        lead = parts[0].columns
+        return out.select(*lead, *[c for c in out.columns if c not in lead])
+
+    def _guard_schema_change(self, snap: dict, col: str) -> None:
+        if snap.get("deletes"):
+            raise SnapshotError(
+                "pending merge-on-read deletes reference columns by name; "
+                "compact() to materialize them before schema evolution"
+            )
+        if col in {t[1] for t in self.partition_spec}:
+            raise SnapshotError(
+                f"{col!r} is a partition-spec source column; partition "
+                "evolution is not supported — rewrite the table instead"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (Iceberg schema evolution): no data
+        file is touched; readers of every epoch see the new name, time
+        travel to pre-rename versions sees the old one. The commit is CAS'd
+        on the snapshot it read (a racing writer using the old schema fails
+        the stale-writer guard in ``append``)."""
+        snap = self._snapshot(None)
+        self._guard_schema_change(snap, old)
+        cols = self.read().columns
+        if old not in cols:
+            raise SnapshotError(f"no column {old!r} to rename")
+        if new in cols:
+            raise SnapshotError(f"column {new!r} already exists")
+        if old in self.bloom_cols:
+            # future commits must bloom the new name; spec.json is re-pointed
+            self.bloom_cols = [new if c == old else c for c in self.bloom_cols]
+            if os.path.exists(self._spec_path):
+                os.remove(self._spec_path)
+            self._persist_spec()
+        return self._commit(
+            {
+                "op": "rename-column",
+                "from": old,
+                "to": new,
+                "dirs": list(snap["dirs"]),
+            },
+            expected_parent=snap["id"],
+        )["id"]
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop: bytes stay on disk (old versions still
+        read them) but every read at or after this commit excludes the
+        column. Re-adding the same name later starts a NEW column lineage —
+        old files' values never leak into it."""
+        snap = self._snapshot(None)
+        self._guard_schema_change(snap, name)
+        if name not in self.read().columns:
+            raise SnapshotError(f"no column {name!r} to drop")
+        if name in self.bloom_cols:
+            self.bloom_cols = [c for c in self.bloom_cols if c != name]
+            if os.path.exists(self._spec_path):
+                os.remove(self._spec_path)
+            self._persist_spec()
+        return self._commit(
+            {"op": "drop-column", "name": name, "dirs": list(snap["dirs"])},
+            expected_parent=snap["id"],
+        )["id"]
+
+    def _local_resolver(self, snap: dict):
+        """(file, current_col) → the column name that file's epoch used, or
+        None when the current lineage post-dates the file (its rows read as
+        NULL there, so a bounded predicate can safely prune it). The no-op
+        fast path costs nothing when no schema op ever committed."""
+        ops = self._schema_ops(snap)
+        if not ops:
+            return lambda f, c: c
+        epochs = self._path_epochs()
+        return lambda f, c: self._local_name(c, ops, self._path_epoch(epochs, f))
+
+    def _check_stale_writer(self, df: DataFrame) -> None:
+        """A writer holding the pre-rename schema would silently fork the
+        column lineage (its 'from'-named values would NULL out under the
+        current schema). Refuse loudly instead — Iceberg validates writer
+        schema ids at commit for the same reason."""
+        snap_id = self.current_version()
+        if snap_id is None:
+            return
+        for op in self._schema_ops({"id": snap_id}):
+            if (
+                op["op"] == "rename-column"
+                and op["from"] in df.columns
+                and op["to"] not in df.columns
+            ):
+                raise SnapshotError(
+                    f"writer schema predates rename {op['from']!r} -> "
+                    f"{op['to']!r}; rebuild the batch against read()"
+                )
+
     # -- reads -------------------------------------------------------------
     def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
         """Current version, or time travel via ``version`` (Iceberg's
@@ -811,14 +988,13 @@ class SnapshotTable:
         ``merge_schema=True`` enables add-column schema evolution (Iceberg
         evolves schemas metadata-only): commits written with extra columns
         union into one schema, pre-evolution rows read as NULL. Costs one
-        distributed footer read per file, so it is opt-in."""
+        distributed footer read per file, so it is opt-in. Rename/drop
+        evolution (``rename_column``/``drop_column``) is always applied."""
         snap = self._snapshot(version)
         if not snap["dirs"]:
             raise SnapshotError(f"snapshot {snap['id']} is empty")
         return self._strip_hidden(
-            self._union_with_deletes(
-                snap["dirs"], snap.get("deletes", []), merge_schema
-            )
+            self._read_paths(snap, snap["dirs"], merge_schema)
         )
 
     #: arrow type string → Spark DDL type, for the bucket-probe rendering
@@ -902,12 +1078,18 @@ class SnapshotTable:
                 plo, phi = self._map_bound(t, lo), self._map_bound(t, hi)
                 if plo is not None or phi is not None:
                     checks.append((self._pname(t), _json_stat(plo), _json_stat(phi)))
+        local = self._local_resolver(snap)
+        bounded = lo is not None or hi is not None
         kept = []
         for f in self._expand_files(snap["dirs"]):
+            lname = local(f, col)
+            if lname is None and bounded:
+                continue  # current lineage absent → all-NULL → cannot match
             fstats = stats.get(f, {}).get("stats", {})
+            fchecks = [(lname, checks[0][1], checks[0][2])] + checks[1:]
             if all(
                 (b := fstats.get(c)) is None or _overlaps(b[0], b[1], clo, chi)
-                for c, clo, chi in checks
+                for c, clo, chi in fchecks
             ):
                 kept.append(f)
         # point lookup → bloom tier: min/max bounds on a high-cardinality
@@ -921,13 +1103,13 @@ class SnapshotTable:
                 kept = [
                     f
                     for f in kept
-                    if (e := blooms.get(f, {}).get(col)) is None
+                    if (e := blooms.get(f, {}).get(local(f, col))) is None
                     or _bloom_hit(e, probe)
                 ]
         if not kept:
             # every file pruned → empty frame with the table's schema
             return self.read(version).limit(0)
-        df = self._union_with_deletes(kept, snap.get("deletes", []))
+        df = self._read_paths(snap, kept)
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -951,9 +1133,13 @@ class SnapshotTable:
         # a plain set: membership pruning is order-independent, and sorting
         # would TypeError on mixed-type value lists
         canon = {_json_stat(v) for v in values}
+        local = self._local_resolver(snap)
         kept = []
         for f in self._expand_files(snap["dirs"]):
-            b = stats.get(f, {}).get("stats", {}).get(col)
+            lname = local(f, col)
+            if lname is None:
+                continue  # all-NULL for this lineage; IN (non-null set) can't hit
+            b = stats.get(f, {}).get("stats", {}).get(lname)
             if b is None or any(_overlaps(b[0], b[1], v, v) for v in canon):
                 kept.append(f)
         # bloom tier: keep a file only if SOME requested value may be in it.
@@ -966,12 +1152,12 @@ class SnapshotTable:
                 kept = [
                     f
                     for f in kept
-                    if (e := blooms.get(f, {}).get(col)) is None
+                    if (e := blooms.get(f, {}).get(local(f, col))) is None
                     or any(_bloom_hit(e, p) for p in probes)
                 ]
         if not kept:
             return self.read(version).limit(0)
-        df = self._union_with_deletes(kept, snap.get("deletes", []))
+        df = self._read_paths(snap, kept)
         return self._strip_hidden(df.filter(F.col(col).isin(list(values))))
 
     def read_where_all(
@@ -986,17 +1172,25 @@ class SnapshotTable:
         snap = self._snapshot(version)
         stats = self._load_stats(snap)
         canon = [(c, _json_stat(lo), _json_stat(hi)) for c, lo, hi in filters]
+        local = self._local_resolver(snap)
         kept = []
         for f in self._expand_files(snap["dirs"]):
             fstats = stats.get(f, {}).get("stats", {})
+            lnames = {c: local(f, c) for c, _, _ in canon}
+            if any(
+                lnames[c] is None and (clo is not None or chi is not None)
+                for c, clo, chi in canon
+            ):
+                continue  # a bounded clause on an all-NULL lineage
             if all(
-                (b := fstats.get(c)) is None or _overlaps(b[0], b[1], clo, chi)
+                (b := fstats.get(lnames[c])) is None
+                or _overlaps(b[0], b[1], clo, chi)
                 for c, clo, chi in canon
             ):
                 kept.append(f)
         if not kept:
             return self.read(version).limit(0)
-        df = self._union_with_deletes(kept, snap.get("deletes", []))
+        df = self._read_paths(snap, kept)
         for c, lo, hi in filters:
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -1029,9 +1223,13 @@ class SnapshotTable:
         if snap.get("deletes"):
             return None
         stats = self._load_stats(snap)
+        local = self._local_resolver(snap)
         lo = hi = None
         for f in self._expand_files(snap["dirs"]):
-            b = stats.get(f, {}).get("stats", {}).get(col)
+            lname = local(f, col)
+            if lname is None:
+                continue  # all-NULL lineage contributes no extremum
+            b = stats.get(f, {}).get("stats", {}).get(lname)
             if b is None:
                 return None
             lo = b[0] if lo is None else min(lo, b[0])
@@ -1156,17 +1354,21 @@ class SnapshotTable:
             raise SnapshotError("merge source is empty")
         stats = self._load_stats(snap)
         clo, chi = _json_stat(lo), _json_stat(hi)
+        local = self._local_resolver(snap)
         candidates, untouched = [], []
         for f in self._expand_files(snap["dirs"]):
-            b = stats.get(f, {}).get("stats", {}).get(key)
+            lname = local(f, key)
+            if lname is None:
+                # key lineage absent → all keys NULL there → no match
+                untouched.append(f)
+                continue
+            b = stats.get(f, {}).get("stats", {}).get(lname)
             if b is None or _overlaps(b[0], b[1], clo, chi):
                 candidates.append(f)
             else:
                 untouched.append(f)
         if candidates:
-            current = self._strip_hidden(
-                self._union_with_deletes(candidates, snap.get("deletes", []))
-            )
+            current = self._strip_hidden(self._read_paths(snap, candidates))
             kept = current.join(source.select(key).distinct(), key, "left_anti")
             new_data = kept.unionByName(source)
         else:
@@ -1210,9 +1412,15 @@ class SnapshotTable:
             raise SnapshotError(f"unknown delete mode {mode!r}")
         stats = self._load_stats(snap)
         clo, chi = _json_stat(lo), _json_stat(hi)
+        local = self._local_resolver(snap)
         candidates, untouched = [], []
         for f in self._expand_files(snap["dirs"]):
-            b = stats.get(f, {}).get("stats", {}).get(col)
+            lname = local(f, col)
+            if lname is None:
+                # the delete predicate is never true on all-NULL values
+                untouched.append(f)
+                continue
+            b = stats.get(f, {}).get("stats", {}).get(lname)
             if b is None or _overlaps(b[0], b[1], clo, chi):
                 candidates.append(f)
             else:
@@ -1225,9 +1433,7 @@ class SnapshotTable:
             if hi is not None:
                 cond = cond & (F.col(col) <= F.lit(hi))
             survivors = self._strip_hidden(
-                self._union_with_deletes(
-                    candidates, snap.get("deletes", [])
-                ).filter(~cond)
+                self._read_paths(snap, candidates).filter(~cond)
             )
             dirs.append(self._write_new_dir(self._apply_layout(survivors)))
         entry = {"op": "delete", "dirs": dirs}

@@ -1462,3 +1462,106 @@ def test_bloom_compaction_rebuilds_blooms(spark, bloom_table):
     t.compact()
     assert t.read_where("user_key", 15, 15).count() == 1
     assert t.read_where("user_key", 999, 999).count() == 0
+
+
+# -- rename/drop schema evolution (metadata-only) -------------------------
+
+
+def test_rename_column_metadata_only(spark, table):
+    v1 = table.append(spark.range(0, 5).selectExpr("id", "id * 10 as score"))
+    files_before = set(table.read().inputFiles())
+    v2 = table.rename_column("score", "points")
+    assert table.read().columns == ["id", "points"]
+    assert sorted(r["points"] for r in table.read().collect()) == [0, 10, 20, 30, 40]
+    # no data file moved
+    assert set(table.read().inputFiles()) == files_before
+    # time travel sees the pre-rename name
+    assert table.read(version=v1).columns == ["id", "score"]
+    assert v2 == v1 + 1
+
+
+def test_rename_then_append_mixes_epochs(spark, table):
+    table.append(spark.range(0, 3).selectExpr("id", "id as score"))
+    table.rename_column("score", "points")
+    table.append(spark.range(3, 6).selectExpr("id", "id as points"))
+    got = sorted(r["points"] for r in table.read().collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    # pruning maps the current name back to each file's epoch-local name
+    assert sorted(r["points"] for r in table.read_where("points", 1, 4).collect()) == [
+        1, 2, 3, 4,
+    ]
+
+
+def test_stale_writer_refused_after_rename(spark, table):
+    table.append(spark.range(0, 3).selectExpr("id", "id as score"))
+    table.rename_column("score", "points")
+    with pytest.raises(SnapshotError, match="stale|predates"):
+        table.append(spark.range(3, 6).selectExpr("id", "id as score"))
+
+
+def test_drop_column_and_same_name_reintroduction(spark, table):
+    table.append(spark.range(0, 3).selectExpr("id", "id * 100 as tmp"))
+    table.drop_column("tmp")
+    assert table.read().columns == ["id"]
+    # re-adding the name starts a NEW lineage: old values must not leak in
+    table.append(spark.range(3, 6).selectExpr("id", "id as tmp"))
+    rows = {r["id"]: r["tmp"] for r in table.read().collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 3, 4: 4, 5: 5}
+    # bounded probes on the new lineage prune pre-drop files entirely
+    assert sorted(
+        r["id"] for r in table.read_where("tmp", 0, 999).collect()
+    ) == [3, 4, 5]
+
+
+def test_rename_chain_and_merge(spark, table):
+    table.append(spark.range(0, 4).selectExpr("id as k", "id as v"))
+    table.rename_column("v", "v1")
+    table.rename_column("v1", "v2")
+    src = spark.range(2, 6).selectExpr("id as k", "id * 1000 as v2")
+    table.merge(src, key="k")
+    rows = {r["k"]: r["v2"] for r in table.read().collect()}
+    assert rows == {0: 0, 1: 1, 2: 2000, 3: 3000, 4: 4000, 5: 5000}
+
+
+def test_delete_where_cow_after_rename(spark, table):
+    table.append(spark.range(0, 10).selectExpr("id", "id as score"))
+    table.rename_column("score", "points")
+    table.delete_where("points", 3, 6)
+    assert sorted(r["points"] for r in table.read().collect()) == [0, 1, 2, 7, 8, 9]
+
+
+def test_schema_evolution_guards(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "g"), partition_spec=[("identity", "k")])
+    t.append(spark.range(0, 4).selectExpr("id as k", "id as v"))
+    with pytest.raises(SnapshotError, match="partition"):
+        t.rename_column("k", "key")
+    with pytest.raises(SnapshotError, match="no column"):
+        t.rename_column("nope", "x")
+    with pytest.raises(SnapshotError, match="already exists"):
+        t.rename_column("v", "k")
+    t.delete_where("v", 0, 0, mode="mor")
+    with pytest.raises(SnapshotError, match="compact"):
+        t.rename_column("v", "w")
+
+
+def test_rename_updates_bloom_spec(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "b"), bloom_cols=["k"])
+    t.append(spark.range(0, 100).selectExpr("id * 2 as k"))
+    t.rename_column("k", "key")
+    assert t.bloom_cols == ["key"]
+    t.append(spark.range(0, 100).selectExpr("id * 2 + 1 as key"))
+    # bloom probe maps current name to each epoch's local name: the even
+    # probe prunes the odd (post-rename) file and vice versa
+    hit = t.read_where("key", 42, 42)
+    assert [r["key"] for r in hit.collect()] == [42]
+    assert len(hit.inputFiles()) < len(t.read().inputFiles())
+    # a fresh handle reloads the re-pointed spec
+    assert SnapshotTable(spark, t.root).bloom_cols == ["key"]
+
+
+def test_rename_on_branch_does_not_leak_to_main(spark, table):
+    table.append(spark.range(0, 3).selectExpr("id", "id as score"))
+    b = table.create_branch("audit")
+    b.rename_column("score", "points")
+    assert b.read().columns == ["id", "points"]
+    assert table.read().columns == ["id", "score"]
