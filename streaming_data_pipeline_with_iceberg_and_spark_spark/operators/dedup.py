@@ -95,6 +95,50 @@ GROUP BY 1
 """
 
 
+def minhash_sig_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row MinHash signature + LSH band signatures from a text column —
+    the shared core of batch `dedup_minhash_lsh` and the streaming
+    near-dup-at-ingest path. Pure per-row column expressions (shingle →
+    31-bit hash → 32 permuted mins → 8 band hashes): map-side only, NO
+    shuffle — the caller decides what to group or join on. Appends
+    ``band0..band{B-1}`` (long) and ``sig`` (array<long>, length 32);
+    rows with NULL/whitespace-only text are dropped (no signature exists —
+    without the guard, a null token array degenerates into one ""
+    shingle via concat_ws and every empty doc would near-match every
+    other)."""
+    sh_df = (
+        df.filter(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+        .withColumn("__sh", F.array_distinct(shingles(tokens(text_col), 3)))
+        .filter(F.size("__sh") > 0)
+    )
+    hs_df = sh_df.withColumn(
+        "__hs",
+        F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))),
+    ).drop("__sh")
+    mins = hs_df.select(
+        "*",
+        *[
+            F.array_min(
+                F.transform(
+                    "__hs", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_P))
+                )
+            ).alias(f"__m{i}")
+            for i, (a, b) in enumerate(_MH_AB)
+        ],
+    ).drop("__hs")
+    out = mins.select(
+        "*",
+        *[
+            F.xxhash64(
+                *[F.col(f"__m{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+            ).alias(f"band{b}")
+            for b in range(_MH_BANDS)
+        ],
+        F.array(*[F.col(f"__m{i}") for i in range(_MH_PERMS)]).alias("sig"),
+    )
+    return out.drop(*[f"__m{i}" for i in range(_MH_PERMS)])
+
+
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hash-spread on doc_id BEFORE the expensive shingle/token work (single
     # input split would serialize it); keyed on doc_id so any downstream
@@ -129,38 +173,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     means a degenerate band signature, and capping bounds the worst-case pair
     blowup to 200² per bucket regardless of corpus size.
     """
-    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0)
-    # constrain to 31 bits so (a*h + b) stays within long under ANSI mode;
-    # hashed once per shingle (the hs projection is non-cheap, so Catalyst
-    # keeps it materialized rather than inlining it into all 32 consumers)
-    hs = sh.select(
-        "doc_id",
-        F.transform(
-            "sh", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
-        ).alias("hs"),
-    )
-    # 32 permutations (a_i * h + b_i) mod p, min per doc; fixed a_i/b_i seeds
-    mins = hs.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    "hs", lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_P))
-                )
-            ).alias(f"m{i}")
-            for i, (a, b) in enumerate(_MH_AB)
-        ],
-    )
-    bands = mins.select(
-        "doc_id",
-        *[
-            F.xxhash64(
-                *[F.col(f"m{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
-            ).alias(f"band{b}")
-            for b in range(_MH_BANDS)
-        ],
-        F.array(*[F.col(f"m{i}") for i in range(_MH_PERMS)]).alias("sig"),
-    )
+    # hash-spread before the expensive per-doc signature work (see
+    # _doc_shingles); the signature itself is the shared map-side-only
+    # builder — 31-bit shingle hashes so (a*h + b) stays within long under
+    # ANSI mode, fixed a_i/b_i seeds
+    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
+    bands = minhash_sig_bands(docs.select("doc_id", "text")).drop("text")
     exploded = bands.select(
         "doc_id",
         "sig",

@@ -435,6 +435,146 @@ def start_incremental_dedup_ingest(
     return writer.start()
 
 
+def start_incremental_neardup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_root: str,
+    seen_root: str,
+    txn_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "neardup_ingest",
+) -> StreamingQuery:
+    """Incremental NEAR-dup (MinHash) dedup at ingest — the fuzzy twin of
+    :func:`start_incremental_dedup_ingest`. Each micro-batch admits only
+    documents that are not near-duplicates (estimated Jaccard ≥
+    ``threshold``) of any document in the batch or any previously admitted
+    document, then commits the admitted rows plus their LSH bucket entries
+    atomically. On a growing 100 TB corpus this replaces re-running the
+    full-batch MinHash job per ingest (which re-shuffles the whole corpus)
+    with per-batch cost: one map-side signature pass over the BATCH, a
+    batch-sized self-join, and one join of batch×8 band rows against the
+    bucket table.
+
+    The seen table stores (band_idx, band_sig, seen_sig): 8 rows and one
+    32-long signature per admitted doc — metadata-scale relative to corpus
+    bytes. A new doc whose band signature collides with a stored bucket is
+    only dropped if full-signature agreement clears the threshold (band
+    collision alone is an LSH candidate, not a verdict). At real scale the
+    seen table would be bucketed on (band_idx, band_sig) so the probe join
+    co-locates without re-shuffling the seen side.
+
+    Within-batch semantics are greedy min-id-survivor: a doc is dropped if
+    it near-matches a smaller id in the same batch (transitive chains keep
+    the chain minimum, like batch `dedup_apply`). Docs with NULL text
+    tokenize to nothing, carry no signature, and are admitted as-is —
+    exact-dedup them upstream with :func:`start_incremental_dedup_ingest`
+    if needed (short non-null docs shingle down to a single word n-gram,
+    so two one-word docs with the same word ARE near-dups).
+
+    Exactly-once: same protocol as the exact path — multi-table transaction
+    over (corpus, seen), namespaced batch keys, transaction recovery at
+    stream start."""
+    import math
+
+    from ..operators.dedup import _MH_BANDS, _MH_PERMS, minhash_sig_bands
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+    )
+
+    corpus = SnapshotTable(spark, corpus_root)
+    seen = SnapshotTable(spark, seen_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+    n_agree_min = math.ceil(threshold * _MH_PERMS)
+    band_arr = F.array(*[F.col(f"band{b}") for b in range(_MH_BANDS)])
+
+    def agree(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, z: F.when(x == z, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    def neardup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([corpus, seen], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        sigs = minhash_sig_bands(batch_df, text_col).persist()
+        try:
+            no_sig = batch_df.join(sigs.select(id_col), id_col, "left_anti")
+            expl = sigs.select(
+                id_col,
+                "sig",
+                F.posexplode(band_arr).alias("band_idx", "band_sig"),
+            )
+            # within-batch: drop any doc near-matching a SMALLER id
+            a, b = expl.alias("a"), expl.alias("b")
+            dup_in_batch = (
+                a.join(
+                    b,
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_sig") == F.col("b.band_sig"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+                .filter(agree(F.col("a.sig"), F.col("b.sig")) >= n_agree_min)
+                .select(F.col(f"b.{id_col}").alias(id_col))
+                .distinct()
+            )
+            survivors = sigs.join(dup_in_batch, id_col, "left_anti")
+            # vs every previously admitted doc, via the bucket table
+            if seen.current_version() is not None:
+                hits = (
+                    survivors.select(
+                        id_col,
+                        "sig",
+                        F.posexplode(band_arr).alias("band_idx", "band_sig"),
+                    )
+                    .join(seen.read(), ["band_idx", "band_sig"])
+                    .filter(agree(F.col("sig"), F.col("seen_sig")) >= n_agree_min)
+                    .select(id_col)
+                    .distinct()
+                )
+                survivors = survivors.join(hits, id_col, "left_anti")
+            survivors = survivors.persist()
+            try:
+                admitted = survivors.drop(
+                    "sig", *[f"band{i}" for i in range(_MH_BANDS)]
+                ).unionByName(no_sig)
+                seen_rows = survivors.select(
+                    F.posexplode(band_arr).alias("band_idx", "band_sig"),
+                    F.col("sig").alias("seen_sig"),
+                )
+                txn = MultiTableTransaction([corpus, seen], txn_dir)
+                key = f"{stream_id}#{batch_id}"
+                txn.stage_append(corpus, admitted, batch_id=key)
+                txn.stage_append(seen, seen_rows, batch_id=key)
+                txn.commit()
+            finally:
+                survivors.unpersist()
+        finally:
+            sigs.unpersist()
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(neardup_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

@@ -792,3 +792,91 @@ def test_fanout_batch_keys_are_namespaced(spark, tmp_path, gps_dir):
     q.awaitTermination(120)
     # the stream's batch 0 must have landed despite the foreign batch_id 0
     assert facts.read().count() == pre_rows + 15
+
+
+def test_incremental_neardup_ingest_cross_batch(spark, tmp_path):
+    """MinHash near-dup at ingest: fuzzy duplicates are dropped within a
+    batch, across batches via the LSH bucket table, and replay admits
+    nothing twice. Distinct docs and signature-less (null-text) docs pass."""
+    from pyspark.sql import types as T
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_neardup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pandas watch from a distant bamboo grove under heavy "
+        "summer rain that never seems to stop falling on the valley"
+    )
+    near1 = base.replace("seventeen", "eighteen")
+    near2 = base.replace("summer", "winter")
+    other = (
+        "completely different content about distributed query engines "
+        "processing petabytes of training data with columnar formats "
+        "snapshot isolation and carefully bounded shuffle stages"
+    )
+    third = (
+        "yet another unrelated document discussing the economics of "
+        "container shipping lanes across the northern pacific trade "
+        "routes during the early twenty first century boom years"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    _write_ndjson(
+        src / "a.json",
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near1},  # near-dup of 1 → dropped
+            {"doc_id": 3, "text": other},
+            {"doc_id": 4, "text": None},  # no tokens → no signature → admitted
+        ],
+    )
+    corpus_root = str(tmp_path / "corpus")
+    seen_root = str(tmp_path / "seen")
+    txn_dir = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_neardup_ingest(
+            spark,
+            str(src),
+            corpus_root,
+            seen_root,
+            txn_dir,
+            schema=schema,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    corpus = SnapshotTable(spark, corpus_root)
+    seen = SnapshotTable(spark, seen_root)
+    assert sorted(r["doc_id"] for r in corpus.read().collect()) == [1, 3, 4]
+    assert seen.read().count() == 16  # 2 admitted signatures × 8 bands
+    # batch 2: another fuzz of base (vs seen), an exact repeat of `other`,
+    # and one genuinely new doc
+    _write_ndjson(
+        src / "b.json",
+        [
+            {"doc_id": 5, "text": near2},  # near-dup of admitted 1 → dropped
+            {"doc_id": 6, "text": third},  # novel → admitted
+            {"doc_id": 7, "text": other},  # exact dup of admitted 3 → dropped
+        ],
+    )
+    drain()
+    assert sorted(r["doc_id"] for r in corpus.read().collect()) == [1, 3, 4, 6]
+    assert seen.read().count() == 24
+    # replay with nothing new: no movement
+    v = corpus.current_version()
+    drain()
+    assert corpus.current_version() == v
