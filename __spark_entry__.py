@@ -119,6 +119,8 @@ _PRIORITY = [
     "kmeans_cluster_profile",
     "snapshot_time_travel_orders",
     "snapshot_changelog_orders",
+    "snapshot_bloom_point_lookup",
+    "snapshot_schema_evolution_orders",
     # (c) stale-signal re-checks (green in r1/r2 only, fixtures since regenerated)
     "q1_pricing_summary",
     "q5_revenue_by_nation",

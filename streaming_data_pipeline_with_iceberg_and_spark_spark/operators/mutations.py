@@ -153,11 +153,73 @@ FROM orders WHERE o_orderkey BETWEEN 100 AND 5000
 """
 
 
+def snapshot_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom file-skipping end-to-end with an exact oracle: orders committed
+    as four interleaved slices (split on o_custkey, so every file's
+    o_orderkey [min,max] spans nearly the whole key space and min/max
+    pruning keeps everything), then an IN-set point lookup through
+    `read_where_in` — the sidecar blooms prune the non-matching files; the
+    surviving rows must equal DuckDB's plain IN scan. One probe key is
+    absent, exercising the all-pruned path."""
+    orders = load(spark, "orders", sf_dir).select(*_ORDERS_COLS)
+    t = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="spark_graft_bl_"), bloom_cols=["o_orderkey"]
+    )
+    for i in range(4):
+        t.append(orders.filter(F.col("o_custkey") % 4 == i))
+    keys = [1, 777, 4242, 9999, 123456789]
+    return t.read_where_in("o_orderkey", keys).select(*_ORDERS_COLS)
+
+
+SNAPSHOT_BLOOM_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey IN (1, 777, 4242, 9999, 123456789)
+"""
+
+
+def snapshot_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rename/drop evolution with an exact oracle: commit
+    orders, RENAME o_totalprice → price and DROP o_orderpriority (no data
+    file rewritten), append post-evolution rows under the new schema, and
+    read — old-epoch files must surface under the new names, the dropped
+    column must be gone, and values must match DuckDB computing the same
+    final relation directly."""
+    orders = load(spark, "orders", sf_dir).select(*_ORDERS_COLS)
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_graft_se_"))
+    t.append(orders)
+    t.rename_column("o_totalprice", "price")
+    t.drop_column("o_orderpriority")
+    late = (
+        orders.filter(F.col("o_orderkey") % 500 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+        .withColumnRenamed("o_totalprice", "price")
+        .drop("o_orderpriority")
+    )
+    t.append(late)
+    return t.read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "price", "o_orderdate"
+    )
+
+
+SNAPSHOT_SCHEMA_EVOLUTION_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS price, o_orderdate
+FROM orders
+UNION ALL
+SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+       o_totalprice AS price, o_orderdate
+FROM orders WHERE o_orderkey % 500 = 0
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "delete_update_orders": delete_update_orders,
     "snapshot_time_travel_orders": snapshot_time_travel_orders,
     "snapshot_changelog_orders": snapshot_changelog_orders,
+    "snapshot_bloom_point_lookup": snapshot_bloom_point_lookup,
+    "snapshot_schema_evolution_orders": snapshot_schema_evolution_orders,
 }
 
 ORACLES = {
@@ -165,4 +227,6 @@ ORACLES = {
     "delete_update_orders": DELETE_UPDATE_SQL,
     "snapshot_time_travel_orders": SNAPSHOT_TIME_TRAVEL_SQL,
     "snapshot_changelog_orders": SNAPSHOT_CHANGELOG_SQL,
+    "snapshot_bloom_point_lookup": SNAPSHOT_BLOOM_SQL,
+    "snapshot_schema_evolution_orders": SNAPSHOT_SCHEMA_EVOLUTION_SQL,
 }
