@@ -272,15 +272,61 @@ class SnapshotTable:
             return _bucket_expr(col, t[2])
         raise SnapshotError(f"unknown partition transform {t!r}")
 
+    def _current_spec(self) -> list[tuple]:
+        """The ACTIVE partition spec: the latest ``partition-spec`` commit
+        if the table's spec ever evolved, else the construction-time spec.
+        Writers derive layout from this; readers prune with every epoch's
+        transforms (see _all_specs)."""
+        for s in reversed(self._log()):
+            if s["op"] == "partition-spec":
+                return [tuple(t) for t in s["spec"]]
+        return self.partition_spec
+
+    def _all_specs(self) -> list[tuple]:
+        """Union of every transform any spec epoch ever used (deduped).
+        Pruning checks keyed on an epoch's ``__p_*`` name simply find no
+        stats on files written under other epochs — absent stats never
+        prune, so accumulating transforms is always safe and prunes each
+        file exactly by the layout it was actually written with (Iceberg's
+        partition-evolution read contract)."""
+        seen: dict[str, tuple] = {self._pname(t): t for t in self.partition_spec}
+        for s in self._log():
+            if s["op"] == "partition-spec":
+                for t in s["spec"]:
+                    t = tuple(t)
+                    seen.setdefault(self._pname(t), t)
+        return list(seen.values())
+
+    def evolve_partition_spec(self, new_spec: list[tuple]) -> int:
+        """Metadata-only partition evolution (Iceberg's
+        ``ALTER TABLE ... ADD/REPLACE PARTITION FIELD``): files already
+        written keep their layout and keep pruning by it; every subsequent
+        write lays out by ``new_spec``. No data moves — the two layouts
+        coexist under one table, exactly Iceberg's model. Validated against
+        unknown transform kinds before committing."""
+        snap = self._snapshot(None)
+        for t in new_spec:
+            if t[0] not in ("identity", "days", "hours", "months", "truncate", "bucket"):
+                raise SnapshotError(f"unknown partition transform {t!r}")
+        return self._commit(
+            {
+                "op": "partition-spec",
+                "spec": [list(t) for t in new_spec],
+                "dirs": list(snap["dirs"]),
+            },
+            expected_parent=snap["id"],
+        )["id"]
+
     def _apply_layout(self, df: DataFrame, n_files: int | None = None) -> DataFrame:
         """Derive partition columns and lay the batch out so each output
         file covers a contiguous slice of partition-value space (range
         partition + in-file sort → tight manifest bounds)."""
-        if not self.partition_spec:
+        spec = self._current_spec()
+        if not spec:
             return df
         self._persist_spec()
         pnames = []
-        for t in self.partition_spec:
+        for t in spec:
             name = self._pname(t)
             df = df.withColumn(name, self._derive_expr(t, df))
             pnames.append(name)
@@ -798,7 +844,10 @@ class SnapshotTable:
             df = reader.parquet(*ps)
             for i in key:
                 df = self._apply_one_delete(df, deletes[i])
-            parts.append(df)
+            # strip hidden layout columns PER PART: after partition-spec
+            # evolution, parts written under different epochs carry
+            # different __p_* sets and a strict unionByName would refuse
+            parts.append(self._strip_hidden(df))
         out = parts[0]
         for df in parts[1:]:
             out = out.unionByName(df, allowMissingColumns=merge_schema)
@@ -895,10 +944,10 @@ class SnapshotTable:
                 "pending merge-on-read deletes reference columns by name; "
                 "compact() to materialize them before schema evolution"
             )
-        if col in {t[1] for t in self.partition_spec}:
+        if col in {t[1] for t in self._all_specs()}:
             raise SnapshotError(
-                f"{col!r} is a partition-spec source column; partition "
-                "evolution is not supported — rewrite the table instead"
+                f"{col!r} is (or was) a partition-spec source column; "
+                "evolve the partition spec away from it and compact first"
             )
 
     def rename_column(self, old: str, new: str) -> int:
@@ -1054,9 +1103,11 @@ class SnapshotTable:
         # prune in source-column space, then (hidden partitioning) also in
         # partition space: a days(ts) spec maps a ts range predicate onto the
         # derived-day bounds each file's manifest carries; a bucket(col,n)
-        # spec prunes point lookups to the one matching hash bucket
+        # spec prunes point lookups to the one matching hash bucket. Every
+        # spec EPOCH contributes checks — each file only carries stats for
+        # the layout it was written under, and absent stats never prune
         checks = [(col, _json_stat(lo), _json_stat(hi))]
-        for t in self.partition_spec:
+        for t in self._all_specs():
             if t[1] != col:
                 continue
             if t[0] == "bucket":
@@ -1782,11 +1833,14 @@ class SnapshotTable:
         the normal case after the range-partition+sort write layout) is
         attributed exactly; a file spanning partition values is reported
         under partition NULL with exact=false rather than guessed."""
-        if not self.partition_spec:
+        spec = self._current_spec() or self.partition_spec
+        if not spec:
             raise SnapshotError("partitions() needs a partition_spec")
         snap = self._snapshot(version)
         stats = self._load_stats(snap)
-        pnames = [self._pname(t) for t in self.partition_spec]
+        # report in the ACTIVE spec's space; files written under earlier
+        # epochs lack its stats and honestly land in the NULL/inexact row
+        pnames = [self._pname(t) for t in spec]
         agg: dict[tuple | None, list[int]] = {}
         for f in self._expand_files(snap["dirs"]):
             ent = stats.get(f, {})

@@ -1565,3 +1565,70 @@ def test_rename_on_branch_does_not_leak_to_main(spark, table):
     b.rename_column("score", "points")
     assert b.read().columns == ["id", "points"]
     assert table.read().columns == ["id", "score"]
+
+
+# -- partition-spec evolution ---------------------------------------------
+
+
+def test_partition_evolution_both_epochs_prune(spark, tmp_path):
+    """After evolving identity(k) → bucket(v, 8): old files keep pruning by
+    k, new files prune by v's bucket, and reads across both epochs are
+    value-correct despite differing hidden layout columns."""
+    import datetime as dt
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "pe"), partition_spec=[("identity", "k")]
+    )
+    t.append(spark.range(0, 400).selectExpr("id % 4 as k", "id as v"))
+    t.evolve_partition_spec([("bucket", "v", 8)])
+    t.append(spark.range(400, 800).selectExpr("id % 4 as k", "id as v"))
+    # full read spans both layouts
+    assert t.read().count() == 800
+    assert sorted(t.read().columns) == ["k", "v"]
+    # source-column predicates stay correct across epochs
+    assert t.read_where("k", 2, 2).count() == 200
+    assert t.read_where("v", 100, 100).count() == 1
+    assert t.read_where("v", 700, 700).count() == 1
+    # old-epoch files still prune on k: a k-probe must not open every file
+    hit = t.read_where("k", 2, 2)
+    assert len(hit.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_partition_evolution_is_metadata_only(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "pe2"), partition_spec=[("identity", "k")]
+    )
+    t.append(spark.range(0, 100).selectExpr("id % 4 as k", "id as v"))
+    files_before = set(t.read().inputFiles())
+    v = t.evolve_partition_spec([("truncate", "v", 25)])
+    assert set(t.read().inputFiles()) == files_before
+    hist = {r["version"]: r["op"] for r in t.history().collect()}
+    assert hist[v] == "partition-spec"
+    with pytest.raises(SnapshotError, match="unknown partition transform"):
+        t.evolve_partition_spec([("zigzag", "v", 3)])
+
+
+def test_partition_evolution_survives_compaction_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "pe3"), partition_spec=[("identity", "k")]
+    )
+    v1 = t.append(spark.range(0, 100).selectExpr("id % 2 as k", "id as v"))
+    t.evolve_partition_spec([("identity", "v")])
+    t.append(spark.range(100, 200).selectExpr("id % 2 as k", "id as v"))
+    t.compact()  # rewrites everything under the ACTIVE (v-identity) spec
+    assert t.read().count() == 200
+    assert t.read_where("v", 150, 150).count() == 1
+    # time travel to the pre-evolution version still works
+    assert t.read(version=v1).count() == 100
+
+
+def test_partition_evolution_guards_schema_change(spark, tmp_path):
+    t = SnapshotTable(
+        spark, str(tmp_path / "pe4"), partition_spec=[("identity", "k")]
+    )
+    t.append(spark.range(0, 10).selectExpr("id as k", "id as v"))
+    t.evolve_partition_spec([("identity", "v")])
+    # both the historical and the active partition source refuse rename
+    for col in ("k", "v"):
+        with pytest.raises(SnapshotError, match="partition-spec source"):
+            t.rename_column(col, col + "2")
