@@ -2366,6 +2366,12 @@ def remove_orphans(table: SnapshotTable, grace_seconds: float = 3600.0) -> list[
         if now - os.path.getmtime(d) < grace_seconds:
             continue
         shutil.rmtree(d)
+        # the crashed writer also wrote the dir's manifest + bloom sidecar
+        # before it died; without this they accumulate as metadata debris
+        for prefix in ("manifest", "bloom"):
+            m = os.path.join(meta_dir, f"{prefix}-{name}.json")
+            if os.path.exists(m):
+                os.remove(m)
         removed.append(d)
     return removed
 

@@ -1632,3 +1632,25 @@ def test_partition_evolution_guards_schema_change(spark, tmp_path):
     for col in ("k", "v"):
         with pytest.raises(SnapshotError, match="partition-spec source"):
             t.rename_column(col, col + "2")
+
+
+def test_remove_orphans_sweeps_sidecar_metadata(spark, tmp_path):
+    """A writer that died after the data write left a dir + manifest +
+    bloom sidecar; the orphan sweep must reclaim all three."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        remove_orphans,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "orph"), bloom_cols=["k"])
+    t.append(spark.range(0, 10).selectExpr("id as k"))
+    # simulate the crash: data + sidecars written, commit never happened
+    orphan = t._write_new_dir(spark.range(10, 20).selectExpr("id as k"))
+    name = os.path.basename(orphan)
+    meta = os.path.join(t.root, "metadata")
+    assert os.path.exists(os.path.join(meta, f"manifest-{name}.json"))
+    assert os.path.exists(os.path.join(meta, f"bloom-{name}.json"))
+    removed = remove_orphans(t, grace_seconds=0.0)
+    assert removed == [orphan]
+    assert not os.path.exists(os.path.join(meta, f"manifest-{name}.json"))
+    assert not os.path.exists(os.path.join(meta, f"bloom-{name}.json"))
+    assert t.read().count() == 10
