@@ -763,6 +763,7 @@ class SnapshotTable:
         log = self._log()
         if any(s.get("batch_id") == batch_id for s in log):
             return None
+        self._check_stale_writer(df)
         nxt = (log[-1]["id"] + 1) if log else 1
         d = os.path.join(self.root, "data", f"s{nxt}")
         referenced = {p for s in log for p in s["dirs"]}
@@ -819,18 +820,28 @@ class SnapshotTable:
         return df.join(keys, dl["col"], "left_anti")
 
     def _union_with_deletes(
-        self, paths: list[str], deletes: list[dict], merge_schema: bool = False
+        self,
+        paths: list[str],
+        deletes: list[dict],
+        merge_schema: bool = False,
+        pre_delete=None,
     ) -> DataFrame:
         """Multi-path scan with merge-on-read deletes applied per scope:
         paths sharing the same applicable-delete subset scan together, the
         predicate deletes stay pushdown-able filters, equality deletes are
         one anti-join against a small delete file. Un-deleted paths scan
-        with zero overhead."""
+        with zero overhead.
+
+        ``pre_delete`` (schema evolution) maps each scan to CURRENT column
+        names BEFORE deletes apply — sound because the evolution guard
+        refuses schema ops while deletes pend, so every pending delete
+        postdates every schema op and references current names."""
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         if not deletes:
-            return reader.parquet(*paths)
+            df = reader.parquet(*paths)
+            return pre_delete(df) if pre_delete else df
         from collections import defaultdict
 
         groups: dict[tuple, list[str]] = defaultdict(list)
@@ -842,6 +853,8 @@ class SnapshotTable:
         parts = []
         for key, ps in groups.items():
             df = reader.parquet(*ps)
+            if pre_delete:
+                df = pre_delete(df)
             for i in key:
                 df = self._apply_one_delete(df, deletes[i])
             # strip hidden layout columns PER PART: after partition-spec
@@ -917,11 +930,8 @@ class SnapshotTable:
             e = self._path_epoch(epochs, p)
             key = tuple(o["id"] for o in ops if o["id"] > e)
             groups[key].append(p)
-        parts = []
-        for key in sorted(groups, key=len):  # newest epoch (fewest ops) first
-            df = self._union_with_deletes(
-                groups[key], snap.get("deletes", []), merge_schema
-            )
+
+        def apply_ops(df: DataFrame, key: tuple) -> DataFrame:
             for op in ops:
                 if op["id"] not in key:
                     continue
@@ -929,7 +939,21 @@ class SnapshotTable:
                     df = df.withColumnRenamed(op["from"], op["to"])
                 else:
                     df = df.drop(op["name"])
-            parts.append(df)
+            return df
+
+        parts = []
+        for key in sorted(groups, key=len):  # newest epoch (fewest ops) first
+            # the op chain applies BEFORE deletes (pre_delete): pending
+            # deletes always postdate every schema op (the evolution guard),
+            # so their predicates/keys are in current-name space
+            parts.append(
+                self._union_with_deletes(
+                    groups[key],
+                    snap.get("deletes", []),
+                    merge_schema,
+                    pre_delete=lambda df, _k=key: apply_ops(df, _k),
+                )
+            )
         out = parts[0]
         for df in parts[1:]:
             out = out.unionByName(df, allowMissingColumns=True)
@@ -1305,7 +1329,14 @@ class SnapshotTable:
         added: list[str] = []
         for s in log:
             if from_version < s["id"] <= to_version:
-                if s["op"] != "append":
+                # metadata-only commits (schema / partition-spec evolution)
+                # add no rows; appends add exactly their new dirs
+                if s["op"] not in (
+                    "append",
+                    "rename-column",
+                    "drop-column",
+                    "partition-spec",
+                ):
                     raise SnapshotError(
                         f"incremental read crosses non-append commit "
                         f"{s['id']} ({s['op']})"
@@ -1314,7 +1345,11 @@ class SnapshotTable:
                 seen.update(s["dirs"])
         if not added:
             return self.read(to_version).limit(0)
-        return self._strip_hidden(self.spark.read.parquet(*added))
+        # schema-aware read of just the added files, in TO-version names
+        # (pre-rename appends in the range surface under current names);
+        # deletes are intentionally not applied — this is the append feed
+        synth = {"id": to_version, "dirs": added, "deletes": []}
+        return self._strip_hidden(self._read_paths(synth, added))
 
     def changelog(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level diff between two versions (Iceberg's
@@ -1337,11 +1372,21 @@ class SnapshotTable:
             self._snapshot(to_version)  # nonexistent targets raise, both paths
         to_version = to_version if to_version is not None else log[-1]["id"]
         in_range = [s for s in log if from_version < s["id"] <= to_version]
-        if all(s["op"] == "append" for s in in_range):
+        meta_only = ("rename-column", "drop-column", "partition-spec")
+        if all(s["op"] == "append" or s["op"] in meta_only for s in in_range):
             return self.read_incremental(from_version, to_version).withColumn(
                 "_change_type", F.lit("insert")
             )
         old = self.read(from_version)
+        # align the old frame to TO-version names before the set diff: a
+        # rename in range changes no row, and with both sides in to-schema
+        # it correctly produces no change rows (a drop likewise vanishes
+        # from the diff instead of flagging every pre-existing row)
+        for op in in_range:
+            if op["op"] == "rename-column":
+                old = old.withColumnRenamed(op["from"], op["to"])
+            elif op["op"] == "drop-column":
+                old = old.drop(op["name"])
         new = self.read(to_version)
         inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
         deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
@@ -1594,10 +1639,11 @@ class SnapshotTable:
             todo = [d for d in snap["dirs"] if d not in done]
             if not todo:
                 return snap["id"]
+            # schema-aware: an old-epoch dir must not smuggle pre-rename
+            # column names into the rewrite (whose new dir postdates every
+            # schema op and would never be mapped again)
             df = self._strip_hidden(
-                self._union_with_deletes(
-                    self._expand_files(todo), snap.get("deletes", [])
-                )
+                self._read_paths(snap, self._expand_files(todo))
             )
             total = sum(os.path.getsize(f) for f in self._expand_files(todo))
         else:

@@ -1654,3 +1654,64 @@ def test_remove_orphans_sweeps_sidecar_metadata(spark, tmp_path):
     assert not os.path.exists(os.path.join(meta, f"manifest-{name}.json"))
     assert not os.path.exists(os.path.join(meta, f"bloom-{name}.json"))
     assert t.read().count() == 10
+
+
+def test_mor_delete_after_rename_applies_in_current_names(spark, table):
+    """A MOR delete committed AFTER a rename references the new name; old-
+    epoch files must be renamed BEFORE the delete predicate applies (the
+    evolution guard guarantees pending deletes always postdate schema
+    ops)."""
+    table.append(spark.range(0, 10).selectExpr("id as k", "id as v"))
+    table.rename_column("v", "val")
+    table.delete_where("val", 3, 6, mode="mor")
+    assert sorted(r["val"] for r in table.read().collect()) == [0, 1, 2, 7, 8, 9]
+    # equality delete file path too
+    table.delete_keys(spark.range(9, 10).selectExpr("id as val"), "val")
+    assert sorted(r["val"] for r in table.read().collect()) == [0, 1, 2, 7, 8]
+
+
+def test_incremental_and_changelog_across_rename(spark, table):
+    """CDC surfaces across schema evolution: pre-rename appends read under
+    TO-version names; the changelog treats metadata-only commits as
+    row-neutral (append fast path survives, rewrites diff in to-schema)."""
+    v1 = table.append(spark.range(0, 3).selectExpr("id as k", "id as v"))
+    table.append(spark.range(3, 5).selectExpr("id as k", "id as v"))
+    table.rename_column("v", "val")
+    table.append(spark.range(5, 8).selectExpr("id as k", "id as val"))
+    inc = table.read_incremental(v1)
+    assert inc.columns == ["k", "val"]
+    assert sorted(r["val"] for r in inc.collect()) == [3, 4, 5, 6, 7]
+    cl = table.changelog(v1)
+    assert {r["_change_type"] for r in cl.collect()} == {"insert"}
+    assert sorted(r["val"] for r in cl.collect()) == [3, 4, 5, 6, 7]
+    # general (rewrite) path: a CoW delete after the rename
+    v_pre = table.current_version()
+    table.delete_where("val", 0, 1)
+    cl2 = table.changelog(v_pre)
+    assert sorted((r["_change_type"], r["val"]) for r in cl2.collect()) == [
+        ("delete", 0),
+        ("delete", 1),
+    ]
+    # and spanning the rename itself through a rewrite: old side aligns
+    cl3 = table.changelog(v1)
+    got = sorted((r["_change_type"], r["val"]) for r in cl3.collect())
+    assert got == [
+        ("delete", 0),
+        ("delete", 1),
+        ("insert", 3),
+        ("insert", 4),
+        ("insert", 5),
+        ("insert", 6),
+        ("insert", 7),
+    ]
+
+
+def test_incremental_clustering_after_rename_keeps_current_names(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "clr"))
+    t.append(spark.range(0, 50).selectExpr("id as x", "id * 2 as y"))
+    t.rename_column("y", "z")
+    t.append(spark.range(50, 100).selectExpr("id as x", "id * 2 as z"))
+    t.cluster_by(["x"], incremental=True, target_file_bytes=1 << 20)
+    assert sorted(t.read().columns) == ["x", "z"]
+    assert t.read().count() == 100
+    assert t.read_where("z", 100, 100).count() == 1
