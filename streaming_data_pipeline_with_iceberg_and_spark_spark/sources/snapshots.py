@@ -308,14 +308,16 @@ class SnapshotTable:
         for t in new_spec:
             if t[0] not in ("identity", "days", "hours", "months", "truncate", "bucket"):
                 raise SnapshotError(f"unknown partition transform {t!r}")
-        return self._commit(
-            {
-                "op": "partition-spec",
-                "spec": [list(t) for t in new_spec],
-                "dirs": list(snap["dirs"]),
-            },
-            expected_parent=snap["id"],
-        )["id"]
+        entry = {
+            "op": "partition-spec",
+            "spec": [list(t) for t in new_spec],
+            "dirs": list(snap["dirs"]),
+        }
+        if snap.get("deletes"):
+            # a metadata-only commit must CARRY pending MOR deletes — an
+            # entry without them would silently resurrect deleted rows
+            entry["deletes"] = snap["deletes"]
+        return self._commit(entry, expected_parent=snap["id"])["id"]
 
     def _apply_layout(self, df: DataFrame, n_files: int | None = None) -> DataFrame:
         """Derive partition columns and lay the batch out so each output

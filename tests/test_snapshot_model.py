@@ -14,6 +14,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+    SnapshotError,
     SnapshotTable,
 )
 
@@ -34,13 +35,28 @@ _OP = st.one_of(
     st.tuples(st.just("txn_append"), st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=4)),
     st.tuples(st.just("expire"),),
     st.tuples(st.just("maintain"),),
+    # round-4 second segment: metadata-only evolution fuzzed into the mix —
+    # a rename is row-neutral (the model only re-labels its value column),
+    # partition-spec evolution must be invisible to every later read
+    st.tuples(st.just("rename"),),
+    st.tuples(st.just("evolve_spec"), st.integers(min_value=0, max_value=2)),
 )
+
+_EVOLVED_SPECS = [
+    [("bucket", "id", 4)],
+    [("identity", "id")],
+    [("truncate", "id", 5)],
+]
 
 
 @pytest.mark.parametrize(
-    "spec",
-    [None, [("bucket", "id", 4)]],
-    ids=["unpartitioned", "hidden-bucket-partitioned"],
+    "spec,bloom",
+    [
+        (None, None),
+        ([("bucket", "id", 4)], None),
+        (None, ["id"]),
+    ],
+    ids=["unpartitioned", "hidden-bucket-partitioned", "bloom-on-id"],
 )
 @settings(
     max_examples=6,
@@ -48,13 +64,17 @@ _OP = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_OP, min_size=2, max_size=7))
-def test_snapshot_table_matches_multiset_model(spark, spec, ops):
-    table = SnapshotTable(spark, tempfile.mkdtemp() + "/t", partition_spec=spec)
+def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
+    table = SnapshotTable(
+        spark, tempfile.mkdtemp() + "/t", partition_spec=spec, bloom_cols=bloom
+    )
     model: Counter = Counter()  # (id, val) -> multiplicity
-    seq = {"n": 0}  # unique branch names within one generated sequence
+    seq = {"n": 0}  # unique branch/column names within one generated sequence
+    val_name = "val"  # current logical name of the value column
 
     def df_of(rows):
-        return spark.createDataFrame(rows, "id long, val string")
+        # writers must use the CURRENT schema (stale-writer guard)
+        return spark.createDataFrame(rows, f"id long, {val_name} string")
 
     for op in ops:
         kind = op[0]
@@ -118,12 +138,34 @@ def test_snapshot_table_matches_multiset_model(spark, spec, ops):
             )
 
             maintain_table(table, max_files=8, orphan_grace_seconds=3600.0)
-        # invariant after every op: table == model
+        elif kind == "rename":
+            if table.current_version() is None:
+                continue
+            seq["n"] += 1
+            new_name = f"val{seq['n']}"
+            try:
+                table.rename_column(val_name, new_name)
+                val_name = new_name
+            except SnapshotError:
+                pass  # pending MOR deletes legitimately refuse evolution
+        elif kind == "evolve_spec":
+            if table.current_version() is None:
+                continue
+            table.evolve_partition_spec(_EVOLVED_SPECS[op[1]])
+        # invariant after every op: table == model, under the current name
         if table.current_version() is None:
             assert not model
             continue
         got = Counter(
-            (r["id"], r["val"])
-            for r in table.read().select("id", "val").collect()
+            (r["id"], r[val_name])
+            for r in table.read().select("id", val_name).collect()
         )
         assert got == +model, f"after {op}: {got} != {+model}"
+        # point-lookup invariant: the pruned path (min/max + bucket + bloom
+        # across every spec/schema epoch) agrees with the model at one probe
+        probe = Counter(
+            (r["id"], r[val_name])
+            for r in table.read_where("id", 7, 7).select("id", val_name).collect()
+        )
+        want = Counter({kv: n for kv, n in model.items() if kv[0] == 7})
+        assert probe == +want, f"point-read after {op}: {probe} != {+want}"

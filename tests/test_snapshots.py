@@ -1715,3 +1715,16 @@ def test_incremental_clustering_after_rename_keeps_current_names(spark, tmp_path
     assert sorted(t.read().columns) == ["x", "z"]
     assert t.read().count() == 100
     assert t.read_where("z", 100, 100).count() == 1
+
+
+def test_partition_evolution_carries_pending_mor_deletes(spark, tmp_path):
+    """Fuzz-found: a metadata-only partition-spec commit must CARRY pending
+    MOR deletes — dropping them from the new snapshot entry resurrected
+    deleted rows."""
+    t = SnapshotTable(spark, str(tmp_path / "pmor"))
+    t.append(spark.range(0, 1).selectExpr("id", "'a' as val"))
+    t.delete_where("id", 0, 0, mode="mor")
+    t.append(spark.range(0, 1).selectExpr("id", "'a' as val"))
+    t.evolve_partition_spec([("bucket", "id", 4)])
+    # one live row: the re-append postdates the delete's applies_to scope
+    assert t.read().count() == 1
