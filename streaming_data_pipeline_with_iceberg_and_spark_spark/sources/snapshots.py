@@ -1563,6 +1563,47 @@ class SnapshotTable:
             expected_parent=snap["id"],
         )["id"]
 
+    # -- zero-copy clone ---------------------------------------------------
+    def clone_to(self, new_root: str, version: int | None = None) -> "SnapshotTable":
+        """Zero-copy METADATA clone (Delta's shallow CLONE TABLE): the new
+        table starts from one commit referencing this table's data files
+        by absolute path — no byte moves, however large the source. The
+        clone then evolves independently (appends land under its own root;
+        CoW rewrites copy only what they touch). The dev/experimentation
+        workflow this exists for: fork a 100 TB table in milliseconds, try
+        a migration, throw the clone away.
+
+        Safety contract with maintenance: expire/orphan cleanup NEVER
+        deletes files outside the maintaining table's own root, so a
+        clone's expire cannot reach into its source (and vice versa — the
+        source CAN still delete dirs the clone references, the same
+        documented caveat Delta shallow clones have; tag or snapshot the
+        source if the clone must outlive its retention)."""
+        snap = self._snapshot(version)
+        if os.path.exists(os.path.join(new_root, "metadata")):
+            raise SnapshotError(f"clone target {new_root!r} already exists")
+        dst_meta = os.path.join(new_root, "metadata")
+        os.makedirs(dst_meta, exist_ok=True)
+        # the clone IS the source's log prefix: commit ids, dir epochs,
+        # schema/partition ops, pending deletes and time travel all carry
+        # over intact (replaying ops into fresh commits would instead
+        # re-key every shared dir to epoch 1 and mis-apply drop+re-add
+        # chains). Branch refs and tags stay with the source.
+        prefix = [s for s in self._log() if s["id"] <= snap["id"]]
+        tmp = os.path.join(dst_meta, "snapshots.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(prefix, f, indent=1)
+        os.replace(tmp, os.path.join(dst_meta, "snapshots.json"))
+        # sidecar metadata is keyed by data-file path, which the clone
+        # references verbatim — copy it so pruning/blooms keep working
+        src_meta = os.path.join(self.root, "metadata")
+        for n in os.listdir(src_meta):
+            if n.startswith(("manifest-", "bloom-")):
+                shutil.copy2(os.path.join(src_meta, n), os.path.join(dst_meta, n))
+        if os.path.exists(self._spec_path):
+            shutil.copy2(self._spec_path, os.path.join(dst_meta, "spec.json"))
+        return SnapshotTable(self.spark, new_root)
+
     # -- table maintenance -------------------------------------------------
     def rollback(self, version: int) -> int:
         """Roll back by COMMITTING a new snapshot that sees ``version``'s
@@ -1947,6 +1988,11 @@ class SnapshotTable:
         cost tracks LIVE history."""
         with self._locked():
             expired_ids, doomed = self._expire_metadata(keep_last)
+        # zero-copy clones reference files under ANOTHER table's root;
+        # maintenance must never reach outside its own table (a clone
+        # expiring "its" history would otherwise delete the source's data)
+        own = self.root + os.sep
+        doomed = [d for d in doomed if d.startswith(own)]
         for d in doomed:
             if os.path.isdir(d):
                 shutil.rmtree(d)

@@ -1728,3 +1728,62 @@ def test_partition_evolution_carries_pending_mor_deletes(spark, tmp_path):
     t.evolve_partition_spec([("bucket", "id", 4)])
     # one live row: the re-append postdates the delete's applies_to scope
     assert t.read().count() == 1
+
+
+# -- zero-copy clone ------------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_independent(spark, table, tmp_path):
+    table.append(spark.range(0, 10).selectExpr("id", "id * 2 as v"))
+    v2 = table.append(spark.range(10, 15).selectExpr("id", "id * 2 as v"))
+    src_files = set(table.read().inputFiles())
+    clone = table.clone_to(str(tmp_path / "clone"))
+    # same bytes, no copies
+    assert set(clone.read().inputFiles()) == src_files
+    assert clone.read().count() == 15
+    # history carries over — time travel inside the clone works
+    assert clone.read(version=1).count() == 10
+    assert clone.current_version() == v2
+    # divergence: writes to one never show in the other
+    clone.append(spark.range(100, 103).selectExpr("id", "id * 2 as v"))
+    table.append(spark.range(200, 201).selectExpr("id", "id * 2 as v"))
+    assert clone.read().count() == 18
+    assert table.read().count() == 16
+
+
+def test_clone_preserves_schema_ops_and_deletes(spark, table, tmp_path):
+    table.append(spark.range(0, 10).selectExpr("id", "id as v"))
+    table.rename_column("v", "val")
+    table.append(spark.range(10, 12).selectExpr("id", "id as val"))
+    table.delete_where("val", 3, 5, mode="mor")
+    clone = table.clone_to(str(tmp_path / "c2"))
+    assert clone.read().columns == ["id", "val"]
+    assert sorted(r["val"] for r in clone.read().collect()) == [0, 1, 2, 6, 7, 8, 9, 10, 11]
+    # cloning an EARLIER version: pre-rename names
+    old = table.clone_to(str(tmp_path / "c3"), version=1)
+    assert old.read().columns == ["id", "v"]
+    assert old.read().count() == 10
+
+
+def test_clone_expire_cannot_delete_source_data(spark, table, tmp_path):
+    table.append(spark.range(0, 5).selectExpr("id", "id as v"))
+    clone = table.clone_to(str(tmp_path / "c4"))
+    clone.overwrite(spark.range(5, 8).selectExpr("id", "id as v"))
+    clone.overwrite(spark.range(8, 11).selectExpr("id", "id as v"))
+    clone.expire_snapshots(keep_last=1)
+    # the clone's own dead dir is reclaimed, but the SOURCE's data — which
+    # the clone's expired v1 referenced — must be untouched
+    assert table.read().count() == 5
+    assert clone.read().count() == 3
+
+
+def test_clone_keeps_bloom_pruning(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "src"), bloom_cols=["k"])
+    t.append(spark.range(0, 300).selectExpr("id * 2 as k"))
+    t.append(spark.range(0, 300).selectExpr("id * 2 + 1 as k"))
+    clone = t.clone_to(str(tmp_path / "c5"))
+    hit = clone.read_where("k", 42, 42)
+    assert [r["k"] for r in hit.collect()] == [42]
+    assert len(hit.inputFiles()) < len(clone.read().inputFiles())
+    # clone inherits bloom_cols for its own future commits
+    assert clone.bloom_cols == ["k"]
