@@ -104,7 +104,10 @@ _PRIORITY = [
     "dedup_semantic",
     "text_within_doc_repetition",
     "mixture_weighted_interleave",
-    # (b') new in round 4 — no driver row yet
+    # (b') new in round 4 — no driver row yet. Oracle-bearing entries first:
+    # the ~50-entry driver window should spend its tail slots on value-hash
+    # checks, not rows-only rows (their driver signal adds least over the
+    # selfcheck + recall tests they already have)
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q20_excess_share_suppliers",
@@ -114,13 +117,14 @@ _PRIORITY = [
     "text_heavy_hitters",
     "q21_waiting_suppliers",
     "agg_bitmap_distinct",
-    "ann_ivfpq",
-    "ann_ivf_index",
-    "kmeans_cluster_profile",
     "snapshot_time_travel_orders",
     "snapshot_changelog_orders",
     "snapshot_bloom_point_lookup",
     "snapshot_schema_evolution_orders",
+    # rows-only tail (overflow if the window cuts at ~50)
+    "ann_ivfpq",
+    "ann_ivf_index",
+    "kmeans_cluster_profile",
     # (c) stale-signal re-checks (green in r1/r2 only, fixtures since regenerated)
     "q1_pricing_summary",
     "q5_revenue_by_nation",
