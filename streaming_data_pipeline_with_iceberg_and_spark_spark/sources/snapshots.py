@@ -1541,6 +1541,53 @@ class SnapshotTable:
             entry["deletes"] = snap["deletes"]
         return self._commit(entry, expected_parent=snap["id"])["id"]
 
+    def update_where(
+        self, col: str, lo, hi, set_exprs: dict[str, str]
+    ) -> int:
+        """Copy-on-write UPDATE (Iceberg's ``UPDATE t SET ... WHERE col
+        BETWEEN lo AND hi``): files whose manifest range intersects the
+        predicate are rewritten with ``set_exprs`` (column → SQL expression)
+        applied to matching rows; disjoint files carry forward by reference
+        — the same file-granularity cost model as :meth:`delete_where`, so
+        a narrow update on a 100 TB table rewrites only the files that can
+        contain a match."""
+        snap = self._snapshot(None)
+        stats = self._load_stats(snap)
+        clo, chi = _json_stat(lo), _json_stat(hi)
+        local = self._local_resolver(snap)
+        candidates, untouched = [], []
+        for f in self._expand_files(snap["dirs"]):
+            lname = local(f, col)
+            if lname is None:
+                untouched.append(f)
+                continue
+            b = stats.get(f, {}).get("stats", {}).get(lname)
+            if b is None or _overlaps(b[0], b[1], clo, chi):
+                candidates.append(f)
+            else:
+                untouched.append(f)
+        dirs = list(untouched)
+        if candidates:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+            cur = self._strip_hidden(self._read_paths(snap, candidates))
+            updated = cur.select(
+                *[
+                    F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in cur.columns
+                ]
+            )
+            dirs.append(self._write_new_dir(self._apply_layout(updated)))
+        entry = {"op": "update", "dirs": dirs}
+        if snap.get("deletes"):
+            entry["deletes"] = snap["deletes"]
+        return self._commit(entry, expected_parent=snap["id"])["id"]
+
     def delete_keys(self, keys: DataFrame, col: str) -> int:
         """Equality-delete file (Iceberg v2 merge-on-read equality deletes):
         the keys to drop are written as a SMALL delete file and recorded in

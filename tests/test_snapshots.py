@@ -1787,3 +1787,30 @@ def test_clone_keeps_bloom_pruning(spark, tmp_path):
     assert len(hit.inputFiles()) < len(clone.read().inputFiles())
     # clone inherits bloom_cols for its own future commits
     assert clone.bloom_cols == ["k"]
+
+
+def test_update_where_cow_file_granularity(spark, tmp_path):
+    """CoW UPDATE rewrites only files whose range intersects the predicate;
+    others carry forward by reference, and old versions stay intact."""
+    t = SnapshotTable(spark, str(tmp_path / "upd"), partition_spec=[("identity", "k")])
+    v1 = t.append(spark.range(0, 100).selectExpr("id % 10 as k", "id as v", "'x' as tag"))
+    files_before = set(t.read().inputFiles())
+    t.update_where("k", 3, 3, {"v": "v + 1000", "tag": "'hit'"})
+    rows = {(r["k"], r["v"]): r["tag"] for r in t.read().collect()}
+    assert t.read().count() == 100
+    hit = [(k, v) for (k, v), tag in rows.items() if tag == "hit"]
+    assert len(hit) == 10 and all(k == 3 and v >= 1000 for k, v in hit)
+    # untouched files carried forward by reference
+    after = set(t.read().inputFiles())
+    assert files_before & after, "disjoint files must be carried, not rewritten"
+    # time travel unaffected
+    assert all(r["tag"] == "x" for r in t.read(version=v1).collect())
+
+
+def test_update_where_after_rename_and_with_mor(spark, table):
+    table.append(spark.range(0, 10).selectExpr("id as k", "id as v"))
+    table.rename_column("v", "val")
+    table.delete_where("val", 8, 9, mode="mor")
+    table.update_where("val", 0, 2, {"val": "val * 100"})
+    got = sorted(r["val"] for r in table.read().collect())
+    assert got == [0, 3, 4, 5, 6, 7, 100, 200]
