@@ -739,6 +739,7 @@ class SnapshotTable:
         :meth:`snapshot_props` to pin artifacts (e.g. a quantizer file) to
         the exact commit they describe."""
         self._check_stale_writer(df)
+        self._enforce_constraints(df)
         d = self._write_new_dir(self._apply_layout(df))
         entry: dict = {"op": "append"}
         if props:
@@ -766,6 +767,7 @@ class SnapshotTable:
         if any(s.get("batch_id") == batch_id for s in log):
             return None
         self._check_stale_writer(df)
+        self._enforce_constraints(df)
         nxt = (log[-1]["id"] + 1) if log else 1
         d = os.path.join(self.root, "data", f"s{nxt}")
         referenced = {p for s in log for p in s["dirs"]}
@@ -792,6 +794,7 @@ class SnapshotTable:
         ):
             return None
         self._check_stale_writer(df)
+        self._enforce_constraints(df)
         d = self._write_new_dir(self._apply_layout(df))
         entry = {"op": "overwrite", "dirs": [d]}
         if batch_id is not None:
@@ -1447,6 +1450,7 @@ class SnapshotTable:
         change set is small (the common case). A 1%-overlap upsert on a
         100 TB table rewrites ~1 TB, not 100 TB."""
         snap = self._snapshot(None)
+        self._enforce_constraints(source)
         lo, hi = source.agg(F.min(key), F.max(key)).first()
         if lo is None:
             raise SnapshotError("merge source is empty")
@@ -1609,6 +1613,70 @@ class SnapshotTable:
             {"op": "delete-keys", "dirs": list(snap["dirs"]), "deletes": deletes},
             expected_parent=snap["id"],
         )["id"]
+
+    # -- CHECK constraints (Delta's table constraints) ---------------------
+    def _constraints(self) -> dict[str, str]:
+        """name → SQL predicate, from the latest constraint commits."""
+        out: dict[str, str] = {}
+        for s in self._log():
+            if s["op"] == "add-constraint":
+                out[s["name"]] = s["expr"]
+            elif s["op"] == "drop-constraint":
+                out.pop(s["name"], None)
+        return out
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — from this commit
+        on, every append/overwrite batch is validated BEFORE its data
+        becomes visible; violating batches are rejected whole with the
+        violation count (write-side enforcement, Delta's model — readers
+        never pay). Existing rows are validated once here: a constraint the
+        current data already violates is refused, so the invariant "every
+        visible row satisfies every active constraint" holds from the
+        moment the commit lands."""
+        snap = self._snapshot(None) if self._log() else None
+        if snap is not None and snap["dirs"]:
+            bad = self.read().filter(~F.expr(expr)).count()
+            if bad:
+                raise SnapshotError(
+                    f"existing data violates {name!r} ({expr}): {bad} rows"
+                )
+        entry = {"op": "add-constraint", "name": name, "expr": expr,
+                 "dirs": list(snap["dirs"]) if snap else []}
+        if snap and snap.get("deletes"):
+            entry["deletes"] = snap["deletes"]
+        return self._commit(entry)["id"]
+
+    def drop_constraint(self, name: str) -> int:
+        snap = self._snapshot(None)
+        if name not in self._constraints():
+            raise SnapshotError(f"no constraint {name!r}")
+        entry = {"op": "drop-constraint", "name": name,
+                 "dirs": list(snap["dirs"])}
+        if snap.get("deletes"):
+            entry["deletes"] = snap["deletes"]
+        return self._commit(entry)["id"]
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """One pass over the BATCH (never the table) counting violations of
+        every active constraint; all-or-nothing rejection keeps the commit
+        atomic. Cost: one extra aggregation on data that is about to be
+        written anyway."""
+        cons = self._constraints()
+        if not cons:
+            return
+        counts = df.agg(
+            *[
+                F.sum(F.when(~F.expr(e), 1).otherwise(0)).alias(n)
+                for n, e in cons.items()
+            ]
+        ).first()
+        bad = {n: counts[n] for n in cons if counts[n]}
+        if bad:
+            raise SnapshotError(
+                "constraint violation(s), batch rejected: "
+                + ", ".join(f"{n}={c} rows ({cons[n]})" for n, c in bad.items())
+            )
 
     # -- zero-copy clone ---------------------------------------------------
     def clone_to(self, new_root: str, version: int | None = None) -> "SnapshotTable":

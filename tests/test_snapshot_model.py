@@ -40,6 +40,7 @@ _OP = st.one_of(
     # partition-spec evolution must be invisible to every later read
     st.tuples(st.just("rename"),),
     st.tuples(st.just("evolve_spec"), st.integers(min_value=0, max_value=2)),
+    st.tuples(st.just("update"), _ID, _ID, _VAL),
 )
 
 _EVOLVED_SPECS = [
@@ -152,6 +153,15 @@ def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
             if table.current_version() is None:
                 continue
             table.evolve_partition_spec(_EVOLVED_SPECS[op[1]])
+        elif kind == "update":
+            if table.current_version() is None:
+                continue
+            lo, hi = min(op[1], op[2]), max(op[1], op[2])
+            table.update_where("id", lo, hi, {val_name: f"'{op[3]}'"})
+            hits = [(i, v) for (i, v) in model if lo <= i <= hi]
+            for key in hits:
+                n = model.pop(key)
+                model[(key[0], op[3])] += n
         # invariant after every op: table == model, under the current name
         if table.current_version() is None:
             assert not model

@@ -1814,3 +1814,39 @@ def test_update_where_after_rename_and_with_mor(spark, table):
     table.update_where("val", 0, 2, {"val": "val * 100"})
     got = sorted(r["val"] for r in table.read().collect())
     assert got == [0, 3, 4, 5, 6, 7, 100, 200]
+
+
+# -- CHECK constraints ----------------------------------------------------
+
+
+def test_constraints_reject_violating_batches(spark, table):
+    table.append(spark.range(0, 5).selectExpr("id", "id * 10 as price"))
+    table.add_constraint("price_nonneg", "price >= 0")
+    # clean batch passes
+    table.append(spark.range(5, 8).selectExpr("id", "id as price"))
+    # violating batch rejected WHOLE, table unchanged
+    v = table.current_version()
+    with pytest.raises(SnapshotError, match="price_nonneg"):
+        table.append(
+            spark.range(8, 12).selectExpr("id", "id - 100 as price")
+        )
+    assert table.current_version() == v
+    assert table.read().count() == 8
+
+
+def test_constraint_on_existing_violations_refused(spark, table):
+    table.append(spark.range(0, 5).selectExpr("id", "id - 3 as bal"))
+    with pytest.raises(SnapshotError, match="existing data violates"):
+        table.add_constraint("bal_pos", "bal >= 0")
+    # no constraint was committed
+    assert table._constraints() == {}
+
+
+def test_constraint_drop_and_merge_enforcement(spark, table):
+    table.append(spark.range(0, 5).selectExpr("id as k", "id as v"))
+    table.add_constraint("v_small", "v < 100")
+    with pytest.raises(SnapshotError, match="v_small"):
+        table.merge(spark.range(0, 2).selectExpr("id as k", "id + 500 as v"), "k")
+    table.drop_constraint("v_small")
+    table.merge(spark.range(0, 2).selectExpr("id as k", "id + 500 as v"), "k")
+    assert table.read().filter("v >= 500").count() == 2
