@@ -644,6 +644,12 @@ class SnapshotTable:
                 # Arrow→pandas turns nullable int64 into float64; restore
                 # ints when lossless, else the column is not bloom-eligible
                 if ser.dtype.kind == "f":
+                    # float64 cannot represent ints ≥ 2^53 exactly, so the
+                    # Arrow null-promotion already lost the true value; a
+                    # bloom built on the rounded canon would WRONG-prune a
+                    # probe of the exact value — skip the column instead
+                    if (ser.abs() >= float(1 << 53)).any():
+                        continue
                     try:
                         as_int = ser.astype("int64")
                         if (as_int == ser).all():
@@ -992,13 +998,7 @@ class SnapshotTable:
             raise SnapshotError(f"no column {old!r} to rename")
         if new in cols:
             raise SnapshotError(f"column {new!r} already exists")
-        if old in self.bloom_cols:
-            # future commits must bloom the new name; spec.json is re-pointed
-            self.bloom_cols = [new if c == old else c for c in self.bloom_cols]
-            if os.path.exists(self._spec_path):
-                os.remove(self._spec_path)
-            self._persist_spec()
-        return self._commit(
+        v = self._commit(
             {
                 "op": "rename-column",
                 "from": old,
@@ -1007,6 +1007,19 @@ class SnapshotTable:
             },
             expected_parent=snap["id"],
         )["id"]
+        if old in self.bloom_cols:
+            # future commits must bloom the new name. Re-pointed only AFTER
+            # the CAS succeeded (a conflicted rename must not mutate shared
+            # metadata) and only for main — spec.json is root-shared across
+            # refs, and a branch's rename must not re-point the source's
+            # bloom builds (the branch handle keeps its in-memory update;
+            # its blooms for the renamed column resume after fast_forward)
+            self.bloom_cols = [new if c == old else c for c in self.bloom_cols]
+            if self.ref == "main":
+                if os.path.exists(self._spec_path):
+                    os.remove(self._spec_path)
+                self._persist_spec()
+        return v
 
     def drop_column(self, name: str) -> int:
         """Metadata-only column drop: bytes stay on disk (old versions still
@@ -1017,15 +1030,18 @@ class SnapshotTable:
         self._guard_schema_change(snap, name)
         if name not in self.read().columns:
             raise SnapshotError(f"no column {name!r} to drop")
-        if name in self.bloom_cols:
-            self.bloom_cols = [c for c in self.bloom_cols if c != name]
-            if os.path.exists(self._spec_path):
-                os.remove(self._spec_path)
-            self._persist_spec()
-        return self._commit(
+        v = self._commit(
             {"op": "drop-column", "name": name, "dirs": list(snap["dirs"])},
             expected_parent=snap["id"],
         )["id"]
+        if name in self.bloom_cols:
+            # same post-CAS, main-only contract as rename_column
+            self.bloom_cols = [c for c in self.bloom_cols if c != name]
+            if self.ref == "main":
+                if os.path.exists(self._spec_path):
+                    os.remove(self._spec_path)
+                self._persist_spec()
+        return v
 
     def _local_resolver(self, snap: dict):
         """(file, current_col) → the column name that file's epoch used, or
@@ -1039,22 +1055,35 @@ class SnapshotTable:
         return lambda f, c: self._local_name(c, ops, self._path_epoch(epochs, f))
 
     def _check_stale_writer(self, df: DataFrame) -> None:
-        """A writer holding the pre-rename schema would silently fork the
-        column lineage (its 'from'-named values would NULL out under the
+        """A writer holding a pre-rename schema would silently fork the
+        column lineage (its old-named values would NULL out under the
         current schema). Refuse loudly instead — Iceberg validates writer
-        schema ids at commit for the same reason."""
+        schema ids at commit for the same reason.
+
+        The check chains renames into a historical-name → CURRENT-name
+        translation (so rename a→b→a makes 'a' valid again, and only the
+        genuinely dead intermediate 'b' is refused); dropping a lineage
+        frees its historical names for legitimate re-introduction."""
         snap_id = self.current_version()
         if snap_id is None:
             return
+        translation: dict[str, str] = {}
         for op in self._schema_ops({"id": snap_id}):
-            if (
-                op["op"] == "rename-column"
-                and op["from"] in df.columns
-                and op["to"] not in df.columns
-            ):
+            if op["op"] == "rename-column":
+                for k, v in translation.items():
+                    if v == op["from"]:
+                        translation[k] = op["to"]
+                translation.setdefault(op["from"], op["to"])
+            else:  # drop-column: the lineage (and its old names) dies
+                translation = {
+                    k: v for k, v in translation.items() if v != op["name"]
+                }
+        for c in df.columns:
+            cur = translation.get(c)
+            if cur is not None and cur != c and cur not in df.columns:
                 raise SnapshotError(
-                    f"writer schema predates rename {op['from']!r} -> "
-                    f"{op['to']!r}; rebuild the batch against read()"
+                    f"writer schema predates rename {c!r} -> {cur!r}; "
+                    "rebuild the batch against read()"
                 )
 
     # -- reads -------------------------------------------------------------
@@ -1341,6 +1370,8 @@ class SnapshotTable:
                     "rename-column",
                     "drop-column",
                     "partition-spec",
+                    "add-constraint",
+                    "drop-constraint",
                 ):
                     raise SnapshotError(
                         f"incremental read crosses non-append commit "
@@ -1377,7 +1408,13 @@ class SnapshotTable:
             self._snapshot(to_version)  # nonexistent targets raise, both paths
         to_version = to_version if to_version is not None else log[-1]["id"]
         in_range = [s for s in log if from_version < s["id"] <= to_version]
-        meta_only = ("rename-column", "drop-column", "partition-spec")
+        meta_only = (
+            "rename-column",
+            "drop-column",
+            "partition-spec",
+            "add-constraint",
+            "drop-constraint",
+        )
         if all(s["op"] == "append" or s["op"] in meta_only for s in in_range):
             return self.read_incremental(from_version, to_version).withColumn(
                 "_change_type", F.lit("insert")
@@ -1393,6 +1430,14 @@ class SnapshotTable:
             elif op["op"] == "drop-column":
                 old = old.drop(op["name"])
         new = self.read(to_version)
+        # a column dropped then re-introduced in range exists in `new` but
+        # not in the aligned `old` — EXCEPT ALL needs identical shapes, and
+        # NULL is exactly what the old version held for the new lineage
+        new_types = dict(new.dtypes)
+        for c in new.columns:
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None).cast(new_types[c]))
+        old = old.select(*new.columns)
         inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
         deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
@@ -1586,6 +1631,9 @@ class SnapshotTable:
                     for c in cur.columns
                 ]
             )
+            # SET expressions can violate constraints a plain append would
+            # reject; enforce on the rewrite before it becomes visible
+            self._enforce_constraints(updated)
             dirs.append(self._write_new_dir(self._apply_layout(updated)))
         entry = {"op": "update", "dirs": dirs}
         if snap.get("deletes"):
@@ -1645,7 +1693,12 @@ class SnapshotTable:
                  "dirs": list(snap["dirs"]) if snap else []}
         if snap and snap.get("deletes"):
             entry["deletes"] = snap["deletes"]
-        return self._commit(entry)["id"]
+        # CAS on the validated snapshot: the validation scan is a long job,
+        # and committing a stale dir list over a concurrent append would
+        # silently erase its files (SnapshotConflict → re-validate instead)
+        return self._commit(
+            entry, expected_parent=snap["id"] if snap else 0
+        )["id"]
 
     def drop_constraint(self, name: str) -> int:
         snap = self._snapshot(None)
@@ -1655,7 +1708,7 @@ class SnapshotTable:
                  "dirs": list(snap["dirs"])}
         if snap.get("deletes"):
             entry["deletes"] = snap["deletes"]
-        return self._commit(entry)["id"]
+        return self._commit(entry, expected_parent=snap["id"])["id"]
 
     def _enforce_constraints(self, df: DataFrame) -> None:
         """One pass over the BATCH (never the table) counting violations of
@@ -2383,6 +2436,11 @@ class MultiTableTransaction:
     def _stage(self, table: SnapshotTable, df: DataFrame, op: str, batch_id) -> None:
         key = (table.root, table.ref)
         self._table(key)
+        # transactional writes honor the same write-side contracts as
+        # direct append/overwrite — without this, a staged batch could
+        # commit constraint-violating rows a plain append would reject
+        table._check_stale_writer(df)
+        table._enforce_constraints(df)
         d = table._write_new_dir(table._apply_layout(df))
         self.staged.append(
             {

@@ -1850,3 +1850,122 @@ def test_constraint_drop_and_merge_enforcement(spark, table):
     table.drop_constraint("v_small")
     table.merge(spark.range(0, 2).selectExpr("id as k", "id + 500 as v"), "k")
     assert table.read().filter("v >= 500").count() == 2
+
+
+# -- adversarial-review regressions (round 4, second segment) -------------
+
+
+def test_add_constraint_cas_refuses_concurrent_append(spark, table, monkeypatch):
+    """The validation scan is long; an append landing underneath must turn
+    into SnapshotConflict, never a silent erasure of the appended files."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotConflict,
+    )
+
+    table.append(spark.range(0, 5).selectExpr("id", "id as v"))
+    orig_read = table.read
+    raced = {"done": False}
+
+    def racing_read(*a, **k):
+        df = orig_read(*a, **k)
+        if not raced["done"]:
+            raced["done"] = True
+            SnapshotTable(spark, table.root).append(
+                spark.range(5, 8).selectExpr("id", "id as v")
+            )
+        return df
+
+    monkeypatch.setattr(table, "read", racing_read)
+    with pytest.raises(SnapshotConflict):
+        table.add_constraint("v_ok", "v >= 0")
+    # nothing was lost and no constraint half-landed
+    assert SnapshotTable(spark, table.root).read().count() == 8
+    assert table._constraints() == {}
+
+
+def test_stale_writer_allows_rename_back(spark, table):
+    table.append(spark.range(0, 3).selectExpr("id", "id as a"))
+    table.rename_column("a", "b")
+    table.rename_column("b", "a")
+    # 'a' is current again — appending it must be allowed
+    table.append(spark.range(3, 5).selectExpr("id", "id as a"))
+    assert sorted(r["a"] for r in table.read().collect()) == [0, 1, 2, 3, 4]
+    # the dead intermediate name is still refused
+    with pytest.raises(SnapshotError, match="predates rename"):
+        table.append(spark.range(5, 6).selectExpr("id", "id as b"))
+
+
+def test_transaction_stage_honors_constraints(spark, table, tmp_path):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+    )
+
+    table.append(spark.range(0, 3).selectExpr("id", "id as v"))
+    table.add_constraint("v_nonneg", "v >= 0")
+    txn = MultiTableTransaction([table], str(tmp_path / "txn"))
+    with pytest.raises(SnapshotError, match="v_nonneg"):
+        txn.stage_append(table, spark.range(0, 3).selectExpr("id", "id - 10 as v"))
+
+
+def test_update_where_honors_constraints(spark, table):
+    table.append(spark.range(0, 5).selectExpr("id", "id as price"))
+    table.add_constraint("price_nonneg", "price >= 0")
+    v = table.current_version()
+    with pytest.raises(SnapshotError, match="price_nonneg"):
+        table.update_where("id", 0, 2, {"price": "price - 1000"})
+    assert table.current_version() == v
+
+
+def test_bloom_skips_precision_lost_ints(spark, tmp_path):
+    """int64 values ≥ 2^53 in a NULLABLE column lose precision through the
+    Arrow float promotion; the bloom must decline the column rather than
+    wrong-prune the exact probe."""
+    big = (1 << 53) + 1
+    t = SnapshotTable(spark, str(tmp_path / "big"), bloom_cols=["k"])
+    t.append(
+        spark.range(0, 3).selectExpr(
+            f"if(id = 0, null, id + {big} - 1) as k"
+        )
+    )
+    got = t.read_where("k", big, big).collect()
+    assert [r["k"] for r in got] == [big]
+
+
+def test_changelog_across_drop_and_readd(spark, table):
+    v1 = table.append(spark.range(0, 3).selectExpr("id", "id as v"))
+    table.drop_column("v")
+    table.append(spark.range(3, 5).selectExpr("id", "id as v"))
+    table.delete_where("id", 0, 0)  # force the general (rewrite) path
+    cl = table.changelog(v1)
+    got = sorted((r["_change_type"], r["id"], r["v"] is None) for r in cl.collect())
+    # old rows 1,2 carried (their v reads NULL both sides → no change rows);
+    # row 0 deleted; rows 3,4 inserted with the new lineage's values
+    assert got == [
+        ("delete", 0, True),
+        ("insert", 3, False),
+        ("insert", 4, False),
+    ]
+
+
+def test_incremental_feed_survives_constraint_commits(spark, table):
+    v1 = table.append(spark.range(0, 3).selectExpr("id", "id as v"))
+    table.add_constraint("v_ok", "v >= 0")
+    table.append(spark.range(3, 5).selectExpr("id", "id as v"))
+    inc = table.read_incremental(v1)
+    assert sorted(r["id"] for r in inc.collect()) == [3, 4]
+    cl = table.changelog(v1)
+    assert {r["_change_type"] for r in cl.collect()} == {"insert"}
+
+
+def test_branch_rename_does_not_repoint_main_spec(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "brs"), bloom_cols=["k"])
+    t.append(spark.range(0, 200).selectExpr("id * 2 as k"))
+    b = t.create_branch("audit")
+    b.rename_column("k", "key")
+    # main's persisted spec still blooms 'k' for its own future appends
+    fresh = SnapshotTable(spark, t.root)
+    assert fresh.bloom_cols == ["k"]
+    fresh.append(spark.range(0, 200).selectExpr("id * 2 + 1 as k"))
+    hit = fresh.read_where("k", 42, 42)
+    assert [r["k"] for r in hit.collect()] == [42]
+    assert len(hit.inputFiles()) < len(fresh.read().inputFiles())
