@@ -121,6 +121,7 @@ _PRIORITY = [
     "snapshot_changelog_orders",
     "snapshot_bloom_point_lookup",
     "snapshot_schema_evolution_orders",
+    "snapshot_update_constrained_orders",
     # rows-only tail (overflow if the window cuts at ~50)
     "ann_ivfpq",
     "ann_ivf_index",

@@ -213,6 +213,30 @@ FROM orders WHERE o_orderkey % 500 = 0
 """
 
 
+def snapshot_update_constrained_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoW UPDATE under an active CHECK constraint, oracle-checked: commit
+    orders, add a price-nonnegativity constraint (validating existing
+    data), then `update_where` adds a surcharge to a key range — only the
+    files whose manifest range intersects the keys are rewritten, the
+    constraint validates the rewrite before it becomes visible, and the
+    result must match DuckDB's CASE projection."""
+    orders = load(spark, "orders", sf_dir).select(*_ORDERS_COLS)
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_graft_uc_"))
+    t.append(orders)
+    t.add_constraint("price_nonneg", "o_totalprice >= 0")
+    t.update_where("o_orderkey", 1000, 3000, {"o_totalprice": "o_totalprice + 25.0"})
+    return t.read().select(*_ORDERS_COLS)
+
+
+SNAPSHOT_UPDATE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+            THEN o_totalprice + 25.0 ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "delete_update_orders": delete_update_orders,
@@ -220,6 +244,7 @@ QUERIES = {
     "snapshot_changelog_orders": snapshot_changelog_orders,
     "snapshot_bloom_point_lookup": snapshot_bloom_point_lookup,
     "snapshot_schema_evolution_orders": snapshot_schema_evolution_orders,
+    "snapshot_update_constrained_orders": snapshot_update_constrained_orders,
 }
 
 ORACLES = {
@@ -229,4 +254,5 @@ ORACLES = {
     "snapshot_changelog_orders": SNAPSHOT_CHANGELOG_SQL,
     "snapshot_bloom_point_lookup": SNAPSHOT_BLOOM_SQL,
     "snapshot_schema_evolution_orders": SNAPSHOT_SCHEMA_EVOLUTION_SQL,
+    "snapshot_update_constrained_orders": SNAPSHOT_UPDATE_SQL,
 }
