@@ -827,8 +827,9 @@ class SnapshotTable:
             if dl["hi"] is not None:
                 cond = cond & (F.col(dl["col"]) <= F.lit(dl["hi"]))
             return df.filter(~cond)
-        keys = self.spark.read.parquet(dl["path"]).select(dl["col"]).distinct()
-        return df.join(keys, dl["col"], "left_anti")
+        cols = dl["col"] if isinstance(dl["col"], list) else [dl["col"]]
+        keys = self.spark.read.parquet(dl["path"]).select(*cols).distinct()
+        return df.join(keys, cols, "left_anti")
 
     def _union_with_deletes(
         self,
@@ -1640,7 +1641,7 @@ class SnapshotTable:
             entry["deletes"] = snap["deletes"]
         return self._commit(entry, expected_parent=snap["id"])["id"]
 
-    def delete_keys(self, keys: DataFrame, col: str) -> int:
+    def delete_keys(self, keys: DataFrame, col: str | list[str]) -> int:
         """Equality-delete file (Iceberg v2 merge-on-read equality deletes):
         the keys to drop are written as a SMALL delete file and recorded in
         metadata; readers anti-join it against the files that were visible
@@ -1648,14 +1649,24 @@ class SnapshotTable:
         the table is and later appends of the same keys are unaffected.
         The next compaction materializes and clears it. This is the GDPR /
         per-record-erasure shape: deleting a thousand user ids from a
-        100 TB table writes kilobytes."""
+        100 TB table writes kilobytes.
+
+        ``col`` may be a list for COMPOSITE equality deletes (Iceberg's
+        multi-column equality-delete schema): a row is dropped only when
+        every named column matches a delete-file row."""
         snap = self._snapshot(None)
         import uuid
 
+        cols = col if isinstance(col, list) else [col]
         d = os.path.join(self.root, "data", f"del{snap['id']}-{uuid.uuid4().hex[:8]}")
-        keys.select(col).distinct().write.parquet(d)
+        keys.select(*cols).distinct().write.parquet(d)
         deletes = snap.get("deletes", []) + [
-            {"type": "eq", "col": col, "path": d, "applies_to": list(snap["dirs"])}
+            {
+                "type": "eq",
+                "col": cols if len(cols) > 1 else cols[0],
+                "path": d,
+                "applies_to": list(snap["dirs"]),
+            }
         ]
         return self._commit(
             {"op": "delete-keys", "dirs": list(snap["dirs"]), "deletes": deletes},

@@ -41,6 +41,11 @@ _OP = st.one_of(
     st.tuples(st.just("rename"),),
     st.tuples(st.just("evolve_spec"), st.integers(min_value=0, max_value=2)),
     st.tuples(st.just("update"), _ID, _ID, _VAL),
+    # constraint lifecycle: add a bound the model's id domain satisfies,
+    # then probe that a violating append is rejected WHOLE (model
+    # unchanged) while valid writes continue
+    st.tuples(st.just("constrain"),),
+    st.tuples(st.just("violate"), st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=3)),
 )
 
 _EVOLVED_SPECS = [
@@ -162,6 +167,19 @@ def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
             for key in hits:
                 n = model.pop(key)
                 model[(key[0], op[3])] += n
+        elif kind == "constrain":
+            if table.current_version() is None or "id_bound" in table._constraints():
+                continue
+            table.add_constraint("id_bound", "id BETWEEN 0 AND 24")
+        elif kind == "violate":
+            if "id_bound" not in (
+                table._constraints() if table.current_version() is not None else {}
+            ):
+                continue
+            bad = [(i + 1000, v) for i, v in op[1]]
+            with pytest.raises(SnapshotError):
+                table.append(df_of(bad))
+            # rejected whole: model unchanged
         # invariant after every op: table == model, under the current name
         if table.current_version() is None:
             assert not model

@@ -1969,3 +1969,24 @@ def test_branch_rename_does_not_repoint_main_spec(spark, tmp_path):
     hit = fresh.read_where("k", 42, 42)
     assert [r["k"] for r in hit.collect()] == [42]
     assert len(hit.inputFiles()) < len(fresh.read().inputFiles())
+
+
+def test_delete_keys_composite_columns(spark, table):
+    """Multi-column equality delete: a row drops only when EVERY named
+    column matches a delete-file row."""
+    table.append(
+        spark.range(0, 6).selectExpr("id % 3 as a", "id % 2 as b", "id as v")
+    )
+    keys = spark.createDataFrame([(0, 0), (2, 0)], "a long, b long")
+    table.delete_keys(keys, ["a", "b"])
+    left = sorted((r["a"], r["b"]) for r in table.read().collect())
+    # dropped: (0,0) [id 0] and (2,0) [id 2]; (0,1) id 3, (1,1) id 1,
+    # (1,0) id 4, (2,1) id 5 remain
+    assert left == [(0, 1), (1, 0), (1, 1), (2, 1)]
+    # later appends of the same composite keys are unaffected (sequence
+    # number semantics)
+    table.append(spark.createDataFrame([(0, 0, 99)], "a long, b long, v long"))
+    assert table.read().count() == 5
+    # compaction materializes the delete
+    table.compact()
+    assert table.read().count() == 5
