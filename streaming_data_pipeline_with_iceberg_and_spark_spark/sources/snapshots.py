@@ -827,6 +827,11 @@ class SnapshotTable:
             if dl["hi"] is not None:
                 cond = cond & (F.col(dl["col"]) <= F.lit(dl["hi"]))
             return df.filter(~cond)
+        if dl["type"] == "pos":
+            # positional delete: (file, row-position) pairs; the scan df
+            # carries __file/__pos metadata columns (added by the caller)
+            pos = self.spark.read.parquet(dl["path"]).select("__file", "__pos")
+            return df.join(pos, ["__file", "__pos"], "left_anti")
         cols = dl["col"] if isinstance(dl["col"], list) else [dl["col"]]
         keys = self.spark.read.parquet(dl["path"]).select(*cols).distinct()
         return df.join(keys, cols, "left_anti")
@@ -865,10 +870,22 @@ class SnapshotTable:
         parts = []
         for key, ps in groups.items():
             df = reader.parquet(*ps)
+            # positional deletes anti-join on (file, row-position): bind the
+            # scan's metadata columns BEFORE any projection (pre_delete
+            # renames never touch them; dropped after the deletes apply)
+            needs_pos = any(deletes[i]["type"] == "pos" for i in key)
+            if needs_pos:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
             if pre_delete:
                 df = pre_delete(df)
             for i in key:
                 df = self._apply_one_delete(df, deletes[i])
+            if needs_pos:
+                df = df.drop("__file", "__pos")
             # strip hidden layout columns PER PART: after partition-spec
             # evolution, parts written under different epochs carry
             # different __p_* sets and a strict unionByName would refuse
@@ -1670,6 +1687,58 @@ class SnapshotTable:
         ]
         return self._commit(
             {"op": "delete-keys", "dirs": list(snap["dirs"]), "deletes": deletes},
+            expected_parent=snap["id"],
+        )["id"]
+
+    def delete_where_positional(self, predicate: str) -> int:
+        """Positional merge-on-read delete (Iceberg v2 position-delete
+        files — completing the delete triple with `delete_where(mode=mor)`
+        predicate deletes and `delete_keys` equality deletes): rows matching
+        an arbitrary SQL ``predicate`` are recorded as (file, row-position)
+        pairs in a small delete file; readers anti-join positions only for
+        the files that actually contain matches. This is the MOR shape for
+        predicates that don't map onto a range or key column — cost is one
+        scan now (to locate positions) plus O(matched rows) metadata, with
+        no data rewritten; the next compaction materializes it."""
+        snap = self._snapshot(None)
+        ops = self._schema_ops(snap)
+        epochs = self._path_epochs() if ops else {}
+        from collections import defaultdict
+
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for p in snap["dirs"]:
+            e = self._path_epoch(epochs, p) if ops else 0
+            key = tuple(o["id"] for o in ops if o["id"] > e)
+            groups[key].append(p)
+        parts = []
+        for key, ps in groups.items():
+            df = self.spark.read.parquet(*ps).select(
+                "*",
+                F.col("_metadata.file_path").alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+            for op in ops:
+                if op["id"] not in key:
+                    continue
+                if op["op"] == "rename-column":
+                    df = df.withColumnRenamed(op["from"], op["to"])
+                else:
+                    df = df.drop(op["name"])
+            parts.append(df.filter(F.expr(predicate)).select("__file", "__pos"))
+        pos = parts[0]
+        for df in parts[1:]:
+            pos = pos.unionByName(df)
+        import uuid
+
+        d = os.path.join(
+            self.root, "data", f"del{snap['id']}-{uuid.uuid4().hex[:8]}"
+        )
+        pos.write.parquet(d)
+        deletes = snap.get("deletes", []) + [
+            {"type": "pos", "path": d, "applies_to": list(snap["dirs"])}
+        ]
+        return self._commit(
+            {"op": "delete-pos", "dirs": list(snap["dirs"]), "deletes": deletes},
             expected_parent=snap["id"],
         )["id"]
 

@@ -44,6 +44,7 @@ _OP = st.one_of(
     # constraint lifecycle: add a bound the model's id domain satisfies,
     # then probe that a violating append is rejected WHOLE (model
     # unchanged) while valid writes continue
+    st.tuples(st.just("delete_pos"), _ID, _ID),
     st.tuples(st.just("constrain"),),
     st.tuples(st.just("violate"), st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=3)),
 )
@@ -167,6 +168,14 @@ def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
             for key in hits:
                 n = model.pop(key)
                 model[(key[0], op[3])] += n
+        elif kind == "delete_pos":
+            if table.current_version() is None:
+                continue
+            lo, hi = min(op[1], op[2]), max(op[1], op[2])
+            table.delete_where_positional(f"id BETWEEN {lo} AND {hi}")
+            for (i, v) in list(model):
+                if lo <= i <= hi:
+                    del model[(i, v)]
         elif kind == "constrain":
             if table.current_version() is None or "id_bound" in table._constraints():
                 continue

@@ -1990,3 +1990,39 @@ def test_delete_keys_composite_columns(spark, table):
     # compaction materializes the delete
     table.compact()
     assert table.read().count() == 5
+
+
+# -- positional merge-on-read deletes -------------------------------------
+
+
+def test_positional_delete_arbitrary_predicate(spark, table):
+    """Position-delete files handle predicates no range/key column maps to;
+    later appends of identical rows are unaffected (position scoping)."""
+    table.append(spark.range(0, 10).selectExpr("id", "id % 3 as tag"))
+    v = table.delete_where_positional("tag = 1 AND id > 3")
+    assert sorted(r["id"] for r in table.read().collect()) == [0, 1, 2, 3, 5, 6, 8, 9]
+    # identical rows appended AFTER the delete are untouched
+    table.append(spark.range(4, 5).selectExpr("id", "id % 3 as tag"))
+    assert sorted(r["id"] for r in table.read().collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9,
+    ]
+    # time travel to before the delete still sees all rows
+    assert table.read(version=v - 1).count() == 10
+    # compaction materializes; counts unchanged
+    table.compact()
+    assert table.read().count() == 9
+
+
+def test_positional_delete_stacks_with_other_deletes(spark, table):
+    table.append(spark.range(0, 12).selectExpr("id", "id as v"))
+    table.delete_where("id", 0, 1, mode="mor")          # predicate delete
+    table.delete_keys(spark.range(2, 3).toDF("id"), "id")  # equality delete
+    table.delete_where_positional("v % 5 = 4")          # positional delete
+    assert sorted(r["id"] for r in table.read().collect()) == [3, 5, 6, 7, 8, 10, 11]
+
+
+def test_positional_delete_after_rename(spark, table):
+    table.append(spark.range(0, 6).selectExpr("id", "id as score"))
+    table.rename_column("score", "points")
+    table.delete_where_positional("points IN (1, 3)")
+    assert sorted(r["points"] for r in table.read().collect()) == [0, 2, 4, 5]
