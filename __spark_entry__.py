@@ -122,6 +122,7 @@ _PRIORITY = [
     "snapshot_bloom_point_lookup",
     "snapshot_schema_evolution_orders",
     "snapshot_update_constrained_orders",
+    "snapshot_positional_delete_orders",
     # rows-only tail (overflow if the window cuts at ~50)
     "ann_ivfpq",
     "ann_ivf_index",

@@ -237,6 +237,26 @@ FROM orders
 """
 
 
+def snapshot_positional_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional merge-on-read delete with an exact oracle: rows matching
+    a predicate no range/key column maps to (status+price conjunction) are
+    recorded as (file, row-position) pairs — no data rewritten — and the
+    read-back must equal DuckDB's negated filter."""
+    orders = load(spark, "orders", sf_dir).select(*_ORDERS_COLS)
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="spark_graft_pd_"))
+    t.append(orders)
+    t.delete_where_positional("o_orderstatus = 'O' AND o_totalprice > 50000")
+    return t.read().select(*_ORDERS_COLS)
+
+
+SNAPSHOT_POSITIONAL_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders
+WHERE NOT (o_orderstatus = 'O' AND o_totalprice > 50000)
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "delete_update_orders": delete_update_orders,
@@ -245,6 +265,7 @@ QUERIES = {
     "snapshot_bloom_point_lookup": snapshot_bloom_point_lookup,
     "snapshot_schema_evolution_orders": snapshot_schema_evolution_orders,
     "snapshot_update_constrained_orders": snapshot_update_constrained_orders,
+    "snapshot_positional_delete_orders": snapshot_positional_delete_orders,
 }
 
 ORACLES = {
@@ -255,4 +276,5 @@ ORACLES = {
     "snapshot_bloom_point_lookup": SNAPSHOT_BLOOM_SQL,
     "snapshot_schema_evolution_orders": SNAPSHOT_SCHEMA_EVOLUTION_SQL,
     "snapshot_update_constrained_orders": SNAPSHOT_UPDATE_SQL,
+    "snapshot_positional_delete_orders": SNAPSHOT_POSITIONAL_SQL,
 }
