@@ -123,6 +123,7 @@ _PRIORITY = [
     "snapshot_schema_evolution_orders",
     "snapshot_update_constrained_orders",
     "snapshot_positional_delete_orders",
+    "curate_pretraining_corpus",
     # rows-only tail (overflow if the window cuts at ~50)
     "ann_ivfpq",
     "ann_ivf_index",

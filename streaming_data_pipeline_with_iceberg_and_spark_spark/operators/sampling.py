@@ -344,7 +344,54 @@ LIMIT 200
 """
 
 
+def curate_pretraining_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: the canonical pretraining-curation chain as
+    ONE declarative pipeline — quality gate → language gate → exact dedup
+    (min-id survivor per content hash) → deterministic 50% subsample —
+    showing the engine's operators compose without materialization
+    boundaries.
+
+    Plan shape: both gates are scan-level predicates (pushed below
+    everything), the dedup is the pipeline's single shuffle (window
+    min-rank on the content hash), and the subsample is a post-shuffle
+    one-column predicate — at 100 TB the corpus is read once, filtered at
+    the scan, and shuffled once at its post-filter size. Every stage is
+    ANSI-expressible, so the WHOLE pipeline is value-checked against
+    DuckDB, not just its pieces."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    gated = docs.filter(
+        (F.col("n_chars") >= 120)
+        & (F.col("lang").isin("en", "de", "fr", "es"))
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return deduped.filter(_bucket() % 2 == 0).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+CURATE_SQL = """
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE n_chars >= 120 AND lang IN ('en', 'de', 'fr', 'es')
+), deduped AS (
+  SELECT * FROM gated g
+  WHERE doc_id = (SELECT MIN(doc_id) FROM gated g2 WHERE md5(g2.text) = md5(g.text))
+)
+SELECT doc_id, lang, source, n_chars
+FROM deduped
+WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100) % 2 = 0
+"""
+
+
 QUERIES = {
+    "curate_pretraining_corpus": curate_pretraining_corpus,
     "split_train_val_test": split_train_val_test,
     "mixture_weighted_interleave": mixture_weighted_interleave,
     "split_leakage_free": split_leakage_free,
@@ -356,6 +403,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "curate_pretraining_corpus": CURATE_SQL,
     "split_train_val_test": SPLIT_SQL,
     "mixture_weighted_interleave": MIXTURE_INTERLEAVE_SQL,
     "split_leakage_free": _leakage_free_sql(),

@@ -62,8 +62,14 @@ _EVOLVED_SPECS = [
         (None, None),
         ([("bucket", "id", 4)], None),
         (None, ["id"]),
+        ([("identity", "id")], ["id"]),
     ],
-    ids=["unpartitioned", "hidden-bucket-partitioned", "bloom-on-id"],
+    ids=[
+        "unpartitioned",
+        "hidden-bucket-partitioned",
+        "bloom-on-id",
+        "partitioned-and-bloomed",
+    ],
 )
 @settings(
     max_examples=6,
