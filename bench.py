@@ -66,10 +66,12 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "ann_ivfpq",
     "kmeans_cluster_profile",
-    # Appended round 4, second segment: the partsupp-free TPC-H completions.
+    # Appended round 4, second segment: the partsupp-free TPC-H completions
+    # and the end-to-end curation capstone.
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q20_excess_share_suppliers",
+    "curate_pretraining_corpus",
 ]
 
 
