@@ -2026,3 +2026,21 @@ def test_positional_delete_after_rename(spark, table):
     table.rename_column("score", "points")
     table.delete_where_positional("points IN (1, 3)")
     assert sorted(r["points"] for r in table.read().collect()) == [0, 2, 4, 5]
+
+
+def test_constraint_on_empty_table_gates_first_append(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "empty_c"))
+    t.add_constraint("pos", "v >= 0")
+    with pytest.raises(SnapshotError, match="pos"):
+        t.append(spark.range(0, 3).selectExpr("id", "id - 10 as v"))
+    t.append(spark.range(0, 3).selectExpr("id", "id as v"))
+    assert t.read().count() == 3
+
+
+def test_bloom_table_tolerates_empty_batches(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "eb"), bloom_cols=["k"])
+    t.append(spark.range(0, 5).selectExpr("id as k"))
+    t.append(spark.range(0, 0).selectExpr("id as k"))  # empty commit
+    assert t.read().count() == 5
+    assert t.read_where("k", 3, 3).count() == 1
+    assert t.read_where("k", 99, 99).count() == 0
