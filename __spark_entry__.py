@@ -124,6 +124,7 @@ _PRIORITY = [
     "snapshot_update_constrained_orders",
     "snapshot_positional_delete_orders",
     "curate_pretraining_corpus",
+    "text_linear_quality_classifier",
     # rows-only tail (overflow if the window cuts at ~50)
     "ann_ivfpq",
     "ann_ivf_index",

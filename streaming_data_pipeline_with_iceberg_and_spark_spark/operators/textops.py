@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, mg_fold, tokens
+from ..functions.text import STOPWORDS, md5_bucket16, mg_fold, tokens
 from ..io import load, load_spread
 
 # marker stopwords per language for the n-gram/stopword language-ID heuristic
@@ -774,6 +774,70 @@ LIMIT 20
 """
 
 
+#: Fixed hashed-feature weights for the linear quality classifier — the
+#: engine-side analogue of shipping a trained fastText/DCLM quality model:
+#: 16 hashing-trick buckets + bias, values arbitrary but pinned so both
+#: engines score identically. In production these come from training; the
+#: SCORING path below is exactly what a real deployment runs per document.
+_LQC_W = [
+    -0.31, 0.12, 0.27, -0.08, 0.19, -0.22, 0.05, 0.33,
+    -0.14, 0.21, -0.27, 0.09, 0.17, -0.05, 0.24, -0.11,
+]
+_LQC_BIAS = 0.20
+
+
+def text_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (the fastText/DCLM model shape):
+    score = sigmoid(bias + mean of hashed-token weights) with a fixed
+    16-bucket hashing trick. The entire scorer is a per-row column
+    expression — tokens hash and look up weights inside ONE higher-order
+    `aggregate`, no explode, no shuffle, no UDF — so at 100 TB the filter
+    is a scan-level projection like any other quality gate. Cross-engine
+    reproducible (md5-bucket hashing), so the score itself is
+    value-checked against DuckDB."""
+    docs = load(spark, "documents", sf_dir)
+    warr = F.array(*[F.lit(w) for w in _LQC_W])
+    toks = tokens("text")
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(warr, F.pmod(md5_bucket16(t), F.lit(16)) + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    score = F.round(
+        1.0 / (1.0 + F.exp(-(F.lit(_LQC_BIAS) + wsum / n))), 6
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+_LQC_VALUES = ", ".join(f"({i}, {w})" for i, w in enumerate(_LQC_W))
+
+TEXT_LQC_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), w(bk, wt) AS (VALUES {_LQC_VALUES}),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, AVG(wt) AS mean_w
+  FROM t JOIN w
+    ON (CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 16) = bk
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(1.0 / (1.0 + EXP(-({_LQC_BIAS} + mean_w))), 6) AS quality_score,
+       ROUND(1.0 / (1.0 + EXP(-({_LQC_BIAS} + mean_w))), 6) >= 0.5 AS keep
+FROM s
+"""
+
+
 QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
     "text_rolling_hash": text_rolling_hash,
@@ -790,6 +854,7 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_bigram_freq": text_bigram_freq,
     "text_rollup_by_lang_source": text_rollup_by_lang_source,
+    "text_linear_quality_classifier": text_linear_quality_classifier,
 }
 
 ORACLES = {
@@ -808,4 +873,5 @@ ORACLES = {
     "text_tfidf_top_terms": TEXT_TFIDF_SQL,
     "text_bigram_freq": TEXT_BIGRAM_SQL,
     "text_rollup_by_lang_source": TEXT_ROLLUP_SQL,
+    "text_linear_quality_classifier": TEXT_LQC_SQL,
 }
