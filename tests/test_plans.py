@@ -551,3 +551,25 @@ def test_q11_threshold_is_broadcast_scalar(plan):
     frame (1-row nested-loop is fine); the fact side shuffles once."""
     p = plan("q11_important_parts")
     assert "CartesianProduct" not in p
+
+
+def test_classifier_is_pure_projection(spark, sf_dir):
+    """The linear quality classifier must stay a scan-level projection:
+    zero Exchanges, zero Python evaluation — the property that makes a
+    model-scored quality gate free at 100 TB."""
+    p = explain_string(QUERIES["text_linear_quality_classifier"](spark, sf_dir))
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_curation_capstone_single_shuffle(spark, sf_dir):
+    """The end-to-end curation chain must shuffle exactly once (the
+    content-hash dedup window); gates and subsample ride the scan."""
+    import re
+
+    df = QUERIES["curate_pretraining_corpus"](spark, sf_dir)
+    p = explain_string(df)
+    # formatted explain names each node once in the tree and once in the
+    # detail section — count plan NODES, not string occurrences
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert pushed_filters(df), "quality/lang gates must reach the scan"
