@@ -794,8 +794,12 @@ def text_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFram
     `aggregate`, no explode, no shuffle, no UDF — so at 100 TB the filter
     is a scan-level projection like any other quality gate. Cross-engine
     reproducible (md5-bucket hashing), so the score itself is
-    value-checked against DuckDB."""
-    docs = load(spark, "documents", sf_dir)
+    value-checked against DuckDB.
+
+    NULL-text docs are excluded on BOTH sides (Spark would emit a
+    NULL-score row while the oracle's unnest+join drops the doc — the one
+    place the engines' NULL semantics diverge)."""
+    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
     warr = F.array(*[F.lit(w) for w in _LQC_W])
     toks = tokens("text")
     wsum = F.aggregate(
@@ -823,7 +827,7 @@ _LQC_VALUES = ", ".join(f"({i}, {w})" for i, w in enumerate(_LQC_W))
 TEXT_LQC_SQL = f"""
 WITH t AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), w(bk, wt) AS (VALUES {_LQC_VALUES}),
 s AS (
   SELECT doc_id, COUNT(*) AS n_tokens, AVG(wt) AS mean_w

@@ -815,9 +815,14 @@ class SnapshotTable:
         """A delete applies to the files VISIBLE when it committed
         (``applies_to``) — rows appended later are unaffected, Iceberg v2's
         sequence-number semantics. A carried-forward file inherits its
-        origin dir's deletes by prefix."""
+        origin dir's deletes by prefix; conversely a scanned DIR is covered
+        when a FILE-scoped entry (positional deletes list exact matched
+        files) lies inside it."""
         sep = os.sep
-        return any(path == q or path.startswith(q + sep) for q in dl["applies_to"])
+        return any(
+            path == q or path.startswith(q + sep) or q.startswith(path + sep)
+            for q in dl["applies_to"]
+        )
 
     def _apply_one_delete(self, df: DataFrame, dl: dict) -> DataFrame:
         if dl["type"] == "pred":
@@ -842,6 +847,7 @@ class SnapshotTable:
         deletes: list[dict],
         merge_schema: bool = False,
         pre_delete=None,
+        bind_positions: bool = False,
     ) -> DataFrame:
         """Multi-path scan with merge-on-read deletes applied per scope:
         paths sharing the same applicable-delete subset scan together, the
@@ -852,12 +858,28 @@ class SnapshotTable:
         ``pre_delete`` (schema evolution) maps each scan to CURRENT column
         names BEFORE deletes apply — sound because the evolution guard
         refuses schema ops while deletes pend, so every pending delete
-        postdates every schema op and references current names."""
-        reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
+        postdates every schema op and references current names.
+
+        ``bind_positions`` keeps ``__file``/``__pos`` metadata columns in
+        the OUTPUT (the position-delete producer needs them); otherwise
+        they are bound only where a positional delete applies and dropped
+        after it."""
+
+        def scan(ps):
+            reader = self.spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*ps)
+            if bind_positions:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+            return df
+
         if not deletes:
-            df = reader.parquet(*paths)
+            df = scan(paths)
             return pre_delete(df) if pre_delete else df
         from collections import defaultdict
 
@@ -869,12 +891,13 @@ class SnapshotTable:
             groups[key].append(pth)
         parts = []
         for key, ps in groups.items():
-            df = reader.parquet(*ps)
+            df = scan(ps)
             # positional deletes anti-join on (file, row-position): bind the
             # scan's metadata columns BEFORE any projection (pre_delete
-            # renames never touch them; dropped after the deletes apply)
+            # renames never touch them; dropped after the deletes apply
+            # unless the caller asked to keep them)
             needs_pos = any(deletes[i]["type"] == "pos" for i in key)
-            if needs_pos:
+            if needs_pos and not bind_positions:
                 df = df.select(
                     "*",
                     F.col("_metadata.file_path").alias("__file"),
@@ -884,7 +907,7 @@ class SnapshotTable:
                 df = pre_delete(df)
             for i in key:
                 df = self._apply_one_delete(df, deletes[i])
-            if needs_pos:
+            if needs_pos and not bind_positions:
                 df = df.drop("__file", "__pos")
             # strip hidden layout columns PER PART: after partition-spec
             # evolution, parts written under different epochs carry
@@ -939,7 +962,12 @@ class SnapshotTable:
         return name
 
     def _read_paths(
-        self, snap: dict, paths: list[str], merge_schema: bool = False
+        self,
+        snap: dict,
+        paths: list[str],
+        merge_schema: bool = False,
+        bind_positions: bool = False,
+        skip_deletes: bool = False,
     ) -> DataFrame:
         """Schema-aware scan of a snapshot's paths: files sharing the same
         applicable op set scan together (renames stay rare, so almost
@@ -947,10 +975,19 @@ class SnapshotTable:
         group applies its renames/drops in commit order (both are safe
         no-ops on absent columns), then groups union by name with NULL
         backfill. The rename itself moved zero data bytes — Iceberg's
-        metadata-only evolution contract."""
+        metadata-only evolution contract.
+
+        ``bind_positions``/``skip_deletes`` serve the position-delete
+        PRODUCER: it needs the same epoch-grouped, NULL-backfilled view as
+        every reader (sharing this code is what keeps the two op-application
+        paths from drifting) plus ``__file``/``__pos`` columns and no
+        delete application."""
+        deletes = [] if skip_deletes else snap.get("deletes", [])
         ops = self._schema_ops(snap)
         if not ops:
-            return self._union_with_deletes(paths, snap.get("deletes", []), merge_schema)
+            return self._union_with_deletes(
+                paths, deletes, merge_schema, bind_positions=bind_positions
+            )
         epochs = self._path_epochs()
         from collections import defaultdict
 
@@ -978,9 +1015,10 @@ class SnapshotTable:
             parts.append(
                 self._union_with_deletes(
                     groups[key],
-                    snap.get("deletes", []),
+                    deletes,
                     merge_schema,
                     pre_delete=lambda df, _k=key: apply_ops(df, _k),
+                    bind_positions=bind_positions,
                 )
             )
         out = parts[0]
@@ -1701,41 +1739,38 @@ class SnapshotTable:
         scan now (to locate positions) plus O(matched rows) metadata, with
         no data rewritten; the next compaction materializes it."""
         snap = self._snapshot(None)
-        ops = self._schema_ops(snap)
-        epochs = self._path_epochs() if ops else {}
-        from collections import defaultdict
-
-        groups: dict[tuple, list[str]] = defaultdict(list)
-        for p in snap["dirs"]:
-            e = self._path_epoch(epochs, p) if ops else 0
-            key = tuple(o["id"] for o in ops if o["id"] > e)
-            groups[key].append(p)
-        parts = []
-        for key, ps in groups.items():
-            df = self.spark.read.parquet(*ps).select(
-                "*",
-                F.col("_metadata.file_path").alias("__file"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
-            for op in ops:
-                if op["id"] not in key:
-                    continue
-                if op["op"] == "rename-column":
-                    df = df.withColumnRenamed(op["from"], op["to"])
-                else:
-                    df = df.drop(op["name"])
-            parts.append(df.filter(F.expr(predicate)).select("__file", "__pos"))
-        pos = parts[0]
-        for df in parts[1:]:
-            pos = pos.unionByName(df)
-        import uuid
-
-        d = os.path.join(
-            self.root, "data", f"del{snap['id']}-{uuid.uuid4().hex[:8]}"
+        if not snap["dirs"]:
+            return snap["id"]  # nothing to delete from — clean no-op
+        # the SAME epoch-grouped, NULL-backfilled view every reader gets
+        # (a dropped-then-re-added column reads as NULL on old epochs here
+        # too), plus the scan's (file, position) metadata, minus delete
+        # application
+        scan = self._read_paths(
+            snap, snap["dirs"], bind_positions=True, skip_deletes=True
         )
-        pos.write.parquet(d)
+        pos = scan.filter(F.expr(predicate)).select("__file", "__pos").persist()
+        try:
+            from urllib.parse import unquote, urlparse
+
+            matched = sorted(
+                unquote(urlparse(r["__file"]).path) or r["__file"]
+                for r in pos.select("__file").distinct().collect()
+            )
+            if not matched:
+                return snap["id"]  # predicate matched nothing — no commit
+            import uuid
+
+            d = os.path.join(
+                self.root, "data", f"del{snap['id']}-{uuid.uuid4().hex[:8]}"
+            )
+            pos.write.parquet(d)
+        finally:
+            pos.unpersist()
+        # scope to the FILES that contain matches (the matched-file list is
+        # already driver-side): readers of every other file never bind
+        # metadata columns or pay the anti-join — the documented cost model
         deletes = snap.get("deletes", []) + [
-            {"type": "pos", "path": d, "applies_to": list(snap["dirs"])}
+            {"type": "pos", "path": d, "applies_to": matched}
         ]
         return self._commit(
             {"op": "delete-pos", "dirs": list(snap["dirs"]), "deletes": deletes},

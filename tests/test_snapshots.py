@@ -2044,3 +2044,31 @@ def test_bloom_table_tolerates_empty_batches(spark, tmp_path):
     assert t.read().count() == 5
     assert t.read_where("k", 3, 3).count() == 1
     assert t.read_where("k", 99, 99).count() == 0
+
+
+def test_positional_delete_review_regressions(spark, table, tmp_path):
+    """Second-review findings: (a) predicate on a dropped-then-re-added
+    column reads old lineage as NULL instead of crashing; (b) empty-table
+    and no-match calls are clean no-ops; (c) applies_to scopes to matched
+    FILES so untouched file groups never pay the anti-join."""
+    # (b) empty table: no-op, no crash
+    t = SnapshotTable(spark, str(tmp_path / "pe"))
+    t.add_constraint("any", "1 = 1")
+    assert t.delete_where_positional("1 = 1") == t.current_version()
+    # (a) drop + re-add lineage
+    table.append(spark.range(0, 3).selectExpr("id", "id * 100 as score"))
+    table.drop_column("score")
+    table.append(spark.range(3, 6).selectExpr("id", "id as score"))
+    table.delete_where_positional("score >= 4")  # old lineage is NULL → safe
+    assert sorted(r["id"] for r in table.read().collect()) == [0, 1, 2, 3]
+    # (b) no-match predicate: version unchanged
+    v = table.current_version()
+    assert table.delete_where_positional("id > 999") == v
+    # (c) matched-file scoping: the delete's applies_to lists files, and a
+    # point-read of an unmatched id binds no position columns (plan-level:
+    # its scan group has no applicable positional delete)
+    snap = table._snapshot(None)
+    pos_deletes = [d for d in snap.get("deletes", []) if d["type"] == "pos"]
+    assert pos_deletes and all(
+        q.endswith(".parquet") for d in pos_deletes for q in d["applies_to"]
+    )
