@@ -816,11 +816,18 @@ class SnapshotTable:
         (``applies_to``) — rows appended later are unaffected, Iceberg v2's
         sequence-number semantics. A carried-forward file inherits its
         origin dir's deletes by prefix; conversely a scanned DIR is covered
-        when a FILE-scoped entry (positional deletes list exact matched
-        files) lies inside it."""
+        when a FILE-scoped entry lies inside it — but only for POSITIONAL
+        deletes, whose (file, pos)-keyed anti-join cannot touch the dir's
+        other files. An eq/pred delete must never apply to a superset of
+        its scope (it would erase rows appended after it, breaking
+        sequence-number semantics); their applies_to stays dir/exact-file
+        matched."""
         sep = os.sep
+        reverse_ok = dl["type"] == "pos"
         return any(
-            path == q or path.startswith(q + sep) or q.startswith(path + sep)
+            path == q
+            or path.startswith(q + sep)
+            or (reverse_ok and q.startswith(path + sep))
             for q in dl["applies_to"]
         )
 
