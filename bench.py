@@ -118,11 +118,12 @@ def main() -> int:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         cold += time.perf_counter() - t0
-        # min of two warm runs: single-run numbers on a shared box swing
-        # 2-3× on sub-second queries from GC/scheduler noise; the minimum
-        # is the standard steady-state estimator for a fixed plan
+        # min of three warm runs: single-run numbers on a shared box swing
+        # 2-3× on sub-second queries from GC/scheduler/ambient-load noise
+        # (round-3's 1.6× "regression" was exactly this); the minimum is
+        # the standard steady-state estimator for a fixed plan
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
