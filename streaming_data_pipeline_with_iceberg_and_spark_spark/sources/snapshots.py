@@ -46,6 +46,30 @@ streaming path (``append_batch``) remains one-writer-per-checkpoint by
 construction, as a checkpointed stream is. With the Iceberg jar present
 ``Warehouse`` already routes to real Iceberg tables and this module is
 unnecessary.
+
+Feature map (each row test-gated; see COVERAGE.md's Iceberg-parity matrix):
+
+- time travel / rollback / history / changelog / incremental (CDC) reads
+  + checkpointed ``SnapshotFeed`` and additive-rollup maintenance
+- manifests with per-file min/max → file-skipping scans (``read_where``,
+  ``read_where_in``, ``read_where_all``), metadata-only ``fast_count`` /
+  ``fast_min_max`` / ``partitions()``
+- two-tier bloom filters: native parquet blooms at write + driver-side
+  sidecar blooms pruning whole FILES on point lookups
+- hidden partitioning (days/hours/months/bucket/truncate/identity) with
+  PARTITION EVOLUTION (coexisting spec epochs, all pruned correctly)
+- schema evolution: add (mergeSchema), RENAME and DROP metadata-only,
+  epoch-mapped reads, stale-writer refusal
+- row-level ops at file granularity: CoW MERGE / UPDATE / DELETE; the
+  full merge-on-read v2 delete triple (predicate, equality incl.
+  composite keys, positional via ``_metadata`` row positions)
+- CHECK constraints enforced write-side, batch-atomic
+- branches + tags + write-audit-publish, ``refs`` metadata table
+- multi-table transactions (intent log + crash recovery), exactly-once
+  streaming sinks keyed by batch id
+- compaction, z-order clustering (full + incremental), snapshot
+  expiration, orphan cleanup, policy-driven ``maintain_table``
+- zero-copy metadata clones with root-scoped maintenance safety
 """
 
 from __future__ import annotations
