@@ -6,6 +6,7 @@ interactions) fails here even if no hand-written scenario anticipated it."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections import Counter
 
@@ -76,7 +77,9 @@ _EVOLVED_SPECS = [
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(ops=st.lists(_OP, min_size=2, max_size=7))
+# SNAPSHOT_FUZZ_OPS deepens sequences for dedicated soak runs without
+# raising default CI cost
+@given(ops=st.lists(_OP, min_size=2, max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "7"))))
 def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
     table = SnapshotTable(
         spark, tempfile.mkdtemp() + "/t", partition_spec=spec, bloom_cols=bloom
