@@ -880,3 +880,43 @@ def test_incremental_neardup_ingest_cross_batch(spark, tmp_path):
     v = corpus.current_version()
     drain()
     assert corpus.current_version() == v
+
+
+def test_streaming_ingest_into_bloom_table(spark, tmp_path):
+    """A corpus table pre-created with bloom_cols keeps building sidecar
+    blooms for every streaming micro-batch commit (the spec persists, and
+    any handle — including the ingest path's own — picks it up)."""
+    import os
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_dedup_ingest,
+    )
+
+    corpus_root = str(tmp_path / "corpus")
+    # pre-configure: point lookups on vehicle_id should file-prune
+    SnapshotTable(spark, corpus_root, bloom_cols=["vehicle_id"])._persist_spec()
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_ndjson(
+        src / "a.json",
+        [_gps_record(vehicle_id=f"veh{i:05d}", ts=f"2024-01-01 10:00:{i:02d}") for i in range(20)],
+    )
+    q = start_incremental_dedup_ingest(
+        spark,
+        str(src),
+        corpus_root,
+        str(tmp_path / "seen"),
+        str(tmp_path / "txn"),
+        fingerprint_cols=["vehicle_id", "timestamp"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    corpus = SnapshotTable(spark, corpus_root)
+    assert corpus.bloom_cols == ["vehicle_id"]
+    meta = os.listdir(os.path.join(corpus_root, "metadata"))
+    assert any(n.startswith("bloom-") for n in meta)
+    hit = corpus.read_where("vehicle_id", "veh00007", "veh00007")
+    assert hit.count() == 1
