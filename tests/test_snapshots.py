@@ -1753,10 +1753,15 @@ def test_clone_is_zero_copy_and_independent(spark, table, tmp_path):
 
 def test_clone_preserves_schema_ops_and_deletes(spark, table, tmp_path):
     table.append(spark.range(0, 10).selectExpr("id", "id as v"))
+    table.add_constraint("id_ok", "id >= 0")
     table.rename_column("v", "val")
     table.append(spark.range(10, 12).selectExpr("id", "id as val"))
     table.delete_where("val", 3, 5, mode="mor")
     clone = table.clone_to(str(tmp_path / "c2"))
+    # constraints ride the cloned log prefix and gate the clone's writes
+    assert clone._constraints() == {"id_ok": "id >= 0"}
+    with pytest.raises(SnapshotError, match="id_ok"):
+        clone.append(spark.range(0, 1).selectExpr("id - 5 as id", "id as val"))
     assert clone.read().columns == ["id", "val"]
     assert sorted(r["val"] for r in clone.read().collect()) == [0, 1, 2, 6, 7, 8, 9, 10, 11]
     # cloning an EARLIER version: pre-rename names
