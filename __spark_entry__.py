@@ -55,89 +55,72 @@ _MODULES = [
 ]
 
 # The driver's correctness gate checks roughly the first 50 registry entries
-# per round.  Rotated each round so every entry eventually gets a driver row:
-# round 4's window = (a) the 10 queries that were red or latent-broken under
-# the round-3 events-timestamp ingest bug, now fixed — re-verify first; then
-# (b) every registry entry that has never had a driver row in any round
-# (r01∪r02∪r03); then (c) high-value entries whose last green row predates
-# the fixture regeneration (stale signal), one per family.  Everything else
-# follows in module order via queries()'s merge.
+# per round.  Rotated each round so every entry eventually gets a driver row.
+# Round 5's window = (a) the two entries whose array-typed outputs crashed the
+# driver's pandas canonicalizer in every prior window, now scalarized
+# (VERDICT r4 #1); (b) the 9 round-4 entries that have never had a driver row
+# (added after the r4 window was fixed); (c) 39 of the 47 entries whose last
+# green driver row predates the fixture regeneration (the r1/r2-era
+# relational/TPC-H/join/agg families).  The 8 stale entries that don't fit —
+# agg_global, agg_conditional, agg_cube, agg_unpivot, join_cross,
+# scalar_math_funcs, hash_funcs, case_when_banding, each family-covered by an
+# in-window sibling — carry to round 6 (list restated in COVERAGE.md).
 _PRIORITY = [
-    # (a) ts-bug re-verifications — red or latent in CORRECTNESS_r03.json
-    "window_lag_lead",
-    "window_tumbling_5min",
-    "window_sliding_10m_5m",
-    "window_session_30min",
-    "sessionize",
-    "rollup_multi_granularity",
-    "cohort_retention",
-    "grouped_ols_trend",
-    "resample_ffill_1min",
-    "join_asof",
-    # (b) never driver-checked in r1-r3
+    # (a) canon-fix re-verifications — ERR in every window they appeared in
     "map_funcs",
-    "dedup_clusters",
-    "ann_lsh_hyperplane",
-    "text_lang_id",
-    "mm_feature_extract",
-    "json_variant_extract",
-    "pack_sequences",
-    "window_moving_avg",
-    "set_except",
-    "dedup_apply",
-    "ann_ivf",
-    "text_token_bpe",
-    "shuffle_epoch_rank",
-    "window_range_30d",
-    "union_by_name",
-    "dedup_embedding_cosine",
-    "text_bigram_freq",
-    "window_ntile_pct",
-    "drop_duplicates_subset",
-    "dedup_fingerprint",
-    "text_rollup_by_lang_source",
-    "window_first_last",
-    "sort_within_partitions",
-    "dedup_minhash_lsh",
-    "text_rolling_hash",
-    "dedup_span_exact",
-    "dedup_semantic",
-    "text_within_doc_repetition",
-    "mixture_weighted_interleave",
-    # (b') new in round 4 — no driver row yet. Oracle-bearing entries first:
-    # the ~50-entry driver window should spend its tail slots on value-hash
-    # checks, not rows-only rows (their driver signal adds least over the
-    # selfcheck + recall tests they already have)
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_excess_share_suppliers",
-    "agg_histogram_quantiles",
-    "events_anomaly_mad",
     "quantize_embeddings_int8",
-    "text_heavy_hitters",
-    "q21_waiting_suppliers",
-    "agg_bitmap_distinct",
-    "snapshot_time_travel_orders",
-    "snapshot_changelog_orders",
-    "snapshot_bloom_point_lookup",
+    # (b) never driver-checked (added late in round 4)
+    "snapshot_positional_delete_orders",
     "snapshot_schema_evolution_orders",
     "snapshot_update_constrained_orders",
-    "snapshot_positional_delete_orders",
+    "snapshot_bloom_point_lookup",
     "curate_pretraining_corpus",
     "text_linear_quality_classifier",
-    # rows-only tail (overflow if the window cuts at ~50)
     "ann_ivfpq",
     "ann_ivf_index",
     "kmeans_cluster_profile",
-    # (c) stale-signal re-checks (green in r1/r2 only, fixtures since regenerated)
+    # (c) stale-signal sweep: last driver row r1/r2, fixtures since
+    # regenerated.  TPC-H family first (all 17 stale shapes), then agg, join,
+    # relational-scalar and misc families.
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
     "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
     "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
     "q18_large_volume_orders",
-    "join_broadcast_dims",
-    "join_range_shipdelay",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "agg_approx_distinct",
+    "agg_count_distinct",
+    "agg_grouping_sets",
     "agg_percentiles",
+    "agg_pivot",
     "agg_rollup",
+    "agg_stats",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range_shipdelay",
+    "join_semi",
+    "join_theta_band",
+    "filter_project",
+    "null_handling",
+    "scalar_date_funcs",
+    "scalar_string_funcs",
+    "histogram_doc_length",
+    "json_extraction",
+    "top_customers",
+    "window_rank",
 ]
 
 

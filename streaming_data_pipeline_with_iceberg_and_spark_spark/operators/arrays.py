@@ -90,7 +90,9 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mapped.select(
         "user_id",
-        F.array_sort(F.map_keys("type_counts")).alias("types_seen"),
+        F.array_join(F.array_sort(F.map_keys("type_counts")), ",").alias(
+            "types_seen"
+        ),
         F.aggregate(
             F.map_values("type_counts"), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("total_events"),
@@ -106,7 +108,7 @@ WITH per_type AS (
   SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
 )
 SELECT user_id,
-       list_sort(list(event_type)) AS types_seen,
+       array_to_string(list_sort(list(event_type)), ',') AS types_seen,
        CAST(SUM(n) AS BIGINT) AS total_events,
        CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0) AS BIGINT) AS n_purchases,
        CAST(COUNT(*) AS INT) AS n_types
