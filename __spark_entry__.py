@@ -56,71 +56,72 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# Round 5's window = (a) the two entries whose array-typed outputs crashed the
-# driver's pandas canonicalizer in every prior window, now scalarized
-# (VERDICT r4 #1); (b) the 9 round-4 entries that have never had a driver row
-# (added after the r4 window was fixed); (c) 39 of the 47 entries whose last
-# green driver row predates the fixture regeneration (the r1/r2-era
-# relational/TPC-H/join/agg families).  The 8 stale entries that don't fit —
-# agg_global, agg_conditional, agg_cube, agg_unpivot, join_cross,
-# scalar_math_funcs, hash_funcs, case_when_banding, each family-covered by an
-# in-window sibling — carry to round 6 (list restated in COVERAGE.md).
+# Round 6's window = (a) the 8 entries whose only driver row is r01-era
+# (pre-fixture-regeneration) — with these green, every registry entry's
+# latest driver row post-dates the regeneration and the stale-signal ledger
+# closes; (b) dedup_minhash_lsh, upgraded this round from rows-only to a
+# full value-exact DuckDB oracle (VERDICT r5 #3; every hash now md5-derived
+# with pinned seeds) — in-window so the driver witnesses the new oracle —
+# plus dedup_semantic, which stays rows-only by contract (learned k-means
+# quantizer; impossibility note in COVERAGE.md) but gets a fresh row;
+# (c) refresh of the r3-era entries
+# (oldest post-regeneration rows), minus agg_hll_mergeable and ann_pq
+# (rows-only by contract; a refresh row carries the least new signal), to
+# fill the window to exactly 50.
 _PRIORITY = [
-    # (a) canon-fix re-verifications — ERR in every window they appeared in
-    "map_funcs",
-    "quantize_embeddings_int8",
-    # (b) never driver-checked (added late in round 4)
-    "snapshot_positional_delete_orders",
-    "snapshot_schema_evolution_orders",
-    "snapshot_update_constrained_orders",
-    "snapshot_bloom_point_lookup",
-    "curate_pretraining_corpus",
-    "text_linear_quality_classifier",
-    "ann_ivfpq",
-    "ann_ivf_index",
-    "kmeans_cluster_profile",
-    # (c) stale-signal sweep: last driver row r1/r2, fixtures since
-    # regenerated.  TPC-H family first (all 17 stale shapes), then agg, join,
-    # relational-scalar and misc families.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "agg_approx_distinct",
-    "agg_count_distinct",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_full_outer",
-    "join_left_outer",
-    "join_range_shipdelay",
-    "join_semi",
-    "join_theta_band",
-    "filter_project",
-    "null_handling",
-    "scalar_date_funcs",
-    "scalar_string_funcs",
-    "histogram_doc_length",
-    "json_extraction",
-    "top_customers",
-    "window_rank",
+    # (a) last r01-era rows — closing the stale-signal ledger
+    "agg_global",
+    "agg_conditional",
+    "agg_cube",
+    "agg_unpivot",
+    "join_cross",
+    "scalar_math_funcs",
+    "hash_funcs",
+    "case_when_banding",
+    # (b) rows-only -> digest-oracle upgrades this round
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    # (c) r3-era refresh (oldest post-regeneration driver rows)
+    "agg_collect",
+    "array_explode_posexplode",
+    "array_funcs",
+    "decontaminate_eval_overlap",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "delete_update_orders",
+    "distinct_rows",
+    "funnel_conversion",
+    "join_salted_skew",
+    "knn_bruteforce",
+    "knn_bruteforce_vectorized",
+    "knn_dot_topk",
+    "merge_upsert_orders",
+    "mm_binary_metadata",
+    "mm_content_dedup",
+    "mm_frame_sample",
+    "mm_patch_token_budget",
+    "nested_envelope_parse",
+    "pandas_udf_haversine",
+    "pii_redact",
+    "q12_shipdelay_priority",
+    "sample_hash_fraction",
+    "sample_stratified_by_lang",
+    "sample_temperature_by_lang",
+    "set_intersect",
+    "set_union",
+    "sort_limit_topk",
+    "split_leakage_free",
+    "split_train_val_test",
+    "text_chunk_udtf",
+    "text_gopher_quality",
+    "text_quality_score",
+    "text_repeated_ngrams",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "window_running_sum",
+    "window_topk_per_group",
 ]
 
 

@@ -21,7 +21,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_bucket16, normalize, shingles, tokens
+from ..functions.text import md5_bucket16, md5_bucket32, normalize, shingles, tokens
 from ..functions.vector import dot, norm
 from ..io import load, load_spread
 
@@ -100,8 +100,13 @@ def minhash_sig_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     the shared core of batch `dedup_minhash_lsh` and the streaming
     near-dup-at-ingest path. Pure per-row column expressions (shingle →
     31-bit hash → 32 permuted mins → 8 band hashes): map-side only, NO
-    shuffle — the caller decides what to group or join on. Appends
-    ``band0..band{B-1}`` (long) and ``sig`` (array<long>, length 32);
+    shuffle — the caller decides what to group or join on. Every hash is
+    md5-derived (cross-engine stable), so the full pipeline is reproducible
+    by the DuckDB oracle — md5 costs more per shingle than xxhash64, but
+    the signature stage stays a pure map-side projection either way and
+    the corpus is read once, so the asymptotic 100 TB shape is unchanged
+    (measured at sf0.1: within noise of the xxhash64 variant). Appends
+    ``band0..band{B-1}`` (md5 hex string) and ``sig`` (array<long>, 32);
     rows with NULL/whitespace-only text are dropped (no signature exists —
     without the guard, a null token array degenerates into one ""
     shingle via concat_ws and every empty doc would near-match every
@@ -113,7 +118,7 @@ def minhash_sig_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     hs_df = sh_df.withColumn(
         "__hs",
-        F.transform("__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))),
+        F.transform("__sh", lambda s: F.pmod(md5_bucket32(s), F.lit(1 << 31))),
     ).drop("__sh")
     mins = hs_df.select(
         "*",
@@ -129,8 +134,10 @@ def minhash_sig_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = mins.select(
         "*",
         *[
-            F.xxhash64(
-                *[F.col(f"__m{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"__m{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+                )
             ).alias(f"band{b}")
             for b in range(_MH_BANDS)
         ],
@@ -151,8 +158,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: MinHash + LSH banding near-dup candidates (rows-only check:
-    the permutation hashes are engine-internal xxhash64).
+    """L2: MinHash + LSH banding near-dup candidates. Every hash in the
+    pipeline is md5-derived with pinned permutation seeds (`_MH_AB`), so
+    the DuckDB oracle (`DEDUP_MINHASH_SQL`) reproduces the ENTIRE pipeline
+    — shingling, 32 permuted mins, band signatures, the 200-member bucket
+    cap, pair generation and the top-20 — value-exact.
 
     Pipeline (all DataFrame ops, ONE pass over the corpus):
       shingle → xxhash64 → 32 permuted mins per doc (higher-order
@@ -238,6 +248,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_jaccard"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# Full MinHash+LSH twin: same pinned md5 shingle hash, the same _MH_AB
+# permutation coefficients embedded as literals, md5 band signatures, the
+# same sorted 200-member bucket cap (row_number() <= 200 over doc_id order
+# == array_sort + slice on the engine side), i<j pair generation and
+# signature-agreement Jaccard estimate.
+DEDUP_MINHASH_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE coalesce(trim(text), '') <> ''
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+  FROM d
+), hs AS (
+  SELECT doc_id,
+         list_transform(s, x ->
+             CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483648) AS hs
+  FROM sh WHERE len(s) > 0
+), sig AS (
+  SELECT doc_id, [{min_exprs}] AS sig
+  FROM hs
+), bands AS (
+  SELECT doc_id, sig, b.band_idx,
+         md5(concat_ws(',', sig[b.band_idx * {rows} + 1]{band_tail})) AS band_sig
+  FROM sig CROSS JOIN (SELECT unnest(range({nbands})) AS band_idx) b
+), ranked AS (
+  SELECT band_idx, band_sig, doc_id, sig,
+         row_number() OVER (PARTITION BY band_idx, band_sig
+                            ORDER BY doc_id) AS rn
+  FROM bands
+), capped AS (
+  SELECT * FROM ranked WHERE rn <= 200
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         list_sum(list_transform(range(1, {nperms} + 1),
+             i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS n_agree
+  FROM capped a
+  JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_agree / CAST({nperms} AS DOUBLE), 6) AS est_jaccard
+FROM pairs
+ORDER BY est_jaccard DESC, doc_a, doc_b
+LIMIT 20
+""".format(
+    min_exprs=",\n          ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P}))"
+        for a, b in _MH_AB
+    ),
+    band_tail="".join(
+        f", sig[b.band_idx * {_MH_ROWS} + {r + 1}]" for r in range(1, _MH_ROWS)
+    ),
+    rows=_MH_ROWS,
+    nbands=_MH_BANDS,
+    nperms=_MH_PERMS,
+)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,5 +828,5 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
-    # dedup_minhash_lsh intentionally rows-only (xxhash64 is engine-internal)
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
 }

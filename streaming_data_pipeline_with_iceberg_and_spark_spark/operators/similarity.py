@@ -995,13 +995,17 @@ WITH m AS (
   SELECT vec_id, embedding,
          CASE WHEN amax = 0 THEN 1.0 ELSE CAST(amax AS DOUBLE) / 127.0 END AS s
   FROM m
+), q AS (
+  SELECT vec_id, s,
+         list_transform(embedding, x -> CAST(FLOOR(x / s + 0.5) AS INT)) AS qv
+  FROM s
 )
 SELECT vec_id,
        ROUND(s, 9) AS scale,
-       array_to_string(list_transform(embedding, x -> CAST(FLOOR(x / s + 0.5) AS INT)), ',') AS qvec_csv,
-       CAST(list_min(list_transform(embedding, x -> CAST(FLOOR(x / s + 0.5) AS INT))) AS INT) AS q_min,
-       CAST(list_max(list_transform(embedding, x -> CAST(FLOOR(x / s + 0.5) AS INT))) AS INT) AS q_max
-FROM s
+       array_to_string(qv, ',') AS qvec_csv,
+       CAST(list_min(qv) AS INT) AS q_min,
+       CAST(list_max(qv) AS INT) AS q_max
+FROM q
 """
 
 

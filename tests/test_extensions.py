@@ -133,6 +133,9 @@ def test_quantize_int8_roundtrip_error_bounded(spark, sf_dir):
         for r in load(spark, "embeddings", sf_dir).collect()
     }
     for r in quantize_embeddings_int8(spark, sf_dir).collect():
+        if not r["qvec_csv"]:  # '' splits to [''] and would ValueError below
+            assert orig[r["vec_id"]].size == 0
+            continue
         q = np.array([int(x) for x in r["qvec_csv"].split(",")], dtype=np.float64)
         # exact scale (the emitted one is display-rounded)
         s = np.abs(orig[r["vec_id"]]).max() / 127.0 or 1.0
