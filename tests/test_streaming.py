@@ -920,3 +920,95 @@ def test_streaming_ingest_into_bloom_table(spark, tmp_path):
     assert any(n.startswith("bloom-") for n in meta)
     hit = corpus.read_where("vehicle_id", "veh00007", "veh00007")
     assert hit.count() == 1
+
+
+def test_snapshot_ingest_constraints_blooms_crash_restart(spark, tmp_path):
+    """VERDICT r5 order #6 — the composed end-to-end: `start_snapshot_ingest`
+    lands micro-batches into a table with CHECK constraints, manifests and
+    sidecar blooms ALL active; a checkpointed restart replays exactly-once;
+    a constraint-violating micro-batch is rejected WHOLE (the stream
+    surfaces the failure, the table doesn't move), and after the operator
+    drops the constraint the same checkpoint replays the poisoned batch and
+    commits it exactly once."""
+    import pyspark.errors
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_snapshot_ingest,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_ndjson(
+        src / "a.json",
+        [_gps_record(ts=f"2024-01-01 10:00:{s:02d}") for s in range(10)],
+    )
+    _write_ndjson(
+        src / "b.json",
+        [
+            _gps_record(vehicle_id="veh00002", ev=True, ts=f"2024-01-01 10:05:{s:02d}")
+            for s in range(5)
+        ],
+    )
+    root = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    # table pre-configured BEFORE the stream starts: bloom sidecars on
+    # vehicle_id + a write-side CHECK constraint — the ingest path's own
+    # handle must pick both up from the persisted spec / commit log
+    table = SnapshotTable(spark, root, bloom_cols=["vehicle_id"])
+    table._persist_spec()
+    table.add_constraint("speed_nonneg", "speed_kmh >= 0")
+
+    def drain():
+        q = start_snapshot_ingest(
+            spark, str(src), root, checkpoint_dir=ckpt, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert table.read().count() == 15
+    # one snapshot per micro-batch (2 files × maxFilesPerTrigger=1), on top
+    # of the add-constraint commit
+    v0 = table.current_version()
+    assert table.history().count() >= 3
+    # manifests + blooms were written for the STREAMING commits
+    meta = os.listdir(os.path.join(root, "metadata"))
+    assert any(n.startswith("manifest-") for n in meta)
+    assert any(n.startswith("bloom-") for n in meta)
+    # bloom-pruned point lookup sees exactly the streamed rows
+    assert table.read_where("vehicle_id", "veh00002", "veh00002").count() == 5
+
+    # restart with the same checkpoint and no new input: exactly-once —
+    # nothing moves
+    drain()
+    assert table.current_version() == v0
+
+    # a micro-batch with one violating row is rejected WHOLE: the stream
+    # fails loudly and the table stays at v0 (no partial batch visible)
+    _write_ndjson(
+        src / "c.json",
+        [
+            _gps_record(vehicle_id="veh00009", ts="2024-01-01 11:00:00"),
+            _gps_record(
+                vehicle_id="veh00010", ts="2024-01-01 11:00:01", speed_kmh=-7.0
+            ),
+        ],
+    )
+    with pytest.raises(pyspark.errors.StreamingQueryException):
+        drain()
+    assert table.current_version() == v0
+    assert table.read().count() == 15
+
+    # operator remediation: drop the constraint; the SAME checkpoint then
+    # replays the poisoned micro-batch and commits it exactly once
+    table.drop_constraint("speed_nonneg")
+    drain()
+    assert table.read().count() == 17
+    assert table.read_where("vehicle_id", "veh00010", "veh00010").count() == 1
+    # and the replay really was once: draining again moves nothing
+    v1 = table.current_version()
+    drain()
+    assert table.current_version() == v1
