@@ -489,8 +489,10 @@ def _connected_components(verts: DataFrame, edges: DataFrame) -> DataFrame:
     Scale design: this runs on the *edge-induced subgraph only* — after
     similarity thresholding, duplicate pairs are a small fraction of the
     corpus, so the iterated frames are tiny relative to the input even at
-    100 TB (the full corpus is touched once, by a broadcast left join in the
-    caller). Each iteration is one join + one min-groupBy, O(E) shuffled
+    100 TB (the full corpus is touched once, by a left join in the caller —
+    AQE picks broadcast vs shuffle from the label set's exact runtime size,
+    since "fraction of docs with a near-dup" is data-dependent and unbounded
+    in the worst case). Each iteration is one join + one min-groupBy, O(E) shuffled
     rows, converging in O(component diameter) rounds — near-dup components
     are dense (almost cliques), so 2-3 rounds in practice.
     ``localCheckpoint`` truncates the plan each round: without it the
@@ -567,7 +569,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _connected_components(verts, edges)
     docs = load(spark, "documents", sf_dir)
     cluster_id = F.coalesce("cluster_id", F.col("doc_id"))
-    return docs.join(F.broadcast(labels), "doc_id", "left").select(
+    # No broadcast hint: labels grows with the corpus' near-dup fraction
+    # (unbounded in the worst case) — AQE broadcasts it only when its exact
+    # runtime size is under the adaptive threshold.
+    return docs.join(labels, "doc_id", "left").select(
         "doc_id",
         cluster_id.alias("cluster_id"),
         (cluster_id == F.col("doc_id")).alias("is_survivor"),
@@ -579,7 +584,8 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     all singletons) — what a training-data pipeline actually feeds forward."""
     survivors = dedup_clusters(spark, sf_dir).filter("is_survivor")
     docs = load(spark, "documents", sf_dir)
-    return docs.join(F.broadcast(survivors.select("doc_id")), "doc_id").select(
+    # survivors ∝ cluster count — O(corpus); AQE decides the join strategy.
+    return docs.join(survivors.select("doc_id"), "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
 

@@ -70,7 +70,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Static auto-broadcast is OFF; broadcasts happen only via explicit
+        # F.broadcast hints (used where boundedness is proven: dims, capped
+        # query sets, clamped centroids) or AQE's runtime conversion below.
+        # Rationale (measured, round 6 scale proof): Catalyst's static size
+        # estimates do not model Generate/explode blowup, and at 100x data it
+        # chose to broadcast a 113M-row candidate-pair aggregate (~4.5 GiB)
+        # in the Jaccard pipeline, OOMing the driver. AQE converts
+        # shuffle joins to broadcast from EXACT post-shuffle sizes instead.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(32 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")

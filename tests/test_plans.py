@@ -238,6 +238,7 @@ def test_aqe_splits_skewed_join_partition(spark):
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
         )
     }
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
@@ -246,6 +247,9 @@ def test_aqe_splits_skewed_join_partition(spark):
     )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # keep AQE from converting the small side to broadcast at runtime —
+    # the point here is to exercise SMJ skew splitting
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
         left = spark.range(200_000).select(
             F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
