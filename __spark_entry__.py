@@ -59,15 +59,16 @@ _MODULES = [
 # Round 6's window = (a) the 8 entries whose only driver row is r01-era
 # (pre-fixture-regeneration) — with these green, every registry entry's
 # latest driver row post-dates the regeneration and the stale-signal ledger
-# closes; (b) dedup_minhash_lsh, upgraded this round from rows-only to a
-# full value-exact DuckDB oracle (VERDICT r5 #3; every hash now md5-derived
-# with pinned seeds) — in-window so the driver witnesses the new oracle —
-# plus dedup_semantic, which stays rows-only by contract (learned k-means
-# quantizer; impossibility note in COVERAGE.md) but gets a fresh row;
-# (c) refresh of the r3-era entries
+# closes; (b) dedup_minhash_lsh and ann_lsh_hyperplane, both upgraded this
+# round from rows-only to full value-exact DuckDB oracles (VERDICT r5 #3;
+# every hash in each pipeline now md5-derived with pinned seeds) — in-window
+# so the driver witnesses the new oracles — plus dedup_semantic, which stays
+# rows-only by contract (learned k-means quantizer; impossibility note in
+# COVERAGE.md) but gets a fresh row; (c) refresh of the r3-era entries
 # (oldest post-regeneration rows), minus agg_hll_mergeable and ann_pq
-# (rows-only by contract; a refresh row carries the least new signal), to
-# fill the window to exactly 50.
+# (rows-only by contract; a refresh row carries the least new signal) and
+# window_running_sum (W3 siblings have later green rows), to fill the window
+# to exactly 50.
 _PRIORITY = [
     # (a) last r01-era rows — closing the stale-signal ledger
     "agg_global",
@@ -80,6 +81,7 @@ _PRIORITY = [
     "case_when_banding",
     # (b) rows-only -> digest-oracle upgrades this round
     "dedup_minhash_lsh",
+    "ann_lsh_hyperplane",
     "dedup_semantic",
     # (c) r3-era refresh (oldest post-regeneration driver rows)
     "agg_collect",
@@ -120,7 +122,6 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "text_token_stats",
     "text_unigram_logprob",
-    "window_running_sum",
     "window_topk_per_group",
 ]
 

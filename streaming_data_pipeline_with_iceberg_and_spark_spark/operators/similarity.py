@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import md5_bucket32
 from ..functions.vector import dot, norm
 from ..io import load, load_spread
 
@@ -134,7 +135,11 @@ def _bucket_for_table(t: int) -> F.Column:
 
     Deterministic pseudo-random planes: plane (t, p)'s weight for dimension d
     is a fixed hash-derived value in [-1, 1] — a pure column expression (no
-    numpy materialization, no driver loop over data)."""
+    numpy materialization, no driver loop over data). md5-derived (not
+    xxhash64) so the DuckDB oracle reproduces the weights bit-exactly:
+    w(t,p,d) = (int(md5("hp-t-p-d")[:8], 16) % 2001 - 1000) / 1000, and the
+    dot product is a sequential double fold in dimension order on both
+    engines, so even the sign decision at the bucket boundary agrees."""
     sign_bits = [
         (
             F.aggregate(
@@ -143,7 +148,18 @@ def _bucket_for_table(t: int) -> F.Column:
                     F.transform(
                         F.sequence(F.lit(0), F.size("embedding") - 1),
                         lambda d: (
-                            F.pmod(F.xxhash64(F.lit(t * 1000 + p), d), F.lit(2001))
+                            F.pmod(
+                                md5_bucket32(
+                                    F.concat_ws(
+                                        "-",
+                                        F.lit("hp"),
+                                        F.lit(t),
+                                        F.lit(p),
+                                        d.cast("string"),
+                                    )
+                                ),
+                                F.lit(2001),
+                            )
                             - 1000
                         ).cast("double")
                         / 1000.0,
@@ -176,8 +192,11 @@ def _hyperplane_buckets(emb: DataFrame) -> DataFrame:
 
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table random-hyperplane LSH: top-5 per query among
-    candidates sharing a bucket in ANY table (rows-only check; recall vs
-    exact baseline asserted in tests/test_extensions.py)."""
+    candidates sharing a bucket in ANY table. Hyperplane weights are
+    md5-derived (see ``_bucket_for_table``), so the DuckDB oracle
+    (``ANN_LSH_SQL``) reproduces the ENTIRE pipeline — bucketing, candidate
+    generation, cosine scoring, top-5 — value-exact; recall vs the exact
+    baseline is additionally asserted in tests/test_extensions.py."""
     emb = _hyperplane_buckets(
         load_spread(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
     )
@@ -212,6 +231,48 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "rank", "vec_id", "cos_sim")
     )
+
+
+ANN_LSH_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), buckets AS (
+  SELECT e.vec_id, t.t AS tbl,
+         CAST(SUM(CASE WHEN list_inner_product(
+                 e.v,
+                 list_transform(range(0, len(e.v)), d ->
+                   (CAST(('0x' || substr(md5('hp-' || t.t || '-' || p.p || '-' || d), 1, 8)) AS BIGINT)
+                    % 2001 - 1000) / 1000.0)
+               ) > 0 THEN 1 << p.p ELSE 0 END) AS INT) AS bucket
+  FROM e
+  CROSS JOIN (SELECT unnest(range(2)) AS t) t
+  CROSS JOIN (SELECT unnest(range(4)) AS p) p
+  GROUP BY 1, 2
+), q AS (
+  SELECT * FROM buckets WHERE vec_id % 50 = 0 AND vec_id < 1000
+), cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS vec_id
+  FROM q JOIN buckets b
+    ON b.tbl = q.tbl AND b.bucket = q.bucket AND b.vec_id != q.vec_id
+), scored AS (
+  SELECT c.q_id, c.vec_id,
+         ROUND(list_inner_product(eq.v, ev.v)
+               / (sqrt(list_inner_product(eq.v, eq.v))
+                  * sqrt(list_inner_product(ev.v, ev.v))), 5) AS cos_sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.q_id
+  JOIN e ev ON ev.vec_id = c.vec_id
+)
+SELECT q_id, rank, vec_id, cos_sim
+FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
 
 
 def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,7 +1087,10 @@ ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_dot_topk": KNN_DOT_SQL,
     "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
-    # ann_lsh_hyperplane / ann_ivf / ann_ivfpq intentionally rows-only
-    # (engine-internal hashing / learned quantizers); all recall-tested vs
+    # round 6: ann_lsh_hyperplane upgraded from rows-only to value-exact
+    # (md5-derived hyperplane weights reproducible in DuckDB)
+    "ann_lsh_hyperplane": ANN_LSH_SQL,
+    # ann_ivf / ann_ivfpq intentionally rows-only (learned quantizers:
+    # k-means training is engine-internal floating-point); recall-tested vs
     # the exact baseline in tests/test_extensions.py
 }
