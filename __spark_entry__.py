@@ -66,9 +66,9 @@ _MODULES = [
 # rows-only by contract (learned k-means quantizer; impossibility note in
 # COVERAGE.md) but gets a fresh row; (c) refresh of the r3-era entries
 # (oldest post-regeneration rows), minus agg_hll_mergeable and ann_pq
-# (rows-only by contract; a refresh row carries the least new signal) and
-# window_running_sum (W3 siblings have later green rows), to fill the window
-# to exactly 50.
+# (rows-only by contract; a refresh row carries the least new signal),
+# window_running_sum and set_union (their families have later green
+# sibling rows), to fill the window to exactly 50.
 _PRIORITY = [
     # (a) last r01-era rows — closing the stale-signal ledger
     "agg_global",
@@ -82,6 +82,7 @@ _PRIORITY = [
     # (b) rows-only -> digest-oracle upgrades this round
     "dedup_minhash_lsh",
     "ann_lsh_hyperplane",
+    "mm_feature_extract",
     "dedup_semantic",
     # (c) r3-era refresh (oldest post-regeneration driver rows)
     "agg_collect",
@@ -111,7 +112,6 @@ _PRIORITY = [
     "sample_stratified_by_lang",
     "sample_temperature_by_lang",
     "set_intersect",
-    "set_union",
     "sort_limit_topk",
     "split_leakage_free",
     "split_train_val_test",

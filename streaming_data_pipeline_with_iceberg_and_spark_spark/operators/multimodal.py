@@ -98,8 +98,9 @@ _FEATURE_SCHEMA = T.StructType(
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: Arrow-batched feature extraction over binary payloads via
-    mapInPandas — the real multimodal hot path shape (rows-only check;
-    matches pure-Python reimplementation in tests/test_multimodal.py).
+    mapInPandas — the real multimodal hot path shape. The stand-in decoder
+    is deterministic byte math, so ``MM_FEATURE_EXTRACT_SQL`` reproduces it
+    value-exactly (plus a pure-Python oracle in tests/test_multimodal.py).
 
     At scale: payload batches stream through Arrow; the Python worker sees
     pandas chunks, never the whole partition; output schema is fixed."""
@@ -119,6 +120,31 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(extract, schema=_FEATURE_SCHEMA)
+
+
+# The fake decoder is pure byte arithmetic over the UTF-8 payload, so the
+# oracle reproduces it exactly by hex-expanding the blob: byte i is the hex
+# pair at substr(2i+1, 2). Works for any byte content, not just ASCII.
+MM_FEATURE_EXTRACT_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE
+         list_sum(list_transform(range(0, n), i ->
+           CAST(('0x' || substr(h, 2 * i + 1, 2)) AS INT))) % 997
+       END AS INT) AS byte_sum_mod,
+       CAST(CASE WHEN n = 0 THEN 0
+         ELSE 16 + CAST(('0x' || substr(h, 1, 2)) AS INT) % 64
+       END AS INT) AS fake_width,
+       CAST(CASE WHEN n = 0 THEN 0
+         ELSE 16 + CAST(('0x' || substr(h, 2 * n - 1, 2)) AS INT) % 64
+       END AS INT) AS fake_height
+FROM b
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +252,7 @@ ORACLES = {
     "mm_patch_token_budget": MM_PATCH_TOKEN_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_content_dedup": MM_CONTENT_DEDUP_SQL,
-    # mm_feature_extract intentionally rows-only (Pandas-UDF path; verified
-    # against a pure-Python oracle in tests/test_multimodal.py)
+    # round 6: upgraded from rows-only — the fake decoder is deterministic
+    # byte math, which DuckDB reproduces by hex-decoding the UTF-8 blob
+    "mm_feature_extract": MM_FEATURE_EXTRACT_SQL,
 }
