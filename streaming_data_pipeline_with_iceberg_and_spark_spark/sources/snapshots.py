@@ -1922,9 +1922,18 @@ class SnapshotTable:
     def rollback(self, version: int) -> int:
         """Roll back by COMMITTING a new snapshot that sees ``version``'s
         files (Iceberg's rollback model: history is append-only, so the bad
-        version stays inspectable and the rollback itself is auditable)."""
+        version stays inspectable and the rollback itself is auditable).
+
+        The rollback commit restores the target's full DATA state: its file
+        set and its pending merge-on-read delete set (omitting the latter
+        would resurrect MOR-deleted rows). Schema and constraints are table
+        metadata, not snapshot state, and are deliberately NOT rolled back —
+        Iceberg's ``rollback_to_snapshot`` semantics."""
         snap = self._snapshot(version)
-        return self._commit({"op": f"rollback({version})", "dirs": list(snap["dirs"])})["id"]
+        entry = {"op": f"rollback({version})", "dirs": list(snap["dirs"])}
+        if snap.get("deletes"):
+            entry["deletes"] = list(snap["deletes"])
+        return self._commit(entry)["id"]
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Small-file compaction (Iceberg's ``rewrite_data_files``): rewrite

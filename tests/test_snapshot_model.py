@@ -48,6 +48,13 @@ _OP = st.one_of(
     st.tuples(st.just("delete_pos"), _ID, _ID),
     st.tuples(st.just("constrain"),),
     st.tuples(st.just("violate"), st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=3)),
+    # round-6 op: rollback to any previously-observed version — the model
+    # rewinds its multiset to the state recorded at that version (data
+    # only; schema/constraints are table metadata and do NOT roll back,
+    # matching Iceberg rollback_to_snapshot). Found a real bug on
+    # introduction: rollback dropped the target's pending MOR delete set,
+    # resurrecting deleted rows (fixed in snapshots.rollback).
+    st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=30)),
 )
 
 _EVOLVED_SPECS = [
@@ -87,6 +94,7 @@ def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
     model: Counter = Counter()  # (id, val) -> multiplicity
     seq = {"n": 0}  # unique branch/column names within one generated sequence
     val_name = "val"  # current logical name of the value column
+    hist: dict[int, Counter] = {}  # version -> model state (rollback targets)
 
     def df_of(rows):
         # writers must use the CURRENT schema (stale-writer guard)
@@ -198,10 +206,21 @@ def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
             with pytest.raises(SnapshotError):
                 table.append(df_of(bad))
             # rejected whole: model unchanged
+        elif kind == "rollback":
+            if not hist:
+                continue
+            versions = sorted(hist)
+            target = versions[op[1] % len(versions)]
+            try:
+                table.rollback(target)
+            except SnapshotError:
+                continue  # target expired since it was recorded — legal
+            model = hist[target].copy()
         # invariant after every op: table == model, under the current name
         if table.current_version() is None:
             assert not model
             continue
+        hist[table.current_version()] = model.copy()
         got = Counter(
             (r["id"], r[val_name])
             for r in table.read().select("id", val_name).collect()

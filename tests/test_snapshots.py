@@ -2077,3 +2077,21 @@ def test_positional_delete_review_regressions(spark, table, tmp_path):
     assert pos_deletes and all(
         q.endswith(".parquet") for d in pos_deletes for q in d["applies_to"]
     )
+
+
+def test_rollback_preserves_pending_mor_deletes(spark, table):
+    """Rolling back TO a version with pending merge-on-read deletes must
+    not resurrect the deleted rows: the rollback commit re-references the
+    target's data files AND its pending delete set (found by the round-6
+    fuzz-extension review — rollback() previously copied only dirs)."""
+    table.append(spark.range(0, 10))
+    v2 = table.delete_where("id", 3, 5, mode="mor")  # pending, not rewritten
+    assert _ids(table.read()) == [0, 1, 2, 6, 7, 8, 9]
+    table.append(spark.range(100, 102))  # carries the pending delete forward
+    v4 = table.rollback(v2)
+    assert v4 == 3 + 1 == 4
+    # the rolled-back view is exactly v2's: MOR delete still applied
+    assert _ids(table.read()) == [0, 1, 2, 6, 7, 8, 9]
+    # and a rollback PAST the delete really does restore the rows
+    table.rollback(1)
+    assert _ids(table.read()) == list(range(10))
