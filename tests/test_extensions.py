@@ -769,3 +769,22 @@ def test_ivf_index_centroids_travel_with_versions(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, idx.query(queries, k=5, version=v1).collect())) == out_v1
     # nprobe larger than the cell count clamps instead of crashing
     assert len(idx.query(queries, k=5, nprobe=64).collect()) > 0
+
+
+def test_anomaly_mad_paths_equivalent(spark, sf_dir, monkeypatch):
+    """The adaptive median must be plan-invariant: the windowed path (small
+    groups) and the distributed-selection path (huge groups) compute the
+    identical discrete median/MAD/flag set on the same input."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        analytics,
+    )
+
+    windowed = sorted(
+        map(tuple, analytics.events_anomaly_mad(spark, sf_dir).collect())
+    )
+    # force the selection path regardless of actual group sizes
+    monkeypatch.setattr(analytics, "_MAD_MAX_WINDOWED_GROUP", 0)
+    selected = sorted(
+        map(tuple, analytics.events_anomaly_mad(spark, sf_dir).collect())
+    )
+    assert windowed == selected

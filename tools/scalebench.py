@@ -63,6 +63,62 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# FK-consistent key shifts for the relational/events tables: replica i adds
+# i × (max referenced key + 1) to every key column, so each replica is a
+# self-contained copy of the original join graph (joins stay 1:1 per
+# replica; group counts, session counts and window key counts grow m×).
+# Non-key attributes (dates, amounts, flags) are untouched, so per-replica
+# selectivity is identical to the base corpus.
+_BASES = {
+    "cust": ("customer", "c_custkey"),
+    "ord": ("orders", "o_orderkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "ev": ("events", "event_id"),
+    "usr": ("events", "user_id"),
+}
+_SHIFT_SPECS = {
+    "customer": [("c_custkey", "cust")],
+    "orders": [("o_orderkey", "ord"), ("o_custkey", "cust")],
+    "lineitem": [
+        ("l_orderkey", "ord"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supp"),
+    ],
+    "supplier": [("s_suppkey", "supp")],
+    "part": [("p_partkey", "part")],
+    "events": [("event_id", "ev"), ("user_id", "usr")],
+}
+_COPY_TABLES = ["nation", "region"]  # constant dims: never replicated
+
+
+def materialize_relational(spark, base: str, out: Path, mult: int) -> None:
+    """Write m×-replicated TPC-H fact/events parquet (plus 1× dims)."""
+    bases = {
+        name: spark.read.parquet(f"{base}/{tbl}.parquet")
+        .agg(F.max(col))
+        .first()[0]
+        + 1
+        for name, (tbl, col) in _BASES.items()
+    }
+    for tbl, shifts in _SHIFT_SPECS.items():
+        src = spark.read.parquet(f"{base}/{tbl}.parquet")
+        reps = []
+        for i in range(mult):
+            rep = src
+            for col, bname in shifts:
+                rep = rep.withColumn(col, F.col(col) + F.lit(i * bases[bname]))
+            reps.append(rep)
+        df = reps[0]
+        for rep in reps[1:]:
+            df = df.unionByName(rep)
+        df.write.mode("overwrite").parquet(str(out / f"{tbl}.parquet"))
+    for tbl in _COPY_TABLES:
+        spark.read.parquet(f"{base}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(str(out / f"{tbl}.parquet"))
+
+
 def materialize(spark, base: str, out: Path, mult: int) -> None:
     """Write m×-replicated documents/embeddings parquet under ``out``."""
     docs = spark.read.parquet(f"{base}/documents.parquet")
@@ -118,6 +174,12 @@ def main() -> None:
     ap.add_argument(
         "--keep", action="store_true", help="keep the materialized corpora"
     )
+    ap.add_argument(
+        "--relational",
+        action="store_true",
+        help="also replicate the TPC-H fact tables + events (FK-consistent "
+        "key shifts) so relational/event-time queries can be swept",
+    )
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args()
 
@@ -133,6 +195,8 @@ def main() -> None:
         if not (d / "documents.parquet").exists():
             d.mkdir(parents=True, exist_ok=True)
             materialize(spark, args.base, d, m)
+        if args.relational and not (d / "lineitem.parquet").exists():
+            materialize_relational(spark, args.base, d, m)
 
     results: dict[str, dict[int, float]] = {}
     rss: dict[int, int] = {}
