@@ -822,6 +822,118 @@ def text_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# -- distributed classifier TRAINING (the other half of the fastText/DCLM
+# quality-filter loop: text_linear_quality_classifier is inference with
+# fixed weights; this learns the weights in-engine) ----------------------
+_TQC_DIM = 64  # hashed-feature buckets (driver state: _TQC_DIM+1 doubles)
+_TQC_ITERS = 8
+_TQC_LR = 2.0
+
+
+def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distill the Gopher hard rules into a hashed-feature linear model by
+    distributed full-batch logistic regression (the fastText/DCLM loop:
+    heuristic labels → linear scorer → cheap scan-level filter). Weak label
+    y = the rule-based keep flag; features x = mean one-hot of md5-hashed
+    token buckets (so the learned model scores with EXACTLY the expression
+    shape ``text_linear_quality_classifier`` ships).
+
+    Scale design: each epoch is (1) a per-row margin/residual projection
+    with the current weights inlined as a literal array — no join, no UDF —
+    and (2) ONE wordcount-shaped shuffle (explode token buckets, weighted
+    by residual/n, groupBy bucket) yielding the exact full-batch gradient;
+    plus two 1-row aggregates (log-loss, accuracy). Driver state is the
+    (dim+1)-double weight vector — constant at any corpus size. The
+    tokenized/bucketed corpus is persisted once and re-scanned per epoch,
+    the standard Spark batch-GD shape.
+
+    Rows-only by contract: gradient sums are float reductions whose
+    accumulation order Spark does not fix, so the learned weights (and the
+    reported metrics' last ulps) are not bit-reproducible in another
+    engine. Invariants tested instead (tests/test_extensions.py): log-loss
+    strictly decreases from ln 2, final accuracy beats the majority class,
+    metrics reproduce across runs within tolerance."""
+    import math
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+        / n_tokens
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_tokens
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    has_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
+    label = (
+        (n_tokens >= 5)
+        & (n_tokens <= 100000)
+        & (mean_len >= 2.0)
+        & (mean_len <= 12.0)
+        & (alpha_frac >= 0.8)
+        & has_stop
+    ).cast("double")
+    base = docs.select(
+        label.alias("y"),
+        n_tokens.cast("double").alias("n"),
+        F.transform(toks, lambda t: F.pmod(md5_bucket16(t), F.lit(_TQC_DIM))).alias(
+            "bks"
+        ),
+    ).persist()
+    n_docs = base.count()
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "iter int, logloss double, accuracy double"
+        )
+
+    w = [0.0] * _TQC_DIM
+    bias = 0.0
+    metrics = []
+    for it in range(_TQC_ITERS):
+        warr = F.array(*[F.lit(x) for x in w])
+        margin = F.lit(bias) + F.aggregate(
+            F.transform("bks", lambda b: F.element_at(warr, b + 1)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / F.col("n")
+        p = 1.0 / (1.0 + F.exp(-margin))
+        scored = base.select("y", "n", "bks", (p - F.col("y")).alias("r"), p.alias("p"))
+        # epoch metrics + bias gradient: one 1-row aggregate
+        eps = 1e-12
+        agg = scored.agg(
+            F.avg(
+                -(
+                    F.col("y") * F.log(F.col("p") + F.lit(eps))
+                    + (1.0 - F.col("y")) * F.log(1.0 - F.col("p") + F.lit(eps))
+                )
+            ).alias("logloss"),
+            F.avg(((F.col("p") >= 0.5).cast("double") == F.col("y")).cast("double")).alias(
+                "acc"
+            ),
+            F.sum("r").alias("gb"),
+        ).first()
+        metrics.append((it, float(agg["logloss"]), float(agg["acc"])))
+        # full-batch feature gradient: the one shuffle per epoch
+        grad_rows = (
+            scored.select((F.col("r") / F.col("n")).alias("rw"), F.explode("bks").alias("b"))
+            .groupBy("b")
+            .agg(F.sum("rw").alias("g"))
+            .collect()  # ≤ _TQC_DIM rows — constant-bounded by construction
+        )
+        g = {int(r["b"]): float(r["g"]) for r in grad_rows}
+        w = [w[b] - _TQC_LR * g.get(b, 0.0) / n_docs for b in range(_TQC_DIM)]
+        bias -= _TQC_LR * float(agg["gb"]) / n_docs
+        if not all(math.isfinite(x) for x in w + [bias]):
+            raise RuntimeError("quality-classifier training diverged")
+    base.unpersist()
+    return spark.createDataFrame(
+        [(i, round(l, 6), round(a, 6)) for i, l, a in metrics],
+        "iter int, logloss double, accuracy double",
+    )
+
+
 _LQC_VALUES = ", ".join(f"({i}, {w})" for i, w in enumerate(_LQC_W))
 
 TEXT_LQC_SQL = f"""
@@ -859,6 +971,7 @@ QUERIES = {
     "text_bigram_freq": text_bigram_freq,
     "text_rollup_by_lang_source": text_rollup_by_lang_source,
     "text_linear_quality_classifier": text_linear_quality_classifier,
+    "train_quality_classifier": train_quality_classifier,
 }
 
 ORACLES = {
@@ -878,4 +991,6 @@ ORACLES = {
     "text_bigram_freq": TEXT_BIGRAM_SQL,
     "text_rollup_by_lang_source": TEXT_ROLLUP_SQL,
     "text_linear_quality_classifier": TEXT_LQC_SQL,
+    # train_quality_classifier intentionally rows-only: float gradient
+    # reductions with unpinned accumulation order (contract in docstring)
 }

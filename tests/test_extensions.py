@@ -788,3 +788,33 @@ def test_anomaly_mad_paths_equivalent(spark, sf_dir, monkeypatch):
         map(tuple, analytics.events_anomaly_mad(spark, sf_dir).collect())
     )
     assert windowed == selected
+
+
+def test_train_quality_classifier_invariants(spark, sf_dir):
+    """Distributed full-batch logistic regression must actually learn:
+    log-loss starts at ln 2 (zero init) and strictly decreases every
+    epoch; final accuracy is at least the majority-class baseline; and a
+    re-run reproduces the metrics within float-reduction tolerance."""
+    import math
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        train_quality_classifier,
+    )
+
+    rows = train_quality_classifier(spark, sf_dir).collect()
+    losses = [r.logloss for r in sorted(rows, key=lambda r: r.iter)]
+    assert abs(losses[0] - math.log(2)) < 1e-4  # zero-init first epoch
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < 0.6 * math.log(2)
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        text_gopher_quality,
+    )
+
+    keeps = [r.keep for r in text_gopher_quality(spark, sf_dir).collect()]
+    majority = max(sum(keeps), len(keeps) - sum(keeps)) / len(keeps)
+    assert rows[-1].accuracy >= majority - 1e-6
+
+    again = train_quality_classifier(spark, sf_dir).collect()
+    for a, b in zip(sorted(rows, key=lambda r: r.iter), sorted(again, key=lambda r: r.iter)):
+        assert abs(a.logloss - b.logloss) < 1e-3
