@@ -55,6 +55,13 @@ _OP = st.one_of(
     # introduction: rollback dropped the target's pending MOR delete set,
     # resurrecting deleted rows (fixed in snapshots.rollback).
     st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=30)),
+    # round-6 ops: tags as retention roots — a tag pins the model state at
+    # creation; tag_check re-reads it later, after arbitrary interleaved
+    # deletes/rewrites/expires/rollbacks (expire must keep tagged history).
+    # read_tag resolves the snapshot's AS-OF schema, so the check compares
+    # by column position, not name.
+    st.tuples(st.just("tag"),),
+    st.tuples(st.just("tag_check"), st.integers(min_value=0, max_value=30)),
 )
 
 _EVOLVED_SPECS = [
@@ -95,6 +102,7 @@ def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
     seq = {"n": 0}  # unique branch/column names within one generated sequence
     val_name = "val"  # current logical name of the value column
     hist: dict[int, Counter] = {}  # version -> model state (rollback targets)
+    tags: dict[str, Counter] = {}  # tag name -> model state when tagged
 
     def df_of(rows):
         # writers must use the CURRENT schema (stale-writer guard)
@@ -216,6 +224,23 @@ def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
             except SnapshotError:
                 continue  # target expired since it was recorded — legal
             model = hist[target].copy()
+        elif kind == "tag":
+            if table.current_version() is None:
+                continue
+            seq["n"] += 1
+            name = f"t{seq['n']}"
+            table.create_tag(name)
+            tags[name] = model.copy()
+        elif kind == "tag_check":
+            if not tags:
+                continue
+            name = sorted(tags)[op[1] % len(tags)]
+            tdf = table.read_tag(name)
+            got = Counter(
+                (r[0], r[1])
+                for r in tdf.select(tdf.columns[0], tdf.columns[1]).collect()
+            )
+            assert got == +tags[name], f"tag {name}: {got} != {+tags[name]}"
         # invariant after every op: table == model, under the current name
         if table.current_version() is None:
             assert not model
