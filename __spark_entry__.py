@@ -68,7 +68,10 @@ _MODULES = [
 # (oldest post-regeneration rows), minus agg_hll_mergeable and ann_pq
 # (rows-only by contract; a refresh row carries the least new signal),
 # window_running_sum and set_union (their families have later green
-# sibling rows), to fill the window to exactly 50.
+# sibling rows), to fill the window to exactly 50. NOTE: the op added late
+# this round (train_quality_classifier, rows-only by contract) is NOT in
+# this window — it has no driver row yet and goes at the head of the
+# round-7 window.
 _PRIORITY = [
     # (a) last r01-era rows — closing the stale-signal ledger
     "agg_global",

@@ -150,11 +150,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     - small groups: one ranking window per median — fewest stages, the
       right plan when every group fits a task;
     - any group > ``_MAD_MAX_WINDOWED_GROUP``: exact distributed selection —
-      range-partition on (type, value, id) so every type spans MANY tasks
-      (the windowed plan sorts each type on ONE task: measured 51.9× time
-      at 100× data), rank within the small range slices, then add
-      per-slice offsets from a broadcastable (n_partitions × n_types)-row
-      count table.
+      slice the value domain at driver-collected approx-quantile literals
+      so every type spans MANY tasks (the windowed plan sorts each type on
+      ONE task: measured 51.9× time at 100× data), rank within the small
+      value slices, then add per-slice offsets from a broadcastable
+      (n_slices × n_types)-row count table.
 
     Both plans compute the identical discrete median (equivalence is
     pinned by a test that forces each path on the same input). For
@@ -184,21 +184,43 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _disc_median_select(df: DataFrame, col: str, out: str) -> DataFrame:
         n_part = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-        keyed = df.repartitionByRange(
-            n_part, "event_type", col, "event_id"
-        ).withColumn("_pid", F.spark_partition_id())
-        # slices are range-bounded: no (pid, type) slice ever holds a whole
-        # type, so these windows parallelize at any scale
-        slice_w = Window.partitionBy("_pid", "event_type").orderBy(col, "event_id")
+        # Slice boundaries are GLOBAL approx-quantiles of the value column,
+        # collected ONCE to the driver (≤ n_part-1 doubles — bounded) and
+        # inlined as literals. Deliberately NOT repartitionByRange: the
+        # RangePartitioner re-samples boundaries per evaluation, and this
+        # plan reads the sliced frame from three branches (join side,
+        # per-slice counts, per-group targets) — offsets computed under one
+        # set of boundaries added to ranks computed under another would
+        # select a wrong element. Literal boundaries make consistency
+        # intrinsic instead of hinging on exchange reuse.
+        bounds = sorted(
+            set(
+                df.stat.approxQuantile(
+                    col, [i / n_part for i in range(1, n_part)], 0.001
+                )
+            )
+        )
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        # rows with equal values share a slice (strict >), so within a type
+        # the (slice, value, id) order equals the global (value, id) order;
+        # NULLs fold to slice 0, matching the windowed path's nulls-first
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+        )
+        keyed = df.withColumn("_bk", bucket)
+        # slices are value-bounded: no (slice, type) cell ever holds a whole
+        # type (barring one value exceeding a slice), so these windows
+        # parallelize at any scale
+        slice_w = Window.partitionBy("_bk", "event_type").orderBy(col, "event_id")
         local = keyed.withColumn("_lrn", F.row_number().over(slice_w))
-        cnts = local.groupBy("_pid", "event_type").agg(F.count("*").alias("_c"))
-        # range-partitioner slices are ordered by the full sort key, so
+        cnts = local.groupBy("_bk", "event_type").agg(F.count("*").alias("_c"))
         # global rank within a type = sum of earlier slices' counts + local
-        # rank; the offset table is n_part × |types| rows — config-bounded,
-        # safe to broadcast explicitly
+        # rank; the offset table is ≤ n_part × |types| rows — broadcast
         off_w = (
             Window.partitionBy("event_type")
-            .orderBy("_pid")
+            .orderBy("_bk")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         offs = cnts.withColumn(
@@ -208,8 +230,8 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(sum(_c) + 1) div 2").alias("_r")
         )
         return (
-            local.join(F.broadcast(offs.select("_pid", "event_type", "_off")),
-                       ["_pid", "event_type"])
+            local.join(F.broadcast(offs.select("_bk", "event_type", "_off")),
+                       ["_bk", "event_type"])
             .join(F.broadcast(tgt), "event_type")
             .filter(F.col("_off") + F.col("_lrn") == F.col("_r"))
             .select("event_type", F.col(col).alias(out))
@@ -226,8 +248,8 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adev", F.abs(F.col("value") - F.col("med"))
     )
     if _disc_median is _disc_median_select:
-        # the selection path reads dev three times (the range-partitioner's
-        # sampling pass, its shuffle, and the final flag join) — materialize
+        # the selection path reads dev three times (the approx-quantile
+        # pass, the sliced-rank plan, and the final flag join) — materialize
         # once; the windowed path reads it twice and both are one cheap
         # stage, not worth an eager checkpoint job
         dev = dev.localCheckpoint(eager=True)

@@ -233,6 +233,8 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Literals formatted from the shared constants so the Spark pipeline and
+# the oracle can never desync (same pattern as DEDUP_MINHASH_SQL).
 ANN_LSH_SQL = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -246,11 +248,11 @@ WITH e AS (
                     % 2001 - 1000) / 1000.0)
                ) > 0 THEN 1 << p.p ELSE 0 END) AS INT) AS bucket
   FROM e
-  CROSS JOIN (SELECT unnest(range(2)) AS t) t
-  CROSS JOIN (SELECT unnest(range(4)) AS p) p
+  CROSS JOIN (SELECT unnest(range({n_tables})) AS t) t
+  CROSS JOIN (SELECT unnest(range({n_planes})) AS p) p
   GROUP BY 1, 2
 ), q AS (
-  SELECT * FROM buckets WHERE vec_id % 50 = 0 AND vec_id < 1000
+  SELECT * FROM buckets WHERE vec_id % 50 = 0 AND vec_id < {q_ceil}
 ), cand AS (
   SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS vec_id
   FROM q JOIN buckets b
@@ -272,7 +274,7 @@ FROM (
   FROM scored
 )
 WHERE rank <= 5
-"""
+""".format(n_tables=_N_TABLES, n_planes=_N_PLANES, q_ceil=50 * _Q_CAP)
 
 
 def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -882,6 +882,17 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bks"
         ),
     ).persist()
+    try:
+        return _tqc_fit(spark, base)
+    finally:
+        # unconditional: the n_docs==0 return and the divergence raise must
+        # not leak the cached corpus into a long-lived session
+        base.unpersist()
+
+
+def _tqc_fit(spark: SparkSession, base: DataFrame) -> DataFrame:
+    import math
+
     n_docs = base.count()
     if n_docs == 0:
         return spark.createDataFrame(
@@ -927,7 +938,6 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         bias -= _TQC_LR * float(agg["gb"]) / n_docs
         if not all(math.isfinite(x) for x in w + [bias]):
             raise RuntimeError("quality-classifier training diverged")
-    base.unpersist()
     return spark.createDataFrame(
         [(i, round(l, 6), round(a, 6)) for i, l, a in metrics],
         "iter int, logloss double, accuracy double",

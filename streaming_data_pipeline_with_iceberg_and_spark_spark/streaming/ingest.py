@@ -535,13 +535,30 @@ def start_incremental_neardup_ingest(
             survivors = sigs.join(dup_in_batch, id_col, "left_anti")
             # vs every previously admitted doc, via the bucket table
             if seen.current_version() is not None:
+                seen_df = seen.read()
+                # Loud migration guard: if the persisted bucket table was
+                # written under a different signature scheme (e.g. the
+                # round-6 xxhash64→md5 change moved band_sig long→string),
+                # the equi-join below would silently type-coerce to NULL and
+                # re-admit every historical near-duplicate. Type drift here
+                # is an operator error that needs a rebuild, not a cast.
+                expected = dict(expl.dtypes)["band_sig"]
+                actual = dict(seen_df.dtypes).get("band_sig")
+                if actual != expected:
+                    raise RuntimeError(
+                        f"seen table at {seen_root} stores band_sig as "
+                        f"{actual} but the current MinHash pipeline produces "
+                        f"{expected}: the signature scheme changed; rebuild "
+                        "the seen table from the corpus before resuming "
+                        "ingest"
+                    )
                 hits = (
                     survivors.select(
                         id_col,
                         "sig",
                         F.posexplode(band_arr).alias("band_idx", "band_sig"),
                     )
-                    .join(seen.read(), ["band_idx", "band_sig"])
+                    .join(seen_df, ["band_idx", "band_sig"])
                     .filter(agree(F.col("sig"), F.col("seen_sig")) >= n_agree_min)
                     .select(id_col)
                     .distinct()

@@ -26,9 +26,15 @@ def stream_static_enrich(
 ) -> DataFrame:
     """J8: enrich a stream with a static dimension table.
 
-    The dim side must be a batch DataFrame; Spark plans a per-batch
-    (broadcast) hash join with no streaming state."""
-    return stream.join(dim, on=on, how=how)
+    The dim side must be a batch DataFrame; the explicit broadcast hint
+    keeps this a per-batch broadcast hash join with no streaming state.
+    The hint is load-bearing: AQE's runtime broadcast conversion does NOT
+    apply to streaming plans, and the session disables static
+    estimate-based broadcasts (see session.py) — without it every
+    micro-batch would sort-merge-join the dim. The dim side is bounded by
+    this function's contract (a dimension table); for a static side too
+    big to broadcast, pre-bucket both sides instead."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
 
 
 def stream_stream_interval_join(

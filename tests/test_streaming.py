@@ -1012,3 +1012,50 @@ def test_snapshot_ingest_constraints_blooms_crash_restart(spark, tmp_path):
     v1 = table.current_version()
     drain()
     assert table.current_version() == v1
+
+
+def test_neardup_ingest_rejects_stale_signature_scheme(spark, tmp_path):
+    """A seen/bucket table persisted under an older signature scheme (e.g.
+    long band_sig from the pre-md5 pipeline) must fail LOUDLY at the probe
+    join, not silently type-coerce to NULL and re-admit every historical
+    near-duplicate."""
+    import pyspark.errors
+    from pyspark.sql import types as T
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_neardup_ingest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_ndjson(src / "a.json", [{"doc_id": 1, "text": "alpha beta gamma delta"}])
+    seen_root = str(tmp_path / "seen")
+    # simulate a pre-migration bucket table: band_sig is LONG
+    stale = SnapshotTable(spark, seen_root)
+    stale.append(
+        spark.createDataFrame(
+            [(0, 12345, [1] * 32)],
+            "band_idx int, band_sig long, seen_sig array<long>",
+        )
+    )
+    q = start_incremental_neardup_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "corpus"),
+        seen_root,
+        str(tmp_path / "txns"),
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(pyspark.errors.StreamingQueryException) as ei:
+        q.awaitTermination(120)
+    assert "signature scheme changed" in str(ei.value)
