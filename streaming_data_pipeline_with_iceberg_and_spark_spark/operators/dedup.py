@@ -646,8 +646,19 @@ WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2/L3: embedding near-dup — same-label blocking (coarse IVF-style
-    partition bounds the pair count), cosine ≥ 0.3 pairs."""
+    """L2/L3: embedding near-dup pair listing — same-label blocking,
+    cosine ≥ 0.3 pairs, oracle-exact.
+
+    Scale contract (measured 36.8× time at 10× embeddings): this is the
+    EXACTNESS BASELINE of the family, quadratic BY SPECIFICATION — both
+    the pair computation and (at this low τ) the output itself are
+    O(block²), and label blocking only bounds blocks when labels are
+    fine-grained. It plays the role knn_bruteforce plays for ANN: the
+    ground truth the approximate siblings are recall-tested against, run
+    on corpora small enough to afford it. At scale, use the sub-quadratic
+    paths: ``dedup_semantic`` (k-means-blocked SemDeDup),
+    ``dedup_minhash_lsh`` (token near-dup), or ``ann_*`` (bucketed /
+    cell-probed candidate generation)."""
     # norm precomputed per row before the pair join (1 array pass per pair
     # instead of 3 — same trick as knn_bruteforce)
     emb = load(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
