@@ -244,7 +244,18 @@ def test_stateful_trip_segmentation(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow does not self-terminate here: the open trip holds a
+    # pending processing-time state timeout, so the query idles waiting for
+    # a no-data batch. Poll the sink and stop once the closed trip lands
+    # instead of eating the full awaitTermination timeout.
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.awaitTermination(2):
+            break
+        if spark.sql("select count(*) from trips_test").first()[0] >= 1:
+            break
+    q.stop()
+    q.awaitTermination(30)
     out = spark.sql("select * from trips_test").collect()
     assert len(out) == 1  # first trip closed; second still open in state
     t = out[0]
