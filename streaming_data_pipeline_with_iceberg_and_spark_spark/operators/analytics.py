@@ -129,9 +129,14 @@ ORDER BY day_k
 
 
 # A windowed per-group median sorts each group on ONE task; beyond this
-# group size the distributed-selection plan wins (below it, it loses on
-# fixed stage count). Tests force each path by monkeypatching this.
+# group size a distributed plan wins (below it, it loses on fixed stage
+# count). Tests force each path by monkeypatching this.
 _MAD_MAX_WINDOWED_GROUP = 1_000_000
+# Value domains at or below this distinct-count use the value-histogram
+# median (one hash-agg over the corpus + tiny cumulative windows);
+# quantile-literal slicing degenerates on duplicate-heavy domains (ties
+# cannot straddle a slice, so one hot value = one task).
+_MAD_HIST_MAX_DISTINCT = 65_536
 
 
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,19 +149,28 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Medians are DISCRETE (lower-middle element, rank ⌈n/2⌉ in value order),
     not interpolated — interpolation arithmetic is the one step two engines
     can disagree on at the last ulp, and a flag threshold is discontinuous
-    in it. The median plan is ADAPTIVE on the largest group's size (one
-    cheap count-agg pass decides):
+    in it. The median plan is ADAPTIVE — three exact strategies, picked
+    from one cheap count-agg pass (plus a distinct-count probe when the
+    big-group path engages):
 
-    - small groups: one ranking window per median — fewest stages, the
-      right plan when every group fits a task;
-    - any group > ``_MAD_MAX_WINDOWED_GROUP``: exact distributed selection —
-      slice the value domain at driver-collected approx-quantile literals
-      so every type spans MANY tasks (the windowed plan sorts each type on
+    - small groups (≤ ``_MAD_MAX_WINDOWED_GROUP``): one ranking window per
+      median — fewest stages, the right plan when every group fits a task;
+    - huge groups, low-cardinality values (≤ ``_MAD_HIST_MAX_DISTINCT``
+      distinct): VALUE-HISTOGRAM median — one (type, value) hash-agg over
+      the corpus, then a cumulative window over the tiny histogram finds
+      the bucket containing rank ⌈n/2⌉;
+    - huge groups, high-cardinality values: distributed selection — slice
+      the value domain at driver-collected approx-quantile literals so
+      every type spans MANY tasks (the windowed plan sorts each type on
       ONE task: measured 51.9× time at 100× data), rank within the small
       value slices, then add per-slice offsets from a broadcastable
-      (n_slices × n_types)-row count table.
+      (n_slices × n_types)-row count table. Residual skew risk, accepted
+      and detectable from the slice-count table: equal values cannot
+      straddle a slice, so a single value carrying >~1M rows serializes
+      its slice — but such a value implies low effective cardinality,
+      which routes to the histogram plan instead.
 
-    Both plans compute the identical discrete median (equivalence is
+    All plans compute the identical discrete median (equivalence is
     pinned by a test that forces each path on the same input). For
     quantiles over unbounded groups where two passes are too many, the
     mergeable-histogram path (``agg_histogram_quantiles``) is the
@@ -182,7 +196,32 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", F.col(col).alias(out))
         )
 
+    def _disc_median_hist(df: DataFrame, col: str, out: str) -> DataFrame:
+        # exact median from the value histogram: the corpus is touched by
+        # ONE hash-agg; the cumulative window runs over ≤ distinct-count
+        # rows per type — bounded by _MAD_HIST_MAX_DISTINCT at any scale
+        hist = df.groupBy("event_type", col).agg(F.count("*").alias("_c"))
+        w_ord = Window.partitionBy("event_type").orderBy(col)
+        cum = hist.withColumn("_cum", F.sum("_c").over(w_ord))
+        tgt = hist.groupBy("event_type").agg(
+            F.expr("(sum(_c) + 1) div 2").alias("_r")
+        )
+        # exactly the bucket containing rank r: cum ≥ r and cum-before < r
+        # (selecting the row, not min(col), keeps a NULL median correct —
+        # NULLs sort first, matching the windowed path)
+        return (
+            cum.join(F.broadcast(tgt), "event_type")
+            .filter(
+                (F.col("_cum") >= F.col("_r"))
+                & (F.col("_cum") - F.col("_c") < F.col("_r"))
+            )
+            .select("event_type", F.col(col).alias(out))
+        )
+
     def _disc_median_select(df: DataFrame, col: str, out: str) -> DataFrame:
+        nd = df.agg(F.approx_count_distinct(col)).first()[0] or 0
+        if nd <= _MAD_HIST_MAX_DISTINCT:
+            return _disc_median_hist(df, col, out)
         n_part = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
         # Slice boundaries are GLOBAL approx-quantiles of the value column,
         # collected ONCE to the driver (≤ n_part-1 doubles — bounded) and

@@ -423,14 +423,13 @@ FROM documents
 )
 
 
-def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1 shape):
-    token-count bounds, mean-word-length band, minimum fraction of words
-    containing an alphabetic character, and a stopword-presence check —
-    composed into one keep flag. Complements ``text_quality_score`` (ratio
-    scores) with the hard-rule variant production pipelines apply first.
-    One scan, zero shuffles."""
-    docs = load_spread(spark, "documents", sf_dir)
+def _gopher_signals():
+    """Shared Gopher-rule expressions (Rae et al. 2021 §A1.1 shape) over
+    ``col("text")``. The rule filter (``text_gopher_quality``) and the
+    classifier trainer's weak labels (``train_quality_classifier``) MUST
+    derive from this one definition: a threshold tweak in one place would
+    otherwise silently desync the distilled model from the filter it
+    distills. Returns (n_tokens, mean_len, alpha_frac, keep)."""
     toks = tokens("text")
     n_tokens = F.size(toks)
     mean_len = (
@@ -450,6 +449,18 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha_frac >= 0.8)
         & has_stop
     )
+    return n_tokens, mean_len, alpha_frac, keep
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1 shape):
+    token-count bounds, mean-word-length band, minimum fraction of words
+    containing an alphabetic character, and a stopword-presence check —
+    composed into one keep flag. Complements ``text_quality_score`` (ratio
+    scores) with the hard-rule variant production pipelines apply first.
+    One scan, zero shuffles."""
+    docs = load_spread(spark, "documents", sf_dir)
+    n_tokens, mean_len, alpha_frac, keep = _gopher_signals()
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -825,7 +836,10 @@ def text_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFram
 # -- distributed classifier TRAINING (the other half of the fastText/DCLM
 # quality-filter loop: text_linear_quality_classifier is inference with
 # fixed weights; this learns the weights in-engine) ----------------------
-_TQC_DIM = 64  # hashed-feature buckets (driver state: _TQC_DIM+1 doubles)
+# Same bucket count as the shipped scorer's _LQC_W, so the learned weight
+# vector is a DROP-IN replacement for it (hash expr identical: pmod of
+# md5_bucket16). Driver state: _TQC_DIM+1 doubles.
+_TQC_DIM = 16
 _TQC_ITERS = 8
 _TQC_LR = 2.0
 
@@ -853,28 +867,11 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine. Invariants tested instead (tests/test_extensions.py): log-loss
     strictly decreases from ln 2, final accuracy beats the majority class,
     metrics reproduce across runs within tolerance."""
-    import math
-
     docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
     toks = tokens("text")
     n_tokens = F.size(toks)
-    mean_len = (
-        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
-        / n_tokens
-    )
-    alpha_frac = (
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_tokens
-    )
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    has_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) > 0
-    label = (
-        (n_tokens >= 5)
-        & (n_tokens <= 100000)
-        & (mean_len >= 2.0)
-        & (mean_len <= 12.0)
-        & (alpha_frac >= 0.8)
-        & has_stop
-    ).cast("double")
+    _, _, _, keep = _gopher_signals()
+    label = keep.cast("double")
     base = docs.select(
         label.alias("y"),
         n_tokens.cast("double").alias("n"),
@@ -926,6 +923,10 @@ def _tqc_fit(spark: SparkSession, base: DataFrame) -> DataFrame:
             F.sum("r").alias("gb"),
         ).first()
         metrics.append((it, float(agg["logloss"]), float(agg["acc"])))
+        if it == _TQC_ITERS - 1:
+            # the final epoch's metrics are measured; its weight update
+            # would feed nothing — skip the corpus-wide gradient shuffle
+            break
         # full-batch feature gradient: the one shuffle per epoch
         grad_rows = (
             scored.select((F.col("r") / F.col("n")).alias("rw"), F.explode("bks").alias("b"))

@@ -542,15 +542,28 @@ def start_incremental_neardup_ingest(
                 # the equi-join below would silently type-coerce to NULL and
                 # re-admit every historical near-duplicate. Type drift here
                 # is an operator error that needs a rebuild, not a cast.
-                expected = dict(expl.dtypes)["band_sig"]
-                actual = dict(seen_df.dtypes).get("band_sig")
-                if actual != expected:
+                expl_t = dict(expl.dtypes)
+                expected = {
+                    "band_idx": expl_t["band_idx"],
+                    "band_sig": expl_t["band_sig"],
+                    # seen_sig must match the BATCH signatures: a silent
+                    # element-type or length drift would make agree() never
+                    # reach threshold
+                    "seen_sig": expl_t["sig"],
+                }
+                seen_t = dict(seen_df.dtypes)
+                drift = {
+                    c: (seen_t.get(c), want)
+                    for c, want in expected.items()
+                    if seen_t.get(c) != want
+                }
+                if drift:
                     raise RuntimeError(
-                        f"seen table at {seen_root} stores band_sig as "
-                        f"{actual} but the current MinHash pipeline produces "
-                        f"{expected}: the signature scheme changed; rebuild "
-                        "the seen table from the corpus before resuming "
-                        "ingest"
+                        f"seen table at {seen_root} column types {drift} "
+                        "(stored, expected) do not match the current "
+                        "MinHash pipeline: the signature scheme changed; "
+                        "rebuild the seen table from the corpus before "
+                        "resuming ingest"
                     )
                 hits = (
                     survivors.select(

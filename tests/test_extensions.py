@@ -782,12 +782,18 @@ def test_anomaly_mad_paths_equivalent(spark, sf_dir, monkeypatch):
     windowed = sorted(
         map(tuple, analytics.events_anomaly_mad(spark, sf_dir).collect())
     )
-    # force the selection path regardless of actual group sizes
+    # force the big-group regime: the distinct-count probe then routes to
+    # the value-HISTOGRAM median (fixture values are below the cap)
     monkeypatch.setattr(analytics, "_MAD_MAX_WINDOWED_GROUP", 0)
-    selected = sorted(
+    hist = sorted(
         map(tuple, analytics.events_anomaly_mad(spark, sf_dir).collect())
     )
-    assert windowed == selected
+    # force the quantile-SLICE selection too
+    monkeypatch.setattr(analytics, "_MAD_HIST_MAX_DISTINCT", 0)
+    sliced = sorted(
+        map(tuple, analytics.events_anomaly_mad(spark, sf_dir).collect())
+    )
+    assert windowed == hist == sliced
 
 
 def test_train_quality_classifier_invariants(spark, sf_dir):
@@ -807,13 +813,28 @@ def test_train_quality_classifier_invariants(spark, sf_dir):
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
     assert losses[-1] < 0.6 * math.log(2)
 
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
     from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
         text_gopher_quality,
     )
 
-    keeps = [r.keep for r in text_gopher_quality(spark, sf_dir).collect()]
+    # majority baseline over the SAME population the trainer sees: docs
+    # with non-null text (gopher emits rows for all docs)
+    trained_ids = {
+        r.doc_id
+        for r in load(spark, "documents", sf_dir)
+        .filter("text IS NOT NULL")
+        .select("doc_id")
+        .collect()
+    }
+    keeps = [
+        r.keep
+        for r in text_gopher_quality(spark, sf_dir).collect()
+        if r.doc_id in trained_ids
+    ]
     majority = max(sum(keeps), len(keeps) - sum(keeps)) / len(keeps)
-    assert rows[-1].accuracy >= majority - 1e-6
+    final = sorted(rows, key=lambda r: r.iter)[-1]
+    assert final.accuracy >= majority - 1e-6
 
     again = train_quality_classifier(spark, sf_dir).collect()
     for a, b in zip(sorted(rows, key=lambda r: r.iter), sorted(again, key=lambda r: r.iter)):
