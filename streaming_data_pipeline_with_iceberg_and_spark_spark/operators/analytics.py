@@ -139,6 +139,114 @@ _MAD_MAX_WINDOWED_GROUP = 1_000_000
 _MAD_HIST_MAX_DISTINCT = 65_536
 
 
+def _disc_median_window(df, group: str, tie: str, col: str, out: str):
+    """Discrete per-group median (rank ⌈n/2⌉ in (col, tie) order) via one
+    ranking window per group — the small-group plan: fewest stages, each
+    group sorted on one task."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(col, tie)
+    grp = Window.partitionBy(group)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(grp))
+        .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(group, F.col(col).alias(out))
+    )
+
+
+def _disc_median_hist(df, group: str, tie: str, col: str, out: str):
+    """Exact median from the value histogram: the corpus is touched by ONE
+    hash-agg; the cumulative window runs over ≤ distinct-count rows per
+    group — bounded by _MAD_HIST_MAX_DISTINCT at any scale. The tie column
+    never matters here: the rank-⌈n/2⌉ element's VALUE depends only on the
+    per-value counts."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group, col).agg(F.count("*").alias("_c"))
+    w_ord = Window.partitionBy(group).orderBy(col)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w_ord))
+    tgt = hist.groupBy(group).agg(F.expr("(sum(_c) + 1) div 2").alias("_r"))
+    # exactly the bucket containing rank r: cum ≥ r and cum-before < r
+    # (selecting the row, not min(col), keeps a NULL median correct —
+    # NULLs sort first, matching the windowed path)
+    return (
+        cum.join(F.broadcast(tgt), group)
+        .filter(
+            (F.col("_cum") >= F.col("_r"))
+            & (F.col("_cum") - F.col("_c") < F.col("_r"))
+        )
+        .select(group, F.col(col).alias(out))
+    )
+
+
+def _disc_median_select(df, group: str, tie: str, col: str, out: str):
+    """Exact distributed selection for huge groups: routes to the
+    histogram plan when the value domain is small; otherwise slices the
+    value domain at driver-collected approx-quantile literals so every
+    group spans many tasks, ranks within slices, and adds broadcast
+    per-slice offsets."""
+    from pyspark.sql import Window
+
+    nd = df.agg(F.approx_count_distinct(col)).first()[0] or 0
+    if nd <= _MAD_HIST_MAX_DISTINCT:
+        return _disc_median_hist(df, group, tie, col, out)
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    # Slice boundaries are GLOBAL approx-quantiles of the value column,
+    # collected ONCE to the driver (≤ n_part-1 doubles — bounded) and
+    # inlined as literals. Deliberately NOT repartitionByRange: the
+    # RangePartitioner re-samples boundaries per evaluation, and this
+    # plan reads the sliced frame from three branches (join side,
+    # per-slice counts, per-group targets) — offsets computed under one
+    # set of boundaries added to ranks computed under another would
+    # select a wrong element. Literal boundaries make consistency
+    # intrinsic instead of hinging on exchange reuse.
+    bounds = sorted(
+        set(
+            df.stat.approxQuantile(
+                col, [i / n_part for i in range(1, n_part)], 0.001
+            )
+        )
+    )
+    # rows with equal values share a slice (strict >), so within a group
+    # the (slice, value, tie) order equals the global (value, tie) order;
+    # NULLs fold to slice 0, matching the windowed path's nulls-first.
+    # Degenerate domain (all-NULL or single-valued → no boundaries): one
+    # slice — F.array() cannot type an empty literal, and one slice is
+    # exactly right for a one-point domain.
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    keyed = df.withColumn("_bk", bucket)
+    # slices are value-bounded: no (slice, group) cell ever holds a whole
+    # group (heavy single values imply low cardinality, which routed to
+    # the histogram plan above), so these windows parallelize at any scale
+    slice_w = Window.partitionBy("_bk", group).orderBy(col, tie)
+    local = keyed.withColumn("_lrn", F.row_number().over(slice_w))
+    cnts = local.groupBy("_bk", group).agg(F.count("*").alias("_c"))
+    # global rank within a group = sum of earlier slices' counts + local
+    # rank; the offset table is ≤ n_part × |groups| rows — broadcast
+    off_w = (
+        Window.partitionBy(group)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.withColumn("_off", F.coalesce(F.sum("_c").over(off_w), F.lit(0)))
+    tgt = cnts.groupBy(group).agg(F.expr("(sum(_c) + 1) div 2").alias("_r"))
+    return (
+        local.join(F.broadcast(offs.select("_bk", group, "_off")), ["_bk", group])
+        .join(F.broadcast(tgt), group)
+        .filter(F.col("_off") + F.col("_lrn") == F.col("_r"))
+        .select(group, F.col(col).alias(out))
+    )
+
+
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-event-type outlier detection via median absolute deviation:
     flag values with |x − median| > 3·1.4826·MAD (1.4826 makes MAD a
@@ -175,10 +283,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles over unbounded groups where two passes are too many, the
     mergeable-histogram path (``agg_histogram_quantiles``) is the
     approximate twin; this op is the exact-math one."""
-    from pyspark.sql import Window
-
     ev = load(spark, "events", sf_dir).select("event_id", "event_type", "value")
-    grp = Window.partitionBy("event_type")
     biggest = (
         ev.groupBy("event_type")
         .agg(F.count("*").alias("_n"))
@@ -187,106 +292,19 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         or 0
     )
 
-    def _disc_median_window(df: DataFrame, col: str, out: str) -> DataFrame:
-        w = Window.partitionBy("event_type").orderBy(col, "event_id")
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .withColumn("_n", F.count("*").over(grp))
-            .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
-            .select("event_type", F.col(col).alias(out))
+    def _disc_median(df, col, out):
+        fn = (
+            _disc_median_window
+            if biggest <= _MAD_MAX_WINDOWED_GROUP
+            else _disc_median_select
         )
-
-    def _disc_median_hist(df: DataFrame, col: str, out: str) -> DataFrame:
-        # exact median from the value histogram: the corpus is touched by
-        # ONE hash-agg; the cumulative window runs over ≤ distinct-count
-        # rows per type — bounded by _MAD_HIST_MAX_DISTINCT at any scale
-        hist = df.groupBy("event_type", col).agg(F.count("*").alias("_c"))
-        w_ord = Window.partitionBy("event_type").orderBy(col)
-        cum = hist.withColumn("_cum", F.sum("_c").over(w_ord))
-        tgt = hist.groupBy("event_type").agg(
-            F.expr("(sum(_c) + 1) div 2").alias("_r")
-        )
-        # exactly the bucket containing rank r: cum ≥ r and cum-before < r
-        # (selecting the row, not min(col), keeps a NULL median correct —
-        # NULLs sort first, matching the windowed path)
-        return (
-            cum.join(F.broadcast(tgt), "event_type")
-            .filter(
-                (F.col("_cum") >= F.col("_r"))
-                & (F.col("_cum") - F.col("_c") < F.col("_r"))
-            )
-            .select("event_type", F.col(col).alias(out))
-        )
-
-    def _disc_median_select(df: DataFrame, col: str, out: str) -> DataFrame:
-        nd = df.agg(F.approx_count_distinct(col)).first()[0] or 0
-        if nd <= _MAD_HIST_MAX_DISTINCT:
-            return _disc_median_hist(df, col, out)
-        n_part = max(df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-        # Slice boundaries are GLOBAL approx-quantiles of the value column,
-        # collected ONCE to the driver (≤ n_part-1 doubles — bounded) and
-        # inlined as literals. Deliberately NOT repartitionByRange: the
-        # RangePartitioner re-samples boundaries per evaluation, and this
-        # plan reads the sliced frame from three branches (join side,
-        # per-slice counts, per-group targets) — offsets computed under one
-        # set of boundaries added to ranks computed under another would
-        # select a wrong element. Literal boundaries make consistency
-        # intrinsic instead of hinging on exchange reuse.
-        bounds = sorted(
-            set(
-                df.stat.approxQuantile(
-                    col, [i / n_part for i in range(1, n_part)], 0.001
-                )
-            )
-        )
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        # rows with equal values share a slice (strict >), so within a type
-        # the (slice, value, id) order equals the global (value, id) order;
-        # NULLs fold to slice 0, matching the windowed path's nulls-first
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
-        )
-        keyed = df.withColumn("_bk", bucket)
-        # slices are value-bounded: no (slice, type) cell ever holds a whole
-        # type (barring one value exceeding a slice), so these windows
-        # parallelize at any scale
-        slice_w = Window.partitionBy("_bk", "event_type").orderBy(col, "event_id")
-        local = keyed.withColumn("_lrn", F.row_number().over(slice_w))
-        cnts = local.groupBy("_bk", "event_type").agg(F.count("*").alias("_c"))
-        # global rank within a type = sum of earlier slices' counts + local
-        # rank; the offset table is ≤ n_part × |types| rows — broadcast
-        off_w = (
-            Window.partitionBy("event_type")
-            .orderBy("_bk")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offs = cnts.withColumn(
-            "_off", F.coalesce(F.sum("_c").over(off_w), F.lit(0))
-        )
-        tgt = cnts.groupBy("event_type").agg(
-            F.expr("(sum(_c) + 1) div 2").alias("_r")
-        )
-        return (
-            local.join(F.broadcast(offs.select("_bk", "event_type", "_off")),
-                       ["_bk", "event_type"])
-            .join(F.broadcast(tgt), "event_type")
-            .filter(F.col("_off") + F.col("_lrn") == F.col("_r"))
-            .select("event_type", F.col(col).alias(out))
-        )
-
-    _disc_median = (
-        _disc_median_window
-        if biggest <= _MAD_MAX_WINDOWED_GROUP
-        else _disc_median_select
-    )
+        return fn(df, "event_type", "event_id", col, out)
 
     med = _disc_median(ev, "value", "med")
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    if _disc_median is _disc_median_select:
+    if biggest > _MAD_MAX_WINDOWED_GROUP:
         # the selection path reads dev three times (the approx-quantile
         # pass, the sliced-rank plan, and the final flag join) — materialize
         # once; the windowed path reads it twice and both are one cheap

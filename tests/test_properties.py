@@ -124,3 +124,68 @@ def test_pack_sequences_invariants(spark, sf_dir):
             assert r.pack_id == cum // _CTX, (lang, r)
             assert r.pack_offset == cum % _CTX, (lang, r)
             cum += r.n_tokens
+
+
+def test_discrete_median_strategies_match_python_oracle(spark):
+    """All three exact-median plans (windowed ranking, value-histogram,
+    quantile-literal slices) must agree with a pure-Python reference on
+    adversarial inputs: heavy ties, NULLs (sort first), single-row groups,
+    even/odd group sizes, negative values."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        analytics,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        _disc_median_hist,
+        _disc_median_select,
+        _disc_median_window,
+    )
+
+    val = st.one_of(st.none(), st.sampled_from([-2.0, -0.5, 0.0, 0.5, 1.0, 3.5]))
+    rows_strategy = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), val),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(rows=rows_strategy)
+    def check(rows):
+        data = [(i, g, v) for i, (g, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "event_id long, grp string, value double")
+        # python reference: rank ⌈n/2⌉ in (value, id) order, None first
+        expect = {}
+        for g in {r[1] for r in data}:
+            grp_rows = sorted(
+                ((v, i) for i, gg, v in data if gg == g),
+                key=lambda t: (t[0] is not None, t[0], t[1]),
+            )
+            expect[g] = grp_rows[(len(grp_rows) + 1) // 2 - 1][0]
+        saved = analytics._MAD_HIST_MAX_DISTINCT
+        try:
+            for fn, label in (
+                (_disc_median_window, "window"),
+                (_disc_median_hist, "hist"),
+                (_disc_median_select, "select-hist-routed"),
+                (_disc_median_select, "select-sliced"),
+            ):
+                # last round: forbid the hist routing so the quantile-slice
+                # branch itself is exercised on tied/NULL-heavy data
+                analytics._MAD_HIST_MAX_DISTINCT = (
+                    -1 if label == "select-sliced" else saved
+                )
+                got = {
+                    r["grp"]: r["med"]
+                    for r in fn(df, "grp", "event_id", "value", "med").collect()
+                }
+                assert got == expect, (label, got, expect, data)
+        finally:
+            analytics._MAD_HIST_MAX_DISTINCT = saved
+
+    check()
