@@ -939,9 +939,39 @@ def _tqc_fit(spark: SparkSession, base: DataFrame) -> DataFrame:
         bias -= _TQC_LR * float(agg["gb"]) / n_docs
         if not all(math.isfinite(x) for x in w + [bias]):
             raise RuntimeError("quality-classifier training diverged")
+    # expose the fitted model for the deploy half of the loop
+    _tqc_fit.last_weights = (list(w), bias)
     return spark.createDataFrame(
         [(i, round(l, 6), round(a, 6)) for i, l, a in metrics],
         "iter int, logloss double, accuracy double",
+    )
+
+
+def score_with_linear_model(docs: DataFrame, weights: list, bias: float) -> DataFrame:
+    """Score documents with an arbitrary 16-bucket linear model using the
+    EXACT expression shape ``text_linear_quality_classifier`` ships
+    (per-row hashed-weight mean inside one higher-order aggregate — no
+    explode, no shuffle, no UDF). This is the deploy half of the
+    train-then-filter loop: pass ``_LQC_W``/``_LQC_BIAS`` for the pinned
+    model or ``train_quality_classifier``'s learned weights."""
+    if len(weights) != _TQC_DIM:
+        raise ValueError(f"expected {_TQC_DIM} weights, got {len(weights)}")
+    warr = F.array(*[F.lit(float(x)) for x in weights])
+    toks = tokens("text")
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(warr, F.pmod(md5_bucket16(t), F.lit(_TQC_DIM)) + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    score = 1.0 / (1.0 + F.exp(-(F.lit(float(bias)) + wsum / n)))
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
     )
 
 

@@ -839,3 +839,35 @@ def test_train_quality_classifier_invariants(spark, sf_dir):
     again = train_quality_classifier(spark, sf_dir).collect()
     for a, b in zip(sorted(rows, key=lambda r: r.iter), sorted(again, key=lambda r: r.iter)):
         assert abs(a.logloss - b.logloss) < 1e-3
+
+
+def test_trained_weights_drop_into_shipped_scorer(spark, sf_dir):
+    """The train-then-deploy loop end-to-end: run training, take the
+    learned 16-weight model, and score the corpus through the SAME
+    expression shape the shipped scorer uses. The learned model's keep
+    decisions must agree with the Gopher weak labels at least as well as
+    chance, and scoring must produce a valid probability per document."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        textops,
+    )
+
+    metrics = textops.train_quality_classifier(spark, sf_dir).collect()
+    assert metrics
+    weights, bias = textops._tqc_fit.last_weights
+    assert len(weights) == textops._TQC_DIM == 16
+
+    docs = load(spark, "documents", sf_dir)
+    scored = textops.score_with_linear_model(docs, weights, bias).collect()
+    n_docs = docs.filter("text IS NOT NULL").count()
+    assert len(scored) == n_docs
+    assert all(0.0 <= r.quality_score <= 1.0 for r in scored)
+    # deploy-time accuracy equals the final training accuracy (same data,
+    # same expression): cross-check through the independent scoring path
+    keeps = {
+        r.doc_id: r.keep
+        for r in textops.text_gopher_quality(spark, sf_dir).collect()
+    }
+    agree = sum(1 for r in scored if r.keep == keeps[r.doc_id]) / len(scored)
+    final_acc = sorted(metrics, key=lambda r: r.iter)[-1].accuracy
+    assert abs(agree - final_acc) < 0.02, (agree, final_acc)
