@@ -211,9 +211,9 @@ def _disc_median_select(df, group: str, tie: str, col: str, out: str):
     # rows with equal values share a slice (strict >), so within a group
     # the (slice, value, tie) order equals the global (value, tie) order;
     # NULLs fold to slice 0, matching the windowed path's nulls-first.
-    # Degenerate domain (all-NULL or single-valued → no boundaries): one
-    # slice — F.array() cannot type an empty literal, and one slice is
-    # exactly right for a one-point domain.
+    # Degenerate domain (all-NULL values → approxQuantile returns no
+    # boundaries): one slice — F.array() cannot type an empty literal,
+    # and one slice is exactly right for a one-point domain.
     if bounds:
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         bucket = F.aggregate(
@@ -224,9 +224,12 @@ def _disc_median_select(df, group: str, tie: str, col: str, out: str):
     else:
         bucket = F.lit(0)
     keyed = df.withColumn("_bk", bucket)
-    # slices are value-bounded: no (slice, group) cell ever holds a whole
-    # group (heavy single values imply low cardinality, which routed to
-    # the histogram plan above), so these windows parallelize at any scale
+    # slices are value-bounded, so these windows parallelize — with one
+    # residual skew case: equal values cannot straddle a slice, so a
+    # single value carrying more rows than a slice serializes ITS slice
+    # even above the nd gate (a heavy hitter among many distincts).
+    # Accepted and detectable from the cnts table below; the full fix is
+    # tie-splitting by id ranges within the hot value.
     slice_w = Window.partitionBy("_bk", group).orderBy(col, tie)
     local = keyed.withColumn("_lrn", F.row_number().over(slice_w))
     cnts = local.groupBy("_bk", group).agg(F.count("*").alias("_c"))

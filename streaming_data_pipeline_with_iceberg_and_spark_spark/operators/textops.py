@@ -797,6 +797,55 @@ _LQC_W = [
 _LQC_BIAS = 0.20
 
 
+def train_quality_model(spark: SparkSession, sf_dir: str):
+    """The programmatic train-then-deploy entry point: returns
+    ``(metrics DataFrame, weights, bias)`` explicitly — feed the weights
+    to :func:`score_with_linear_model`. (The registry query
+    ``train_quality_classifier`` returns only the metrics frame, per the
+    driver contract.)"""
+    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    _, _, _, keep = _gopher_signals()
+    base = docs.select(
+        keep.cast("double").alias("y"),
+        n_tokens.cast("double").alias("n"),
+        F.transform(toks, lambda t: F.pmod(md5_bucket16(t), F.lit(_TQC_DIM))).alias(
+            "bks"
+        ),
+    ).persist()
+    try:
+        return _tqc_fit(spark, base)
+    finally:
+        base.unpersist()
+
+
+def _linear_score_expr(weights, bias: float):
+    """THE linear-scorer expression over ``col("text")``, rounded to 6
+    decimals (the rounding is part of the contract: the keep threshold
+    compares the ROUNDED score, and the DuckDB oracle does the same).
+    Single source of truth for the shipped pinned model, the deploy
+    helper, and anything scoring with learned weights — a drift between
+    copies would silently desync the train/deploy loop."""
+    if len(weights) != _TQC_DIM:
+        raise ValueError(f"expected {_TQC_DIM} weights, got {len(weights)}")
+    warr = F.array(*[F.lit(float(x)) for x in weights])
+    toks = tokens("text")
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.element_at(
+                warr, F.pmod(md5_bucket16(t), F.lit(_TQC_DIM)) + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(
+        1.0 / (1.0 + F.exp(-(F.lit(float(bias)) + wsum / F.size(toks)))), 6
+    )
+
+
 def text_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filtering (the fastText/DCLM model shape):
     score = sigmoid(bias + mean of hashed-token weights) with a fixed
@@ -811,23 +860,10 @@ def text_linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFram
     NULL-score row while the oracle's unnest+join drops the doc — the one
     place the engines' NULL semantics diverge)."""
     docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
-    warr = F.array(*[F.lit(w) for w in _LQC_W])
-    toks = tokens("text")
-    wsum = F.aggregate(
-        F.transform(
-            toks,
-            lambda t: F.element_at(warr, F.pmod(md5_bucket16(t), F.lit(16)) + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    n = F.size(toks)
-    score = F.round(
-        1.0 / (1.0 + F.exp(-(F.lit(_LQC_BIAS) + wsum / n))), 6
-    )
+    score = _linear_score_expr(_LQC_W, _LQC_BIAS)
     return docs.select(
         "doc_id",
-        n.alias("n_tokens"),
+        F.size(tokens("text")).alias("n_tokens"),
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
@@ -866,34 +902,23 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported metrics' last ulps) are not bit-reproducible in another
     engine. Invariants tested instead (tests/test_extensions.py): log-loss
     strictly decreases from ln 2, final accuracy beats the majority class,
-    metrics reproduce across runs within tolerance."""
-    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    _, _, _, keep = _gopher_signals()
-    label = keep.cast("double")
-    base = docs.select(
-        label.alias("y"),
-        n_tokens.cast("double").alias("n"),
-        F.transform(toks, lambda t: F.pmod(md5_bucket16(t), F.lit(_TQC_DIM))).alias(
-            "bks"
-        ),
-    ).persist()
-    try:
-        return _tqc_fit(spark, base)
-    finally:
-        # unconditional: the n_docs==0 return and the divergence raise must
-        # not leak the cached corpus into a long-lived session
-        base.unpersist()
+    metrics reproduce across runs within tolerance, and the learned
+    weights deploy through the shipped scorer expression."""
+    return train_quality_model(spark, sf_dir)[0]
 
 
-def _tqc_fit(spark: SparkSession, base: DataFrame) -> DataFrame:
+def _tqc_fit(spark: SparkSession, base: DataFrame):
+    """Returns (metrics DataFrame, weights, bias). An empty corpus yields
+    the zero model — a defined, deployable (if useless) state, never a
+    stale or missing one."""
     import math
 
     n_docs = base.count()
     if n_docs == 0:
-        return spark.createDataFrame(
-            [], "iter int, logloss double, accuracy double"
+        return (
+            spark.createDataFrame([], "iter int, logloss double, accuracy double"),
+            [0.0] * _TQC_DIM,
+            0.0,
         )
 
     w = [0.0] * _TQC_DIM
@@ -939,38 +964,27 @@ def _tqc_fit(spark: SparkSession, base: DataFrame) -> DataFrame:
         bias -= _TQC_LR * float(agg["gb"]) / n_docs
         if not all(math.isfinite(x) for x in w + [bias]):
             raise RuntimeError("quality-classifier training diverged")
-    # expose the fitted model for the deploy half of the loop
-    _tqc_fit.last_weights = (list(w), bias)
-    return spark.createDataFrame(
-        [(i, round(l, 6), round(a, 6)) for i, l, a in metrics],
-        "iter int, logloss double, accuracy double",
+    return (
+        spark.createDataFrame(
+            [(i, round(l, 6), round(a, 6)) for i, l, a in metrics],
+            "iter int, logloss double, accuracy double",
+        ),
+        list(w),
+        bias,
     )
 
 
 def score_with_linear_model(docs: DataFrame, weights: list, bias: float) -> DataFrame:
     """Score documents with an arbitrary 16-bucket linear model using the
-    EXACT expression shape ``text_linear_quality_classifier`` ships
-    (per-row hashed-weight mean inside one higher-order aggregate — no
-    explode, no shuffle, no UDF). This is the deploy half of the
-    train-then-filter loop: pass ``_LQC_W``/``_LQC_BIAS`` for the pinned
-    model or ``train_quality_classifier``'s learned weights."""
-    if len(weights) != _TQC_DIM:
-        raise ValueError(f"expected {_TQC_DIM} weights, got {len(weights)}")
-    warr = F.array(*[F.lit(float(x)) for x in weights])
-    toks = tokens("text")
-    wsum = F.aggregate(
-        F.transform(
-            toks,
-            lambda t: F.element_at(warr, F.pmod(md5_bucket16(t), F.lit(_TQC_DIM)) + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    n = F.size(toks)
-    score = 1.0 / (1.0 + F.exp(-(F.lit(float(bias)) + wsum / n)))
+    EXACT expression ``text_linear_quality_classifier`` ships (delegates
+    to the same ``_linear_score_expr`` — one source of truth, including
+    the round-to-6-then-compare keep semantics). This is the deploy half
+    of the train-then-filter loop: pass ``_LQC_W``/``_LQC_BIAS`` for the
+    pinned model or ``train_quality_model``'s learned weights."""
+    score = _linear_score_expr(weights, bias)
     return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
-        F.round(score, 6).alias("quality_score"),
+        score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
 

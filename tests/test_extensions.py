@@ -852,9 +852,9 @@ def test_trained_weights_drop_into_shipped_scorer(spark, sf_dir):
         textops,
     )
 
-    metrics = textops.train_quality_classifier(spark, sf_dir).collect()
+    mdf, weights, bias = textops.train_quality_model(spark, sf_dir)
+    metrics = mdf.collect()
     assert metrics
-    weights, bias = textops._tqc_fit.last_weights
     assert len(weights) == textops._TQC_DIM == 16
 
     docs = load(spark, "documents", sf_dir)
