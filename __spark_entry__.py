@@ -56,76 +56,74 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# Round 6's window = (a) the 8 entries whose only driver row is r01-era
-# (pre-fixture-regeneration) — with these green, every registry entry's
-# latest driver row post-dates the regeneration and the stale-signal ledger
-# closes; (b) dedup_minhash_lsh and ann_lsh_hyperplane, both upgraded this
-# round from rows-only to full value-exact DuckDB oracles (VERDICT r5 #3;
-# every hash in each pipeline now md5-derived with pinned seeds) — in-window
-# so the driver witnesses the new oracles — plus dedup_semantic, which stays
-# rows-only by contract (learned k-means quantizer; impossibility note in
-# COVERAGE.md) but gets a fresh row; (c) refresh of the r3-era entries
-# (oldest post-regeneration rows), minus agg_hll_mergeable and ann_pq
-# (rows-only by contract; a refresh row carries the least new signal),
-# window_running_sum and set_union (their families have later green
-# sibling rows), to fill the window to exactly 50. NOTE: the op added late
-# this round (train_quality_classifier, rows-only by contract) is NOT in
-# this window — it has no driver row yet and goes at the head of the
-# round-7 window.
+# Round 7's window, freshness-ordered (ledger state: r6 closed the r01-stale
+# list; latest-row histogram before this round is r3:4, r4:44, r5:50, r6:50,
+# never:1): (a) train_quality_classifier — added late in round 6, no driver
+# row yet (rows-only by contract: learned weights; accuracy/e2e tests);
+# (b) the four r3-era entries, now the oldest driver rows (agg_hll_mergeable
+# and ann_pq are rows-only by contract — sketch internals differ across
+# engines — and still get their fresh rows-only row); (c) all 44 r4-era
+# entries except set_except and union_by_name, deferred to round 8 (their
+# set-ops siblings set_intersect/sort_limit_topk are r6-green, so they carry
+# the least new signal) to keep the window at exactly 50. New ops added this
+# round (bm25_search, the PCA pair) are at the head alongside (a).
+# mm_feature_extract gained a NULL-text guard this round (engine + oracle,
+# identical WHERE); its r6 row remains valid on current fixtures (none carry
+# NULL text), so it rotates normally rather than re-entering the window.
 _PRIORITY = [
-    # (a) last r01-era rows — closing the stale-signal ledger
-    "agg_global",
-    "agg_conditional",
-    "agg_cube",
-    "agg_unpivot",
-    "join_cross",
-    "scalar_math_funcs",
-    "hash_funcs",
-    "case_when_banding",
-    # (b) rows-only -> digest-oracle upgrades this round
-    "dedup_minhash_lsh",
-    "ann_lsh_hyperplane",
-    "mm_feature_extract",
-    "dedup_semantic",
-    # (c) r3-era refresh (oldest post-regeneration driver rows)
-    "agg_collect",
-    "array_explode_posexplode",
-    "array_funcs",
-    "decontaminate_eval_overlap",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "delete_update_orders",
-    "distinct_rows",
-    "funnel_conversion",
-    "join_salted_skew",
-    "knn_bruteforce",
-    "knn_bruteforce_vectorized",
-    "knn_dot_topk",
-    "merge_upsert_orders",
-    "mm_binary_metadata",
-    "mm_content_dedup",
-    "mm_frame_sample",
-    "mm_patch_token_budget",
-    "nested_envelope_parse",
-    "pandas_udf_haversine",
-    "pii_redact",
-    "q12_shipdelay_priority",
-    "sample_hash_fraction",
-    "sample_stratified_by_lang",
-    "sample_temperature_by_lang",
-    "set_intersect",
-    "sort_limit_topk",
-    "split_leakage_free",
-    "split_train_val_test",
-    "text_chunk_udtf",
-    "text_gopher_quality",
-    "text_quality_score",
-    "text_repeated_ngrams",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "window_topk_per_group",
+    # (a) no driver row yet / new this round
+    "train_quality_classifier",
+    "bm25_search",
+    "pca_covariance",
+    "pca_embeddings_project",
+    # (b) r3-era rows — oldest in the ledger
+    "agg_hll_mergeable",
+    "ann_pq",
+    "set_union",
+    "window_running_sum",
+    # (c) r4-era refresh
+    "agg_bitmap_distinct",
+    "agg_histogram_quantiles",
+    "ann_ivf",
+    "cohort_retention",
+    "dedup_apply",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_fingerprint",
+    "dedup_span_exact",
+    "drop_duplicates_subset",
+    "events_anomaly_mad",
+    "grouped_ols_trend",
+    "join_asof",
+    "json_variant_extract",
+    "mixture_weighted_interleave",
+    "pack_sequences",
+    "q11_important_parts",
+    "q20_excess_share_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "resample_ffill_1min",
+    "rollup_multi_granularity",
+    "sessionize",
+    "shuffle_epoch_rank",
+    "snapshot_changelog_orders",
+    "snapshot_time_travel_orders",
+    "sort_within_partitions",
+    "text_bigram_freq",
+    "text_heavy_hitters",
+    "text_lang_id",
+    "text_rolling_hash",
+    "text_rollup_by_lang_source",
+    "text_token_bpe",
+    "text_within_doc_repetition",
+    "window_first_last",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_ntile_pct",
+    "window_range_30d",
+    "window_session_30min",
+    "window_sliding_10m_5m",
+    "window_tumbling_5min",
 ]
 
 

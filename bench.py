@@ -72,6 +72,11 @@ HEADLINE = [
     "q11_important_parts",
     "q20_excess_share_suppliers",
     "curate_pretraining_corpus",
+    # Appended round 7: BM25 ranked retrieval and the distributed-PCA pair
+    # (moment-pass covariance + GEMM projection).
+    "bm25_search",
+    "pca_covariance",
+    "pca_embeddings_project",
 ]
 
 

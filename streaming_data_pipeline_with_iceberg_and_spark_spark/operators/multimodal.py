@@ -103,8 +103,15 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exactly (plus a pure-Python oracle in tests/test_multimodal.py).
 
     At scale: payload batches stream through Arrow; the Python worker sees
-    pandas chunks, never the whole partition; output schema is fixed."""
-    media = with_media_column(load_spread(spark, "documents", sf_dir))
+    pandas chunks, never the whole partition; output schema is fixed.
+
+    NULL text yields a NULL payload from ``F.encode``; there is nothing to
+    decode, so those rows are dropped here AND in the oracle (same WHERE) —
+    keeping engine and oracle row sets identical if a fixture ever carries
+    NULL text."""
+    media = with_media_column(
+        load_spread(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,6 +137,7 @@ WITH b AS (
   SELECT doc_id, hex(encode(text)) AS h,
          octet_length(encode(text)) AS n
   FROM documents
+  WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_bytes,

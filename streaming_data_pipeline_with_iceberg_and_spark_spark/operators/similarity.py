@@ -1072,8 +1072,169 @@ FROM q
 """
 
 
+# --- PCA (distributed principal component analysis) -----------------------
+# The dimensionality-reduction stage between embedding generation and ANN
+# indexing (OPQ/whitening in the FAISS pipeline sits in the same spot):
+# one Arrow/GEMM pass over the corpus accumulates the (n, Σx, XᵀX) moments
+# as mergeable (pos, partial) rows; only the (1+d+d²)-double moment vector
+# and the d×d eigendecomposition ever live driver-side — the same
+# constant-bounded-driver-state contract as the IVF/PQ codebooks.
+_PCA_COMPONENTS = 4
+# moment state is 8·(1+d+d²) bytes on the driver → hard-cap the dimension
+# like _IVF_MAX_CELLS caps cells (1024² doubles ≈ 8 MB)
+_PCA_DIM_CAP = 1024
+
+
+def _pca_moments_fn():
+    """mapInPandas closure: per Arrow batch emit the flattened partial
+    moments [n, Σx (d), XᵀX (d²)] as (pos, v) rows — elementwise-summable,
+    so one ≤(1+d+d²)-row hash agg merges all partials."""
+    import numpy as np
+    import pandas as pd
+
+    def moments(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n, d = mat.shape
+            if d > _PCA_DIM_CAP:
+                raise ValueError(
+                    f"embedding dim {d} exceeds _PCA_DIM_CAP={_PCA_DIM_CAP}: "
+                    "the d^2 moment state would not be driver-bounded"
+                )
+            vals = np.concatenate(
+                ([float(n)], mat.sum(axis=0), (mat.T @ mat).reshape(-1))
+            )
+            yield pd.DataFrame({"pos": np.arange(vals.size), "v": vals})
+
+    return moments
+
+
+def _pca_fit(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None):
+    """Fit PCA: returns (n, mean, cov, eigvals desc, components) or None if
+    the corpus has < 2 vectors. Components carry a deterministic sign (the
+    max-|loading| element of each eigenvector is made positive), so repeated
+    fits on the same data agree exactly."""
+    import math
+
+    import numpy as np
+
+    if emb is None:
+        emb = load_spread(spark, "embeddings", sf_dir)
+    rows = (
+        emb.select("embedding")
+        .filter(F.col("embedding").isNotNull())
+        .mapInPandas(_pca_moments_fn(), schema="pos long, v double")
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    if not rows:
+        return None
+    vals = np.zeros(max(r["pos"] for r in rows) + 1)
+    for r in rows:
+        vals[r["pos"]] = r["v"]
+    n = vals[0]
+    size = vals.size - 1
+    d = int(round((math.sqrt(4 * size + 1) - 1) / 2))  # d + d² = size
+    if n < 2 or d < 1:
+        return None
+    s = vals[1 : 1 + d]
+    xtx = vals[1 + d :].reshape(d, d)
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    for j in range(d):
+        i = int(np.argmax(np.abs(evecs[:, j])))
+        if evecs[i, j] < 0:
+            evecs[:, j] = -evecs[:, j]
+    return int(n), mean, cov, evals, evecs
+
+
+def pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L7 companion: the distributed covariance matrix of the embedding
+    corpus as (i, j, cov) rows — the oracle-checkable half of PCA (the
+    eigendecomposition itself is driver-side numpy on this d×d matrix and
+    not SQL-expressible; see pca_embeddings_project). The corpus pass is
+    the scale-bearing part: one GEMM scan, one bounded hash agg."""
+    fit = _pca_fit(spark, sf_dir)
+    if fit is None:
+        return spark.createDataFrame([], "i int, j int, cov double")
+    _, _, cov, _, _ = fit
+    d = cov.shape[0]
+    data = [(i, j, float(cov[i, j])) for i in range(d) for j in range(d)]
+    # + 0.0 collapses IEEE -0.0 (a tiny negative rounded to zero) to +0.0 —
+    # the one rendering the two engines disagree on; same term in the oracle
+    return spark.createDataFrame(data, "i int, j int, cov double").select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    )
+
+
+# Same estimator, same operation order per entry: (Σxixj − n·x̄ᵢx̄ⱼ)/(n−1).
+PCA_COVARIANCE_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+pairs AS (
+  SELECT i, j, v[i + 1] AS xi, v[j + 1] AS xj
+  FROM e, unnest(range(len(v))) AS r1(i), unnest(range(len(v))) AS r2(j)
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       ROUND((SUM(xi * xj) - COUNT(*) * AVG(xi) * AVG(xj))
+             / (COUNT(*) - 1), 6) + 0.0 AS cov
+FROM pairs
+GROUP BY 1, 2
+"""
+
+
+def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-4 principal components (centered,
+    deterministic-sign loadings). Rows-only by contract: the eigensolver is
+    engine-internal floating point with no ANSI-SQL twin — parity vs a
+    numpy-on-collected-data oracle, orthonormality, and projected-variance ≈
+    eigenvalue invariants are pinned in tests/test_similarity.py.
+
+    Scale shape: fit is the one-GEMM-pass moment agg above; projection is a
+    second stateless GEMM pass with the d×k loading matrix shipped in the
+    closure — no shuffle, no per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_spread(spark, "embeddings", sf_dir).persist()
+    fit = _pca_fit(spark, sf_dir, emb)
+    k = _PCA_COMPONENTS
+    schema = "vec_id long, " + ", ".join(f"pc{c + 1} double" for c in range(k))
+    if fit is None:
+        return spark.createDataFrame([], schema)
+    _, mean, _, _, evecs = fit
+    w_mat = evecs[:, : min(k, evecs.shape[1])]
+
+    def project(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            proj = (mat - mean) @ w_mat
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for c in range(k):
+                out[f"pc{c + 1}"] = (
+                    np.round(proj[:, c], 5)
+                    if c < proj.shape[1]
+                    else np.zeros(len(pdf))
+                )
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "embedding").mapInPandas(project, schema=schema)
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
+    "pca_covariance": pca_covariance,
+    "pca_embeddings_project": pca_embeddings_project,
     "ann_pq": ann_pq,
     "knn_dot_topk": knn_dot_topk,
     "knn_bruteforce_vectorized": knn_bruteforce_vectorized,
@@ -1092,6 +1253,11 @@ ORACLES = {
     # round 6: ann_lsh_hyperplane upgraded from rows-only to value-exact
     # (md5-derived hyperplane weights reproducible in DuckDB)
     "ann_lsh_hyperplane": ANN_LSH_SQL,
+    "pca_covariance": PCA_COVARIANCE_SQL,
+    # pca_embeddings_project intentionally rows-only: the d×d
+    # eigendecomposition is driver-side numpy (no ANSI-SQL eigensolver);
+    # its distributed input is exactly the oracle-checked pca_covariance,
+    # and numpy-parity/orthonormality tests pin the rest
     # ann_ivf / ann_ivfpq intentionally rows-only (learned quantizers:
     # k-means training is engine-internal floating-point); recall-tested vs
     # the exact baseline in tests/test_extensions.py

@@ -1009,8 +1009,128 @@ FROM s
 """
 
 
+# --- BM25 retrieval -------------------------------------------------------
+# Okapi BM25 (Robertson/Spärck Jones; the Lucene-default +1 idf smoothing so
+# idf is never negative) over the documents table for a FIXED query set —
+# the retrieval twin of text_tfidf_top_terms. The reference has no search
+# surface (spark-data-pipeline/spark_job.py is ingest-only); this is the
+# [EXT] ranked-retrieval operator a training-data pipeline uses for corpus
+# exploration and hard-negative mining.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+# Pinned benchmark queries over the fixture vocabulary. Like the ANN query
+# sets (similarity._Q_CAP), the query side is CONSTANT-bounded by
+# construction: scoring work grows with the corpus, never with |Q|.
+_BM25_QUERIES = {
+    1: ("spark", "table", "scan"),
+    2: ("fast", "merge", "join"),
+    3: ("window", "agg", "stream"),
+    4: ("customer", "order", "query"),
+    5: ("hash", "group", "sort"),
+}
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: BM25 top-10 documents per pinned query.
+
+    Scale shape (the part that matters at 100 TB): the exploded token stream
+    is filtered to the ~15 query terms BEFORE the (doc_id, term) aggregation,
+    so the shuffle carries only matching postings — a sliver of the corpus —
+    while doc length (dl) rides along from the scan and the corpus-wide
+    (n_docs, avgdl) stats are a broadcast 1-row aggregate. df-per-term reuses
+    the postings' hash partitioning via a window, exactly like
+    text_tfidf_top_terms; the query map is a broadcast literal frame; final
+    top-k is one per-query window over scored docs. Two corpus scans total
+    (stats + postings), zero corpus-keyed wide shuffles.
+    """
+    toks = tokens("text")
+    stats = (
+        load(spark, "documents", sf_dir)
+        .select(F.size(toks).alias("nt"))
+        .agg(F.count("*").alias("n_docs"), F.avg("nt").alias("avgdl"))
+    )
+    all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    postings = (
+        load_spread(spark, "documents", sf_dir)
+        .select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    scored = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = scored.withColumn("contrib", idf * tf_norm)
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    per_q = (
+        scored.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+_BM25_Q_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts
+)
+
+BM25_SEARCH_SQL = f"""
+WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM d),
+e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM e WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY 1, 2
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * ({_BM25_K1} + 1))
+         / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) AS c
+  FROM tf JOIN dfc USING (term), stats
+),
+perq AS (
+  SELECT query_id, tf.doc_id AS doc_id, ROUND(SUM(c), 6) AS bm25
+  FROM contrib tf JOIN q USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, bm25
+FROM (
+  SELECT query_id, doc_id, bm25,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM perq
+)
+WHERE rank <= {_BM25_TOPK}
+"""
+
+
 QUERIES = {
     "text_heavy_hitters": text_heavy_hitters,
+    "bm25_search": bm25_search,
     "text_rolling_hash": text_rolling_hash,
     "text_within_doc_repetition": text_within_doc_repetition,
     "pii_redact": pii_redact,
@@ -1031,6 +1151,7 @@ QUERIES = {
 
 ORACLES = {
     "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
+    "bm25_search": BM25_SEARCH_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "text_within_doc_repetition": TEXT_WITHIN_DOC_REP_SQL,
     "pii_redact": PII_REDACT_SQL,

@@ -513,7 +513,16 @@ def start_incremental_neardup_ingest(
             return
         sigs = minhash_sig_bands(batch_df, text_col).persist()
         try:
-            no_sig = batch_df.join(sigs.select(id_col), id_col, "left_anti")
+            # Broadcast hints below mark the frames bounded by the trigger
+            # cap (maxFilesPerTrigger), NOT by corpus size — batch ids, the
+            # within-batch dup set, the batch band frame, the batch hit set.
+            # AQE does convert these joins at runtime (probe recorded in
+            # COVERAGE.md), but conversion happens only after the non-batch
+            # side's shuffle map stage has already been written; the explicit
+            # hint skips shuffling the corpus-scale seen table entirely.
+            no_sig = batch_df.join(
+                F.broadcast(sigs.select(id_col)), id_col, "left_anti"
+            )
             expl = sigs.select(
                 id_col,
                 "sig",
@@ -532,7 +541,7 @@ def start_incremental_neardup_ingest(
                 .select(F.col(f"b.{id_col}").alias(id_col))
                 .distinct()
             )
-            survivors = sigs.join(dup_in_batch, id_col, "left_anti")
+            survivors = sigs.join(F.broadcast(dup_in_batch), id_col, "left_anti")
             # vs every previously admitted doc, via the bucket table
             if seen.current_version() is not None:
                 seen_df = seen.read()
@@ -566,17 +575,19 @@ def start_incremental_neardup_ingest(
                         "resuming ingest"
                     )
                 hits = (
-                    survivors.select(
-                        id_col,
-                        "sig",
-                        F.posexplode(band_arr).alias("band_idx", "band_sig"),
+                    F.broadcast(
+                        survivors.select(
+                            id_col,
+                            "sig",
+                            F.posexplode(band_arr).alias("band_idx", "band_sig"),
+                        )
                     )
                     .join(seen_df, ["band_idx", "band_sig"])
                     .filter(agree(F.col("sig"), F.col("seen_sig")) >= n_agree_min)
                     .select(id_col)
                     .distinct()
                 )
-                survivors = survivors.join(hits, id_col, "left_anti")
+                survivors = survivors.join(F.broadcast(hits), id_col, "left_anti")
             survivors = survivors.persist()
             try:
                 admitted = survivors.drop(

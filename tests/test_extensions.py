@@ -871,3 +871,142 @@ def test_trained_weights_drop_into_shipped_scorer(spark, sf_dir):
     agree = sum(1 for r in scored if r.keep == keeps[r.doc_id]) / len(scored)
     final_acc = sorted(metrics, key=lambda r: r.iter)[-1].accuracy
     assert abs(agree - final_acc) < 0.02, (agree, final_acc)
+
+
+def test_pca_fit_matches_numpy(spark, sf_dir):
+    """The distributed moment pass + driver eig must agree with plain numpy
+    PCA over the collected corpus (same centering, same sign rule)."""
+    import numpy as np
+
+    fit = similarity._pca_fit(spark, sf_dir)
+    n, mean, cov, evals, evecs = fit
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    assert n == len(X)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-10)
+    C = np.cov(X, rowvar=False)
+    assert np.allclose(cov, C, atol=1e-10)
+    ev, W = np.linalg.eigh((C + C.T) / 2.0)
+    order = np.argsort(ev)[::-1]
+    ev, W = ev[order], W[:, order]
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    assert np.allclose(evals, ev, atol=1e-8)
+    # eigenvectors can swap arbitrarily within a degenerate eigenvalue
+    # cluster; the fixture spectrum is simple, so direct compare holds
+    assert np.allclose(evecs, W, atol=1e-6)
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark, sf_dir):
+    import numpy as np
+
+    _, _, _, evals, evecs = similarity._pca_fit(spark, sf_dir)
+    d = evecs.shape[0]
+    assert np.allclose(evecs.T @ evecs, np.eye(d), atol=1e-8)
+    assert all(evals[i] >= evals[i + 1] - 1e-12 for i in range(len(evals) - 1))
+    # deterministic sign rule: max-|loading| entry of each component positive
+    for j in range(d):
+        i = int(np.argmax(np.abs(evecs[:, j])))
+        assert evecs[i, j] > 0
+
+
+def test_pca_projection_parity_and_variance(spark, sf_dir):
+    """Projected coordinates must match numpy (X-μ)W and their per-component
+    variance must equal the top eigenvalues."""
+    import numpy as np
+
+    _, mean, _, evals, evecs = similarity._pca_fit(spark, sf_dir)
+    out = similarity.pca_embeddings_project(spark, sf_dir).collect()
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    k = similarity._PCA_COMPONENTS
+    P = (X - mean) @ evecs[:, :k]
+    byid = {r.vec_id: [r.pc1, r.pc2, r.pc3, r.pc4] for r in out}
+    assert len(byid) == len(ids)
+    got = np.array([byid[i] for i in ids])
+    assert np.allclose(got, P, atol=1e-4)  # engine rounds to 5 decimals
+    # sample variance of each projected coordinate == its eigenvalue
+    assert np.allclose(got.var(axis=0, ddof=1), evals[:k], atol=1e-4)
+
+
+def test_bm25_matches_python_oracle(spark, sf_dir):
+    """Pure-Python BM25 over the collected corpus reproduces the engine's
+    scores and ranking exactly (after the same 6-decimal rounding)."""
+    import math as m
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import textops
+
+    docs = [
+        (r.doc_id, (r.text or "").strip().lower().split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    n_docs = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n_docs
+    k1, b = textops._BM25_K1, textops._BM25_B
+    expected = {}
+    for qid, terms in textops._BM25_QUERIES.items():
+        scores = {}
+        for t in terms:
+            df = sum(1 for _, toks in docs if t in toks)
+            if df == 0:
+                continue
+            idf = m.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for doc_id, toks in docs:
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                dl = len(toks)
+                c = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+                scores[doc_id] = scores.get(doc_id, 0.0) + c
+        ranked = sorted(
+            ((round(s, 6), doc_id) for doc_id, s in scores.items()),
+            key=lambda p: (-p[0], p[1]),
+        )[: textops._BM25_TOPK]
+        for rank, (s, doc_id) in enumerate(ranked, start=1):
+            expected[(qid, rank)] = (doc_id, s)
+
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in textops.bm25_search(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_mm_feature_extract_null_text_guard(spark, tmp_path):
+    """NULL text must be dropped identically by the engine and the oracle
+    (ADVICE r6): the engine's decoder would crash on a NULL payload, and
+    the oracle would otherwise emit a row of NULLs — both sides now filter."""
+    import duckdb
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "alpha beta", "en", "s1", 10),
+            (2, None, "en", "s1", 0),
+            (3, "", "en", "s1", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.doc_id for r in multimodal.mm_feature_extract(spark, sf).collect()}
+    assert got == {1, 3}  # NULL dropped, empty string kept (decodes to zeros)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    oracle = {r[0] for r in con.sql(multimodal.MM_FEATURE_EXTRACT_SQL).fetchall()}
+    assert oracle == got

@@ -245,15 +245,23 @@ def test_stateful_trip_segmentation(spark, tmp_path):
         .start()
     )
     # availableNow does not self-terminate here: the open trip holds a
-    # pending processing-time state timeout, so the query idles waiting for
-    # a no-data batch. Poll the sink and stop once the closed trip lands
-    # instead of eating the full awaitTermination timeout.
+    # pending processing-time state timeout, so the query keeps triggering
+    # while waiting for it. Poll the sink until the closed trip lands, then
+    # hold an 8 s grace window (micro-batches keep running during it) so a
+    # regression that re-emits the trip in a later micro-batch still fails
+    # the exact-count assert below. The grace must stay well under the
+    # 120 s state timeout — at that point the SECOND trip legitimately
+    # closes and a second row is correct, not a regression.
     deadline = time.time() + 120
+    first_row_at = None
     while time.time() < deadline:
         if q.awaitTermination(2):
             break
         if spark.sql("select count(*) from trips_test").first()[0] >= 1:
-            break
+            if first_row_at is None:
+                first_row_at = time.time()
+            elif time.time() - first_row_at >= 8:
+                break
     q.stop()
     q.awaitTermination(30)
     out = spark.sql("select * from trips_test").collect()
