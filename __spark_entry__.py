@@ -63,19 +63,22 @@ _MODULES = [
 # (b) the four r3-era entries, now the oldest driver rows (agg_hll_mergeable
 # and ann_pq are rows-only by contract — sketch internals differ across
 # engines — and still get their fresh rows-only row); (c) all 44 r4-era
-# entries except set_except and union_by_name, deferred to round 8 (their
-# set-ops siblings set_intersect/sort_limit_topk are r6-green, so they carry
-# the least new signal) to keep the window at exactly 50. New ops added this
-# round (bm25_search, the PCA pair) are at the head alongside (a).
+# entries except set_except, union_by_name and sort_within_partitions,
+# deferred to round 8 (their set-ops/sort siblings set_intersect and
+# sort_limit_topk are r6-green, so they carry the least new signal) to keep
+# the window at exactly 50. New ops added this round (bm25_search, the PCA
+# pair) and the knn_bruteforce_vectorized rows-only→oracle upgrade are at
+# the head alongside (a).
 # mm_feature_extract gained a NULL-text guard this round (engine + oracle,
 # identical WHERE); its r6 row remains valid on current fixtures (none carry
 # NULL text), so it rotates normally rather than re-entering the window.
 _PRIORITY = [
-    # (a) no driver row yet / new this round
+    # (a) no driver row yet / new or oracle-upgraded this round
     "train_quality_classifier",
     "bm25_search",
     "pca_covariance",
     "pca_embeddings_project",
+    "knn_bruteforce_vectorized",
     # (b) r3-era rows — oldest in the ledger
     "agg_hll_mergeable",
     "ann_pq",
@@ -108,7 +111,6 @@ _PRIORITY = [
     "shuffle_epoch_rank",
     "snapshot_changelog_orders",
     "snapshot_time_travel_orders",
-    "sort_within_partitions",
     "text_bigram_freq",
     "text_heavy_hitters",
     "text_lang_id",

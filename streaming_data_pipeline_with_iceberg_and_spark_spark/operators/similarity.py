@@ -282,9 +282,12 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB scale path for brute-force scoring (Arrow batches, BLAS-backed
     GEMM, per-batch partial top-k so only k·|Q| rows leave each partition).
 
-    Same semantics as ``knn_bruteforce``; rows-only check (float accumulation
-    order differs from the sequential-fold oracle in the last bits) plus a
-    parity unit test in tests/test_extensions.py."""
+    Same semantics as ``knn_bruteforce`` and the SAME DuckDB oracle (round 7
+    upgrade from rows-only): the per-partition partial top-k selects by the
+    (5-decimal-rounded score, vec_id) key — the key the oracle ranks by — so
+    a raw-score ulp difference straddling a rounding tie can no longer pick
+    a different candidate than the oracle at the k boundary. Parity unit
+    test in tests/test_extensions.py."""
     import numpy as np
     import pandas as pd
 
@@ -319,10 +322,15 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row = sims[qi]
                 mask = ids != q_ids[qi]
                 cand = np.where(mask)[0]
-                top = cand[np.argsort(-row[cand], kind="stable")[:k]]
+                # select by (rounded score desc, vec_id asc) — identical to
+                # the final window's ordering, keeping the partial top-k
+                # consistent with the oracle under rounding ties
+                r5 = np.round(row[cand], 5)
+                order = np.lexsort((ids[cand], -r5))
+                top = cand[order[:k]]
                 out_q.extend([q_ids[qi]] * len(top))
                 out_v.extend(ids[top])
-                out_s.extend(np.round(row[top], 5))
+                out_s.extend(r5[order[:k]])
             yield pd.DataFrame(
                 {"q_id": out_q, "vec_id": out_v, "cos_sim": out_s}
             )
@@ -1248,6 +1256,9 @@ QUERIES = {
 
 ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    # round 7: the vectorized path emits tie-consistent 5-decimal scores, so
+    # the exact-baseline oracle applies to it verbatim
+    "knn_bruteforce_vectorized": KNN_BRUTEFORCE_SQL,
     "knn_dot_topk": KNN_DOT_SQL,
     "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
     # round 6: ann_lsh_hyperplane upgraded from rows-only to value-exact
