@@ -1119,25 +1119,16 @@ def _pca_moments_fn():
     return moments
 
 
-def _pca_fit(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None):
-    """Fit PCA: returns (n, mean, cov, eigvals desc, components) or None if
-    the corpus has < 2 vectors. Components carry a deterministic sign (the
-    max-|loading| element of each eigenvector is made positive), so repeated
-    fits on the same data agree exactly."""
+def _pca_finalize_rows(rows):
+    """Turn collected (pos, v) moment rows — one fully-merged sum per pos —
+    into (n, mean, cov, eigvals desc, components), or None if the corpus has
+    < 2 vectors. Components carry a deterministic sign (the max-|loading|
+    element of each eigenvector is made positive), so repeated fits on the
+    same data agree exactly."""
     import math
 
     import numpy as np
 
-    if emb is None:
-        emb = load_spread(spark, "embeddings", sf_dir)
-    rows = (
-        emb.select("embedding")
-        .filter(F.col("embedding").isNotNull())
-        .mapInPandas(_pca_moments_fn(), schema="pos long, v double")
-        .groupBy("pos")
-        .agg(F.sum("v").alias("v"))
-        .collect()
-    )
     if not rows:
         return None
     vals = np.zeros(max(r["pos"] for r in rows) + 1)
@@ -1160,6 +1151,40 @@ def _pca_fit(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None):
         if evecs[i, j] < 0:
             evecs[:, j] = -evecs[:, j]
     return int(n), mean, cov, evals, evecs
+
+
+def pca_moment_partials(emb: DataFrame) -> DataFrame:
+    """The mergeable heart of PCA: per-batch/per-partition (pos, v) moment
+    partial sums. Sums are associative, so partials from ANY split of the
+    corpus — partitions of one scan, or successive ingest micro-batches
+    (streaming/ingest.py start_incremental_pca_ingest) — fold into the same
+    moment vector a single batch pass produces."""
+    return (
+        emb.select("embedding")
+        .filter(F.col("embedding").isNotNull())
+        .mapInPandas(_pca_moments_fn(), schema="pos long, v double")
+        .groupBy("pos")
+        .agg(F.sum("v").alias("v"))
+    )
+
+
+def pca_fit_from_moments(moments_df: DataFrame):
+    """Finalize a PCA fit from accumulated (pos, v) moment rows — e.g. the
+    incremental-ingest moments table, which appends one partial row-set per
+    micro-batch. Exactly the fit a batch re-run over the full corpus gives
+    (modulo float addition order), at metadata cost: the table holds
+    (1+d+d²) rows per batch and this re-merge is one tiny hash agg."""
+    return _pca_finalize_rows(
+        moments_df.groupBy("pos").agg(F.sum("v").alias("v")).collect()
+    )
+
+
+def _pca_fit(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None):
+    """Fit PCA over the embeddings table: one distributed moment pass, then
+    driver-side finalize (see _pca_finalize_rows for the determinism rule)."""
+    if emb is None:
+        emb = load_spread(spark, "embeddings", sf_dir)
+    return _pca_finalize_rows(pca_moment_partials(emb).collect())
 
 
 def pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:

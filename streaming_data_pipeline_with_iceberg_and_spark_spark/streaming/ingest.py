@@ -616,6 +616,72 @@ def start_incremental_neardup_ingest(
     return writer.start()
 
 
+def start_incremental_pca_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_root: str,
+    moments_root: str,
+    txn_dir: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "pca_ingest",
+) -> StreamingQuery:
+    """EXACT streaming PCA: maintain the corpus's (n, Σx, XᵀX) moment vector
+    incrementally at ingest. PCA's sufficient statistics are plain sums, so
+    each micro-batch appends its own (pos, v) partial row-set — computed by
+    the SAME GEMM pass batch PCA uses (operators/similarity.py
+    pca_moment_partials) — and a fit finalized from the moments table at ANY
+    point (similarity.pca_fit_from_moments) equals a full batch refit over
+    everything ingested so far, without ever rescanning the corpus. At
+    100 TB this turns "refresh the PCA/whitening transform" from a
+    full-corpus job into a metadata read: the moments table holds
+    (1+d+d²) rows per batch (~4 k rows for d=64) and finalize is one tiny
+    hash agg + a d×d driver eig.
+
+    Exactly-once: corpus rows and their moment partials commit in ONE
+    multi-table transaction with namespaced batch keys (same protocol as
+    the incremental dedup paths); a replayed batch is skipped whole, so the
+    moments can never double-count a batch the corpus saw once.
+
+    Rows with NULL embedding are admitted to the corpus but contribute no
+    moments — identical to batch PCA's NULL filter."""
+    from ..operators.similarity import pca_moment_partials
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+    )
+
+    corpus = SnapshotTable(spark, corpus_root)
+    moments = SnapshotTable(spark, moments_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def pca_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([corpus, moments], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        txn = MultiTableTransaction([corpus, moments], txn_dir)
+        key = f"{stream_id}#{batch_id}"
+        txn.stage_append(corpus, batch_df, batch_id=key)
+        txn.stage_append(moments, pca_moment_partials(batch_df), batch_id=key)
+        txn.commit()
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(pca_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

@@ -1078,3 +1078,87 @@ def test_neardup_ingest_rejects_stale_signature_scheme(spark, tmp_path):
     with pytest.raises(pyspark.errors.StreamingQueryException) as ei:
         q.awaitTermination(120)
     assert "signature scheme changed" in str(ei.value)
+
+
+def test_incremental_pca_ingest_matches_batch_fit(spark, tmp_path):
+    """Exact streaming PCA: the fit finalized from the incrementally
+    maintained moments table must equal a batch refit over the ingested
+    corpus — across micro-batches, with NULL embeddings, and under
+    checkpointed replay."""
+    import json as _json
+
+    import numpy as np
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        _pca_finalize_rows,
+        pca_fit_from_moments,
+        pca_moment_partials,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_pca_ingest,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 8
+    src = tmp_path / "vecs"
+    src.mkdir()
+
+    def write_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                vec = rng.standard_normal(d).round(6).tolist()
+                f.write(_json.dumps({"vec_id": i, "embedding": vec}) + "\n")
+
+    write_file("a.json", range(30))
+    corpus_root = str(tmp_path / "corpus")
+    moments_root = str(tmp_path / "moments")
+    txn_dir = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_pca_ingest(
+            spark,
+            str(src),
+            corpus_root,
+            moments_root,
+            txn_dir,
+            schema="vec_id long, embedding array<double>",
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,  # one micro-batch per file
+        )
+        q.awaitTermination(120)
+
+    drain()
+    corpus = SnapshotTable(spark, corpus_root)
+    moments = SnapshotTable(spark, moments_root)
+
+    def check():
+        inc = pca_fit_from_moments(moments.read())
+        ref = _pca_finalize_rows(pca_moment_partials(corpus.read()).collect())
+        assert inc[0] == ref[0]
+        for a, b in zip(inc[1:], ref[1:]):
+            assert np.allclose(a, b, atol=1e-8)
+        return inc
+
+    inc1 = check()
+    assert inc1[0] == 30
+    # second window: two more files (→ two micro-batches), one NULL
+    # embedding row (admitted to the corpus, contributes no moments)
+    write_file("b.json", range(100, 120))
+    with open(src / "c.json", "w") as f:
+        f.write(_json.dumps({"vec_id": 999, "embedding": None}) + "\n")
+    drain()
+    inc2 = check()
+    assert inc2[0] == 50
+    assert corpus.read().count() == 51
+    # the incremental fit genuinely moved with the new data
+    assert not np.allclose(inc1[2], inc2[2], atol=1e-12)
+    # replay with no new files: nothing moves
+    v = moments.current_version()
+    drain()
+    assert moments.current_version() == v
+    # moments table stays metadata-scale: (1+d+d²) rows per contributing batch
+    assert moments.read().count() % (1 + d + d * d) == 0
