@@ -667,11 +667,30 @@ def start_incremental_pca_ingest(
             state["max_seen"] = _max_seen_batch([corpus, moments], stream_id)
         if batch_id <= state["max_seen"]:
             return
-        txn = MultiTableTransaction([corpus, moments], txn_dir)
-        key = f"{stream_id}#{batch_id}"
-        txn.stage_append(corpus, batch_df, batch_id=key)
-        txn.stage_append(moments, pca_moment_partials(batch_df), batch_id=key)
-        txn.commit()
+        partial = pca_moment_partials(batch_df).persist()
+        try:
+            # Loud dimension guard: partial sums only merge meaningfully
+            # within ONE pos-space (1+d+d² entries). A batch whose embedding
+            # dim drifted from the table's would silently corrupt every
+            # future fit — that is an upstream schema error, not a cast.
+            new_max = partial.agg(F.max("pos")).first()[0]
+            if new_max is not None and moments.current_version() is not None:
+                old_max = moments.read().agg(F.max("pos")).first()[0]
+                if old_max is not None and old_max != new_max:
+                    raise RuntimeError(
+                        f"embedding dimension drift: moments table at "
+                        f"{moments_root} holds pos-space 0..{old_max} but "
+                        f"this batch produced 0..{new_max}; mixed-dimension "
+                        "moments are meaningless — fix the upstream schema "
+                        "or rebuild the moments table"
+                    )
+            txn = MultiTableTransaction([corpus, moments], txn_dir)
+            key = f"{stream_id}#{batch_id}"
+            txn.stage_append(corpus, batch_df, batch_id=key)
+            txn.stage_append(moments, partial, batch_id=key)
+            txn.commit()
+        finally:
+            partial.unpersist()
         state["max_seen"] = batch_id
 
     writer = stream.writeStream.foreachBatch(pca_batch).outputMode("append")

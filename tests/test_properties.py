@@ -189,3 +189,55 @@ def test_discrete_median_strategies_match_python_oracle(spark):
             analytics._MAD_HIST_MAX_DISTINCT = saved
 
     check()
+
+
+_vec = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    min_size=3,
+    max_size=3,
+)
+_vec_batches = st.lists(
+    st.lists(_vec, min_size=0, max_size=8), min_size=1, max_size=3
+)
+
+
+@given(batches=_vec_batches)
+@_settings
+def test_pca_moment_merge_equals_single_pass(spark, batches):
+    """PCA sufficient statistics are sums: merging per-batch (pos, v)
+    partials must finalize to the same fit as one pass over all rows — the
+    algebra start_incremental_pca_ingest relies on. Eigenvectors are skipped
+    (random data can have degenerate eigenvalue clusters); n/mean/cov/
+    eigenvalues pin the fit."""
+    import numpy as np
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        _pca_finalize_rows,
+        pca_moment_partials,
+    )
+
+    from hypothesis import assume
+
+    all_rows = [v for b in batches for v in b]
+    assume(len(all_rows) >= 2)
+    schema = "embedding array<double>"
+
+    def partials(rows):
+        return pca_moment_partials(
+            spark.createDataFrame([(v,) for v in rows], schema)
+        )
+
+    merged = None
+    for b in batches:
+        if not b:
+            continue
+        p = partials(b)
+        merged = p if merged is None else merged.unionByName(p)
+    inc = _pca_finalize_rows(
+        merged.groupBy("pos").agg(F.sum("v").alias("v")).collect()
+    )
+    ref = _pca_finalize_rows(partials(all_rows).collect())
+    assert inc[0] == ref[0] == len(all_rows)
+    assert np.allclose(inc[1], ref[1], atol=1e-9)  # mean
+    assert np.allclose(inc[2], ref[2], atol=1e-7)  # cov
+    assert np.allclose(inc[3], ref[3], atol=1e-6)  # eigenvalues

@@ -1162,3 +1162,40 @@ def test_incremental_pca_ingest_matches_batch_fit(spark, tmp_path):
     assert moments.current_version() == v
     # moments table stays metadata-scale: (1+d+d²) rows per contributing batch
     assert moments.read().count() % (1 + d + d * d) == 0
+
+
+def test_incremental_pca_ingest_rejects_dimension_drift(spark, tmp_path):
+    """A batch whose embedding dimension differs from the moments table's
+    must fail loudly — mixed-dimension moment sums would silently corrupt
+    every future fit."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_pca_ingest,
+    )
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"vec_id": i, "embedding": [0.5] * 8}) + "\n")
+
+    def drain():
+        q = start_incremental_pca_ingest(
+            spark,
+            str(src),
+            str(tmp_path / "corpus"),
+            str(tmp_path / "moments"),
+            str(tmp_path / "txns"),
+            schema="vec_id long, embedding array<double>",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    with open(src / "b.json", "w") as f:
+        f.write(_json.dumps({"vec_id": 100, "embedding": [0.5] * 4}) + "\n")
+    with _pytest.raises(Exception, match="dimension drift"):
+        drain()
