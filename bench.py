@@ -77,6 +77,17 @@ HEADLINE = [
     "bm25_search",
     "pca_covariance",
     "pca_embeddings_project",
+    # Appended round 7, second segment: the rest of the TPC-H-22 shape set,
+    # so every round's BENCH times the full 22-query suite.
+    "q4_order_priority",
+    "q9_product_profit",
+    "q12_shipdelay_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
 ]
 
 

@@ -5,8 +5,8 @@
   corpus per query batch, no shuffle of the corpus itself.
 - LSH (random-hyperplane) ANN: sign-bit bucket join — candidates share a
   bucket; corpus side is bucketed once (reusable), query side is tiny.
-  Engine-internal hashing → rows-only check, plus a recall unit test vs the
-  exact baseline (tests/test_similarity.py).
+  md5-derived hyperplanes since round 6 → full DuckDB oracle, plus a recall
+  unit test vs the exact baseline (tests/test_extensions.py).
 - IVF ANN: learned coarse quantizer (√N cells, one Lloyd step) + nprobe cell
   probing — the classic inverted-file layout; candidate join keyed on cell.
   (dedup_embedding_cosine's label blocking is the same shape with given
@@ -1229,7 +1229,7 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic-sign loadings). Rows-only by contract: the eigensolver is
     engine-internal floating point with no ANSI-SQL twin — parity vs a
     numpy-on-collected-data oracle, orthonormality, and projected-variance ≈
-    eigenvalue invariants are pinned in tests/test_similarity.py.
+    eigenvalue invariants are pinned in tests/test_extensions.py.
 
     Scale shape: fit is the one-GEMM-pass moment agg above; projection is a
     second stateless GEMM pass with the d×k loading matrix shipped in the

@@ -944,17 +944,24 @@ def test_bm25_matches_python_oracle(spark, sf_dir):
     """Pure-Python BM25 over the collected corpus reproduces the engine's
     scores and ranking exactly (after the same 6-decimal rounding)."""
     import math as m
+    import re
 
     from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import textops
 
-    docs = [
-        (r.doc_id, (r.text or "").strip().lower().split())
-        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
         .collect()
+    )
+    # mirror the engine exactly: split('\s+') after trim+lower (an empty
+    # string tokenizes to ['']), NULL text contributes to n_docs but not avgdl
+    docs = [
+        (r.doc_id, re.split(r"\s+", r.text.strip().lower()))
+        for r in rows
+        if r.text is not None
     ]
-    n_docs = len(docs)
-    avgdl = sum(len(t) for _, t in docs) / n_docs
+    n_docs = len(rows)
+    avgdl = sum(len(t) for _, t in docs) / len(docs)
     k1, b = textops._BM25_K1, textops._BM25_B
     expected = {}
     for qid, terms in textops._BM25_QUERIES.items():
