@@ -1031,31 +1031,39 @@ _BM25_QUERIES = {
 }
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: BM25 top-10 documents per pinned query.
+def bm25_rank(
+    docs: DataFrame,
+    qmap: DataFrame,
+    k: int = _BM25_TOPK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+) -> DataFrame:
+    """BM25 top-``k`` documents per query — the reusable operator.
+
+    ``qmap`` is a small (query_id, term) frame (a user request batch); it is
+    broadcast, so scoring work grows with the corpus, never with |Q|.
 
     Scale shape (the part that matters at 100 TB): the exploded token stream
-    is filtered to the ~15 query terms BEFORE the (doc_id, term) aggregation,
+    is filtered to the query-term set BEFORE the (doc_id, term) aggregation,
     so the shuffle carries only matching postings — a sliver of the corpus —
     while doc length (dl) rides along from the scan and the corpus-wide
-    (n_docs, avgdl) stats are a broadcast 1-row aggregate. df-per-term reuses
-    the postings' hash partitioning via a window, exactly like
-    text_tfidf_top_terms; the query map is a broadcast literal frame; final
-    top-k is one per-query window over scored docs. Two corpus scans total
-    (stats + postings), zero corpus-keyed wide shuffles.
+    (n_docs, avgdl) stats are a broadcast 1-row aggregate. df-per-term
+    reuses the postings' hash partitioning via a window, exactly like
+    text_tfidf_top_terms; final top-k is one per-query window (plan audit
+    in COVERAGE.md: Spark's WindowGroupLimit bounds it per-partition). Two
+    corpus scans total (stats + postings), zero corpus-keyed wide shuffles.
     """
-    toks = tokens("text")
-    stats = (
-        load(spark, "documents", sf_dir)
-        .select(F.size(toks).alias("nt"))
-        .agg(F.count("*").alias("n_docs"), F.avg("nt").alias("avgdl"))
+    toks = tokens(text_col)
+    stats = docs.select(F.size(toks).alias("nt")).agg(
+        F.count("*").alias("n_docs"), F.avg("nt").alias("avgdl")
     )
-    all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    all_terms = [r["term"] for r in qmap.select("term").distinct().collect()]
     postings = (
-        load_spread(spark, "documents", sf_dir)
-        .select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        docs.select(id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term"))
         .filter(F.col("term").isin(all_terms))
-        .groupBy("doc_id", "term")
+        .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
     scored = postings.withColumn(
@@ -1065,26 +1073,31 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    tf_norm = (F.col("tf") * (_BM25_K1 + 1)) / (
-        F.col("tf")
-        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = scored.withColumn("contrib", idf * tf_norm)
+    per_q = (
+        scored.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "bm25")
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: BM25 top-10 per pinned benchmark query (registry face of
+    :func:`bm25_rank`; the pinned set keeps the driver oracle reproducible)."""
     qmap = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
         "query_id int, term string",
     )
-    per_q = (
-        scored.join(F.broadcast(qmap), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        per_q.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_TOPK)
-        .select("query_id", "rank", "doc_id", "bm25")
-    )
+    return bm25_rank(load_spread(spark, "documents", sf_dir), qmap)
 
 
 _BM25_Q_VALUES = ", ".join(

@@ -1017,3 +1017,37 @@ def test_mm_feature_extract_null_text_guard(spark, tmp_path):
     )
     oracle = {r[0] for r in con.sql(multimodal.MM_FEATURE_EXTRACT_SQL).fetchall()}
     assert oracle == got
+
+
+def test_bm25_rank_api_custom_queries(spark):
+    """bm25_rank as a standalone operator: custom corpus, custom query
+    frame, custom k — tf monotonicity and rank contiguity hold."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple banana"),  # higher tf(apple), same length
+            (3, "cherry date elderberry"),
+            (4, "fig grape honeydew"),
+        ],
+        "doc_id long, text string",
+    )
+    qmap = spark.createDataFrame(
+        [(1, "apple"), (2, "cherry"), (2, "date")], "query_id int, term string"
+    )
+    out = bm25_rank(docs, qmap, k=2).collect()
+    byq = {}
+    for r in out:
+        byq.setdefault(r.query_id, []).append(r)
+    # q1: doc 2 (tf=2) outranks doc 1 (tf=1); doc 4 matches nothing
+    q1 = sorted(byq[1], key=lambda r: r.rank)
+    assert [r.doc_id for r in q1] == [2, 1]
+    assert q1[0].bm25 > q1[1].bm25
+    # q2: doc 3 matches both terms and must rank first
+    q2 = sorted(byq[2], key=lambda r: r.rank)
+    assert q2[0].doc_id == 3
+    # k respected, ranks contiguous from 1
+    for rows_ in byq.values():
+        assert len(rows_) <= 2
+        assert sorted(r.rank for r in rows_) == list(range(1, len(rows_) + 1))
