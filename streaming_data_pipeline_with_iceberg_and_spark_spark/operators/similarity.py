@@ -1095,8 +1095,11 @@ _PCA_DIM_CAP = 1024
 
 def _pca_moments_fn():
     """mapInPandas closure: per Arrow batch emit the flattened partial
-    moments [n, Σx (d), XᵀX (d²)] as (pos, v) rows — elementwise-summable,
-    so one ≤(1+d+d²)-row hash agg merges all partials."""
+    moments [n, Σx (d), XᵀX (d²)] as (d, pos, v) rows — elementwise-summable
+    within one dimension, so one ≤(1+d+d²)-row hash agg merges all partials.
+    ``d`` rides along so mixed-dimension inputs (two sources with different
+    embedding widths in one scan or one micro-batch) surface as >1 group in
+    the finalize instead of silently summing incompatible pos-spaces."""
     import numpy as np
     import pandas as pd
 
@@ -1114,29 +1117,40 @@ def _pca_moments_fn():
             vals = np.concatenate(
                 ([float(n)], mat.sum(axis=0), (mat.T @ mat).reshape(-1))
             )
-            yield pd.DataFrame({"pos": np.arange(vals.size), "v": vals})
+            yield pd.DataFrame(
+                {
+                    "d": np.full(vals.size, d, dtype=np.int32),
+                    "pos": np.arange(vals.size),
+                    "v": vals,
+                }
+            )
 
     return moments
 
 
 def _pca_finalize_rows(rows):
-    """Turn collected (pos, v) moment rows — one fully-merged sum per pos —
-    into (n, mean, cov, eigvals desc, components), or None if the corpus has
-    < 2 vectors. Components carry a deterministic sign (the max-|loading|
-    element of each eigenvector is made positive), so repeated fits on the
-    same data agree exactly."""
-    import math
-
+    """Turn collected (d, pos, v) moment rows — one fully-merged sum per pos
+    — into (n, mean, cov, eigvals desc, components), or None if the corpus
+    has < 2 vectors. Raises on mixed dimensions: partial sums only merge
+    meaningfully within one pos-space. Components carry a deterministic sign
+    (the max-|loading| element of each eigenvector is made positive), so
+    repeated fits on the same data agree exactly."""
     import numpy as np
 
     if not rows:
         return None
-    vals = np.zeros(max(r["pos"] for r in rows) + 1)
+    dims = {r["d"] for r in rows}
+    if len(dims) > 1:
+        raise ValueError(
+            f"mixed embedding dimensions in moment rows: {sorted(dims)} — "
+            "moment sums across different pos-spaces are meaningless; fix "
+            "the upstream schema or fit each dimension separately"
+        )
+    d = dims.pop()
+    vals = np.zeros(1 + d + d * d)
     for r in rows:
         vals[r["pos"]] = r["v"]
     n = vals[0]
-    size = vals.size - 1
-    d = int(round((math.sqrt(4 * size + 1) - 1) / 2))  # d + d² = size
     if n < 2 or d < 1:
         return None
     s = vals[1 : 1 + d]
@@ -1162,8 +1176,8 @@ def pca_moment_partials(emb: DataFrame) -> DataFrame:
     return (
         emb.select("embedding")
         .filter(F.col("embedding").isNotNull())
-        .mapInPandas(_pca_moments_fn(), schema="pos long, v double")
-        .groupBy("pos")
+        .mapInPandas(_pca_moments_fn(), schema="d int, pos long, v double")
+        .groupBy("d", "pos")
         .agg(F.sum("v").alias("v"))
     )
 
@@ -1175,7 +1189,7 @@ def pca_fit_from_moments(moments_df: DataFrame):
     (modulo float addition order), at metadata cost: the table holds
     (1+d+d²) rows per batch and this re-merge is one tiny hash agg."""
     return _pca_finalize_rows(
-        moments_df.groupBy("pos").agg(F.sum("v").alias("v")).collect()
+        moments_df.groupBy("d", "pos").agg(F.sum("v").alias("v")).collect()
     )
 
 

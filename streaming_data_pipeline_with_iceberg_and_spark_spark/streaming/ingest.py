@@ -670,17 +670,27 @@ def start_incremental_pca_ingest(
         partial = pca_moment_partials(batch_df).persist()
         try:
             # Loud dimension guard: partial sums only merge meaningfully
-            # within ONE pos-space (1+d+d² entries). A batch whose embedding
-            # dim drifted from the table's would silently corrupt every
-            # future fit — that is an upstream schema error, not a cast.
-            new_max = partial.agg(F.max("pos")).first()[0]
-            if new_max is not None and moments.current_version() is not None:
-                old_max = moments.read().agg(F.max("pos")).first()[0]
-                if old_max is not None and old_max != new_max:
+            # within ONE pos-space (1+d+d² entries). Mixed dims inside one
+            # micro-batch (two sources in one trigger window) or drift vs
+            # the table would silently corrupt every future fit — that is
+            # an upstream schema error, not a cast.
+            new_dims = sorted(
+                r["d"] for r in partial.select("d").distinct().collect()
+            )
+            if len(new_dims) > 1:
+                raise RuntimeError(
+                    f"embedding dimension drift WITHIN one micro-batch: "
+                    f"dims {new_dims}; fix the upstream schema"
+                )
+            if new_dims and moments.current_version() is not None:
+                old_dims = sorted(
+                    r["d"] for r in moments.read().select("d").distinct().collect()
+                )
+                if old_dims and old_dims != new_dims:
                     raise RuntimeError(
                         f"embedding dimension drift: moments table at "
-                        f"{moments_root} holds pos-space 0..{old_max} but "
-                        f"this batch produced 0..{new_max}; mixed-dimension "
+                        f"{moments_root} holds dim {old_dims} but this "
+                        f"batch produced dim {new_dims}; mixed-dimension "
                         "moments are meaningless — fix the upstream schema "
                         "or rebuild the moments table"
                     )

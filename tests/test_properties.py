@@ -234,7 +234,7 @@ def test_pca_moment_merge_equals_single_pass(spark, batches):
         p = partials(b)
         merged = p if merged is None else merged.unionByName(p)
     inc = _pca_finalize_rows(
-        merged.groupBy("pos").agg(F.sum("v").alias("v")).collect()
+        merged.groupBy("d", "pos").agg(F.sum("v").alias("v")).collect()
     )
     ref = _pca_finalize_rows(partials(all_rows).collect())
     assert inc[0] == ref[0] == len(all_rows)

@@ -1199,3 +1199,37 @@ def test_incremental_pca_ingest_rejects_dimension_drift(spark, tmp_path):
         f.write(_json.dumps({"vec_id": 100, "embedding": [0.5] * 4}) + "\n")
     with _pytest.raises(Exception, match="dimension drift"):
         drain()
+
+
+def test_incremental_pca_ingest_rejects_mixed_dims_within_batch(spark, tmp_path):
+    """Two sources with different embedding dims landing in ONE trigger
+    window (maxFilesPerTrigger > 1) must also fail loudly — per-chunk
+    partials would otherwise merge incompatible pos-spaces silently."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_pca_ingest,
+    )
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(4):
+            f.write(_json.dumps({"vec_id": i, "embedding": [0.5] * 8}) + "\n")
+    with open(src / "b.json", "w") as f:
+        for i in range(4):
+            f.write(_json.dumps({"vec_id": 100 + i, "embedding": [0.5] * 4}) + "\n")
+
+    q = start_incremental_pca_ingest(
+        spark,
+        str(src),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "moments"),
+        str(tmp_path / "txns"),
+        schema="vec_id long, embedding array<double>",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    with _pytest.raises(Exception, match="WITHIN one micro-batch"):
+        q.awaitTermination(120)
