@@ -1019,6 +1019,11 @@ FROM s
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_TOPK = 10
+# The query frame's distinct terms are collected to the driver and shipped
+# as an INSET literal (that is what lets the postings filter run BEFORE the
+# shuffle). Like similarity._Q_CAP, the bound is the contract that keeps
+# scoring work growing with the corpus, never with the request.
+_BM25_MAX_TERMS = 10_000
 # Pinned benchmark queries over the fixture vocabulary. Like the ANN query
 # sets (similarity._Q_CAP), the query side is CONSTANT-bounded by
 # construction: scoring work grows with the corpus, never with |Q|.
@@ -1059,7 +1064,20 @@ def bm25_rank(
     stats = docs.select(F.size(toks).alias("nt")).agg(
         F.count("*").alias("n_docs"), F.avg("nt").alias("avgdl")
     )
-    all_terms = [r["term"] for r in qmap.select("term").distinct().collect()]
+    all_terms = [
+        r["term"]
+        for r in qmap.select("term")
+        .distinct()
+        .limit(_BM25_MAX_TERMS + 1)
+        .collect()
+    ]
+    if len(all_terms) > _BM25_MAX_TERMS:
+        raise ValueError(
+            f"bm25_rank query frame exceeds {_BM25_MAX_TERMS} distinct "
+            "terms; the query side must stay a driver-bounded request "
+            "batch — for corpus-×-corpus scoring shapes, build an inverted "
+            "index join instead"
+        )
     postings = (
         docs.select(id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term"))
         .filter(F.col("term").isin(all_terms))
