@@ -667,6 +667,14 @@ def start_incremental_pca_ingest(
             state["max_seen"] = _max_seen_batch([corpus, moments], stream_id)
         if batch_id <= state["max_seen"]:
             return
+        # both the moment pass and the corpus append consume the batch —
+        # persist so the source is materialized once, the same trick
+        # dedup_batch uses for its staged writes (on the local NDJSON
+        # micro-bench the gain is inside run noise — per-batch cost is
+        # dominated by text parse + fixed job/txn overhead, profiled in
+        # COVERAGE.md — but on a wide-row or remote source the second
+        # uncached pass is the cost that matters)
+        batch_df = batch_df.persist()
         partial = pca_moment_partials(batch_df).persist()
         try:
             # Loud dimension guard: partial sums only merge meaningfully
@@ -701,6 +709,7 @@ def start_incremental_pca_ingest(
             txn.commit()
         finally:
             partial.unpersist()
+            batch_df.unpersist()
         state["max_seen"] = batch_id
 
     writer = stream.writeStream.foreachBatch(pca_batch).outputMode("append")
