@@ -1044,6 +1044,7 @@ def bm25_rank(
     id_col: str = "doc_id",
     k1: float = _BM25_K1,
     b: float = _BM25_B,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """BM25 top-``k`` documents per query — the reusable operator.
 
@@ -1064,13 +1065,19 @@ def bm25_rank(
     stats = docs.select(F.size(toks).alias("nt")).agg(
         F.count("*").alias("n_docs"), F.avg("nt").alias("avgdl")
     )
-    all_terms = [
-        r["term"]
-        for r in qmap.select("term")
-        .distinct()
-        .limit(_BM25_MAX_TERMS + 1)
-        .collect()
-    ]
+    # callers that already hold the term list (a parsed user request) pass
+    # it and skip the derivation job
+    all_terms = (
+        list(terms)
+        if terms is not None
+        else [
+            r["term"]
+            for r in qmap.select("term")
+            .distinct()
+            .limit(_BM25_MAX_TERMS + 1)
+            .collect()
+        ]
+    )
     if len(all_terms) > _BM25_MAX_TERMS:
         raise ValueError(
             f"bm25_rank query frame exceeds {_BM25_MAX_TERMS} distinct "
@@ -1115,7 +1122,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
         "query_id int, term string",
     )
-    return bm25_rank(load_spread(spark, "documents", sf_dir), qmap)
+    return bm25_rank(
+        load_spread(spark, "documents", sf_dir),
+        qmap,
+        terms=sorted({t for ts in _BM25_QUERIES.values() for t in ts}),
+    )
 
 
 _BM25_Q_VALUES = ", ".join(
