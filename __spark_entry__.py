@@ -63,12 +63,13 @@ _MODULES = [
 # (b) the four r3-era entries, now the oldest driver rows (agg_hll_mergeable
 # and ann_pq are rows-only by contract — sketch internals differ across
 # engines — and still get their fresh rows-only row); (c) all 44 r4-era
-# entries except set_except, union_by_name and sort_within_partitions,
-# deferred to round 8 (their set-ops/sort siblings set_intersect and
-# sort_limit_topk are r6-green, so they carry the least new signal) to keep
-# the window at exactly 50. New ops added this round (bm25_search, the PCA
-# pair) and the knn_bruteforce_vectorized rows-only→oracle upgrade are at
-# the head alongside (a).
+# entries except set_except, union_by_name, sort_within_partitions and
+# window_first_last, deferred to round 8 (their set-ops/sort/window
+# siblings set_intersect, sort_limit_topk and window_lag_lead carry the
+# same shapes with equal-or-later green rows) to keep the window at exactly
+# 50. New ops added this round (bm25_search, the PCA pair,
+# curate_multimodal_corpus) and the knn_bruteforce_vectorized
+# rows-only→oracle upgrade are at the head alongside (a).
 # mm_feature_extract gained a NULL-text guard this round (engine + oracle,
 # identical WHERE); its r6 row remains valid on current fixtures (none carry
 # NULL text), so it rotates normally rather than re-entering the window.
@@ -79,6 +80,7 @@ _PRIORITY = [
     "pca_covariance",
     "pca_embeddings_project",
     "knn_bruteforce_vectorized",
+    "curate_multimodal_corpus",
     # (b) r3-era rows — oldest in the ledger
     "agg_hll_mergeable",
     "ann_pq",
@@ -118,7 +120,6 @@ _PRIORITY = [
     "text_rollup_by_lang_source",
     "text_token_bpe",
     "text_within_doc_repetition",
-    "window_first_last",
     "window_lag_lead",
     "window_moving_avg",
     "window_ntile_pct",

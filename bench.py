@@ -88,6 +88,8 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    # Appended round 7, third segment: the media-curation capstone.
+    "curate_multimodal_corpus",
 ]
 
 

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -247,8 +247,89 @@ FROM resized
 """
 
 
+# media-capstone knobs: per-item vision-token ceiling and per-source
+# cumulative token budget (the greedy fill a VLM data pipeline runs to
+# balance sources under a fixed token allowance)
+_MM_TOKEN_FILTER = 17
+_MM_SOURCE_BUDGET = 60
+
+
+def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition for the MEDIA pipeline (the multimodal twin of
+    sampling.curate_pretraining_corpus): per-item vision-token gate →
+    content dedup (min-id survivor per payload hash) → per-source greedy
+    budget fill (admit items in doc_id order while the source's cumulative
+    vision-token spend stays under budget).
+
+    Plan shape: the token budget is pure scan-level column math (never
+    touches payload bytes — mm_patch_token_budget's rule), the dedup is one
+    shuffle on the content hash at post-gate size, the budget fill is one
+    per-source running-sum window. Every stage is ANSI-expressible, so the
+    WHOLE chain is value-checked against DuckDB. NULL text yields a NULL
+    token count and is dropped by the gate on both sides."""
+    docs = load(spark, "documents", sf_dir)
+    w_ = F.lit(16) + F.ascii(F.substring("text", 1, 1)) % 64
+    h_ = F.lit(16) + F.ascii(F.substring("text", -1, 1)) % 64
+    scale = F.least(F.lit(1.0), F.lit(_MAX_SIDE) / F.greatest(w_, h_))
+    rw = F.greatest(F.lit(1), F.floor(w_ * scale)).cast("int")
+    rh = F.greatest(F.lit(1), F.floor(h_ * scale)).cast("int")
+    vtok = (
+        F.ceil(rw / F.lit(_PATCH)).cast("int")
+        * F.ceil(rh / F.lit(_PATCH)).cast("int")
+        + F.lit(1)
+    )
+    gated = docs.select(
+        "doc_id", "source", "text", vtok.alias("vision_tokens")
+    ).filter(F.col("vision_tokens") <= _MM_TOKEN_FILTER)
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "text")
+    )
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = deduped.withColumn("cum_tokens", F.sum("vision_tokens").over(ws))
+    return filled.filter(F.col("cum_tokens") <= _MM_SOURCE_BUDGET).select(
+        "doc_id", "source", "vision_tokens", "cum_tokens"
+    )
+
+
+MM_CURATE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, source, text,
+         16 + ascii(substr(text, 1, 1)) % 64 AS w,
+         16 + ascii(substr(text, -1, 1)) % 64 AS h
+  FROM documents
+), budget AS (
+  SELECT doc_id, source, text,
+         CAST(ceil(CAST(greatest(1, floor(w * least(1.0, 64 / greatest(w, h)))) AS INT) / 14.0)
+            * ceil(CAST(greatest(1, floor(h * least(1.0, 64 / greatest(w, h)))) AS INT) / 14.0)
+            + 1 AS INT) AS vision_tokens
+  FROM dims
+), gated AS (
+  SELECT * FROM budget WHERE vision_tokens <= {_MM_TOKEN_FILTER}
+), deduped AS (
+  SELECT doc_id, source, vision_tokens FROM gated g
+  WHERE doc_id = (SELECT MIN(doc_id) FROM gated g2 WHERE md5(g2.text) = md5(g.text))
+), filled AS (
+  SELECT doc_id, source, vision_tokens,
+         CAST(SUM(vision_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM deduped
+)
+SELECT doc_id, source, vision_tokens, cum_tokens
+FROM filled
+WHERE cum_tokens <= {_MM_SOURCE_BUDGET}
+"""
+
+
 QUERIES = {
     "mm_binary_metadata": mm_binary_metadata,
+    "curate_multimodal_corpus": curate_multimodal_corpus,
     "mm_patch_token_budget": mm_patch_token_budget,
     "mm_feature_extract": mm_feature_extract,
     "mm_frame_sample": mm_frame_sample,
@@ -257,6 +338,7 @@ QUERIES = {
 
 ORACLES = {
     "mm_binary_metadata": MM_BINARY_METADATA_SQL,
+    "curate_multimodal_corpus": MM_CURATE_SQL,
     "mm_patch_token_budget": MM_PATCH_TOKEN_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_content_dedup": MM_CONTENT_DEDUP_SQL,

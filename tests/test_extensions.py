@@ -1051,3 +1051,39 @@ def test_bm25_rank_api_custom_queries(spark):
     for rows_ in byq.values():
         assert len(rows_) <= 2
         assert sorted(r.rank for r in rows_) == list(range(1, len(rows_) + 1))
+
+
+def test_curate_multimodal_corpus_semantics(spark, sf_dir, tmp_path):
+    """Media capstone invariants on a crafted corpus: exact duplicates keep
+    the min-id survivor, the per-source running spend never exceeds the
+    budget, and admission is greedy in doc_id order (a later item is out
+    iff it would overflow the budget at its turn)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.multimodal import (
+        _MM_SOURCE_BUDGET,
+        curate_multimodal_corpus,
+    )
+
+    sf = str(tmp_path)
+    # identical text → identical payload hash AND identical token count
+    rows = [(i, "aa bb cc", "en", "s1", 8) for i in range(1, 4)]
+    # distinct small items to walk the budget up in one source
+    rows += [(10 + i, f"x{i} " * (i + 1), "en", "s2", 4 * (i + 1)) for i in range(8)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    out = sorted(
+        curate_multimodal_corpus(spark, sf).collect(), key=lambda r: r.doc_id
+    )
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # dedup: of docs 1..3 (identical content) only doc 1 survives
+    assert [r.doc_id for r in by_src.get("s1", [])] == [1]
+    # budget: running spend monotone and capped
+    for src, rs in by_src.items():
+        spend = 0
+        for r in rs:
+            spend += r.vision_tokens
+            assert r.cum_tokens == spend
+        assert spend <= _MM_SOURCE_BUDGET
