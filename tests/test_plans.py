@@ -577,3 +577,38 @@ def test_curation_capstone_single_shuffle(spark, sf_dir):
     # detail section — count plan NODES, not string occurrences
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert pushed_filters(df), "quality/lang gates must reach the scan"
+
+
+def test_runtime_bloom_filter_fires_on_selective_fact_join(spark, sf_dir):
+    """Catalyst's runtime Bloom-filter injection (the stock shuffle-reduction
+    for selective fact⋈fact joins) must fire on this engine's session config
+    once the application-side scan passes the size gate. At sf0.01 the scan
+    sits under the 10 GiB default threshold — the 100 TB regime is simulated
+    by opening the gate; the assertion is that nothing in our session/config
+    disables the rewrite (it needs shuffle joins, which the static-broadcast-
+    off config preserves)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    thr_key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old = spark.conf.get(thr_key)
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    spark.conf.set(thr_key, "0")
+    try:
+        orders = load(spark, "orders", sf_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, "lineitem", sf_dir)
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .count()
+        )
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p, (
+            "runtime bloom filter did not inject on the probe side"
+        )
+    finally:
+        spark.conf.set(thr_key, old)
