@@ -155,23 +155,31 @@ FROM b
 """
 
 
+# shared engine/oracle knobs — every SQL twin below interpolates these
+# (never hardcodes them), so changing a constant cannot desync the sides
+_PATCH = 14  # ViT-style patch edge (pixels)
+_MAX_SIDE = 64  # resize rule: cap the longest side before patching
+_FRAME_STEP = 100  # frame-sampling stride (every Nth frame)
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: frame sampling plumbing — treat each doc as an n_chars-frame clip,
-    emit every 100th frame index (sequence + explode; pure column ops)."""
+    emit every ``_FRAME_STEP``-th frame index (sequence + explode; pure
+    column ops)."""
     docs = load(spark, "documents", sf_dir)
     frames = F.sequence(
-        F.lit(0), F.col("n_chars").cast("int") - 1, F.lit(100)
+        F.lit(0), F.col("n_chars").cast("int") - 1, F.lit(_FRAME_STEP)
     )
     return docs.select(
         "doc_id", F.explode(frames).alias("frame_idx")
     ).withColumn("sample_tag", F.concat(F.lit("f"), F.col("frame_idx")))
 
 
-MM_FRAME_SAMPLE_SQL = """
+MM_FRAME_SAMPLE_SQL = f"""
 SELECT doc_id,
        CAST(i AS INT) AS frame_idx,
        'f' || CAST(i AS VARCHAR) AS sample_tag
-FROM documents, unnest(range(0, n_chars, 100)) AS t(i)
+FROM documents, unnest(range(0, n_chars, {_FRAME_STEP})) AS t(i)
 """
 
 
@@ -196,10 +204,6 @@ SELECT md5(text) AS content_md5,
 FROM documents
 GROUP BY 1
 """
-
-
-_PATCH = 14  # ViT-style patch edge (pixels)
-_MAX_SIDE = 64  # resize rule: cap the longest side before patching
 
 
 def mm_patch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +232,7 @@ def mm_patch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MM_PATCH_TOKEN_SQL = """
+MM_PATCH_TOKEN_SQL = f"""
 WITH dims AS (
   SELECT doc_id,
          16 + ascii(substr(text, 1, 1)) % 64 AS w,
@@ -236,13 +240,13 @@ WITH dims AS (
   FROM documents
 ), resized AS (
   SELECT doc_id,
-         CAST(greatest(1, floor(w * least(1.0, 64 / greatest(w, h)))) AS INT) AS resized_w,
-         CAST(greatest(1, floor(h * least(1.0, 64 / greatest(w, h)))) AS INT) AS resized_h
+         CAST(greatest(1, floor(w * least(1.0, {_MAX_SIDE} / greatest(w, h)))) AS INT) AS resized_w,
+         CAST(greatest(1, floor(h * least(1.0, {_MAX_SIDE} / greatest(w, h)))) AS INT) AS resized_h
   FROM dims
 )
 SELECT doc_id, resized_w, resized_h,
-       CAST(ceil(resized_w / 14.0) * ceil(resized_h / 14.0) AS INT) AS n_patches,
-       CAST(ceil(resized_w / 14.0) * ceil(resized_h / 14.0) + 1 AS INT) AS vision_tokens
+       CAST(ceil(resized_w / {_PATCH}.0) * ceil(resized_h / {_PATCH}.0) AS INT) AS n_patches,
+       CAST(ceil(resized_w / {_PATCH}.0) * ceil(resized_h / {_PATCH}.0) + 1 AS INT) AS vision_tokens
 FROM resized
 """
 
@@ -306,8 +310,8 @@ WITH dims AS (
   FROM documents
 ), budget AS (
   SELECT doc_id, source, text,
-         CAST(ceil(CAST(greatest(1, floor(w * least(1.0, 64 / greatest(w, h)))) AS INT) / 14.0)
-            * ceil(CAST(greatest(1, floor(h * least(1.0, 64 / greatest(w, h)))) AS INT) / 14.0)
+         CAST(ceil(CAST(greatest(1, floor(w * least(1.0, {_MAX_SIDE} / greatest(w, h)))) AS INT) / {_PATCH}.0)
+            * ceil(CAST(greatest(1, floor(h * least(1.0, {_MAX_SIDE} / greatest(w, h)))) AS INT) / {_PATCH}.0)
             + 1 AS INT) AS vision_tokens
   FROM dims
 ), gated AS (

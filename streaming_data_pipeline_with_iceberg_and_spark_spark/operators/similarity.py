@@ -287,7 +287,15 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5-decimal-rounded score, vec_id) key — the key the oracle ranks by — so
     a raw-score ulp difference straddling a rounding tie can no longer pick
     a different candidate than the oracle at the k boundary. Parity unit
-    test in tests/test_extensions.py."""
+    test in tests/test_extensions.py.
+
+    Residual cross-engine risk (accepted, same class as knn_bruteforce):
+    the engine normalizes then GEMMs while DuckDB computes dot/(|q||v|), so
+    a raw score within an ulp of a 5th-decimal rounding boundary can in
+    principle round differently across engines and fail the value-hash. If
+    a one-off driver value-hash mismatch appears here, triage it as this
+    rounding-boundary flake (re-run; compare the single differing score)
+    before suspecting a logic regression — see COVERAGE.md."""
     import numpy as np
     import pandas as pd
 
@@ -1206,7 +1214,12 @@ def pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus as (i, j, cov) rows — the oracle-checkable half of PCA (the
     eigendecomposition itself is driver-side numpy on this d×d matrix and
     not SQL-expressible; see pca_embeddings_project). The corpus pass is
-    the scale-bearing part: one GEMM scan, one bounded hash agg."""
+    the scale-bearing part: one GEMM scan, one bounded hash agg.
+
+    n < 2 rows → empty frame on BOTH sides: the engine returns no rows when
+    the fit degenerates, and the oracle's HAVING COUNT(*) >= 2 suppresses
+    the NULL-cov rows DuckDB's NULL-on-zero-division would otherwise emit
+    (round-8 ADVICE fix; edge test in tests/test_extensions.py)."""
     fit = _pca_fit(spark, sf_dir)
     if fit is None:
         return spark.createDataFrame([], "i int, j int, cov double")
@@ -1235,6 +1248,7 @@ SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
              / (COUNT(*) - 1), 6) + 0.0 AS cov
 FROM pairs
 GROUP BY 1, 2
+HAVING COUNT(*) >= 2
 """
 
 

@@ -1050,6 +1050,15 @@ def bm25_rank(
 
     ``qmap`` is a small (query_id, term) frame (a user request batch); it is
     broadcast, so scoring work grows with the corpus, never with |Q|.
+    When ``terms`` is passed it MUST cover every distinct term in ``qmap``
+    (checked with a cheap anti-join on the tiny query frame) — a partial
+    list would silently zero out the missing terms' contributions.
+
+    NULL-text documents are excluded from the corpus entirely (both from
+    avgdl/n_docs and from postings) — without the filter, Spark's legacy
+    ``size(NULL) = -1`` would poison avgdl while the exploded postings side
+    silently dropped the same rows (round-8 ADVICE fix; same guard as
+    multimodal.mm_feature_extract, mirrored in BM25_SEARCH_SQL).
 
     Scale shape (the part that matters at 100 TB): the exploded token stream
     is filtered to the query-term set BEFORE the (doc_id, term) aggregation,
@@ -1062,6 +1071,7 @@ def bm25_rank(
     corpus scans total (stats + postings), zero corpus-keyed wide shuffles.
     """
     toks = tokens(text_col)
+    docs = docs.filter(F.col(text_col).isNotNull())
     stats = docs.select(F.size(toks).alias("nt")).agg(
         F.count("*").alias("n_docs"), F.avg("nt").alias("avgdl")
     )
@@ -1085,6 +1095,22 @@ def bm25_rank(
             "batch — for corpus-×-corpus scoring shapes, build an inverted "
             "index join instead"
         )
+    if terms is not None:
+        # qmap is a tiny request frame by contract, so this subset check is
+        # one cheap job — a caller-supplied list that misses a query term
+        # would otherwise silently zero that term's contribution
+        n_uncovered = (
+            qmap.select("term")
+            .distinct()
+            .filter(~F.col("term").isin(all_terms))
+            .limit(1)
+            .count()
+        )
+        if n_uncovered:
+            raise ValueError(
+                "bm25_rank: `terms` does not cover every distinct term in "
+                "`qmap`; pass the full term list or omit `terms`"
+            )
     postings = (
         docs.select(id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term"))
         .filter(F.col("term").isin(all_terms))
@@ -1137,7 +1163,7 @@ BM25_SEARCH_SQL = f"""
 WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
 d AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM d),
 e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),

@@ -1019,6 +1019,25 @@ def test_mm_feature_extract_null_text_guard(spark, tmp_path):
     assert oracle == got
 
 
+def test_pca_covariance_single_row_both_sides_empty(spark, tmp_path):
+    """r8 ADVICE fix: on an n=1 embeddings table the engine returns an empty
+    frame (fit degenerates), and the oracle's HAVING COUNT(*) >= 2 must
+    suppress the NULL-cov rows DuckDB's NULL-on-zero-division would emit."""
+    import duckdb
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    assert similarity.pca_covariance(spark, sf).count() == 0
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    assert con.sql(similarity.PCA_COVARIANCE_SQL).fetchall() == []
+
+
 def test_bm25_rank_api_custom_queries(spark):
     """bm25_rank as a standalone operator: custom corpus, custom query
     frame, custom k — tf monotonicity and rank contiguity hold."""
@@ -1051,6 +1070,55 @@ def test_bm25_rank_api_custom_queries(spark):
     for rows_ in byq.values():
         assert len(rows_) <= 2
         assert sorted(r.rank for r in rows_) == list(range(1, len(rows_) + 1))
+
+
+def test_bm25_rank_null_text_excluded(spark):
+    """r8 ADVICE fix: NULL-text docs are excluded from the corpus stats
+    (avgdl/n_docs) as well as the postings — scores must be identical to a
+    corpus that never contained the NULL rows. Without the guard, Spark's
+    legacy size(NULL) = -1 shifts avgdl and every score."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import bm25_rank
+
+    clean = [
+        (1, "apple banana cherry"),
+        (2, "apple apple banana"),
+        (3, "cherry date elderberry"),
+    ]
+    with_nulls = clean + [(4, None), (5, None)]
+    qmap = spark.createDataFrame(
+        [(1, "apple"), (2, "cherry")], "query_id int, term string"
+    )
+    schema = "doc_id long, text string"
+    want = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in bm25_rank(spark.createDataFrame(clean, schema), qmap).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.bm25)
+        for r in bm25_rank(
+            spark.createDataFrame(with_nulls, schema), qmap
+        ).collect()
+    }
+    assert want == got
+
+
+def test_bm25_rank_partial_terms_rejected(spark):
+    """r8 ADVICE fix: a caller-supplied `terms` list that misses a query
+    term must raise, not silently zero that term's contribution."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "cherry date")], "doc_id long, text string"
+    )
+    qmap = spark.createDataFrame(
+        [(1, "apple"), (1, "cherry")], "query_id int, term string"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="does not cover"):
+        bm25_rank(docs, qmap, terms=["apple"])
+    # a covering list (even a superset) is fine
+    assert bm25_rank(docs, qmap, terms=["apple", "cherry", "durian"]).count() > 0
 
 
 def test_curate_multimodal_corpus_semantics(spark, sf_dir, tmp_path):
