@@ -26,6 +26,7 @@ from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
     mutations,
     pandas_ops,
     relational,
+    retrieval,
     sampling,
     setops,
     similarity,
@@ -47,6 +48,7 @@ _MODULES = [
     dedup,
     similarity,
     textops,
+    retrieval,
     multimodal,
     pandas_ops,
     mutations,

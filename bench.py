@@ -90,6 +90,8 @@ HEADLINE = [
     "q22_dormant_customers",
     # Appended round 7, third segment: the media-curation capstone.
     "curate_multimodal_corpus",
+    # Appended round 8: hybrid BM25+dense RRF retrieval capstone.
+    "hybrid_search_rrf",
 ]
 
 

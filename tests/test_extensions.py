@@ -1019,6 +1019,50 @@ def test_mm_feature_extract_null_text_guard(spark, tmp_path):
     assert oracle == got
 
 
+def test_hybrid_rank_rrf_semantics(spark):
+    """RRF invariants on a crafted corpus: the fused score equals
+    1/(C+r_bm25) + 1/(C+r_cos) with a zero term for a missing list, a doc
+    on both lists beats one with the same single rank, ranks contiguous."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.retrieval import _RRF_C, hybrid_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple banana"),
+            (3, "cherry date elderberry"),
+            (4, "fig grape honeydew"),
+        ],
+        "doc_id long, text string",
+    )
+    # embeddings: doc 1's vector is the query (qvec_id 1); doc 4 nearest,
+    # then 3, then 2 — the REVERSE of the bm25 order for query 1 ("apple")
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.6, 0.8, 0.0]),
+            (4, [0.9, 0.1, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qterms = spark.createDataFrame([(1, "apple")], "query_id int, term string")
+    qvecs = spark.createDataFrame([(1, 1)], "query_id int, qvec_id long")
+    rows = hybrid_rank(docs, emb, qterms, qvecs, k=3, topk=4).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # bm25 list for "apple": [2, 1]; cosine list (excl. self): [4, 3, 2]
+    assert by_doc[2].bm25_rank == 1 and by_doc[2].cos_rank == 3
+    assert by_doc[1].bm25_rank == 2 and by_doc[1].cos_rank is None
+    assert by_doc[4].bm25_rank is None and by_doc[4].cos_rank == 1
+    for r in rows:
+        want = (1.0 / (_RRF_C + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (_RRF_C + r.cos_rank) if r.cos_rank else 0.0
+        )
+        assert abs(r.rrf_score - round(want, 6)) < 1e-9
+    # doc 2 is on BOTH lists → must outrank every single-list doc here
+    assert by_doc[2].rank == 1
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+
+
 def test_pca_covariance_single_row_both_sides_empty(spark, tmp_path):
     """r8 ADVICE fix: on an n=1 embeddings table the engine returns an empty
     frame (fit degenerates), and the oracle's HAVING COUNT(*) >= 2 must
