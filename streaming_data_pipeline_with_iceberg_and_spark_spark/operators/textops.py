@@ -1036,6 +1036,159 @@ _BM25_QUERIES = {
 }
 
 
+def bm25_doc_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The inverted-index rows for a document frame: (``id_col``, term, tf,
+    dl) over ALL terms — the mergeable building block bm25_rank derives on
+    the fly and :func:`~..streaming.ingest.start_incremental_bm25_ingest`
+    maintains as a table. Postings for disjoint document sets are unioned by
+    plain append (each doc's rows are self-contained), which is what makes
+    the index incrementally maintainable. NULL-text docs contribute nothing
+    (same guard as bm25_rank/BM25_SEARCH_SQL)."""
+    toks = tokens(text_col)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def bm25_stats_partial(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mergeable corpus-stats partial: one (n_docs, sum_dl) row. Plain sums,
+    so partials from micro-batches finalize to EXACTLY the batch stats
+    (integer sums divide once in :func:`bm25_stats_finalize` — bit-identical
+    to a whole-corpus AVG)."""
+    toks = tokens(text_col)
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.size(toks).alias("nt"))
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("sum_dl"))
+    )
+
+
+def bm25_stats_finalize(stats_partials: DataFrame) -> DataFrame:
+    """Merge (n_docs, sum_dl) partial rows into the 1-row (n_docs, avgdl)
+    frame bm25 scoring broadcasts. Empty/zero partials finalize to n_docs=0
+    and a NULL avgdl — scoring then yields no rows, matching an empty
+    corpus."""
+    return stats_partials.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
+
+
+def bm25_score_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    qmap: DataFrame,
+    k: int = _BM25_TOPK,
+    id_col: str = "doc_id",
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Score (``id_col``, term, tf, dl) postings against a (query_id, term)
+    frame and return the top-``k`` per query — the shared scoring tail of
+    :func:`bm25_rank` and the query-time face of the incrementally
+    maintained index.
+
+    ``postings`` may cover the whole vocabulary (the maintained-index case):
+    rows are filtered to the query-term set FIRST, so against a stored
+    postings table the scan reads only the query terms' rows (an INSET
+    pushdown — the inverted-index property that makes query cost scale with
+    matching postings, not corpus size). df-per-term is derived from the
+    filtered postings via a window, identical to the on-the-fly path.
+    """
+    all_terms = (
+        list(terms)
+        if terms is not None
+        else [
+            r["term"]
+            for r in qmap.select("term")
+            .distinct()
+            .limit(_BM25_MAX_TERMS + 1)
+            .collect()
+        ]
+    )
+    if len(all_terms) > _BM25_MAX_TERMS:
+        raise ValueError(
+            f"bm25 query frame exceeds {_BM25_MAX_TERMS} distinct "
+            "terms; the query side must stay a driver-bounded request "
+            "batch — for corpus-×-corpus scoring shapes, build an inverted "
+            "index join instead"
+        )
+    if terms is not None:
+        # qmap is a tiny request frame by contract, so this subset check is
+        # one cheap job — a caller-supplied list that misses a query term
+        # would otherwise silently zero that term's contribution
+        n_uncovered = (
+            qmap.select("term")
+            .distinct()
+            .filter(~F.col("term").isin(all_terms))
+            .limit(1)
+            .count()
+        )
+        if n_uncovered:
+            raise ValueError(
+                "bm25: `terms` does not cover every distinct term in "
+                "`qmap`; pass the full term list or omit `terms`"
+            )
+    scored = (
+        postings.filter(F.col("term").isin(all_terms))
+        .withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = scored.withColumn("contrib", idf * tf_norm)
+    per_q = (
+        scored.join(F.broadcast(qmap), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "bm25")
+    )
+
+
+def bm25_rank_from_index(
+    postings: DataFrame,
+    stats_partials: DataFrame,
+    qmap: DataFrame,
+    k: int = _BM25_TOPK,
+    id_col: str = "doc_id",
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """BM25 top-``k`` per query against a MAINTAINED index: the (term,
+    doc_id, tf, dl) postings table plus (n_docs, sum_dl) stats partials kept
+    by ``streaming.ingest.start_incremental_bm25_ingest``. Because postings
+    and stats are plain mergeable sums, this returns EXACTLY what
+    :func:`bm25_rank` returns over the full ingested corpus — without
+    re-tokenizing anything (parity test in tests/test_streaming.py)."""
+    return bm25_score_postings(
+        postings,
+        bm25_stats_finalize(stats_partials),
+        qmap,
+        k=k,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        terms=terms,
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     qmap: DataFrame,
@@ -1070,74 +1223,10 @@ def bm25_rank(
     in COVERAGE.md: Spark's WindowGroupLimit bounds it per-partition). Two
     corpus scans total (stats + postings), zero corpus-keyed wide shuffles.
     """
-    toks = tokens(text_col)
-    docs = docs.filter(F.col(text_col).isNotNull())
-    stats = docs.select(F.size(toks).alias("nt")).agg(
-        F.count("*").alias("n_docs"), F.avg("nt").alias("avgdl")
-    )
-    # callers that already hold the term list (a parsed user request) pass
-    # it and skip the derivation job
-    all_terms = (
-        list(terms)
-        if terms is not None
-        else [
-            r["term"]
-            for r in qmap.select("term")
-            .distinct()
-            .limit(_BM25_MAX_TERMS + 1)
-            .collect()
-        ]
-    )
-    if len(all_terms) > _BM25_MAX_TERMS:
-        raise ValueError(
-            f"bm25_rank query frame exceeds {_BM25_MAX_TERMS} distinct "
-            "terms; the query side must stay a driver-bounded request "
-            "batch — for corpus-×-corpus scoring shapes, build an inverted "
-            "index join instead"
-        )
-    if terms is not None:
-        # qmap is a tiny request frame by contract, so this subset check is
-        # one cheap job — a caller-supplied list that misses a query term
-        # would otherwise silently zero that term's contribution
-        n_uncovered = (
-            qmap.select("term")
-            .distinct()
-            .filter(~F.col("term").isin(all_terms))
-            .limit(1)
-            .count()
-        )
-        if n_uncovered:
-            raise ValueError(
-                "bm25_rank: `terms` does not cover every distinct term in "
-                "`qmap`; pass the full term list or omit `terms`"
-            )
-    postings = (
-        docs.select(id_col, F.size(toks).alias("dl"), F.explode(toks).alias("term"))
-        .filter(F.col("term").isin(all_terms))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
-    )
-    scored = postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
-    ).crossJoin(F.broadcast(stats))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    scored = scored.withColumn("contrib", idf * tf_norm)
-    per_q = (
-        scored.join(F.broadcast(qmap), "term")
-        .groupBy("query_id", id_col)
-        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
-    return (
-        per_q.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", id_col, "bm25")
+    stats = bm25_stats_finalize(bm25_stats_partial(docs, text_col))
+    postings = bm25_doc_postings(docs, text_col, id_col)
+    return bm25_score_postings(
+        postings, stats, qmap, k=k, id_col=id_col, k1=k1, b=b, terms=terms
     )
 
 

@@ -720,6 +720,91 @@ def start_incremental_pca_ingest(
     return writer.start()
 
 
+def start_incremental_bm25_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_root: str,
+    postings_root: str,
+    stats_root: str,
+    txn_dir: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "bm25_ingest",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """EXACT incremental BM25 index maintenance: keep the (term, doc_id, tf,
+    dl) postings table and the (n_docs, sum_dl) corpus-stats table current
+    at ingest — the retrieval twin of :func:`start_incremental_pca_ingest`.
+    Both tables are plain mergeable sums over disjoint documents, so
+    ``operators.textops.bm25_rank_from_index`` over the maintained tables
+    returns EXACTLY what a batch ``bm25_rank`` over the full ingested corpus
+    would, without ever re-tokenizing old documents. At 100 TB this turns
+    "serve BM25 over the live corpus" from a full-corpus tokenize+shuffle
+    per query batch into a postings-table scan filtered to the query terms
+    (the inverted-index property bm25_score_postings exploits); df and avgdl
+    need no stored per-term state because df falls out of the postings
+    themselves and avgdl finalizes from two integers.
+
+    Exactly-once: corpus rows, their postings, and their stats partial
+    commit in ONE multi-table transaction with namespaced batch keys (the
+    incremental dedup/PCA protocol); a replayed batch is skipped whole, so
+    the index can never double-count a batch the corpus saw once.
+
+    NULL-text docs are admitted to the corpus but contribute no postings
+    and no stats — identical to the batch path's guard. Re-ingesting the
+    same ``doc_id`` in a LATER batch appends a second posting set for it
+    (append semantics; dedup is the upstream dedup-ingest paths' job).
+    """
+    from ..operators.textops import bm25_doc_postings, bm25_stats_partial
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+    )
+
+    corpus = SnapshotTable(spark, corpus_root)
+    postings = SnapshotTable(spark, postings_root)
+    stats = SnapshotTable(spark, stats_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def bm25_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([corpus, postings, stats], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        # three consumers of the batch (corpus append, postings agg, stats
+        # agg) — persist so the source is materialized once
+        batch_df = batch_df.persist()
+        try:
+            txn = MultiTableTransaction([corpus, postings, stats], txn_dir)
+            key = f"{stream_id}#{batch_id}"
+            txn.stage_append(corpus, batch_df, batch_id=key)
+            txn.stage_append(
+                postings, bm25_doc_postings(batch_df, text_col, id_col), batch_id=key
+            )
+            txn.stage_append(
+                stats, bm25_stats_partial(batch_df, text_col), batch_id=key
+            )
+            txn.commit()
+        finally:
+            batch_df.unpersist()
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(bm25_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

@@ -259,3 +259,125 @@ def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
         )
         want = Counter({kv: n for kv, n in model.items() if kv[0] == 7})
         assert probe == +want, f"point-read after {op}: {probe} != {+want}"
+
+
+# ---------------------------------------------------------------------------
+# Coupled-tables model (round 8): the incremental-BM25 ingest triple.
+# The standing rule — every table-surface extension gets a fuzz op — applies
+# to start_incremental_bm25_ingest's three-table transaction: corpus +
+# postings + stats must stay in DERIVED agreement (postings == tokenize the
+# corpus; stats partials finalize to the corpus stats) under interleaved
+# committed transactions, abandoned (crashed-before-intent) transactions,
+# and per-table maintenance (compact/expire/maintain touch ONE table of the
+# triple at a time — exactly the decoupling that could break agreement).
+
+_WORDS = st.sampled_from(["spark", "scan", "join", "merge", "agg", "window"])
+_DOC = st.one_of(
+    st.lists(_WORDS, min_size=1, max_size=4).map(" ".join),
+    st.none(),  # NULL text: admitted to the corpus, no postings/stats
+)
+
+_BM25_OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(_DOC, min_size=1, max_size=3)),
+    st.tuples(st.just("abandon"), st.lists(_DOC, min_size=1, max_size=2)),
+    st.tuples(st.just("compact"), st.integers(min_value=0, max_value=2)),
+    st.tuples(st.just("expire"), st.integers(min_value=0, max_value=2)),
+    st.tuples(st.just("maintain"), st.integers(min_value=0, max_value=2)),
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        _BM25_OP,
+        min_size=2,
+        max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "6")),
+    )
+)
+def test_bm25_index_triple_stays_derived_from_corpus(spark, ops):
+    from collections import Counter as _Counter
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        bm25_doc_postings,
+        bm25_rank,
+        bm25_rank_from_index,
+        bm25_stats_partial,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+        maintain_table,
+        recover_transactions,
+    )
+
+    root = tempfile.mkdtemp()
+    corpus = SnapshotTable(spark, root + "/corpus")
+    postings = SnapshotTable(spark, root + "/postings")
+    stats = SnapshotTable(spark, root + "/stats")
+    triple = [corpus, postings, stats]
+    txn_dir = root + "/txns"
+    next_id = {"n": 0}
+
+    def batch_df(texts):
+        rows = [(next_id["n"] + i, t) for i, t in enumerate(texts)]
+        next_id["n"] += len(texts)
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    any_committed = False
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            df = batch_df(op[1]).persist()
+            txn = MultiTableTransaction(triple, txn_dir)
+            txn.stage_append(corpus, df)
+            txn.stage_append(postings, bm25_doc_postings(df))
+            txn.stage_append(stats, bm25_stats_partial(df))
+            txn.commit()
+            df.unpersist()
+            any_committed = True
+        elif kind == "abandon":
+            # crash BEFORE the intent rename: staged dirs exist on disk but
+            # are invisible; recovery must not surface them
+            df = batch_df(op[1]).persist()
+            txn = MultiTableTransaction(triple, txn_dir)
+            txn.stage_append(corpus, df)
+            txn.stage_append(postings, bm25_doc_postings(df))
+            txn.stage_append(stats, bm25_stats_partial(df))
+            df.unpersist()
+            del txn  # no commit
+            recover_transactions(spark, txn_dir)
+        elif kind in ("compact", "expire", "maintain"):
+            t = triple[op[1]]
+            if t.current_version() is None:
+                continue
+            if kind == "compact":
+                t.compact()
+            elif kind == "expire":
+                t.expire_snapshots(keep_last=1)
+            else:
+                maintain_table(t, max_files=8, orphan_grace_seconds=3600.0)
+        if not any_committed:
+            continue
+        # derived-state agreement after every op: the maintained postings
+        # and stats are EXACTLY what re-deriving from the corpus yields
+        got_p = _Counter(tuple(r) for r in postings.read().collect())
+        want_p = _Counter(
+            tuple(r) for r in bm25_doc_postings(corpus.read()).collect()
+        )
+        assert got_p == want_p, f"postings diverged after {op}"
+        got_n, got_dl = stats.read().groupBy().sum("n_docs", "sum_dl").first()
+        want_n, want_dl = bm25_stats_partial(corpus.read()).first()
+        assert (got_n, got_dl) == (want_n or 0, want_dl), f"stats diverged after {op}"
+    if any_committed and postings.read().limit(1).count():
+        qmap = spark.createDataFrame(
+            [(1, "spark"), (1, "agg")], "query_id int, term string"
+        )
+        inc = {
+            tuple(r)
+            for r in bm25_rank_from_index(postings.read(), stats.read(), qmap).collect()
+        }
+        ref = {tuple(r) for r in bm25_rank(corpus.read(), qmap).collect()}
+        assert inc == ref

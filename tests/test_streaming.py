@@ -1080,6 +1080,100 @@ def test_neardup_ingest_rejects_stale_signature_scheme(spark, tmp_path):
     assert "signature scheme changed" in str(ei.value)
 
 
+def test_incremental_bm25_ingest_matches_batch_rank(spark, tmp_path):
+    """Exact incremental BM25: ranking from the incrementally maintained
+    postings + stats tables must equal a batch bm25_rank over the ingested
+    corpus — across micro-batches, with NULL text, and under checkpointed
+    replay."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        bm25_rank,
+        bm25_rank_from_index,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_bm25_ingest,
+    )
+
+    vocab = ["spark", "table", "scan", "join", "merge", "window", "agg"]
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def write_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                words = [vocab[(i + j) % len(vocab)] for j in range(3 + i % 4)]
+                f.write(
+                    _json.dumps({"doc_id": i, "text": " ".join(words)}) + "\n"
+                )
+
+    write_file("a.json", range(20))
+    corpus_root = str(tmp_path / "corpus")
+    postings_root = str(tmp_path / "postings")
+    stats_root = str(tmp_path / "stats")
+    txn_dir = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_bm25_ingest(
+            spark,
+            str(src),
+            corpus_root,
+            postings_root,
+            stats_root,
+            txn_dir,
+            schema="doc_id long, text string",
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,  # one micro-batch per file
+        )
+        q.awaitTermination(120)
+
+    drain()
+    corpus = SnapshotTable(spark, corpus_root)
+    postings = SnapshotTable(spark, postings_root)
+    stats = SnapshotTable(spark, stats_root)
+    qmap = spark.createDataFrame(
+        [(1, "spark"), (1, "scan"), (2, "merge"), (2, "window")],
+        "query_id int, term string",
+    )
+
+    def check():
+        inc = {
+            (r.query_id, r.rank): (r.doc_id, r.bm25)
+            for r in bm25_rank_from_index(
+                postings.read(), stats.read(), qmap
+            ).collect()
+        }
+        ref = {
+            (r.query_id, r.rank): (r.doc_id, r.bm25)
+            for r in bm25_rank(corpus.read(), qmap).collect()
+        }
+        assert inc == ref and inc
+        return inc
+
+    inc1 = check()
+    # second window: two more files (→ two micro-batches), one NULL-text
+    # row (admitted to the corpus, contributes no postings and no stats)
+    write_file("b.json", range(100, 115))
+    with open(src / "c.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 999, "text": None}) + "\n")
+    drain()
+    inc2 = check()
+    assert corpus.read().count() == 36
+    assert postings.read().filter("doc_id = 999").count() == 0
+    # the incremental ranking genuinely moved with the new data
+    assert inc1 != inc2
+    # replay with no new files: nothing moves
+    v = postings.current_version()
+    drain()
+    assert postings.current_version() == v
+    # stats table stays metadata-scale: one partial row per contributing batch
+    assert stats.read().count() <= 3
+
+
 def test_incremental_pca_ingest_matches_batch_fit(spark, tmp_path):
     """Exact streaming PCA: the fit finalized from the incrementally
     maintained moments table must equal a batch refit over the ingested
