@@ -58,77 +58,73 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# Round 7's window, freshness-ordered (ledger state: r6 closed the r01-stale
-# list; latest-row histogram before this round is r3:4, r4:44, r5:50, r6:50,
-# never:1): (a) train_quality_classifier — added late in round 6, no driver
-# row yet (rows-only by contract: learned weights; accuracy/e2e tests);
-# (b) the four r3-era entries, now the oldest driver rows (agg_hll_mergeable
-# and ann_pq are rows-only by contract — sketch internals differ across
-# engines — and still get their fresh rows-only row); (c) all 44 r4-era
-# entries except set_except, union_by_name, sort_within_partitions and
-# window_first_last, deferred to round 8 (their set-ops/sort/window
-# siblings set_intersect, sort_limit_topk and window_lag_lead carry the
-# same shapes with equal-or-later green rows) to keep the window at exactly
-# 50. New ops added this round (bm25_search, the PCA pair,
-# curate_multimodal_corpus) and the knn_bruteforce_vectorized
-# rows-only→oracle upgrade are at the head alongside (a).
-# mm_feature_extract gained a NULL-text guard this round (engine + oracle,
-# identical WHERE); its r6 row remains valid on current fixtures (none carry
-# NULL text), so it rotates normally rather than re-entering the window.
+# Round 8's window, freshness-ordered (ledger state before this round:
+# latest-row histogram r4:4, r5:50, r6:49, r7:50): (a) new/upgraded this
+# round — hybrid_search_rrf (new capstone, full oracle) and ann_ivf_index
+# (rows-only → value-exact via the pinned-seed quantizer); (b) the four
+# r4-era entries deferred from round 7 as promised (set_except,
+# union_by_name, sort_within_partitions, window_first_last) — after this
+# window no entry's latest row predates r5; (c) 44 of the 49 remaining
+# r5-era entries, including the whole TPC-H sweep and the snapshot oracle
+# rows. Five r5-era entries defer to round 9 to keep the window at exactly
+# 50 — each with a SAME-SHAPE sibling green in r6/r7 (agg_pivot ↔
+# agg_unpivot r6; agg_rollup ↔ agg_cube r6 / rollup_multi_granularity r7;
+# agg_stats ↔ agg_global r6; filter_project ↔ null_handling, which stays
+# in this window; join_theta_band ↔ join_cross r6).
 _PRIORITY = [
-    # (a) no driver row yet / new or oracle-upgraded this round
-    "train_quality_classifier",
-    "bm25_search",
-    "pca_covariance",
-    "pca_embeddings_project",
-    "knn_bruteforce_vectorized",
-    "curate_multimodal_corpus",
-    # (b) r3-era rows — oldest in the ledger
-    "agg_hll_mergeable",
-    "ann_pq",
-    "set_union",
-    "window_running_sum",
-    # (c) r4-era refresh
-    "agg_bitmap_distinct",
-    "agg_histogram_quantiles",
-    "ann_ivf",
-    "cohort_retention",
-    "dedup_apply",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_fingerprint",
-    "dedup_span_exact",
-    "drop_duplicates_subset",
-    "events_anomaly_mad",
-    "grouped_ols_trend",
-    "join_asof",
-    "json_variant_extract",
-    "mixture_weighted_interleave",
-    "pack_sequences",
-    "q11_important_parts",
-    "q20_excess_share_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "resample_ffill_1min",
-    "rollup_multi_granularity",
-    "sessionize",
-    "shuffle_epoch_rank",
-    "snapshot_changelog_orders",
-    "snapshot_time_travel_orders",
-    "text_bigram_freq",
-    "text_heavy_hitters",
-    "text_lang_id",
-    "text_rolling_hash",
-    "text_rollup_by_lang_source",
-    "text_token_bpe",
-    "text_within_doc_repetition",
-    "window_lag_lead",
-    "window_moving_avg",
-    "window_ntile_pct",
-    "window_range_30d",
-    "window_session_30min",
-    "window_sliding_10m_5m",
-    "window_tumbling_5min",
+    # (a) new or oracle-upgraded this round
+    "hybrid_search_rrf",
+    "ann_ivf_index",
+    # (b) r4-era rows — oldest in the ledger, deferred from round 7
+    "set_except",
+    "union_by_name",
+    "sort_within_partitions",
+    "window_first_last",
+    # (c) r5-era refresh (TPC-H sweep + the rest)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "agg_approx_distinct",
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "ann_ivfpq",
+    "curate_pretraining_corpus",
+    "histogram_doc_length",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_left_outer",
+    "join_range_shipdelay",
+    "join_semi",
+    "json_extraction",
+    "kmeans_cluster_profile",
+    "map_funcs",
+    "null_handling",
+    "quantize_embeddings_int8",
+    "scalar_date_funcs",
+    "scalar_string_funcs",
+    "snapshot_bloom_point_lookup",
+    "snapshot_positional_delete_orders",
+    "snapshot_schema_evolution_orders",
+    "snapshot_update_constrained_orders",
+    "text_linear_quality_classifier",
+    "top_customers",
+    "window_rank",
 ]
 
 
