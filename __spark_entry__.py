@@ -70,11 +70,16 @@ _MODULES = [
 # 50 — each with a SAME-SHAPE sibling green in r6/r7 (agg_pivot ↔
 # agg_unpivot r6; agg_rollup ↔ agg_cube r6 / rollup_multi_granularity r7;
 # agg_stats ↔ agg_global r6; filter_project ↔ null_handling, which stays
-# in this window; join_theta_band ↔ join_cross r6).
+# in this window; join_theta_band ↔ join_cross r6; agg_count_distinct ↔
+# agg_bitmap_distinct r7; agg_percentiles ↔ agg_histogram_quantiles r7 —
+# the last two deferred when text_perplexity_bigram and chunk_documents
+# joined the head).
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "hybrid_search_rrf",
     "ann_ivf_index",
+    "text_perplexity_bigram",
+    "chunk_documents",
     # (b) r4-era rows — oldest in the ledger, deferred from round 7
     "set_except",
     "union_by_name",
@@ -99,9 +104,7 @@ _PRIORITY = [
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
     "agg_approx_distinct",
-    "agg_count_distinct",
     "agg_grouping_sets",
-    "agg_percentiles",
     "ann_ivfpq",
     "curate_pretraining_corpus",
     "histogram_doc_length",

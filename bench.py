@@ -90,8 +90,11 @@ HEADLINE = [
     "q22_dormant_customers",
     # Appended round 7, third segment: the media-curation capstone.
     "curate_multimodal_corpus",
-    # Appended round 8: hybrid BM25+dense RRF retrieval capstone.
+    # Appended round 8: hybrid BM25+dense RRF retrieval capstone, the
+    # bigram-LM perplexity scorer, and the RAG/pretraining chunker.
     "hybrid_search_rrf",
+    "text_perplexity_bigram",
+    "chunk_documents",
 ]
 
 

@@ -652,6 +652,157 @@ GROUP BY doc_id
 """
 
 
+# Interpolation weight for the bigram LM: λ·p_bigram + (1−λ)·p_unigram.
+# Interpolated into the oracle SQL — never hardcoded twice.
+_BIGRAM_LAMBDA = 0.75
+
+
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained interpolated bigram-LM perplexity per document — the
+    sequence-model upgrade of ``text_unigram_logprob`` (CCNet-style LM
+    quality filtering, Wenzek et al. 2020): p(w|v) = λ·c(v,w)/c(v) +
+    (1−λ)·(c(w)+1)/(N+V), per-doc mean log-prob and perplexity. Garbled or
+    wrong-language text has improbable TRANSITIONS even when its unigrams
+    look fine — this is the signal the unigram scorer misses.
+
+    Scale shape mirrors text_unigram_logprob exactly: token/bigram counts
+    are word-count-shaped single shuffles; the re-scoring joins partition
+    on the token keys with NO broadcast hint (a web-corpus vocabulary grows
+    with the corpus — a forced broadcast would OOM at 100 TB; AQE may
+    downgrade at small SF), and the (N, V) totals stay a broadcast 1-row
+    aggregate. Docs with < 2 tokens have no bigrams and drop out (both
+    engines, inner-join semantics). Determinism: the per-doc AVG of double
+    logs rounds at 6dp (the text_unigram_logprob precedent); perplexity is
+    exp(−mean) computed FROM the rounded mean, so it adds no independent
+    rounding risk."""
+    docs = load_spread(spark, "documents", sf_dir)
+    toks = tokens("text")
+    base = docs.select("doc_id", toks.alias("t"))
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.cur")
+    tok = docs.select(F.explode(toks).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c1"))
+    big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    totals = tok.agg(
+        F.count("*").alias("n_total"), F.countDistinct("tok").alias("v")
+    )
+    lam = F.lit(_BIGRAM_LAMBDA)
+    scored = (
+        pairs.join(big, ["prev", "cur"])
+        .join(vocab.select(F.col("tok").alias("prev"), F.col("c1").alias("cprev")), "prev")
+        .join(vocab.select(F.col("tok").alias("cur"), F.col("c1").alias("ccur")), "cur")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.log(
+                lam * F.col("c2") / F.col("cprev")
+                + (F.lit(1.0) - lam)
+                * (F.col("ccur") + 1.0)
+                / (F.col("n_total") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_logprob",
+        F.round(F.exp(-F.col("mean_logprob")), 4).alias("perplexity"),
+    )
+
+
+TEXT_PERPLEXITY_BIGRAM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i + 1] AS prev, t[i + 2] AS cur
+  FROM d, unnest(range(len(t) - 1)) AS r(i)
+),
+tok AS (SELECT unnest(t) AS tok FROM d),
+vocab AS (SELECT tok, COUNT(*) AS c1 FROM tok GROUP BY tok),
+big AS (SELECT prev, cur, COUNT(*) AS c2 FROM pairs GROUP BY prev, cur),
+totals AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT tok) AS v FROM tok),
+scored AS (
+  SELECT doc_id,
+         ln({_BIGRAM_LAMBDA} * c2 / cprev.c1
+            + (1.0 - {_BIGRAM_LAMBDA}) * (ccur.c1 + 1.0) / (n_total + v)) AS lp
+  FROM pairs
+  JOIN big USING (prev, cur)
+  JOIN vocab cprev ON cprev.tok = pairs.prev
+  JOIN vocab ccur ON ccur.tok = pairs.cur, totals
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 6) AS mean_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, mean_logprob,
+       ROUND(EXP(-mean_logprob), 4) AS perplexity
+FROM agg
+"""
+
+
+# Chunking knobs (tokens per chunk / stride): interpolated into the oracle.
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunker: split each document into overlapping
+    token-window chunks (size {size}, stride {stride}) with stable ids —
+    the projection between raw documents and embedding/packing stages
+    (``pack_sequences`` packs fixed budgets; this preserves overlap
+    context for retrieval).
+
+    Pure per-row column math (sequence → posexplode → slice → join): no
+    shuffle, no UDF, trivially scan-parallel at any corpus size; chunk
+    count per doc is ⌈n_tokens/stride⌉ so output size is linear in corpus
+    tokens. Deterministic strings/ints only — value-exact oracle.""".format(
+        size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+    docs = load_spread(spark, "documents", sf_dir)
+    base = docs.select("doc_id", tokens("text").alias("t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    chunked = base.filter(F.size("t") > 0).select(
+        "doc_id", F.posexplode(starts).alias("chunk_idx", "start"), "t"
+    )
+    chunk = F.slice(F.col("t"), F.col("start") + 1, F.lit(_CHUNK_SIZE))
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("chunk_tokens"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       array_to_string(t[s + 1 : s + {_CHUNK_SIZE}], ' ') AS chunk_text,
+       CAST(len(t[s + 1 : s + {_CHUNK_SIZE}]) AS INT) AS chunk_tokens
+FROM d, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS r(s)
+WHERE len(t) > 0
+"""
+
+
 def text_within_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style WITHIN-document repetition rules (Rae et al. 2021
     §A1.1): the fraction of duplicate word 2-grams and the share of
@@ -1293,6 +1444,8 @@ QUERIES = {
     "pii_redact": pii_redact,
     "decontaminate_eval_overlap": decontaminate_eval_overlap,
     "text_unigram_logprob": text_unigram_logprob,
+    "text_perplexity_bigram": text_perplexity_bigram,
+    "chunk_documents": chunk_documents,
     "text_gopher_quality": text_gopher_quality,
     "text_repeated_ngrams": text_repeated_ngrams,
     "text_token_stats": text_token_stats,
@@ -1314,6 +1467,8 @@ ORACLES = {
     "pii_redact": PII_REDACT_SQL,
     "decontaminate_eval_overlap": DECONTAMINATE_SQL,
     "text_unigram_logprob": TEXT_UNIGRAM_LP_SQL,
+    "text_perplexity_bigram": TEXT_PERPLEXITY_BIGRAM_SQL,
+    "chunk_documents": CHUNK_DOCUMENTS_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,

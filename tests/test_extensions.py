@@ -1019,6 +1019,71 @@ def test_mm_feature_extract_null_text_guard(spark, tmp_path):
     assert oracle == got
 
 
+def test_chunk_documents_covers_and_overlaps(spark, sf_dir):
+    """Chunker invariants: every token position is covered, consecutive
+    chunks overlap by size−stride, chunk_idx is contiguous from 0, and the
+    final chunk may be short but never empty."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    rows = chunk_documents(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_tok = {
+        r.doc_id: len(r.text.strip().lower().split())
+        for r in load(spark, "documents", sf_dir).collect()
+        if r.text and r.text.strip()
+    }
+    assert set(by_doc) == {d for d, n in n_tok.items() if n > 0}
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        total = n_tok[doc]
+        for i, c in enumerate(chunks):
+            start = i * _CHUNK_STRIDE
+            want = min(_CHUNK_SIZE, total - start)
+            assert c.chunk_tokens == want > 0
+            assert len(c.chunk_text.split()) == want
+        # coverage: last chunk reaches the final token
+        assert (len(chunks) - 1) * _CHUNK_STRIDE + chunks[-1].chunk_tokens == total
+
+
+def test_text_perplexity_bigram_semantics(spark, tmp_path):
+    """Bigram-LM invariants on a crafted corpus: a doc whose transitions
+    all repeat a corpus-frequent bigram scores lower perplexity than one
+    made of never-adjacent tokens; docs with < 2 tokens drop out; and
+    perplexity == exp(−mean_logprob) exactly (computed from the rounded
+    mean)."""
+    import math
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import text_perplexity_bigram
+
+    sf = str(tmp_path)
+    docs = [
+        (1, "a b a b a b a b"),     # dominant transitions
+        (2, "b b b b"),             # rare transition (b,b) never elsewhere... but trained on itself
+        (3, "a a a a"),             # rare transition (a,a)
+        (4, "c"),                   # single token: no bigrams
+        (5, None),                  # NULL text
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in text_perplexity_bigram(spark, sf).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_bigrams == 7 and out[2].n_bigrams == 3
+    for r in out.values():
+        assert abs(r.perplexity - round(math.exp(-r.mean_logprob), 4)) < 1e-9
+    # doc 1's a↔b transitions are corpus-dominant → lowest perplexity
+    assert out[1].perplexity < out[2].perplexity
+    assert out[1].perplexity < out[3].perplexity
+
+
 def test_hybrid_rank_rrf_semantics(spark):
     """RRF invariants on a crafted corpus: the fused score equals
     1/(C+r_bm25) + 1/(C+r_cos) with a zero term for a missing list, a doc
