@@ -73,13 +73,15 @@ _MODULES = [
 # in this window; join_theta_band ↔ join_cross r6; agg_count_distinct ↔
 # agg_bitmap_distinct r7; agg_percentiles ↔ agg_histogram_quantiles r7 —
 # the last two deferred when text_perplexity_bigram and chunk_documents
-# joined the head).
+# joined the head; join_left_outer ↔ join_full_outer, which stays in this
+# window — deferred when mine_triplets joined the head).
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "hybrid_search_rrf",
     "ann_ivf_index",
     "text_perplexity_bigram",
     "chunk_documents",
+    "mine_triplets",
     # (b) r4-era rows — oldest in the ledger, deferred from round 7
     "set_except",
     "union_by_name",
@@ -111,7 +113,6 @@ _PRIORITY = [
     "join_anti",
     "join_broadcast_dims",
     "join_full_outer",
-    "join_left_outer",
     "join_range_shipdelay",
     "join_semi",
     "json_extraction",

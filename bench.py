@@ -95,6 +95,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "text_perplexity_bigram",
     "chunk_documents",
+    "mine_triplets",
 ]
 
 

@@ -1144,6 +1144,100 @@ WHERE rank <= 5
 """
 
 
+def mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-example mining for contrastive/metric learning (the FaceNet
+    semi-hard recipe's batch-global variant): for each pinned anchor, the
+    hardest POSITIVE (same label, highest cosine, excluding self) and the
+    hardest NEGATIVE (different label, highest cosine) — the triplet-mining
+    pass an embedding-training pipeline runs over its labeled corpus.
+
+    Scale shape is the knn_bruteforce idiom: the anchor batch is
+    constant-bounded (broadcast), the corpus streams through ONE scored
+    scan, and a single (anchor, kind) window takes the top-1 of each kind
+    before a ≤2-rows-per-anchor pivot — no corpus-keyed shuffle beyond the
+    rank-1 WindowGroupLimit. NULL-label rows drop on both sides (= and !=
+    are both NULL-rejecting). Anchors whose corpus has no positive (or no
+    negative) emit NULL in those columns via the conditional pivot."""
+    emb = load_spread(spark, "embeddings", sf_dir).withColumn(
+        "nrm", norm("embedding")
+    )
+    anchors = (
+        load(spark, "embeddings", sf_dir)
+        .filter(_query_pred(50) & F.col("label").isNotNull())
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_vec"),
+            F.col("label").alias("a_label"),
+            norm("embedding").alias("a_nrm"),
+        )
+    )
+    scored = (
+        emb.filter(F.col("label").isNotNull())
+        .join(F.broadcast(anchors), F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "vec_id",
+            F.when(F.col("label") == F.col("a_label"), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("kind"),
+            F.round(
+                dot(F.col("a_vec"), F.col("embedding"))
+                / (F.col("a_nrm") * F.col("nrm")),
+                5,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("a_id", "kind").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    top1 = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        top1.groupBy(F.col("a_id").alias("anchor_id"))
+        .agg(
+            F.max(F.when(F.col("kind") == "pos", F.col("vec_id"))).alias("pos_id"),
+            F.max(F.when(F.col("kind") == "pos", F.col("cos_sim"))).alias("pos_sim"),
+            F.max(F.when(F.col("kind") == "neg", F.col("vec_id"))).alias("neg_id"),
+            F.max(F.when(F.col("kind") == "neg", F.col("cos_sim"))).alias("neg_sim"),
+        )
+    )
+
+
+MINE_TRIPLETS_SQL = """
+WITH a AS (
+  SELECT vec_id AS a_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a_vec,
+         label AS a_label
+  FROM embeddings
+  WHERE vec_id % 50 = 0 AND vec_id < 1000 AND label IS NOT NULL
+),
+scored AS (
+  SELECT a.a_id, e.vec_id,
+         CASE WHEN e.label = a.a_label THEN 'pos' ELSE 'neg' END AS kind,
+         ROUND(list_cosine_similarity(a.a_vec,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 5) AS cos_sim
+  FROM a JOIN embeddings e
+    ON e.vec_id != a.a_id AND e.label IS NOT NULL
+),
+top1 AS (
+  SELECT a_id, vec_id, kind, cos_sim FROM (
+    SELECT a_id, vec_id, kind, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY a_id, kind
+                              ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT a_id AS anchor_id,
+       MAX(CASE WHEN kind = 'pos' THEN vec_id END) AS pos_id,
+       MAX(CASE WHEN kind = 'pos' THEN cos_sim END) AS pos_sim,
+       MAX(CASE WHEN kind = 'neg' THEN vec_id END) AS neg_id,
+       MAX(CASE WHEN kind = 'neg' THEN cos_sim END) AS neg_sim
+FROM top1
+GROUP BY a_id
+"""
+
+
 _KMEANS_K = 16
 _KMEANS_ITERS = 3
 
@@ -1467,6 +1561,7 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
+    "mine_triplets": mine_triplets,
     "pca_covariance": pca_covariance,
     "pca_embeddings_project": pca_embeddings_project,
     "ann_pq": ann_pq,
@@ -1482,6 +1577,7 @@ QUERIES = {
 
 ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "mine_triplets": MINE_TRIPLETS_SQL,
     # round 7: the vectorized path emits tie-consistent 5-decimal scores, so
     # the exact-baseline oracle applies to it verbatim
     "knn_bruteforce_vectorized": KNN_BRUTEFORCE_SQL,

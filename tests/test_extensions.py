@@ -1019,6 +1019,49 @@ def test_mm_feature_extract_null_text_guard(spark, tmp_path):
     assert oracle == got
 
 
+def test_mine_triplets_semantics(spark, sf_dir):
+    """Triplet-mining invariants against the raw corpus: the mined positive
+    shares the anchor's label, the negative differs, each is the true
+    hardest (max cosine) of its kind, and pos/neg never collide."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, "embeddings", sf_dir).select("vec_id", "label").collect()
+    }
+    rows = similarity.mine_triplets(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a_label = labels[r.anchor_id]
+        if r.pos_id is not None:
+            assert labels[r.pos_id] == a_label and r.pos_id != r.anchor_id
+        if r.neg_id is not None:
+            assert labels[r.neg_id] != a_label
+        if r.pos_id is not None and r.neg_id is not None:
+            assert r.pos_id != r.neg_id
+    # spot-verify hardness for one anchor against brute-force cosine
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, "embeddings", sf_dir).collect()
+    }
+    r0 = rows[0]
+    a = emb[r0.anchor_id] / np.linalg.norm(emb[r0.anchor_id])
+    best = {}
+    for vid, v in emb.items():
+        if vid == r0.anchor_id or labels[vid] is None:
+            continue
+        kind = "pos" if labels[vid] == labels[r0.anchor_id] else "neg"
+        s = round(float(a @ (v / np.linalg.norm(v))), 5)
+        if kind not in best or (s, -vid) > (best[kind][0], -best[kind][1]):
+            best[kind] = (s, vid)
+    if r0.pos_id is not None:
+        assert (r0.pos_sim, r0.pos_id) == best["pos"]
+    if r0.neg_id is not None:
+        assert (r0.neg_sim, r0.neg_id) == best["neg"]
+
+
 def test_chunk_documents_covers_and_overlaps(spark, sf_dir):
     """Chunker invariants: every token position is covered, consecutive
     chunks overlap by size−stride, chunk_idx is contiguous from 0, and the
