@@ -961,8 +961,17 @@ class IvfIndex:
         props name the quantizer its rows were encoded with."""
         cent_mat = self._load_centroids()
         props = self.table.snapshot_props()
-        assigned = (
+        return self.table.append(self._encode(emb, cent_mat), props=props)
+
+    def _encode(self, emb: DataFrame, cent_mat) -> DataFrame:
+        """Assign each vector to its nearest stored cell — the shared
+        encode step of append/append_batch (GEMM closure; an index must not
+        shift under its data, so centroids always come from a snapshot).
+        NULL embeddings are unindexable and drop here (they would axis-error
+        the GEMM closure)."""
+        return (
             emb.select("vec_id", "embedding")
+            .filter(F.col("embedding").isNotNull())
             .mapInPandas(
                 _ivf_assign_fn(cent_mat, 1),
                 schema="vec_id long, probe_rank int, cell int, embedding array<float>",
@@ -970,7 +979,56 @@ class IvfIndex:
             .select("vec_id", "cell", "embedding")
             .withColumn("nrm", norm("embedding"))
         )
-        return self.table.append(assigned, props=props)
+
+    def append_batch(self, emb: DataFrame, batch_id) -> int | None:
+        """Idempotent streaming append (round 8): encode with the CURRENT
+        snapshot's centroids and commit keyed by ``batch_id`` — a replayed
+        micro-batch is skipped whole (SnapshotTable.append_batch), and the
+        commit restamps the quantizer pointer so every version's props name
+        the centroids its rows were encoded with."""
+        cent_mat = self._load_centroids()
+        props = self.table.snapshot_props()
+        return self.table.append_batch(
+            self._encode(emb, cent_mat), batch_id, props=props
+        )
+
+    def bootstrap_batch(
+        self, emb: DataFrame, batch_id, pinned_seeds: bool = False
+    ) -> int | None:
+        """First-batch bootstrap for a streaming ingest: fit the quantizer
+        on THIS batch (FAISS's train-on-first-chunk recipe — the quantizer
+        then stays fixed while append_batch encodes every later batch),
+        write the centroid file, and commit the encoded batch keyed by
+        ``batch_id`` so a replayed bootstrap is skipped whole."""
+        import numpy as np
+
+        emb = emb.persist()
+        n = emb.count()
+        if pinned_seeds:
+            seed_rows = (
+                emb.filter(F.col("embedding").isNotNull())
+                .orderBy(
+                    F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+                )
+                .limit(min(_ivf_n_cells(n), max(n, 1)))
+                .select("embedding")
+                .collect()
+            )
+            cent_mat = np.array(
+                [r["embedding"] for r in seed_rows], dtype=np.float64
+            )
+        else:
+            cent_mat = _kmeans_centroids(self.spark, "", emb, k=_ivf_n_cells(n))
+        if cent_mat.ndim != 2:
+            emb.unpersist()
+            return None  # nothing usable in the batch; try the next one
+        props = {"ivf_centroids": self._write_centroids(cent_mat)}
+        try:
+            return self.table.append_batch(
+                self._encode(emb, cent_mat), batch_id, props=props
+            )
+        finally:
+            emb.unpersist()
 
     def query(
         self,

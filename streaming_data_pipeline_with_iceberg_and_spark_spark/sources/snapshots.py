@@ -781,7 +781,9 @@ class SnapshotTable:
         none)."""
         return dict(self._snapshot(version).get("props") or {})
 
-    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
+    def append_batch(
+        self, df: DataFrame, batch_id: int, props: dict | None = None
+    ) -> int | None:
         """Idempotent streaming append: one snapshot per micro-batch, keyed
         by ``batch_id``. Replayed batches (foreachBatch is at-least-once on
         restart) are detected in the commit log and skipped, so the table is
@@ -807,7 +809,13 @@ class SnapshotTable:
         # the visible set unions with the CURRENT parent under the commit
         # lock (new_dirs path) — a pre-computed parent would silently drop
         # any ad-hoc append()/compact() that landed since the log read above
-        return self._commit({"op": "append", "batch_id": batch_id}, new_dirs=[d])["id"]
+        entry: dict = {"op": "append", "batch_id": batch_id}
+        if props:
+            # snapshot summary props ride the batch commit (round 8) — the
+            # streaming twin of append(props=): an index ingest restamps
+            # its quantizer pointer on every micro-batch snapshot
+            entry["props"] = props
+        return self._commit(entry, new_dirs=[d])["id"]
 
     def overwrite(self, df: DataFrame, batch_id=None, props: dict | None = None) -> int | None:
         """Overwrite commit: new version sees only this batch's dir. Old

@@ -805,6 +805,65 @@ def start_incremental_bm25_ingest(
     return writer.start()
 
 
+def start_incremental_ann_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "ann_ingest",
+    pinned_seeds: bool = False,
+) -> StreamingQuery:
+    """Maintain a SERVING ANN index at ingest — the third incremental-index
+    twin (dedup hashes, PCA moments, BM25 postings, now IVF cells): the
+    first non-empty micro-batch bootstraps the quantizer (FAISS's
+    train-on-first-chunk recipe; ``pinned_seeds`` selects the reproducible
+    md5-Forgy init), and every later batch is ENCODED with the stored
+    centroids and appended — cost proportional to the batch, the index
+    layout untouched, queries answerable at any point via
+    ``IvfIndex.query`` with manifest-pruned probed-cell scans. Periodic
+    quantizer refresh stays an explicit offline ``IvfIndex.build`` (the
+    retrain cadence is an operator decision, not an ingest side effect).
+
+    Exactly-once WITHOUT a multi-table transaction: the index is ONE table,
+    so the snapshot layer's idempotent ``append_batch`` (commit keyed by
+    the namespaced batch id, replays skipped whole) is the entire protocol;
+    each commit restamps the centroid pointer so every version's props name
+    the quantizer its rows were encoded with."""
+    from ..operators.similarity import IvfIndex
+
+    idx = IvfIndex(spark, index_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def ann_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            state["max_seen"] = _max_seen_batch([idx.table], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        key = f"{stream_id}#{batch_id}"
+        has_quantizer = (
+            idx.table.current_version() is not None
+            and idx.table.snapshot_props().get("ivf_centroids") is not None
+        )
+        if has_quantizer:
+            idx.append_batch(batch_df, key)
+        else:
+            idx.bootstrap_batch(batch_df, key, pinned_seeds=pinned_seeds)
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(ann_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

@@ -55,6 +55,15 @@ _OP = st.one_of(
     # introduction: rollback dropped the target's pending MOR delete set,
     # resurrecting deleted rows (fixed in snapshots.rollback).
     st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=30)),
+    # round-8 op: idempotent keyed streaming append (append_batch, now with
+    # snapshot props riding the commit) — a duplicated batch key must be a
+    # whole-batch no-op, a fresh key appends exactly once, and the props
+    # stamp must not disturb row content
+    st.tuples(
+        st.just("batch_append"),
+        st.lists(st.tuples(_ID, _VAL), min_size=1, max_size=4),
+        st.booleans(),  # replay the same key a second time
+    ),
     # round-6 ops: tags as retention roots — a tag pins the model state at
     # creation; tag_check re-reads it later, after arbitrary interleaved
     # deletes/rewrites/expires/rollbacks (expire must keep tagged history).
@@ -160,6 +169,14 @@ def test_snapshot_table_matches_multiset_model(spark, spec, bloom, ops):
             txn.stage_append(table, df_of(op[1]))
             txn.commit()
             model.update(op[1])
+        elif kind == "batch_append":
+            seq["n"] += 1
+            bkey = f"model#{seq['n']}"
+            table.append_batch(df_of(op[1]), bkey, props={"origin": bkey})
+            model.update(op[1])
+            if op[2]:  # replay: same key again must be a whole-batch no-op
+                assert table.append_batch(df_of(op[1]), bkey) is None
+            assert table.snapshot_props().get("origin") == bkey
         elif kind == "expire":
             if table.current_version() is None:
                 continue

@@ -1080,6 +1080,89 @@ def test_neardup_ingest_rejects_stale_signature_scheme(spark, tmp_path):
     assert "signature scheme changed" in str(ei.value)
 
 
+def test_incremental_ann_ingest_builds_servable_index(spark, tmp_path):
+    """Streaming IVF maintenance: the first micro-batch bootstraps the
+    quantizer, later batches encode with the STORED centroids, every vector
+    lands in exactly one cell, the index answers queries (a vector
+    identical to an indexed one is its cosine-1.0 top hit), the quantizer
+    pointer is identical across all batch commits, and checkpointed replay
+    moves nothing."""
+    import json as _json
+
+    import numpy as np
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import IvfIndex
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_ann_ingest,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 8
+    src = tmp_path / "vecs"
+    src.mkdir()
+
+    def write_file(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                vec = rng.standard_normal(d).round(6).tolist()
+                f.write(_json.dumps({"vec_id": i, "embedding": vec}) + "\n")
+
+    write_file("a.json", range(40))
+    index_root = str(tmp_path / "ivf")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_ann_ingest(
+            spark,
+            str(src),
+            index_root,
+            schema="vec_id long, embedding array<float>",
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+            pinned_seeds=True,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    idx = IvfIndex(spark, index_root)
+    cent1 = idx.table.snapshot_props().get("ivf_centroids")
+    assert cent1 is not None
+    assert idx.table.read().count() == 40
+
+    # second window: two more files → two more batches, one NULL embedding
+    # (unindexable, dropped by encode)
+    write_file("b.json", range(100, 130))
+    with open(src / "c.json", "w") as f:
+        f.write(_json.dumps({"vec_id": 999, "embedding": None}) + "\n")
+    drain()
+    rows = idx.table.read().select("vec_id", "cell").collect()
+    assert len(rows) == 70 and all(r.cell is not None for r in rows)
+    assert {r.vec_id for r in rows} == set(range(40)) | set(range(100, 130))
+    # quantizer fixed since bootstrap: every commit names the same file
+    assert idx.table.snapshot_props().get("ivf_centroids") == cent1
+    # later batches were encoded with the STORED centroids
+    cent = idx._load_centroids()
+    one = idx.table.read().filter("vec_id = 115").first()
+    scores = np.array(one.embedding, dtype=np.float64) @ cent.T - 0.5 * (
+        cent**2
+    ).sum(axis=1)
+    assert one.cell == int(np.argmax(scores))
+    # servable: query with a clone of an indexed vector → cosine-1.0 top hit
+    probe_vec = idx.table.read().filter("vec_id = 5").first().embedding
+    out = idx.query(
+        spark.createDataFrame(
+            [(777777, probe_vec)], "vec_id long, embedding array<float>"
+        ),
+        k=3,
+    ).collect()
+    top = [r for r in out if r.rank == 1]
+    assert top and top[0].vec_id == 5 and top[0].cos_sim == 1.0
+    # replay with no new files: nothing moves
+    v = idx.table.current_version()
+    drain()
+    assert idx.table.current_version() == v
+
+
 def test_incremental_bm25_ingest_matches_batch_rank(spark, tmp_path):
     """Exact incremental BM25: ranking from the incrementally maintained
     postings + stats tables must equal a batch bm25_rank over the ingested
