@@ -74,7 +74,9 @@ _MODULES = [
 # agg_bitmap_distinct r7; agg_percentiles ↔ agg_histogram_quantiles r7 —
 # the last two deferred when text_perplexity_bigram and chunk_documents
 # joined the head; join_left_outer ↔ join_full_outer, which stays in this
-# window — deferred when mine_triplets joined the head).
+# window — deferred when mine_triplets joined the head; scalar_date_funcs
+# ↔ scalar_string_funcs in-window / scalar_math_funcs r6 — deferred when
+# events_item_cooccurrence joined the head).
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "hybrid_search_rrf",
@@ -82,6 +84,7 @@ _PRIORITY = [
     "text_perplexity_bigram",
     "chunk_documents",
     "mine_triplets",
+    "events_item_cooccurrence",
     # (b) r4-era rows — oldest in the ledger, deferred from round 7
     "set_except",
     "union_by_name",
@@ -120,7 +123,6 @@ _PRIORITY = [
     "map_funcs",
     "null_handling",
     "quantize_embeddings_int8",
-    "scalar_date_funcs",
     "scalar_string_funcs",
     "snapshot_bloom_point_lookup",
     "snapshot_positional_delete_orders",

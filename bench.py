@@ -96,6 +96,7 @@ HEADLINE = [
     "text_perplexity_bigram",
     "chunk_documents",
     "mine_triplets",
+    "events_item_cooccurrence",
 ]
 
 

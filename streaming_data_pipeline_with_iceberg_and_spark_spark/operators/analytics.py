@@ -359,14 +359,128 @@ GROUP BY 1
 """
 
 
+# Co-occurrence knobs, interpolated into the oracle: per-user distinct-item
+# cap (power-user pair-explosion guard — the analytics twin of the dedup
+# inverted-index df cap) and the minimum co-count worth emitting.
+_CO_USER_CAP = 40
+_CO_MIN_COUNT = 2
+
+
+def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket item co-occurrence with lift — the "users who touched
+    X also touched Y" pass behind recommendations and feature-affinity
+    dashboards. Items are ``props.k``; baskets are each user's DISTINCT
+    item set; output is every item pair co-touched by ≥ ``_CO_MIN_COUNT``
+    users with lift = P(a,b)/(P(a)·P(b)) over the participating users.
+
+    Scale shape: one distinct pass builds (user, item); users with more
+    than ``_CO_USER_CAP`` distinct items are excluded WHOLE (a deterministic
+    rule both engines share) — without the cap, one crawler-like user with
+    10⁵ items contributes 10¹⁰ pairs and the self-join explodes; with it,
+    pairs per user are ≤ C(cap,2) and total work is linear in users. The
+    pair self-join co-partitions on user_id (one shuffle), counts are plain
+    hash aggs, and the item-frequency side joins back on the item keys —
+    no broadcast hints (item cardinality is corpus-sized at 100 TB; AQE
+    may downgrade at small SF). Lift is integer-count arithmetic divided
+    once, rounded at 6 — cross-engine exact."""
+    ev = load(spark, "events", sf_dir)
+    ui = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull() & F.col("user_id").isNotNull())
+        .distinct()
+    )
+    # One basket (sorted distinct-item array) per user, built by the single
+    # user-keyed shuffle; pairs come from ARRAY expressions over the basket
+    # — no user_id self-join, so the corpus is scanned once and the pair
+    # stream is generated map-side. Cached because three bounded aggs
+    # (n_users, item counts, pair counts) consume it.
+    baskets = (
+        ui.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("item")).alias("items"))
+        .filter(F.size("items") <= _CO_USER_CAP)
+        .persist()
+    )
+    n_users = baskets.agg(F.count("*").alias("n_users"))
+    cnt = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + F.lit(2), F.size("items")),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("co_users"))
+        .filter(F.col("co_users") >= _CO_MIN_COUNT)
+    )
+    return (
+        co.join(cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")), "item_a")
+        .join(cnt.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")), "item_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "item_a",
+            "item_b",
+            "co_users",
+            F.round(
+                F.col("co_users") * F.col("n_users")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+COOCCURRENCE_SQL = f"""
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL AND user_id IS NOT NULL
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item, COUNT(*) OVER (PARTITION BY user_id) AS n_items
+    FROM ui
+  ) WHERE n_items <= {_CO_USER_CAP}
+),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM capped),
+cnt AS (SELECT item, COUNT(*) AS cnt FROM capped GROUP BY item),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co_users
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_CO_MIN_COUNT}
+)
+SELECT item_a, item_b, co_users,
+       ROUND(co_users * n_users / (ca.cnt * cb.cnt * 1.0), 6) AS lift
+FROM co
+JOIN cnt ca ON ca.item = co.item_a
+JOIN cnt cb ON cb.item = co.item_b, nu
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
+    "events_item_cooccurrence": events_item_cooccurrence,
 }
 
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
     "events_anomaly_mad": ANOMALY_MAD_SQL,
+    "events_item_cooccurrence": COOCCURRENCE_SQL,
 }
