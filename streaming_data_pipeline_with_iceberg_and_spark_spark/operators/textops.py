@@ -1239,6 +1239,7 @@ def bm25_score_postings(
     k1: float = _BM25_K1,
     b: float = _BM25_B,
     terms: list[str] | None = None,
+    check_terms: bool = True,
 ) -> DataFrame:
     """Score (``id_col``, term, tf, dl) postings against a (query_id, term)
     frame and return the top-``k`` per query — the shared scoring tail of
@@ -1270,10 +1271,13 @@ def bm25_score_postings(
             "batch — for corpus-×-corpus scoring shapes, build an inverted "
             "index join instead"
         )
-    if terms is not None:
+    if terms is not None and check_terms:
         # qmap is a tiny request frame by contract, so this subset check is
         # one cheap job — a caller-supplied list that misses a query term
-        # would otherwise silently zero that term's contribution
+        # would otherwise silently zero that term's contribution. Callers
+        # whose `terms` and `qmap` are built from the SAME literal (the
+        # pinned registry faces) may pass check_terms=False to skip the
+        # job; the invariant then holds by construction.
         n_uncovered = (
             qmap.select("term")
             .distinct()
@@ -1321,6 +1325,7 @@ def bm25_rank_from_index(
     k1: float = _BM25_K1,
     b: float = _BM25_B,
     terms: list[str] | None = None,
+    check_terms: bool = True,
 ) -> DataFrame:
     """BM25 top-``k`` per query against a MAINTAINED index: the (term,
     doc_id, tf, dl) postings table plus (n_docs, sum_dl) stats partials kept
@@ -1337,6 +1342,7 @@ def bm25_rank_from_index(
         k1=k1,
         b=b,
         terms=terms,
+        check_terms=check_terms,
     )
 
 
@@ -1349,6 +1355,7 @@ def bm25_rank(
     k1: float = _BM25_K1,
     b: float = _BM25_B,
     terms: list[str] | None = None,
+    check_terms: bool = True,
 ) -> DataFrame:
     """BM25 top-``k`` documents per query — the reusable operator.
 
@@ -1377,7 +1384,15 @@ def bm25_rank(
     stats = bm25_stats_finalize(bm25_stats_partial(docs, text_col))
     postings = bm25_doc_postings(docs, text_col, id_col)
     return bm25_score_postings(
-        postings, stats, qmap, k=k, id_col=id_col, k1=k1, b=b, terms=terms
+        postings,
+        stats,
+        qmap,
+        k=k,
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        terms=terms,
+        check_terms=check_terms,
     )
 
 
@@ -1392,6 +1407,10 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_spread(spark, "documents", sf_dir),
         qmap,
         terms=sorted({t for ts in _BM25_QUERIES.values() for t in ts}),
+        # qmap and terms come from the SAME pinned literal — the coverage
+        # invariant holds by construction, so skip the check job (it cost
+        # +44% on the bench face when it ran per invocation)
+        check_terms=False,
     )
 
 
