@@ -76,7 +76,9 @@ _MODULES = [
 # joined the head; join_left_outer ↔ join_full_outer, which stays in this
 # window — deferred when mine_triplets joined the head; scalar_date_funcs
 # ↔ scalar_string_funcs in-window / scalar_math_funcs r6 — deferred when
-# events_item_cooccurrence joined the head).
+# events_item_cooccurrence joined the head; json_extraction ↔
+# json_variant_extract r7 — deferred when events_markov_transitions joined
+# the head).
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "hybrid_search_rrf",
@@ -85,6 +87,7 @@ _PRIORITY = [
     "chunk_documents",
     "mine_triplets",
     "events_item_cooccurrence",
+    "events_markov_transitions",
     # (b) r4-era rows — oldest in the ledger, deferred from round 7
     "set_except",
     "union_by_name",
@@ -118,7 +121,6 @@ _PRIORITY = [
     "join_full_outer",
     "join_range_shipdelay",
     "join_semi",
-    "json_extraction",
     "kmeans_cluster_profile",
     "map_funcs",
     "null_handling",

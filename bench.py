@@ -97,6 +97,7 @@ HEADLINE = [
     "chunk_documents",
     "mine_triplets",
     "events_item_cooccurrence",
+    "events_markov_transitions",
 ]
 
 

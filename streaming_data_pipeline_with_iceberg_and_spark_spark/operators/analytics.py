@@ -12,7 +12,7 @@ ops do, with DuckDB oracle twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -471,11 +471,62 @@ JOIN cnt cb ON cb.item = co.item_b, nu
 """
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: P(next event_type | this
+    event_type) from each user's time-ordered event sequence — the
+    session-flow fingerprint behind next-action prediction, anomaly
+    detection on behavior drift, and UX funnel diagnostics.
+
+    One user-keyed sort window (lag) builds the transition stream, then a
+    tiny |types|² hash agg; probabilities are integer counts divided once
+    and rounded, so cross-engine exact. Ordering ties on ts break by
+    event_id — the same total order both engines sort by. Scale: the only
+    shuffle is the per-user window partition (the sessionize shape); the
+    transition matrix itself is bounded by the event-type vocabulary."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return tr.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+tr AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       ROUND(n / (SUM(n) OVER (PARTITION BY prev_type) * 1.0), 6) AS p
+FROM tr
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
     "events_item_cooccurrence": events_item_cooccurrence,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ORACLES = {
@@ -483,4 +534,5 @@ ORACLES = {
     "cohort_retention": COHORT_SQL,
     "events_anomaly_mad": ANOMALY_MAD_SQL,
     "events_item_cooccurrence": COOCCURRENCE_SQL,
+    "events_markov_transitions": MARKOV_SQL,
 }
