@@ -483,16 +483,29 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id — the same total order both engines sort by. Scale: the only
     shuffle is the per-user window partition (the sessionize shape); the
     transition matrix itself is bounded by the event-type vocabulary."""
-    ev = load(spark, "events", sf_dir).filter(
-        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
-    )
+    return markov_transitions(load(spark, "events", sf_dir))
+
+
+def markov_transition_counts(ev: DataFrame) -> DataFrame:
+    """The mergeable half of the Markov model: (prev_type, next_type, n)
+    transition counts from time-ordered per-user sequences. Counts from
+    DISJOINT, per-user-time-contiguous event slices sum to the full-corpus
+    counts once boundary transitions are added — which is what
+    ``streaming.ingest.start_incremental_markov_ingest`` maintains."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tr = (
-        ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def markov_from_counts(counts: DataFrame) -> DataFrame:
+    """Finalize (possibly partial) transition-count rows into the
+    probability matrix — the query-time face of the maintained table."""
+    tr = counts.groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
     wp = Window.partitionBy("prev_type")
     return tr.select(
         "prev_type",
@@ -500,6 +513,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
     )
+
+
+def markov_transitions(ev: DataFrame) -> DataFrame:
+    """First-order transition matrix of an event frame (reusable core of
+    :func:`events_markov_transitions`)."""
+    return markov_from_counts(markov_transition_counts(ev))
 
 
 MARKOV_SQL = """

@@ -864,6 +864,153 @@ def start_incremental_ann_ingest(
     return writer.start()
 
 
+def start_incremental_markov_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    counts_root: str,
+    state_root: str,
+    txn_dir: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "markov_ingest",
+) -> StreamingQuery:
+    """EXACT incremental Markov-transition maintenance: keep the
+    (prev_type, next_type, n) transition-count table current at ingest —
+    the STATEFUL member of the incremental family (dedup/PCA/BM25/IVF are
+    stateless per batch; transitions cross micro-batch boundaries). Per
+    batch: within-batch transitions from the usual lag window, PLUS one
+    boundary transition per user joining the batch's first event against
+    the per-user last-event STATE table; the state table then advances to
+    each user's new last event. Counts are plain mergeable sums, so
+    ``operators.analytics.markov_from_counts`` over the maintained table
+    returns EXACTLY the batch ``markov_transitions`` over everything
+    ingested (parity test in tests/test_streaming.py). At 100 TB this
+    turns "refresh the behavior model" from a full-corpus window sort into
+    per-batch work plus a user-keyed state join; the state table holds ONE
+    row per active user.
+
+    ORDER CONTRACT (checked loudly, the PCA dimension-drift discipline): a
+    user's events in a later batch must be strictly later — by (ts,
+    event_id) — than their events in earlier batches (the per-key-ordered
+    delivery a keyed log gives). A violating batch raises rather than
+    silently double-counting a boundary: exact incremental maintenance
+    under arbitrary late data would require retracting already-counted
+    transitions, which is a rebuild, not an append.
+
+    Exactly-once: count partials and the state overwrite commit in ONE
+    multi-table transaction with namespaced batch keys; replayed batches
+    are skipped whole.
+    """
+    from ..operators.analytics import markov_transition_counts
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+    )
+
+    counts = SnapshotTable(spark, counts_root)
+    last_state = SnapshotTable(spark, state_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def markov_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([counts, last_state], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        b = batch_df.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        ).persist()
+        try:
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ranked = b.select(
+                "user_id",
+                "ts",
+                "event_id",
+                "event_type",
+                F.row_number().over(w).alias("__rn"),
+                F.count("*").over(Window.partitionBy("user_id")).alias("__n"),
+            ).persist()
+            within = markov_transition_counts(b)
+            prev = (
+                last_state.read()
+                if last_state.current_version() is not None
+                else None
+            )
+            firsts = ranked.filter(F.col("__rn") == 1)
+            if prev is not None:
+                joined = firsts.join(
+                    prev.select(
+                        "user_id",
+                        F.col("ts").alias("p_ts"),
+                        F.col("event_id").alias("p_eid"),
+                        F.col("event_type").alias("p_type"),
+                    ),
+                    "user_id",
+                )
+                # ORDER CONTRACT guard: the batch's first event per user
+                # must be strictly after that user's stored last event
+                n_bad = (
+                    joined.filter(
+                        (F.col("ts") < F.col("p_ts"))
+                        | (
+                            (F.col("ts") == F.col("p_ts"))
+                            & (F.col("event_id") <= F.col("p_eid"))
+                        )
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if n_bad:
+                    raise RuntimeError(
+                        "markov ingest order contract violated: a batch "
+                        "delivered a user event at or before that user's "
+                        "already-ingested last event; exact incremental "
+                        "transition counts require per-user-ordered "
+                        "delivery — route this source through a keyed, "
+                        "ordered log or rebuild the counts table"
+                    )
+                boundary = joined.groupBy(
+                    F.col("p_type").alias("prev_type"),
+                    F.col("event_type").alias("next_type"),
+                ).agg(F.count("*").alias("n"))
+                partial = within.unionByName(boundary)
+            else:
+                partial = within
+            lasts = ranked.filter(F.col("__rn") == F.col("__n")).select(
+                "user_id", "ts", "event_id", "event_type"
+            )
+            if prev is not None:
+                # users absent from this batch keep their stored last event
+                carried = prev.join(
+                    lasts.select("user_id"), "user_id", "left_anti"
+                )
+                new_state = carried.unionByName(lasts)
+            else:
+                new_state = lasts
+            txn = MultiTableTransaction([counts, last_state], txn_dir)
+            key = f"{stream_id}#{batch_id}"
+            txn.stage_append(counts, partial, batch_id=key)
+            txn.stage_overwrite(last_state, new_state, batch_id=key)
+            txn.commit()
+        finally:
+            ranked.unpersist()
+            b.unpersist()
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(markov_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

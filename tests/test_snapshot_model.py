@@ -398,3 +398,145 @@ def test_bm25_index_triple_stays_derived_from_corpus(spark, ops):
         }
         ref = {tuple(r) for r in bm25_rank(corpus.read(), qmap).collect()}
         assert inc == ref
+
+
+# Round-8 second coupled-tables model: the incremental-Markov pair. Unlike
+# the BM25 triple (append-only), the state table is OVERWRITTEN each batch
+# inside the transaction — the shape where a torn commit would leave counts
+# and state disagreeing. Ops: committed ordered batches, abandoned
+# transactions, per-table maintenance; invariant after every op: finalized
+# counts == batch Markov over everything committed, and the state table
+# holds exactly each user's true last event.
+
+_MK_TYPES = ["view", "click", "buy"]
+
+_MK_OP = st.one_of(
+    st.tuples(st.just("batch"), st.integers(min_value=1, max_value=6)),
+    st.tuples(st.just("abandon"), st.integers(min_value=1, max_value=3)),
+    st.tuples(st.just("compact"), st.integers(min_value=0, max_value=1)),
+    st.tuples(st.just("expire"), st.integers(min_value=0, max_value=1)),
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        _MK_OP,
+        min_size=2,
+        max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "6")),
+    )
+)
+def test_markov_pair_stays_derived_from_ingested(spark, ops):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        markov_from_counts,
+        markov_transitions,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+        recover_transactions,
+    )
+
+    root = tempfile.mkdtemp()
+    counts = SnapshotTable(spark, root + "/counts")
+    state = SnapshotTable(spark, root + "/state")
+    txn_dir = root + "/txns"
+    schema = "event_id long, ts long, user_id long, event_type string"
+    next_eid = {"n": 0}
+    ingested: list[tuple] = []
+
+    def make_rows(n):
+        rows = []
+        for _ in range(n):
+            e = next_eid["n"]
+            next_eid["n"] += 1
+            rows.append((e, 1000 + e * 10, e % 3, _MK_TYPES[(e * 7) % 3]))
+        return rows
+
+    def stage_pair(rows, txn):
+        # the ingest function's per-batch math, inlined for the model
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as FF
+
+        from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+            markov_transition_counts,
+        )
+
+        b = spark.createDataFrame(rows, schema)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        ranked = b.select(
+            "*",
+            FF.row_number().over(w).alias("__rn"),
+            FF.count("*").over(W.partitionBy("user_id")).alias("__n"),
+        )
+        within = markov_transition_counts(b)
+        prev = state.read() if state.current_version() is not None else None
+        firsts = ranked.filter("__rn = 1")
+        if prev is not None:
+            joined = firsts.join(
+                prev.select(
+                    "user_id",
+                    FF.col("event_type").alias("p_type"),
+                ),
+                "user_id",
+            )
+            boundary = joined.groupBy(
+                FF.col("p_type").alias("prev_type"),
+                FF.col("event_type").alias("next_type"),
+            ).agg(FF.count("*").alias("n"))
+            partial = within.unionByName(boundary)
+        else:
+            partial = within
+        lasts = ranked.filter("__rn = __n").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        if prev is not None:
+            carried = prev.join(lasts.select("user_id"), "user_id", "left_anti")
+            new_state = carried.unionByName(lasts)
+        else:
+            new_state = lasts
+        txn.stage_append(counts, partial)
+        txn.stage_overwrite(state, new_state)
+
+    any_committed = False
+    for op in ops:
+        kind = op[0]
+        if kind == "batch":
+            rows = make_rows(op[1])
+            txn = MultiTableTransaction([counts, state], txn_dir)
+            stage_pair(rows, txn)
+            txn.commit()
+            ingested.extend(rows)
+            any_committed = True
+        elif kind == "abandon":
+            rows = make_rows(op[1])  # ids burn; never committed
+            txn = MultiTableTransaction([counts, state], txn_dir)
+            stage_pair(rows, txn)
+            del txn
+            recover_transactions(spark, txn_dir)
+        elif kind in ("compact", "expire"):
+            t = [counts, state][op[1]]
+            if t.current_version() is None:
+                continue
+            t.compact() if kind == "compact" else t.expire_snapshots(keep_last=1)
+        if not any_committed:
+            continue
+        got = {
+            (r.prev_type, r.next_type): (r.n, r.p)
+            for r in markov_from_counts(counts.read()).collect()
+        }
+        want = {
+            (r.prev_type, r.next_type): (r.n, r.p)
+            for r in markov_transitions(
+                spark.createDataFrame(ingested, schema)
+            ).collect()
+        }
+        assert got == want, f"counts diverged after {op}"
+        st_rows = {r.user_id: r.event_id for r in state.read().collect()}
+        true_last = {}
+        for e, _, u, _t in ingested:
+            true_last[u] = max(true_last.get(u, -1), e)
+        assert st_rows == true_last, f"state diverged after {op}"

@@ -1080,6 +1080,128 @@ def test_neardup_ingest_rejects_stale_signature_scheme(spark, tmp_path):
     assert "signature scheme changed" in str(ei.value)
 
 
+def test_incremental_markov_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental Markov maintenance: the probability matrix
+    finalized from the incrementally maintained counts (within-batch lag
+    transitions + per-user boundary joins against the last-event state
+    table) must equal the batch transition matrix over everything ingested
+    — across micro-batches that SPLIT user sequences, under checkpointed
+    replay, and the out-of-order guard must fire loudly."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        markov_from_counts,
+        markov_transitions,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_markov_ingest,
+    )
+
+    types = ["view", "click", "purchase", "error"]
+    src = tmp_path / "events"
+    src.mkdir()
+    all_rows = []
+
+    def write_file(name, eids):
+        with open(src / name, "w") as f:
+            for e in eids:
+                row = {
+                    "event_id": e,
+                    "ts": 1_700_000_000 + e * 10,
+                    "user_id": e % 5,
+                    "event_type": types[(e * 7) % len(types)],
+                }
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    # three files, event-time ordered, every user's sequence split across
+    # all three → boundary transitions are exercised heavily
+    write_file("a.json", range(0, 30))
+    write_file("b.json", range(30, 55))
+    counts_root = str(tmp_path / "counts")
+    state_root = str(tmp_path / "state")
+    txn_dir = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts long, user_id long, event_type string"
+
+    def drain():
+        q = start_incremental_markov_ingest(
+            spark,
+            str(src),
+            counts_root,
+            state_root,
+            txn_dir,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    counts = SnapshotTable(spark, counts_root)
+    last_state = SnapshotTable(spark, state_root)
+
+    def check():
+        inc = {
+            (r.prev_type, r.next_type): (r.n, r.p)
+            for r in markov_from_counts(counts.read()).collect()
+        }
+        ref = {
+            (r.prev_type, r.next_type): (r.n, r.p)
+            for r in markov_transitions(
+                spark.createDataFrame(
+                    [tuple(r[k] for k in ("event_id", "ts", "user_id", "event_type")) for r in all_rows],
+                    schema,
+                )
+            ).collect()
+        }
+        assert inc == ref and inc
+        return inc
+
+    inc1 = check()
+    # state table: exactly one row per user, holding their true last event
+    st = {r.user_id: r.event_id for r in last_state.read().collect()}
+    assert len(st) == 5
+    write_file("c.json", range(55, 70))
+    drain()
+    inc2 = check()
+    assert inc1 != inc2
+    st2 = {r.user_id: r.event_id for r in last_state.read().collect()}
+    assert st2 == {u: max(e for e in range(70) if e % 5 == u) for u in range(5)}
+    # replay: nothing moves
+    v = counts.current_version()
+    drain()
+    assert counts.current_version() == v
+    # out-of-order delivery (an event BEFORE a user's stored last) must
+    # fail loudly, and the tables must be untouched by the failed batch
+    with open(src / "z.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {"event_id": 1, "ts": 1_700_000_005, "user_id": 1, "event_type": "view"}
+            )
+            + "\n"
+        )
+    q = start_incremental_markov_ingest(
+        spark,
+        str(src),
+        counts_root,
+        state_root,
+        txn_dir,
+        schema=schema,
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="order contract"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    assert counts.current_version() == v
+
+
 def test_incremental_ann_ingest_builds_servable_index(spark, tmp_path):
     """Streaming IVF maintenance: the first micro-batch bootstraps the
     quantizer, later batches encode with the STORED centroids, every vector
