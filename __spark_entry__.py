@@ -59,26 +59,30 @@ _MODULES = [
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
-# latest-row histogram r4:4, r5:50, r6:49, r7:50): (a) new/upgraded this
-# round — hybrid_search_rrf (new capstone, full oracle) and ann_ivf_index
-# (rows-only → value-exact via the pinned-seed quantizer); (b) the four
-# r4-era entries deferred from round 7 as promised (set_except,
-# union_by_name, sort_within_partitions, window_first_last) — after this
-# window no entry's latest row predates r5; (c) 44 of the 49 remaining
-# r5-era entries, including the whole TPC-H sweep and the snapshot oracle
-# rows. Five r5-era entries defer to round 9 to keep the window at exactly
-# 50 — each with a SAME-SHAPE sibling green in r6/r7 (agg_pivot ↔
-# agg_unpivot r6; agg_rollup ↔ agg_cube r6 / rollup_multi_granularity r7;
-# agg_stats ↔ agg_global r6; filter_project ↔ null_handling, which stays
-# in this window; join_theta_band ↔ join_cross r6; agg_count_distinct ↔
-# agg_bitmap_distinct r7; agg_percentiles ↔ agg_histogram_quantiles r7 —
-# the last two deferred when text_perplexity_bigram and chunk_documents
-# joined the head; join_left_outer ↔ join_full_outer, which stays in this
-# window — deferred when mine_triplets joined the head; scalar_date_funcs
-# ↔ scalar_string_funcs in-window / scalar_math_funcs r6 — deferred when
-# events_item_cooccurrence joined the head; json_extraction ↔
-# json_variant_extract r7 — deferred when events_markov_transitions joined
-# the head).
+# latest-row histogram r4:4, r5:50, r6:49, r7:50):
+# (a) the 8 entries new or oracle-upgraded this round, at the head —
+#     hybrid_search_rrf, text_perplexity_bigram, chunk_documents,
+#     mine_triplets, events_item_cooccurrence, events_markov_transitions,
+#     item_pagerank (all new, all value-exact oracles) plus ann_ivf_index
+#     (rows-only → value-exact via the pinned-seed quantizer);
+# (b) the four r4-era entries deferred from round 7 as promised
+#     (set_except, union_by_name, sort_within_partitions,
+#     window_first_last) — after this window no entry's latest row
+#     predates r5;
+# (c) 38 r5-era entries, including the whole TPC-H sweep and three of the
+#     four snapshot oracle rows.
+# Twelve r5-era entries defer to round 9 (they MUST head the r9 window) —
+# each displaced by a head addition and each with a SAME-SHAPE sibling
+# green in r6/r7 or in this window: agg_pivot (↔ agg_unpivot r6),
+# agg_rollup (↔ agg_cube r6, rollup_multi_granularity r7), agg_stats
+# (↔ agg_global r6), filter_project (↔ null_handling, in-window),
+# join_theta_band (↔ join_cross r6), agg_count_distinct
+# (↔ agg_bitmap_distinct r7), agg_percentiles (↔ agg_histogram_quantiles
+# r7), join_left_outer (↔ join_full_outer, in-window), scalar_date_funcs
+# (↔ scalar_string_funcs in-window, scalar_math_funcs r6),
+# json_extraction (↔ json_variant_extract r7),
+# snapshot_schema_evolution_orders (↔ three snapshot rows in-window,
+# time-travel/changelog r7).
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "hybrid_search_rrf",
@@ -88,6 +92,7 @@ _PRIORITY = [
     "mine_triplets",
     "events_item_cooccurrence",
     "events_markov_transitions",
+    "item_pagerank",
     # (b) r4-era rows — oldest in the ledger, deferred from round 7
     "set_except",
     "union_by_name",
@@ -128,7 +133,6 @@ _PRIORITY = [
     "scalar_string_funcs",
     "snapshot_bloom_point_lookup",
     "snapshot_positional_delete_orders",
-    "snapshot_schema_evolution_orders",
     "snapshot_update_constrained_orders",
     "text_linear_quality_classifier",
     "top_customers",

@@ -98,6 +98,7 @@ HEADLINE = [
     "mine_triplets",
     "events_item_cooccurrence",
     "events_markov_transitions",
+    "item_pagerank",
 ]
 
 

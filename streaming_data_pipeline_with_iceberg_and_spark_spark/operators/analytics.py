@@ -366,6 +366,49 @@ _CO_USER_CAP = 40
 _CO_MIN_COUNT = 2
 
 
+def _user_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One basket (sorted distinct-item array) per user, built by a single
+    user-keyed shuffle over the event scan; users over ``_CO_USER_CAP``
+    distinct items are excluded whole (pair-explosion guard). Cached —
+    several bounded aggs consume it (co-occurrence, PageRank)."""
+    ev = load(spark, "events", sf_dir)
+    ui = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull() & F.col("user_id").isNotNull())
+        .distinct()
+    )
+    return (
+        ui.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("item")).alias("items"))
+        .filter(F.size("items") <= _CO_USER_CAP)
+        .persist()
+    )
+
+
+def _basket_pairs(baskets: DataFrame) -> DataFrame:
+    """(item_a < item_b, co_users) pair counts generated MAP-SIDE by array
+    expressions over the baskets — no user_id self-join."""
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + F.lit(2), F.size("items")),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("co_users"))
+        .filter(F.col("co_users") >= _CO_MIN_COUNT)
+    )
+
+
 def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket item co-occurrence with lift — the "users who touched
     X also touched Y" pass behind recommendations and feature-affinity
@@ -383,48 +426,14 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     no broadcast hints (item cardinality is corpus-sized at 100 TB; AQE
     may downgrade at small SF). Lift is integer-count arithmetic divided
     once, rounded at 6 — cross-engine exact."""
-    ev = load(spark, "events", sf_dir)
-    ui = (
-        ev.select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("int").alias("item"),
-        )
-        .filter(F.col("item").isNotNull() & F.col("user_id").isNotNull())
-        .distinct()
-    )
-    # One basket (sorted distinct-item array) per user, built by the single
-    # user-keyed shuffle; pairs come from ARRAY expressions over the basket
-    # — no user_id self-join, so the corpus is scanned once and the pair
-    # stream is generated map-side. Cached because three bounded aggs
-    # (n_users, item counts, pair counts) consume it.
-    baskets = (
-        ui.groupBy("user_id")
-        .agg(F.array_sort(F.collect_list("item")).alias("items"))
-        .filter(F.size("items") <= _CO_USER_CAP)
-        .persist()
-    )
+    baskets = _user_baskets(spark, sf_dir)
     n_users = baskets.agg(F.count("*").alias("n_users"))
     cnt = (
         baskets.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
     )
-    pair_structs = F.flatten(
-        F.transform(
-            "items",
-            lambda x, i: F.transform(
-                F.slice("items", i + F.lit(2), F.size("items")),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    co = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .select("p.item_a", "p.item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count("*").alias("co_users"))
-        .filter(F.col("co_users") >= _CO_MIN_COUNT)
-    )
+    co = _basket_pairs(baskets)
     return (
         co.join(cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")), "item_a")
         .join(cnt.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")), "item_b")
@@ -442,8 +451,10 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COOCCURRENCE_SQL = f"""
-WITH ui AS (
+# Shared oracle CTE chain: baskets → pair counts. Both co-occurrence and
+# PageRank interpolate this single definition, so the two oracles can never
+# disagree about what an edge is.
+_CO_CTES = f"""ui AS (
   SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS item
   FROM events
   WHERE json_extract_string(props, '$.k') IS NOT NULL AND user_id IS NOT NULL
@@ -454,21 +465,113 @@ capped AS (
     FROM ui
   ) WHERE n_items <= {_CO_USER_CAP}
 ),
-nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM capped),
-cnt AS (SELECT item, COUNT(*) AS cnt FROM capped GROUP BY item),
 co AS (
   SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co_users
   FROM capped a JOIN capped b
     ON a.user_id = b.user_id AND a.item < b.item
   GROUP BY 1, 2
   HAVING COUNT(*) >= {_CO_MIN_COUNT}
-)
+)"""
+
+COOCCURRENCE_SQL = f"""
+WITH {_CO_CTES},
+nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM capped),
+cnt AS (SELECT item, COUNT(*) AS cnt FROM capped GROUP BY item)
 SELECT item_a, item_b, co_users,
        ROUND(co_users * n_users / (ca.cnt * cb.cnt * 1.0), 6) AS lift
 FROM co
 JOIN cnt ca ON ca.item = co.item_a
 JOIN cnt cb ON cb.item = co.item_b, nu
 """
+
+
+# PageRank knobs, interpolated into the oracle: damping factor and the
+# PINNED iteration count (unrolled identically on both sides — a fixed
+# small iteration count is what makes the whole computation ANSI-SQL
+# expressible; convergence-to-epsilon would not be).
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+
+def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the item co-occurrence graph — "centrality in the
+    taste graph", the classic graph signal behind item importance ranking
+    and crawl/curation prioritization. Edges are the co-occurrence pairs
+    (undirected → both directions), rank starts uniform and runs
+    ``_PR_ITERS`` damped iterations: r ← (1−d)/N + d·Σ_in r(u)/deg(u).
+
+    Scale shape: each iteration is ONE ranks⋈edges join partitioned on the
+    source item plus one destination-keyed sum — the standard distributed
+    PageRank step (Spark's own GraphX/Pregel examples use this shape); the
+    iteration count is a pinned constant, so the unrolled plan depth is
+    bounded. No dangling-node term is needed: an undirected edge list gives
+    every node at least one outgoing edge by construction. Deterministic up
+    to float-sum order inside the per-destination aggregation; the final
+    round at 8 decimals absorbs that (~1e-16 relative) on both engines."""
+    baskets = _user_baskets(spark, sf_dir)
+    co = _basket_pairs(baskets)
+    edges = co.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        co.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    nn = deg.agg(F.count("*").alias("n"))
+    d = _PR_DAMPING
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("item"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("item", "src"), "src")
+            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("item"),
+            ((1.0 - d) / F.col("n") + d * F.col("s")).alias("r"),
+        )
+    return (
+        ranks.join(deg.withColumnRenamed("src", "item"), "item")
+        .select("item", F.round("r", 8).alias("pagerank"), "deg")
+    )
+
+
+def _pagerank_sql() -> str:
+    """Unroll the same pinned iterations in SQL (shared edge CTEs)."""
+    d = _PR_DAMPING
+    ctes = [
+        f"""edges AS (
+  SELECT item_a AS src, item_b AS dst FROM co
+  UNION ALL
+  SELECT item_b AS src, item_a AS dst FROM co
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT src AS item, 1.0 / n AS r FROM deg, nn)"""
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"""s{i + 1} AS (
+  SELECT e.dst AS item, SUM(r{i}.r / deg.deg) AS s
+  FROM edges e JOIN deg ON deg.src = e.src JOIN r{i} ON r{i}.item = e.src
+  GROUP BY e.dst
+),
+r{i + 1} AS (SELECT item, (1.0 - {d}) / n + {d} * s AS r FROM s{i + 1}, nn)"""
+        )
+    return (
+        f"WITH {_CO_CTES},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT r.item AS item, ROUND(r.r, 8) AS pagerank, deg.deg AS deg
+FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.item
+"""
+    )
+
+
+PAGERANK_SQL = _pagerank_sql()
 
 
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,6 +649,7 @@ QUERIES = {
     "events_anomaly_mad": events_anomaly_mad,
     "events_item_cooccurrence": events_item_cooccurrence,
     "events_markov_transitions": events_markov_transitions,
+    "item_pagerank": item_pagerank,
 }
 
 ORACLES = {
@@ -554,4 +658,5 @@ ORACLES = {
     "events_anomaly_mad": ANOMALY_MAD_SQL,
     "events_item_cooccurrence": COOCCURRENCE_SQL,
     "events_markov_transitions": MARKOV_SQL,
+    "item_pagerank": PAGERANK_SQL,
 }

@@ -1019,6 +1019,30 @@ def test_mm_feature_extract_null_text_guard(spark, tmp_path):
     assert oracle == got
 
 
+def test_item_pagerank_invariants(spark, sf_dir):
+    """PageRank invariants: total rank mass is conserved at exactly 1 (no
+    dangling nodes on an undirected edge list), every rank is positive and
+    at least the teleport floor (1−d)/N, and node/edge sets agree with the
+    co-occurrence graph."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        _PR_DAMPING,
+        events_item_cooccurrence,
+        item_pagerank,
+    )
+
+    rows = item_pagerank(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-5
+    floor = (1.0 - _PR_DAMPING) / n
+    for r in rows:
+        assert r.pagerank >= floor - 1e-9 and r.deg >= 1
+    nodes = {r.item for r in rows}
+    co = events_item_cooccurrence(spark, "/root/testdata/sf0.01").collect()
+    assert nodes == {r.item_a for r in co} | {r.item_b for r in co}
+
+
 def test_mine_triplets_semantics(spark, sf_dir):
     """Triplet-mining invariants against the raw corpus: the mined positive
     shares the anchor's label, the negative differs, each is the true
