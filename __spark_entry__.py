@@ -60,18 +60,19 @@ _MODULES = [
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
 # latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 8 entries new or oracle-upgraded this round, at the head —
+# (a) the 10 entries new or oracle-upgraded this round, at the head —
 #     hybrid_search_rrf, text_perplexity_bigram, chunk_documents,
 #     mine_triplets, events_item_cooccurrence, events_markov_transitions,
-#     item_pagerank (all new, all value-exact oracles) plus ann_ivf_index
-#     (rows-only → value-exact via the pinned-seed quantizer);
+#     item_pagerank, events_rfm_segments, item_communities (all new —
+#     all value-exact oracles) plus ann_ivf_index (rows-only → value-exact via the
+#     pinned-seed quantizer);
 # (b) the four r4-era entries deferred from round 7 as promised
 #     (set_except, union_by_name, sort_within_partitions,
 #     window_first_last) — after this window no entry's latest row
 #     predates r5;
-# (c) 38 r5-era entries, including the whole TPC-H sweep and three of the
+# (c) 36 r5-era entries, including the whole TPC-H sweep and three of the
 #     four snapshot oracle rows.
-# Twelve r5-era entries defer to round 9 (they MUST head the r9 window) —
+# Fourteen r5-era entries defer to round 9 (they MUST head the r9 window) —
 # each displaced by a head addition and each with a SAME-SHAPE sibling
 # green in r6/r7 or in this window: agg_pivot (↔ agg_unpivot r6),
 # agg_rollup (↔ agg_cube r6, rollup_multi_granularity r7), agg_stats
@@ -82,7 +83,9 @@ _MODULES = [
 # (↔ scalar_string_funcs in-window, scalar_math_funcs r6),
 # json_extraction (↔ json_variant_extract r7),
 # snapshot_schema_evolution_orders (↔ three snapshot rows in-window,
-# time-travel/changelog r7).
+# time-travel/changelog r7), histogram_doc_length (↔
+# agg_histogram_quantiles r7) — plus join_anti (↔ join_semi, in-window)
+# after item_communities joined the head: fourteen total.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "hybrid_search_rrf",
@@ -93,6 +96,8 @@ _PRIORITY = [
     "events_item_cooccurrence",
     "events_markov_transitions",
     "item_pagerank",
+    "events_rfm_segments",
+    "item_communities",
     # (b) r4-era rows — oldest in the ledger, deferred from round 7
     "set_except",
     "union_by_name",
@@ -120,8 +125,6 @@ _PRIORITY = [
     "agg_grouping_sets",
     "ann_ivfpq",
     "curate_pretraining_corpus",
-    "histogram_doc_length",
-    "join_anti",
     "join_broadcast_dims",
     "join_full_outer",
     "join_range_shipdelay",

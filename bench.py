@@ -99,6 +99,8 @@ HEADLINE = [
     "events_item_cooccurrence",
     "events_markov_transitions",
     "item_pagerank",
+    "events_rfm_segments",
+    "item_communities",
 ]
 
 

@@ -643,6 +643,173 @@ FROM tr
 """
 
 
+# Pinned synchronous label-propagation rounds (unrolled on both sides).
+_LPA_ITERS = 3
+
+
+def item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the item co-occurrence graph by synchronous
+    label propagation (Raghavan et al. 2007): every node starts as its own
+    label; each round a node adopts the most frequent label among its
+    neighbors (tie → smallest label); ``_LPA_ITERS`` pinned rounds. The
+    taste-cluster complement to :func:`item_pagerank`'s centrality —
+    item-group discovery for assortment analysis and recommendation
+    candidate pools.
+
+    ENTIRELY integer arithmetic with a deterministic tie rule, so — unlike
+    float PageRank — the oracle equivalence is exact, not
+    rounding-mediated. Each round is one src-keyed join + one (dst, label)
+    count + one rank-1 window (WindowGroupLimit); plan depth bounded by
+    the pinned round count, the same distributed LPA step GraphX/GraphFrames
+    run per superstep."""
+    baskets = _user_baskets(spark, sf_dir)
+    co = _basket_pairs(baskets)
+    edges = co.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        co.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("item")).distinct().select(
+        "item", F.col("item").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels.withColumnRenamed("item", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("item"), "label")
+        )
+    return labels.select("item", F.col("label").alias("community"))
+
+
+def _lpa_sql() -> str:
+    """Unroll the same pinned label-propagation rounds in SQL."""
+    ctes = [
+        """edges AS (
+  SELECT item_a AS src, item_b AS dst FROM co
+  UNION ALL
+  SELECT item_b AS src, item_a AS dst FROM co
+),
+l0 AS (SELECT DISTINCT src AS item, src AS label FROM edges)"""
+    ]
+    for i in range(_LPA_ITERS):
+        ctes.append(
+            f"""l{i + 1} AS (
+  SELECT item, label FROM (
+    SELECT e.dst AS item, l.label, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM edges e JOIN l{i} l ON l.item = e.src
+    GROUP BY e.dst, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    return (
+        f"WITH {_CO_CTES},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT item, label AS community FROM l{_LPA_ITERS}
+"""
+    )
+
+
+LPA_SQL = _lpa_sql()
+
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the standard lifecycle-marketing
+    scoring: per user, Recency (days since last event, anchored to the
+    corpus max date so the result is reproducible), Frequency (event
+    count) and Monetary (value sum), each quintile-scored by NTILE(5),
+    composed into a segment label (champion / loyal / at-risk / lost /
+    regular).
+
+    One user-keyed agg + three NTILE windows over the per-USER frame (user
+    cardinality, not event cardinality) + a broadcast 1-row anchor.
+    Scale note: an un-partitioned NTILE is a single-task sort of the
+    per-user frame — fine up to tens of millions of users; at billions,
+    swap it for broadcast quantile-threshold bucketing (percentile_approx
+    on each metric → CASE ranges), trading exact quintile boundaries for a
+    fully parallel pass — the exact-NTILE form is kept here because it is
+    the oracle-checkable one. Determinism: every NTILE orders by a ROUNDED
+    metric with user_id as the final tie-break, so a last-ulp float
+    difference in the monetary sum can never flip bucket assignment
+    between engines."""
+    ev = load(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d_max"))
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("d_last"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    rfm = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("d_max", "d_last").cast("int").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    scored = rfm.select(
+        "*",
+        F.ntile(5).over(w_r).alias("r_q"),
+        F.ntile(5).over(w_f).alias("f_q"),
+        F.ntile(5).over(w_m).alias("m_q"),
+    )
+    seg = (
+        F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2), "champion")
+        .when((F.col("r_q") <= 2) & (F.col("f_q") <= 3), "loyal")
+        .when((F.col("r_q") >= 4) & (F.col("f_q") <= 2), "at_risk")
+        .when((F.col("r_q") >= 4) & (F.col("f_q") >= 4), "lost")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        "r_q", "f_q", "m_q", seg.alias("segment"),
+    )
+
+
+RFM_SQL = """
+WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+anchor AS (SELECT MAX(CAST(ts AS DATE)) AS d_max FROM ev),
+per_user AS (
+  SELECT user_id,
+         MAX(CAST(ts AS DATE)) AS d_last,
+         COUNT(*) AS frequency,
+         ROUND(SUM(value), 2) AS monetary
+  FROM ev GROUP BY user_id
+),
+rfm AS (
+  SELECT user_id,
+         CAST(date_diff('day', d_last, d_max) AS INT) AS recency_days,
+         frequency, monetary
+  FROM per_user, anchor
+),
+scored AS (
+  SELECT *,
+         NTILE(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_q,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_q,
+         NTILE(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m_q
+  FROM rfm
+)
+SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+       CASE
+         WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+         WHEN r_q <= 2 AND f_q <= 3 THEN 'loyal'
+         WHEN r_q >= 4 AND f_q <= 2 THEN 'at_risk'
+         WHEN r_q >= 4 AND f_q >= 4 THEN 'lost'
+         ELSE 'regular'
+       END AS segment
+FROM scored
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
@@ -650,6 +817,8 @@ QUERIES = {
     "events_item_cooccurrence": events_item_cooccurrence,
     "events_markov_transitions": events_markov_transitions,
     "item_pagerank": item_pagerank,
+    "events_rfm_segments": events_rfm_segments,
+    "item_communities": item_communities,
 }
 
 ORACLES = {
@@ -659,4 +828,6 @@ ORACLES = {
     "events_item_cooccurrence": COOCCURRENCE_SQL,
     "events_markov_transitions": MARKOV_SQL,
     "item_pagerank": PAGERANK_SQL,
+    "events_rfm_segments": RFM_SQL,
+    "item_communities": LPA_SQL,
 }

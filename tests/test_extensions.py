@@ -1043,6 +1043,33 @@ def test_item_pagerank_invariants(spark, sf_dir):
     assert nodes == {r.item_a for r in co} | {r.item_b for r in co}
 
 
+def test_item_communities_and_rfm_invariants(spark):
+    """LPA: every node gets exactly one community and that community is
+    itself a node id; propagation coarsens (#communities ≤ #nodes). RFM:
+    quintiles are 1..5 and segments cover every user exactly once."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        events_rfm_segments,
+        item_communities,
+        item_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    comm = item_communities(spark, sf).collect()
+    nodes = {r.item for r in comm}
+    assert len(comm) == len(nodes) > 0  # one label per node
+    assert {r.community for r in comm} <= nodes
+    assert len({r.community for r in comm}) <= len(nodes)
+    # same node set as pagerank (both derive from the shared edge CTEs)
+    assert nodes == {r.item for r in item_pagerank(spark, sf).collect()}
+
+    rfm = events_rfm_segments(spark, sf).collect()
+    assert rfm and len({r.user_id for r in rfm}) == len(rfm)
+    for r in rfm:
+        assert 1 <= r.r_q <= 5 and 1 <= r.f_q <= 5 and 1 <= r.m_q <= 5
+        assert r.segment in {"champion", "loyal", "at_risk", "lost", "regular"}
+        assert r.recency_days >= 0 and r.frequency >= 1
+
+
 def test_mine_triplets_semantics(spark, sf_dir):
     """Triplet-mining invariants against the raw corpus: the mined positive
     shares the anchor's label, the negative differs, each is the true
