@@ -745,7 +745,10 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = ev.groupBy("user_id").agg(
         F.max(F.to_date("ts")).alias("d_last"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("value"), 2).alias("monetary"),
+        # COALESCE → an all-NULL-value user scores 0 spend instead of a
+        # NULL that the two engines would ORDER differently (Spark puts
+        # NULLs first under ASC, DuckDB last — a latent NTILE divergence)
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("monetary"),
     )
     rfm = per_user.crossJoin(F.broadcast(anchor)).select(
         "user_id",
@@ -782,7 +785,7 @@ per_user AS (
   SELECT user_id,
          MAX(CAST(ts AS DATE)) AS d_last,
          COUNT(*) AS frequency,
-         ROUND(SUM(value), 2) AS monetary
+         ROUND(COALESCE(SUM(value), 0), 2) AS monetary
   FROM ev GROUP BY user_id
 ),
 rfm AS (

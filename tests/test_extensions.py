@@ -1043,6 +1043,41 @@ def test_item_pagerank_invariants(spark, sf_dir):
     assert nodes == {r.item_a for r in co} | {r.item_b for r in co}
 
 
+def test_rfm_null_monetary_engines_agree(spark, tmp_path):
+    """An all-NULL-value user must score monetary 0 on BOTH engines —
+    without the COALESCE, Spark (NULLS FIRST under ASC) and DuckDB (NULLS
+    LAST) would NTILE a NULL monetary into different quintiles."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import RFM_SQL, events_rfm_segments
+
+    sf = str(tmp_path)
+    rows = [
+        (
+            i,
+            "2024-01-%02d 10:00:00" % (i % 27 + 1),
+            i % 4,
+            "view",
+            None if i % 4 == 0 else float(i),
+            '{"k": 1}',
+        )
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = sorted(map(tuple, events_rfm_segments(spark, sf).collect()))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+    want = sorted(map(tuple, con.sql(RFM_SQL).fetchall()))
+    assert got == want and len(got) == 4
+    by_user = {r[0]: r for r in got}
+    assert by_user[0][3] == 0.0  # the all-NULL-value user
+
+
 def test_item_communities_and_rfm_invariants(spark):
     """LPA: every node gets exactly one community and that community is
     itself a node id; propagation coarsens (#communities ≤ #nodes). RFM:
