@@ -594,10 +594,20 @@ def markov_transition_counts(ev: DataFrame) -> DataFrame:
     transition counts from time-ordered per-user sequences. Counts from
     DISJOINT, per-user-time-contiguous event slices sum to the full-corpus
     counts once boundary transitions are added — which is what
-    ``streaming.ingest.start_incremental_markov_ingest`` maintains."""
+    ``streaming.ingest.start_incremental_markov_ingest`` maintains.
+
+    Rows with a NULL sort key (ts or event_id) are excluded on BOTH sides:
+    they cannot take a position in a temporal sequence, and the two engines
+    would otherwise ORDER them differently (Spark NULLS FIRST under ASC,
+    DuckDB NULLS LAST) — shifting every adjacent transition."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        ev.filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
         .withColumn("prev_type", F.lag("event_type").over(w))
         .filter(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
@@ -631,6 +641,7 @@ WITH seq AS (
                                ORDER BY ts, event_id) AS prev_type
   FROM events
   WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
 ),
 tr AS (
   SELECT prev_type, event_type AS next_type, COUNT(*) AS n
