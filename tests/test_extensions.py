@@ -954,13 +954,14 @@ def test_bm25_matches_python_oracle(spark, sf_dir):
         .collect()
     )
     # mirror the engine exactly: split('\s+') after trim+lower (an empty
-    # string tokenizes to ['']), NULL text contributes to n_docs but not avgdl
+    # string tokenizes to ['']); NULL-text docs are excluded from the
+    # corpus entirely — n_docs AND avgdl — per the r8 NULL guard
     docs = [
         (r.doc_id, re.split(r"\s+", r.text.strip().lower()))
         for r in rows
         if r.text is not None
     ]
-    n_docs = len(rows)
+    n_docs = len(docs)
     avgdl = sum(len(t) for _, t in docs) / len(docs)
     k1, b = textops._BM25_K1, textops._BM25_B
     expected = {}
@@ -1211,6 +1212,100 @@ def test_text_perplexity_bigram_semantics(spark, tmp_path):
     # doc 1's a↔b transitions are corpus-dominant → lowest perplexity
     assert out[1].perplexity < out[2].perplexity
     assert out[1].perplexity < out[3].perplexity
+
+
+def test_hybrid_rank_matches_python_oracle_random(spark):
+    """hybrid_rank on seeded random corpora with non-default (k, topk, c)
+    reproduces a pure-Python RRF oracle exactly — covers the OPERATOR
+    surface beyond the pinned registry face the DuckDB oracle checks."""
+    import math as m
+    import random
+
+    import numpy as np
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import textops
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.retrieval import hybrid_rank
+
+    rng = random.Random(17)
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    n_docs, dim = 40, 6
+    docs_py = {
+        i: [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(2, 8))]
+        for i in range(n_docs)
+    }
+    vecs = {i: [round(rng.uniform(-1, 1), 3) for _ in range(dim)] for i in range(n_docs)}
+    qterms_py = {1: ["ant", "cat"], 2: ["dog"]}
+    qvecs_py = {1: 5, 2: 23}
+    k, topk, c = 7, 5, 10
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs_py.items()], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in qterms_py.items() for t in ts], "query_id int, term string"
+    )
+    qvecs = spark.createDataFrame(
+        sorted(qvecs_py.items()), "query_id int, qvec_id long"
+    )
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.rrf_score, r.bm25_rank, r.cos_rank)
+        for r in hybrid_rank(docs, emb, qterms, qvecs, k=k, topk=topk, c=c).collect()
+    }
+
+    # ---- python oracle ----
+    n = len(docs_py)
+    avgdl = sum(len(t) for t in docs_py.values()) / n
+    k1, b = textops._BM25_K1, textops._BM25_B
+    want = {}
+    for q in qterms_py:
+        scores = {}
+        for t in qterms_py[q]:
+            df = sum(1 for toks in docs_py.values() if t in toks)
+            if not df:
+                continue
+            idf = m.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for i, toks in docs_py.items():
+                tf = toks.count(t)
+                if tf:
+                    dl = len(toks)
+                    scores[i] = scores.get(i, 0.0) + idf * (tf * (k1 + 1)) / (
+                        tf + k1 * (1 - b + b * dl / avgdl)
+                    )
+        sparse = [
+            d for _, d in sorted(
+                ((round(s, 6), i) for i, s in scores.items()),
+                key=lambda p: (-p[0], p[1]),
+            )[:k]
+        ]
+        qv = np.array([float(np.float32(x)) for x in vecs[qvecs_py[q]]])
+        qv = qv / np.linalg.norm(qv)
+        cos = {}
+        for i, v in vecs.items():
+            if i == qvecs_py[q]:
+                continue
+            vv = np.array([float(np.float32(x)) for x in v])
+            cos[i] = round(float(qv @ (vv / np.linalg.norm(vv))), 5)
+        dense = [
+            d for _, d in sorted(
+                ((s, i) for i, s in cos.items()), key=lambda p: (-p[0], p[1])
+            )[:k]
+        ]
+        fused = {}
+        for r, d in enumerate(sparse, 1):
+            fused.setdefault(d, [None, None])[0] = r
+        for r, d in enumerate(dense, 1):
+            fused.setdefault(d, [None, None])[1] = r
+        scored = []
+        for d, (rs, rd) in fused.items():
+            s = (1.0 / (c + rs) if rs else 0.0) + (1.0 / (c + rd) if rd else 0.0)
+            scored.append((round(s, 6), d, rs, rd))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (s, d, rs, rd) in enumerate(scored[:topk], 1):
+            want[(q, rank)] = (d, s, rs, rd)
+    assert got == want
 
 
 def test_hybrid_rank_rrf_semantics(spark):
