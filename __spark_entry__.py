@@ -60,19 +60,19 @@ _MODULES = [
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
 # latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 10 entries new or oracle-upgraded this round, at the head —
-#     hybrid_search_rrf, text_perplexity_bigram, chunk_documents,
-#     mine_triplets, events_item_cooccurrence, events_markov_transitions,
-#     item_pagerank, events_rfm_segments, item_communities (all new —
-#     all value-exact oracles) plus ann_ivf_index (rows-only → value-exact via the
-#     pinned-seed quantizer);
+# (a) the 11 entries new or oracle-upgraded this round, at the head —
+#     session_top_paths, hybrid_search_rrf, text_perplexity_bigram,
+#     chunk_documents, mine_triplets, events_item_cooccurrence,
+#     events_markov_transitions, item_pagerank, events_rfm_segments,
+#     item_communities (all new — all value-exact oracles) plus
+#     ann_ivf_index (rows-only → value-exact via the pinned-seed quantizer);
 # (b) the four r4-era entries deferred from round 7 as promised
 #     (set_except, union_by_name, sort_within_partitions,
 #     window_first_last) — after this window no entry's latest row
 #     predates r5;
-# (c) 36 r5-era entries, including the whole TPC-H sweep and three of the
+# (c) 35 r5-era entries, including the whole TPC-H sweep and three of the
 #     four snapshot oracle rows.
-# Fourteen r5-era entries defer to round 9 (they MUST head the r9 window) —
+# Fifteen r5-era entries defer to round 9 (they MUST head the r9 window) —
 # each displaced by a head addition and each with a SAME-SHAPE sibling
 # green in r6/r7 or in this window: agg_pivot (↔ agg_unpivot r6),
 # agg_rollup (↔ agg_cube r6, rollup_multi_granularity r7), agg_stats
@@ -84,10 +84,13 @@ _MODULES = [
 # json_extraction (↔ json_variant_extract r7),
 # snapshot_schema_evolution_orders (↔ three snapshot rows in-window,
 # time-travel/changelog r7), histogram_doc_length (↔
-# agg_histogram_quantiles r7) — plus join_anti (↔ join_semi, in-window)
-# after item_communities joined the head: fourteen total.
+# agg_histogram_quantiles r7), join_anti (↔ join_semi, in-window — after
+# item_communities joined the head), plus window_rank (↔ window_ntile_pct
+# r7, top_customers in-window — displaced by session_top_paths):
+# fifteen total.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
+    "session_top_paths",
     "hybrid_search_rrf",
     "ann_ivf_index",
     "text_perplexity_bigram",
@@ -139,7 +142,6 @@ _PRIORITY = [
     "snapshot_update_constrained_orders",
     "text_linear_quality_classifier",
     "top_customers",
-    "window_rank",
 ]
 
 

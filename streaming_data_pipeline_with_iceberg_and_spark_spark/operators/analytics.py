@@ -654,6 +654,106 @@ FROM tr
 """
 
 
+# Path-mining knobs, interpolated into the oracle: session inactivity gap
+# (seconds — the sessionize convention), path prefix length, and how many
+# top paths to report.
+_PATH_GAP_S = 1800
+_PATH_LEN = 3
+_PATH_TOPK = 20
+
+
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize by inactivity gap (the
+    ``sessionize`` convention), take each session's first ``_PATH_LEN``
+    event types in time order as its path signature ("view>click>buy"),
+    and report the ``_PATH_TOPK`` most frequent paths — the entry-flow
+    analysis behind landing-page and funnel-design decisions.
+
+    Everything shuffles once on user_id (lag-gap window + running-sum
+    session ids, the sessionize plan), then per-session paths come from a
+    SORTED struct array (deterministic (ts, event_id) order inside the
+    collect — never a bare collect_list, whose order is
+    partition-dependent), and the path frequency table is vocabulary-
+    bounded (≤ |event_types|^len). NULL sort keys excluded on both sides
+    (the Markov discipline). Counts are integers; ranking ties break on
+    the path string — exact cross-engine."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    sess = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > _PATH_GAP_S), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice("evs", 1, _PATH_LEN), lambda e: e["event_type"]
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PATH_TOPK)
+        .select("rank", "path", "n_sessions")
+    )
+
+
+SESSION_PATHS_SQL = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > {_PATH_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT array_to_string(
+           list_transform(
+             list_slice(list(event_type ORDER BY ts, event_id), 1, {_PATH_LEN}),
+             e -> e),
+           '>') AS path
+  FROM sess GROUP BY user_id, session_id
+),
+counted AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path)
+SELECT rank, path, n_sessions
+FROM (
+  SELECT path, n_sessions,
+         ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+  FROM counted
+)
+WHERE rank <= {_PATH_TOPK}
+"""
+
+
 # Pinned synchronous label-propagation rounds (unrolled on both sides).
 _LPA_ITERS = 3
 
@@ -833,6 +933,7 @@ QUERIES = {
     "item_pagerank": item_pagerank,
     "events_rfm_segments": events_rfm_segments,
     "item_communities": item_communities,
+    "session_top_paths": session_top_paths,
 }
 
 ORACLES = {
@@ -844,4 +945,5 @@ ORACLES = {
     "item_pagerank": PAGERANK_SQL,
     "events_rfm_segments": RFM_SQL,
     "item_communities": LPA_SQL,
+    "session_top_paths": SESSION_PATHS_SQL,
 }

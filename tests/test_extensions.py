@@ -1488,3 +1488,82 @@ def test_curate_multimodal_corpus_semantics(spark, sf_dir, tmp_path):
             spend += r.vision_tokens
             assert r.cum_tokens == spend
         assert spend <= _MM_SOURCE_BUDGET
+
+
+def test_session_top_paths_fixture_exact(spark, tmp_path):
+    """Hand-built sessions with known gap boundaries: both engines must
+    carve identical sessions (1800 s inactivity, the sessionize
+    convention), truncate each path to the first 3 events in (ts,
+    event_id) order, and rank identically — including the
+    sub-second-timestamp case where a naive date_diff vs epoch-cast
+    mismatch would flip a boundary."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        SESSION_PATHS_SQL,
+        session_top_paths,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        # user 1: one session of 4 events -> path view>click>buy (truncated)
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:10:00", 1, "click"),
+        (3, "2024-01-01 10:20:00", 1, "buy"),
+        (4, "2024-01-01 10:25:00", 1, "view"),
+        # gap of exactly 1800s -> SAME session (strict > opens a new one)
+        (5, "2024-01-01 10:55:00", 1, "click"),
+        # gap of 1801s -> new session: view alone
+        (6, "2024-01-01 11:25:01", 1, "view"),
+        # user 2: two events same ts -> event_id breaks the tie
+        (7, "2024-01-02 09:00:00", 2, "click"),
+        (8, "2024-01-02 09:00:00", 2, "view"),
+        # user 3: NULL event_type / NULL user rows are excluded
+        (9, "2024-01-03 09:00:00", 3, None),
+        (10, "2024-01-03 09:00:01", None, "view"),
+        (11, "2024-01-03 09:00:02", 3, "view"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = [tuple(r) for r in session_top_paths(spark, sf).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+    want = [tuple(r) for r in con.sql(SESSION_PATHS_SQL).fetchall()]
+    assert got == want
+    by_path = {p: n for _, p, n in got}
+    assert by_path == {"view>click>buy": 1, "view": 2, "click>view": 1}
+    ranks = [r for r, _, _ in got]
+    assert ranks == list(range(1, len(got) + 1))
+
+
+def test_session_top_paths_invariants(spark):
+    """On the real corpus: ranks are dense 1..k (k ≤ 20), counts
+    non-increasing with rank, ties broken by path asc, and every path has
+    at most 3 hops drawn from the event-type vocabulary."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        _PATH_LEN,
+        _PATH_TOPK,
+        session_top_paths,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = session_top_paths(spark, sf).collect()
+    assert 0 < len(rows) <= _PATH_TOPK
+    vocab = {
+        r.event_type
+        for r in load(spark, "events", sf).select("event_type").distinct().collect()
+        if r.event_type is not None
+    }
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert (prev.n_sessions, cur.path) > (cur.n_sessions, prev.path) or (
+            prev.n_sessions > cur.n_sessions
+        )
+        assert cur.n_sessions <= prev.n_sessions
+    for r in rows:
+        parts = r.path.split(">")
+        assert 1 <= len(parts) <= _PATH_LEN and set(parts) <= vocab
