@@ -60,8 +60,9 @@ _MODULES = [
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
 # latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 11 entries new or oracle-upgraded this round, at the head —
-#     session_top_paths, hybrid_search_rrf, text_perplexity_bigram,
+# (a) the 14 entries new or oracle-upgraded this round, at the head —
+#     session_top_paths, attribution_last_touch, events_dau_wau_mau,
+#     basket_association_rules, hybrid_search_rrf, text_perplexity_bigram,
 #     chunk_documents, mine_triplets, events_item_cooccurrence,
 #     events_markov_transitions, item_pagerank, events_rfm_segments,
 #     item_communities (all new — all value-exact oracles) plus
@@ -70,7 +71,7 @@ _MODULES = [
 #     (set_except, union_by_name, sort_within_partitions,
 #     window_first_last) — after this window no entry's latest row
 #     predates r5;
-# (c) 35 r5-era entries, including the whole TPC-H sweep and three of the
+# (c) 32 r5-era entries, including the whole TPC-H sweep and three of the
 #     four snapshot oracle rows.
 # Fifteen r5-era entries defer to round 9 (they MUST head the r9 window) —
 # each displaced by a head addition and each with a SAME-SHAPE sibling
@@ -86,11 +87,19 @@ _MODULES = [
 # time-travel/changelog r7), histogram_doc_length (↔
 # agg_histogram_quantiles r7), join_anti (↔ join_semi, in-window — after
 # item_communities joined the head), plus window_rank (↔ window_ntile_pct
-# r7, top_customers in-window — displaced by session_top_paths):
-# fifteen total.
+# r7, top_customers in-window — displaced by session_top_paths), plus the
+# three displaced by the attribution/engagement/association-rules wave:
+# agg_grouping_sets (↔ agg_cube r6, rollup_multi_granularity r7),
+# curate_pretraining_corpus (↔ curate_multimodal_corpus r7 — same
+# capstone shape), ann_ivfpq (rows-only by contract — its driver row
+# carries no value hash; family siblings ann_ivf/ann_pq have fresh r7
+# rows): EIGHTEEN total.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "session_top_paths",
+    "attribution_last_touch",
+    "events_dau_wau_mau",
+    "basket_association_rules",
     "hybrid_search_rrf",
     "ann_ivf_index",
     "text_perplexity_bigram",
@@ -125,9 +134,6 @@ _PRIORITY = [
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
     "agg_approx_distinct",
-    "agg_grouping_sets",
-    "ann_ivfpq",
-    "curate_pretraining_corpus",
     "join_broadcast_dims",
     "join_full_outer",
     "join_range_shipdelay",

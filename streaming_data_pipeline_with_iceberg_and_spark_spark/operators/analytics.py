@@ -924,6 +924,258 @@ FROM scored
 """
 
 
+# Attribution knobs, interpolated into the oracle: which event types count
+# as marketing touches, which as conversions, and the lookback window
+# (microseconds — compared on exact integer epoch-µs, never truncated
+# seconds, so sub-second timestamps can't flip a boundary cross-engine).
+_ATTR_TOUCHES = ["view", "click", "signup"]
+_ATTR_CONVERSION = "purchase"
+_ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to the
+    user's most recent preceding touch event (view/click/signup) within a
+    7-day lookback, else to the synthetic ``direct`` channel — the
+    marketing-analytics query behind every channel-ROI dashboard.
+
+    One user_id shuffle total: a single ROWS-frame window ordered by the
+    deterministic (ts, event_id) key carries the last touch's channel and
+    timestamp forward (``last(..., ignorenulls)`` over UNBOUNDED
+    PRECEDING..1 PRECEDING — never a per-conversion range join, which at
+    100 TB multiplies every conversion by its candidate touches before
+    pruning). The lookback test compares exact integer epoch-µs. Sums
+    follow the q1 idiom (ROUND(SUM(value), 2), +0.0 −0.0 guard)."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(_ATTR_TOUCHES)
+    touched = ev.select(
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ch"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_us"),
+    )
+    conv = touched.filter(F.col("event_type") == _ATTR_CONVERSION)
+    channel = F.when(
+        F.col("touch_us").isNotNull()
+        & (F.unix_micros("ts") - F.col("touch_us") <= _ATTR_LOOKBACK_US),
+        F.col("touch_ch"),
+    ).otherwise(F.lit("direct"))
+    return (
+        conv.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("attributed_value"),
+        )
+    )
+
+
+_ATTR_TOUCH_LIST = ", ".join(f"'{t}'" for t in _ATTR_TOUCHES)
+
+ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+touched AS (
+  SELECT ts, event_type, value,
+         LAST_VALUE(CASE WHEN event_type IN ({_ATTR_TOUCH_LIST})
+                         THEN event_type END IGNORE NULLS) OVER w AS touch_ch,
+         LAST_VALUE(CASE WHEN event_type IN ({_ATTR_TOUCH_LIST})
+                         THEN epoch_us(ts) END IGNORE NULLS) OVER w AS touch_us
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CASE WHEN touch_us IS NOT NULL
+             AND epoch_us(ts) - touch_us <= {_ATTR_LOOKBACK_US}
+            THEN touch_ch ELSE 'direct' END AS channel,
+       COUNT(*) AS n_conversions,
+       ROUND(SUM(value), 2) + 0.0 AS attributed_value
+FROM touched
+WHERE event_type = '{_ATTR_CONVERSION}'
+GROUP BY 1
+"""
+
+
+# Engagement-window widths in days (inclusive trailing windows ending at
+# each observed activity day): daily / weekly / monthly active users.
+_WAU_DAYS = 7
+_MAU_DAYS = 28
+
+
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU: for every observed activity day, the count of distinct
+    users active that day, in the trailing 7 days, and in the trailing 28
+    days — the standard engagement triple behind stickiness (DAU/MAU)
+    reporting.
+
+    Scale shape: activity first collapses to DISTINCT (user, day) — the
+    only pass over the raw fact; everything after is bounded by
+    |users| × |active days|. The day spine is calendar-bounded (≤ a few
+    thousand rows even over a decade) so it BROADCASTs against the
+    activity pairs on a 0..27-day band predicate, and one hash agg per
+    day computes all three distinct counts with conditional
+    COUNT(DISTINCT CASE ...) — no per-window re-scan of the fact, no
+    three-way self-join. Counts are integers — cross-engine exact."""
+    act = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    days = act.select(F.col("day").alias("d")).distinct()
+    diff = F.datediff(F.col("d"), F.col("day"))
+    return (
+        act.join(F.broadcast(days), (diff >= 0) & (diff < _MAU_DAYS))
+        .groupBy("d")
+        .agg(
+            F.countDistinct(F.when(diff == 0, F.col("user_id"))).alias("dau"),
+            F.countDistinct(F.when(diff < _WAU_DAYS, F.col("user_id"))).alias(
+                "wau"
+            ),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(F.col("d").alias("day"), "dau", "wau", "mau")
+    )
+
+
+DAU_WAU_MAU_SQL = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+days AS (SELECT DISTINCT day AS d FROM act)
+SELECT d AS day,
+       COUNT(DISTINCT CASE WHEN date_diff('day', act.day, d) = 0
+                           THEN user_id END) AS dau,
+       COUNT(DISTINCT CASE WHEN date_diff('day', act.day, d) < {_WAU_DAYS}
+                           THEN user_id END) AS wau,
+       COUNT(DISTINCT user_id) AS mau
+FROM days JOIN act
+  ON date_diff('day', act.day, d) BETWEEN 0 AND {_MAU_DAYS - 1}
+GROUP BY d
+"""
+
+
+# Association-rule gate: minimum directional confidence worth emitting.
+_RULE_MIN_CONF = 0.2
+
+
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules a→b over the user-basket item pairs:
+    confidence = P(b | a) = co_users / cnt_a, kept when ≥
+    ``_RULE_MIN_CONF``, with support and (symmetric) lift — the
+    recommendation-rule mining pass downstream of
+    :func:`events_item_cooccurrence`, sharing its basket/pair/cap
+    definitions exactly (same ``_user_baskets``/``_basket_pairs`` on the
+    engine side, same ``_CO_CTES`` in the oracle, so the two can never
+    disagree about what an edge is).
+
+    Each undirected pair fans out to its two directed rules MAP-SIDE
+    (explode of a 2-element struct array — no second join); the item
+    frequency side joins on the item keys un-hinted (corpus-sized at
+    100 TB; AQE decides at small SF) and n_users rides a broadcast 1-row
+    aggregate. Ratios are integer counts divided once, rounded at 6 —
+    cross-engine exact."""
+    baskets = _user_baskets(spark, sf_dir)
+    n_users = baskets.agg(F.count("*").alias("n_users"))
+    cnt = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    co = (
+        _basket_pairs(baskets)
+        .join(
+            cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")),
+            "item_a",
+        )
+        .join(
+            cnt.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")),
+            "item_b",
+        )
+    )
+    directed = co.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("cnt_a").alias("cnt_ante"),
+                    F.col("cnt_b").alias("cnt_cons"),
+                    F.col("co_users"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("cnt_b").alias("cnt_ante"),
+                    F.col("cnt_a").alias("cnt_cons"),
+                    F.col("co_users"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return (
+        directed.crossJoin(F.broadcast(n_users))
+        .filter(F.col("co_users") / F.col("cnt_ante") >= _RULE_MIN_CONF)
+        .select(
+            "antecedent",
+            "consequent",
+            "co_users",
+            F.round(F.col("co_users") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("co_users") / F.col("cnt_ante"), 6).alias("confidence"),
+            F.round(
+                F.col("co_users") * F.col("n_users")
+                / (F.col("cnt_ante") * F.col("cnt_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+ASSOCIATION_RULES_SQL = f"""
+WITH {_CO_CTES},
+nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM capped),
+cnt AS (SELECT item, COUNT(*) AS cnt FROM capped GROUP BY item),
+joined AS (
+  SELECT co.item_a, co.item_b, co.co_users, ca.cnt AS cnt_a, cb.cnt AS cnt_b
+  FROM co
+  JOIN cnt ca ON ca.item = co.item_a
+  JOIN cnt cb ON cb.item = co.item_b
+),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent,
+         cnt_a AS cnt_ante, cnt_b AS cnt_cons, co_users FROM joined
+  UNION ALL
+  SELECT item_b, item_a, cnt_b, cnt_a, co_users FROM joined
+)
+SELECT antecedent, consequent, co_users,
+       ROUND(co_users / (n_users * 1.0), 6) AS support,
+       ROUND(co_users / (cnt_ante * 1.0), 6) AS confidence,
+       ROUND(co_users * n_users / (cnt_ante * cnt_cons * 1.0), 6) AS lift
+FROM directed, nu
+WHERE co_users / (cnt_ante * 1.0) >= {_RULE_MIN_CONF}
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
@@ -934,6 +1186,9 @@ QUERIES = {
     "events_rfm_segments": events_rfm_segments,
     "item_communities": item_communities,
     "session_top_paths": session_top_paths,
+    "attribution_last_touch": attribution_last_touch,
+    "events_dau_wau_mau": events_dau_wau_mau,
+    "basket_association_rules": basket_association_rules,
 }
 
 ORACLES = {
@@ -946,4 +1201,7 @@ ORACLES = {
     "events_rfm_segments": RFM_SQL,
     "item_communities": LPA_SQL,
     "session_top_paths": SESSION_PATHS_SQL,
+    "attribution_last_touch": ATTRIBUTION_SQL,
+    "events_dau_wau_mau": DAU_WAU_MAU_SQL,
+    "basket_association_rules": ASSOCIATION_RULES_SQL,
 }

@@ -1567,3 +1567,123 @@ def test_session_top_paths_invariants(spark):
     for r in rows:
         parts = r.path.split(">")
         assert 1 <= len(parts) <= _PATH_LEN and set(parts) <= vocab
+
+
+def test_attribution_last_touch_fixture_exact(spark, tmp_path):
+    """Hand-built journeys: credit goes to the most recent touch within
+    7 days (ties broken by event_id), conversions with no prior touch or
+    only stale touches are 'direct', and touches AFTER the conversion
+    never count. Engine and oracle must agree exactly."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        ATTRIBUTION_SQL,
+        attribution_last_touch,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        # user 1: click then view then purchase -> credited to view
+        (1, "2024-01-01 10:00:00", 1, "click", None),
+        (2, "2024-01-01 11:00:00", 1, "view", None),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 10.0),
+        # user 2: touch 8 days before purchase -> outside lookback: direct
+        (4, "2024-01-01 00:00:00", 2, "click", None),
+        (5, "2024-01-09 00:00:01", 2, "purchase", 20.0),
+        # user 3: purchase with NO prior event at all -> direct;
+        # the view AFTER it must not be credited
+        (6, "2024-01-02 09:00:00", 3, "purchase", 5.0),
+        (7, "2024-01-02 10:00:00", 3, "view", None),
+        # user 4: same-ts touch and purchase; touch has SMALLER event_id so
+        # it precedes the purchase in (ts, event_id) order -> signup
+        (8, "2024-01-03 09:00:00", 4, "signup", None),
+        (9, "2024-01-03 09:00:00", 4, "purchase", 7.5),
+        # user 5: error events are not touches -> direct
+        (10, "2024-01-04 09:00:00", 5, "error", None),
+        (11, "2024-01-04 09:30:00", 5, "purchase", None),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type", "value"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {r.channel: (r.n_conversions, r.attributed_value)
+           for r in attribution_last_touch(spark, sf).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+    want = {c: (n, v) for c, n, v in con.sql(ATTRIBUTION_SQL).fetchall()}
+    assert got == want
+    assert got == {
+        "view": (1, 10.0),
+        "direct": (3, 25.0),
+        "signup": (1, 7.5),
+    }
+
+
+def test_dau_wau_mau_fixture_and_invariants(spark, tmp_path):
+    """Trailing windows on a sparse spine: WAU/MAU look back over calendar
+    days (not observed rows), and on the real corpus dau ≤ wau ≤ mau with
+    one row per observed activity day."""
+    import datetime
+
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        DAU_WAU_MAU_SQL,
+        events_dau_wau_mau,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        # day 1: users 1,2 · day 5: user 2 · day 40: user 3 (gap > 28d)
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 11:00:00", 2, "view"),
+        (3, "2024-01-05 10:00:00", 2, "click"),
+        (4, "2024-02-09 10:00:00", 3, "view"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {r.day: (r.dau, r.wau, r.mau)
+           for r in events_dau_wau_mau(spark, sf).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+    want = {d: (a, w, m) for d, a, w, m in con.sql(DAU_WAU_MAU_SQL).fetchall()}
+    assert got == want
+    d = datetime.date
+    assert got == {
+        d(2024, 1, 1): (2, 2, 2),
+        d(2024, 1, 5): (1, 2, 2),   # user 1's day-1 visit still in WAU/MAU
+        d(2024, 2, 9): (1, 1, 1),   # 35-day gap: nobody else in MAU
+    }
+
+    real = events_dau_wau_mau(spark, "/root/testdata/sf0.01").collect()
+    assert len(real) == len({r.day for r in real}) > 0
+    for r in real:
+        assert 1 <= r.dau <= r.wau <= r.mau
+
+
+def test_basket_association_rules_consistency(spark):
+    """Rules agree with the co-occurrence op they share CTEs with: same
+    lift per unordered pair, confidence ≥ the gate and ≤ 1, support ≤
+    confidence, and both directions of a kept pair appear iff each clears
+    the confidence gate on its own antecedent count."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        _RULE_MIN_CONF,
+        basket_association_rules,
+        events_item_cooccurrence,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rules = basket_association_rules(spark, sf).collect()
+    assert rules
+    co_lift = {(r.item_a, r.item_b): r.lift
+               for r in events_item_cooccurrence(spark, sf).collect()}
+    for r in rules:
+        assert r.antecedent != r.consequent
+        assert _RULE_MIN_CONF <= r.confidence <= 1.0
+        assert 0 < r.support <= r.confidence
+        key = (min(r.antecedent, r.consequent), max(r.antecedent, r.consequent))
+        assert abs(co_lift[key] - r.lift) < 1e-9
