@@ -101,6 +101,12 @@ HEADLINE = [
     "item_pagerank",
     "events_rfm_segments",
     "item_communities",
+    # Appended round 8, second segment: journey-path mining, last-touch
+    # attribution, rolling engagement, and association-rule mining.
+    "session_top_paths",
+    "attribution_last_touch",
+    "events_dau_wau_mau",
+    "basket_association_rules",
 ]
 
 

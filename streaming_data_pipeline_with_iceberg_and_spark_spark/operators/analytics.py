@@ -1034,23 +1034,45 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     day computes all three distinct counts with conditional
     COUNT(DISTINCT CASE ...) — no per-window re-scan of the fact, no
     three-way self-join. Counts are integers — cross-engine exact."""
-    act = (
-        load(spark, "events", sf_dir)
-        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-        .select("user_id", F.to_date("ts").alias("day"))
+    return engagement_from_activity(activity_pairs(load(spark, "events", sf_dir)))
+
+
+def activity_pairs(events: DataFrame) -> DataFrame:
+    """DISTINCT (user_id, day) activity pairs — the one pass over the raw
+    fact that :func:`events_dau_wau_mau` and the incremental engagement
+    ingest share, so batch and maintained-table paths can never disagree
+    about what "active on day d" means."""
+    return (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day"))
         .distinct()
     )
+
+
+def engagement_from_activity(act: DataFrame) -> DataFrame:
+    """DAU/WAU/MAU finalization over a DISTINCT (user_id, day) activity
+    frame (see :func:`events_dau_wau_mau` for the shape rationale).
+
+    The band join first collapses to one row per (spine day, user) keyed
+    by that user's CLOSEST activity day in the window (min diff) — which
+    alone decides all three memberships (dau iff 0, wau iff < 7, mau
+    always) — and the final pass is plain conditional counts. No
+    multi-count-distinct expand (a 3× row multiplication on the banded
+    rows that the 100× sweep showed dominating), one scan of the
+    activity frame, two hash aggs total."""
     days = act.select(F.col("day").alias("d")).distinct()
     diff = F.datediff(F.col("d"), F.col("day"))
-    return (
+    closest = (
         act.join(F.broadcast(days), (diff >= 0) & (diff < _MAU_DAYS))
-        .groupBy("d")
+        .groupBy("d", "user_id")
+        .agg(F.min(diff).alias("md"))
+    )
+    return (
+        closest.groupBy("d")
         .agg(
-            F.countDistinct(F.when(diff == 0, F.col("user_id"))).alias("dau"),
-            F.countDistinct(F.when(diff < _WAU_DAYS, F.col("user_id"))).alias(
-                "wau"
-            ),
-            F.countDistinct("user_id").alias("mau"),
+            F.count(F.when(F.col("md") == 0, 1)).alias("dau"),
+            F.count(F.when(F.col("md") < _WAU_DAYS, 1)).alias("wau"),
+            F.count("*").alias("mau"),
         )
         .select(F.col("d").alias("day"), "dau", "wau", "mau")
     )

@@ -1011,6 +1011,58 @@ def start_incremental_markov_ingest(
     return writer.start()
 
 
+def start_incremental_engagement_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    activity_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "engagement_ingest",
+) -> StreamingQuery:
+    """EXACT incremental DAU/WAU/MAU maintenance: keep the DISTINCT
+    (user_id, day) activity table current at ingest, so the engagement
+    triple finalizes from a |users|×|active-days|-bounded table instead of
+    re-scanning the raw event fact — at 100 TB the difference between a
+    dashboard query and a full-corpus pass. Per batch: the batch's
+    activity pairs (via ``operators.analytics.activity_pairs`` — the SAME
+    definition the batch operator uses, so the two paths cannot diverge)
+    anti-join the maintained table and only novel pairs append.
+
+    DISTINCT pairs are an idempotent, order-independent merge — unlike the
+    Markov path there is no cross-batch ordering contract, late or
+    out-of-order events are handled exactly, and
+    ``engagement_from_activity`` over the maintained table equals the
+    batch ``events_dau_wau_mau`` over everything ingested (parity test in
+    tests/test_streaming.py). One table, so exactly-once is the snapshot
+    layer's idempotent ``append_batch`` (namespaced batch key, replays
+    skipped whole — the incremental-ANN protocol); the anti-join
+    additionally makes even a NON-replayed duplicate pair a no-op. At real
+    scale the activity table would be bucketed on user_id so the per-batch
+    anti-join co-locates without re-shuffling the maintained side."""
+    from ..operators.analytics import activity_pairs
+    from ..sources.snapshots import SnapshotTable
+
+    activity = SnapshotTable(spark, activity_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def engagement_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = activity_pairs(batch_df)
+        if activity.current_version() is not None:
+            pairs = pairs.join(activity.read(), ["user_id", "day"], "left_anti")
+        activity.append_batch(pairs, f"{stream_id}#{batch_id}")
+
+    writer = stream.writeStream.foreachBatch(engagement_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

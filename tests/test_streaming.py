@@ -1532,3 +1532,85 @@ def test_incremental_pca_ingest_rejects_mixed_dims_within_batch(spark, tmp_path)
     )
     with _pytest.raises(Exception, match="WITHIN one micro-batch"):
         q.awaitTermination(120)
+
+
+def test_incremental_engagement_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental engagement maintenance: DAU/WAU/MAU finalized
+    from the incrementally maintained DISTINCT (user, day) table must
+    equal the batch operator over everything ingested — including
+    OUT-OF-ORDER days across batches (distinct pairs are order-free, so
+    unlike the Markov path late data is exact, not an error) and repeated
+    (user, day) activity in later batches. A re-drain from the same
+    checkpoint must be a no-op (replay idempotence)."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        activity_pairs,
+        engagement_from_activity,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_engagement_ingest,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    all_rows = []
+    day0 = 1_700_000_000
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for eid, user, day in specs:
+                row = {
+                    "event_id": eid,
+                    "ts": day0 + day * 86400 + eid,
+                    "user_id": user,
+                }
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    # batch a: users 1,2 on days 0-2; batch b revisits (1, day 0) — a
+    # duplicate pair — and goes BACKWARD to day 1 for user 3 (late data)
+    write_file("a.json", [(1, 1, 0), (2, 2, 0), (3, 1, 2), (4, 2, 1)])
+    write_file("b.json", [(5, 1, 0), (6, 3, 1), (7, 3, 35), (8, 2, 1)])
+    activity_root = str(tmp_path / "activity")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts long, user_id long"
+
+    def drain():
+        q = start_incremental_engagement_ingest(
+            spark,
+            str(src),
+            activity_root,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    activity = SnapshotTable(spark, activity_root)
+    versions_after_first = activity.current_version()
+
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"]) for r in all_rows], schema
+    )
+    want = {
+        r.day: (r.dau, r.wau, r.mau)
+        for r in engagement_from_activity(activity_pairs(batch_df)).collect()
+    }
+    got = {
+        r.day: (r.dau, r.wau, r.mau)
+        for r in engagement_from_activity(activity.read()).collect()
+    }
+    assert got == want and got
+    # the maintained table holds exactly the distinct pairs, no dupes
+    pairs = [(r.user_id, r.day) for r in activity.read().collect()]
+    assert len(pairs) == len(set(pairs)) == 6
+
+    # replay: re-drain from the same checkpoint — no new versions, same table
+    drain()
+    assert activity.current_version() == versions_after_first
+    assert sorted(
+        (r.user_id, str(r.day)) for r in activity.read().collect()
+    ) == sorted((u, str(d)) for u, d in set(pairs))
