@@ -658,3 +658,33 @@ def test_bm25_index_serving_pushes_term_filter_to_scan(spark, tmp_path):
     ), f"term INSET not pushed to the postings scan: {pushed}"
     # and the results are real
     assert out.count() > 0
+
+
+def test_attribution_is_join_free_two_shuffles(plan):
+    """Last-touch attribution must stay a pure window pipeline: ONE
+    user_id shuffle feeding the ROWS-frame window and one final channel
+    agg — never a per-conversion touch join (which would multiply every
+    conversion by its candidate touches at 100 TB)."""
+    p = plan("attribution_last_touch")
+    assert "Join" not in p, p
+    keys = [
+        ln.split("hashpartitioning(", 1)[1].split("#")[0]
+        for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert keys == ["user_id", "channel"], keys
+
+
+def test_session_paths_agg_reuses_window_partitioning(plan):
+    """The per-session path agg groups by (user_id, session_id) directly
+    on the sessionize window's user_id partitioning — a third shuffle
+    between the window and the session agg would double the op's shuffle
+    volume on the fact at scale."""
+    p = plan("session_top_paths")
+    assert "Join" not in p, p
+    keys = [
+        ln.split("hashpartitioning(", 1)[1].split("#")[0]
+        for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert keys == ["user_id", "path"], keys
