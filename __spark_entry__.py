@@ -60,13 +60,14 @@ _MODULES = [
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
 # latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 14 entries new or oracle-upgraded this round, at the head —
-#     session_top_paths, attribution_last_touch, events_dau_wau_mau,
-#     basket_association_rules, hybrid_search_rrf, text_perplexity_bigram,
-#     chunk_documents, mine_triplets, events_item_cooccurrence,
-#     events_markov_transitions, item_pagerank, events_rfm_segments,
-#     item_communities (all new — all value-exact oracles) plus
-#     ann_ivf_index (rows-only → value-exact via the pinned-seed quantizer);
+# (a) the 15 entries new or oracle-upgraded this round, at the head —
+#     mmr_search, session_top_paths, attribution_last_touch,
+#     events_dau_wau_mau, basket_association_rules, hybrid_search_rrf,
+#     text_perplexity_bigram, chunk_documents, mine_triplets,
+#     events_item_cooccurrence, events_markov_transitions, item_pagerank,
+#     events_rfm_segments, item_communities (all new — all value-exact
+#     oracles) plus ann_ivf_index (rows-only → value-exact via the
+#     pinned-seed quantizer);
 # (b) the four r4-era entries deferred from round 7 as promised
 #     (set_except, union_by_name, sort_within_partitions,
 #     window_first_last) — after this window no entry's latest row
@@ -93,9 +94,13 @@ _MODULES = [
 # curate_pretraining_corpus (↔ curate_multimodal_corpus r7 — same
 # capstone shape), ann_ivfpq (rows-only by contract — its driver row
 # carries no value hash; family siblings ann_ivf/ann_pq have fresh r7
-# rows): EIGHTEEN total.
+# rows), plus agg_approx_distinct (displaced by mmr_search — also
+# rows-only by contract, so its driver row carries no value hash; exact
+# twin agg_bitmap_distinct green r7 and sketch sibling agg_hll_mergeable
+# has fresh r7 rows): NINETEEN total.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
+    "mmr_search",
     "session_top_paths",
     "attribution_last_touch",
     "events_dau_wau_mau",
@@ -133,7 +138,6 @@ _PRIORITY = [
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
-    "agg_approx_distinct",
     "join_broadcast_dims",
     "join_full_outer",
     "join_range_shipdelay",

@@ -107,6 +107,8 @@ HEADLINE = [
     "attribution_last_touch",
     "events_dau_wau_mau",
     "basket_association_rules",
+    # Appended round 8, third segment: MMR-diversified retrieval.
+    "mmr_search",
 ]
 
 

@@ -218,10 +218,268 @@ WHERE rank <= {_HYBRID_TOPK}
 """
 
 
+# MMR knobs, interpolated into the oracle: candidate depth (the bounded
+# top-k the diversifier re-ranks), pinned greedy steps (unrolled on both
+# sides — the LPA discipline: a fixed small step count is what makes the
+# greedy ANSI-SQL expressible), and the relevance/diversity trade-off.
+# 1-λ is interpolated via repr() so both engines use the IDENTICAL double
+# (1-0.7 is 0.30000000000000004, not 0.3).
+_MMR_K = 12
+_MMR_STEPS = 5
+_MMR_LAMBDA = 0.7
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    qvecs: DataFrame,
+    k: int = _MMR_K,
+    steps: int = _MMR_STEPS,
+    lam: float = _MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    1998) of a dense top-``k``: greedily select ``steps`` results where
+    step 1 takes the most relevant candidate and each later step takes
+    argmax of λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the re-rank
+    stage that stops a RAG context window from filling with ``k`` copies
+    of the same paragraph.
+
+    Scale shape: corpus-scale work is ONLY the candidate top-k (the same
+    broadcast-scored scan + WindowGroupLimit as knn); everything after
+    operates on frames bounded at |Q|·k rows and |Q|·k·(k−1) pairwise
+    sims — constant at any corpus size. The greedy itself is inherently
+    sequential over ≤k rows per query, so it runs as ONE cogrouped
+    ``applyInPandas`` per query group (the documented per-group-imperative
+    carve-out) rather than ``steps`` unrolled join+window rounds — same
+    result, one job instead of ``steps`` persisted ones (measured 10 s →
+    ~2 s warm at sf0.1; the unrolled-DataFrame variant also needed a
+    persist per step or the double-consumer lineage re-evaluated the
+    chain ~2^steps times, 47 s at sf0.01).
+
+    Cross-engine exactness: rel and sim are the bit-exact sequential-fold
+    cosine (F.aggregate ≡ list_inner_product, same op order on both
+    engines), rounded at 5 IN SPARK before entering the greedy, and the
+    final round-6 also happens in Spark — Python never rounds. The
+    λ-arithmetic (lam·rel − mu·msim on already-rounded doubles) is single
+    IEEE multiply/subtract ops, bit-identical across engines; ties break
+    on (score, vec_id), so the selection sequence is deterministic — full
+    value oracle, no rows-only carve-out."""
+    corpus = emb.filter(F.col("embedding").isNotNull()).withColumn(
+        "nrm", norm("embedding")
+    )
+    qside = (
+        emb.filter(F.col("embedding").isNotNull())
+        .join(F.broadcast(qvecs), F.col("vec_id") == F.col("qvec_id"))
+        .select(
+            "query_id",
+            "qvec_id",
+            F.col("embedding").alias("q_vec"),
+            norm("embedding").alias("q_nrm"),
+        )
+    )
+    scored = corpus.join(
+        F.broadcast(qside), F.col("vec_id") != F.col("qvec_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            5,
+        ).alias("rel"),
+        "embedding",
+        "nrm",
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .persist()
+    )
+    ca = cand.select(
+        "query_id",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    cb = cand.select(
+        "query_id",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = (
+        ca.join(cb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            # re-aliased key: both cogroup sides descend from `cand`, and a
+            # shared attribute id would trip the ambiguous-self-join check
+            F.col("query_id").alias("qid"),
+            "a",
+            "b",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 5
+            ).alias("sim"),
+        )
+    )
+    candr = cand.select("query_id", "vec_id", "rel")
+    mu = 1 - lam  # the oracle interpolates repr(1-λ): the IDENTICAL double
+
+    def _greedy(cand_pdf, sims_pdf):
+        import pandas as pd
+
+        rel = dict(zip(cand_pdf["vec_id"], cand_pdf["rel"]))
+        sim: dict = {}
+        for a, b, s in zip(sims_pdf["a"], sims_pdf["b"], sims_pdf["sim"]):
+            sim[(a, b)] = s
+        qid = (
+            cand_pdf["query_id"].iloc[0]
+            if len(cand_pdf)
+            else (sims_pdf["qid"].iloc[0] if len(sims_pdf) else None)
+        )
+        rows = []
+        selected: list = []
+        remaining = dict(rel)
+        for step in range(1, steps + 1):
+            if not remaining:
+                break
+            if step == 1:
+                # -0.0 == 0.0 in Python exactly as both SQL engines
+                # compare doubles, so the (score, vec_id) tie key matches.
+                best = min(remaining.items(), key=lambda kv: (-kv[1], kv[0]))
+                vid, score = best
+            else:
+                scored_c = [
+                    (
+                        lam * r - mu * max(sim[(v, s)] for s in selected),
+                        v,
+                    )
+                    for v, r in remaining.items()
+                ]
+                score, vid = min(scored_c, key=lambda t: (-t[0], t[1]))
+            rows.append((qid, step, vid, score))
+            selected.append(vid)
+            del remaining[vid]
+        return pd.DataFrame(
+            rows, columns=["query_id", "step", "vec_id", "score"]
+        )
+
+    picked = (
+        candr.groupBy("query_id")
+        .cogroup(sims.groupBy("qid"))
+        .applyInPandas(
+            _greedy, "query_id int, step int, vec_id long, score double"
+        )
+    )
+    return picked.select(
+        "query_id",
+        "step",
+        F.col("vec_id").alias("doc_id"),
+        (F.round("score", 6) + F.lit(0.0)).alias("mmr_score"),
+    )
+
+
+def mmr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval for the pinned dense query set (registry
+    face of :func:`mmr_rerank`) — the third stage of the retrieval story
+    (BM25 → hybrid RRF → diversified context selection)."""
+    qvecs = spark.createDataFrame(
+        sorted(_HYBRID_QVECS.items()), "query_id int, qvec_id long"
+    )
+    return mmr_rerank(load(spark, "embeddings", sf_dir), qvecs)
+
+
+def _mmr_sql() -> str:
+    """Unroll the same pinned greedy steps in SQL (the LPA idiom)."""
+    lam, mu = repr(_MMR_LAMBDA), repr(1 - _MMR_LAMBDA)
+    ctes = [
+        f"""qv(query_id, qvec_id) AS (VALUES {_QV_VALUES}),
+qe AS (
+  SELECT qv.query_id, qv.qvec_id,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS q
+  FROM qv JOIN embeddings e
+    ON e.vec_id = qv.qvec_id AND e.embedding IS NOT NULL
+),
+ce AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+cand AS (
+  SELECT query_id, vec_id, rel, v FROM (
+    SELECT qe.query_id, ce.vec_id,
+           ROUND(list_inner_product(qe.q, ce.v)
+                 / (sqrt(list_inner_product(qe.q, qe.q))
+                    * sqrt(list_inner_product(ce.v, ce.v))), 5) AS rel,
+           ce.v AS v,
+           ROW_NUMBER() OVER (
+             PARTITION BY qe.query_id
+             ORDER BY ROUND(list_inner_product(qe.q, ce.v)
+                 / (sqrt(list_inner_product(qe.q, qe.q))
+                    * sqrt(list_inner_product(ce.v, ce.v))), 5) DESC,
+                      ce.vec_id ASC) AS rn
+    FROM qe JOIN ce ON ce.vec_id != qe.qvec_id
+  ) WHERE rn <= {_MMR_K}
+),
+sims AS (
+  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+         ROUND(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 5) AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+),
+sel1 AS (
+  SELECT query_id, vec_id, rel AS score FROM (
+    SELECT query_id, vec_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn = 1
+),
+picked1 AS (SELECT query_id, vec_id FROM sel1)"""
+    ]
+    for i in range(2, _MMR_STEPS + 1):
+        ctes.append(
+            f"""ms{i} AS (
+  SELECT s.query_id, s.a AS vec_id, MAX(s.sim) AS msim
+  FROM sims s JOIN picked{i - 1} p
+    ON p.query_id = s.query_id AND p.vec_id = s.b
+  GROUP BY 1, 2
+),
+sel{i} AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT c.query_id, c.vec_id,
+           {lam} * c.rel - {mu} * m.msim AS score,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {lam} * c.rel - {mu} * m.msim DESC,
+                      c.vec_id ASC) AS rn
+    FROM cand c JOIN ms{i} m
+      ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM picked{i - 1} p
+                      WHERE p.query_id = c.query_id
+                        AND p.vec_id = c.vec_id)
+  ) WHERE rn = 1
+),
+picked{i} AS (SELECT query_id, vec_id FROM picked{i - 1}
+              UNION ALL SELECT query_id, vec_id FROM sel{i})"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT query_id, {i} AS step, vec_id AS doc_id,"
+        f" ROUND(score, 6) + 0.0 AS mmr_score FROM sel{i}"
+        for i in range(1, _MMR_STEPS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+MMR_SEARCH_SQL = _mmr_sql()
+
+
 QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
+    "mmr_search": mmr_search,
 }
 
 ORACLES = {
     "hybrid_search_rrf": HYBRID_SEARCH_SQL,
+    "mmr_search": MMR_SEARCH_SQL,
 }

@@ -1352,6 +1352,121 @@ def test_hybrid_rank_rrf_semantics(spark):
     assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
 
 
+def test_mmr_rerank_matches_python_oracle_random(spark):
+    """mmr_rerank on a seeded random corpus with non-default (k, steps, λ)
+    reproduces a pure-Python greedy-MMR oracle exactly — covers the
+    OPERATOR surface beyond the pinned registry face."""
+    import random
+
+    import numpy as np
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.retrieval import mmr_rerank
+
+    rng = random.Random(23)
+    n_docs, dim = 50, 5
+    vecs = {
+        i: [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        for i in range(n_docs)
+    }
+    qvecs_py = {1: 7, 2: 31}
+    k, steps, lam = 9, 4, 0.6
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    qvecs = spark.createDataFrame(
+        sorted(qvecs_py.items()), "query_id int, qvec_id long"
+    )
+    got = {
+        (r.query_id, r.step): (r.doc_id, r.mmr_score)
+        for r in mmr_rerank(emb, qvecs, k=k, steps=steps, lam=lam).collect()
+    }
+
+    # ---- python oracle ----
+    def unit(i):
+        v = np.array([float(np.float32(x)) for x in vecs[i]])
+        return v / np.linalg.norm(v)
+
+    mu = 1 - lam
+    want = {}
+    for q, qi in qvecs_py.items():
+        qv = unit(qi)
+        rel = {
+            i: round(float(qv @ unit(i)), 5) for i in vecs if i != qi
+        }
+        cand = [
+            i
+            for _, i in sorted(
+                ((r, i) for i, r in rel.items()), key=lambda p: (-p[0], p[1])
+            )[:k]
+        ]
+        sim = {
+            (a, b): round(float(unit(a) @ unit(b)), 5)
+            for a in cand
+            for b in cand
+            if a != b
+        }
+        selected = []
+        remaining = {i: rel[i] for i in cand}
+        for step in range(1, steps + 1):
+            if not remaining:
+                break
+            if step == 1:
+                vid, score = min(
+                    remaining.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+            else:
+                score, vid = min(
+                    (
+                        (
+                            lam * r - mu * max(sim[(v, s)] for s in selected),
+                            v,
+                        )
+                        for v, r in remaining.items()
+                    ),
+                    key=lambda t: (-t[0], t[1]),
+                )
+            want[(q, step)] = (vid, round(score, 6) + 0.0)
+            selected.append(vid)
+            del remaining[vid]
+    assert got == want
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR semantics on a crafted corpus: step 1 is the plain-relevance
+    argmax, and at step 2 a near-duplicate of the first pick loses to a
+    less relevant but diverse candidate; λ=1 degenerates to pure
+    relevance order."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.retrieval import mmr_rerank
+
+    # qvec 0 = query. doc 1 most relevant; doc 2 a near-clone of doc 1
+    # (second most relevant); doc 3 orthogonal-ish to doc 1 but still
+    # relevant — diversification must pick 3 over 2 at step 2.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.98, 0.1, 0.0]),
+            (2, [0.97, 0.12, 0.0]),
+            (3, [0.7, 0.0, 0.7]),
+            (4, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qvecs = spark.createDataFrame([(1, 0)], "query_id int, qvec_id long")
+    picks = {
+        r.step: r.doc_id
+        for r in mmr_rerank(emb, qvecs, k=4, steps=3, lam=0.5).collect()
+    }
+    assert picks[1] == 1
+    assert picks[2] == 3  # the clone (doc 2) is penalized by sim to doc 1
+    # λ=1 → no diversity penalty → pure relevance order 1, 2, 3
+    pure = {
+        r.step: r.doc_id
+        for r in mmr_rerank(emb, qvecs, k=4, steps=3, lam=1.0).collect()
+    }
+    assert [pure[s] for s in (1, 2, 3)] == [1, 2, 3]
+
+
 def test_pca_covariance_single_row_both_sides_empty(spark, tmp_path):
     """r8 ADVICE fix: on an n=1 embeddings table the engine returns an empty
     frame (fit degenerates), and the oracle's HAVING COUNT(*) >= 2 must
