@@ -60,8 +60,8 @@ _MODULES = [
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
 # latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 15 entries new or oracle-upgraded this round, at the head —
-#     mmr_search, session_top_paths, attribution_last_touch,
+# (a) the 16 entries new or oracle-upgraded this round, at the head —
+#     recommend_items, mmr_search, session_top_paths, attribution_last_touch,
 #     events_dau_wau_mau, basket_association_rules, hybrid_search_rrf,
 #     text_perplexity_bigram, chunk_documents, mine_triplets,
 #     events_item_cooccurrence, events_markov_transitions, item_pagerank,
@@ -97,9 +97,13 @@ _MODULES = [
 # rows), plus agg_approx_distinct (displaced by mmr_search — also
 # rows-only by contract, so its driver row carries no value hash; exact
 # twin agg_bitmap_distinct green r7 and sketch sibling agg_hll_mergeable
-# has fresh r7 rows): NINETEEN total.
+# has fresh r7 rows), plus kmeans_cluster_profile (displaced by
+# recommend_items — rows-only by contract too, no value hash in its row;
+# quantizer-family siblings ann_ivf/ann_pq have fresh r7 rows): TWENTY
+# total.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
+    "recommend_items",
     "mmr_search",
     "session_top_paths",
     "attribution_last_touch",
@@ -142,7 +146,6 @@ _PRIORITY = [
     "join_full_outer",
     "join_range_shipdelay",
     "join_semi",
-    "kmeans_cluster_profile",
     "map_funcs",
     "null_handling",
     "quantize_embeddings_int8",

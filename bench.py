@@ -107,8 +107,10 @@ HEADLINE = [
     "attribution_last_touch",
     "events_dau_wau_mau",
     "basket_association_rules",
-    # Appended round 8, third segment: MMR-diversified retrieval.
+    # Appended round 8, third segment: MMR-diversified retrieval and
+    # item-based collaborative-filtering recommendations.
     "mmr_search",
+    "recommend_items",
 ]
 
 

@@ -1198,6 +1198,99 @@ WHERE co_users / (cnt_ante * 1.0) >= {_RULE_MIN_CONF}
 """
 
 
+# Recommendation knobs, interpolated into the oracle: list depth per user
+# and the minimum evidence (distinct owned neighbors voting for the
+# candidate) worth recommending on.
+_REC_TOPK = 3
+_REC_MIN_NEIGHBORS = 2
+
+
+def recommend_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering: top-``_REC_TOPK`` recommended
+    items per user, scored by summing co-occurrence evidence from the
+    user's owned items — score(u, j) = Σ_{i ∈ basket(u)} co_users(i, j)
+    over the taste-graph edges, candidates already owned are excluded, and
+    candidates backed by fewer than ``_REC_MIN_NEIGHBORS`` distinct owned
+    items are dropped (a one-edge "recommendation" is noise). The classic
+    neighborhood recommender (Sarwar et al. 2001, item-item CF) on the
+    SAME basket/edge definitions as co-occurrence/PageRank/rules — the
+    four taste-graph ops cannot disagree about an edge.
+
+    Scale shape: ONE (user,item)⋈edges shuffle join keyed on the item (both
+    sides corpus-sized at 100 TB — no broadcast hint; AQE decides at small
+    SF), one (user, candidate) hash agg, an anti-join back on the owned
+    pairs, and a per-user rank-1..N window (WindowGroupLimit bounds rows
+    leaving each partition). Per-user work is bounded by the basket cap ×
+    per-item edge fan-out; scores are integer-count sums — cross-engine
+    exact, no rounding anywhere."""
+    baskets = _user_baskets(spark, sf_dir)
+    owned = baskets.select(
+        "user_id", F.explode("items").alias("item")
+    )
+    co = _basket_pairs(baskets)
+    edges = co.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("rec_item"),
+        "co_users",
+    ).unionByName(
+        co.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("rec_item"),
+            "co_users",
+        )
+    )
+    scored = (
+        owned.join(edges, "item")
+        .groupBy("user_id", "rec_item")
+        .agg(
+            F.sum("co_users").alias("score"),
+            F.count("*").alias("n_neighbors"),
+        )
+        .filter(F.col("n_neighbors") >= _REC_MIN_NEIGHBORS)
+        .join(
+            owned.select("user_id", F.col("item").alias("rec_item")),
+            ["user_id", "rec_item"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("rec_item")
+    )
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= _REC_TOPK)
+        .select("user_id", "rec_rank", "rec_item", "score", "n_neighbors")
+    )
+
+
+RECOMMEND_SQL = f"""
+WITH {_CO_CTES},
+edges AS (
+  SELECT item_a AS item, item_b AS rec_item, co_users FROM co
+  UNION ALL
+  SELECT item_b, item_a, co_users FROM co
+),
+scored AS (
+  SELECT c.user_id, e.rec_item,
+         CAST(SUM(e.co_users) AS BIGINT) AS score,
+         COUNT(*) AS n_neighbors
+  FROM capped c JOIN edges e ON e.item = c.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_REC_MIN_NEIGHBORS}
+),
+unowned AS (
+  SELECT s.* FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM capped o
+                    WHERE o.user_id = s.user_id AND o.item = s.rec_item)
+)
+SELECT user_id, rec_rank, rec_item, score, n_neighbors FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY score DESC, rec_item ASC) AS rec_rank
+  FROM unowned
+) WHERE rec_rank <= {_REC_TOPK}
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
@@ -1211,6 +1304,7 @@ QUERIES = {
     "attribution_last_touch": attribution_last_touch,
     "events_dau_wau_mau": events_dau_wau_mau,
     "basket_association_rules": basket_association_rules,
+    "recommend_items": recommend_items,
 }
 
 ORACLES = {
@@ -1226,4 +1320,5 @@ ORACLES = {
     "attribution_last_touch": ATTRIBUTION_SQL,
     "events_dau_wau_mau": DAU_WAU_MAU_SQL,
     "basket_association_rules": ASSOCIATION_RULES_SQL,
+    "recommend_items": RECOMMEND_SQL,
 }

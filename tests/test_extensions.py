@@ -1802,3 +1802,44 @@ def test_basket_association_rules_consistency(spark):
         assert 0 < r.support <= r.confidence
         key = (min(r.antecedent, r.consequent), max(r.antecedent, r.consequent))
         assert abs(co_lift[key] - r.lift) < 1e-9
+
+
+def test_recommend_items_semantics(spark, tmp_path):
+    """Item-CF semantics on a crafted taste graph: a candidate backed by
+    two owned items wins (evidence sums), a higher-scored candidate backed
+    by only ONE owned item is dropped by the min-neighbors gate, owned
+    items are never recommended, and both engines agree on the frame."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import RECOMMEND_SQL, recommend_items
+
+    # baskets: u1,u2={1,2}; u3,u4={2,3}; u5,u6={1,4}; u7={1,3} (target).
+    # edges (co≥2): (1,2)=2, (2,3)=2, (1,4)=2; (1,3) co=1 → dropped.
+    # u7 candidates: 2 via owned 1 AND 3 (n=2, score 4) → recommended;
+    # 4 via owned 1 only (n=1) → gated out. u1 owns {1,2}: every candidate
+    # has n=1 → no recs at all.
+    baskets = {1: [1, 2], 2: [1, 2], 3: [2, 3], 4: [2, 3],
+               5: [1, 4], 6: [1, 4], 7: [1, 3]}
+    rows = []
+    eid = 0
+    for u, items in baskets.items():
+        for it in items:
+            for _ in range(2):  # duplicate events: baskets are DISTINCT
+                rows.append(
+                    (eid, "2024-01-05 10:00:00", u, "view", 1.0,
+                     '{"k": %d}' % it)
+                )
+                eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = sorted(map(tuple, recommend_items(spark, sf).collect()))
+    assert got == [(7, 1, 2, 4, 2)]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+    want = sorted(map(tuple, con.sql(RECOMMEND_SQL).fetchall()))
+    assert got == want
