@@ -60,8 +60,9 @@ _MODULES = [
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
 # latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 16 entries new or oracle-upgraded this round, at the head —
-#     recommend_items, mmr_search, session_top_paths, attribution_last_touch,
+# (a) the 17 entries new or oracle-upgraded this round, at the head —
+#     retrieval_eval, recommend_items, mmr_search, session_top_paths,
+#     attribution_last_touch,
 #     events_dau_wau_mau, basket_association_rules, hybrid_search_rrf,
 #     text_perplexity_bigram, chunk_documents, mine_triplets,
 #     events_item_cooccurrence, events_markov_transitions, item_pagerank,
@@ -99,10 +100,13 @@ _MODULES = [
 # twin agg_bitmap_distinct green r7 and sketch sibling agg_hll_mergeable
 # has fresh r7 rows), plus kmeans_cluster_profile (displaced by
 # recommend_items — rows-only by contract too, no value hash in its row;
-# quantizer-family siblings ann_ivf/ann_pq have fresh r7 rows): TWENTY
-# total.
+# quantizer-family siblings ann_ivf/ann_pq have fresh r7 rows), plus
+# join_broadcast_dims (displaced by retrieval_eval — its broadcast-dim
+# join shape is exercised in-window by the TPC-H q5 sweep row and pinned
+# by a dedicated plan test): TWENTY-ONE total.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
+    "retrieval_eval",
     "recommend_items",
     "mmr_search",
     "session_top_paths",
@@ -142,7 +146,6 @@ _PRIORITY = [
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
-    "join_broadcast_dims",
     "join_full_outer",
     "join_range_shipdelay",
     "join_semi",

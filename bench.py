@@ -107,10 +107,12 @@ HEADLINE = [
     "attribution_last_touch",
     "events_dau_wau_mau",
     "basket_association_rules",
-    # Appended round 8, third segment: MMR-diversified retrieval and
-    # item-based collaborative-filtering recommendations.
+    # Appended round 8, third segment: MMR-diversified retrieval,
+    # item-based collaborative-filtering recommendations, and the
+    # retrieval-quality eval harness.
     "mmr_search",
     "recommend_items",
+    "retrieval_eval",
 ]
 
 

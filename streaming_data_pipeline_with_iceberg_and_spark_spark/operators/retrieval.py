@@ -24,6 +24,8 @@ north star (SURVEY.md §2.8).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -474,12 +476,154 @@ picked{i} AS (SELECT query_id, vec_id FROM picked{i - 1}
 MMR_SEARCH_SQL = _mmr_sql()
 
 
+# Ranking-quality evaluation: pinned graded relevance judgments
+# ((query_id, doc_id) → grade 1..3) for the hybrid query set — the qrels a
+# retrieval pipeline's offline eval harness carries. A mix of docs that DO
+# rank in the fused top-10 and docs that don't, so every metric has
+# non-degenerate signal; doc ids stay in 0..499 (present at every fixture
+# SF, like _HYBRID_QVECS).
+_QRELS = {
+    (1, 130): 3, (1, 370): 2, (1, 149): 1, (1, 7): 2, (1, 205): 1,
+    (2, 62): 3, (2, 101): 2, (2, 444): 1, (2, 333): 2, (2, 8): 1,
+    (3, 178): 2, (3, 345): 3, (3, 148): 1, (3, 77): 2,
+    (4, 149): 3, (4, 1): 1, (4, 372): 2, (4, 404): 3,
+    (5, 490): 3, (5, 154): 2, (5, 288): 1, (5, 57): 2, (5, 399): 3,
+    (5, 21): 1,
+}
+_EVAL_K = _HYBRID_TOPK
+
+
+def _discounts(k: int) -> list:
+    """DCG rank discounts 1/log2(r+1), r=1..k — computed ONCE in Python
+    and injected into BOTH engines as literal doubles (repr-interpolated
+    in the oracle), so neither engine's log implementation enters the
+    comparison."""
+    return [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+
+
+def ranking_metrics(
+    ranked: DataFrame, qrels: DataFrame, k: int = _EVAL_K
+) -> DataFrame:
+    """Offline ranking-quality metrics per query: NDCG@k (graded, 2^g−1
+    gains), MRR (reciprocal rank of the first relevant hit), and recall@k
+    — the eval harness every retrieval stack runs against its judgment
+    set. ``ranked`` is a (query_id, rank, doc_id) frame (ranks 1..k);
+    ``qrels`` a (query_id, doc_id, grade) judgment frame (tiny by
+    contract — it is broadcast).
+
+    Cross-engine exactness: gains are exact small-integer powers of two;
+    rank discounts are Python-precomputed literal doubles shared by both
+    engines; DCG and ideal-DCG are sequential folds (``dot``) over
+    rank-ordered gain arrays padded to ``k`` — bit-identical everywhere —
+    and MRR/recall are integer rationals divided once and rounded at 6.
+
+    Scale shape: one broadcast left join onto the (already bounded) ranked
+    frame, two |Q|-row aggs, zero corpus-keyed work."""
+    disc = F.array(*[F.lit(d) for d in _discounts(k)])
+    zeros = F.array_repeat(F.lit(0.0), k)
+    gain = lambda c: F.pow(F.lit(2.0), F.col(c).cast("double")) - 1  # noqa: E731
+    joined = ranked.join(F.broadcast(qrels), ["query_id", "doc_id"], "left").select(
+        "query_id", "rank", F.coalesce("grade", F.lit(0)).alias("grade")
+    )
+    per_q = joined.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("rank", "grade"))).alias("rg"),
+        F.min(F.when(F.col("grade") > 0, F.col("rank"))).alias("first_rel"),
+        F.sum((F.col("grade") > 0).cast("bigint")).alias("hits"),
+    )
+    gains = F.transform(
+        "rg", lambda s: F.pow(F.lit(2.0), s.grade.cast("double")) - 1
+    )
+    dcg = dot(F.slice(F.concat(gains, zeros), 1, k), disc)
+    ideal = qrels.filter(F.col("grade") > 0).groupBy("query_id").agg(
+        F.reverse(F.array_sort(F.collect_list(gain("grade")))).alias("ig"),
+        F.count("*").alias("n_rel"),
+    )
+    idcg = dot(F.slice(F.concat("ig", zeros), 1, k), disc)
+    return (
+        per_q.join(F.broadcast(ideal), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(
+                F.when(idcg > 0, F.round(dcg / idcg, 6) + F.lit(0.0)),
+                F.lit(0.0),
+            ).alias("ndcg"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("first_rel"), 6) + F.lit(0.0),
+                F.lit(0.0),
+            ).alias("mrr"),
+            F.coalesce(
+                F.round(F.col("hits") / F.col("n_rel"), 6) + F.lit(0.0),
+                F.lit(0.0),
+            ).alias("recall_at_k"),
+            "hits",
+            F.coalesce("n_rel", F.lit(0).cast("bigint")).alias("n_rel"),
+        )
+    )
+
+
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR / recall@10 of the hybrid RRF ranking against the
+    pinned `_QRELS` judgments — closes the retrieval story (rank → fuse →
+    diversify → EVALUATE) with a fully value-checked metric frame."""
+    qrels = spark.createDataFrame(
+        [(q, d, g) for (q, d), g in sorted(_QRELS.items())],
+        "query_id int, doc_id long, grade int",
+    )
+    return ranking_metrics(hybrid_search_rrf(spark, sf_dir), qrels)
+
+
+_QREL_VALUES = ", ".join(
+    f"({q}, {d}, {g})" for (q, d), g in sorted(_QRELS.items())
+)
+_DISC_SQL = "[" + ", ".join(repr(d) for d in _discounts(_EVAL_K)) + "]"
+_ZEROS_SQL = "[" + ", ".join("0.0" for _ in range(_EVAL_K)) + "]"
+
+RETRIEVAL_EVAL_SQL = f"""
+WITH ranked AS (
+{HYBRID_SEARCH_SQL}
+),
+qr(query_id, doc_id, grade) AS (VALUES {_QREL_VALUES}),
+j AS (
+  SELECT r.query_id, r.rank, COALESCE(q.grade, 0) AS grade
+  FROM ranked r LEFT JOIN qr q
+    ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+),
+perq AS (
+  SELECT query_id,
+         list(POWER(2.0, grade) - 1 ORDER BY rank) AS gains,
+         MIN(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+         CAST(SUM(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM j GROUP BY 1
+),
+ideal AS (
+  SELECT query_id,
+         list(POWER(2.0, grade) - 1 ORDER BY grade DESC) AS ig,
+         COUNT(*) AS n_rel
+  FROM qr WHERE grade > 0 GROUP BY 1
+)
+SELECT p.query_id,
+       COALESCE(CASE WHEN
+           list_inner_product(list_slice(list_concat(i.ig, {_ZEROS_SQL}), 1, {_EVAL_K}), {_DISC_SQL}) > 0
+         THEN ROUND(
+           list_inner_product(list_slice(list_concat(p.gains, {_ZEROS_SQL}), 1, {_EVAL_K}), {_DISC_SQL})
+           / list_inner_product(list_slice(list_concat(i.ig, {_ZEROS_SQL}), 1, {_EVAL_K}), {_DISC_SQL}),
+           6) + 0.0 END, 0.0) AS ndcg,
+       COALESCE(ROUND(1.0 / p.first_rel, 6) + 0.0, 0.0) AS mrr,
+       COALESCE(ROUND(p.hits / (i.n_rel * 1.0), 6) + 0.0, 0.0) AS recall_at_k,
+       p.hits,
+       COALESCE(i.n_rel, 0) AS n_rel
+FROM perq p LEFT JOIN ideal i ON i.query_id = p.query_id
+"""
+
+
 QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "mmr_search": mmr_search,
+    "retrieval_eval": retrieval_eval,
 }
 
 ORACLES = {
     "hybrid_search_rrf": HYBRID_SEARCH_SQL,
     "mmr_search": MMR_SEARCH_SQL,
+    "retrieval_eval": RETRIEVAL_EVAL_SQL,
 }

@@ -1352,6 +1352,37 @@ def test_hybrid_rank_rrf_semantics(spark):
     assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
 
 
+def test_ranking_metrics_hand_computed(spark):
+    """ranking_metrics on crafted frames reproduces hand-computed NDCG/MRR/
+    recall at a non-default k, including an unjudged-docs-only query and a
+    judged-but-unranked doc (lost recall)."""
+    import math
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.retrieval import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30), (2, 1, 40), (2, 2, 50), (3, 1, 60)],
+        "query_id int, rank int, doc_id long",
+    )
+    # q1: rank-2 doc graded 2, rank-3 doc graded 1, an UNRANKED doc graded 3
+    # (caps ideal DCG + costs recall); q2: one judged doc, none ranked;
+    # q3: no judgments at all.
+    qrels = spark.createDataFrame(
+        [(1, 20, 2), (1, 30, 1), (1, 99, 3), (2, 77, 1)],
+        "query_id int, doc_id long, grade int",
+    )
+    got = {
+        r.query_id: (r.ndcg, r.mrr, r.recall_at_k, r.hits, r.n_rel)
+        for r in ranking_metrics(ranked, qrels, k=3).collect()
+    }
+    disc = [1.0 / math.log2(r + 1) for r in (1, 2, 3)]
+    dcg = 0 * disc[0] + 3 * disc[1] + 1 * disc[2]
+    idcg = 7 * disc[0] + 3 * disc[1] + 1 * disc[2]
+    assert got[1] == (round(dcg / idcg, 6), 0.5, round(2 / 3, 6), 2, 3)
+    assert got[2] == (0.0, 0.0, 0.0, 0, 1)
+    assert got[3] == (0.0, 0.0, 0.0, 0, 0)
+
+
 def test_mmr_rerank_matches_python_oracle_random(spark):
     """mmr_rerank on a seeded random corpus with non-default (k, steps, λ)
     reproduces a pure-Python greedy-MMR oracle exactly — covers the
