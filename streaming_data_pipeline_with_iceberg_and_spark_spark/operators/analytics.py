@@ -366,31 +366,45 @@ _CO_USER_CAP = 40
 _CO_MIN_COUNT = 2
 
 
-def _user_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One basket (sorted distinct-item array) per user, built by a single
-    user-keyed shuffle over the event scan; users over ``_CO_USER_CAP``
-    distinct items are excluded whole (pair-explosion guard). Cached —
-    several bounded aggs consume it (co-occurrence, PageRank)."""
-    ev = load(spark, "events", sf_dir)
-    ui = (
-        ev.select(
+def user_item_pairs(events: DataFrame) -> DataFrame:
+    """DISTINCT (user_id, item) pairs from an events frame — the taste
+    graph's atom, shared by the batch basket builder and the incremental
+    co-occurrence ingest (the two paths cannot diverge on what counts as
+    an interaction)."""
+    return (
+        events.select(
             "user_id",
             F.get_json_object("props", "$.k").cast("int").alias("item"),
         )
         .filter(F.col("item").isNotNull() & F.col("user_id").isNotNull())
         .distinct()
     )
+
+
+def baskets_from_items(ui: DataFrame, cap: int = _CO_USER_CAP) -> DataFrame:
+    """Sorted distinct-item basket per user from (user_id, item) rows;
+    users over ``cap`` distinct items are excluded WHOLE (pair-explosion
+    guard)."""
     return (
         ui.groupBy("user_id")
         .agg(F.array_sort(F.collect_list("item")).alias("items"))
-        .filter(F.size("items") <= _CO_USER_CAP)
-        .persist()
+        .filter(F.size("items") <= cap)
     )
 
 
-def _basket_pairs(baskets: DataFrame) -> DataFrame:
-    """(item_a < item_b, co_users) pair counts generated MAP-SIDE by array
-    expressions over the baskets — no user_id self-join."""
+def _user_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One basket (sorted distinct-item array) per user, built by a single
+    user-keyed shuffle over the event scan. Cached — several bounded aggs
+    consume it (co-occurrence, PageRank)."""
+    ev = load(spark, "events", sf_dir)
+    return baskets_from_items(user_item_pairs(ev)).persist()
+
+
+def basket_pair_rows(baskets: DataFrame) -> DataFrame:
+    """One (item_a < item_b) row per user-pair, generated MAP-SIDE by
+    array expressions over the baskets — no user_id self-join. Shared by
+    the batch pair counter and the incremental delta path (ONE pair
+    definition)."""
     pair_structs = F.flatten(
         F.transform(
             "items",
@@ -400,12 +414,35 @@ def _basket_pairs(baskets: DataFrame) -> DataFrame:
             ),
         )
     )
+    return baskets.select(F.explode(pair_structs).alias("p")).select(
+        "p.item_a", "p.item_b"
+    )
+
+
+def _basket_pairs(baskets: DataFrame) -> DataFrame:
+    """(item_a < item_b, co_users) pair counts over the baskets."""
     return (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .select("p.item_a", "p.item_b")
+        basket_pair_rows(baskets)
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("co_users"))
         .filter(F.col("co_users") >= _CO_MIN_COUNT)
+    )
+
+
+def cooccurrence_edges_from_index(
+    delta: DataFrame, min_count: int = _CO_MIN_COUNT
+) -> DataFrame:
+    """Finalize the incrementally maintained co-occurrence delta table
+    (item_a, item_b, d) into the same (item_a, item_b, co_users) edge
+    frame ``_basket_pairs`` computes over the full history: counts are
+    mergeable sums of the per-batch ±1 contributions, summed once here.
+    At 100 TB this replaces the full-history pair regeneration with a
+    pair-keyed agg over the (much smaller) delta table; periodic
+    compaction = overwriting the table with this frame at min_count=1."""
+    return (
+        delta.groupBy("item_a", "item_b")
+        .agg(F.sum("d").cast("long").alias("co_users"))
+        .filter(F.col("co_users") >= min_count)
     )
 
 

@@ -1063,6 +1063,122 @@ def start_incremental_engagement_ingest(
     return writer.start()
 
 
+def start_incremental_cooccurrence_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    items_root: str,
+    delta_root: str,
+    txn_dir: str,
+    schema,
+    cap: int | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "cooccurrence_ingest",
+) -> StreamingQuery:
+    """EXACT incremental co-occurrence maintenance by DELTA-USER
+    RECOMPUTE — the incremental-view-maintenance pattern for aggregates
+    whose per-user contribution is NOT a per-row sum (a user's pair set
+    changes non-monotonically when their basket grows or crosses the
+    power-user cap). Per batch, only users with NOVEL (user, item) pairs
+    are touched: subtract each touched user's OLD pair contribution
+    (pairs of their pre-batch basket under the cap rule), add their NEW
+    contribution (old ∪ novel, same rule), and append the compacted ±1
+    rows to a (item_a, item_b, d) delta table.
+    ``operators.analytics.cooccurrence_edges_from_index`` then equals the
+    batch ``_basket_pairs`` over everything ingested (parity test in
+    tests/test_streaming.py), with ONE shared pair definition
+    (``basket_pair_rows``) so the two paths cannot diverge.
+
+    Like the engagement path there is NO ordering contract: distinct item
+    sets are order-free, so late and out-of-order events are exact by
+    construction. Per-batch cost is bounded by the touched users' basket
+    sizes (≤ cap each), never the corpus: at 100 TB this turns "refresh
+    the taste graph" from a full-history pair regeneration into work
+    proportional to the batch. The delta table grows by ≤ 2·C(cap,2)
+    rows per touched user per batch; periodic compaction is an overwrite
+    with the summed edges (min_count=1).
+
+    Exactly-once: the novel-pair append and the delta append commit in
+    ONE multi-table transaction with namespaced batch keys; replayed
+    batches are skipped whole (the Markov/BM25 protocol)."""
+    from ..operators.analytics import (
+        _CO_USER_CAP,
+        basket_pair_rows,
+        baskets_from_items,
+        user_item_pairs,
+    )
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+    )
+
+    if cap is None:
+        cap = _CO_USER_CAP
+    items_t = SnapshotTable(spark, items_root)
+    delta_t = SnapshotTable(spark, delta_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def co_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([items_t, delta_t], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        batch_pairs = user_item_pairs(batch_df)
+        have = items_t.read() if items_t.current_version() is not None else None
+        novel = (
+            batch_pairs.join(have, ["user_id", "item"], "left_anti")
+            if have is not None
+            else batch_pairs
+        ).persist()
+        try:
+            affected = novel.select("user_id").distinct()
+            if have is not None:
+                # pre-batch items of ONLY the touched users — the bounded
+                # recompute set; broadcast the (trigger-cap-bounded)
+                # affected-user list so the maintained side is not
+                # re-shuffled (the neardup-ingest discipline)
+                old_items = have.join(F.broadcast(affected), "user_id")
+                old_pairs = basket_pair_rows(baskets_from_items(old_items, cap))
+                new_items = old_items.unionByName(novel)
+            else:
+                old_pairs = None
+                new_items = novel
+            new_pairs = basket_pair_rows(baskets_from_items(new_items, cap))
+            delta = new_pairs.select(
+                "item_a", "item_b", F.lit(1).alias("d")
+            )
+            if old_pairs is not None:
+                delta = delta.unionByName(
+                    old_pairs.select("item_a", "item_b", F.lit(-1).alias("d"))
+                )
+            delta = (
+                delta.groupBy("item_a", "item_b")
+                .agg(F.sum("d").alias("d"))
+                .filter(F.col("d") != 0)
+            )
+            txn = MultiTableTransaction([items_t, delta_t], txn_dir)
+            key = f"{stream_id}#{batch_id}"
+            txn.stage_append(items_t, novel, batch_id=key)
+            txn.stage_append(delta_t, delta, batch_id=key)
+            txn.commit()
+        finally:
+            novel.unpersist()
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(co_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

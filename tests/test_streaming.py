@@ -1614,3 +1614,112 @@ def test_incremental_engagement_ingest_matches_batch(spark, tmp_path):
     assert sorted(
         (r.user_id, str(r.day)) for r in activity.read().collect()
     ) == sorted((u, str(d)) for u, d in set(pairs))
+
+
+def test_incremental_cooccurrence_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental co-occurrence maintenance (delta-user recompute):
+    edges finalized from the maintained ±1 delta table must equal the
+    batch pair counts over everything ingested — including a basket
+    GROWING across batches (old pairs retracted, new contribution added),
+    a user CROSSING the power-user cap mid-stream (entire contribution
+    retracted), duplicate (user, item) pairs (no-ops), and out-of-order
+    arrival. A re-drain from the same checkpoint must be a no-op."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        basket_pair_rows,
+        baskets_from_items,
+        cooccurrence_edges_from_index,
+        user_item_pairs,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_cooccurrence_ingest,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events"
+    src.mkdir()
+    all_rows = []
+    eid = [0]
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for user, item in specs:
+                row = {
+                    "event_id": eid[0],
+                    "ts": 1_700_000_000 + eid[0],
+                    "user_id": user,
+                    "props": _json.dumps({"k": item}),
+                }
+                eid[0] += 1
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    cap = 3
+    # a: u1={1,2}, u2={1,2,3} (at cap), u3={1}
+    write_file("a.json", [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3), (3, 1)])
+    # b: u1 grows to {1,2,3} (old pair retracted + 3 re-added); u2 gets a
+    # 4th item → CROSSES the cap → whole contribution retracted;
+    # (u3, 1) repeats → pure no-op novel-wise
+    write_file("b.json", [(1, 3), (2, 4), (3, 1)])
+    # c: u3 grows to {1, 2}
+    write_file("c.json", [(3, 2)])
+
+    items_root = str(tmp_path / "items")
+    delta_root = str(tmp_path / "delta")
+    txn_dir = str(tmp_path / "txn")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts long, user_id long, props string"
+
+    def drain():
+        q = start_incremental_cooccurrence_ingest(
+            spark,
+            str(src),
+            items_root,
+            delta_root,
+            txn_dir,
+            schema=schema,
+            cap=cap,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    delta_t = SnapshotTable(spark, delta_root)
+    items_t = SnapshotTable(spark, items_root)
+    v_delta, v_items = delta_t.current_version(), items_t.current_version()
+
+    got = sorted(
+        (r.item_a, r.item_b, r.co_users)
+        for r in cooccurrence_edges_from_index(delta_t.read(), min_count=1).collect()
+    )
+    # u1{1,2,3} + u3{1,2}; u2 over cap contributes nothing
+    assert got == [(1, 2, 2), (1, 3, 1), (2, 3, 1)]
+    # parity against the batch path over everything ingested
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["props"]) for r in all_rows],
+        schema,
+    )
+    want = sorted(
+        (r.item_a, r.item_b, r.n)
+        for r in basket_pair_rows(baskets_from_items(user_item_pairs(batch_df), cap))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want
+    # maintained items table is exactly the distinct pairs (ALL of them —
+    # the cap applies at pair generation, not item storage)
+    pairs = [(r.user_id, r.item) for r in items_t.read().collect()]
+    assert len(pairs) == len(set(pairs)) == 9
+    # default min-count gate applies at read
+    assert sorted(
+        (r.item_a, r.item_b, r.co_users)
+        for r in cooccurrence_edges_from_index(delta_t.read()).collect()
+    ) == [(1, 2, 2)]
+
+    # replay: no new versions on either table
+    drain()
+    assert (delta_t.current_version(), items_t.current_version()) == (v_delta, v_items)
