@@ -1264,7 +1264,13 @@ def recommend_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     owned = baskets.select(
         "user_id", F.explode("items").alias("item")
     )
-    co = _basket_pairs(baskets)
+    return _recommend_from(owned, _basket_pairs(baskets))
+
+
+def _recommend_from(owned: DataFrame, co: DataFrame) -> DataFrame:
+    """Shared recommender core over (user_id, item) ownership rows and an
+    (item_a, item_b, co_users) edge frame — consumed by both the batch
+    face and the maintained-index serving path."""
     edges = co.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("rec_item"),
@@ -1298,6 +1304,20 @@ def recommend_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rec_rank") <= _REC_TOPK)
         .select("user_id", "rec_rank", "rec_item", "score", "n_neighbors")
     )
+
+
+def recommend_from_index(
+    items: DataFrame, delta: DataFrame, cap: int = _CO_USER_CAP
+) -> DataFrame:
+    """Serve item-CF recommendations from the INCREMENTALLY MAINTAINED
+    state (the `start_incremental_cooccurrence_ingest` items + delta
+    tables) — exactly equal to the batch :func:`recommend_items` over
+    everything ingested (parity test in tests/test_streaming.py), without
+    re-scanning the raw event fact: at 100 TB the serving query touches
+    only the bounded ownership table and the pair-keyed edge sum."""
+    baskets = baskets_from_items(items, cap)
+    owned = baskets.select("user_id", F.explode("items").alias("item"))
+    return _recommend_from(owned, cooccurrence_edges_from_index(delta))
 
 
 RECOMMEND_SQL = f"""

@@ -1720,6 +1720,30 @@ def test_incremental_cooccurrence_ingest_matches_batch(spark, tmp_path):
         for r in cooccurrence_edges_from_index(delta_t.read()).collect()
     ) == [(1, 2, 2)]
 
+    # serving parity: recommendations from the maintained state equal the
+    # batch recommender over everything ingested (same shared core fed by
+    # batch-derived vs index-derived ownership + edges)
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        _recommend_from,
+        recommend_from_index,
+    )
+
+    batch_baskets = baskets_from_items(user_item_pairs(batch_df), cap)
+    batch_owned = batch_baskets.select("user_id", F.explode("items").alias("item"))
+    batch_edges = (
+        basket_pair_rows(batch_baskets)
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("co_users"))
+        .filter(F.col("co_users") >= 2)
+    )
+    want_recs = sorted(
+        map(tuple, _recommend_from(batch_owned, batch_edges).collect())
+    )
+    got_recs = sorted(
+        map(tuple, recommend_from_index(items_t.read(), delta_t.read(), cap).collect())
+    )
+    assert got_recs == want_recs
+
     # replay: no new versions on either table
     drain()
     assert (delta_t.current_version(), items_t.current_version()) == (v_delta, v_items)
