@@ -60,9 +60,9 @@ _MODULES = [
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
 # latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 17 entries new or oracle-upgraded this round, at the head —
-#     retrieval_eval, recommend_items, mmr_search, session_top_paths,
-#     attribution_last_touch,
+# (a) the 18 entries new or oracle-upgraded this round, at the head —
+#     item_triangles, retrieval_eval, recommend_items, mmr_search,
+#     session_top_paths, attribution_last_touch,
 #     events_dau_wau_mau, basket_association_rules, hybrid_search_rrf,
 #     text_perplexity_bigram, chunk_documents, mine_triplets,
 #     events_item_cooccurrence, events_markov_transitions, item_pagerank,
@@ -103,9 +103,12 @@ _MODULES = [
 # quantizer-family siblings ann_ivf/ann_pq have fresh r7 rows), plus
 # join_broadcast_dims (displaced by retrieval_eval — its broadcast-dim
 # join shape is exercised in-window by the TPC-H q5 sweep row and pinned
-# by a dedicated plan test): TWENTY-ONE total.
+# by a dedicated plan test), plus join_range_shipdelay (displaced by
+# item_triangles — its event-time range-join family sibling join_asof is
+# green r7 and join_theta_band heads the r9 window): TWENTY-TWO total.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
+    "item_triangles",
     "retrieval_eval",
     "recommend_items",
     "mmr_search",
@@ -147,7 +150,6 @@ _PRIORITY = [
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
     "join_full_outer",
-    "join_range_shipdelay",
     "join_semi",
     "map_funcs",
     "null_handling",

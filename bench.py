@@ -113,6 +113,7 @@ HEADLINE = [
     "mmr_search",
     "recommend_items",
     "retrieval_eval",
+    "item_triangles",
 ]
 
 

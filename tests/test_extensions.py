@@ -1835,6 +1835,45 @@ def test_basket_association_rules_consistency(spark):
         assert abs(co_lift[key] - r.lift) < 1e-9
 
 
+def test_item_triangles_semantics(spark, tmp_path):
+    """Triangle counting on a crafted graph: a 1-2-3 triangle plus a
+    pendant 3-4 edge → items 1,2,3 report one triangle each with the
+    hand-computed clustering coefficients, the pendant item is absent,
+    and both engines agree."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import ITEM_TRIANGLES_SQL, item_triangles
+
+    # two users own {1,2,3} (all three pairs co=2); two own {3,4}
+    baskets = {1: [1, 2, 3], 2: [1, 2, 3], 3: [3, 4], 4: [3, 4]}
+    rows = []
+    eid = 0
+    for u, items in baskets.items():
+        for it in items:
+            rows.append(
+                (eid, "2024-01-05 10:00:00", u, "view", 1.0, '{"k": %d}' % it)
+            )
+            eid += 1
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = sorted(map(tuple, item_triangles(spark, sf).collect()))
+    # deg: 1→2, 2→2, 3→3; clustering: 1.0, 1.0, 2/(3·2)
+    assert got == [
+        (1, 1, 2, 1.0),
+        (2, 1, 2, 1.0),
+        (3, 1, 3, round(2.0 / 6.0, 6)),
+    ]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+    want = sorted(map(tuple, con.sql(ITEM_TRIANGLES_SQL).fetchall()))
+    assert got == want
+
+
 def test_recommend_items_semantics(spark, tmp_path):
     """Item-CF semantics on a crafted taste graph: a candidate backed by
     two owned items wins (evidence sums), a higher-scored candidate backed
