@@ -60,9 +60,9 @@ _MODULES = [
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
 # latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 18 entries new or oracle-upgraded this round, at the head —
-#     item_triangles, retrieval_eval, recommend_items, mmr_search,
-#     session_top_paths, attribution_last_touch,
+# (a) the 19 entries new or oracle-upgraded this round, at the head —
+#     funnel_latency, item_triangles, retrieval_eval, recommend_items,
+#     mmr_search, session_top_paths, attribution_last_touch,
 #     events_dau_wau_mau, basket_association_rules, hybrid_search_rrf,
 #     text_perplexity_bigram, chunk_documents, mine_triplets,
 #     events_item_cooccurrence, events_markov_transitions, item_pagerank,
@@ -105,9 +105,14 @@ _MODULES = [
 # join shape is exercised in-window by the TPC-H q5 sweep row and pinned
 # by a dedicated plan test), plus join_range_shipdelay (displaced by
 # item_triangles — its event-time range-join family sibling join_asof is
-# green r7 and join_theta_band heads the r9 window): TWENTY-TWO total.
+# green r7 and join_theta_band heads the r9 window), plus
+# text_linear_quality_classifier (displaced by funnel_latency — its
+# shared-`_TQC_DIM`-scorer twin train_quality_classifier has fresh r7
+# rows and the capstone that embeds the scorer heads the r9 window):
+# TWENTY-THREE total.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
+    "funnel_latency",
     "item_triangles",
     "retrieval_eval",
     "recommend_items",
@@ -158,7 +163,6 @@ _PRIORITY = [
     "snapshot_bloom_point_lookup",
     "snapshot_positional_delete_orders",
     "snapshot_update_constrained_orders",
-    "text_linear_quality_classifier",
     "top_customers",
 ]
 

@@ -114,6 +114,7 @@ HEADLINE = [
     "recommend_items",
     "retrieval_eval",
     "item_triangles",
+    "funnel_latency",
 ]
 
 

@@ -37,9 +37,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _FUNNEL
         ]
     )
-    t1 = F.element_at("ts_view", 1)
-    t2 = F.element_at(F.filter("ts_click", lambda c: c > t1), 1)
-    t3 = F.element_at(F.filter("ts_purchase", lambda p: p > t2), 1)
+    # try_element_at: a stage with no qualifying event yields an EMPTY
+    # array, and under Spark 4's default ANSI mode element_at(empty, 1)
+    # is an ERROR, not NULL — a view-only user would crash the funnel
+    # (latent until a sparse fixture exposed it; regression test in
+    # tests/test_extensions.py::test_funnel_latency_hand_computed)
+    t1 = F.try_element_at("ts_view", F.lit(1))
+    t2 = F.try_element_at(F.filter("ts_click", lambda c: c > t1), F.lit(1))
+    t3 = F.try_element_at(F.filter("ts_purchase", lambda p: p > t2), F.lit(1))
     staged = per_user.select(
         t1.alias("t1"), t2.alias("t2"), t3.alias("t3")
     ).agg(
@@ -60,8 +65,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s.stage", "s.n_users")
 
 
-FUNNEL_SQL = """
-WITH v AS (
+# Shared funnel-stage CTEs: conversion counts AND conversion latency both
+# interpolate this single definition, so the two oracles cannot disagree
+# about what "converting stage k" means.
+_FUNNEL_CTES = """v AS (
   SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
 ), c AS (
   SELECT e.user_id, MIN(e.ts) AS t2
@@ -73,12 +80,132 @@ WITH v AS (
   FROM events e JOIN c USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > c.t2
   GROUP BY 1
-)
+)"""
+
+FUNNEL_SQL = f"""
+WITH {_FUNNEL_CTES}
 SELECT '1_view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
 UNION ALL
 SELECT '2_click', (SELECT COUNT(*) FROM c)
 UNION ALL
 SELECT '3_purchase', (SELECT COUNT(*) FROM p)
+"""
+
+
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel step: exact DISCRETE median and p90 of
+    the view→click and click→purchase latencies (µs), over the same
+    stage definitions as :func:`funnel_conversion` — the "how fast do
+    they convert" half of every funnel dashboard.
+
+    Latencies are exact integer epoch-µs differences (the attribution
+    idiom: ``unix_micros`` ≡ DuckDB ``epoch_us``), and the rank
+    statistics are DISCRETE elements (rank ⌈n/2⌉ and ⌈0.9n⌉ in value
+    order) selected from a VALUE HISTOGRAM — the `events_anomaly_mad`
+    discipline: interpolation arithmetic is the one step two engines can
+    disagree on at the last ulp, and a histogram rank-select's output
+    depends only on per-value counts, never on tie order. Everything is
+    integer arithmetic — cross-engine exact.
+
+    Scale shape: the funnel staging is the same single user-keyed shuffle
+    as funnel_conversion; the statistics pass is ONE hash-agg over the
+    latency rows into a (step, lat) histogram plus cumulative windows
+    over the histogram — the corpus is never sorted per step (a windowed
+    per-step rank would serialize each step's converters onto one task;
+    for a pathological all-distinct latency domain the
+    `_disc_median_select` slicing strategy generalizes)."""
+    ev = load(spark, "events", sf_dir).filter(F.col("event_type").isin(_FUNNEL))
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == t, F.col("ts"))
+                )
+            ).alias(f"ts_{t}")
+            for t in _FUNNEL
+        ]
+    )
+    # try_element_at: a stage with no qualifying event yields an EMPTY
+    # array, and under Spark 4's default ANSI mode element_at(empty, 1)
+    # is an ERROR, not NULL — a view-only user would crash the funnel
+    # (latent until a sparse fixture exposed it; regression test in
+    # tests/test_extensions.py::test_funnel_latency_hand_computed)
+    t1 = F.try_element_at("ts_view", F.lit(1))
+    t2 = F.try_element_at(F.filter("ts_click", lambda c: c > t1), F.lit(1))
+    t3 = F.try_element_at(F.filter("ts_purchase", lambda p: p > t2), F.lit(1))
+    staged = per_user.select(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+    lat = (
+        staged.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("view_to_click").alias("step"),
+                        (F.unix_micros("t2") - F.unix_micros("t1")).alias("lat"),
+                    ),
+                    F.struct(
+                        F.lit("click_to_purchase").alias("step"),
+                        (F.unix_micros("t3") - F.unix_micros("t2")).alias("lat"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .filter(F.col("lat").isNotNull())
+    )
+    hist = lat.groupBy("step", "lat").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("step").orderBy("lat")
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    tgt = hist.groupBy("step").agg(
+        F.sum("_c").alias("n_converted"),
+        F.expr("(sum(_c) + 1) div 2").alias("_rm"),
+        F.expr("(9 * sum(_c) + 9) div 10").alias("_r90"),
+    )
+    med = (
+        cum.join(F.broadcast(tgt.select("step", "_rm")), "step")
+        .filter(
+            (F.col("_cum") >= F.col("_rm"))
+            & (F.col("_cum") - F.col("_c") < F.col("_rm"))
+        )
+        .select("step", F.col("lat").alias("median_us"))
+    )
+    p90 = (
+        cum.join(F.broadcast(tgt.select("step", "_r90")), "step")
+        .filter(
+            (F.col("_cum") >= F.col("_r90"))
+            & (F.col("_cum") - F.col("_c") < F.col("_r90"))
+        )
+        .select("step", F.col("lat").alias("p90_us"))
+    )
+    return (
+        tgt.select("step", "n_converted").join(med, "step").join(p90, "step")
+    )
+
+
+FUNNEL_LATENCY_SQL = f"""
+WITH {_FUNNEL_CTES},
+lat AS (
+  SELECT 'view_to_click' AS step, epoch_us(c.t2) - epoch_us(v.t1) AS lat
+  FROM c JOIN v USING (user_id)
+  UNION ALL
+  SELECT 'click_to_purchase', epoch_us(p.t3) - epoch_us(c.t2)
+  FROM p JOIN c USING (user_id)
+),
+hist AS (SELECT step, lat, COUNT(*) AS c FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT step, lat, c,
+         SUM(c) OVER (PARTITION BY step ORDER BY lat) AS cum
+  FROM hist
+),
+tgt AS (
+  SELECT step, CAST(SUM(c) AS BIGINT) AS n_converted,
+         (CAST(SUM(c) AS BIGINT) + 1) // 2 AS rm,
+         (9 * CAST(SUM(c) AS BIGINT) + 9) // 10 AS r90
+  FROM hist GROUP BY 1
+)
+SELECT t.step, t.n_converted, m.lat AS median_us, p.lat AS p90_us
+FROM tgt t
+JOIN cum m ON m.step = t.step AND m.cum >= t.rm AND m.cum - m.c < t.rm
+JOIN cum p ON p.step = t.step AND p.cum >= t.r90 AND p.cum - p.c < t.r90
 """
 
 
@@ -1427,6 +1554,7 @@ SELECT user_id, rec_rank, rec_item, score, n_neighbors FROM (
 
 QUERIES = {
     "funnel_conversion": funnel_conversion,
+    "funnel_latency": funnel_latency,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
     "events_item_cooccurrence": events_item_cooccurrence,
@@ -1444,6 +1572,7 @@ QUERIES = {
 
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
+    "funnel_latency": FUNNEL_LATENCY_SQL,
     "cohort_retention": COHORT_SQL,
     "events_anomaly_mad": ANOMALY_MAD_SQL,
     "events_item_cooccurrence": COOCCURRENCE_SQL,

@@ -1835,6 +1835,58 @@ def test_basket_association_rules_consistency(spark):
         assert abs(co_lift[key] - r.lift) < 1e-9
 
 
+def test_funnel_latency_hand_computed(spark, tmp_path):
+    """funnel_latency on crafted conversions reproduces hand-computed
+    discrete median/p90 (µs), honoring the strictly-after stage rule (a
+    purchase BEFORE the click does not convert) and dropping
+    non-converters; both engines agree."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import FUNNEL_LATENCY_SQL, funnel_latency
+
+    # (user, event_type, offset_s): view→click latencies [10,40,20,5,30],
+    # click→purchase latencies [15,980,1]; u4 never clicks; u5's purchase
+    # precedes their click (no stage-3 conversion)
+    spec = [
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 25),
+        (2, "view", 0), (2, "click", 40),
+        (3, "view", 0), (3, "click", 20), (3, "purchase", 1000),
+        (4, "view", 0),
+        (5, "purchase", 5), (5, "view", 10), (5, "click", 15),
+        (6, "view", 0), (6, "click", 30), (6, "purchase", 31),
+    ]
+    base = 1_700_000_000
+    rows = [
+        (i, base + off, u, et, 1.0, "{}")
+        for i, (u, et, off) in enumerate(spec)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, epoch long, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(from_unixtime(epoch) AS TIMESTAMP) ts",
+        "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    got = {r.step: (r.n_converted, r.median_us, r.p90_us)
+           for r in funnel_latency(spark, sf).collect()}
+    m = 1_000_000
+    # sorted [5,10,20,30,40]: rank 3 → 20, rank ceil(4.5)=5 → 40
+    assert got["view_to_click"] == (5, 20 * m, 40 * m)
+    # sorted [1,15,980]: rank 2 → 15, rank ceil(2.7)=3 → 980
+    assert got["click_to_purchase"] == (3, 15 * m, 980 * m)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.sql(FUNNEL_LATENCY_SQL).fetchall()}
+    assert got == want
+    # regression: the view-only user (u4) must not crash the funnel ops
+    # (Spark 4 ANSI element_at(empty, 1) errors without try_element_at)
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import funnel_conversion
+
+    counts = {r.stage: r.n_users for r in funnel_conversion(spark, sf).collect()}
+    assert counts == {"1_view": 6, "2_click": 5, "3_purchase": 3}
+
+
 def test_item_triangles_semantics(spark, tmp_path):
     """Triangle counting on a crafted graph: a 1-2-3 triangle plus a
     pendant 3-4 edge → items 1,2,3 report one triangle each with the
