@@ -60,9 +60,9 @@ _MODULES = [
 # per round.  Rotated each round so every entry eventually gets a driver row.
 # Round 8's window, freshness-ordered (ledger state before this round:
 # latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 19 entries new or oracle-upgraded this round, at the head —
-#     funnel_latency, item_triangles, retrieval_eval, recommend_items,
-#     mmr_search, session_top_paths, attribution_last_touch,
+# (a) the 20 entries new or oracle-upgraded this round, at the head —
+#     bm25_prf_search, funnel_latency, item_triangles, retrieval_eval,
+#     recommend_items, mmr_search, session_top_paths, attribution_last_touch,
 #     events_dau_wau_mau, basket_association_rules, hybrid_search_rrf,
 #     text_perplexity_bigram, chunk_documents, mine_triplets,
 #     events_item_cooccurrence, events_markov_transitions, item_pagerank,
@@ -108,10 +108,12 @@ _MODULES = [
 # green r7 and join_theta_band heads the r9 window), plus
 # text_linear_quality_classifier (displaced by funnel_latency — its
 # shared-`_TQC_DIM`-scorer twin train_quality_classifier has fresh r7
-# rows and the capstone that embeds the scorer heads the r9 window):
-# TWENTY-THREE total.
+# rows and the capstone that embeds the scorer heads the r9 window), plus
+# map_funcs (displaced by bm25_prf_search — its semi-structured arrays.py
+# sibling json_variant_extract is green r7): TWENTY-FOUR total.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
+    "bm25_prf_search",
     "funnel_latency",
     "item_triangles",
     "retrieval_eval",
@@ -156,7 +158,6 @@ _PRIORITY = [
     "q22_dormant_customers",
     "join_full_outer",
     "join_semi",
-    "map_funcs",
     "null_handling",
     "quantize_embeddings_int8",
     "scalar_string_funcs",

@@ -115,6 +115,7 @@ HEADLINE = [
     "retrieval_eval",
     "item_triangles",
     "funnel_latency",
+    "bm25_prf_search",
 ]
 
 

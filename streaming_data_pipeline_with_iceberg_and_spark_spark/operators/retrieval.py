@@ -616,14 +616,157 @@ FROM perq p LEFT JOIN ideal i ON i.query_id = p.query_id
 """
 
 
+# Pseudo-relevance feedback (Rocchio/RM-style query expansion): take the
+# BM25 top-`_PRF_FEEDBACK` docs per query as implicit relevance evidence,
+# promote their `_PRF_EXP_TERMS` heaviest non-query terms into the query,
+# and re-rank — the classic recall lever when queries are short and the
+# vocabulary drifts. Knobs interpolated into the oracle.
+_PRF_FEEDBACK = 5
+_PRF_EXP_TERMS = 3
+
+
+def bm25_prf_rank(
+    docs: DataFrame,
+    qterms: DataFrame,
+    fb: int = _PRF_FEEDBACK,
+    n_exp: int = _PRF_EXP_TERMS,
+    topk: int = None,
+    terms: list | None = None,
+) -> DataFrame:
+    """BM25 with pseudo-relevance-feedback expansion — the reusable
+    operator. Pass 1 ranks with the original terms; the top-``fb`` docs
+    per query vote their term occurrences (summed tf, ties on term asc),
+    the ``n_exp`` heaviest terms NOT already in the query join it; pass 2
+    re-ranks with the expanded set.
+
+    Scale shape: two corpus-scale BM25 passes (inherent to PRF), each the
+    audited query-term-INSET-before-shuffle plan. The feedback evidence
+    NEVER tokenizes the corpus a third time: the ≤|Q|·fb feedback ids are
+    broadcast and the docs frame is semi-joined on doc_id BEFORE
+    tokenization, so term voting touches ≤|Q|·fb documents. The expanded
+    term set is data-derived, so pass 2 collects its ≤|Q|·(|terms|+n_exp)
+    distinct terms to the driver — the documented bm25 request-batch
+    contract (`_BM25_MAX_TERMS`-guarded).
+
+    Cross-engine exactness: the expansion vote is integer tf sums with
+    (w DESC, term ASC) ties; both BM25 passes are the already-oracled
+    round-6 scoring. Fully value-checked — no rows-only carve-out."""
+    from .textops import _BM25_TOPK, bm25_doc_postings, bm25_rank
+
+    if topk is None:
+        topk = _BM25_TOPK
+    base = bm25_rank(docs, qterms, k=fb, terms=terms, check_terms=False)
+    fb_docs = base.select("query_id", "doc_id")
+    fb_posts = bm25_doc_postings(
+        docs.join(F.broadcast(fb_docs.select("doc_id").distinct()), "doc_id")
+    )
+    votes = (
+        fb_posts.join(F.broadcast(fb_docs), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("w"))
+        .join(qterms, ["query_id", "term"], "left_anti")
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("w"), F.asc("term"))
+    expansion = (
+        votes.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= n_exp)
+        .select("query_id", "term")
+    )
+    q2 = qterms.select("query_id", "term").unionByName(expansion)
+    return bm25_rank(docs, q2, k=topk)
+
+
+def bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF-expanded BM25 for the pinned query set (registry face of
+    :func:`bm25_prf_rank`) — the recall stage of the retrieval story
+    (rank → EXPAND → fuse → diversify → evaluate)."""
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    return bm25_prf_rank(
+        load_spread(spark, "documents", sf_dir), qterms, terms=all_terms
+    )
+
+
+def _prf_sql() -> str:
+    """Two unrolled BM25 chains around the expansion vote (the shared
+    tokenizer/scoring shapes of BM25_SEARCH_SQL / HYBRID_SEARCH_SQL)."""
+    from .textops import _BM25_TOPK
+
+    def chain(suffix: str, qcte: str) -> str:
+        return f"""tf{suffix} AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM e WHERE term IN (SELECT DISTINCT term FROM {qcte})
+  GROUP BY 1, 2
+),
+dfc{suffix} AS (SELECT term, COUNT(*) AS df FROM tf{suffix} GROUP BY 1),
+contrib{suffix} AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * ({_BM25_K1} + 1))
+         / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) AS c
+  FROM tf{suffix} tf JOIN dfc{suffix} USING (term), stats
+),
+perq{suffix} AS (
+  SELECT query_id, c.doc_id AS doc_id, ROUND(SUM(c.c), 6) AS bm25
+  FROM contrib{suffix} c JOIN {qcte} q USING (term)
+  GROUP BY 1, 2
+),
+ranked{suffix} AS (
+  SELECT query_id, doc_id, bm25,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM perq{suffix}
+)"""
+
+    return f"""
+WITH q(query_id, term) AS (VALUES {_Q_VALUES}),
+d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM d),
+e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+{chain('1', 'q')},
+fbk AS (SELECT query_id, doc_id FROM ranked1 WHERE rank <= {_PRF_FEEDBACK}),
+votes AS (
+  SELECT fbk.query_id, x.term, COUNT(*) AS w
+  FROM fbk JOIN (SELECT doc_id, unnest(toks) AS term FROM d) x
+    ON x.doc_id = fbk.doc_id
+  GROUP BY 1, 2
+),
+exp AS (
+  SELECT query_id, term FROM (
+    SELECT v.query_id, v.term,
+           ROW_NUMBER() OVER (PARTITION BY v.query_id
+                              ORDER BY v.w DESC, v.term ASC) AS rn
+    FROM votes v
+    WHERE NOT EXISTS (SELECT 1 FROM q
+                      WHERE q.query_id = v.query_id AND q.term = v.term)
+  ) WHERE rn <= {_PRF_EXP_TERMS}
+),
+q2 AS (SELECT query_id, term FROM q
+       UNION ALL SELECT query_id, term FROM exp),
+{chain('2', 'q2')}
+SELECT query_id, rank, doc_id, bm25 FROM ranked2 WHERE rank <= {_BM25_TOPK}
+"""
+
+
+BM25_PRF_SQL = _prf_sql()
+
+
 QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "mmr_search": mmr_search,
     "retrieval_eval": retrieval_eval,
+    "bm25_prf_search": bm25_prf_search,
 }
 
 ORACLES = {
     "hybrid_search_rrf": HYBRID_SEARCH_SQL,
     "mmr_search": MMR_SEARCH_SQL,
     "retrieval_eval": RETRIEVAL_EVAL_SQL,
+    "bm25_prf_search": BM25_PRF_SQL,
 }

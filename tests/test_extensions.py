@@ -1835,6 +1835,31 @@ def test_basket_association_rules_consistency(spark):
         assert abs(co_lift[key] - r.lift) < 1e-9
 
 
+def test_bm25_prf_expands_recall(spark):
+    """PRF semantics on a crafted corpus: a document that lacks every
+    original query term but shares the feedback docs' dominant vocabulary
+    is absent from plain BM25 yet present after expansion; original-term
+    docs still rank."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.retrieval import bm25_prf_rank
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana banana cherry"),
+            (2, "apple banana fig"),
+            (3, "banana banana grape"),   # no 'apple' — only PRF finds it
+            (4, "kiwi lemon mango"),      # unrelated vocabulary
+        ],
+        "doc_id long, text string",
+    )
+    qterms = spark.createDataFrame([(1, "apple")], "query_id int, term string")
+    plain = {r.doc_id for r in bm25_rank(docs, qterms, k=10).collect()}
+    assert plain == {1, 2}
+    prf = {r.doc_id for r in bm25_prf_rank(docs, qterms, fb=2, n_exp=1).collect()}
+    # feedback docs {1,2} vote 'banana' (tf 3) as the expansion term
+    assert {1, 2, 3} <= prf and 4 not in prf
+
+
 def test_funnel_latency_hand_computed(spark, tmp_path):
     """funnel_latency on crafted conversions reproduces hand-computed
     discrete median/p90 (µs), honoring the strictly-after stage rule (a
