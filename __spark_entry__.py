@@ -111,6 +111,9 @@ _MODULES = [
 # rows and the capstone that embeds the scorer heads the r9 window), plus
 # map_funcs (displaced by bm25_prf_search — its semi-structured arrays.py
 # sibling json_variant_extract is green r7): TWENTY-FOUR total.
+# Additionally, ops added late in round 8 WITHOUT an r8 driver row (their
+# oracle status is covered by the full-registry selfcheck): they MUST
+# join the r9 head alongside the deferred rows — vocab_coverage.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "bm25_prf_search",

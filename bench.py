@@ -116,6 +116,7 @@ HEADLINE = [
     "item_triangles",
     "funnel_latency",
     "bm25_prf_search",
+    "vocab_coverage",
 ]
 
 

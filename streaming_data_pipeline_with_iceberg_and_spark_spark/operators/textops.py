@@ -1455,7 +1455,70 @@ WHERE rank <= {_BM25_TOPK}
 """
 
 
+# Coverage-curve depth: how many head tokens the diagnostic reports.
+_VOCAB_TOPK = 30
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the `_VOCAB_TOPK` most frequent tokens
+    with their cumulative share of ALL token occurrences — the
+    tokenizer-design diagnostic ("how much of the corpus do the top-N
+    words cover?") run before vocab induction / BPE training, and the
+    head-distribution health check for corpus drift.
+
+    Scale shape: one wordcount shuffle, then the global top-K via
+    ``orderBy().limit()`` — TakeOrderedAndProject, the distributed
+    partial-top-k operator (each partition keeps K rows; no global sort —
+    an unpartitioned rank window would instead serialize the whole
+    vocabulary onto one task, which Spark does NOT rewrite with
+    WindowGroupLimit). The rank/cumulative windows then run over the ≤K
+    collected rows and the grand total rides a broadcast 1-row agg.
+    Counts are integers and the share is one integer division rounded at
+    6 — cross-engine exact."""
+    docs = load_spread(spark, "documents", sf_dir)
+    cnt = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = cnt.agg(F.sum("cnt").alias("total"))
+    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(_VOCAB_TOPK)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    wc = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            F.round(F.sum("cnt").over(wc) / F.col("total"), 6).alias("cum_share"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+cnt AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt),
+top AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM cnt
+  QUALIFY rank <= {_VOCAB_TOPK}
+)
+SELECT rank, token, cnt,
+       ROUND(SUM(cnt) OVER (ORDER BY rank) / (total * 1.0), 6) AS cum_share
+FROM top, tot
+"""
+
+
 QUERIES = {
+    "vocab_coverage": vocab_coverage,
     "text_heavy_hitters": text_heavy_hitters,
     "bm25_search": bm25_search,
     "text_rolling_hash": text_rolling_hash,
@@ -1479,6 +1542,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
     "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
     "bm25_search": BM25_SEARCH_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
