@@ -1179,6 +1179,28 @@ def start_incremental_cooccurrence_ingest(
     return writer.start()
 
 
+def compact_cooccurrence_index(
+    spark: SparkSession, delta_root: str, compaction_id=None
+) -> None:
+    """Rewrite the co-occurrence delta table as its summed edges — a
+    semantic no-op (readers sum either way) that collapses the ±1 batch
+    history to one row per surviving pair. Run between ingest drains: the
+    overwrite appends a commit, it never erases the log, so the stream's
+    namespaced batch keys survive and replay protection is unaffected
+    (``_max_seen_batch`` scans the full log). Zero-sum pairs are true
+    zeros and are dropped. Pass ``compaction_id`` to make the compaction
+    itself replay-safe if driven from an at-least-once scheduler."""
+    from ..operators.analytics import cooccurrence_edges_from_index
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, delta_root)
+    edges = cooccurrence_edges_from_index(t.read(), min_count=1)
+    t.overwrite(
+        edges.select("item_a", "item_b", F.col("co_users").alias("d")),
+        batch_id=compaction_id,
+    )
+
+
 def run_batch_ingest(
     spark: SparkSession,
     files: list[str] | str,

@@ -1747,3 +1747,37 @@ def test_incremental_cooccurrence_ingest_matches_batch(spark, tmp_path):
     # replay: no new versions on either table
     drain()
     assert (delta_t.current_version(), items_t.current_version()) == (v_delta, v_items)
+
+    # compaction is a semantic no-op that shrinks the delta table to one
+    # row per surviving pair, and ingest keeps working on top of it
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import compact_cooccurrence_index
+
+    before = sorted(
+        map(tuple, cooccurrence_edges_from_index(delta_t.read(), min_count=1).collect())
+    )
+    compact_cooccurrence_index(spark, delta_root)
+    after_rows = delta_t.read().collect()
+    assert sorted(
+        map(tuple, cooccurrence_edges_from_index(delta_t.read(), min_count=1).collect())
+    ) == before
+    assert len(after_rows) == len(before)  # one row per surviving pair
+    # d: a post-compaction batch applies delta-user recompute on the
+    # compacted state — u3 grows to {1,2,3}
+    write_file("d.json", [(3, 3)])
+    drain()
+    got2 = sorted(
+        (r.item_a, r.item_b, r.co_users)
+        for r in cooccurrence_edges_from_index(delta_t.read(), min_count=1).collect()
+    )
+    batch_df2 = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["props"]) for r in all_rows],
+        schema,
+    )
+    want2 = sorted(
+        (r.item_a, r.item_b, r.n)
+        for r in basket_pair_rows(baskets_from_items(user_item_pairs(batch_df2), cap))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got2 == want2 == [(1, 2, 2), (1, 3, 2), (2, 3, 2)]
