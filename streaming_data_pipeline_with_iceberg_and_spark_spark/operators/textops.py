@@ -1482,8 +1482,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
+    return _coverage_from_counts(cnt)
+
+
+def _coverage_from_counts(cnt: DataFrame, topk: int = _VOCAB_TOPK) -> DataFrame:
+    """Shared coverage-curve tail over a (token, cnt) frame — consumed by
+    the batch face and the maintained-index serving path."""
     total = cnt.agg(F.sum("cnt").alias("total"))
-    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(_VOCAB_TOPK)
+    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(topk)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     wc = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -1496,6 +1502,22 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cnt").over(wc) / F.col("total"), 6).alias("cum_share"),
         )
     )
+
+
+def vocab_coverage_from_index(
+    postings: DataFrame, topk: int = _VOCAB_TOPK
+) -> DataFrame:
+    """Serve the coverage curve from the INCREMENTALLY MAINTAINED BM25
+    postings table (``streaming.ingest.start_incremental_bm25_ingest``):
+    a token's corpus occurrence count is exactly Σtf over its postings
+    rows, so the curve equals the batch :func:`vocab_coverage` over
+    everything ingested — without re-tokenizing (parity test in
+    tests/test_streaming.py). One pair-keyed sum over the index + the
+    shared bounded tail."""
+    cnt = postings.groupBy(F.col("term").alias("token")).agg(
+        F.sum("tf").alias("cnt")
+    )
+    return _coverage_from_counts(cnt, topk)
 
 
 VOCAB_COVERAGE_SQL = f"""

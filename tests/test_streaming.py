@@ -1377,6 +1377,20 @@ def test_incremental_bm25_ingest_matches_batch_rank(spark, tmp_path):
     assert postings.current_version() == v
     # stats table stays metadata-scale: one partial row per contributing batch
     assert stats.read().count() <= 3
+    # vocab coverage served from the SAME maintained postings equals the
+    # batch curve over everything ingested (Σtf per term == corpus counts)
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        bm25_doc_postings,
+        vocab_coverage_from_index,
+    )
+
+    got_cov = sorted(
+        map(tuple, vocab_coverage_from_index(postings.read()).collect())
+    )
+    want_cov = sorted(
+        map(tuple, vocab_coverage_from_index(bm25_doc_postings(corpus.read())).collect())
+    )
+    assert got_cov == want_cov and len(got_cov) == len(vocab)
 
 
 def test_incremental_pca_ingest_matches_batch_fit(spark, tmp_path):
