@@ -113,7 +113,8 @@ _MODULES = [
 # sibling json_variant_extract is green r7): TWENTY-FOUR total.
 # Additionally, ops added late in round 8 WITHOUT an r8 driver row (their
 # oracle status is covered by the full-registry selfcheck): they MUST
-# join the r9 head alongside the deferred rows — vocab_coverage.
+# join the r9 head alongside the deferred rows — vocab_coverage,
+# session_stats.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "bm25_prf_search",

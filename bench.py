@@ -117,6 +117,7 @@ HEADLINE = [
     "funnel_latency",
     "bm25_prf_search",
     "vocab_coverage",
+    "session_stats",
 ]
 
 

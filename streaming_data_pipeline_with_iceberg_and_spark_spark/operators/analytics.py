@@ -152,33 +152,113 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .filter(F.col("lat").isNotNull())
     )
-    hist = lat.groupBy("step", "lat").agg(F.count("*").alias("_c"))
-    w = Window.partitionBy("step").orderBy("lat")
+    stats = _hist_rank_stats(lat, "step", "lat")
+    return stats.select(
+        "step",
+        F.col("n").alias("n_converted"),
+        F.col("median").alias("median_us"),
+        F.col("p90").alias("p90_us"),
+    )
+
+
+def _hist_rank_stats(vals: DataFrame, group: str, col: str) -> DataFrame:
+    """Exact discrete (median, p90) per group from a value histogram —
+    rank ⌈n/2⌉ / ⌈0.9n⌉ elements in value order, one hash-agg over the
+    rows + cumulative windows over ≤distinct-count histogram rows per
+    group. Shared by funnel_latency and session_stats (ONE rank-statistic
+    definition). Output: (group, n, median, p90)."""
+    hist = vals.groupBy(group, col).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy(group).orderBy(col)
     cum = hist.withColumn("_cum", F.sum("_c").over(w))
-    tgt = hist.groupBy("step").agg(
-        F.sum("_c").alias("n_converted"),
+    tgt = hist.groupBy(group).agg(
+        F.sum("_c").alias("n"),
         F.expr("(sum(_c) + 1) div 2").alias("_rm"),
         F.expr("(9 * sum(_c) + 9) div 10").alias("_r90"),
     )
     med = (
-        cum.join(F.broadcast(tgt.select("step", "_rm")), "step")
+        cum.join(F.broadcast(tgt.select(group, "_rm")), group)
         .filter(
             (F.col("_cum") >= F.col("_rm"))
             & (F.col("_cum") - F.col("_c") < F.col("_rm"))
         )
-        .select("step", F.col("lat").alias("median_us"))
+        .select(group, F.col(col).alias("median"))
     )
     p90 = (
-        cum.join(F.broadcast(tgt.select("step", "_r90")), "step")
+        cum.join(F.broadcast(tgt.select(group, "_r90")), group)
         .filter(
             (F.col("_cum") >= F.col("_r90"))
             & (F.col("_cum") - F.col("_c") < F.col("_r90"))
         )
-        .select("step", F.col("lat").alias("p90_us"))
+        .select(group, F.col(col).alias("p90"))
     )
-    return (
-        tgt.select("step", "n_converted").join(med, "step").join(p90, "step")
+    return tgt.select(group, "n").join(med, group).join(p90, group)
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-population health metrics: exact discrete median/p90 of
+    events-per-session and session duration (whole seconds) over the
+    SAME 30-minute-gap sessionization as the W5 operator (`sessionize`
+    is called directly — one session definition) — the engagement-depth
+    dashboard next to DAU/WAU/MAU.
+
+    All values are integers (counts; floor-epoch-second differences) and
+    the statistics are histogram rank-selects (`_hist_rank_stats`, shared
+    with funnel_latency) — cross-engine exact. Scale: sessionize's one
+    user-keyed shuffle, a 2-rows-per-session projection, one hash-agg +
+    tiny cumulative windows."""
+    from .windows import sessionize
+
+    s = sessionize(spark, sf_dir)
+    vals = (
+        s.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("events_per_session").alias("metric"),
+                        F.col("n_events").cast("long").alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("session_duration_s").alias("metric"),
+                        (
+                            F.col("session_end").cast("long")
+                            - F.col("session_start").cast("long")
+                        ).alias("v"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
     )
+    return _hist_rank_stats(vals, "metric", "v")
+
+
+SESSION_STATS_SQL_TEMPLATE = """
+WITH sess_out AS ({sessionize_sql}),
+vals AS (
+  SELECT 'events_per_session' AS metric, CAST(n_events AS BIGINT) AS v
+  FROM sess_out
+  UNION ALL
+  SELECT 'session_duration_s',
+         CAST(floor(epoch(session_end)) - floor(epoch(session_start)) AS BIGINT)
+  FROM sess_out
+),
+hist AS (SELECT metric, v, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+cum AS (
+  SELECT metric, v, c,
+         SUM(c) OVER (PARTITION BY metric ORDER BY v) AS cum
+  FROM hist
+),
+tgt AS (
+  SELECT metric, CAST(SUM(c) AS BIGINT) AS n,
+         (CAST(SUM(c) AS BIGINT) + 1) // 2 AS rm,
+         (9 * CAST(SUM(c) AS BIGINT) + 9) // 10 AS r90
+  FROM hist GROUP BY 1
+)
+SELECT t.metric, t.n, m.v AS median, p.v AS p90
+FROM tgt t
+JOIN cum m ON m.metric = t.metric AND m.cum >= t.rm AND m.cum - m.c < t.rm
+JOIN cum p ON p.metric = t.metric AND p.cum >= t.r90 AND p.cum - p.c < t.r90
+"""
 
 
 FUNNEL_LATENCY_SQL = f"""
@@ -1568,7 +1648,14 @@ QUERIES = {
     "basket_association_rules": basket_association_rules,
     "recommend_items": recommend_items,
     "item_triangles": item_triangles,
+    "session_stats": session_stats,
 }
+
+
+def _session_stats_sql() -> str:
+    from .windows import SESSIONIZE_SQL
+
+    return SESSION_STATS_SQL_TEMPLATE.format(sessionize_sql=SESSIONIZE_SQL)
 
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
@@ -1586,4 +1673,5 @@ ORACLES = {
     "basket_association_rules": ASSOCIATION_RULES_SQL,
     "recommend_items": RECOMMEND_SQL,
     "item_triangles": ITEM_TRIANGLES_SQL,
+    "session_stats": _session_stats_sql(),
 }
