@@ -688,3 +688,52 @@ def test_session_paths_agg_reuses_window_partitioning(plan):
         if "Arguments: hashpartitioning" in ln
     ]
     assert keys == ["user_id", "path"], keys
+
+
+def test_vocab_coverage_topk_is_take_ordered(plan):
+    """The global top-K must be TakeOrderedAndProject (distributed
+    partial top-k) — an unpartitioned rank window would serialize the
+    whole vocabulary onto one task, and Spark does NOT rewrite global
+    windows with WindowGroupLimit."""
+    p = plan("vocab_coverage")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_recommend_items_topn_bounded_and_aqe_joins(plan):
+    """The per-user top-N must carry a WindowGroupLimit (partial top-N
+    per partition bounds the rows reaching the final rank exchange), and
+    the corpus-sized owned⋈edges join must NOT be statically broadcast
+    (item cardinality is corpus-scale at 100 TB — AQE decides at small
+    SF; the r6 100×-OOM lesson)."""
+    import re
+
+    p = plan("recommend_items")
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+    # no STATIC broadcast anywhere in the pipeline: the code adds no
+    # F.broadcast hints (edges and ownership are corpus-sized; AQE may
+    # still convert at small SF, which shows up as AQEShuffleRead, not as
+    # a planned BroadcastExchange under a non-adaptive subtree)
+    assert not re.findall(r"ResolvedHint", p), p
+
+
+def test_mmr_greedy_is_single_cogroup(plan):
+    """The MMR greedy must run as ONE cogrouped Arrow exchange
+    (FlatMapCoGroupsInPandas) over the bounded candidate/sims frames —
+    not an unrolled chain of per-step joins (which costs a Spark job per
+    step and re-evaluates lineage without per-step persists)."""
+    import re
+
+    p = plan("mmr_search")
+    # formatted explain shows each node once in the tree and once in the
+    # detail listing — count the "(n) Node" detail headers
+    headers = re.findall(r"^\(\d+\) FlatMapCoGroupsInPandas", p, re.M)
+    assert len(headers) == 1, p
+
+
+def test_bm25_prf_filters_both_passes(plan):
+    """Both BM25 passes must keep the query-term INSET filter (pass 1 the
+    pinned literals, pass 2 the driver-collected expanded set) — an
+    unfiltered pass would shuffle every posting in the corpus."""
+    p = plan("bm25_prf_search")
+    assert p.count("INSET") + p.count(" IN (") >= 2, p
