@@ -1202,6 +1202,54 @@ WHERE rank <= 5
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the pinned-seed IVF index against exact brute-force
+    cosine, per query — the quality gate every ANN deployment runs before
+    trusting an index, here fully VALUE-CHECKED because both sides are
+    value-exact operators (the r8 ``pinned_seeds``/``exact_probes``
+    upgrade made the whole index lifecycle SQL-reproducible; exact side
+    is the already-oracled ``knn_bruteforce``). Same pinned query batch
+    and k on both sides by construction.
+
+    Scale shape: composes the two audited retrieval scans, then the
+    comparison itself is two |Q|·k-bounded frames joined on (q_id,
+    vec_id) — zero corpus-keyed work beyond the constituent operators.
+    Counts are integers; recall is one division rounded at 6."""
+    ivf = ann_ivf_index(spark, sf_dir).select("q_id", "vec_id")
+    exact = knn_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        ivf.join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_q = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    return per_q.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        "n_exact",
+        F.round(
+            F.coalesce("n_hits", F.lit(0).cast("long")) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH ivf AS ({ANN_IVF_INDEX_SQL}),
+exact AS ({KNN_BRUTEFORCE_SQL}),
+hits AS (
+  SELECT i.q_id, COUNT(*) AS n_hits
+  FROM ivf i JOIN exact e ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+  GROUP BY 1
+),
+per_q AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT p.q_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       p.n_exact,
+       ROUND(COALESCE(h.n_hits, 0) / (p.n_exact * 1.0), 6) AS recall
+FROM per_q p LEFT JOIN hits h ON h.q_id = p.q_id
+"""
+
+
 def mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-example mining for contrastive/metric learning (the FaceNet
     semi-hard recipe's batch-global variant): for each pinned anchor, the
@@ -1629,6 +1677,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_ivfpq": ann_ivfpq,
     "ann_ivf_index": ann_ivf_index,
+    "ann_recall_eval": ann_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
     "quantize_embeddings_int8": quantize_embeddings_int8,
 }
@@ -1656,4 +1705,5 @@ ORACLES = {
     # pinned-seed quantizer + exact probes (md5 Forgy init and sequential
     # folds are SQL-reproducible; the learned paths above stay rows-only)
     "ann_ivf_index": ANN_IVF_INDEX_SQL,
+    "ann_recall_eval": ANN_RECALL_SQL,
 }

@@ -1835,6 +1835,33 @@ def test_basket_association_rules_consistency(spark):
         assert abs(co_lift[key] - r.lift) < 1e-9
 
 
+def test_ann_recall_eval_agrees_with_components(spark, sf_dir):
+    """The recall frame must equal an independent set-intersection of its
+    two constituent operators' outputs, and aggregate recall must clear
+    the family's random-data floor."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        ann_ivf_index,
+        ann_recall_eval,
+        knn_bruteforce,
+    )
+
+    got = {r.q_id: (r.n_hits, r.n_exact, r.recall)
+           for r in ann_recall_eval(spark, sf_dir).collect()}
+    ivf = {}
+    for r in ann_ivf_index(spark, sf_dir).collect():
+        ivf.setdefault(r.q_id, set()).add(r.vec_id)
+    exact = {}
+    for r in knn_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(got) == set(exact)
+    for q, (nh, ne, rec) in got.items():
+        hits = len(ivf.get(q, set()) & exact[q])
+        assert (nh, ne) == (hits, len(exact[q]))
+        assert abs(rec - round(hits / len(exact[q]), 6)) < 1e-12
+    total = sum(h for h, _, _ in got.values()) / sum(n for _, n, _ in got.values())
+    assert total > 0.05, f"aggregate IVF recall suspiciously low: {total}"
+
+
 def test_bm25_prf_expands_recall(spark):
     """PRF semantics on a crafted corpus: a document that lacks every
     original query term but shares the feedback docs' dominant vocabulary
