@@ -161,6 +161,60 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_from_state(state: DataFrame) -> DataFrame:
+    """Finalize the incrementally maintained per-user (t1, t2, t3) funnel
+    state into the same stage-count frame ``funnel_conversion`` computes
+    over the raw fact (parity test in tests/test_streaming.py) — three
+    counts over a |users|-bounded table instead of a corpus scan."""
+    agg = state.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("1_view").alias("stage"), F.col("n1").alias("n_users")),
+                F.struct(F.lit("2_click").alias("stage"), F.col("n2").alias("n_users")),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"), F.col("n3").alias("n_users")
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")
+
+
+def funnel_latency_from_state(state: DataFrame) -> DataFrame:
+    """Finalize the maintained funnel state into the same discrete
+    median/p90 latency frame as :func:`funnel_latency` — the stats pass
+    runs over the |users|-bounded state, never the fact."""
+    lat = (
+        state.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("view_to_click").alias("step"),
+                        (F.unix_micros("t2") - F.unix_micros("t1")).alias("lat"),
+                    ),
+                    F.struct(
+                        F.lit("click_to_purchase").alias("step"),
+                        (F.unix_micros("t3") - F.unix_micros("t2")).alias("lat"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .filter(F.col("lat").isNotNull())
+    )
+    stats = _hist_rank_stats(lat, "step", "lat")
+    return stats.select(
+        "step",
+        F.col("n").alias("n_converted"),
+        F.col("median").alias("median_us"),
+        F.col("p90").alias("p90_us"),
+    )
+
+
 def _hist_rank_stats(vals: DataFrame, group: str, col: str) -> DataFrame:
     """Exact discrete (median, p90) per group from a value histogram —
     rank ⌈n/2⌉ / ⌈0.9n⌉ elements in value order, one hash-agg over the

@@ -1179,6 +1179,155 @@ def start_incremental_cooccurrence_ingest(
     return writer.start()
 
 
+def start_incremental_funnel_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "funnel_ingest",
+) -> StreamingQuery:
+    """EXACT incremental funnel maintenance — the STATE-MACHINE member of
+    the incremental family (sums: engagement/BM25/PCA; delta-recompute:
+    co-occurrence; boundary-state: Markov; this one is a monotone
+    per-user state machine). The maintained table holds one (user_id,
+    t1, t2, t3, last_ts, last_eid) row: the first view, the first click
+    strictly after it, and the first purchase strictly after THAT — the
+    exact stage semantics of ``operators.analytics.funnel_conversion``.
+    Because each t_k only ever transitions NULL→value and never moves
+    once set (under ordered delivery, any later event is later than the
+    set value, so "first after" can only be filled by the earliest
+    qualifying event — which is exactly what the update takes),
+    ``funnel_from_state`` / ``funnel_latency_from_state`` equal the batch
+    operators over everything ingested (parity test in
+    tests/test_streaming.py). At 100 TB this turns the funnel dashboard
+    from a full-fact window scan into a |users|-bounded read.
+
+    ORDER CONTRACT (the Markov discipline, checked loudly): a user's
+    funnel events in a later batch must be strictly later — by (ts,
+    event_id) — than that user's already-ingested funnel events. A
+    violating batch raises: a late view could retroactively lower t1 and
+    re-qualify clicks this state machine already passed over — that is a
+    rebuild, not an append.
+
+    Exactly-once: ONE state table, maintained by the idempotent
+    ``overwrite(batch_id=...)`` protocol — replayed batches are skipped
+    whole."""
+    from ..operators.analytics import _FUNNEL
+    from ..sources.snapshots import SnapshotTable
+
+    state_t = SnapshotTable(spark, state_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def funnel_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            state["max_seen"] = _max_seen_batch([state_t], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        b = batch_df.filter(
+            F.col("user_id").isNotNull() & F.col("event_type").isin(_FUNNEL)
+        )
+        per_user = b.groupBy("user_id").agg(
+            *[
+                F.array_sort(
+                    F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
+                ).alias(f"ts_{t}")
+                for t in _FUNNEL
+            ],
+            F.max(F.struct("ts", "event_id")).alias("_last"),
+            F.min(F.struct("ts", "event_id")).alias("_first"),
+        )
+        prev = state_t.read() if state_t.current_version() is not None else None
+        if prev is not None:
+            joined = per_user.join(
+                prev.select(
+                    "user_id",
+                    F.col("t1").alias("p_t1"),
+                    F.col("t2").alias("p_t2"),
+                    F.col("t3").alias("p_t3"),
+                    F.struct(
+                        F.col("last_ts").alias("ts"),
+                        F.col("last_eid").alias("event_id"),
+                    ).alias("p_last"),
+                ),
+                "user_id",
+                "left",
+            )
+            n_bad = (
+                joined.filter(
+                    F.col("p_last").isNotNull()
+                    & (F.col("_first") <= F.col("p_last"))
+                )
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise RuntimeError(
+                    "funnel ingest order contract violated: a batch "
+                    "delivered a user funnel event at or before that "
+                    "user's already-ingested last funnel event; a late "
+                    "view can retroactively re-stage the funnel — route "
+                    "this source through a keyed, ordered log or rebuild "
+                    "the state table"
+                )
+        else:
+            joined = per_user.select(
+                "*",
+                F.lit(None).cast("timestamp").alias("p_t1"),
+                F.lit(None).cast("timestamp").alias("p_t2"),
+                F.lit(None).cast("timestamp").alias("p_t3"),
+                F.lit(None)
+                .cast("struct<ts:timestamp,event_id:bigint>")
+                .alias("p_last"),
+            )
+        t1 = F.coalesce(
+            F.col("p_t1"), F.try_element_at("ts_view", F.lit(1))
+        )
+        t2 = F.coalesce(
+            F.col("p_t2"),
+            F.try_element_at(F.filter("ts_click", lambda c: c > t1), F.lit(1)),
+        )
+        t3 = F.coalesce(
+            F.col("p_t3"),
+            F.try_element_at(F.filter("ts_purchase", lambda x: x > t2), F.lit(1)),
+        )
+        updated = joined.select(
+            "user_id",
+            t1.alias("t1"),
+            t2.alias("t2"),
+            t3.alias("t3"),
+            F.greatest(F.col("_last"), F.col("p_last")).alias("_nl"),
+        ).select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            F.col("_nl.ts").alias("last_ts"),
+            F.col("_nl.event_id").alias("last_eid"),
+        )
+        if prev is not None:
+            carried = prev.join(
+                updated.select("user_id"), "user_id", "left_anti"
+            )
+            new_state = carried.unionByName(updated)
+        else:
+            new_state = updated
+        state_t.overwrite(new_state, batch_id=f"{stream_id}#{batch_id}")
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(funnel_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_cooccurrence_index(
     spark: SparkSession, delta_root: str, compaction_id=None
 ) -> None:

@@ -1630,6 +1630,120 @@ def test_incremental_engagement_ingest_matches_batch(spark, tmp_path):
     ) == sorted((u, str(d)) for u, d in set(pairs))
 
 
+def test_incremental_funnel_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental funnel maintenance (per-user state machine):
+    stage counts and conversion latencies finalized from the maintained
+    (t1, t2, t3) state must equal the batch operators over everything
+    ingested — across users converting WITHIN one batch, ACROSS batches,
+    a click with no prior view (passed over, then re-staged by a later
+    view+click), a purchase preceding the click inside its batch (not a
+    conversion until a later purchase), and checkpointed replay."""
+    import datetime as _dt
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        funnel_conversion,
+        funnel_from_state,
+        funnel_latency,
+        funnel_latency_from_state,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_funnel_ingest,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    base = _dt.datetime(2024, 1, 5, 10, 0, 0)
+    all_rows = []
+    eid = [0]
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for user, etype, off in specs:
+                row = {
+                    "event_id": eid[0],
+                    "ts": (base + _dt.timedelta(seconds=off)).isoformat(),
+                    "user_id": user,
+                    "event_type": etype,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+                eid[0] += 1
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    # a: u1 view; u2 full funnel in-batch; u3 click with no view; u5 view
+    write_file("a.json", [
+        (1, "view", 0),
+        (2, "view", 0), (2, "click", 10), (2, "purchase", 20),
+        (3, "click", 0),
+        (5, "view", 0),
+    ])
+    # b: u1 clicks; u3 views then clicks (re-staged); u4 view+purchase, no
+    # click; u5 purchase BEFORE its click inside the batch
+    write_file("b.json", [
+        (1, "click", 100),
+        (3, "view", 50), (3, "click", 60),
+        (4, "view", 30), (4, "purchase", 35),
+        (5, "purchase", 50), (5, "click", 60),
+    ])
+    # c: u1 purchases; u5's purchase finally lands after its click
+    write_file("c.json", [(1, "purchase", 200), (5, "purchase", 70)])
+
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def drain():
+        q = start_incremental_funnel_ingest(
+            spark,
+            str(src),
+            state_root,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    state_t = SnapshotTable(spark, state_root)
+    v = state_t.current_version()
+
+    # batch twins over everything ingested
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"], r["props"])
+            for r in all_rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got_counts = {r.stage: r.n_users for r in funnel_from_state(state_t.read()).collect()}
+    want_counts = {r.stage: r.n_users for r in funnel_conversion(spark, sf).collect()}
+    # views: u1-u5 all view; clicks after view: u1, u2, u3, u5;
+    # purchases after click: u1, u2, u5 (u4 never clicks)
+    assert got_counts == want_counts == {"1_view": 5, "2_click": 4, "3_purchase": 3}
+
+    got_lat = sorted(map(tuple, funnel_latency_from_state(state_t.read()).collect()))
+    want_lat = sorted(map(tuple, funnel_latency(spark, sf).collect()))
+    assert got_lat == want_lat and len(got_lat) == 2
+
+    # the cross-batch staging is exactly right: u5's t3 is the batch-c
+    # purchase (70), not the pre-click batch-b one (50)
+    st = {r.user_id: r for r in state_t.read().collect()}
+    assert st[5].t3 is not None and (st[5].t3.minute, st[5].t3.second) == (1, 10)
+    assert st[4].t3 is None  # purchase with no click never converts
+    assert st[3].t1 is not None and st[3].t2 is not None
+
+    # replay: no new versions
+    drain()
+    assert state_t.current_version() == v
+
+
 def test_incremental_cooccurrence_ingest_matches_batch(spark, tmp_path):
     """Exact incremental co-occurrence maintenance (delta-user recompute):
     edges finalized from the maintained ±1 delta table must equal the
