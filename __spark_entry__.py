@@ -114,7 +114,7 @@ _MODULES = [
 # Additionally, ops added late in round 8 WITHOUT an r8 driver row (their
 # oracle status is covered by the full-registry selfcheck): they MUST
 # join the r9 head alongside the deferred rows — vocab_coverage,
-# session_stats, ann_recall_eval.
+# session_stats, ann_recall_eval, user_behavior_surprisal.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "bm25_prf_search",

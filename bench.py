@@ -118,6 +118,7 @@ HEADLINE = [
     "bm25_prf_search",
     "vocab_coverage",
     "session_stats",
+    "user_behavior_surprisal",
 ]
 
 

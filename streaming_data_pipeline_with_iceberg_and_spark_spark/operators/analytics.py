@@ -932,8 +932,10 @@ def markov_transitions(ev: DataFrame) -> DataFrame:
     return markov_from_counts(markov_transition_counts(ev))
 
 
-MARKOV_SQL = """
-WITH seq AS (
+# Shared sequence/count CTEs: the transition matrix AND the per-user
+# surprisal score interpolate this single definition, so the two oracles
+# cannot disagree about what a transition is.
+_MARKOV_CTES = """seq AS (
   SELECT user_id, event_type,
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
@@ -945,10 +947,68 @@ tr AS (
   SELECT prev_type, event_type AS next_type, COUNT(*) AS n
   FROM seq WHERE prev_type IS NOT NULL
   GROUP BY 1, 2
-)
+)"""
+
+MARKOV_SQL = f"""
+WITH {_MARKOV_CTES}
 SELECT prev_type, next_type, n,
        ROUND(n / (SUM(n) OVER (PARTITION BY prev_type) * 1.0), 6) AS p
 FROM tr
+"""
+
+
+def user_behavior_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral anomaly score: the mean negative log-likelihood
+    of a user's event transitions under the CORPUS Markov model — the
+    user-behavior twin of document LM perplexity (a bot or broken client
+    makes improbable transitions even when each event type looks normal).
+    Shares the transition definition with `events_markov_transitions`
+    (same `markov_transitions` core on the engine side, same
+    `_MARKOV_CTES` in the oracle).
+
+    Scale shape: the model is the existing one-shuffle transition matrix,
+    bounded at |event-type|² rows — broadcast to the re-scoring join;
+    per-user sequences reuse the same user-keyed window shuffle; the
+    final pass is one user-keyed avg. Determinism: −ln of the model's
+    ROUNDED p (identical doubles both engines), per-user AVG rounded at 6
+    (the text_perplexity_bigram precedent — round-6 absorbs float-sum
+    order)."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("user_id", "prev_type", F.col("event_type").alias("next_type"))
+    )
+    model = markov_transitions(ev).select("prev_type", "next_type", "p")
+    return (
+        seq.join(F.broadcast(model), ["prev_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.round(F.avg(-F.log("p")), 6).alias("mean_nll"),
+        )
+    )
+
+
+USER_SURPRISAL_SQL = f"""
+WITH {_MARKOV_CTES},
+model AS (
+  SELECT prev_type, next_type,
+         ROUND(n / (SUM(n) OVER (PARTITION BY prev_type) * 1.0), 6) AS p
+  FROM tr
+)
+SELECT s.user_id, COUNT(*) AS n_transitions,
+       ROUND(AVG(-ln(m.p)), 6) AS mean_nll
+FROM seq s
+JOIN model m ON m.prev_type = s.prev_type AND m.next_type = s.event_type
+WHERE s.prev_type IS NOT NULL
+GROUP BY 1
 """
 
 
@@ -1703,6 +1763,7 @@ QUERIES = {
     "recommend_items": recommend_items,
     "item_triangles": item_triangles,
     "session_stats": session_stats,
+    "user_behavior_surprisal": user_behavior_surprisal,
 }
 
 
@@ -1728,4 +1789,5 @@ ORACLES = {
     "recommend_items": RECOMMEND_SQL,
     "item_triangles": ITEM_TRIANGLES_SQL,
     "session_stats": _session_stats_sql(),
+    "user_behavior_surprisal": USER_SURPRISAL_SQL,
 }
