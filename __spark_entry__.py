@@ -114,7 +114,8 @@ _MODULES = [
 # Additionally, ops added late in round 8 WITHOUT an r8 driver row (their
 # oracle status is covered by the full-registry selfcheck): they MUST
 # join the r9 head alongside the deferred rows — vocab_coverage,
-# session_stats, ann_recall_eval, user_behavior_surprisal.
+# session_stats, ann_recall_eval, user_behavior_surprisal,
+# quality_classifier_eval.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "bm25_prf_search",

@@ -119,6 +119,7 @@ HEADLINE = [
     "vocab_coverage",
     "session_stats",
     "user_behavior_surprisal",
+    "quality_classifier_eval",
 ]
 
 

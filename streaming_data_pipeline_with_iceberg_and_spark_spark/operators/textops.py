@@ -1539,8 +1539,76 @@ FROM top, tot
 """
 
 
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-rules evaluation: the confusion matrix and
+    precision/recall/F1/accuracy of the shipped linear quality classifier
+    against the Gopher heuristic rules as reference labels — the
+    agreement audit a data-curation team runs before swapping a rule
+    filter for a learned one. Completes the round's evaluation trio
+    (retrieval_eval, ann_recall_eval, and this model-level gate).
+
+    Both inputs are value-exact operators; the comparison is one doc_id
+    join + a 1-row aggregate, and every metric is a ratio of integer
+    counts divided once and rounded at 6 (F1 in its integer form
+    2·tp/(2·tp+fp+fn) — never composed from already-rounded P and R) —
+    cross-engine exact. Zero-denominator cases emit 0.0 on both sides."""
+    clf = text_linear_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ck")
+    )
+    ref = text_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rk")
+    )
+    m = (
+        clf.join(ref, "doc_id")
+        .agg(
+            F.sum((F.col("ck") & F.col("rk")).cast("long")).alias("tp"),
+            F.sum((F.col("ck") & ~F.col("rk")).cast("long")).alias("fp"),
+            F.sum((~F.col("ck") & F.col("rk")).cast("long")).alias("fn"),
+            F.sum((~F.col("ck") & ~F.col("rk")).cast("long")).alias("tn"),
+        )
+    )
+
+    def ratio(num, den):
+        return F.when(den > 0, F.round(num / den, 6)).otherwise(F.lit(0.0))
+
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ratio(tp, tp + fp).alias("precision"),
+        ratio(tp, tp + fn).alias("recall"),
+        ratio(2 * tp, 2 * tp + fp + fn).alias("f1"),
+        ratio(tp + tn, tp + fp + fn + tn).alias("accuracy"),
+    )
+
+
+CLASSIFIER_EVAL_SQL_TEMPLATE = """
+WITH clf AS ({lqc_sql}),
+ref AS ({gopher_sql}),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN c.keep AND r.keep THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN c.keep AND NOT r.keep THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT c.keep AND r.keep THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN NOT c.keep AND NOT r.keep THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM clf c JOIN ref r ON r.doc_id = c.doc_id
+)
+SELECT tp, fp, fn, tn,
+  CASE WHEN tp + fp > 0 THEN ROUND(tp / ((tp + fp) * 1.0), 6) ELSE 0.0 END AS precision,
+  CASE WHEN tp + fn > 0 THEN ROUND(tp / ((tp + fn) * 1.0), 6) ELSE 0.0 END AS recall,
+  CASE WHEN 2 * tp + fp + fn > 0
+       THEN ROUND(2 * tp / ((2 * tp + fp + fn) * 1.0), 6) ELSE 0.0 END AS f1,
+  CASE WHEN tp + fp + fn + tn > 0
+       THEN ROUND((tp + tn) / ((tp + fp + fn + tn) * 1.0), 6) ELSE 0.0 END AS accuracy
+FROM m
+"""
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
+    "quality_classifier_eval": quality_classifier_eval,
     "text_heavy_hitters": text_heavy_hitters,
     "bm25_search": bm25_search,
     "text_rolling_hash": text_rolling_hash,
@@ -1565,6 +1633,9 @@ QUERIES = {
 
 ORACLES = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
+    "quality_classifier_eval": CLASSIFIER_EVAL_SQL_TEMPLATE.format(
+        lqc_sql=TEXT_LQC_SQL, gopher_sql=TEXT_GOPHER_SQL
+    ),
     "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
     "bm25_search": BM25_SEARCH_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
