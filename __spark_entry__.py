@@ -115,7 +115,7 @@ _MODULES = [
 # oracle status is covered by the full-registry selfcheck): they MUST
 # join the r9 head alongside the deferred rows — vocab_coverage,
 # session_stats, ann_recall_eval, user_behavior_surprisal,
-# quality_classifier_eval.
+# quality_classifier_eval, classifier_calibration.
 _PRIORITY = [
     # (a) new or oracle-upgraded this round
     "bm25_prf_search",

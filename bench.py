@@ -120,6 +120,7 @@ HEADLINE = [
     "session_stats",
     "user_behavior_surprisal",
     "quality_classifier_eval",
+    "classifier_calibration",
 ]
 
 

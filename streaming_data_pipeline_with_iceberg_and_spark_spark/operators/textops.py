@@ -1606,9 +1606,76 @@ FROM m
 """
 
 
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the linear quality classifier: docs
+    bucketed into ten equal-width score bins, each reporting its size,
+    mean predicted score, and the Gopher-rules keep rate — the
+    calibration curve read next to `quality_classifier_eval`'s single
+    confusion matrix (a well-calibrated scorer's keep rate rises with its
+    score).
+
+    Scale note: bins are FIXED-WIDTH over the OBSERVED score range (the
+    sigmoid of a mean-pooled linear model concentrates, so absolute
+    [0,1]-width bins collapse to one) — a (min, max) broadcast 1-row agg
+    plus a pure bin projection, deliberately NOT deciles: a global NTILE
+    is an unpartitioned window that serializes the corpus onto one task
+    (the vocab_coverage lesson). Cross-engine exactness: the score is
+    already round-6 identical on both engines, the (min, max) of
+    identical doubles and the bin arithmetic on them are identical, the
+    keep rate is an AVG of exact 0/1 doubles (one division), and
+    mean_score's AVG rounds at 6 (the accepted float-sum-order class)."""
+    clf = text_linear_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    ref = text_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rk")
+    )
+    j = clf.join(ref, "doc_id")
+    rng = j.agg(
+        F.min("quality_score").alias("lo"), F.max("quality_score").alias("hi")
+    )
+    s, lo, hi = F.col("quality_score"), F.col("lo"), F.col("hi")
+    bin_ = (
+        F.when(hi == lo, F.lit(0))
+        .otherwise(
+            F.least(F.floor((s - lo) / (hi - lo) * 10), F.lit(9))
+        )
+        .cast("int")
+    )
+    return (
+        j.crossJoin(F.broadcast(rng))
+        .groupBy(bin_.alias("score_bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("rk").cast("double")), 6).alias("ref_keep_rate"),
+        )
+    )
+
+
+CLASSIFIER_CALIBRATION_SQL_TEMPLATE = """
+WITH clf AS ({lqc_sql}),
+ref AS ({gopher_sql}),
+j AS (
+  SELECT c.quality_score AS s, r.keep AS rk
+  FROM clf c JOIN ref r ON r.doc_id = c.doc_id
+),
+rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM j)
+SELECT CAST(CASE WHEN hi = lo THEN 0
+            ELSE LEAST(FLOOR((s - lo) / (hi - lo) * 10), 9) END AS INT)
+         AS score_bin,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(s), 6) AS mean_score,
+       ROUND(AVG(CASE WHEN rk THEN 1.0 ELSE 0.0 END), 6) AS ref_keep_rate
+FROM j, rng
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
     "quality_classifier_eval": quality_classifier_eval,
+    "classifier_calibration": classifier_calibration,
     "text_heavy_hitters": text_heavy_hitters,
     "bm25_search": bm25_search,
     "text_rolling_hash": text_rolling_hash,
@@ -1634,6 +1701,9 @@ QUERIES = {
 ORACLES = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "quality_classifier_eval": CLASSIFIER_EVAL_SQL_TEMPLATE.format(
+        lqc_sql=TEXT_LQC_SQL, gopher_sql=TEXT_GOPHER_SQL
+    ),
+    "classifier_calibration": CLASSIFIER_CALIBRATION_SQL_TEMPLATE.format(
         lqc_sql=TEXT_LQC_SQL, gopher_sql=TEXT_GOPHER_SQL
     ),
     "text_heavy_hitters": TEXT_HEAVY_HITTERS_SQL,
