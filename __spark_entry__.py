@@ -58,118 +58,89 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# Round 8's window, freshness-ordered (ledger state before this round:
-# latest-row histogram r4:4, r5:50, r6:49, r7:50):
-# (a) the 20 entries new or oracle-upgraded this round, at the head —
-#     bm25_prf_search, funnel_latency, item_triangles, retrieval_eval,
-#     recommend_items, mmr_search, session_top_paths, attribution_last_touch,
-#     events_dau_wau_mau, basket_association_rules, hybrid_search_rrf,
-#     text_perplexity_bigram, chunk_documents, mine_triplets,
-#     events_item_cooccurrence, events_markov_transitions, item_pagerank,
-#     events_rfm_segments, item_communities (all new — all value-exact
-#     oracles) plus ann_ivf_index (rows-only → value-exact via the
-#     pinned-seed quantizer);
-# (b) the four r4-era entries deferred from round 7 as promised
-#     (set_except, union_by_name, sort_within_partitions,
-#     window_first_last) — after this window no entry's latest row
-#     predates r5;
-# (c) 32 r5-era entries, including the whole TPC-H sweep and three of the
-#     four snapshot oracle rows.
-# Fifteen r5-era entries defer to round 9 (they MUST head the r9 window) —
-# each displaced by a head addition and each with a SAME-SHAPE sibling
-# green in r6/r7 or in this window: agg_pivot (↔ agg_unpivot r6),
-# agg_rollup (↔ agg_cube r6, rollup_multi_granularity r7), agg_stats
-# (↔ agg_global r6), filter_project (↔ null_handling, in-window),
-# join_theta_band (↔ join_cross r6), agg_count_distinct
-# (↔ agg_bitmap_distinct r7), agg_percentiles (↔ agg_histogram_quantiles
-# r7), join_left_outer (↔ join_full_outer, in-window), scalar_date_funcs
-# (↔ scalar_string_funcs in-window, scalar_math_funcs r6),
-# json_extraction (↔ json_variant_extract r7),
-# snapshot_schema_evolution_orders (↔ three snapshot rows in-window,
-# time-travel/changelog r7), histogram_doc_length (↔
-# agg_histogram_quantiles r7), join_anti (↔ join_semi, in-window — after
-# item_communities joined the head), plus window_rank (↔ window_ntile_pct
-# r7, top_customers in-window — displaced by session_top_paths), plus the
-# three displaced by the attribution/engagement/association-rules wave:
-# agg_grouping_sets (↔ agg_cube r6, rollup_multi_granularity r7),
-# curate_pretraining_corpus (↔ curate_multimodal_corpus r7 — same
-# capstone shape), ann_ivfpq (rows-only by contract — its driver row
-# carries no value hash; family siblings ann_ivf/ann_pq have fresh r7
-# rows), plus agg_approx_distinct (displaced by mmr_search — also
-# rows-only by contract, so its driver row carries no value hash; exact
-# twin agg_bitmap_distinct green r7 and sketch sibling agg_hll_mergeable
-# has fresh r7 rows), plus kmeans_cluster_profile (displaced by
-# recommend_items — rows-only by contract too, no value hash in its row;
-# quantizer-family siblings ann_ivf/ann_pq have fresh r7 rows), plus
-# join_broadcast_dims (displaced by retrieval_eval — its broadcast-dim
-# join shape is exercised in-window by the TPC-H q5 sweep row and pinned
-# by a dedicated plan test), plus join_range_shipdelay (displaced by
-# item_triangles — its event-time range-join family sibling join_asof is
-# green r7 and join_theta_band heads the r9 window), plus
-# text_linear_quality_classifier (displaced by funnel_latency — its
-# shared-`_TQC_DIM`-scorer twin train_quality_classifier has fresh r7
-# rows and the capstone that embeds the scorer heads the r9 window), plus
-# map_funcs (displaced by bm25_prf_search — its semi-structured arrays.py
-# sibling json_variant_extract is green r7): TWENTY-FOUR total.
-# Additionally, ops added late in round 8 WITHOUT an r8 driver row (their
-# oracle status is covered by the full-registry selfcheck): they MUST
-# join the r9 head alongside the deferred rows — vocab_coverage,
-# session_stats, ann_recall_eval, user_behavior_surprisal,
-# quality_classifier_eval, classifier_calibration.
+# Round 9's window closes the ledger: after round 8 the latest-row histogram
+# was r5:23, r6:49, r7:50, r8:50, never:6 — so this window is
+# (a) the SIX entries that have never had a driver row (late round-8 adds,
+#     oracle-green in the full-registry selfcheck): vocab_coverage,
+#     session_stats, ann_recall_eval, user_behavior_surprisal,
+#     quality_classifier_eval, classifier_calibration.  ann_recall_eval's
+#     scratch-index build is now shared with ann_ivf_index via the
+#     per-session pinned-index memo (similarity._pinned_ivf_index), per the
+#     r8 verdict's cost-containment order;
+# (b) the TWENTY-THREE r5-era entries (the whole set deferred across r7/r8
+#     — after this window no entry's latest row predates r6), including
+#     kmeans_cluster_profile which this round upgrades rows-only -> oracle
+#     via the pinned-seed quantizer precedent;
+# (c) new round-9 entries, inserted at the head as they land;
+# (d) the remaining slots filled with the OLDEST r6 rows, preferring
+#     families with no fresher same-shape sibling: the TPC-H completion
+#     q12, the skew/cross join pair, the agg family (global/unpivot/
+#     collect/conditional/cube), set ops, arrays/nested parsing, the whole
+#     exact+near-dup dedup family, and knn_bruteforce.
+# r6 rows deferred to round 10 (each with a same-shape sibling green in
+# r7/r8 or in this window): knn_dot_topk + ann_lsh_hyperplane (<-
+# knn_bruteforce in-window, ann_ivf_index r8), pii_redact +
+# decontaminate_eval_overlap + text_unigram_logprob + text_gopher_quality +
+# text_repeated_ngrams + text_token_stats + text_quality_score +
+# text_tfidf_top_terms (<- bm25/prf/perplexity/vocab family r8 + in-window
+# classifier trio), mm_* x5 (<- curate_multimodal_corpus r7), pandas_udf_
+# haversine + text_chunk_udtf (<- chunk_documents r8), merge_upsert_orders +
+# delete_update_orders (<- snapshot mutation rows r8), split/sample x5
+# (<- sample family shares the hash-bucket idiom with split_train_val_test,
+# timed every round in bench), funnel_conversion (<- funnel_latency r8 and
+# the funnel serving faces share its state machine; also timed every round
+# in bench).
 _PRIORITY = [
-    # (a) new or oracle-upgraded this round
-    "bm25_prf_search",
-    "funnel_latency",
-    "item_triangles",
-    "retrieval_eval",
-    "recommend_items",
-    "mmr_search",
-    "session_top_paths",
-    "attribution_last_touch",
-    "events_dau_wau_mau",
-    "basket_association_rules",
-    "hybrid_search_rrf",
-    "ann_ivf_index",
-    "text_perplexity_bigram",
-    "chunk_documents",
-    "mine_triplets",
-    "events_item_cooccurrence",
-    "events_markov_transitions",
-    "item_pagerank",
-    "events_rfm_segments",
-    "item_communities",
-    # (b) r4-era rows — oldest in the ledger, deferred from round 7
-    "set_except",
-    "union_by_name",
-    "sort_within_partitions",
-    "window_first_last",
-    # (c) r5-era refresh (TPC-H sweep + the rest)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "join_full_outer",
-    "join_semi",
-    "null_handling",
-    "quantize_embeddings_int8",
-    "scalar_string_funcs",
-    "snapshot_bloom_point_lookup",
-    "snapshot_positional_delete_orders",
-    "snapshot_update_constrained_orders",
-    "top_customers",
+    "vocab_coverage",
+    "session_stats",
+    "ann_recall_eval",
+    "user_behavior_surprisal",
+    "quality_classifier_eval",
+    "classifier_calibration",
+    "filter_project",
+    "scalar_date_funcs",
+    "json_extraction",
+    "join_broadcast_dims",
+    "join_left_outer",
+    "join_anti",
+    "join_theta_band",
+    "join_range_shipdelay",
+    "histogram_doc_length",
+    "agg_count_distinct",
+    "agg_stats",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_approx_distinct",
+    "window_rank",
+    "map_funcs",
+    "ann_ivfpq",
+    "kmeans_cluster_profile",
+    "text_linear_quality_classifier",
+    "snapshot_schema_evolution_orders",
+    "curate_pretraining_corpus",
+    "q12_shipdelay_priority",
+    "join_cross",
+    "join_salted_skew",
+    "agg_global",
+    "agg_unpivot",
+    "agg_collect",
+    "agg_conditional",
+    "agg_cube",
+    "window_topk_per_group",
+    "set_intersect",
+    "distinct_rows",
+    "sort_limit_topk",
+    "array_funcs",
+    "array_explode_posexplode",
+    "nested_envelope_parse",
+    "dedup_exact",
+    "dedup_semantic",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "knn_bruteforce",
 ]
 
 

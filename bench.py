@@ -179,18 +179,38 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(cold, 3),
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(cold, 3),
+        "sf": sf,
+    }
+    # Round 8's driver bench came back `parsed: null`: the harness keeps only
+    # a ~2 KB tail of stdout and parses the last JSON line in it, and the
+    # 76-query map pushed the line's HEAD outside that window.  Fix per the
+    # r8 verdict: the full per-query map goes to BENCH_DETAIL.json next to
+    # this script, and the stdout line carries the totals plus only the
+    # frozen 39-query prefix (the cross-round-comparable set — stable-21 and
+    # the r4-era extension; the prefix is append-only so this line's length
+    # is now bounded forever).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(payload, f)
+            f.write("\n")
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the contract
+    stable = {n: timings[n] for n in HEADLINE[:39] if n in timings}
+    line = dict(payload)
+    line["queries"] = stable
+    line["n_queries"] = len(timings)
+    line["detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(line, separators=(",", ":")))
     return 0
 
 

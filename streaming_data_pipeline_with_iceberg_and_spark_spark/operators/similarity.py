@@ -1129,13 +1129,32 @@ def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised — pruning is asserted separately in tests/test_extensions.py.
     Residual cross-engine risk: the final cosine rounds at 5 decimals, the
     same accepted ulp-boundary flake class as knn_bruteforce."""
-    import tempfile
-
-    idx = IvfIndex(spark, tempfile.mkdtemp(prefix="spark_graft_ivfidx_"))
-    emb = load_spread(spark, "embeddings", sf_dir)
-    idx.build(emb, pinned_seeds=True)
+    idx = _pinned_ivf_index(spark, sf_dir)
     queries = load(spark, "embeddings", sf_dir).filter(_query_pred(50))
     return idx.query(queries, k=5, exact_probes=True)
+
+
+# One pinned-seed scratch index per (Spark application, sf_dir): the build is
+# deterministic (md5-Forgy seeds over a static corpus), so within one driver /
+# selfcheck session the registry faces that need the index (ann_ivf_index and
+# ann_recall_eval, which composes it with the exact side) share a single
+# build instead of each paying the ~4 s scratch construction — the r8 verdict
+# flagged the duplicate build as the dominant cost of ann_recall_eval's
+# driver row. Keyed by applicationId so a fresh session (tests spin their
+# own) never reuses an index whose SparkSession is gone.
+_PINNED_IVF_CACHE: dict = {}
+
+
+def _pinned_ivf_index(spark: SparkSession, sf_dir: str) -> "IvfIndex":
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    idx = _PINNED_IVF_CACHE.get(key)
+    if idx is None:
+        idx = IvfIndex(spark, tempfile.mkdtemp(prefix="spark_graft_ivfidx_"))
+        idx.build(load_spread(spark, "embeddings", sf_dir), pinned_seeds=True)
+        _PINNED_IVF_CACHE[key] = idx
+    return idx
 
 
 # SQL twin of the ENTIRE pinned-seed index lifecycle. Stage names mirror the
