@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket32
-from ..functions.vector import dot, norm
+from ..functions.vector import as_double, dot, l2_distance, norm
 from ..io import load, load_spread
 
 _N_PLANES = 4  # per hash table → 16 buckets
@@ -1375,47 +1375,190 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling, and domain discovery over a training corpus — exposed
     first-class instead of buried inside ``dedup_semantic``.
 
-    Scale shape: each Lloyd round is one Arrow/GEMM pass + one ≤k-row agg;
-    the only driver state is the k×d centroid matrix — at 100 TB the round
-    count stays the knob, never the state size. Rows-only check (the fit is
-    engine-internal floating-point); invariants tested in
-    tests/test_extensions.py."""
-    import numpy as np
-    import pandas as pd
+    Oracle-GREEN since round 9 (was rows-only): the ``ann_ivf_index``
+    precedent applied to the FULL Lloyd loop. Seeds are the md5-ranked
+    Forgy init (SQL-reproducible); each round's assignment is the
+    sequential-fold argmax score x·c − ½|c|² with (score DESC, cell ASC)
+    ties — bit-exact vs DuckDB ``list_inner_product`` — and each round's
+    new centroids are per-dimension means ROUNDED AT 6 DECIMALS on both
+    engines, which absorbs the one genuinely order-dependent float (a
+    grouped AVG sums in partition order) down to the accepted
+    round-boundary flake class. Distances are the identical elementwise
+    fold (functions.vector.l2_distance ≡ list_inner_product of the diff),
+    rounded at 6 before the final per-cluster AVG/ROUND(4).
 
-    emb = load_spread(spark, "embeddings", sf_dir).persist()
-    cent_mat = _kmeans_centroids(spark, sf_dir, emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
-    if cent_mat.ndim < 2:
-        # empty corpus: nothing to cluster
-        return spark.createDataFrame([], "cluster int, n long, avg_dist double")
-    cent_half = 0.5 * (cent_mat**2).sum(axis=1)
-
-    def assign_dist(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            scores = mat @ cent_mat.T - cent_half
-            cells = np.argmax(scores, axis=1)
-            diff = mat - cent_mat[cells]
-            yield pd.DataFrame(
-                {
-                    "cluster": cells,
-                    "dist": np.sqrt((diff**2).sum(axis=1)),
-                }
-            )
-
-    assigned = emb.select("embedding").mapInPandas(
-        assign_dist, schema="cluster int, dist double"
+    Scale shape: the pinned assignment broadcast-joins the k=16 centroid
+    rows and takes the per-vector argmax with ``max_by`` — a hash
+    aggregation whose map-side combine collapses the corpus×k pairs back
+    to one row per vector BEFORE any shuffle (no rank window, no
+    per-vector sort). The fold-exact scoring costs ~2× the GEMM fit it
+    replaces at sf0.1 — the documented price of the oracle, the same
+    trade ann_ivf_index made in round 8. Each round's mean shuffle
+    emits ≤ k·d rows after combine and only the k×d rounded centroid
+    matrix ever reaches the driver. The learned GEMM path
+    (``_kmeans_centroids``) remains the production fit used by the IVF
+    family."""
+    emb = (
+        load_spread(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .persist()
     )
+    seed_rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(_KMEANS_K)
+        .select("embedding")
+        .collect()  # ≤ k rows; doubles as the empty-corpus probe
+    )
+    if not seed_rows:
+        return spark.createDataFrame([], "cluster int, n long, avg_dist double")
+    k_eff = len(seed_rows)
+    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+
+    def _assign(cs: list) -> DataFrame:
+        # argmax_j (x·c_j − ½|c_j|²) with ties to the LOWEST cell:
+        # max_by over a (score, −cell) struct key is the SQL twin's
+        # (score DESC, cell ASC) rank-1 — the key is unique per pair, so
+        # the fold-exact scores make the pick bit-identical to DuckDB's
+        cells = spark.createDataFrame(
+            [(j, cs[j], _seq_half_sq(cs[j])) for j in range(len(cs))],
+            "cell int, c array<double>, chalf double",
+        )
+        return (
+            emb.crossJoin(F.broadcast(cells))
+            .select(
+                "vec_id",
+                "embedding",
+                "cell",
+                "c",
+                (dot("embedding", "c") - F.col("chalf")).alias("score"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("cell", "c", "embedding"),
+                    F.struct(F.col("score"), (-F.col("cell")).alias("negcell")),
+                ).alias("b")
+            )
+            .select(
+                "vec_id",
+                F.col("b.embedding").alias("embedding"),
+                F.col("b.cell").alias("cell"),
+                F.col("b.c").alias("c"),
+            )
+        )
+
+    for _ in range(_KMEANS_ITERS):
+        mean_rows = (
+            _assign(cents)
+            .select("cell", F.posexplode(as_double("embedding")).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mv"))
+            .collect()  # ≤ k·d rows — constant-bounded driver state
+        )
+        by_cell: dict = {}
+        for r in mean_rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["mv"]
+        cents = [
+            [by_cell[j][p] for p in range(len(cents[j]))]
+            if j in by_cell
+            else cents[j]  # empty cells keep their previous vector
+            for j in range(k_eff)
+        ]
     return (
-        assigned.groupBy("cluster")
+        _assign(cents)
+        .select("cell", F.round(l2_distance("embedding", "c"), 6).alias("dist"))
+        .groupBy(F.col("cell").alias("cluster"))
         .agg(
             F.count("*").alias("n"),
             F.round(F.avg("dist"), 4).alias("avg_dist"),
         )
         .orderBy("cluster")
     )
+
+
+def _kmeans_profile_sql() -> str:
+    """SQL twin of the pinned Lloyd loop: seeds (md5 Forgy), then per
+    round an assignment (rank-1 fold-score argmax, the ANN_IVF_INDEX_SQL
+    idiom) and a per-dimension ROUND(AVG, 6) mean with empty-cell
+    carry-over, unrolled ``_KMEANS_ITERS`` times; the final assignment
+    feeds the elementwise-diff fold distance. All folds are
+    list_inner_product ≡ F.aggregate — bit-exact."""
+    parts = [
+        f"""kk AS (
+  SELECT LEAST({_KMEANS_K}, COUNT(*)) AS k
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cell,
+         v AS c
+  FROM ev
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            <= (SELECT k FROM kk)
+)"""
+    ]
+    prev = "c0"
+    for r in range(1, _KMEANS_ITERS + 1):
+        parts.append(
+            f""",
+a{r} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT ev.vec_id, ev.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+             ORDER BY (list_inner_product(ev.v, c.c)
+                       - list_inner_product(c.c, c.c) / 2.0) DESC,
+                      c.cell ASC) AS rn
+    FROM ev, {prev} c
+  ) WHERE rn = 1
+),
+m{r} AS (
+  SELECT cell, i, ROUND(AVG(v[i + 1]), 6) AS mv
+  FROM (SELECT cell, v, unnest(range(len(v))) AS i FROM a{r})
+  GROUP BY cell, i
+),
+mc{r} AS (SELECT cell, list(mv ORDER BY i) AS c FROM m{r} GROUP BY cell),
+c{r} AS (
+  SELECT p.cell, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN mc{r} m USING (cell)
+)"""
+        )
+        prev = f"c{r}"
+    parts.append(
+        f""",
+fin AS (
+  SELECT vec_id, v, cell, c FROM (
+    SELECT ev.vec_id, ev.v, c.cell, c.c,
+           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+             ORDER BY (list_inner_product(ev.v, c.c)
+                       - list_inner_product(c.c, c.c) / 2.0) DESC,
+                      c.cell ASC) AS rn
+    FROM ev, {prev} c
+  ) WHERE rn = 1
+),
+d AS (
+  SELECT cell,
+         ROUND(sqrt(list_inner_product(
+           list_transform(range(len(v)), i -> v[i + 1] - c[i + 1]),
+           list_transform(range(len(v)), i -> v[i + 1] - c[i + 1]))), 6)
+           AS dist
+  FROM fin
+)
+SELECT CAST(cell AS INT) AS cluster,
+       COUNT(*) AS n,
+       ROUND(AVG(dist), 4) AS avg_dist
+FROM d
+GROUP BY cell
+ORDER BY cluster"""
+    )
+    return "WITH " + "".join(parts)
+
+
+KMEANS_PROFILE_SQL = _kmeans_profile_sql()
 
 
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1725,4 +1868,9 @@ ORACLES = {
     # folds are SQL-reproducible; the learned paths above stay rows-only)
     "ann_ivf_index": ANN_IVF_INDEX_SQL,
     "ann_recall_eval": ANN_RECALL_SQL,
+    # round 9: kmeans_cluster_profile upgraded rows-only → value-exact —
+    # md5-Forgy pinned seeds + fold-exact assignment + ROUND(6) means make
+    # the whole Lloyd loop SQL-reproducible (the ann_ivf_index precedent
+    # extended to the refinement rounds)
+    "kmeans_cluster_profile": KMEANS_PROFILE_SQL,
 }
