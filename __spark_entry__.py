@@ -76,7 +76,9 @@ _MODULES = [
 #     families with no fresher same-shape sibling: the TPC-H completion
 #     q12, the skew/cross join pair, the agg family (global/unpivot/
 #     collect/conditional/cube), set ops, arrays/nested parsing, the whole
-#     exact+near-dup dedup family, and knn_bruteforce.
+#     exact+near-dup dedup family, and cohort_retention (its r7 row went
+#     stale this round: the op now rides activity_pairs, excluding
+#     anonymous/NULL-ts events, and COHORT_SQL changed in lockstep).
 # r6 rows deferred to round 10 (each with a same-shape sibling green in
 # r7/r8 or in this window): knn_dot_topk + ann_lsh_hyperplane (<-
 # knn_bruteforce in-window, ann_ivf_index r8), pii_redact +
@@ -89,7 +91,9 @@ _MODULES = [
 # (<- sample family shares the hash-bucket idiom with split_train_val_test,
 # timed every round in bench), funnel_conversion (<- funnel_latency r8 and
 # the funnel serving faces share its state machine; also timed every round
-# in bench).
+# in bench), knn_bruteforce (<- knn_bruteforce_vectorized shares the SAME
+# oracle string and has an r7 row; timed every round in bench — displaced
+# by cohort_retention, whose oracle changed this round).
 _PRIORITY = [
     "vocab_coverage",
     "session_stats",
@@ -140,7 +144,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "knn_bruteforce",
+    "cohort_retention",
 ]
 
 

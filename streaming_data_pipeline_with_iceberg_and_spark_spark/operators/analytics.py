@@ -347,15 +347,30 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-cohort retention curve: day-k retention = share of users with
     any event k days after their first event day. One user-keyed min, one
     (user, day) distinct, one small count — at scale both shuffles key on
-    user_id so they share the exchange."""
-    ev = load(spark, "events", sf_dir).select(
-        "user_id", F.to_date("ts").alias("d")
+    user_id so they share the exchange.
+
+    Since round 9 the op is ``retention_from_activity ∘ activity_pairs``
+    — the DISTINCT (user, day) activity table the incremental engagement
+    ingest maintains is sufficient state for retention too (d0 is just
+    the user's min activity day), so the dashboard serves from the
+    |users|×|active-days|-bounded table with no extra ingest path. The
+    shared ``activity_pairs`` pass means anonymous (NULL-user) and
+    NULL-ts events are excluded, matching the engagement triple and the
+    RFM scorer."""
+    return retention_from_activity(
+        activity_pairs(load(spark, "events", sf_dir))
     )
-    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+
+
+def retention_from_activity(act: DataFrame) -> DataFrame:
+    """Retention finalization over a DISTINCT (user_id, day) activity
+    frame — the batch op and the maintained-table serving face (parity
+    test in tests/test_streaming.py)."""
+    first = act.groupBy("user_id").agg(F.min("day").alias("d0"))
     total = first.agg(F.count("*").alias("cohort_size"))
     days = (
-        ev.join(first, "user_id")
-        .select("user_id", F.datediff("d", "d0").cast("int").alias("day_k"))
+        act.join(first, "user_id")
+        .select("user_id", F.datediff("day", "d0").cast("int").alias("day_k"))
         .distinct()
     )
     return (
@@ -372,12 +387,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COHORT_SQL = """
-WITH first AS (
-  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), first AS (
+  SELECT user_id, MIN(day) AS d0 FROM act GROUP BY 1
 ), days AS (
-  SELECT DISTINCT e.user_id,
-         CAST(date_diff('day', f.d0, CAST(e.ts AS DATE)) AS INT) AS day_k
-  FROM events e JOIN first f USING (user_id)
+  SELECT DISTINCT a.user_id,
+         CAST(date_diff('day', f.d0, a.day) AS INT) AS day_k
+  FROM act a JOIN first f USING (user_id)
 ), total AS (
   SELECT COUNT(*) AS cohort_size FROM first
 )
@@ -1208,17 +1227,64 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checkable one. Determinism: every NTILE orders by a ROUNDED
     metric with user_id as the final tie-break, so a last-ulp float
     difference in the monetary sum can never flip bucket assignment
-    between engines."""
-    ev = load(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
-    anchor = ev.agg(F.max(F.to_date("ts")).alias("d_max"))
-    per_user = ev.groupBy("user_id").agg(
-        F.max(F.to_date("ts")).alias("d_last"),
-        F.count("*").alias("frequency"),
+    between engines.
+
+    Since round 9 the op is the composition ``rfm_from_user_state ∘
+    rfm_user_partials`` — the same two pieces the incremental user-state
+    ingest maintains and serves from, so the batch and maintained-table
+    paths share one definition and cannot diverge (the activity_pairs
+    discipline)."""
+    return rfm_from_user_state(
+        rfm_user_partials(load(spark, "events", sf_dir))
+    )
+
+
+def rfm_user_partials(events: DataFrame) -> DataFrame:
+    """Per-user MERGEABLE lifecycle partials — min first-day, max last-day,
+    event count, raw value sum — the one pass over the raw fact that
+    :func:`events_rfm_segments` and the incremental user-state ingest
+    share. Every column merges with min/max/sum, so partials from any
+    batch split (including late and out-of-order data) combine exactly:
+    the easiest incremental-view-maintenance class, no ordering
+    contract."""
+    return (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date(F.col("ts").cast("timestamp"))).alias("d_first"),
+            F.max(F.to_date(F.col("ts").cast("timestamp"))).alias("d_last"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("monetary_sum"),
+        )
+    )
+
+
+def merge_user_state(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch partials to one row per user — the
+    serve-side merge (and the whole job of ``compact_user_state``)."""
+    return state.groupBy("user_id").agg(
+        F.min("d_first").alias("d_first"),
+        F.max("d_last").alias("d_last"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("monetary_sum").alias("monetary_sum"),
+    )
+
+
+def rfm_from_user_state(state: DataFrame) -> DataFrame:
+    """RFM finalization over (possibly partial) user-state rows: merge,
+    then score. Monetary rounds at 2 AFTER the merge, so a partial-sum
+    order difference of last-ulp size cannot flip an NTILE bucket — the
+    same guard the cross-engine oracle relies on."""
+    per_user = merge_user_state(state).select(
+        "user_id",
+        "d_last",
+        F.col("n_events").alias("frequency"),
         # COALESCE → an all-NULL-value user scores 0 spend instead of a
         # NULL that the two engines would ORDER differently (Spark puts
         # NULLs first under ASC, DuckDB last — a latent NTILE divergence)
-        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("monetary"),
+        F.round(F.coalesce("monetary_sum", F.lit(0.0)), 2).alias("monetary"),
     )
+    anchor = per_user.agg(F.max("d_last").alias("d_max"))
     rfm = per_user.crossJoin(F.broadcast(anchor)).select(
         "user_id",
         F.datediff("d_max", "d_last").cast("int").alias("recency_days"),

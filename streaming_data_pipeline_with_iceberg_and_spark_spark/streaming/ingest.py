@@ -1328,6 +1328,78 @@ def start_incremental_funnel_ingest(
     return writer.start()
 
 
+def start_incremental_rfm_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "rfm_ingest",
+) -> StreamingQuery:
+    """EXACT incremental RFM / user-lifecycle maintenance — the eighth
+    incremental path, in the MERGEABLE-SUMS class (with PCA moments, BM25
+    stats and engagement pairs): each batch appends its per-user partials
+    (min first-day, max last-day, event count, raw value sum — computed by
+    ``operators.analytics.rfm_user_partials``, the SAME pass the batch
+    operator uses) and serving merges them with one user-keyed agg.
+    ``rfm_from_user_state`` over the maintained table equals the batch
+    ``events_rfm_segments`` over everything ingested, and the same state's
+    d_first column serves first-day cohort slicing; cohort RETENTION needs
+    no extra state at all — it finalizes from the engagement ingest's
+    DISTINCT activity table via ``retention_from_activity`` (parity tests
+    in tests/test_streaming.py). At 100 TB this turns the lifecycle
+    dashboard from a full-fact scan into a |users|-bounded read.
+
+    min/max/sum partials are order-independent and duplicate-free by
+    construction, so — unlike the Markov and funnel state machines —
+    there is NO ordering contract: late and out-of-order events merge
+    exactly. One table, so exactly-once is the snapshot layer's
+    idempotent ``append_batch`` (namespaced batch key, replays skipped
+    whole). The partials log grows one row per (batch, touched user);
+    ``compact_user_state`` collapses it between drains without disturbing
+    replay protection. At real scale the state table would be bucketed on
+    user_id so the serve-side merge co-locates without a shuffle."""
+    from ..operators.analytics import rfm_user_partials
+    from ..sources.snapshots import SnapshotTable
+
+    state_t = SnapshotTable(spark, state_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def rfm_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state_t.append_batch(
+            rfm_user_partials(batch_df), f"{stream_id}#{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(rfm_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_user_state(
+    spark: SparkSession, state_root: str, compaction_id=None
+) -> None:
+    """Rewrite the user-state partials table as its per-user merge — a
+    semantic no-op (readers merge either way) that collapses the
+    per-batch partial history to one row per user. Run between ingest
+    drains: the overwrite appends a commit, it never erases the log, so
+    the stream's namespaced batch keys survive and replay protection is
+    unaffected (the ``compact_cooccurrence_index`` protocol). Pass
+    ``compaction_id`` to make the compaction itself replay-safe if driven
+    from an at-least-once scheduler."""
+    from ..operators.analytics import merge_user_state
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, state_root)
+    t.overwrite(merge_user_state(t.read()), batch_id=compaction_id)
+
+
 def compact_cooccurrence_index(
     spark: SparkSession, delta_root: str, compaction_id=None
 ) -> None:

@@ -540,3 +540,115 @@ def test_markov_pair_stays_derived_from_ingested(spark, ops):
         for e, _, u, _t in ingested:
             true_last[u] = max(true_last.get(u, -1), e)
         assert st_rows == true_last, f"state diverged after {op}"
+
+
+# Round-9 derived-state model: the incremental-RFM user-state table. The
+# standing rule (every table-surface extension gets a fuzz op) applied to
+# start_incremental_rfm_ingest's single partials table: after ANY interleaving
+# of ingested batches, replayed batch keys, compactions (overwrite that must
+# keep the key log), snapshot expiry and maintenance, the per-user MERGE of
+# the state table must equal re-deriving the partials from everything
+# ingested. Values are quarter-integers so sums are binary-exact and the
+# invariant is order-independent equality, not approximate.
+
+_RFM_EVENT = st.tuples(
+    st.integers(min_value=1, max_value=4),    # user_id
+    st.integers(min_value=0, max_value=30),   # day offset
+    st.one_of(st.none(), st.integers(min_value=0, max_value=40)),  # value/4
+)
+
+_RFM_OP = st.one_of(
+    st.tuples(st.just("ingest"), st.lists(_RFM_EVENT, min_size=1, max_size=4)),
+    st.tuples(st.just("replay"),),
+    st.tuples(st.just("compact"),),
+    st.tuples(st.just("expire"),),
+    st.tuples(st.just("maintain"),),
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        _RFM_OP,
+        min_size=2,
+        max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "6")),
+    )
+)
+def test_rfm_user_state_stays_derived_from_ingested(spark, ops):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        merge_user_state,
+        rfm_user_partials,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import maintain_table
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import compact_user_state
+
+    root = tempfile.mkdtemp()
+    state_t = SnapshotTable(spark, root + "/user_state")
+    schema = "event_id long, ts long, user_id long, value double"
+    day0 = 1_700_000_000
+    ingested: list = []
+    next_eid = {"n": 0}
+    last = {"key": None, "rows": None}
+
+    def events_df(specs):
+        rows = []
+        for user, day, q in specs:
+            eid = next_eid["n"]
+            next_eid["n"] += 1
+            rows.append(
+                (eid, day0 + day * 86400 + eid, user, None if q is None else q / 4.0)
+            )
+        return rows
+
+    n_batches = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "ingest":
+            rows = events_df(op[1])
+            key = f"fuzz#{n_batches}"
+            n_batches += 1
+            state_t.append_batch(spark.createDataFrame(rows, schema)
+                                 .transform(rfm_user_partials), key)
+            ingested.extend(rows)
+            last["key"], last["rows"] = key, rows
+        elif kind == "replay":
+            if last["key"] is None:
+                continue
+            # at-least-once delivery: the same batch arrives again under
+            # the same key — must be a whole-batch no-op
+            state_t.append_batch(
+                spark.createDataFrame(last["rows"], schema)
+                .transform(rfm_user_partials),
+                last["key"],
+            )
+        elif kind == "compact":
+            if state_t.current_version() is None:
+                continue
+            compact_user_state(spark, root + "/user_state")
+        elif kind == "expire":
+            if state_t.current_version() is None:
+                continue
+            state_t.expire_snapshots(keep_last=1)
+        elif kind == "maintain":
+            if state_t.current_version() is None:
+                continue
+            maintain_table(state_t, max_files=8, orphan_grace_seconds=3600.0)
+        if not ingested:
+            continue
+
+        def canon(df):
+            return sorted(
+                (r.user_id, str(r.d_first), str(r.d_last), r.n_events,
+                 r.monetary_sum)
+                for r in merge_user_state(df).collect()
+            )
+
+        got = canon(state_t.read())
+        want = canon(
+            rfm_user_partials(spark.createDataFrame(ingested, schema))
+        )
+        assert got == want, f"user state diverged after {op}"

@@ -1909,3 +1909,109 @@ def test_incremental_cooccurrence_ingest_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got2 == want2 == [(1, 2, 2), (1, 3, 2), (2, 3, 2)]
+
+
+def test_incremental_rfm_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental RFM maintenance (mergeable per-user partials):
+    the full scored segmentation finalized from the maintained user-state
+    table must equal the batch operator over everything ingested —
+    including OUT-OF-ORDER days across batches and NULL event values
+    (min/max/sum partials are order-free, so late data is exact, not an
+    error). Compaction must be a semantic no-op that still blocks replay,
+    and a re-drain from the same checkpoint must add no new versions."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        retention_from_activity,
+        rfm_from_user_state,
+        rfm_user_partials,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_user_state,
+        start_incremental_rfm_ingest,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    all_rows = []
+    day0 = 1_700_000_000
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for eid, user, day, value in specs:
+                row = {
+                    "event_id": eid,
+                    "ts": day0 + day * 86400 + eid,
+                    "user_id": user,
+                    "value": value,
+                }
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    # batch a: three users spread over days 0-9; batch b goes BACKWARD for
+    # user 2 (late day-0 event — moves d_first, not d_last), re-touches
+    # user 1 (frequency + monetary accumulate), adds all-NULL-value user 4
+    write_file(
+        "a.json",
+        [(1, 1, 0, 10.5), (2, 2, 3, None), (3, 3, 9, 4.25), (4, 1, 2, 1.0)],
+    )
+    write_file(
+        "b.json",
+        [(5, 2, 0, 7.75), (6, 1, 8, None), (7, 4, 5, None), (8, 3, 9, 0.5)],
+    )
+    state_root = str(tmp_path / "user_state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts long, user_id long, value double"
+
+    def drain():
+        q = start_incremental_rfm_ingest(
+            spark,
+            str(src),
+            state_root,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    state_t = SnapshotTable(spark, state_root)
+
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["value"]) for r in all_rows],
+        schema,
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    want = canon(rfm_from_user_state(rfm_user_partials(batch_df)))
+    assert canon(rfm_from_user_state(state_t.read())) == want and want
+    # the state is partial rows — one per (batch, touched user):
+    # batch a touches users {1,2,3}, batch b touches {1,2,3,4}
+    assert state_t.read().count() == 7
+
+    # retention needs NO extra state: it finalizes from the DISTINCT
+    # activity table the engagement ingest maintains (that maintained
+    # table is proven equal to activity_pairs over everything ingested in
+    # test_incremental_engagement_ingest_matches_batch) — here assert the
+    # shared finalization is live on this data's activity shape
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import activity_pairs
+
+    ret = canon(retention_from_activity(activity_pairs(batch_df)))
+    assert ret and ret[0][0] == 0  # day-0 row always present
+
+    # compaction: semantic no-op, one row per user afterwards
+    v_before = state_t.current_version()
+    compact_user_state(spark, state_root)
+    assert canon(rfm_from_user_state(state_t.read())) == want
+    assert state_t.read().count() == 4
+    assert state_t.current_version() > v_before
+
+    # replay after compaction: batch keys survive the overwrite, so a
+    # re-drain from the same checkpoint adds nothing
+    v_compacted = state_t.current_version()
+    drain()
+    assert state_t.current_version() == v_compacted
+    assert canon(rfm_from_user_state(state_t.read())) == want
