@@ -93,8 +93,20 @@ _MODULES = [
 # the funnel serving faces share its state machine; also timed every round
 # in bench), knn_bruteforce (<- knn_bruteforce_vectorized shares the SAME
 # oracle string and has an r7 row; timed every round in bench — displaced
-# by cohort_retention, whose oracle changed this round).
+# by cohort_retention, whose oracle changed this round), and the five
+# displaced by the round-9 head additions: agg_collect + agg_conditional
+# (<- agg_cube and agg_global stay in-window; agg_histogram_quantiles r7),
+# set_intersect + distinct_rows + sort_limit_topk (<- set_except /
+# union_by_name / sort_within_partitions / top_customers all r8).
 _PRIORITY = [
+    # (c) new round-9 entries (all value-exact oracles; kmeans_cluster_
+    # profile, upgraded this round, is already below among the r5 rows)
+    "matryoshka_recall_eval",
+    "item_jaccard_similarity",
+    "events_hourly_seasonality",
+    "events_power_users_curve",
+    "sessions_peak_concurrency",
+    # (a) never-driver-checked late round-8 adds
     "vocab_coverage",
     "session_stats",
     "ann_recall_eval",
@@ -129,13 +141,8 @@ _PRIORITY = [
     "join_salted_skew",
     "agg_global",
     "agg_unpivot",
-    "agg_collect",
-    "agg_conditional",
     "agg_cube",
     "window_topk_per_group",
-    "set_intersect",
-    "distinct_rows",
-    "sort_limit_topk",
     "array_funcs",
     "array_explode_posexplode",
     "nested_envelope_parse",

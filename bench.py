@@ -121,6 +121,15 @@ HEADLINE = [
     "user_behavior_surprisal",
     "quality_classifier_eval",
     "classifier_calibration",
+    # Appended round 9: truncated-dim retrieval eval, Jaccard item
+    # similarity, the seasonality/concentration/concurrency dashboard
+    # trio. (kmeans_cluster_profile, already timed above, switched to the
+    # fold-exact pinned fit this round — its series steps up ~2×.)
+    "matryoshka_recall_eval",
+    "item_jaccard_similarity",
+    "events_hourly_seasonality",
+    "events_power_users_curve",
+    "sessions_peak_concurrency",
 ]
 
 

@@ -802,6 +802,55 @@ JOIN cnt cb ON cb.item = co.item_b, nu
 """
 
 
+def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard item-item similarity over the taste graph: |U_a ∩ U_b| /
+    |U_a ∪ U_b| per co-touched pair — the SET-overlap normalization that
+    lift doesn't give (lift rewards rare coincidences; Jaccard rewards
+    genuinely shared audiences) and the exact quantity MinHash-LSH
+    estimates, so it doubles as the ground truth a sampled dedup/blocking
+    pass is validated against.
+
+    Same scale shape as ``events_item_cooccurrence`` (ONE shared edge
+    definition — ``_user_baskets``/``_basket_pairs`` engine-side,
+    ``_CO_CTES`` in the oracle): capped baskets bound pairs per user at
+    C(cap,2), one pair-keyed hash agg, item-count joins keyed on the
+    items with no broadcast hints. |U_a ∪ U_b| = cnt_a + cnt_b − co is
+    integer arithmetic; the single division rounds at 6 — cross-engine
+    exact."""
+    baskets = _user_baskets(spark, sf_dir)
+    cnt = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    co = _basket_pairs(baskets)
+    return (
+        co.join(cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")), "item_a")
+        .join(cnt.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co_users",
+            F.round(
+                F.col("co_users")
+                / (F.col("cnt_a") + F.col("cnt_b") - F.col("co_users")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ITEM_JACCARD_SQL = f"""
+WITH {_CO_CTES},
+cnt AS (SELECT item, COUNT(*) AS cnt FROM capped GROUP BY item)
+SELECT item_a, item_b, co_users,
+       ROUND(co_users / ((ca.cnt + cb.cnt - co_users) * 1.0), 6) AS jaccard
+FROM co
+JOIN cnt ca ON ca.item = co.item_a
+JOIN cnt cb ON cb.item = co.item_b
+"""
+
+
 # PageRank knobs, interpolated into the oracle: damping factor and the
 # PINNED iteration count (unrolled identically on both sides — a fixed
 # small iteration count is what makes the whole computation ANSI-SQL
@@ -1521,6 +1570,179 @@ GROUP BY d
 """
 
 
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity seasonality profile: event count and share per (day-of-week,
+    hour-of-day) cell — the 7×24 heatmap behind capacity planning, send-time
+    optimization and anomaly baselining (an hourly count is only "anomalous"
+    relative to its seasonal cell).
+
+    One hash agg over the fact to a ≤168-row frame + a broadcast 1-row
+    total — the cheapest possible full-corpus profile at any scale.
+    Cross-engine note: Spark's dayofweek is 1=Sunday, DuckDB's is
+    0=Sunday — the oracle shifts by one rather than both sides paying a
+    CASE remap. Counts are integers; the share divides once, rounded 6."""
+    ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    total = ev.agg(F.count("*").alias("total"))
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+SEASONALITY_SQL = """
+WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+total AS (SELECT COUNT(*) AS total FROM ev)
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       ROUND(COUNT(*) / ((SELECT total FROM total) * 1.0), 6) AS share
+FROM ev
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_power_users_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Lorenz) curve by user decile: rank users by
+    event count, split into NTILE(10) deciles, report each decile's user
+    and event counts plus the CUMULATIVE share of all events — the
+    "what fraction of traffic do the top 10% produce" answer behind
+    power-user programs, abuse thresholds and sampling-bias checks on
+    behavioral training data.
+
+    One user-keyed agg collapses the fact to user cardinality; the NTILE
+    is one global sort of that frame (the documented RFM trade — exact
+    decile boundaries are the oracle-checkable form; at billions of users
+    swap for percentile_approx threshold bucketing). Determinism: NTILE
+    orders by (count DESC, user_id), cumulative sums are integers, one
+    division rounded 6."""
+    per_user = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    total = per_user.agg(F.sum("n").alias("total_events"))
+    dec = per_user.select(
+        "n",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("n"), F.asc("user_id")))
+        .alias("decile"),
+    )
+    per_dec = dec.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("n").alias("n_events")
+    )
+    return (
+        per_dec.withColumn(
+            "cum_events", F.sum("n_events").over(Window.orderBy("decile"))
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.round(F.col("cum_events") / F.col("total_events"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+POWER_USERS_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events
+  WHERE user_id IS NOT NULL GROUP BY 1
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_events FROM per_user),
+dec AS (
+  SELECT n, NTILE(10) OVER (ORDER BY n DESC, user_id ASC) AS decile
+  FROM per_user
+),
+per_dec AS (
+  SELECT decile, COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events
+  FROM dec GROUP BY 1
+)
+SELECT decile, n_users, n_events,
+       ROUND(CAST(SUM(n_events) OVER (ORDER BY decile) AS BIGINT)
+             / ((SELECT total_events FROM total) * 1.0), 6) AS cum_share
+FROM per_dec
+ORDER BY decile
+"""
+
+
+def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the classic ±1 boundary sweep:
+    every session (the W5 gap-based sessionization, ONE shared definition
+    with ``sessionize``) contributes a +1 at its start and a −1 just after
+    its end; the running sum over all boundaries in time order IS the live
+    concurrency, and its per-day max is the capacity-planning number no
+    plain per-hour count gives (counts miss sessions that SPAN the hour).
+
+    Interval semantics are half-open on exact integer epoch-µs: a session
+    is live on [start, end+1µs), so a session ending the same microsecond
+    another starts overlaps it — and because the running sum uses the
+    default RANGE frame, all boundaries at one instant share one
+    cumulative value: tie order can never change the result on either
+    engine. Scale shape: the sweep runs over 2·|sessions| boundary rows
+    (session cardinality, not event cardinality); the one global
+    time-ordered cumulative is the exact-form trade (same class as the
+    RFM NTILE) — at extreme scale it becomes the textbook two-pass
+    per-partition-offset prefix sum."""
+    from .windows import sessionize
+
+    sess = sessionize(spark, sf_dir)
+    starts = sess.select(
+        F.unix_micros("session_start").alias("pt"), F.lit(1).alias("delta")
+    )
+    ends = sess.select(
+        (F.unix_micros("session_end") + 1).alias("pt"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends)
+    cum = pts.withColumn("conc", F.sum("delta").over(Window.orderBy("pt")))
+    return (
+        cum.groupBy(F.to_date(F.timestamp_micros("pt")).alias("day"))
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_sessions"
+            ),
+            F.max("conc").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+SESSION_CONCURRENCY_SQL_TEMPLATE = """
+WITH sessions AS ({sessionize_sql}),
+pts AS (
+  SELECT epoch_us(session_start) AS pt, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT epoch_us(session_end) + 1 AS pt, -1 AS delta FROM sessions
+),
+cum AS (
+  SELECT pt, delta, SUM(delta) OVER (ORDER BY pt) AS conc FROM pts
+)
+SELECT CAST(make_timestamp(pt) AS DATE) AS day,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+FROM cum
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # Association-rule gate: minimum directional confidence worth emitting.
 _RULE_MIN_CONF = 0.2
 
@@ -1830,6 +2052,10 @@ QUERIES = {
     "item_triangles": item_triangles,
     "session_stats": session_stats,
     "user_behavior_surprisal": user_behavior_surprisal,
+    "item_jaccard_similarity": item_jaccard_similarity,
+    "events_hourly_seasonality": events_hourly_seasonality,
+    "events_power_users_curve": events_power_users_curve,
+    "sessions_peak_concurrency": sessions_peak_concurrency,
 }
 
 
@@ -1837,6 +2063,14 @@ def _session_stats_sql() -> str:
     from .windows import SESSIONIZE_SQL
 
     return SESSION_STATS_SQL_TEMPLATE.format(sessionize_sql=SESSIONIZE_SQL)
+
+
+def _sessions_peak_concurrency_sql() -> str:
+    from .windows import SESSIONIZE_SQL
+
+    return SESSION_CONCURRENCY_SQL_TEMPLATE.format(
+        sessionize_sql=SESSIONIZE_SQL
+    )
 
 ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
@@ -1856,4 +2090,8 @@ ORACLES = {
     "item_triangles": ITEM_TRIANGLES_SQL,
     "session_stats": _session_stats_sql(),
     "user_behavior_surprisal": USER_SURPRISAL_SQL,
+    "item_jaccard_similarity": ITEM_JACCARD_SQL,
+    "events_hourly_seasonality": SEASONALITY_SQL,
+    "events_power_users_curve": POWER_USERS_SQL,
+    "sessions_peak_concurrency": _sessions_peak_concurrency_sql(),
 }

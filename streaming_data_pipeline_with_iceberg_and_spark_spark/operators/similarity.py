@@ -1269,6 +1269,108 @@ FROM per_q p LEFT JOIN hits h ON h.q_id = p.q_id
 """
 
 
+# Matryoshka truncation width: retrieval quality is evaluated on the first
+# _MRL_DIM of the stored dims — the deployment question MRL embeddings pose
+# ("how much recall do I keep at 4× cheaper vectors?").
+_MRL_DIM = 16
+
+
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of TRUNCATED-dimension exact search against full-dimension
+    exact search, per query — the evaluation a Matryoshka-representation
+    (MRL) deployment runs before serving prefix-truncated embeddings
+    (Kusupati et al. 2022): slice every vector to its first ``_MRL_DIM``
+    dims, rank by cosine on the slice, and measure how much of the
+    full-dim top-5 survives. Complements ``ann_recall_eval`` (index
+    approximation loss) with REPRESENTATION approximation loss — together
+    they decompose a serving stack's total recall budget.
+
+    Fully value-checked: both sides are exact brute-force scans (the
+    truncated side is ``knn_bruteforce`` on a prefix slice — F.slice ≡
+    DuckDB list slicing, fold cosine, same 5-decimal rounding and
+    (score, vec_id) ties), and the comparison is integer counts + one
+    rounded division. Scale shape: two audited corpus scans and a
+    |Q|·k-bounded join — zero extra corpus-keyed work; at 100 TB the
+    truncated scan reads 4× fewer vector bytes, which is the point."""
+    emb = load_spread(spark, "embeddings", sf_dir).select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("tv")
+    ).withColumn("nrm", norm("tv"))
+    queries = (
+        load(spark, "embeddings", sf_dir)
+        .filter(_query_pred(50))
+        .select("vec_id", F.slice("embedding", 1, _MRL_DIM).alias("tv"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("tv").alias("q_vec"),
+            norm("tv").alias("q_nrm"),
+        )
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("tv")) / (F.col("q_nrm") * F.col("nrm")),
+            5,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    trunc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id")
+    )
+    exact = knn_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        trunc.join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_q = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    return per_q.join(hits, "q_id", "left").select(
+        "q_id",
+        F.lit(_MRL_DIM).alias("dim"),
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        "n_exact",
+        F.round(
+            F.coalesce("n_hits", F.lit(0).cast("long")) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+MATRYOSHKA_RECALL_SQL = f"""
+WITH tq AS (
+  SELECT vec_id,
+         list_transform(embedding[1:{_MRL_DIM}], x -> CAST(x AS DOUBLE)) AS tv
+  FROM embeddings
+),
+trunc AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_cosine_similarity(q.tv, e.tv), 5) DESC,
+                      e.vec_id ASC) AS rank
+    FROM (SELECT * FROM tq WHERE vec_id % 50 = 0 AND vec_id < 1000) q
+    JOIN tq e ON e.vec_id != q.vec_id
+  ) WHERE rank <= 5
+),
+exact AS (SELECT q_id, vec_id FROM ({KNN_BRUTEFORCE_SQL})),
+hits AS (
+  SELECT t.q_id, COUNT(*) AS n_hits
+  FROM trunc t JOIN exact e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+  GROUP BY 1
+),
+per_q AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT p.q_id,
+       {_MRL_DIM} AS dim,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       p.n_exact,
+       ROUND(COALESCE(h.n_hits, 0) / (p.n_exact * 1.0), 6) AS recall
+FROM per_q p LEFT JOIN hits h ON h.q_id = p.q_id
+"""
+
+
 def mine_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-example mining for contrastive/metric learning (the FaceNet
     semi-hard recipe's batch-global variant): for each pinned anchor, the
@@ -1840,6 +1942,7 @@ QUERIES = {
     "ann_ivfpq": ann_ivfpq,
     "ann_ivf_index": ann_ivf_index,
     "ann_recall_eval": ann_recall_eval,
+    "matryoshka_recall_eval": matryoshka_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
     "quantize_embeddings_int8": quantize_embeddings_int8,
 }
@@ -1868,6 +1971,7 @@ ORACLES = {
     # folds are SQL-reproducible; the learned paths above stay rows-only)
     "ann_ivf_index": ANN_IVF_INDEX_SQL,
     "ann_recall_eval": ANN_RECALL_SQL,
+    "matryoshka_recall_eval": MATRYOSHKA_RECALL_SQL,
     # round 9: kmeans_cluster_profile upgraded rows-only → value-exact —
     # md5-Forgy pinned seeds + fold-exact assignment + ROUND(6) means make
     # the whole Lloyd loop SQL-reproducible (the ann_ivf_index precedent
