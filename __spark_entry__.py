@@ -97,7 +97,10 @@ _MODULES = [
 # displaced by the round-9 head additions: agg_collect + agg_conditional
 # (<- agg_cube and agg_global stay in-window; agg_histogram_quantiles r7),
 # set_intersect + distinct_rows + sort_limit_topk (<- set_except /
-# union_by_name / sort_within_partitions / top_customers all r8).
+# union_by_name / sort_within_partitions / top_customers all r8),
+# agg_unpivot + array_explode_posexplode (<- agg_pivot and array_funcs /
+# nested_envelope_parse stay in-window — displaced by the text
+# entropy/Zipf pair).
 _PRIORITY = [
     # (c) new round-9 entries (all value-exact oracles; kmeans_cluster_
     # profile, upgraded this round, is already below among the r5 rows)
@@ -106,6 +109,8 @@ _PRIORITY = [
     "events_hourly_seasonality",
     "events_power_users_curve",
     "sessions_peak_concurrency",
+    "text_char_entropy",
+    "text_zipf_fit",
     # (a) never-driver-checked late round-8 adds
     "vocab_coverage",
     "session_stats",
@@ -140,11 +145,9 @@ _PRIORITY = [
     "join_cross",
     "join_salted_skew",
     "agg_global",
-    "agg_unpivot",
     "agg_cube",
     "window_topk_per_group",
     "array_funcs",
-    "array_explode_posexplode",
     "nested_envelope_parse",
     "dedup_exact",
     "dedup_semantic",

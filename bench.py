@@ -130,6 +130,8 @@ HEADLINE = [
     "events_hourly_seasonality",
     "events_power_users_curve",
     "sessions_peak_concurrency",
+    "text_char_entropy",
+    "text_zipf_fit",
 ]
 
 

@@ -1672,8 +1672,154 @@ GROUP BY 1
 """
 
 
+# Zipf fit depth: the OLS runs over the top-_ZIPF_TOPK ranks — a constant,
+# so the regression input is bounded at any corpus size.
+_ZIPF_TOPK = 200
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token rank-frequency curve: OLS of
+    ln(freq) on ln(rank) for the top-``_ZIPF_TOPK`` tokens — natural
+    corpora slope ≈ −1; a flat slope flags boilerplate/template floods
+    and a cliff flags key-mash or deduplication damage, so the (slope,
+    r²) pair is a one-row corpus-health gate cheap enough to run per
+    ingest batch.
+
+    Scale shape: one wordcount shuffle, global top-K via
+    ``orderBy().limit()`` (TakeOrderedAndProject — the vocab_coverage
+    idiom), then closed-form OLS as a single aggregate over ≤K rows.
+    Cross-engine: ranks and counts are integers; the six OLS sums are
+    over ≤K ln() values whose partition-order drift (~1e-11 absolute) is
+    far inside the 6-decimal round, and both engines evaluate the
+    IDENTICAL closed-form expressions on their own sums."""
+    docs = load_spread(spark, "documents", sf_dir)
+    cnt = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(_ZIPF_TOPK)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        (F.count("*") * F.lit(1.0)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            (num * num)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )
+
+
+TEXT_ZIPF_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+cnt AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+top AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+  FROM cnt
+  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) <= {_ZIPF_TOPK}
+),
+xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+       FROM top),
+s AS (
+  SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CHARACTER-level Shannon entropy (bits/char) — the
+    quality signal under the token-level Gopher rules: binary blobs,
+    base64, key-mash and single-char spam all sit far from natural
+    language's ~4 bits/char, so entropy bands are a standard first-pass
+    filter (and compression-ratio proxy) in web-scale curation.
+
+    Shape is wordcount at character granularity: explode each doc to
+    (doc_id, char) via a position sequence (explicit substring walk — the
+    one splitting idiom with identical semantics on both engines), one
+    (doc, char) hash agg with map-side combine, one doc-keyed agg.
+    Entropy uses the algebraic form log2(n) − Σ c·log2(c) / n so only
+    counts are summed distributively; the float sum's partition-order
+    drift (~1e-13) is absorbed by the 6-decimal round on both sides."""
+    docs = load(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    ch = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("c"))
+    cnts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    agg = cnts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.log2("cnt")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("len"),
+        "n_distinct",
+        F.round(F.log2("n") - F.col("s") / F.col("n"), 6).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+TEXT_CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, substring(text, i, 1) AS c
+  FROM (
+    SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+    FROM documents WHERE text IS NOT NULL AND len(text) > 0
+  )
+),
+cnts AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS n_distinct,
+         SUM(cnt * log2(cnt)) AS s
+  FROM cnts GROUP BY 1
+)
+SELECT doc_id, n AS len, n_distinct,
+       ROUND(log2(n) - s / n, 6) AS entropy_bits
+FROM agg
+"""
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
+    "text_char_entropy": text_char_entropy,
+    "text_zipf_fit": text_zipf_fit,
     "quality_classifier_eval": quality_classifier_eval,
     "classifier_calibration": classifier_calibration,
     "text_heavy_hitters": text_heavy_hitters,
@@ -1700,6 +1846,8 @@ QUERIES = {
 
 ORACLES = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
+    "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
+    "text_zipf_fit": TEXT_ZIPF_SQL,
     "quality_classifier_eval": CLASSIFIER_EVAL_SQL_TEMPLATE.format(
         lqc_sql=TEXT_LQC_SQL, gopher_sql=TEXT_GOPHER_SQL
     ),
