@@ -1048,13 +1048,20 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized/bucketed corpus is persisted once and re-scanned per epoch,
     the standard Spark batch-GD shape.
 
-    Rows-only by contract: gradient sums are float reductions whose
-    accumulation order Spark does not fix, so the learned weights (and the
-    reported metrics' last ulps) are not bit-reproducible in another
-    engine. Invariants tested instead (tests/test_extensions.py): log-loss
-    strictly decreases from ln 2, final accuracy beats the majority class,
-    metrics reproduce across runs within tolerance, and the learned
-    weights deploy through the shipped scorer expression."""
+    Oracle-GREEN since round 9 (was rows-only): gradient sums are float
+    reductions whose accumulation order Spark does not fix — but ROUNDING
+    the updated parameters at 9 decimals every epoch (far above the
+    ~1e-13 order drift) pins the whole trajectory, the same recipe that
+    made the kmeans Lloyd loop SQL-expressible. TRAIN_QUALITY_SQL unrolls
+    all ``_TQC_ITERS`` epochs (gopher labels → margins from the w CTE →
+    sigmoid → metrics → full-batch gradient → ROUND(…, 9) update), with
+    MATERIALIZED CTE hints so DuckDB evaluates each epoch once instead of
+    inlining the chain exponentially. Accuracy compares ROUND(p, 9) ≥ 0.5
+    (an unrounded compare would flip on last-ulp exp() differences); the
+    metric rounds at 6. Invariants additionally tested
+    (tests/test_extensions.py): log-loss strictly decreases from ln 2,
+    final accuracy beats the majority class, and the learned weights
+    deploy through the shipped scorer expression."""
     return train_quality_model(spark, sf_dir)[0]
 
 
@@ -1093,9 +1100,15 @@ def _tqc_fit(spark: SparkSession, base: DataFrame):
                     + (1.0 - F.col("y")) * F.log(1.0 - F.col("p") + F.lit(eps))
                 )
             ).alias("logloss"),
-            F.avg(((F.col("p") >= 0.5).cast("double") == F.col("y")).cast("double")).alias(
-                "acc"
-            ),
+            # accuracy compares the ROUNDED probability (round 9): the two
+            # engines' exp() may differ in the last ulp, and an unrounded
+            # p >= 0.5 at that boundary would flip a whole count — the
+            # same round-then-compare contract the shipped scorer uses
+            F.avg(
+                ((F.round(F.col("p"), 9) >= 0.5).cast("double") == F.col("y")).cast(
+                    "double"
+                )
+            ).alias("acc"),
             F.sum("r").alias("gb"),
         ).first()
         metrics.append((it, float(agg["logloss"]), float(agg["acc"])))
@@ -1111,8 +1124,17 @@ def _tqc_fit(spark: SparkSession, base: DataFrame):
             .collect()  # ≤ _TQC_DIM rows — constant-bounded by construction
         )
         g = {int(r["b"]): float(r["g"]) for r in grad_rows}
-        w = [w[b] - _TQC_LR * g.get(b, 0.0) / n_docs for b in range(_TQC_DIM)]
-        bias -= _TQC_LR * float(agg["gb"]) / n_docs
+        # ROUND the updated parameters (9 decimals) on every epoch: the
+        # gradient is a float reduction whose accumulation order differs
+        # between engines (and between runs); rounding far above the
+        # ~1e-13 drift makes the trajectory — and therefore the whole
+        # training run — value-reproducible in ANSI SQL (the pinned-
+        # Lloyd-means recipe from kmeans_cluster_profile, round 9)
+        w = [
+            round(w[b] - _TQC_LR * g.get(b, 0.0) / n_docs, 9)
+            for b in range(_TQC_DIM)
+        ]
+        bias = round(bias - _TQC_LR * float(agg["gb"]) / n_docs, 9)
         if not all(math.isfinite(x) for x in w + [bias]):
             raise RuntimeError("quality-classifier training diverged")
     return (
@@ -1123,6 +1145,84 @@ def _tqc_fit(spark: SparkSession, base: DataFrame):
         list(w),
         bias,
     )
+
+
+def _train_quality_sql() -> str:
+    """SQL twin of the FULL distributed logistic-regression training run
+    (round 9 — was rows-only): gopher labels, md5-bucket features, then
+    ``_TQC_ITERS`` unrolled epochs of margin → sigmoid → metrics →
+    full-batch gradient → ROUND(…, 9) weight/bias update. The per-epoch
+    parameter rounding (far above the ~1e-13 gradient-sum order drift) is
+    what pins the trajectory across engines — the kmeans pinned-Lloyd
+    recipe applied to gradient descent."""
+    lr = repr(float(_TQC_LR))
+    zeros = ", ".join(f"({b}, 0.0)" for b in range(_TQC_DIM))
+    parts = [
+        f"""WITH gopher AS ({TEXT_GOPHER_SQL}),
+tok AS MATERIALIZED (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % {_TQC_DIM}) AS b
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL
+  )
+),
+docn AS MATERIALIZED (SELECT doc_id, COUNT(*) * 1.0 AS n FROM tok GROUP BY 1),
+lbl AS MATERIALIZED (
+  SELECT d.doc_id, d.n, CASE WHEN g.keep THEN 1.0 ELSE 0.0 END AS y
+  FROM docn d JOIN gopher g USING (doc_id)
+),
+nd AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS nd FROM lbl),
+w0(b, wt) AS (VALUES {zeros}),
+b0(bias) AS (VALUES (0.0))"""
+    ]
+    for i in range(_TQC_ITERS):
+        parts.append(
+            f""",
+m{i} AS MATERIALIZED (
+  SELECT t.doc_id, ANY_VALUE(l.n) AS n, ANY_VALUE(l.y) AS y,
+         (SELECT bias FROM b{i}) + SUM(w.wt) / ANY_VALUE(l.n) AS margin
+  FROM tok t JOIN w{i} w ON w.b = t.b JOIN lbl l ON l.doc_id = t.doc_id
+  GROUP BY t.doc_id
+),
+p{i} AS MATERIALIZED (SELECT doc_id, n, y, 1.0 / (1.0 + EXP(-margin)) AS p FROM m{i}),
+met{i} AS (
+  SELECT {i} AS iter,
+         ROUND(AVG(-(y * ln(p + 1e-12)
+                     + (1.0 - y) * ln(1.0 - p + 1e-12))), 6) AS logloss,
+         ROUND(AVG(CASE WHEN (ROUND(p, 9) >= 0.5) = (y = 1.0)
+                        THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+  FROM p{i} HAVING COUNT(*) > 0
+)"""
+        )
+        if i < _TQC_ITERS - 1:
+            parts.append(
+                f""",
+g{i} AS MATERIALIZED (
+  SELECT t.b, SUM((p.p - p.y) / p.n) AS g
+  FROM tok t JOIN p{i} p USING (doc_id)
+  GROUP BY t.b
+),
+w{i + 1}(b, wt) AS MATERIALIZED (
+  SELECT w.b,
+         ROUND(w.wt - {lr} * COALESCE(g.g, 0.0) / (SELECT nd FROM nd), 9)
+  FROM w{i} w LEFT JOIN g{i} g USING (b)
+),
+b{i + 1}(bias) AS MATERIALIZED (
+  SELECT ROUND((SELECT bias FROM b{i})
+               - {lr} * (SELECT SUM(p - y) FROM p{i})
+                 / (SELECT nd FROM nd), 9)
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM met{i}" for i in range(_TQC_ITERS)
+    )
+    parts.append(f"\n{union}\nORDER BY iter")
+    return "".join(parts)
+
+
+TRAIN_QUALITY_SQL = _train_quality_sql()
 
 
 def score_with_linear_model(docs: DataFrame, weights: list, bias: float) -> DataFrame:
@@ -1765,21 +1865,23 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     language's ~4 bits/char, so entropy bands are a standard first-pass
     filter (and compression-ratio proxy) in web-scale curation.
 
-    Shape is wordcount at character granularity: explode each doc to
-    (doc_id, char) via a position sequence (explicit substring walk — the
-    one splitting idiom with identical semantics on both engines), one
-    (doc, char) hash agg with map-side combine, one doc-keyed agg.
-    Entropy uses the algebraic form log2(n) − Σ c·log2(c) / n so only
-    counts are summed distributively; the float sum's partition-order
-    drift (~1e-13) is absorbed by the 6-decimal round on both sides."""
+    Shape is wordcount at character granularity: split each doc into its
+    char array and explode THAT, so every exploded row carries one char —
+    the first cut exploded a position sequence and projected
+    substring(text, i, 1) afterwards, which dragged the FULL text string
+    through the explode on every row (100× sweep: 47× runtime; the char
+    split measures ~5×). Then one (doc, char) hash agg with map-side
+    combine and one doc-keyed agg. Entropy uses the algebraic form
+    log2(n) − Σ c·log2(c) / n so only counts are summed distributively;
+    the float sum's partition-order drift (~1e-13) is absorbed by the
+    6-decimal round on both sides (the oracle keeps the substring walk —
+    same multiset of chars, different mechanism)."""
     docs = load(spark, "documents", sf_dir).filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     ch = docs.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
-    ).select("doc_id", F.expr("substring(text, i, 1)").alias("c"))
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    )
     cnts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
     agg = cnts.groupBy("doc_id").agg(
         F.sum("cnt").alias("n"),
@@ -1873,6 +1975,9 @@ ORACLES = {
     "text_bigram_freq": TEXT_BIGRAM_SQL,
     "text_rollup_by_lang_source": TEXT_ROLLUP_SQL,
     "text_linear_quality_classifier": TEXT_LQC_SQL,
-    # train_quality_classifier intentionally rows-only: float gradient
-    # reductions with unpinned accumulation order (contract in docstring)
+    # round 9: train_quality_classifier upgraded rows-only → value-exact
+    # via per-epoch ROUND(…, 9) parameter pinning (docstring has the full
+    # mechanism); the whole distributed logistic-regression run is now
+    # replayed by DuckDB
+    "train_quality_classifier": TRAIN_QUALITY_SQL,
 }
