@@ -100,17 +100,25 @@ _MODULES = [
 # union_by_name / sort_within_partitions / top_customers all r8),
 # agg_unpivot + array_explode_posexplode (<- agg_pivot and array_funcs /
 # nested_envelope_parse stay in-window — displaced by the text
-# entropy/Zipf pair).
+# entropy/Zipf pair), agg_global (<- the r8-green TPC-H global aggs
+# q6/q14 share the shape — displaced by events_hourly_anomalies),
+# join_cross (<- join_theta_band, the other J5 face, heads this window —
+# displaced by train_quality_classifier's re-earn row).
 _PRIORITY = [
     # (c) new round-9 entries (all value-exact oracles; kmeans_cluster_
     # profile, upgraded this round, is already below among the r5 rows)
     "matryoshka_recall_eval",
     "item_jaccard_similarity",
     "events_hourly_seasonality",
+    "events_hourly_anomalies",
     "events_power_users_curve",
     "sessions_peak_concurrency",
     "text_char_entropy",
     "text_zipf_fit",
+    # train_quality_classifier: upgraded rows-only -> oracle this round
+    # with a CHANGED training trajectory (per-epoch parameter rounding),
+    # so its r7 row is stale — re-earns a value-hash row here
+    "train_quality_classifier",
     # (a) never-driver-checked late round-8 adds
     "vocab_coverage",
     "session_stats",
@@ -142,9 +150,7 @@ _PRIORITY = [
     "snapshot_schema_evolution_orders",
     "curate_pretraining_corpus",
     "q12_shipdelay_priority",
-    "join_cross",
     "join_salted_skew",
-    "agg_global",
     "agg_cube",
     "window_topk_per_group",
     "array_funcs",

@@ -132,6 +132,8 @@ HEADLINE = [
     "sessions_peak_concurrency",
     "text_char_entropy",
     "text_zipf_fit",
+    "events_hourly_anomalies",
+    "train_quality_classifier",
 ]
 
 

@@ -1612,6 +1612,81 @@ ORDER BY 1, 2
 """
 
 
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED hourly anomaly ranking: each observed
+    (date, hour) bucket is z-scored against the mean/σ of its OWN
+    (day-of-week, hour) seasonal cell; the 20 most anomalous buckets
+    surface, flagged when |z| ≥ 1.5 — the alerting layer on top of
+    ``events_hourly_seasonality`` (a raw count is only anomalous relative
+    to "Tuesdays at 9am", which is what the MAD op's global per-type
+    baseline can't express). Ranked top-k, not a fixed gate: with c
+    observations per cell the population z is bounded by √(c−1), so a
+    hard threshold degenerates on short histories — rank answers "what
+    should I look at first" at any history length. Absent cells are
+    absence-of-traffic, a separate (volume) signal, so the profile is
+    over observed buckets only — identical on both engines.
+
+    Two hash aggs (hour buckets ≤ days×24; profile ≤ 168 rows, broadcast
+    back) then a TakeOrdered top-k — full-corpus work is the one bucket
+    count. σ uses the population form; both engines produce exact 0.0 on
+    constant cells (degenerate cells drop), and ordering/flagging use the
+    ROUNDED z with (day, hour) ties so a last-ulp σ difference cannot
+    reorder or flip membership."""
+    ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    hc = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    prof = hc.groupBy(F.dayofweek("day").alias("dow"), "hour").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        hc.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(prof), ["dow", "hour"])
+        .filter(F.col("sd") > 0)
+        .select(
+            "day",
+            "hour",
+            F.col("n").alias("n_events"),
+            F.round("mu", 6).alias("cell_mean"),
+            F.round("sd", 6).alias("cell_std"),
+            z.alias("z"),
+            (F.abs(z) >= 1.5).alias("is_alert"),
+        )
+        .orderBy(F.desc(F.abs(F.col("z"))), "day", "hour")
+        .limit(20)
+    )
+
+
+HOURLY_ANOMALIES_SQL = """
+WITH hc AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hour,
+         COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+prof AS (
+  SELECT CAST(dayofweek(day) + 1 AS INT) AS dow, hour,
+         AVG(n) AS mu, STDDEV_POP(n) AS sd
+  FROM hc GROUP BY 1, 2
+),
+scored AS (
+  SELECT h.day, h.hour AS hour, h.n AS n_events,
+         ROUND(p.mu, 6) AS cell_mean,
+         ROUND(p.sd, 6) AS cell_std,
+         ROUND((h.n - p.mu) / p.sd, 6) AS z
+  FROM hc h
+  JOIN prof p
+    ON p.dow = CAST(dayofweek(h.day) + 1 AS INT) AND p.hour = h.hour
+  WHERE p.sd > 0
+)
+SELECT day, hour, n_events, cell_mean, cell_std, z,
+       ABS(z) >= 1.5 AS is_alert
+FROM scored
+ORDER BY ABS(z) DESC, day, hour
+LIMIT 20
+"""
+
+
 def events_power_users_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity-concentration (Lorenz) curve by user decile: rank users by
     event count, split into NTILE(10) deciles, report each decile's user
@@ -2078,6 +2153,7 @@ QUERIES = {
     "user_behavior_surprisal": user_behavior_surprisal,
     "item_jaccard_similarity": item_jaccard_similarity,
     "events_hourly_seasonality": events_hourly_seasonality,
+    "events_hourly_anomalies": events_hourly_anomalies,
     "events_power_users_curve": events_power_users_curve,
     "sessions_peak_concurrency": sessions_peak_concurrency,
 }
@@ -2116,6 +2192,7 @@ ORACLES = {
     "user_behavior_surprisal": USER_SURPRISAL_SQL,
     "item_jaccard_similarity": ITEM_JACCARD_SQL,
     "events_hourly_seasonality": SEASONALITY_SQL,
+    "events_hourly_anomalies": HOURLY_ANOMALIES_SQL,
     "events_power_users_curve": POWER_USERS_SQL,
     "sessions_peak_concurrency": _sessions_peak_concurrency_sql(),
 }
