@@ -103,7 +103,9 @@ _MODULES = [
 # entropy/Zipf pair), agg_global (<- the r8-green TPC-H global aggs
 # q6/q14 share the shape — displaced by events_hourly_anomalies),
 # join_cross (<- join_theta_band, the other J5 face, heads this window —
-# displaced by train_quality_classifier's re-earn row).
+# displaced by train_quality_classifier's re-earn row),
+# nested_envelope_parse (<- json_extraction in-window, json_variant_
+# extract r7 — displaced by domain_mixture_weights).
 _PRIORITY = [
     # (c) new round-9 entries (all value-exact oracles; kmeans_cluster_
     # profile, upgraded this round, is already below among the r5 rows)
@@ -115,6 +117,7 @@ _PRIORITY = [
     "sessions_peak_concurrency",
     "text_char_entropy",
     "text_zipf_fit",
+    "domain_mixture_weights",
     # train_quality_classifier: upgraded rows-only -> oracle this round
     # with a CHANGED training trajectory (per-epoch parameter rounding),
     # so its r7 row is stale — re-earns a value-hash row here
@@ -154,7 +157,6 @@ _PRIORITY = [
     "agg_cube",
     "window_topk_per_group",
     "array_funcs",
-    "nested_envelope_parse",
     "dedup_exact",
     "dedup_semantic",
     "dedup_minhash_lsh",

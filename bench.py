@@ -134,6 +134,7 @@ HEADLINE = [
     "text_zipf_fit",
     "events_hourly_anomalies",
     "train_quality_classifier",
+    "domain_mixture_weights",
 ]
 
 

@@ -397,8 +397,71 @@ WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100) 
 """
 
 
+# Mixture temperature: weights ∝ (token share)^α — α < 1 flattens the
+# source distribution toward uniform (α=1 proportional, α=0 uniform).
+_MIX_ALPHA = 0.3
+
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixture weights — the PLANNING artifact of
+    data-mixing (the DoReMi/multilingual-LM recipe's static baseline):
+    per source, token count and the normalized sampling weight
+    w_s = n_s^α / Σ_t n_t^α at α = 0.3 — what a training job feeds its
+    sampler so small domains are up-weighted without drowning big ones.
+    ``sample_temperature_by_lang`` APPLIES a temperature as a keep filter;
+    this one reports the weights a mixture scheduler consumes.
+
+    Scale shape: token counting is a per-row array-length projection (no
+    explode), one source-keyed agg to a |sources|-row frame, then a
+    broadcast 1-row normalizer. Counts are integer-exact; pow/divide are
+    evaluated on the tiny frame and round at 6 (both engines' pow may
+    differ in the last ulp — far inside the round)."""
+    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    from ..functions.text import tokens
+
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("long")).alias("total_tokens"),
+    )
+    powed = per_src.withColumn(
+        "pw", F.pow(F.col("total_tokens").cast("double"), F.lit(_MIX_ALPHA))
+    )
+    norm = powed.agg(F.sum("pw").alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("pw") / F.col("z"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_MIXTURE_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS total_tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source
+),
+powed AS (
+  SELECT *, POWER(CAST(total_tokens AS DOUBLE), {_MIX_ALPHA!r}) AS pw
+  FROM per_src
+),
+norm AS (SELECT SUM(pw) AS z FROM powed)
+SELECT source, n_docs, total_tokens,
+       ROUND(pw / (SELECT z FROM norm), 6) AS weight
+FROM powed
+ORDER BY source
+"""
+
+
 QUERIES = {
     "curate_pretraining_corpus": curate_pretraining_corpus,
+    "domain_mixture_weights": domain_mixture_weights,
     "split_train_val_test": split_train_val_test,
     "mixture_weighted_interleave": mixture_weighted_interleave,
     "split_leakage_free": split_leakage_free,
@@ -411,6 +474,7 @@ QUERIES = {
 
 ORACLES = {
     "curate_pretraining_corpus": CURATE_SQL,
+    "domain_mixture_weights": DOMAIN_MIXTURE_SQL,
     "split_train_val_test": SPLIT_SQL,
     "mixture_weighted_interleave": MIXTURE_INTERLEAVE_SQL,
     "split_leakage_free": _leakage_free_sql(),
