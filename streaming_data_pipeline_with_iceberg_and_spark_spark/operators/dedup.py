@@ -777,22 +777,31 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pair work is blocked by cluster (≈√N members per cell vs
     corpus-wide all-pairs); the quantizer is the only driver-side state; at
     100 TB the assigned corpus is written out partitioned by cell once and
-    within-cell pairs stay executor-local. Rows-only check (the quantizer
-    is engine-internal); precision — every drop justified by a recomputed
-    ≥τ neighbor — and determinism asserted in tests/test_extensions.py."""
-    from .similarity import _ivf_assign_fn, _ivf_centroids
+    within-cell pairs stay executor-local.
 
-    emb = load_spread(spark, "embeddings", sf_dir).persist()
-    cent = _ivf_centroids(spark, sf_dir, emb)
-    assigned = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(
-            _ivf_assign_fn(cent, 1),
-            schema="vec_id long, probe_rank int, cell int, embedding array<float>",
-        )
-        .select("vec_id", "cell", "embedding")
-        .withColumn("nrm", norm("embedding"))
+    Oracle-GREEN since round 9 (was rows-only): the blocking quantizer is
+    now the PINNED md5-Forgy one (the ann_ivf_index precedent — raw
+    pinned seeds, √N cells, sequential-fold assignment; SemDeDup's
+    blocking is approximate by construction, so the unrefined pinned
+    cells are as valid a partition as the learned ones), and the drop
+    test compares the ROUNDED cosine (6 decimals, the knn idiom) so a
+    last-ulp fold difference cannot flip a drop at the τ boundary.
+    Precision — every drop justified by a recomputed ≥τ neighbor — and
+    determinism stay asserted in tests/test_extensions.py."""
+    from .similarity import _ivf_n_cells, pinned_fold_assign, pinned_forgy_seeds
+
+    emb = (
+        load_spread(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .persist()
     )
+    n = emb.count()
+    if n == 0:
+        return spark.createDataFrame([], "vec_id long, cell int")
+    cents = pinned_forgy_seeds(emb, min(_ivf_n_cells(n), n))
+    assigned = pinned_fold_assign(spark, emb, cents).select(
+        "vec_id", "cell", "embedding"
+    ).withColumn("nrm", norm("embedding"))
     a, b = assigned.alias("a"), assigned.alias("b")
     drops = (
         a.join(
@@ -802,9 +811,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.vec_id").alias("vec_id"),
-            (
+            F.round(
                 dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _SEM_TAU)
@@ -819,6 +829,55 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEM_TAU = 0.35
+
+
+def _dedup_semantic_sql() -> str:
+    """SQL twin of the pinned SemDeDup path: the ANN_IVF_INDEX seed/assign
+    idiom (md5-Forgy √N cells, fold-score rank-1) feeding the within-cell
+    keep-lowest-id drop rule on the 6-rounded cosine. ``assign`` is
+    MATERIALIZED — it is referenced three times and DuckDB would otherwise
+    inline (and re-evaluate) the quantizer chain per reference."""
+    from .similarity import _IVF_MAX_CELLS
+
+    return f"""
+WITH kk AS (
+  SELECT GREATEST(4, LEAST({_IVF_MAX_CELLS},
+         CAST(FLOOR(SQRT(COUNT(*))) AS INT))) AS k
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cell,
+         v AS c
+  FROM ev
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            <= (SELECT k FROM kk)
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT ev.vec_id, ev.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+             ORDER BY (list_inner_product(ev.v, c.c)
+                       - list_inner_product(c.c, c.c) / 2.0) DESC,
+                      c.cell ASC) AS rn
+    FROM ev, c0 c
+  ) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b
+    ON b.cell = a.cell AND b.vec_id < a.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_SEM_TAU!r}
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell
+FROM assign a
+WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = a.vec_id)
+ORDER BY a.vec_id
+"""
 
 
 QUERIES = {
@@ -837,8 +896,10 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_span_exact": DEDUP_SPAN_SQL,
-    # dedup_semantic intentionally rows-only (engine-internal quantizer);
-    # precision + determinism asserted in tests/test_extensions.py
+    # round 9: dedup_semantic upgraded rows-only → value-exact (pinned
+    # md5-Forgy blocking quantizer + 6-rounded cosine drop test);
+    # precision + determinism stay asserted in tests/test_extensions.py
+    "dedup_semantic": _dedup_semantic_sql(),
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,

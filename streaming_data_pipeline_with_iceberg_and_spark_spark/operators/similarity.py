@@ -1506,49 +1506,13 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .persist()
     )
-    seed_rows = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
-        .limit(_KMEANS_K)
-        .select("embedding")
-        .collect()  # ≤ k rows; doubles as the empty-corpus probe
-    )
-    if not seed_rows:
+    cents = pinned_forgy_seeds(emb, _KMEANS_K)  # doubles as empty probe
+    if not cents:
         return spark.createDataFrame([], "cluster int, n long, avg_dist double")
-    k_eff = len(seed_rows)
-    cents = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    k_eff = len(cents)
 
     def _assign(cs: list) -> DataFrame:
-        # argmax_j (x·c_j − ½|c_j|²) with ties to the LOWEST cell:
-        # max_by over a (score, −cell) struct key is the SQL twin's
-        # (score DESC, cell ASC) rank-1 — the key is unique per pair, so
-        # the fold-exact scores make the pick bit-identical to DuckDB's
-        cells = spark.createDataFrame(
-            [(j, cs[j], _seq_half_sq(cs[j])) for j in range(len(cs))],
-            "cell int, c array<double>, chalf double",
-        )
-        return (
-            emb.crossJoin(F.broadcast(cells))
-            .select(
-                "vec_id",
-                "embedding",
-                "cell",
-                "c",
-                (dot("embedding", "c") - F.col("chalf")).alias("score"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.struct("cell", "c", "embedding"),
-                    F.struct(F.col("score"), (-F.col("cell")).alias("negcell")),
-                ).alias("b")
-            )
-            .select(
-                "vec_id",
-                F.col("b.embedding").alias("embedding"),
-                F.col("b.cell").alias("cell"),
-                F.col("b.c").alias("c"),
-            )
-        )
+        return pinned_fold_assign(spark, emb, cs)
 
     for _ in range(_KMEANS_ITERS):
         mean_rows = (
@@ -1577,6 +1541,61 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def pinned_fold_assign(spark: SparkSession, emb: DataFrame, cents: list) -> DataFrame:
+    """Nearest pinned centroid per vector by the SEQUENTIAL-FOLD score
+    x·c − ½|c|² with (score DESC, cell ASC) ties: max_by over a
+    (score, −cell) struct key is the SQL twin's rank-1, the key is unique
+    per pair, and the fold-exact scores make the pick bit-identical to
+    DuckDB's `list_inner_product` argmax — the shared assignment step of
+    ``kmeans_cluster_profile`` and the pinned ``dedup_semantic`` blocking.
+    Map-side combine collapses the corpus×k pairs back to one row per
+    vector BEFORE any shuffle (no rank window, no per-vector sort).
+    Returns (vec_id, embedding, cell, c)."""
+    cells = spark.createDataFrame(
+        [(j, cents[j], _seq_half_sq(cents[j])) for j in range(len(cents))],
+        "cell int, c array<double>, chalf double",
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cells))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            "c",
+            (dot("embedding", "c") - F.col("chalf")).alias("score"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "c", "embedding"),
+                F.struct(F.col("score"), (-F.col("cell")).alias("negcell")),
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.cell").alias("cell"),
+            F.col("b.c").alias("c"),
+        )
+    )
+
+
+def pinned_forgy_seeds(emb: DataFrame, k: int) -> list:
+    """The md5-ranked Forgy init shared by every pinned quantizer face
+    (IvfIndex pinned build, kmeans_cluster_profile, dedup_semantic):
+    the first ``k`` corpus vectors ranked by (md5(vec_id), vec_id),
+    collected as double lists (≤ k rows of driver state)."""
+    seed_rows = (
+        emb.filter(F.col("embedding").isNotNull())
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in seed_rows]
 
 
 def _kmeans_profile_sql() -> str:
