@@ -105,7 +105,9 @@ _MODULES = [
 # join_cross (<- join_theta_band, the other J5 face, heads this window —
 # displaced by train_quality_classifier's re-earn row),
 # nested_envelope_parse (<- json_extraction in-window, json_variant_
-# extract r7 — displaced by domain_mixture_weights).
+# extract r7 — displaced by domain_mixture_weights), agg_cube
+# (<- agg_rollup + agg_grouping_sets in-window, rollup_multi_granularity
+# r7 — displaced by corpus_source_report).
 _PRIORITY = [
     # (c) new round-9 entries (all value-exact oracles; kmeans_cluster_
     # profile, upgraded this round, is already below among the r5 rows)
@@ -118,6 +120,7 @@ _PRIORITY = [
     "text_char_entropy",
     "text_zipf_fit",
     "domain_mixture_weights",
+    "corpus_source_report",
     # train_quality_classifier: upgraded rows-only -> oracle this round
     # with a CHANGED training trajectory (per-epoch parameter rounding),
     # so its r7 row is stale — re-earns a value-hash row here
@@ -154,7 +157,6 @@ _PRIORITY = [
     "curate_pretraining_corpus",
     "q12_shipdelay_priority",
     "join_salted_skew",
-    "agg_cube",
     "window_topk_per_group",
     "array_funcs",
     "dedup_exact",

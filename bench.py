@@ -135,6 +135,7 @@ HEADLINE = [
     "events_hourly_anomalies",
     "train_quality_classifier",
     "domain_mixture_weights",
+    "corpus_source_report",
 ]
 
 

@@ -1772,6 +1772,64 @@ GROUP BY 1
 """
 
 
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the one-page health summary a
+    curation team reviews before admitting a source into the mixture: doc
+    and token volume, within-source exact-duplicate count, Gopher-rule
+    keep rate, and mean learned-classifier quality, every signal the
+    SHARED definition the standalone ops use (``_gopher_signals``, the
+    pinned ``_linear_score_expr`` scorer, raw-text identity for dups) so
+    the report can never disagree with the filters it summarizes.
+
+    One pass over the corpus (all signals are per-row expressions — the
+    classifier scores inside one higher-order aggregate, no explode) into
+    one source-keyed agg; |sources| output rows. Counts are integers;
+    the two rates round at 6."""
+    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    _, _, _, keep = _gopher_signals()
+    score = _linear_score_expr(_LQC_W, _LQC_BIAS)
+    enriched = docs.select(
+        "source",
+        "text",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+        keep.cast("int").alias("g"),
+        score.alias("q"),
+    )
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.countDistinct("text")).alias("n_exact_dups"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.avg("g"), 6).alias("gopher_keep_rate"),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _corpus_source_report_sql() -> str:
+    return f"""
+WITH lqc AS ({TEXT_LQC_SQL}),
+gopher AS ({TEXT_GOPHER_SQL}),
+d AS (
+  SELECT doc_id, source, text,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_toks
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       COUNT(*) - COUNT(DISTINCT d.text) AS n_exact_dups,
+       CAST(SUM(d.n_toks) AS BIGINT) AS total_tokens,
+       ROUND(AVG(CASE WHEN g.keep THEN 1 ELSE 0 END), 6) AS gopher_keep_rate,
+       ROUND(AVG(l.quality_score), 6) AS mean_quality
+FROM d
+JOIN gopher g USING (doc_id)
+JOIN lqc l USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # Zipf fit depth: the OLS runs over the top-_ZIPF_TOPK ranks — a constant,
 # so the regression input is bounded at any corpus size.
 _ZIPF_TOPK = 200
@@ -1922,6 +1980,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "text_char_entropy": text_char_entropy,
     "text_zipf_fit": text_zipf_fit,
+    "corpus_source_report": corpus_source_report,
     "quality_classifier_eval": quality_classifier_eval,
     "classifier_calibration": classifier_calibration,
     "text_heavy_hitters": text_heavy_hitters,
@@ -1950,6 +2009,7 @@ ORACLES = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "text_zipf_fit": TEXT_ZIPF_SQL,
+    "corpus_source_report": _corpus_source_report_sql(),
     "quality_classifier_eval": CLASSIFIER_EVAL_SQL_TEMPLATE.format(
         lqc_sql=TEXT_LQC_SQL, gopher_sql=TEXT_GOPHER_SQL
     ),
