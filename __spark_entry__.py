@@ -107,7 +107,9 @@ _MODULES = [
 # nested_envelope_parse (<- json_extraction in-window, json_variant_
 # extract r7 — displaced by domain_mixture_weights), agg_cube
 # (<- agg_rollup + agg_grouping_sets in-window, rollup_multi_granularity
-# r7 — displaced by corpus_source_report).
+# r7 — displaced by corpus_source_report), window_topk_per_group
+# (<- top_customers r8 shares the WindowGroupLimit shape + dedicated plan
+# test — displaced by corpus_novelty_curve).
 _PRIORITY = [
     # (c) new round-9 entries (all value-exact oracles; kmeans_cluster_
     # profile, upgraded this round, is already below among the r5 rows)
@@ -121,6 +123,7 @@ _PRIORITY = [
     "text_zipf_fit",
     "domain_mixture_weights",
     "corpus_source_report",
+    "corpus_novelty_curve",
     # train_quality_classifier: upgraded rows-only -> oracle this round
     # with a CHANGED training trajectory (per-epoch parameter rounding),
     # so its r7 row is stale — re-earns a value-hash row here
@@ -157,7 +160,6 @@ _PRIORITY = [
     "curate_pretraining_corpus",
     "q12_shipdelay_priority",
     "join_salted_skew",
-    "window_topk_per_group",
     "array_funcs",
     "dedup_exact",
     "dedup_semantic",

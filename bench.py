@@ -136,6 +136,7 @@ HEADLINE = [
     "train_quality_classifier",
     "domain_mixture_weights",
     "corpus_source_report",
+    "corpus_novelty_curve",
 ]
 
 

@@ -1772,6 +1772,89 @@ GROUP BY 1
 """
 
 
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty decay over ingestion order — the diminishing-returns
+    curve behind "is more of this source still adding information?": for
+    each corpus-position decile (by doc_id, the ingestion order), the
+    share of its docs' distinct 3-gram shingles seen for the FIRST time
+    in that doc. A healthy growing corpus decays slowly; a curve that
+    crashes to ~0 says the tail is re-crawls and boilerplate (the
+    RefinedWeb/C4-style accumulation diagnostic).
+
+    Shape: distinct shingles per doc (per-row projection, no explode
+    until the count), one shingle-keyed MIN(doc_id) shuffle (wordcount
+    class), join back on the shingle key, one doc-keyed agg, then
+    NTILE(10) over the doc-cardinality frame (the documented exact-form
+    trade) and a 10-row rollup. The per-decile rate is a ratio of summed
+    integers rounded at 6 — cross-engine exact."""
+    from ..functions.text import shingles
+
+    docs = load_spread(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("s"),
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    dec = per_doc.select(
+        "n_shingles",
+        "n_novel",
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+    )
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_shingles").alias("n_shingles"),
+            F.sum("n_novel").alias("n_novel"),
+            F.round(F.sum("n_novel") / F.sum("n_shingles"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+CORPUS_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(t) - 2, 1) + 1)])) AS s
+  FROM toks
+),
+first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh JOIN first f USING (s)
+  GROUP BY 1
+),
+dec AS (SELECT *, NTILE(10) OVER (ORDER BY doc_id) AS decile FROM per_doc)
+SELECT decile, COUNT(*) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       ROUND(SUM(n_novel) / (SUM(n_shingles) * 1.0), 6) AS novelty_rate
+FROM dec
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card — the one-page health summary a
     curation team reviews before admitting a source into the mixture: doc
@@ -1981,6 +2064,7 @@ QUERIES = {
     "text_char_entropy": text_char_entropy,
     "text_zipf_fit": text_zipf_fit,
     "corpus_source_report": corpus_source_report,
+    "corpus_novelty_curve": corpus_novelty_curve,
     "quality_classifier_eval": quality_classifier_eval,
     "classifier_calibration": classifier_calibration,
     "text_heavy_hitters": text_heavy_hitters,
@@ -2010,6 +2094,7 @@ ORACLES = {
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "text_zipf_fit": TEXT_ZIPF_SQL,
     "corpus_source_report": _corpus_source_report_sql(),
+    "corpus_novelty_curve": CORPUS_NOVELTY_SQL,
     "quality_classifier_eval": CLASSIFIER_EVAL_SQL_TEMPLATE.format(
         lqc_sql=TEXT_LQC_SQL, gopher_sql=TEXT_GOPHER_SQL
     ),
