@@ -737,3 +737,46 @@ def test_bm25_prf_filters_both_passes(plan):
     unfiltered pass would shuffle every posting in the corpus."""
     p = plan("bm25_prf_search")
     assert p.count("INSET") + p.count(" IN (") >= 2, p
+
+
+def test_kmeans_pinned_assign_is_broadcast_and_combined(plan):
+    """The pinned Lloyd assignment must broadcast the k=16 centroid frame
+    (never a CartesianProduct) and take the per-vector argmax as a hash
+    AGGREGATE (max_by with map-side partial combine) — not a rank window,
+    whose per-vector sort shuffle the max_by form exists to avoid."""
+    p = plan("kmeans_cluster_profile")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "max_by" in p, p
+
+
+def test_dedup_semantic_blocks_pairs_by_cell(plan):
+    """SemDeDup's pair join must key on the blocking cell (a hash join on
+    cell), never an all-pairs product — the whole point of the quantizer."""
+    p = plan("dedup_semantic")
+    assert "CartesianProduct" not in p, p
+    # within-cell pair generation is an equi-join on the cell key
+    assert "cell" in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p), p
+
+
+def test_concurrency_sweep_has_no_global_window(plan):
+    """The boundary-sweep cumulative must be the two-pass form: every
+    corpus-scale Window node carries a day partition spec; the only
+    unpartitioned ordered window allowed is over the calendar-bounded
+    day-offset frame (detected here by requiring at least one
+    day-partitioned window and the day-offset aggregation)."""
+    import re
+
+    p = plan("sessions_peak_concurrency")
+    # the per-point running sum must be partitioned by day: its
+    # windowspecdefinition's first argument (the partition spec) is day
+    specs = re.findall(r"sum\(delta[^\n]*windowspecdefinition\(([^,]*),", p)
+    assert specs and all("day" in s for s in specs), (specs, p)
+
+
+def test_corpus_novelty_first_seen_joins_on_shingle(plan):
+    """The novelty join must key on the shingle (first-occurrence lookup),
+    and the scan must not survive as an exploded cartesian."""
+    p = plan("corpus_novelty_curve")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
