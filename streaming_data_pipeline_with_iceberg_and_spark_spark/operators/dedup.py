@@ -781,14 +781,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-GREEN since round 9 (was rows-only): the blocking quantizer is
     now the PINNED md5-Forgy one (the ann_ivf_index precedent — raw
-    pinned seeds, √N cells, sequential-fold assignment; SemDeDup's
-    blocking is approximate by construction, so the unrefined pinned
-    cells are as valid a partition as the learned ones), and the drop
-    test compares the ROUNDED cosine (6 decimals, the knn idiom) so a
-    last-ulp fold difference cannot flip a drop at the τ boundary.
+    pinned seeds, √N cells; SemDeDup's blocking is approximate by
+    construction, so the unrefined pinned cells are as valid a partition
+    as the learned ones). Assignment is the GEMM pass with scores ROUNDED
+    at 5 before the argmax — ulp-aligned with the oracle's fold score at
+    BLAS speed (the first cut used the corpus×√N fold-expression
+    assignment: value-exact but N^1.5, 124× at the 100× sweep) — and the
+    drop test compares the ROUNDED cosine (6 decimals, the knn idiom) so
+    a last-ulp difference cannot flip a drop at the τ boundary.
     Precision — every drop justified by a recomputed ≥τ neighbor — and
     determinism stay asserted in tests/test_extensions.py."""
-    from .similarity import _ivf_n_cells, pinned_fold_assign, pinned_forgy_seeds
+    import numpy as np
+
+    from .similarity import _ivf_assign_fn, _ivf_n_cells, pinned_forgy_seeds
 
     emb = (
         load_spread(spark, "embeddings", sf_dir)
@@ -799,9 +804,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n == 0:
         return spark.createDataFrame([], "vec_id long, cell int")
     cents = pinned_forgy_seeds(emb, min(_ivf_n_cells(n), n))
-    assigned = pinned_fold_assign(spark, emb, cents).select(
-        "vec_id", "cell", "embedding"
-    ).withColumn("nrm", norm("embedding"))
+    assigned = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            _ivf_assign_fn(np.array(cents, dtype=np.float64), 1, round_scores=True),
+            schema="vec_id long, probe_rank int, cell int, embedding array<float>",
+        )
+        .select("vec_id", "cell", "embedding")
+        .withColumn("nrm", norm("embedding"))
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     drops = (
         a.join(
@@ -861,8 +872,8 @@ assign AS MATERIALIZED (
   SELECT vec_id, v, cell FROM (
     SELECT ev.vec_id, ev.v, c.cell,
            ROW_NUMBER() OVER (PARTITION BY ev.vec_id
-             ORDER BY (list_inner_product(ev.v, c.c)
-                       - list_inner_product(c.c, c.c) / 2.0) DESC,
+             ORDER BY ROUND(list_inner_product(ev.v, c.c)
+                            - list_inner_product(c.c, c.c) / 2.0, 5) DESC,
                       c.cell ASC) AS rn
     FROM ev, c0 c
   ) WHERE rn = 1

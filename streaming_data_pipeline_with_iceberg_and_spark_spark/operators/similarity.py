@@ -375,9 +375,20 @@ def _seq_half_sq(c) -> float:
     return _seq_fold_dot(c, c) / 2.0
 
 
-def _ivf_assign_fn(cent_mat, nprobe: int):
+def _ivf_assign_fn(cent_mat, nprobe: int, round_scores: bool = False):
     """mapInPandas closure: nearest ``nprobe`` cells per vector via one GEMM
-    against the (tiny, broadcast-in-closure) centroid matrix."""
+    against the (tiny, broadcast-in-closure) centroid matrix.
+
+    ``round_scores=True`` rounds the assignment scores at 5 decimals
+    before the argsort — with pinned centroids that makes the GEMM
+    assignment SQL-reproducible at GEMM speed: the GEMM score and the
+    fold score differ only in last ulps, so after rounding both engines
+    see the same value (the knn boundary-flake class), and the stable
+    argsort breaks rounded ties toward the LOWEST cell exactly like the
+    twin's (score DESC, cell ASC). The round-9 fold-expression variant
+    of this assignment was value-exact but N^1.5 in engine time (124× at
+    the 100× sweep, corpus×√N fold pairs) — this path keeps the oracle
+    and the BLAS constant."""
     import numpy as np
     import pandas as pd
 
@@ -392,6 +403,8 @@ def _ivf_assign_fn(cent_mat, nprobe: int):
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             # nearest-by-L2 == max dot - ||c||²/2 (corpus norms cancel)
             scores = mat @ cent_mat.T - 0.5 * (cent_mat**2).sum(axis=1)
+            if round_scores:
+                scores = np.round(scores, 5)
             order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
             n = len(pdf)
             yield pd.DataFrame(
