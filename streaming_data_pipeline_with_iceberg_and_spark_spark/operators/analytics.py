@@ -1581,13 +1581,43 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine note: Spark's dayofweek is 1=Sunday, DuckDB's is
     0=Sunday — the oracle shifts by one rather than both sides paying a
     CASE remap. Counts are integers; the share divides once, rounded 6."""
-    ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
-    total = ev.agg(F.count("*").alias("total"))
+    return seasonality_from_counts(
+        hourly_counts(load(spark, "events", sf_dir))
+    )
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """DISTINCT-bucket (day, hour, n) event counts — the one pass over the
+    raw fact that the seasonality profile, the anomaly ranking, and the
+    incremental hourly ingest share (the activity_pairs discipline:
+    batch and maintained-table paths cannot disagree about a bucket).
+    Counts are ADDITIVE, so per-batch partials merge by summing — the
+    mergeable-sums IVM class, no ordering contract."""
     return (
-        ev.groupBy(
-            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
-        )
-        .agg(F.count("*").alias("n_events"))
+        events.filter(F.col("ts").isNotNull())
+        .select(F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+                F.hour(F.col("ts").cast("timestamp")).alias("hour"))
+        .groupBy("day", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_hourly_counts(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch count partials to one row per bucket —
+    the serve-side merge (and the whole job of ``compact_hourly_counts``)."""
+    return state.groupBy("day", "hour").agg(F.sum("n").alias("n"))
+
+
+def seasonality_from_counts(hc: DataFrame) -> DataFrame:
+    """Seasonality finalization over (possibly partial) (day, hour, n)
+    rows — the batch op and the maintained-table serving face. A grouped
+    sum over (dow, hour) of per-(day, hour) counts is EXACTLY the direct
+    per-event count, so parity with the event-scan path is algebraic."""
+    merged = merge_hourly_counts(hc)
+    total = merged.agg(F.sum("n").alias("total"))
+    return (
+        merged.groupBy(F.dayofweek("day").alias("dow"), "hour")
+        .agg(F.sum("n").alias("n_events"))
         .crossJoin(F.broadcast(total))
         .select(
             "dow",
@@ -1632,10 +1662,15 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant cells (degenerate cells drop), and ordering/flagging use the
     ROUNDED z with (day, hour) ties so a last-ulp σ difference cannot
     reorder or flip membership."""
-    ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
-    hc = ev.groupBy(
-        F.to_date("ts").alias("day"), F.hour("ts").alias("hour")
-    ).agg(F.count("*").alias("n"))
+    return anomalies_from_counts(
+        hourly_counts(load(spark, "events", sf_dir))
+    )
+
+
+def anomalies_from_counts(state: DataFrame) -> DataFrame:
+    """Anomaly-ranking finalization over (possibly partial) (day, hour, n)
+    rows — the batch op and the maintained-table serving face."""
+    hc = merge_hourly_counts(state)
     prof = hc.groupBy(F.dayofweek("day").alias("dow"), "hour").agg(
         F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
     )

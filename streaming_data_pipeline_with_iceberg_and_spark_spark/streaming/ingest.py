@@ -1382,6 +1382,65 @@ def start_incremental_rfm_ingest(
     return writer.start()
 
 
+def start_incremental_hourly_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    counts_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "hourly_ingest",
+) -> StreamingQuery:
+    """EXACT incremental (day, hour) traffic-count maintenance — the ninth
+    incremental path, mergeable-sums class: each batch appends its bucket
+    count partials (``operators.analytics.hourly_counts``, the SAME pass
+    the batch ops use) under the idempotent namespaced batch key; counts
+    are additive so late and out-of-order events merge exactly, with no
+    ordering contract. ``seasonality_from_counts`` and
+    ``anomalies_from_counts`` over the maintained table equal the batch
+    ``events_hourly_seasonality`` / ``events_hourly_anomalies`` over
+    everything ingested (parity test in tests/test_streaming.py) — which
+    completes the served-from-state dashboard: engagement, retention,
+    RFM, funnel, AND the seasonality/anomaly panel all finalize from
+    maintained tables bounded by users or calendar buckets, never a
+    full-fact re-scan. ``compact_hourly_counts`` collapses the partials
+    log between drains (overwrite keeps the key log → replay-safe)."""
+    from ..operators.analytics import hourly_counts
+    from ..sources.snapshots import SnapshotTable
+
+    counts_t = SnapshotTable(spark, counts_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def hourly_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts_t.append_batch(
+            hourly_counts(batch_df), f"{stream_id}#{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(hourly_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_hourly_counts(
+    spark: SparkSession, counts_root: str, compaction_id=None
+) -> None:
+    """Rewrite the hourly-count partials table as its per-bucket sum — a
+    semantic no-op (readers merge either way); the overwrite keeps the
+    log so the stream's batch keys survive (the compact_user_state
+    protocol)."""
+    from ..operators.analytics import merge_hourly_counts
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, counts_root)
+    t.overwrite(merge_hourly_counts(t.read()), batch_id=compaction_id)
+
+
 def compact_user_state(
     spark: SparkSession, state_root: str, compaction_id=None
 ) -> None:

@@ -652,3 +652,99 @@ def test_rfm_user_state_stays_derived_from_ingested(spark, ops):
             rfm_user_partials(spark.createDataFrame(ingested, schema))
         )
         assert got == want, f"user state diverged after {op}"
+
+
+# Round-9 second derived-state model: the incremental hourly-counts table
+# (ninth path). Same mergeable-sums mechanics as the RFM model but on the
+# calendar-bucket key — the invariant is that the per-bucket MERGE of the
+# maintained table equals re-deriving the counts from everything ingested,
+# under ingested batches, replayed keys, compaction, expiry, maintenance.
+
+_HR_EVENT = st.tuples(
+    st.integers(min_value=0, max_value=5),   # day offset
+    st.integers(min_value=0, max_value=23),  # hour
+)
+
+_HR_OP = st.one_of(
+    st.tuples(st.just("ingest"), st.lists(_HR_EVENT, min_size=1, max_size=4)),
+    st.tuples(st.just("replay"),),
+    st.tuples(st.just("compact"),),
+    st.tuples(st.just("expire"),),
+    st.tuples(st.just("maintain"),),
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        _HR_OP,
+        min_size=2,
+        max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "6")),
+    )
+)
+def test_hourly_counts_stay_derived_from_ingested(spark, ops):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        hourly_counts,
+        merge_hourly_counts,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import maintain_table
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import compact_hourly_counts
+
+    root = tempfile.mkdtemp()
+    counts_t = SnapshotTable(spark, root + "/hourly")
+    schema = "event_id long, ts long, user_id long"
+    day0 = 1_700_000_000
+    ingested: list = []
+    next_eid = {"n": 0}
+    last = {"key": None, "rows": None}
+    n_batches = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "ingest":
+            rows = []
+            for day, hour in op[1]:
+                eid = next_eid["n"]
+                next_eid["n"] += 1
+                rows.append((eid, day0 + day * 86400 + hour * 3600 + eid % 60, eid % 3))
+            key = f"fuzz#{n_batches}"
+            n_batches += 1
+            counts_t.append_batch(
+                hourly_counts(spark.createDataFrame(rows, schema)), key
+            )
+            ingested.extend(rows)
+            last["key"], last["rows"] = key, rows
+        elif kind == "replay":
+            if last["key"] is None:
+                continue
+            counts_t.append_batch(
+                hourly_counts(spark.createDataFrame(last["rows"], schema)),
+                last["key"],
+            )
+        elif kind == "compact":
+            if counts_t.current_version() is None:
+                continue
+            compact_hourly_counts(spark, root + "/hourly")
+        elif kind == "expire":
+            if counts_t.current_version() is None:
+                continue
+            counts_t.expire_snapshots(keep_last=1)
+        elif kind == "maintain":
+            if counts_t.current_version() is None:
+                continue
+            maintain_table(counts_t, max_files=8, orphan_grace_seconds=3600.0)
+        if not ingested:
+            continue
+
+        def canon(df):
+            return sorted(
+                (str(r.day), r.hour, r.n)
+                for r in merge_hourly_counts(df).collect()
+            )
+
+        got = canon(counts_t.read())
+        want = canon(hourly_counts(spark.createDataFrame(ingested, schema)))
+        assert got == want, f"hourly counts diverged after {op}"

@@ -2015,3 +2015,87 @@ def test_incremental_rfm_ingest_matches_batch(spark, tmp_path):
     drain()
     assert state_t.current_version() == v_compacted
     assert canon(rfm_from_user_state(state_t.read())) == want
+
+
+def test_incremental_hourly_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental (day, hour) count maintenance: the seasonality
+    profile AND the anomaly ranking finalized from the maintained counts
+    table must equal the batch operators over everything ingested —
+    including out-of-order hours across batches (additive partials are
+    order-free). Compaction must be a semantic no-op that still blocks
+    replay; a re-drain from the same checkpoint adds nothing."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        anomalies_from_counts,
+        hourly_counts,
+        seasonality_from_counts,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_hourly_counts,
+        start_incremental_hourly_ingest,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    all_rows = []
+    day0 = 1_700_000_000  # day boundary-ish anchor
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for eid, day, hour in specs:
+                row = {
+                    "event_id": eid,
+                    "ts": day0 + day * 86400 + hour * 3600 + eid % 60,
+                    "user_id": eid % 5,
+                }
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    # batch a: three days; batch b revisits (day 0, same hours) — additive
+    # merge — and goes BACKWARD in time (late data, day 0 hour 1)
+    write_file("a.json", [(1, 0, 3), (2, 0, 3), (3, 1, 3), (4, 2, 10)])
+    write_file("b.json", [(5, 0, 3), (6, 0, 1), (7, 8, 3), (8, 1, 3)])
+    counts_root = str(tmp_path / "hourly")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts long, user_id long"
+
+    def drain():
+        q = start_incremental_hourly_ingest(
+            spark,
+            str(src),
+            counts_root,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    counts_t = SnapshotTable(spark, counts_root)
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"]) for r in all_rows], schema
+    )
+
+    def canon(df):
+        return sorted(
+            tuple(str(v) for v in row) for row in df.collect()
+        )
+
+    hc = hourly_counts(batch_df)
+    want_seas = canon(seasonality_from_counts(hc))
+    want_anom = canon(anomalies_from_counts(hc))
+    assert canon(seasonality_from_counts(counts_t.read())) == want_seas
+    assert canon(anomalies_from_counts(counts_t.read())) == want_anom
+    assert want_seas and want_anom
+
+    # compaction: semantic no-op, one row per bucket, replay still blocked
+    compact_hourly_counts(spark, counts_root)
+    assert canon(seasonality_from_counts(counts_t.read())) == want_seas
+    distinct_buckets = hc.count()
+    assert counts_t.read().count() == distinct_buckets
+    v = counts_t.current_version()
+    drain()
+    assert counts_t.current_version() == v
+    assert canon(anomalies_from_counts(counts_t.read())) == want_anom
