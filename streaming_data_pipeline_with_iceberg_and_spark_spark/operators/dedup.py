@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket16, md5_bucket32, normalize, shingles, tokens
 from ..functions.vector import dot, norm
-from ..io import load, load_spread
+from ..io import checkpoint_release, load, load_spread
 
 # MinHash parameters: 32 permutations in 8 bands of 4 rows; fixed seeds.
 _MH_PERMS = 32
@@ -802,6 +802,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.count()
     if n == 0:
+        emb.unpersist()
         return spark.createDataFrame([], "vec_id long, cell int")
     cents = pinned_forgy_seeds(emb, min(_ivf_n_cells(n), n))
     assigned = (
@@ -832,10 +833,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .distinct()
     )
-    return (
+    return checkpoint_release(
         assigned.join(drops, "vec_id", "left_anti")
         .select("vec_id", "cell")
-        .orderBy("vec_id")
+        .orderBy("vec_id"),
+        emb,
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket32
 from ..functions.vector import as_double, dot, l2_distance, norm
-from ..io import load, load_spread
+from ..io import checkpoint_release, load, load_spread
 
 _N_PLANES = 4  # per hash table → 16 buckets
 _N_TABLES = 2  # independent tables; candidates = union over tables
@@ -506,10 +506,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by cell and reused across query batches."""
     # One scan+spread, persisted and shared across the 4 corpus passes
     # (count, seed pick, Lloyd assign, final assign+score) — without this the
-    # parquet scan AND its repartition shuffle run once per pass. Spark keys
-    # the cache on the logical plan, so repeated ann_ivf calls reuse one
-    # cached copy rather than accumulating. At 100 TB the equivalent is
-    # writing the assigned corpus out partitioned by cell once.
+    # parquet scan AND its repartition shuffle run once per pass. Released
+    # via checkpoint_release before returning (≤ |Q|·5 result rows); at
+    # 100 TB the equivalent is writing the assigned corpus out partitioned
+    # by cell once.
     emb = load_spread(spark, "embeddings", sf_dir).persist()
     cent_mat = _ivf_centroids(spark, sf_dir, emb)
     corpus = (
@@ -548,10 +548,11 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     ).dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
+    return checkpoint_release(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
-        .select("q_id", "rank", "vec_id", "cos_sim")
+        .select("q_id", "rank", "vec_id", "cos_sim"),
+        emb,
     )
 
 
@@ -605,6 +606,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_spread(spark, "embeddings", sf_dir).persist()
     books, sub = _pq_codebooks(spark, sf_dir, emb)
     if books is None:
+        emb.unpersist()
         return spark.createDataFrame(
             [], "q_id long, rank int, vec_id long, approx_l2 double"
         )
@@ -630,6 +632,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_rows = emb.filter(_query_pred(50)).select("vec_id", "embedding").collect()
     if not q_rows:
+        emb.unpersist()
         return spark.createDataFrame(
             [], "q_id long, rank int, vec_id long, approx_l2 double"
         )
@@ -672,10 +675,11 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, schema="q_id long, vec_id long, approx_l2 double"
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2"), F.asc("vec_id"))
-    return (
+    return checkpoint_release(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "vec_id", "approx_l2")
+        .select("q_id", "rank", "vec_id", "approx_l2"),
+        emb,
     )
 
 
@@ -704,6 +708,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_mat = _ivf_centroids(spark, sf_dir, emb)  # (C, d) float64
     if cent_mat.ndim < 2:
         # empty corpus (routine at scale after a filter): no quantizer
+        emb.unpersist()
         return spark.createDataFrame([], out_schema)
     cent_half = 0.5 * (cent_mat**2).sum(axis=1)
 
@@ -716,6 +721,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     if not seeds:
+        emb.unpersist()
         return spark.createDataFrame([], out_schema)
     seed_mat = np.array(
         [r["embedding"] for r in sorted(seeds, key=lambda r: r["vec_id"])],
@@ -749,6 +755,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_rows = emb.filter(_query_pred(50)).select("vec_id", "embedding").collect()
     if not q_rows:
+        emb.unpersist()
         return spark.createDataFrame([], out_schema)
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
@@ -807,10 +814,11 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, schema="q_id long, vec_id long, approx_l2 double"
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2"), F.asc("vec_id"))
-    return (
+    return checkpoint_release(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "vec_id", "approx_l2")
+        .select("q_id", "rank", "vec_id", "approx_l2"),
+        emb,
     )
 
 
@@ -899,72 +907,81 @@ class IvfIndex:
         ≤ _IVF_MAX_CELLS and the window is a WindowGroupLimit rank-1."""
         import numpy as np
 
+        # overwrite() is an action (the write materializes every pass over
+        # emb), so try/finally releases the cache entry at return — the
+        # lazy-return operators can't do this and use checkpoint_release.
         emb = emb.persist()
-        n = emb.count()
-        if pinned_seeds:
-            k_eff = min(k or _ivf_n_cells(n), max(n, 1))
-            seed_rows = (
-                emb.filter(F.col("embedding").isNotNull())
-                .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
-                .limit(k_eff)
-                .select("embedding")
-                .collect()
-            )
-            if not seed_rows:
-                return self.table.overwrite(
-                    emb.select("vec_id", F.lit(0).alias("cell"), "embedding")
-                    .withColumn("nrm", norm("embedding")),
-                    props=None,
+        try:
+            n = emb.count()
+            if pinned_seeds:
+                k_eff = min(k or _ivf_n_cells(n), max(n, 1))
+                seed_rows = (
+                    emb.filter(F.col("embedding").isNotNull())
+                    .orderBy(
+                        F.md5(F.col("vec_id").cast("string").cast("binary")),
+                        "vec_id",
+                    )
+                    .limit(k_eff)
+                    .select("embedding")
+                    .collect()
                 )
-            cent_mat = np.array(
-                [r["embedding"] for r in seed_rows], dtype=np.float64
-            )
-            props = {"ivf_centroids": self._write_centroids(cent_mat)}
-            cells = self.spark.createDataFrame(
-                [
-                    (i, [float(x) for x in cent_mat[i]], _seq_half_sq(cent_mat[i]))
-                    for i in range(cent_mat.shape[0])
-                ],
-                "cell int, c array<double>, chalf double",
-            )
-            scored = (
-                emb.select("vec_id", "embedding")
-                .crossJoin(F.broadcast(cells))
-                .select(
-                    "vec_id",
-                    "embedding",
-                    "cell",
-                    (dot("embedding", "c") - F.col("chalf")).alias("score"),
+                if not seed_rows:
+                    return self.table.overwrite(
+                        emb.select("vec_id", F.lit(0).alias("cell"), "embedding")
+                        .withColumn("nrm", norm("embedding")),
+                        props=None,
+                    )
+                cent_mat = np.array(
+                    [r["embedding"] for r in seed_rows], dtype=np.float64
                 )
+                props = {"ivf_centroids": self._write_centroids(cent_mat)}
+                cells = self.spark.createDataFrame(
+                    [
+                        (i, [float(x) for x in cent_mat[i]], _seq_half_sq(cent_mat[i]))
+                        for i in range(cent_mat.shape[0])
+                    ],
+                    "cell int, c array<double>, chalf double",
+                )
+                scored = (
+                    emb.select("vec_id", "embedding")
+                    .crossJoin(F.broadcast(cells))
+                    .select(
+                        "vec_id",
+                        "embedding",
+                        "cell",
+                        (dot("embedding", "c") - F.col("chalf")).alias("score"),
+                    )
+                )
+                wa = Window.partitionBy("vec_id").orderBy(
+                    F.desc("score"), F.asc("cell")
+                )
+                assigned = (
+                    scored.withColumn("rn", F.row_number().over(wa))
+                    .filter(F.col("rn") == 1)
+                    .select("vec_id", "cell", "embedding")
+                    .withColumn("nrm", norm("embedding"))
+                )
+                return self.table.overwrite(assigned, props=props)
+            cent_mat = _kmeans_centroids(
+                self.spark, "", emb, k=k or _ivf_n_cells(n), iters=iters
             )
-            wa = Window.partitionBy("vec_id").orderBy(
-                F.desc("score"), F.asc("cell")
+            props = (
+                {"ivf_centroids": self._write_centroids(cent_mat)}
+                if cent_mat.ndim == 2
+                else None
             )
             assigned = (
-                scored.withColumn("rn", F.row_number().over(wa))
-                .filter(F.col("rn") == 1)
+                emb.select("vec_id", "embedding")
+                .mapInPandas(
+                    _ivf_assign_fn(cent_mat, 1),
+                    schema="vec_id long, probe_rank int, cell int, embedding array<float>",
+                )
                 .select("vec_id", "cell", "embedding")
                 .withColumn("nrm", norm("embedding"))
             )
             return self.table.overwrite(assigned, props=props)
-        cent_mat = _kmeans_centroids(
-            self.spark, "", emb, k=k or _ivf_n_cells(n), iters=iters
-        )
-        props = (
-            {"ivf_centroids": self._write_centroids(cent_mat)}
-            if cent_mat.ndim == 2
-            else None
-        )
-        assigned = (
-            emb.select("vec_id", "embedding")
-            .mapInPandas(
-                _ivf_assign_fn(cent_mat, 1),
-                schema="vec_id long, probe_rank int, cell int, embedding array<float>",
-            )
-            .select("vec_id", "cell", "embedding")
-            .withColumn("nrm", norm("embedding"))
-        )
-        return self.table.overwrite(assigned, props=props)
+        finally:
+            emb.unpersist()
 
     def append(self, emb: DataFrame) -> int:
         """Incremental maintenance: encode new vectors with the CURRENT
@@ -1158,13 +1175,36 @@ def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PINNED_IVF_CACHE: dict = {}
 
 
+def _evict_stale_ivf_cache() -> None:
+    """Drop cache entries whose SparkSession has been stopped and remove
+    their scratch directories — without this the dict (and /tmp) grows one
+    corpus-sized index per terminated session in a long-lived process
+    (test suites spin many sessions; the r9 advice flagged the leak)."""
+    import shutil
+
+    for key, old in list(_PINNED_IVF_CACHE.items()):
+        try:
+            sc = old.spark.sparkContext
+            stopped = getattr(sc, "_jsc", None) is None or sc._jsc.sc().isStopped()
+        except Exception:
+            stopped = True  # unreachable JVM ≡ stopped
+        if stopped:
+            _PINNED_IVF_CACHE.pop(key, None)
+            shutil.rmtree(old.root, ignore_errors=True)
+
+
 def _pinned_ivf_index(spark: SparkSession, sf_dir: str) -> "IvfIndex":
+    import atexit
+    import shutil
     import tempfile
 
     key = (spark.sparkContext.applicationId, sf_dir)
     idx = _PINNED_IVF_CACHE.get(key)
     if idx is None:
-        idx = IvfIndex(spark, tempfile.mkdtemp(prefix="spark_graft_ivfidx_"))
+        _evict_stale_ivf_cache()
+        scratch = tempfile.mkdtemp(prefix="spark_graft_ivfidx_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        idx = IvfIndex(spark, scratch)
         idx.build(load_spread(spark, "embeddings", sf_dir), pinned_seeds=True)
         _PINNED_IVF_CACHE[key] = idx
     return idx
@@ -1521,6 +1561,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = pinned_forgy_seeds(emb, _KMEANS_K)  # doubles as empty probe
     if not cents:
+        emb.unpersist()
         return spark.createDataFrame([], "cluster int, n long, avg_dist double")
     k_eff = len(cents)
 
@@ -1544,7 +1585,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             else cents[j]  # empty cells keep their previous vector
             for j in range(k_eff)
         ]
-    return (
+    return checkpoint_release(
         _assign(cents)
         .select("cell", F.round(l2_distance("embedding", "c"), 6).alias("dist"))
         .groupBy(F.col("cell").alias("cluster"))
@@ -1552,7 +1593,8 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.avg("dist"), 4).alias("avg_dist"),
         )
-        .orderBy("cluster")
+        .orderBy("cluster"),
+        emb,
     )
 
 
@@ -1939,6 +1981,7 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _PCA_COMPONENTS
     schema = "vec_id long, " + ", ".join(f"pc{c + 1} double" for c in range(k))
     if fit is None:
+        emb.unpersist()
         return spark.createDataFrame([], schema)
     _, mean, _, _, evecs = fit
     w_mat = evecs[:, : min(k, evecs.shape[1])]
@@ -1958,7 +2001,13 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(project, schema=schema)
+    # the projected frame is the corpus at d→k width (thin); eager
+    # checkpoint trades one extra materialization for releasing the
+    # full-width cached corpus immediately
+    return checkpoint_release(
+        emb.select("vec_id", "embedding").mapInPandas(project, schema=schema),
+        emb,
+    )
 
 
 QUERIES = {
