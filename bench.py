@@ -139,6 +139,57 @@ HEADLINE = [
     "corpus_novelty_curve",
 ]
 
+# The cross-round-comparable stdout set: the stable-21 anchor subset plus the
+# r4-era extension, FROZEN as an explicit literal (r9 advice: the old
+# HEADLINE[:39] slice would silently redefine the comparable series if a
+# future edit inserted rather than appended). The assert below makes any
+# reordering of the frozen prefix fail loudly instead.
+STABLE_QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "join_broadcast_dims",
+    "join_asof",
+    "agg_rollup",
+    "window_moving_avg",
+    "window_topk_per_group",
+    "sessionize",
+    "window_tumbling_5min",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "knn_bruteforce_vectorized",
+    "text_tfidf_top_terms",
+    "dedup_clusters",
+    "ann_ivf",
+    "merge_upsert_orders",
+    "split_train_val_test",
+    "ann_pq",
+    "funnel_conversion",
+    "decontaminate_eval_overlap",
+    "agg_histogram_quantiles",
+    "events_anomaly_mad",
+    "quantize_embeddings_int8",
+    "text_heavy_hitters",
+    "q21_waiting_suppliers",
+    "ann_ivfpq",
+    "kmeans_cluster_profile",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_excess_share_suppliers",
+    "curate_pretraining_corpus",
+)
+assert list(STABLE_QUERIES) == HEADLINE[: len(STABLE_QUERIES)], (
+    "the frozen stdout prefix no longer matches HEADLINE — HEADLINE must "
+    "stay append-only to keep BENCH_r{N}.json series comparable"
+)
+
 
 def _force(df) -> None:
     """Execute the full plan without materializing rows on the driver."""
@@ -221,7 +272,7 @@ def main() -> int:
             f.write("\n")
     except OSError:
         pass  # detail file is best-effort; the stdout line is the contract
-    stable = {n: timings[n] for n in HEADLINE[:39] if n in timings}
+    stable = {n: timings[n] for n in STABLE_QUERIES if n in timings}
     line = dict(payload)
     line["queries"] = stable
     line["n_queries"] = len(timings)
