@@ -58,115 +58,98 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# Round 9's window closes the ledger: after round 8 the latest-row histogram
-# was r5:23, r6:49, r7:50, r8:50, never:6 — so this window is
-# (a) the SIX entries that have never had a driver row (late round-8 adds,
-#     oracle-green in the full-registry selfcheck): vocab_coverage,
-#     session_stats, ann_recall_eval, user_behavior_surprisal,
-#     quality_classifier_eval, classifier_calibration.  ann_recall_eval's
-#     scratch-index build is now shared with ann_ivf_index via the
-#     per-session pinned-index memo (similarity._pinned_ivf_index), per the
-#     r8 verdict's cost-containment order;
-# (b) the TWENTY-THREE r5-era entries (the whole set deferred across r7/r8
-#     — after this window no entry's latest row predates r6), including
-#     kmeans_cluster_profile which this round upgrades rows-only -> oracle
-#     via the pinned-seed quantizer precedent;
-# (c) new round-9 entries, inserted at the head as they land;
-# (d) the remaining slots filled with the OLDEST r6 rows, preferring
-#     families with no fresher same-shape sibling: the TPC-H completion
-#     q12, the skew/cross join pair, the agg family (global/unpivot/
-#     collect/conditional/cube), set ops, arrays/nested parsing, the whole
-#     exact+near-dup dedup family, and cohort_retention (its r7 row went
-#     stale this round: the op now rides activity_pairs, excluding
-#     anonymous/NULL-ts events, and COHORT_SQL changed in lockstep).
-# r6 rows deferred to round 10 (each with a same-shape sibling green in
-# r7/r8 or in this window): knn_dot_topk + ann_lsh_hyperplane (<-
-# knn_bruteforce in-window, ann_ivf_index r8), pii_redact +
-# decontaminate_eval_overlap + text_unigram_logprob + text_gopher_quality +
-# text_repeated_ngrams + text_token_stats + text_quality_score +
-# text_tfidf_top_terms (<- bm25/prf/perplexity/vocab family r8 + in-window
-# classifier trio), mm_* x5 (<- curate_multimodal_corpus r7), pandas_udf_
-# haversine + text_chunk_udtf (<- chunk_documents r8), merge_upsert_orders +
-# delete_update_orders (<- snapshot mutation rows r8), split/sample x5
-# (<- sample family shares the hash-bucket idiom with split_train_val_test,
-# timed every round in bench), funnel_conversion (<- funnel_latency r8 and
-# the funnel serving faces share its state machine; also timed every round
-# in bench), knn_bruteforce (<- knn_bruteforce_vectorized shares the SAME
-# oracle string and has an r7 row; timed every round in bench — displaced
-# by cohort_retention, whose oracle changed this round), and the five
-# displaced by the round-9 head additions: agg_collect + agg_conditional
-# (<- agg_cube and agg_global stay in-window; agg_histogram_quantiles r7),
-# set_intersect + distinct_rows + sort_limit_topk (<- set_except /
-# union_by_name / sort_within_partitions / top_customers all r8),
-# agg_unpivot + array_explode_posexplode (<- agg_pivot and array_funcs /
-# nested_envelope_parse stay in-window — displaced by the text
-# entropy/Zipf pair), agg_global (<- the r8-green TPC-H global aggs
-# q6/q14 share the shape — displaced by events_hourly_anomalies),
-# join_cross (<- join_theta_band, the other J5 face, heads this window —
-# displaced by train_quality_classifier's re-earn row),
-# nested_envelope_parse (<- json_extraction in-window, json_variant_
-# extract r7 — displaced by domain_mixture_weights), agg_cube
-# (<- agg_rollup + agg_grouping_sets in-window, rollup_multi_granularity
-# r7 — displaced by corpus_source_report), window_topk_per_group
-# (<- top_customers r8 shares the WindowGroupLimit shape + dedicated plan
-# test — displaced by corpus_novelty_curve).
+# After round 9 the latest-row histogram is r6:41, r7:48, r8:50, r9:50 with
+# zero failures ever recorded as latest state.  Round 10's window (the r9
+# verdict's order #1) is:
+# (a) new round-10 entries, inserted at the head as they land;
+# (b) ALL forty-one r6-era entries — the exact set deferred across r8/r9
+#     with sibling justifications (the scalar/agg/set/array/window singles,
+#     the knn/LSH pair, the text quality+stats family, the five mm_* rows,
+#     the five split/sample rows, the CoW mutation pair, funnel_conversion,
+#     pii_redact/decontaminate, nested_envelope_parse, text_chunk_udtf and
+#     pandas_udf_haversine) — after this window no entry's latest row
+#     predates r7;
+# (c) the remaining slots filled with the OLDEST r7 rows, family-diverse:
+#     join_asof (J7 — the only as-of face), window_lag_lead +
+#     window_tumbling_5min + window_session_30min + sessionize (the W2/T6/T7
+#     event-time block), rollup_multi_granularity (A8 sibling of the
+#     in-window agg_cube), agg_hll_mergeable (rows-only sketch — its exact
+#     twin agg_bitmap_distinct stays r7), ann_pq (rows-only — its pinned
+#     twin ann_ivf_index is r9-green), set_union (§2.6 — set_intersect is
+#     in-window).
+# r7 rows NOT in this window (each with a same-shape sibling in-window or
+# fresher): the whole window-frame family (running_sum/moving_avg/range_30d/
+# ntile_pct <- lag_lead + tumbling in-window, top_customers r8), the dedup
+# r7 block (clusters/apply/span_exact/fingerprint/embedding_cosine <- the
+# FULL exact+near-dup family got r9 rows), text_lang_id/bigram_freq/
+# rolling_hash/within_doc_repetition/rollup_by_lang_source/token_bpe
+# (<- the r6-era text quality family is in-window and the classifier trio
+# is r9-green), the sampling/packing block (pack_sequences/shuffle_epoch_
+# rank/mixture_weighted_interleave/resample_ffill/grouped_ols_trend <- the
+# five r6-era split/sample rows are in-window), knn_bruteforce_vectorized
+# (<- knn_bruteforce in-window shares the SAME oracle string), ann_ivf
+# (<- ann_lsh_hyperplane + knn_dot_topk in-window; ann_ivf_index r9),
+# json_variant_extract (<- nested_envelope_parse in-window, json_extraction
+# r9), drop_duplicates_subset + distinct_rows-sibling dedup_exact r9,
+# q2/q11/q20/q21 + agg_histogram_quantiles + events_anomaly_mad +
+# text_heavy_hitters + agg_bitmap_distinct + snapshot_time_travel/changelog
+# + bm25_search + pca pair + curate_multimodal_corpus (ALL timed every
+# round in bench and/or sharing r8/r9-green family rows; snapshot rows share
+# the r9-green snapshot_schema_evolution_orders surface).  These 39 head
+# round 11.
 _PRIORITY = [
-    # (c) new round-9 entries (all value-exact oracles; kmeans_cluster_
-    # profile, upgraded this round, is already below among the r5 rows)
-    "matryoshka_recall_eval",
-    "item_jaccard_similarity",
-    "events_hourly_seasonality",
-    "events_hourly_anomalies",
-    "events_power_users_curve",
-    "sessions_peak_concurrency",
-    "text_char_entropy",
-    "text_zipf_fit",
-    "domain_mixture_weights",
-    "corpus_source_report",
-    "corpus_novelty_curve",
-    # train_quality_classifier: upgraded rows-only -> oracle this round
-    # with a CHANGED training trajectory (per-epoch parameter rounding),
-    # so its r7 row is stale — re-earns a value-hash row here
-    "train_quality_classifier",
-    # (a) never-driver-checked late round-8 adds
-    "vocab_coverage",
-    "session_stats",
-    "ann_recall_eval",
-    "user_behavior_surprisal",
-    "quality_classifier_eval",
-    "classifier_calibration",
-    "filter_project",
-    "scalar_date_funcs",
-    "json_extraction",
-    "join_broadcast_dims",
-    "join_left_outer",
-    "join_anti",
-    "join_theta_band",
-    "join_range_shipdelay",
-    "histogram_doc_length",
-    "agg_count_distinct",
-    "agg_stats",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_approx_distinct",
-    "window_rank",
-    "map_funcs",
-    "ann_ivfpq",
-    "kmeans_cluster_profile",
-    "text_linear_quality_classifier",
-    "snapshot_schema_evolution_orders",
-    "curate_pretraining_corpus",
-    "q12_shipdelay_priority",
-    "join_salted_skew",
-    "array_funcs",
-    "dedup_exact",
-    "dedup_semantic",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "cohort_retention",
+    # (b) the forty-one r6-era entries, oldest ledger rows first
+    "scalar_math_funcs",
+    "case_when_banding",
+    "hash_funcs",
+    "join_cross",
+    "agg_global",
+    "agg_unpivot",
+    "agg_collect",
+    "agg_conditional",
+    "agg_cube",
+    "distinct_rows",
+    "knn_bruteforce",
+    "knn_dot_topk",
+    "ann_lsh_hyperplane",
+    "text_token_stats",
+    "text_gopher_quality",
+    "text_repeated_ngrams",
+    "text_unigram_logprob",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_chunk_udtf",
+    "pii_redact",
+    "decontaminate_eval_overlap",
+    "mm_binary_metadata",
+    "mm_patch_token_budget",
+    "mm_content_dedup",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "pandas_udf_haversine",
+    "merge_upsert_orders",
+    "delete_update_orders",
+    "split_train_val_test",
+    "split_leakage_free",
+    "sample_temperature_by_lang",
+    "sample_stratified_by_lang",
+    "sample_hash_fraction",
+    "funnel_conversion",
+    "window_topk_per_group",
+    "sort_limit_topk",
+    "nested_envelope_parse",
+    "array_explode_posexplode",
+    "set_intersect",
+    # (c) oldest-r7 fill, family-diverse
+    "join_asof",
+    "window_lag_lead",
+    "window_tumbling_5min",
+    "window_session_30min",
+    "sessionize",
+    "rollup_multi_granularity",
+    "agg_hll_mergeable",
+    "ann_pq",
+    "set_union",
 ]
 
 
