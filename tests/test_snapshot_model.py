@@ -19,6 +19,16 @@ from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots impo
     SnapshotTable,
 )
 
+def _fuzz_examples(deep: int) -> int:
+    """Example count for the model tests. The default CI run samples at
+    half the historical depth (the suite crossed the 13-minute guideline in
+    round 9 and xdist is unavailable in-container); SNAPSHOT_FUZZ_EXAMPLES
+    restores or deepens sampling for dedicated soak runs — the
+    SNAPSHOT_FUZZ_OPS pattern, set both for a full soak."""
+    v = os.environ.get("SNAPSHOT_FUZZ_EXAMPLES")
+    return int(v) if v else max(2, deep // 2)
+
+
 _ID = st.integers(min_value=0, max_value=24)
 _VAL = st.sampled_from(["a", "b", "c"])
 
@@ -96,7 +106,7 @@ _EVOLVED_SPECS = [
     ],
 )
 @settings(
-    max_examples=6,
+    max_examples=_fuzz_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -304,7 +314,7 @@ _BM25_OP = st.one_of(
 
 
 @settings(
-    max_examples=4,
+    max_examples=_fuzz_examples(4),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -419,7 +429,7 @@ _MK_OP = st.one_of(
 
 
 @settings(
-    max_examples=4,
+    max_examples=_fuzz_examples(4),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -567,7 +577,7 @@ _RFM_OP = st.one_of(
 
 
 @settings(
-    max_examples=4,
+    max_examples=_fuzz_examples(4),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -675,7 +685,7 @@ _HR_OP = st.one_of(
 
 
 @settings(
-    max_examples=3,
+    max_examples=_fuzz_examples(3),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
