@@ -81,6 +81,23 @@ def load_spread(
     return df.repartition(n, key) if key else df.repartition(n)
 
 
+def parquet_row_count(name: str, sf_dir: str | None = None) -> int:
+    """Row count of one testdata table from the parquet FOOTER — no Spark
+    job, no data pages. The zero-cost upper-bound probe the adaptive
+    operators use to pick a physical plan (any per-entity frame derived
+    from the table has at most this many rows). A path the footer reader
+    cannot size (a multi-file dataset, a missing table) reports 2⁶³−1 —
+    unknown routes to the LARGE-input plan, which is exact either way;
+    only a provably small table may pick the single-task form."""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+    except Exception:
+        return (1 << 63) - 1
+
+
 def checkpoint_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize ``result`` eagerly, then release per-call cache entries.
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, parquet_row_count
 
 _FUNNEL = ["view", "click", "purchase"]
 
@@ -527,6 +527,125 @@ def _disc_median_select(df, group: str, tie: str, col: str, out: str):
         .join(F.broadcast(tgt), group)
         .filter(F.col("_off") + F.col("_lrn") == F.col("_r"))
         .select(group, F.col(col).alias(out))
+    )
+
+
+# Entity frames at or below this row count keep the plain global-window
+# NTILE (one task, fewest stages — and the form the SQL oracles are written
+# in); above it the EXACT sliced-rank plan engages so no unpartitioned
+# window ever sorts an unbounded entity frame on one task (the r9 verdict's
+# order #3 for the three decile faces). Tests force the sliced path by
+# monkeypatching this.
+_NTILE_MAX_WINDOWED = 4_000_000
+
+
+def adaptive_ntile(
+    df,
+    k: int,
+    value_col: str,
+    tie_col: str,
+    out: str,
+    descending: bool = False,
+    est_rows: int | None = None,
+):
+    """EXACT NTILE(k) over (value, tie) order without a mandatory global
+    single-task sort — the L9 adaptive-median treatment applied to the
+    decile faces (events_rfm_segments, events_power_users_curve,
+    corpus_novelty_curve).
+
+    Contract: ``value_col`` numeric and non-NULL (every caller rounds /
+    coalesces first — NULL ordering differs between engines anyway), and
+    ``tie_col`` unique within the frame, so (value, tie) is a total order
+    and BOTH plans compute the identical bucket for every row. Callers
+    pass ``est_rows`` (a cheap upper bound — an approx_count_distinct over
+    the raw fact's key column, or a plain count of the parent table) so
+    the switch costs one bounded probe, not a recompute of the aggregated
+    frame.
+
+    Small frames: the plain ``F.ntile(k)`` global window — the
+    oracle-checkable form, one task, fine to tens of millions of entities.
+    Large frames: exact global rank from the quantile-literal slicing plan
+    (rank within value slices + broadcast per-slice offsets — the
+    ``_disc_median_select`` machinery, every slice parallel), then NTILE's
+    closed form on the rank: with n rows, base = n div k and rem = n mod k,
+    row rank r lands in bucket ⌈r/(base+1)⌉ while r ≤ (base+1)·rem, else
+    rem + ⌈(r − (base+1)·rem)/base⌉ — integer arithmetic only, so the
+    sliced path is bit-identical to the window path (pinned by
+    tests/test_extensions.py forcing both on adversarial frames)."""
+    from pyspark.sql import Window
+
+    if est_rows is None or est_rows <= _NTILE_MAX_WINDOWED:
+        order = [
+            F.desc(value_col) if descending else F.asc(value_col),
+            F.asc(tie_col),
+        ]
+        return df.withColumn(out, F.ntile(k).over(Window.orderBy(*order)))
+
+    spark = df.sparkSession
+    # signed probe column: slicing ascends in _v, which is descending in
+    # value when descending=True — slice order then matches rank order.
+    # _v is only ever compared to its own quantiles (a monotone transform
+    # of the order), ranking inside slices uses the ORIGINAL column.
+    keyed = df.withColumn(
+        "_v",
+        (-F.col(value_col)).cast("double")
+        if descending
+        else F.col(value_col).cast("double"),
+    )
+    n_part = max(spark.sparkContext.defaultParallelism * 2, 8)
+    # literal boundaries, NOT repartitionByRange — the plan reads the
+    # sliced frame from several branches and boundaries must be one set
+    # (the _disc_median_select rationale, verbatim)
+    bounds = sorted(
+        set(
+            keyed.stat.approxQuantile(
+                "_v", [i / n_part for i in range(1, n_part)], 0.001
+            )
+        )
+    )
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col("_v") > b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    keyed = keyed.withColumn("_bk", bucket)
+    slice_w = Window.partitionBy("_bk").orderBy(
+        F.desc(value_col) if descending else F.asc(value_col), F.asc(tie_col)
+    )
+    local = keyed.withColumn("_lrn", F.row_number().over(slice_w))
+    cnts = local.groupBy("_bk").agg(F.count("*").alias("_c"))
+    off_w = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    # ≤ n_part+1 rows: the offset window and the total are driver-tiny
+    offs = cnts.withColumn("_off", F.coalesce(F.sum("_c").over(off_w), F.lit(0)))
+    total = cnts.agg(F.sum("_c").alias("_n"))
+    r = F.col("_off") + F.col("_lrn")
+    base = F.floor(F.col("_n") / k).cast("long")
+    rem = (F.col("_n") - base * k).cast("long")
+    cut = (base + 1) * rem
+    # integer ceil(a/b) = (a + b − 1) div b; the otherwise branch only
+    # evaluates for r > cut, which implies base ≥ 1, but greatest() keeps
+    # the expression total under ANSI division
+    ntile_expr = F.when(
+        r <= cut,
+        F.floor((r + (base + 1) - 1) / (base + 1)).cast("int"),
+    ).otherwise(
+        (
+            rem
+            + F.floor(
+                (r - cut + F.greatest(base, F.lit(1)) - 1)
+                / F.greatest(base, F.lit(1))
+            )
+        ).cast("int")
+    )
+    return (
+        local.join(F.broadcast(offs.select("_bk", "_off")), "_bk")
+        .crossJoin(F.broadcast(total))
+        .withColumn(out, ntile_expr)
+        .drop("_v", "_bk", "_lrn", "_off", "_n")
     )
 
 
@@ -1266,17 +1385,15 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed into a segment label (champion / loyal / at-risk / lost /
     regular).
 
-    One user-keyed agg + three NTILE windows over the per-USER frame (user
-    cardinality, not event cardinality) + a broadcast 1-row anchor.
-    Scale note: an un-partitioned NTILE is a single-task sort of the
-    per-user frame — fine up to tens of millions of users; at billions,
-    swap it for broadcast quantile-threshold bucketing (percentile_approx
-    on each metric → CASE ranges), trading exact quintile boundaries for a
-    fully parallel pass — the exact-NTILE form is kept here because it is
-    the oracle-checkable one. Determinism: every NTILE orders by a ROUNDED
-    metric with user_id as the final tie-break, so a last-ulp float
-    difference in the monetary sum can never flip bucket assignment
-    between engines.
+    One user-keyed agg + three quintile assignments over the per-USER
+    frame (user cardinality, not event cardinality) + a broadcast 1-row
+    anchor. Scale note: the quintiles are ADAPTIVE since round 10
+    (``adaptive_ntile``) — the exact global-window NTILE (the
+    oracle-checkable form) below the threshold, the bit-identical
+    sliced-rank plan above it, so no single-task sort at any user count.
+    Determinism: every quintile orders by a ROUNDED metric with user_id
+    as the final tie-break, so a last-ulp float difference in the
+    monetary sum can never flip bucket assignment between engines.
 
     Since round 9 the op is the composition ``rfm_from_user_state ∘
     rfm_user_partials`` — the same two pieces the incremental user-state
@@ -1284,7 +1401,9 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths share one definition and cannot diverge (the activity_pairs
     discipline)."""
     return rfm_from_user_state(
-        rfm_user_partials(load(spark, "events", sf_dir))
+        rfm_user_partials(load(spark, "events", sf_dir)),
+        # the fact's footer row count bounds user cardinality for free
+        est_rows=parquet_row_count("events", sf_dir),
     )
 
 
@@ -1319,11 +1438,15 @@ def merge_user_state(state: DataFrame) -> DataFrame:
     )
 
 
-def rfm_from_user_state(state: DataFrame) -> DataFrame:
+def rfm_from_user_state(state: DataFrame, est_rows: int | None = None) -> DataFrame:
     """RFM finalization over (possibly partial) user-state rows: merge,
     then score. Monetary rounds at 2 AFTER the merge, so a partial-sum
     order difference of last-ulp size cannot flip an NTILE bucket — the
-    same guard the cross-engine oracle relies on."""
+    same guard the cross-engine oracle relies on. ``est_rows`` bounds the
+    user cardinality for the adaptive quintile switch (the batch face
+    passes the fact's free footer count); when the caller has no bound —
+    the maintained-state serving face — one approx-count pass over the
+    INPUT state probes it, cost proportional to the state table."""
     per_user = merge_user_state(state).select(
         "user_id",
         "d_last",
@@ -1340,14 +1463,21 @@ def rfm_from_user_state(state: DataFrame) -> DataFrame:
         "frequency",
         "monetary",
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
-    scored = rfm.select(
-        "*",
-        F.ntile(5).over(w_r).alias("r_q"),
-        F.ntile(5).over(w_f).alias("f_q"),
-        F.ntile(5).over(w_m).alias("m_q"),
+    # below the threshold the quintiles stay the exact global-window
+    # form the oracle is written in
+    est = (
+        est_rows
+        if est_rows is not None
+        else state.agg(F.approx_count_distinct("user_id")).first()[0] or 0
+    )
+    scored = adaptive_ntile(
+        rfm, 5, "recency_days", "user_id", "r_q", est_rows=est
+    )
+    scored = adaptive_ntile(
+        scored, 5, "frequency", "user_id", "f_q", descending=True, est_rows=est
+    )
+    scored = adaptive_ntile(
+        scored, 5, "monetary", "user_id", "m_q", descending=True, est_rows=est
     )
     seg = (
         F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2), "champion")
@@ -1730,25 +1860,23 @@ def events_power_users_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-user programs, abuse thresholds and sampling-bias checks on
     behavioral training data.
 
-    One user-keyed agg collapses the fact to user cardinality; the NTILE
-    is one global sort of that frame (the documented RFM trade — exact
-    decile boundaries are the oracle-checkable form; at billions of users
-    swap for percentile_approx threshold bucketing). Determinism: NTILE
-    orders by (count DESC, user_id), cumulative sums are integers, one
-    division rounded 6."""
-    per_user = (
-        load(spark, "events", sf_dir)
-        .filter(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n"))
-    )
+    One user-keyed agg collapses the fact to user cardinality; the decile
+    assignment is ADAPTIVE since round 10 (``adaptive_ntile``): below the
+    threshold it is the exact global-window NTILE the oracle is written
+    in; above it the EXACT sliced-rank plan assigns the identical buckets
+    with every slice parallel — no single-task sort at any user count.
+    The switch probe is the fact's parquet-footer row count — free.
+    Determinism: deciles order by (count DESC, user_id),
+    cumulative sums are integers, one division rounded 6."""
+    ev = load(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
     total = per_user.agg(F.sum("n").alias("total_events"))
-    dec = per_user.select(
-        "n",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("n"), F.asc("user_id")))
-        .alias("decile"),
-    )
+    # footer row count of the FACT is a free upper bound on user
+    # cardinality — the switch costs no Spark job
+    est = parquet_row_count("events", sf_dir)
+    dec = adaptive_ntile(
+        per_user, 10, "n", "user_id", "decile", descending=True, est_rows=est
+    ).select("n", "decile")
     per_dec = dec.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("n").alias("n_events")
     )

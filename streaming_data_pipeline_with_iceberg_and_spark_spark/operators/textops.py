@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, md5_bucket16, mg_fold, tokens
-from ..io import load, load_spread
+from ..io import load, load_spread, parquet_row_count
 
 # marker stopwords per language for the n-gram/stopword language-ID heuristic
 _LANG_MARKERS = {
@@ -1783,35 +1783,45 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: distinct shingles per doc (per-row projection, no explode
     until the count), one shingle-keyed MIN(doc_id) shuffle (wordcount
-    class), join back on the shingle key, one doc-keyed agg, then
-    NTILE(10) over the doc-cardinality frame (the documented exact-form
-    trade) and a 10-row rollup. The per-decile rate is a ratio of summed
-    integers rounded at 6 — cross-engine exact."""
+    class), join back on the shingle key, one doc-keyed agg, then an
+    ADAPTIVE decile assignment over the doc-cardinality frame
+    (``analytics.adaptive_ntile`` since round 10 — global-window NTILE
+    below the threshold, the bit-identical sliced-rank plan above it;
+    the probe is the parent table's metadata-cheap row count) and a
+    10-row rollup. The per-decile rate is a ratio of summed integers
+    rounded at 6 — cross-engine exact."""
     from ..functions.text import shingles
 
     docs = load_spread(spark, "documents", sf_dir).filter(
         F.col("text").isNotNull()
     )
+    # Round 10 (r9 verdict order #7, the 16.4× constant): the one
+    # shingle-keyed shuffle now carries xxhash64 LONGS, not shingle
+    # strings (engine-side only — the oracle keeps string keys; over S
+    # distinct shingles the expected collision count is S²/2⁶⁵, ~3·10⁻¹⁰
+    # at a million shingles, the md5-idiom bound), and the old join-back
+    # of the exploded frame on the shingle key is GONE: a doc's novel
+    # count is just how many first-occurrence rows it owns, a doc-keyed
+    # agg of the (hash → first_doc) frame — so the corpus-scale exploded
+    # frame shuffles ONCE instead of three times.
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    novels = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
     )
-    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        sh.join(first, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
-    )
-    dec = per_doc.select(
-        "n_shingles",
-        "n_novel",
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
-    )
+    per_doc = totals.join(novels, "doc_id", "left").fillna(0, ["n_novel"])
+    from .analytics import adaptive_ntile
+
+    # switch probe: the documents FOOTER row count is a free upper bound
+    # on the per-doc frame — never a recompute of the shingle pipeline
+    est = parquet_row_count("documents", sf_dir)
+    dec = adaptive_ntile(
+        per_doc, 10, "doc_id", "doc_id", "decile", est_rows=est
+    ).select("n_shingles", "n_novel", "decile")
     return (
         dec.groupBy("decile")
         .agg(

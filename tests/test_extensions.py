@@ -2017,3 +2017,59 @@ def test_recommend_items_semantics(spark, tmp_path):
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'")
     want = sorted(map(tuple, con.sql(RECOMMEND_SQL).fetchall()))
     assert got == want
+
+
+def test_adaptive_ntile_sliced_equals_window(spark):
+    """The sliced-rank NTILE (the large-frame plan) must assign the
+    IDENTICAL bucket to every row as the global-window form, on
+    adversarial frames: heavy ties, n < k, n % k != 0, negatives,
+    single row — both directions. (value, tie) is a total order in
+    every caller, so bit-identity is exact, not statistical."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        adaptive_ntile,
+    )
+
+    cases = [
+        ([(1, 5.0), (2, 5.0), (3, 5.0)], [(5, False)]),     # all-tied, n < k
+        ([(1, 0.0)], [(10, True)]),                          # single row
+        # ties + negatives + n % k != 0, both directions and both ks
+        (
+            [(i, float(i % 4 - 2)) for i in range(97)],
+            [(5, False), (5, True), (10, False), (10, True)],
+        ),
+    ]
+    for rows, combos in cases:
+        df = spark.createDataFrame(rows, "tid long, v double")
+        for k, desc in combos:
+            w = adaptive_ntile(df, k, "v", "tid", "b", descending=desc, est_rows=0)
+            s = adaptive_ntile(
+                df, k, "v", "tid", "b", descending=desc, est_rows=1 << 62
+            )
+            wm = {r["tid"]: r["b"] for r in w.collect()}
+            sm = {r["tid"]: r["b"] for r in s.collect()}
+            assert wm == sm, (len(rows), k, desc, wm, sm)
+
+
+def test_decile_faces_sliced_path_output_identical(spark, sf_dir, monkeypatch):
+    """End-to-end: forcing the sliced plan on the three decile faces must
+    reproduce the window-plan output row-for-row at driver SF — the same
+    guarantee the plan-shape tests pin, asserted on values."""
+    import __spark_entry__ as entry_mod
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        analytics,
+    )
+
+    qs = entry_mod.queries()
+    faces = (
+        "events_power_users_curve",
+        "events_rfm_segments",
+        "corpus_novelty_curve",
+    )
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = {q: canon(qs[q](spark, sf_dir)) for q in faces}
+    monkeypatch.setattr(analytics, "_NTILE_MAX_WINDOWED", -1)
+    for q in faces:
+        assert canon(qs[q](spark, sf_dir)) == want[q], q

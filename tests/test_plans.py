@@ -780,3 +780,45 @@ def test_corpus_novelty_first_seen_joins_on_shingle(plan):
     p = plan("corpus_novelty_curve")
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_decile_faces_keep_exact_ntile_window_when_small(plan):
+    """Below _NTILE_MAX_WINDOWED the three decile faces keep the plain
+    global-window NTILE — the fewest-stages form and the one the SQL
+    oracles are written in (r9 verdict order #3's equivalence guarantee:
+    small inputs must not pay the sliced plan's extra stages)."""
+    for q in (
+        "events_power_users_curve",
+        "events_rfm_segments",
+        "corpus_novelty_curve",
+    ):
+        p = plan(q)
+        assert "ntile(" in p, (q, p[:800])
+        assert "_bk" not in p, (q, p[:800])
+
+
+def test_decile_faces_sliced_path_has_no_global_ntile(spark, sf_dir, monkeypatch):
+    """Above the threshold NO unpartitioned window may sort the entity
+    frame: the sliced-rank plan partitions every corpus-scale window by
+    the value slice (_bk); the only unpartitioned window left is the
+    per-slice offset cumulative over the ≤ n_part-row count table."""
+    import re
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        analytics,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.plans import (
+        explain_string,
+    )
+
+    monkeypatch.setattr(analytics, "_NTILE_MAX_WINDOWED", -1)
+    for q in (
+        "events_power_users_curve",
+        "events_rfm_segments",
+        "corpus_novelty_curve",
+    ):
+        p = explain_string(QUERIES[q](spark, sf_dir))
+        assert "ntile(" not in p, (q, p[:800])
+        # every row_number (the per-slice local rank) partitions by _bk
+        specs = re.findall(r"row_number\(\)[^\n]*windowspecdefinition\(([^,]*),", p)
+        assert specs and all("_bk" in s for s in specs), (q, specs)
