@@ -2073,3 +2073,89 @@ def test_decile_faces_sliced_path_output_identical(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(analytics, "_NTILE_MAX_WINDOWED", -1)
     for q in faces:
         assert canon(qs[q](spark, sf_dir)) == want[q], q
+
+
+def _write_clustered_embeddings(path, n=2000, d=64, k=8, sigma=0.35, seed=42):
+    """Mixture-of-Gaussians embeddings fixture (r9 verdict order #5): the
+    driver testdata's embeddings are uniform-random — IVF's worst case, so
+    the recall evals sat at the ~0.16 uniform-noise floor regardless of
+    index quality. k tight clusters make recall DISCRIMINATIVE: a working
+    cell-probe index recovers most true neighbors (they share the query's
+    cluster), a broken one cannot. A Zipf-decay per-dim scale (1/j^0.75)
+    concentrates variance in the early dims the way MRL-TRAINED embeddings
+    do — without it the 16-dim truncation eval stays at its floor no
+    matter how clustered the data is, because isotropic within-cluster
+    noise spreads neighbor ranking across all 64 dims (measured: 0.14
+    isotropic vs 0.76 decayed). Same schema as the driver table
+    (vec_id long, embedding array<float>, label int = cluster id);
+    deterministic by seed. Documented in FIXTURES.md §B2."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 1.0, (k, d)) * 10.0
+    labels = rng.integers(0, k, n)
+    vecs = centers[labels] + rng.normal(0.0, sigma, (n, d))
+    vecs = vecs * (1.0 / np.arange(1, d + 1) ** 0.75)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row for row in vecs.astype(np.float32)], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype("int32"), pa.int32()),
+        }
+    )
+    pq.write_table(tab, str(path / "embeddings.parquet"))
+
+
+def test_ann_recall_clustered_fixture_is_discriminative(spark, tmp_path):
+    """On the clustered fixture the pinned IVF index must recover most
+    exact neighbors — materially above the ~0.16 uniform floor — and the
+    truncated-dim (matryoshka) scan must keep most of its recall too
+    (cluster structure survives the 16-dim prefix)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        similarity,
+    )
+
+    _write_clustered_embeddings(tmp_path)
+    sfd = str(tmp_path)
+    ivf = similarity.ann_recall_eval(spark, sfd).collect()
+    assert len(ivf) == 20, ivf
+    mean_ivf = sum(r["recall"] for r in ivf) / len(ivf)
+    assert mean_ivf >= 0.5, mean_ivf
+    mrl = similarity.matryoshka_recall_eval(spark, sfd).collect()
+    mean_mrl = sum(r["recall"] for r in mrl) / len(mrl)
+    assert mean_mrl >= 0.5, mean_mrl
+
+
+def test_ann_recall_eval_oracle_green_on_clustered_fixture(spark, tmp_path):
+    """The recall eval's DuckDB twin must agree value-exactly on the
+    clustered fixture as well — the pinned index lifecycle is
+    fixture-agnostic, so oracle-greenness cannot depend on the uniform
+    testdata's geometry."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        similarity,
+    )
+
+    _write_clustered_embeddings(tmp_path)
+    sfd = str(tmp_path)
+    got = similarity.ann_recall_eval(spark, sfd)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sfd}/embeddings.parquet'"
+    )
+    want = con.sql(similarity.ANN_RECALL_SQL)
+
+    def canon(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        def cell(v):
+            return repr(round(v, 9)) if isinstance(v, float) else str(v)
+        return sorted("|".join(cell(r[i]) for i in order) for r in rows)
+
+    g = canon(got.columns, got.collect())
+    w = canon(want.columns, want.fetchall())
+    assert g == w and g, (g[:3], w[:3])
