@@ -233,27 +233,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5: batch sessionization by 30-minute inactivity gap —
-    lag → gap flag → running sum session id → per-session rollup.
-    Two window passes + one group-by, all on the user_id shuffle key."""
-    ev = load(spark, "events", sf_dir)
+_SESSION_GAP_S = 1800  # 30-minute inactivity gap
+
+
+def session_rollup(ev: DataFrame, round_value: bool = True) -> DataFrame:
+    """THE gap-sessionization pass over an event frame — shared by the
+    batch ``sessionize`` face and the incremental sessions ingest (which
+    runs it per micro-batch and stitches across the boundary), so the two
+    paths cannot drift. lag → gap flag → running-sum session id → per-
+    session rollup; all on the user_id shuffle key. With
+    ``round_value=False`` the session value stays the RAW sum (the
+    mergeable partial the incremental path stores; rounding happens once
+    at serve — the rfm monetary discipline)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (
-        F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    with_session = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_S), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    with_session = (
-        ev.withColumn("is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
-        .withColumn(
-            "session_id",
-            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-    )
+    vsum = F.sum("value")
     return with_session.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        (F.round(vsum, 2) if round_value else vsum).alias("session_value"),
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: batch sessionization by 30-minute inactivity gap —
+    lag → gap flag → running sum session id → per-session rollup.
+    Two window passes + one group-by, all on the user_id shuffle key."""
+    return session_rollup(load(spark, "events", sf_dir))
+
+
+def sessions_from_state(closed: DataFrame, open_state: DataFrame) -> DataFrame:
+    """Serve the sessionized corpus from the incrementally-maintained pair
+    (closed sessions log + per-user open-session boundary): union the open
+    sessions as sessions-in-progress, assign each user's ordinal
+    session_id by session_start order, and round the value once — equal
+    row-for-row to batch ``sessionize`` over everything ingested (parity
+    + hypothesis model in the test suite). Distinct sessions of one user
+    are separated by >gap, so starts are strictly increasing and the
+    ordinal is well-defined. The ranking window runs over SESSION-
+    cardinality rows per user (bounded by activity, not event count);
+    value_sum merges happened at stitch time, so one ROUND(2) here is the
+    only finalization arithmetic."""
+    open_rows = open_state.select(
+        "user_id",
+        "session_start",
+        F.col("last_ts").alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+    allr = closed.select(
+        "user_id", "session_start", "session_end", "n_events", "value_sum"
+    ).unionByName(open_rows)
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return allr.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+        F.round("value_sum", 2).alias("session_value"),
     )
 
 

@@ -1427,6 +1427,251 @@ def start_incremental_hourly_ingest(
     return writer.start()
 
 
+def apply_sessions_batch(
+    spark: SparkSession,
+    closed_t,
+    open_t,
+    txn_dir: str,
+    batch_df: DataFrame,
+    key,
+) -> bool:
+    """One micro-batch of exact incremental sessionization: within-batch
+    ``session_rollup`` + boundary stitch against the open-session state,
+    committed as one multi-table transaction under ``key``. Returns False
+    (whole-batch no-op) when ``key`` has already committed — replay
+    protection lives HERE so the streaming closure and the model test
+    drive the identical code path. Semantics, the order contract and the
+    state shapes are documented on ``start_incremental_sessions_ingest``."""
+    from ..operators.windows import _SESSION_GAP_S, session_rollup
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        transaction_batch_seen,
+    )
+
+    if transaction_batch_seen([closed_t, open_t], key):
+        return False
+    b = batch_df.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).persist()
+
+    def _nsum(a, b_):
+        # null-skipping add: parity with SUM(value) over the merged
+        # session's events (NULL only when BOTH sides are all-NULL)
+        return F.when(
+            a.isNull() & b_.isNull(), F.lit(None).cast("double")
+        ).otherwise(F.coalesce(a, F.lit(0.0)) + F.coalesce(b_, F.lit(0.0)))
+
+    try:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ranked = b.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.row_number().over(w).alias("__rn"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("__n"),
+        ).persist()
+        sess = (
+            session_rollup(b, round_value=False)
+            .withColumnRenamed("session_value", "value_sum")
+            .withColumn(
+                "__m", F.max("session_id").over(Window.partitionBy("user_id"))
+            )
+        )
+        prev = open_t.read() if open_t.current_version() is not None else None
+        firsts = ranked.filter(F.col("__rn") == 1).select(
+            "user_id", F.col("ts").alias("__ts0"), F.col("event_id").alias("__eid0")
+        )
+        lasts = ranked.filter(F.col("__rn") == F.col("__n")).select(
+            "user_id",
+            F.col("ts").alias("__lts"),
+            F.col("event_id").alias("__leid"),
+        )
+        if prev is not None:
+            pj = firsts.join(prev, "user_id")
+            n_bad = (
+                pj.filter(
+                    (F.col("__ts0") < F.col("last_ts"))
+                    | (
+                        (F.col("__ts0") == F.col("last_ts"))
+                        & (F.col("__eid0") <= F.col("last_eid"))
+                    )
+                )
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise RuntimeError(
+                    "sessions ingest order contract violated: a batch "
+                    "delivered a user event at or before that user's "
+                    "already-ingested last event; exact incremental "
+                    "sessionization requires per-user-ordered delivery "
+                    "— route this source through a keyed, ordered log "
+                    "or rebuild the session tables"
+                )
+            minfo = pj.select(
+                "user_id",
+                (
+                    F.col("__ts0").cast("long") - F.col("last_ts").cast("long")
+                    <= _SESSION_GAP_S
+                ).alias("__merged"),
+                F.col("session_start").alias("__p_start"),
+                F.col("n_events").alias("__p_n"),
+                F.col("value_sum").alias("__p_v"),
+            )
+        else:
+            minfo = None
+        if minfo is not None:
+            adj = sess.join(minfo, "user_id", "left")
+            stitch = F.col("__merged").eqNullSafe(F.lit(True)) & (
+                F.col("session_id") == 1
+            )
+            adj = adj.select(
+                "user_id",
+                "session_id",
+                "__m",
+                F.when(stitch, F.col("__p_start"))
+                .otherwise(F.col("session_start"))
+                .alias("session_start"),
+                "session_end",
+                F.when(stitch, F.col("n_events") + F.col("__p_n"))
+                .otherwise(F.col("n_events"))
+                .alias("n_events"),
+                F.when(stitch, _nsum(F.col("value_sum"), F.col("__p_v")))
+                .otherwise(F.col("value_sum"))
+                .alias("value_sum"),
+            )
+            # stored open sessions that did NOT merge close now (their
+            # user showed up again after a full gap)
+            old_closures = prev.join(
+                minfo.filter(~F.col("__merged")).select("user_id"), "user_id"
+            ).select(
+                "user_id",
+                "session_start",
+                F.col("last_ts").alias("session_end"),
+                "n_events",
+                "value_sum",
+            )
+        else:
+            adj = sess.select(
+                "user_id",
+                "session_id",
+                "__m",
+                "session_start",
+                "session_end",
+                "n_events",
+                "value_sum",
+            )
+            old_closures = None
+        closure_cols = [
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "value_sum",
+        ]
+        closures = adj.filter(F.col("session_id") < F.col("__m")).select(
+            *closure_cols
+        )
+        if old_closures is not None:
+            closures = closures.unionByName(old_closures)
+        new_open = (
+            adj.filter(F.col("session_id") == F.col("__m"))
+            .join(lasts, "user_id")
+            .select(
+                "user_id",
+                "session_start",
+                F.col("__lts").alias("last_ts"),
+                F.col("__leid").alias("last_eid"),
+                "n_events",
+                "value_sum",
+            )
+        )
+        if prev is not None:
+            carried = prev.join(
+                new_open.select("user_id"), "user_id", "left_anti"
+            )
+            open_new = carried.unionByName(new_open)
+        else:
+            open_new = new_open
+        txn = MultiTableTransaction([closed_t, open_t], txn_dir)
+        txn.stage_append(closed_t, closures, batch_id=key)
+        txn.stage_overwrite(open_t, open_new, batch_id=key)
+        txn.commit()
+        return True
+    finally:
+        ranked.unpersist()
+        b.unpersist()
+
+
+def start_incremental_sessions_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    closed_root: str,
+    open_root: str,
+    txn_dir: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "sessions_ingest",
+) -> StreamingQuery:
+    """EXACT incremental sessionization — the TENTH incremental path, in
+    the BOUNDARY-STATE class (with Markov transitions): gap-based sessions
+    cross micro-batch boundaries, so the state is (a) an append-only log
+    of CLOSED sessions and (b) one OPEN-session row per active user
+    (start, last event, running count/value). Per batch: run the SAME
+    ``operators.windows.session_rollup`` pass the batch operator uses on
+    the batch alone, then stitch at the boundary — a user's first batch
+    session MERGES into their stored open session when the gap to the
+    stored last event is within the session gap, otherwise the stored
+    session closes; every batch session except the user's last closes;
+    the last becomes the new open boundary. ``sessions_from_state`` over
+    the two tables equals batch ``sessionize`` over everything ingested
+    (parity + hypothesis model in tests/test_streaming.py). At 100 TB
+    this turns "refresh sessions" from a full-fact window sort into
+    per-batch work plus a user-keyed boundary join; the open table holds
+    ONE row per active user and closed sessions are append-only.
+
+    ORDER CONTRACT (checked loudly, the Markov discipline): a user's
+    events in a later batch must be strictly later — by (ts, event_id) —
+    than their events in earlier batches. A violating batch raises
+    rather than silently corrupting session boundaries: a late event can
+    split or merge ALREADY-CLOSED sessions, which is a rebuild, not an
+    append. Anonymous (NULL user_id) and NULL-ts events are excluded —
+    the engagement/RFM discipline; the batch twin for parity carries the
+    same filter.
+
+    Exactly-once: the closed-session append and the open-boundary
+    overwrite commit in ONE multi-table transaction with namespaced
+    batch keys; replayed batches are skipped whole."""
+    from ..sources.snapshots import SnapshotTable, recover_transactions
+
+    closed_t = SnapshotTable(spark, closed_root)
+    open_t = SnapshotTable(spark, open_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def sessions_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([closed_t, open_t], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        apply_sessions_batch(
+            spark, closed_t, open_t, txn_dir, batch_df, f"{stream_id}#{batch_id}"
+        )
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(sessions_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_hourly_counts(
     spark: SparkSession, counts_root: str, compaction_id=None
 ) -> None:

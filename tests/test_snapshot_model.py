@@ -758,3 +758,134 @@ def test_hourly_counts_stay_derived_from_ingested(spark, ops):
         got = canon(counts_t.read())
         want = canon(hourly_counts(spark.createDataFrame(ingested, schema)))
         assert got == want, f"hourly counts diverged after {op}"
+
+
+# Round-10 derived-state model: the incremental-sessionization pair (tenth
+# path, boundary-state class). Batches of per-user-ORDERED events (a global
+# clock drives every ts, so the order contract holds by construction) drive
+# the real apply_sessions_batch stitcher; after ANY interleaving of ingests,
+# replayed keys, snapshot expiry and maintenance on either table, serving
+# sessions_from_state(closed, open) must equal batch session_rollup over
+# everything ingested. Values are quarter-integers so stitched sums are
+# binary-exact; gaps straddle the 1800 s threshold so merges, closes and
+# multi-session batches all occur; NULL users/values exercise the ingest
+# filter and the null-skipping value merge.
+
+_SESS_EVENT = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=1, max_value=3)),  # user_id
+    st.integers(min_value=1, max_value=400),  # clock advance, ×10 s
+    st.one_of(st.none(), st.integers(min_value=0, max_value=40)),  # value/4
+)
+
+_SESS_OP = st.one_of(
+    st.tuples(st.just("ingest"), st.lists(_SESS_EVENT, min_size=1, max_size=5)),
+    st.tuples(st.just("replay"),),
+    st.tuples(st.just("expire"), st.integers(min_value=0, max_value=1)),
+    st.tuples(st.just("maintain"), st.integers(min_value=0, max_value=1)),
+)
+
+
+@settings(
+    max_examples=_fuzz_examples(4),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        _SESS_OP,
+        min_size=2,
+        max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "6")),
+    )
+)
+def test_sessions_state_stays_derived_from_ingested(spark, ops):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.windows import (
+        session_rollup,
+        sessions_from_state,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        maintain_table,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        apply_sessions_batch,
+    )
+
+    root = tempfile.mkdtemp()
+    closed_t = SnapshotTable(spark, root + "/closed")
+    open_t = SnapshotTable(spark, root + "/open")
+    txn_dir = root + "/txn"
+    schema = "event_id long, ts long, user_id long, value double"
+    clock = {"t": 1_700_000_000, "eid": 0}
+    ingested: list = []
+    last = {"key": None, "rows": None}
+    n_batches = 0
+
+    for op in ops:
+        kind = op[0]
+        if kind == "ingest":
+            rows = []
+            for user, adv, q in op[1]:
+                clock["t"] += adv * 10
+                clock["eid"] += 1
+                rows.append(
+                    (
+                        clock["eid"],
+                        clock["t"],
+                        user,
+                        None if q is None else q / 4.0,
+                    )
+                )
+            key = f"fuzz#{n_batches}"
+            n_batches += 1
+            apply_sessions_batch(
+                spark,
+                closed_t,
+                open_t,
+                txn_dir,
+                spark.createDataFrame(rows, schema),
+                key,
+            )
+            ingested.extend(rows)
+            last["key"], last["rows"] = key, rows
+        elif kind == "replay":
+            if last["key"] is None:
+                continue
+            # at-least-once delivery: the same batch under the same key
+            # must be a whole-batch no-op
+            applied = apply_sessions_batch(
+                spark,
+                closed_t,
+                open_t,
+                txn_dir,
+                spark.createDataFrame(last["rows"], schema),
+                last["key"],
+            )
+            assert applied is False
+        elif kind == "expire":
+            t = (closed_t, open_t)[op[1]]
+            if t.current_version() is None:
+                continue
+            t.expire_snapshots(keep_last=1)
+        elif kind == "maintain":
+            t = (closed_t, open_t)[op[1]]
+            if t.current_version() is None:
+                continue
+            maintain_table(t, max_files=8, orphan_grace_seconds=3600.0)
+        if open_t.current_version() is None:
+            continue
+
+        def canon(df):
+            return sorted(
+                (r.user_id, r.session_id, r.n_events, r.session_start,
+                 r.session_end, r.session_value)
+                for r in df.collect()
+            )
+
+        got = canon(sessions_from_state(closed_t.read(), open_t.read()))
+        want = canon(
+            session_rollup(
+                spark.createDataFrame(ingested, schema).filter(
+                    "user_id IS NOT NULL AND ts IS NOT NULL"
+                )
+            )
+        )
+        assert got == want, f"sessions diverged after {op}"

@@ -2099,3 +2099,125 @@ def test_incremental_hourly_ingest_matches_batch(spark, tmp_path):
     drain()
     assert counts_t.current_version() == v
     assert canon(anomalies_from_counts(counts_t.read())) == want_anom
+
+
+def test_incremental_sessions_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental sessionization (boundary-state class, the tenth
+    path): sessions served from (closed log + open boundaries) must equal
+    batch sessionize over everything ingested — across batches that
+    CONTINUE an open session (merge at the boundary), REOPEN after a full
+    gap (stored session closes), carry multi-session batches, NULL event
+    values, and users absent from later batches. Replay from the same
+    checkpoint adds no versions; an out-of-order batch raises the order
+    contract instead of corrupting boundaries."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.windows import (
+        session_rollup,
+        sessions_from_state,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_sessions_ingest,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    all_rows = []
+    t0 = 1_700_000_000
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for eid, user, off, value in specs:
+                row = {
+                    "event_id": eid,
+                    "ts": t0 + off,
+                    "user_id": user,
+                    "value": value,
+                }
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    # batch a: user 1 two events 100 s apart (one open session), user 2
+    # one event (open); batch b: user 1 continues 200 s later (MERGE),
+    # then jumps 5000 s (old merged session closes in a LATER batch — no:
+    # within batch b the jump closes the merged session and opens a new
+    # one), user 2 returns after 4000 s (stored open closes), user 3 is
+    # new with an all-NULL value session; batch c: user 1 continues the
+    # open session within gap, user 3 jumps a full gap
+    write_file("a.json", [(1, 1, 0, 2.5), (2, 1, 100, None), (3, 2, 50, 1.0)])
+    write_file(
+        "b.json",
+        [(4, 1, 300, 4.0), (5, 1, 5300, 0.25), (6, 2, 4050, None), (7, 3, 0, None)],
+    )
+    write_file("c.json", [(8, 1, 5400, None), (9, 3, 3700, 3.0)])
+
+    closed_root = str(tmp_path / "closed")
+    open_root = str(tmp_path / "open")
+    txn_dir = str(tmp_path / "txn")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts long, user_id long, value double"
+
+    def drain():
+        q = start_incremental_sessions_ingest(
+            spark,
+            str(src),
+            closed_root,
+            open_root,
+            txn_dir,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    drain()
+    closed_t = SnapshotTable(spark, closed_root)
+    open_t = SnapshotTable(spark, open_root)
+
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["user_id"], r["value"]) for r in all_rows],
+        schema,
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = canon(sessions_from_state(closed_t.read(), open_t.read()))
+    want = canon(session_rollup(batch_df))
+    assert got == want and len(want) == 6
+    # structural spot-checks: user 1 = 2 sessions (merged 4-event one +
+    # the post-gap pair), user 2 = 2, user 3 = 2; opens = one per user
+    assert open_t.read().count() == 3
+    assert closed_t.read().count() == 3
+
+    # replay: same checkpoint, no new versions on either table
+    vc, vo = closed_t.current_version(), open_t.current_version()
+    drain()
+    assert (closed_t.current_version(), open_t.current_version()) == (vc, vo)
+    assert canon(sessions_from_state(closed_t.read(), open_t.read())) == want
+
+    # order contract: an event at/before user 1's stored last event raises
+    with open(src / "z.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {"event_id": 99, "ts": t0 + 5399, "user_id": 1, "value": 1.0}
+            )
+            + "\n"
+        )
+    import pytest as _pytest
+
+    q = start_incremental_sessions_ingest(
+        spark,
+        str(src),
+        closed_root,
+        open_root,
+        txn_dir,
+        schema=schema,
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+    )
+    with _pytest.raises(Exception, match="order contract"):
+        q.awaitTermination(180)
+        q.processAllAvailable()
+    assert (closed_t.current_version(), open_t.current_version()) == (vc, vo)
