@@ -73,10 +73,10 @@ _MODULES = [
 #     join_asof (J7 — the only as-of face), window_lag_lead +
 #     window_tumbling_5min + window_session_30min + sessionize (the W2/T6/T7
 #     event-time block), rollup_multi_granularity (A8 sibling of the
-#     in-window agg_cube), agg_hll_mergeable (rows-only sketch — its exact
-#     twin agg_bitmap_distinct stays r7), ann_pq (rows-only — its pinned
-#     twin ann_ivf_index is r9-green), set_union (§2.6 — set_intersect is
-#     in-window).
+#     in-window agg_cube). agg_hll_mergeable (rows-only sketch — exact twin
+#     agg_bitmap_distinct r7), ann_pq (rows-only — pinned twin
+#     ann_ivf_index r9-green) and set_union (§2.6 — set_intersect
+#     in-window) were displaced by the three round-10 head entries.
 # r7 rows NOT in this window (each with a same-shape sibling in-window or
 # fresher): the whole window-frame family (running_sum/moving_avg/range_30d/
 # ntile_pct <- lag_lead + tumbling in-window, top_customers r8), the dedup
@@ -98,6 +98,10 @@ _MODULES = [
 # the r9-green snapshot_schema_evolution_orders surface).  These 39 head
 # round 11.
 _PRIORITY = [
+    # (a) new round-10 entries (all value-exact oracles), at head
+    "dedup_representative_pick",
+    "quality_weighted_sample",
+    "text_hashing_vectorizer",
     # (b) the forty-one r6-era entries, oldest ledger rows first
     "scalar_math_funcs",
     "case_when_banding",
@@ -147,9 +151,6 @@ _PRIORITY = [
     "window_session_30min",
     "sessionize",
     "rollup_multi_granularity",
-    "agg_hll_mergeable",
-    "ann_pq",
-    "set_union",
 ]
 
 

@@ -137,6 +137,11 @@ HEADLINE = [
     "domain_mixture_weights",
     "corpus_source_report",
     "corpus_novelty_curve",
+    # Appended round 10: quality-based cluster representative pick,
+    # quality-proportional sampling, signed feature hashing.
+    "dedup_representative_pick",
+    "quality_weighted_sample",
+    "text_hashing_vectorizer",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -590,6 +590,43 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_representative_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based representative selection (NEW round 10): per near-dup
+    cluster keep the HIGHEST-QUALITY member, not the lowest doc_id — the
+    curation rule real pipelines apply after clustering (SemDeDup §4 keeps
+    one exemplar per group; production dedup keeps the best-scoring copy
+    of a template page, not the first-crawled one). Composes the SHARED
+    definitions — ``dedup_clusters``'s connected components and the pinned
+    ``text_linear_quality_classifier`` score (already 6-rounded on both
+    engines as part of its contract) — so the pick can never disagree with
+    the clustering or the quality gate it sits between. Tie on the rounded
+    score → lowest doc_id. NULL-text docs have no score and drop from the
+    pick on both sides (the classifier's documented exclusion).
+
+    Scale shape: the argmax is ``max_by`` over a (score, −doc_id) struct —
+    a hash agg whose map-side combine collapses each cluster to one row
+    before the shuffle (the kmeans-assign precedent; no rank window over
+    the corpus). Output is cluster cardinality."""
+    from .textops import text_linear_quality_classifier
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    scored = text_linear_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    memb = clusters.join(scored, "doc_id")
+    return (
+        memb.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.expr(
+                "max_by(doc_id, struct(quality_score, -doc_id))"
+            ).alias("rep_doc_id"),
+            F.max("quality_score").alias("rep_score"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # Shared CTE chain: 3-gram shingles → inverted index (stop-shingles with
 # df > 100 dropped, mirroring _JACCARD_DF_CAP) → exact Jaccard → threshold
 # edges → recursive-CTE reachability → min-reachable component id.
@@ -642,6 +679,34 @@ DEDUP_APPLY_SQL = _CC_ORACLE_CTES + """
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d LEFT JOIN comp c USING (doc_id)
 WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+"""
+
+
+def _dedup_rep_pick_sql() -> str:
+    """SQL twin of the quality-based pick: the recursive-CTE components
+    feeding a rank-1 window over the shared classifier CTE's 6-rounded
+    score. lqc is a nested-WITH CTE (the corpus_source_report idiom)."""
+    from .textops import TEXT_LQC_SQL
+
+    return _CC_ORACLE_CTES + f""", lqc AS ({TEXT_LQC_SQL}),
+members AS (
+  SELECT COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         d.doc_id, l.quality_score AS q
+  FROM documents d
+  LEFT JOIN comp c USING (doc_id)
+  JOIN lqc l USING (doc_id)
+),
+pick AS (
+  SELECT cluster_id, doc_id, q,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY q DESC, doc_id ASC) AS rn
+  FROM members
+)
+SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS rep_doc_id, q AS rep_score
+FROM pick WHERE rn = 1
+ORDER BY cluster_id
 """
 
 
@@ -904,6 +969,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_apply": dedup_apply,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_representative_pick": dedup_representative_pick,
 }
 
 ORACLES = {
@@ -920,4 +986,6 @@ ORACLES = {
     "dedup_apply": DEDUP_APPLY_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    # round 10: quality-based representative pick (shared CC + classifier)
+    "dedup_representative_pick": _dedup_rep_pick_sql(),
 }

@@ -459,8 +459,80 @@ ORDER BY source
 """
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-PROPORTIONAL corpus sampling (NEW round 10): accept each
+    doc with probability equal to its pinned classifier score — the
+    DCLM/FineWeb-style soft quality gate that keeps a calibrated share of
+    mid-quality text instead of a hard threshold's cliff (a 0.49-scoring
+    doc survives ~half the time, not never). Deterministic and
+    reproducible: the acceptance draw is the md5-derived uniform
+    u = (md5₁₆(doc_id) mod 10⁴)/10⁴ — the ``sample_hash_fraction`` idiom —
+    compared against the 6-rounded score, so reruns, both engines, and
+    any partitioning produce the SAME sample. Both operands are
+    identically-computed doubles on both engines (the score's rounding is
+    part of ``_linear_score_expr``'s contract), so the comparison cannot
+    flake at the boundary.
+
+    Scale shape: score and draw are per-row scan-level projections (one
+    higher-order aggregate, no explode, no shuffle, no UDF) and the
+    filter prunes at the scan — the whole sampler is a map-only pass at
+    any corpus size. NULL-text docs have no score and drop on both sides
+    (the classifier's documented exclusion)."""
+    from .textops import _LQC_BIAS, _LQC_W, _linear_score_expr
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    u = (
+        F.pmod(md5_bucket16(F.col("doc_id").cast("string")), F.lit(10000))
+        / F.lit(10000.0)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            _linear_score_expr(_LQC_W, _LQC_BIAS).alias("quality_score"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("quality_score"))
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_WEIGHTED_SAMPLE_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), w(bk, wt) AS ({lqc_values}),
+s AS (
+  SELECT doc_id, AVG(wt) AS mean_w
+  FROM t JOIN w
+    ON (CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 16) = bk
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source,
+         ROUND(1.0 / (1.0 + EXP(-({lqc_bias} + s.mean_w))), 6) AS quality_score,
+         (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+            % 10000) / 10000.0 AS u
+  FROM documents d JOIN s USING (doc_id)
+)
+SELECT doc_id, source, quality_score, u
+FROM scored
+WHERE u < quality_score
+ORDER BY doc_id
+"""
+
+
+def _quality_weighted_sample_sql() -> str:
+    from .textops import _LQC_BIAS, _LQC_VALUES
+
+    return QUALITY_WEIGHTED_SAMPLE_SQL.format(
+        lqc_values=f"VALUES {_LQC_VALUES}", lqc_bias=_LQC_BIAS
+    )
+
+
 QUERIES = {
     "curate_pretraining_corpus": curate_pretraining_corpus,
+    "quality_weighted_sample": quality_weighted_sample,
     "domain_mixture_weights": domain_mixture_weights,
     "split_train_val_test": split_train_val_test,
     "mixture_weighted_interleave": mixture_weighted_interleave,
@@ -474,6 +546,8 @@ QUERIES = {
 
 ORACLES = {
     "curate_pretraining_corpus": CURATE_SQL,
+    # round 10: quality-proportional sampler (shared classifier + md5 draw)
+    "quality_weighted_sample": _quality_weighted_sample_sql(),
     "domain_mixture_weights": DOMAIN_MIXTURE_SQL,
     "split_train_val_test": SPLIT_SQL,
     "mixture_weighted_interleave": MIXTURE_INTERLEAVE_SQL,

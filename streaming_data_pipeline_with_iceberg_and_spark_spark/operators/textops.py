@@ -2069,8 +2069,85 @@ FROM agg
 """
 
 
+# Hashing-vectorizer width: 64 signed buckets — the sklearn
+# HashingVectorizer / Weinberger et al. (ICML'09) feature-hashing trick at
+# a width small enough for an exact cross-engine oracle.
+_HV_DIM = 64
+
+
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed bag-of-words (NEW round 10): each token hashes to one
+    of ``_HV_DIM`` signed buckets (bucket = md5₁₆ mod 64; sign = parity of
+    the next md5 bit — Weinberger et al.'s unbiased signed hashing), the
+    per-(doc, bucket) signed term counts are L2-normalized per doc, and the
+    nonzero coordinates come back as (doc_id, bucket, weight) rows — the
+    sparse feature layout a distributed trainer consumes. This is the
+    fixed-width featurizer behind ``train_quality_classifier``'s hashing
+    trick, exposed as a first-class op with the full signed-sum semantics.
+
+    Scale shape: tokenize → explode → ONE (doc, bucket) hash agg (wordcount
+    class, map-side combine collapses repeated tokens before the shuffle)
+    → per-doc norm as a second doc-keyed agg broadcast-joined back — no
+    window over the corpus, no UDF. Zero-sum buckets (sign cancellation)
+    drop BEFORE the norm on both engines, so the norm is over emitted
+    coordinates only and the output is exactly the nonzero support.
+    Cross-engine: md5-derived bucket/sign, integer sums, one sqrt and one
+    division rounded at 6."""
+    docs = load_spread(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    h = md5_bucket16(F.col("tok"))
+    signed = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(_HV_DIM)).alias("bucket"),
+        F.when(F.pmod(F.floor(h / F.lit(_HV_DIM)).cast("long"), F.lit(2)) == 0, 1)
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    raw = (
+        signed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("w_raw"))
+        .filter(F.col("w_raw") != 0)
+    )
+    norms = raw.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw"))).alias("nrm")
+    )
+    return raw.join(norms, "doc_id").select(
+        "doc_id",
+        "bucket",
+        F.round(F.col("w_raw") / F.col("nrm"), 6).alias("weight"),
+    )
+
+
+TEXT_HASHING_VECTORIZER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % {_HV_DIM} AS bucket,
+         CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) // {_HV_DIM})
+                   % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM t
+),
+raw AS (
+  SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS w_raw
+  FROM hashed GROUP BY 1, 2
+  HAVING SUM(sign) != 0
+),
+norms AS (
+  SELECT doc_id, SQRT(SUM(w_raw * w_raw)) AS nrm FROM raw GROUP BY 1
+)
+SELECT r.doc_id, r.bucket, ROUND(r.w_raw / n.nrm, 6) AS weight
+FROM raw r JOIN norms n USING (doc_id)
+"""
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
+    "text_hashing_vectorizer": text_hashing_vectorizer,
     "text_char_entropy": text_char_entropy,
     "text_zipf_fit": text_zipf_fit,
     "corpus_source_report": corpus_source_report,
@@ -2100,6 +2177,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    # round 10: signed feature hashing (md5 bucket/sign, integer sums)
+    "text_hashing_vectorizer": TEXT_HASHING_VECTORIZER_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "text_zipf_fit": TEXT_ZIPF_SQL,
