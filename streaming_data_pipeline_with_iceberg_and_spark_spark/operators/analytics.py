@@ -1446,7 +1446,21 @@ def rfm_from_user_state(state: DataFrame, est_rows: int | None = None) -> DataFr
     user cardinality for the adaptive quintile switch (the batch face
     passes the fact's free footer count); when the caller has no bound —
     the maintained-state serving face — one approx-count pass over the
-    INPUT state probes it, cost proportional to the state table."""
+    INPUT state probes it, cost proportional to the state table.
+
+    On the SLICED path (est above ``_NTILE_MAX_WINDOWED``) each
+    ``adaptive_ntile`` call runs an eager ``approxQuantile`` action over
+    its input, so chaining three calls on a lazy frame would re-execute
+    the whole upstream plan per probe — the third probe re-running the
+    first two sliced-rank plans, and the caller's action running it all
+    again (the r10 advice finding). The sliced path therefore persists
+    the merged rfm frame and each intermediate scored frame so every
+    probe scans a cached input exactly once, then hands the final frame
+    to ``checkpoint_release``: the result materializes eagerly (this is
+    the serving face — the caller consumes it; per-user scale, bounded
+    far below the fact table) and every per-call cache entry is released
+    before return. The windowed path stays fully lazy and plan-identical
+    to the oracle."""
     per_user = merge_user_state(state).select(
         "user_id",
         "d_last",
@@ -1470,15 +1484,25 @@ def rfm_from_user_state(state: DataFrame, est_rows: int | None = None) -> DataFr
         if est_rows is not None
         else state.agg(F.approx_count_distinct("user_id")).first()[0] or 0
     )
-    scored = adaptive_ntile(
-        rfm, 5, "recency_days", "user_id", "r_q", est_rows=est
-    )
-    scored = adaptive_ntile(
-        scored, 5, "frequency", "user_id", "f_q", descending=True, est_rows=est
-    )
-    scored = adaptive_ntile(
-        scored, 5, "monetary", "user_id", "m_q", descending=True, est_rows=est
-    )
+    sliced = est > _NTILE_MAX_WINDOWED
+    cached: list[DataFrame] = []
+    scored = rfm
+    if sliced:
+        scored = scored.persist()
+        cached.append(scored)
+    for col, out_col, desc in (
+        ("recency_days", "r_q", False),
+        ("frequency", "f_q", True),
+        ("monetary", "m_q", True),
+    ):
+        scored = adaptive_ntile(
+            scored, 5, col, "user_id", out_col, descending=desc, est_rows=est
+        )
+        if sliced:
+            # the NEXT call's quantile probe materializes this cache entry,
+            # so each upstream plan executes exactly once
+            scored = scored.persist()
+            cached.append(scored)
     seg = (
         F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2), "champion")
         .when((F.col("r_q") <= 2) & (F.col("f_q") <= 3), "loyal")
@@ -1486,10 +1510,15 @@ def rfm_from_user_state(state: DataFrame, est_rows: int | None = None) -> DataFr
         .when((F.col("r_q") >= 4) & (F.col("f_q") >= 4), "lost")
         .otherwise("regular")
     )
-    return scored.select(
+    result = scored.select(
         "user_id", "recency_days", "frequency", "monetary",
         "r_q", "f_q", "m_q", seg.alias("segment"),
     )
+    if sliced:
+        from ..io import checkpoint_release
+
+        return checkpoint_release(result, *cached)
+    return result
 
 
 RFM_SQL = """

@@ -2001,13 +2001,17 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    # the projected frame is the corpus at d→k width (thin); eager
-    # checkpoint trades one extra materialization for releasing the
-    # full-width cached corpus immediately
-    return checkpoint_release(
-        emb.select("vec_id", "embedding").mapInPandas(project, schema=schema),
-        emb,
-    )
+    # NOT checkpoint_release (the r10 advice finding): the projected frame
+    # is corpus-scale, so an eager localCheckpoint would run a corpus job
+    # even if the caller never consumes the result, and its RDD blocks are
+    # unrecoverable after executor loss. The cache existed to share emb
+    # between the (already-executed) fit pass and the projection; a lazy
+    # unpersist releases it now, and if the caller does consume, the
+    # projection's single map pass re-reads parquet — the plan you want
+    # at scale anyway.
+    proj = emb.select("vec_id", "embedding").mapInPandas(project, schema=schema)
+    emb.unpersist(blocking=False)
+    return proj
 
 
 QUERIES = {

@@ -1453,6 +1453,7 @@ def apply_sessions_batch(
     b = batch_df.filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     ).persist()
+    ranked = None
 
     def _nsum(a, b_):
         # null-skipping add: parity with SUM(value) over the merged
@@ -1599,7 +1600,10 @@ def apply_sessions_batch(
         txn.commit()
         return True
     finally:
-        ranked.unpersist()
+        # guard: if the try block raised before `ranked` was bound, an
+        # unguarded unpersist would mask the original exception
+        if ranked is not None:
+            ranked.unpersist()
         b.unpersist()
 
 
@@ -1640,6 +1644,20 @@ def start_incremental_sessions_ingest(
     append. Anonymous (NULL user_id) and NULL-ts events are excluded —
     the engagement/RFM discipline; the batch twin for parity carries the
     same filter.
+
+    COST HONESTY (the r10 advice finding): the open-boundary table is
+    rewritten WHOLE each micro-batch, and since open sessions are never
+    evicted (a session only closes when its user's next event arrives or
+    at finalization), carried ∪ new_open covers every user EVER seen —
+    per-batch write cost is O(total distinct users), not O(batch). The
+    boundary JOIN is user-keyed and cheap; the rewrite is the O(users)
+    term. That is still orders of magnitude below the full-fact window
+    re-sort the batch operator would pay (users ≪ events), and one
+    open-session row is ~50 bytes, but on a 10⁹-user corpus the honest
+    deployment shape is an open table BUCKETED by user_id with a keyed
+    copy-on-write merge so a batch rewrites only the buckets its users
+    touch — the snapshot layer's overwrite() here is the single-file
+    local-mode stand-in for that.
 
     Exactly-once: the closed-session append and the open-boundary
     overwrite commit in ONE multi-table transaction with namespaced

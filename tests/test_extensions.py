@@ -2075,6 +2075,30 @@ def test_decile_faces_sliced_path_output_identical(spark, sf_dir, monkeypatch):
         assert canon(qs[q](spark, sf_dir)) == want[q], q
 
 
+def test_rfm_sliced_path_releases_caches(spark, sf_dir, monkeypatch):
+    """The sliced-path RFM serving face persists the merged frame and each
+    scored intermediate so the three quantile probes scan cached inputs
+    (r10 advice medium: an uncached chain re-executes the whole upstream
+    plan per probe), then releases every per-call CacheManager entry via
+    checkpoint_release before returning — no corpus-sized cache may
+    outlive the call."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        analytics,
+    )
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    empty_before = cm.isEmpty()
+    state = analytics.rfm_user_partials(load(spark, "events", sf_dir))
+    want = sorted(tuple(r) for r in analytics.rfm_from_user_state(state).collect())
+    monkeypatch.setattr(analytics, "_NTILE_MAX_WINDOWED", -1)
+    got = sorted(tuple(r) for r in analytics.rfm_from_user_state(state).collect())
+    assert got == want and got
+    # every persist() taken on the sliced path must be released on return
+    assert cm.isEmpty() or not empty_before
+
+
 def _write_clustered_embeddings(path, n=2000, d=64, k=8, sigma=0.35, seed=42):
     """Mixture-of-Gaussians embeddings fixture (r9 verdict order #5): the
     driver testdata's embeddings are uniform-random — IVF's worst case, so
