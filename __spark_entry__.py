@@ -58,99 +58,79 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# After round 9 the latest-row histogram is r6:41, r7:48, r8:50, r9:50 with
-# zero failures ever recorded as latest state.  Round 10's window (the r9
-# verdict's order #1) is:
-# (a) new round-10 entries, inserted at the head as they land;
-# (b) ALL forty-one r6-era entries — the exact set deferred across r8/r9
-#     with sibling justifications (the scalar/agg/set/array/window singles,
-#     the knn/LSH pair, the text quality+stats family, the five mm_* rows,
-#     the five split/sample rows, the CoW mutation pair, funnel_conversion,
-#     pii_redact/decontaminate, nested_envelope_parse, text_chunk_udtf and
-#     pandas_udf_haversine) — after this window no entry's latest row
-#     predates r7;
-# (c) the remaining slots filled with the OLDEST r7 rows, family-diverse:
-#     join_asof (J7 — the only as-of face), window_lag_lead +
-#     window_tumbling_5min + window_session_30min + sessionize (the W2/T6/T7
-#     event-time block), rollup_multi_granularity (A8 sibling of the
-#     in-window agg_cube). agg_hll_mergeable (rows-only sketch — exact twin
-#     agg_bitmap_distinct r7), ann_pq (rows-only — pinned twin
-#     ann_ivf_index r9-green) and set_union (§2.6 — set_intersect
-#     in-window) were displaced by the three round-10 head entries.
-# r7 rows NOT in this window (each with a same-shape sibling in-window or
-# fresher): the whole window-frame family (running_sum/moving_avg/range_30d/
-# ntile_pct <- lag_lead + tumbling in-window, top_customers r8), the dedup
-# r7 block (clusters/apply/span_exact/fingerprint/embedding_cosine <- the
-# FULL exact+near-dup family got r9 rows), text_lang_id/bigram_freq/
-# rolling_hash/within_doc_repetition/rollup_by_lang_source/token_bpe
-# (<- the r6-era text quality family is in-window and the classifier trio
-# is r9-green), the sampling/packing block (pack_sequences/shuffle_epoch_
-# rank/mixture_weighted_interleave/resample_ffill/grouped_ols_trend <- the
-# five r6-era split/sample rows are in-window), knn_bruteforce_vectorized
-# (<- knn_bruteforce in-window shares the SAME oracle string), ann_ivf
-# (<- ann_lsh_hyperplane + knn_dot_topk in-window; ann_ivf_index r9),
-# json_variant_extract (<- nested_envelope_parse in-window, json_extraction
-# r9), drop_duplicates_subset + distinct_rows-sibling dedup_exact r9,
-# q2/q11/q20/q21 + agg_histogram_quantiles + events_anomaly_mad +
-# text_heavy_hitters + agg_bitmap_distinct + snapshot_time_travel/changelog
-# + bm25_search + pca pair + curate_multimodal_corpus (ALL timed every
-# round in bench and/or sharing r8/r9-green family rows; snapshot rows share
-# the r9-green snapshot_schema_evolution_orders surface).  These 39 head
-# round 11.
+# After round 10 the latest-row histogram is r7:42, r8:50, r9:50, r10:50
+# with zero failures ever recorded as latest state and NO never-checked
+# entries.  Round 11's window is:
+# (a) new round-11 entries, inserted at the head as they land;
+# (b) ALL forty-two remaining r7-era entries (the exact set whose latest
+#     ledger row is r7, computed from the CORRECTNESS_r* files at round-11
+#     start) — after this window no entry's latest row predates r8.  This
+#     includes the three rows displaced from the r10 window by its late new
+#     ops (agg_hll_mergeable, ann_pq, set_union);
+# (c) the remaining slots filled with family-diverse r8 rows: the pinned
+#     index face (ann_ivf_index), the stateful-ingest finalizer family
+#     (events_markov_transitions, events_dau_wau_mau, funnel_latency), the
+#     retrieval composite (hybrid_search_rrf), graph analytics
+#     (item_pagerank), and the two outer/semi join faces (join_full_outer,
+#     join_semi).
+# Rows-only entries in this window keep their standing impossibility
+# contracts (agg_hll_mergeable: sketch internals; ann_pq / ann_ivf:
+# learned quantizers, pinned twins oracle-green r8/r9;
+# pca_embeddings_project: driver-side eigensolver, its distributed input
+# IS the oracle-checked pca_covariance).
 _PRIORITY = [
-    # (a) new round-10 entries (all value-exact oracles), at head
-    "dedup_representative_pick",
-    "quality_weighted_sample",
-    "text_hashing_vectorizer",
-    # (b) the forty-one r6-era entries, oldest ledger rows first
-    "scalar_math_funcs",
-    "case_when_banding",
-    "hash_funcs",
-    "join_cross",
-    "agg_global",
-    "agg_unpivot",
-    "agg_collect",
-    "agg_conditional",
-    "agg_cube",
-    "distinct_rows",
-    "knn_bruteforce",
-    "knn_dot_topk",
-    "ann_lsh_hyperplane",
-    "text_token_stats",
-    "text_gopher_quality",
-    "text_repeated_ngrams",
-    "text_unigram_logprob",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_chunk_udtf",
-    "pii_redact",
-    "decontaminate_eval_overlap",
-    "mm_binary_metadata",
-    "mm_patch_token_budget",
-    "mm_content_dedup",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    "pandas_udf_haversine",
-    "merge_upsert_orders",
-    "delete_update_orders",
-    "split_train_val_test",
-    "split_leakage_free",
-    "sample_temperature_by_lang",
-    "sample_stratified_by_lang",
-    "sample_hash_fraction",
-    "funnel_conversion",
-    "window_topk_per_group",
-    "sort_limit_topk",
-    "nested_envelope_parse",
-    "array_explode_posexplode",
-    "set_intersect",
-    # (c) oldest-r7 fill, family-diverse
-    "join_asof",
-    "window_lag_lead",
-    "window_tumbling_5min",
-    "window_session_30min",
-    "sessionize",
-    "rollup_multi_granularity",
+    # (b) the forty-two r7-era entries, grouped by family
+    "agg_bitmap_distinct",
+    "agg_histogram_quantiles",
+    "agg_hll_mergeable",
+    "ann_ivf",
+    "ann_pq",
+    "bm25_search",
+    "curate_multimodal_corpus",
+    "dedup_apply",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_fingerprint",
+    "dedup_span_exact",
+    "drop_duplicates_subset",
+    "events_anomaly_mad",
+    "grouped_ols_trend",
+    "json_variant_extract",
+    "knn_bruteforce_vectorized",
+    "mixture_weighted_interleave",
+    "pack_sequences",
+    "pca_covariance",
+    "pca_embeddings_project",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_excess_share_suppliers",
+    "q21_waiting_suppliers",
+    "resample_ffill_1min",
+    "set_union",
+    "shuffle_epoch_rank",
+    "snapshot_changelog_orders",
+    "snapshot_time_travel_orders",
+    "text_bigram_freq",
+    "text_heavy_hitters",
+    "text_lang_id",
+    "text_rolling_hash",
+    "text_rollup_by_lang_source",
+    "text_token_bpe",
+    "text_within_doc_repetition",
+    "window_moving_avg",
+    "window_ntile_pct",
+    "window_range_30d",
+    "window_running_sum",
+    "window_sliding_10m_5m",
+    # (c) family-diverse r8 fill
+    "ann_ivf_index",
+    "events_markov_transitions",
+    "events_dau_wau_mau",
+    "funnel_latency",
+    "hybrid_search_rrf",
+    "item_pagerank",
+    "join_full_outer",
+    "join_semi",
 ]
 
 
