@@ -25,6 +25,7 @@ from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
     multimodal,
     mutations,
     pandas_ops,
+    quality,
     relational,
     retrieval,
     sampling,
@@ -54,6 +55,7 @@ _MODULES = [
     mutations,
     sampling,
     analytics,
+    quality,
 ]
 
 # The driver's correctness gate checks roughly the first 50 registry entries
@@ -79,6 +81,12 @@ _MODULES = [
 # pca_embeddings_project: driver-side eigensolver, its distributed input
 # IS the oracle-checked pca_covariance).
 _PRIORITY = [
+    # (a) new round-11 entries (all value-exact oracles), at head
+    "table_profile",
+    "referential_integrity_audit",
+    "events_user_lifecycle",
+    "events_cusum_changepoint",
+    "text_pmi_collocations",
     # (b) the forty-two r7-era entries, grouped by family
     "agg_bitmap_distinct",
     "agg_histogram_quantiles",
@@ -122,15 +130,12 @@ _PRIORITY = [
     "window_range_30d",
     "window_running_sum",
     "window_sliding_10m_5m",
-    # (c) family-diverse r8 fill
+    # (c) family-diverse r8 fill (trimmed from eight to three when the five
+    # round-11 head entries landed — funnel_latency, hybrid_search_rrf,
+    # item_pagerank, join_full_outer and join_semi move to the r12 head)
     "ann_ivf_index",
     "events_markov_transitions",
     "events_dau_wau_mau",
-    "funnel_latency",
-    "hybrid_search_rrf",
-    "item_pagerank",
-    "join_full_outer",
-    "join_semi",
 ]
 
 

@@ -142,6 +142,13 @@ HEADLINE = [
     "dedup_representative_pick",
     "quality_weighted_sample",
     "text_hashing_vectorizer",
+    # Appended round 11: data-quality audits, growth accounting, CUSUM
+    # changepoint, PMI collocations.
+    "table_profile",
+    "referential_integrity_audit",
+    "events_user_lifecycle",
+    "events_cusum_changepoint",
+    "text_pmi_collocations",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

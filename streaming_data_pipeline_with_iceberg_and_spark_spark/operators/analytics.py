@@ -2325,6 +2325,242 @@ SELECT user_id, rec_rank, rec_item, score, n_neighbors FROM (
 """
 
 
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (NEW round 11): per day, how many active users are
+    NEW (first-ever activity day), RETAINED (also active the previous day),
+    or RESURRECTED (returned after a gap of 2+ days), and how many CHURNED
+    into the day (active the previous day, not this one) — the standard
+    DAU-decomposition behind every growth dashboard, with the accounting
+    identity dau(d) − dau(d−1) = new + resurrected − churned (pinned in
+    tests on consecutive-day pairs).
+
+    Composes the SHARED ``activity_pairs`` definition (one pass over the
+    raw fact, the engagement/retention discipline), so lifecycle counts can
+    never disagree with DAU/WAU/MAU about what "active on day d" means.
+    Churn is attributed to day+1 of an activity day with no next-day
+    activity, capped at the corpus max day (nobody churns into a day the
+    data hasn't reached).
+
+    Scale shape: distinct pairs → ONE user-keyed window (lag + lead per
+    user, shuffle bounded by |activity pairs|, every user independent) →
+    two day-keyed hash aggs merged on the day. Integer counts —
+    cross-engine exact."""
+    act = activity_pairs(load(spark, "events", sf_dir))
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = act.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev"),
+        F.lead("day").over(w).alias("nxt"),
+    )
+    classed = tagged.withColumn(
+        "cls",
+        F.when(F.col("prev").isNull(), "new")
+        .when(F.datediff("day", "prev") == 1, "retained")
+        .otherwise("resurrected"),
+    )
+    active = classed.groupBy("day").agg(
+        F.count(F.when(F.col("cls") == "new", 1)).alias("n_new"),
+        F.count(F.when(F.col("cls") == "retained", 1)).alias("n_retained"),
+        F.count(F.when(F.col("cls") == "resurrected", 1)).alias("n_resurrected"),
+    )
+    dmax = act.agg(F.max("day").alias("dmax"))
+    churn = (
+        classed.filter(
+            F.col("nxt").isNull() | (F.datediff("nxt", "day") >= 2)
+        )
+        .select(F.date_add("day", 1).alias("day"))
+        .join(F.broadcast(dmax), F.col("day") <= F.col("dmax"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        active.join(churn, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("long").alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+        .orderBy("day")
+    )
+
+
+USER_LIFECYCLE_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+tagged AS (
+  SELECT user_id, day,
+         LAG(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+  FROM act
+),
+classed AS (
+  SELECT day,
+         CASE WHEN prev IS NULL THEN 'new'
+              WHEN date_diff('day', prev, day) = 1 THEN 'retained'
+              ELSE 'resurrected' END AS cls,
+         nxt
+  FROM tagged
+),
+active AS (
+  SELECT day,
+         COUNT(CASE WHEN cls = 'new' THEN 1 END) AS n_new,
+         COUNT(CASE WHEN cls = 'retained' THEN 1 END) AS n_retained,
+         COUNT(CASE WHEN cls = 'resurrected' THEN 1 END) AS n_resurrected
+  FROM classed GROUP BY day
+),
+churn AS (
+  SELECT day + INTERVAL 1 DAY AS day, COUNT(*) AS n_churned
+  FROM classed
+  WHERE (nxt IS NULL OR date_diff('day', day, nxt) >= 2)
+    AND day + INTERVAL 1 DAY <= (SELECT MAX(day) FROM act)
+  GROUP BY 1
+)
+SELECT CAST(COALESCE(a.day, c.day) AS DATE) AS day,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+FROM active a FULL OUTER JOIN churn c ON a.day = c.day
+ORDER BY day
+"""
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (NEW round 11) per event type: the day
+    where the cumulative sum of (daily count − the type's mean daily
+    count) attains its maximum absolute value — Page's CUSUM statistic,
+    the classic single-changepoint estimate for a level shift in a count
+    series (the at-most-one-change estimator; ties → earliest day).
+
+    Daily counts are ZERO-FILLED over the global [min day, max day] spine
+    (a silent day is a signal, not a gap), so every type's series has the
+    same length and the statistic is comparable across types.
+
+    Scale shape: one hash agg over the fact to (type, day, n); the spine
+    is calendar-bounded and BROADCASTs against the distinct-type frame;
+    the running sum is one window per type partition (types are few, each
+    series is spine-length — thousands of rows, not fact-scale). The
+    cusum closed form S_d − idx·(total/n_days) uses integer running sums
+    and one double division in a pinned operation order, rounded at 6 —
+    cross-engine exact."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = (
+        ev.select(
+            "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    cs = grid.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).alias("idx"),
+        F.sum("n").over(w).alias("s"),
+        F.sum("n").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+    ).select(
+        "event_type",
+        "day",
+        "n_days",
+        F.round(F.col("total").cast("double") / F.col("n_days"), 6).alias(
+            "mean_daily"
+        ),
+        F.round(
+            F.abs(
+                F.col("s").cast("double")
+                - F.col("idx")
+                * (F.col("total").cast("double") / F.col("n_days"))
+            ),
+            6,
+        ).alias("cusum_abs"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc("cusum_abs"), F.asc("day")
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("cusum_abs").alias("max_abs_cusum"),
+            "mean_daily",
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CUSUM_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS day
+),
+grid AS (
+  SELECT t.event_type, CAST(s.day AS DATE) AS day, COALESCE(d.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN spine s
+  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = CAST(s.day AS DATE)
+),
+cs AS (
+  SELECT event_type, day,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY day) AS s,
+         SUM(n) OVER (PARTITION BY event_type) AS total,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM grid
+),
+scored AS (
+  SELECT event_type, day, n_days,
+         ROUND(CAST(total AS DOUBLE) / n_days, 6) AS mean_daily,
+         ROUND(ABS(CAST(s AS DOUBLE)
+                   - idx * (CAST(total AS DOUBLE) / n_days)), 6) AS cusum_abs,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ROUND(ABS(CAST(s AS DOUBLE)
+                                   - idx * (CAST(total AS DOUBLE) / n_days)), 6)
+                                     DESC, day ASC) AS rn
+  FROM cs
+)
+SELECT event_type, day AS change_day, cusum_abs AS max_abs_cusum,
+       mean_daily, CAST(n_days AS BIGINT) AS n_days
+FROM scored WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_latency": funnel_latency,
@@ -2348,6 +2584,8 @@ QUERIES = {
     "events_hourly_anomalies": events_hourly_anomalies,
     "events_power_users_curve": events_power_users_curve,
     "sessions_peak_concurrency": sessions_peak_concurrency,
+    "events_user_lifecycle": events_user_lifecycle,
+    "events_cusum_changepoint": events_cusum_changepoint,
 }
 
 
@@ -2387,4 +2625,7 @@ ORACLES = {
     "events_hourly_anomalies": HOURLY_ANOMALIES_SQL,
     "events_power_users_curve": POWER_USERS_SQL,
     "sessions_peak_concurrency": _sessions_peak_concurrency_sql(),
+    # round 11: growth accounting + CUSUM changepoint
+    "events_user_lifecycle": USER_LIFECYCLE_SQL,
+    "events_cusum_changepoint": CUSUM_SQL,
 }

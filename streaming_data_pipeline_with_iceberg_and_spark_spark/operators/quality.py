@@ -1,0 +1,257 @@
+"""Data-quality auditing operators (round 11): table profiling and
+referential-integrity checks — the Deequ/Great-Expectations-shaped audits a
+100-TB ingest runs before anything downstream trusts the data.
+
+The reference pipeline trusts its single enrichment input implicitly
+(/root/reference/spark-data-pipeline/spark_job.py:105-164 validates nothing
+before writing); a lakehouse ingesting at scale cannot, so these are
+first-class operators with exact oracles rather than ad-hoc notebook checks.
+
+Scale notes:
+- ``table_profile`` is ONE aggregation pass over the fact. The exact
+  per-column distinct counts make Catalyst plan it via Expand (one shuffle
+  carrying |columns| tagged copies of each row's single audited column —
+  not |columns| scans of the table); count/null/min/max ride the same agg
+  with map-side partials. At 100 TB you would flip ``exact_distinct=False``
+  and get one HLL pass with NO expand; the exact form is the oracle-checked
+  default at test SF.
+- ``referential_integrity_audit`` collapses each fact-side foreign key to
+  DISTINCT (key, multiplicity) BEFORE the anti join — the shuffle then
+  carries |distinct keys| rows, not |fact| rows, and orphan row counts are
+  recovered by summing multiplicities of the orphan keys. Dimension sides
+  prune to the key column at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+
+# (table, column) audit spec for the profile — orders is the audited fact.
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def table_profile(
+    spark: SparkSession, sf_dir: str, exact_distinct: bool = True
+) -> DataFrame:
+    """Per-column profile of ``orders`` in long form: row count, null count,
+    distinct count, and min/max rendered as strings — the summary a data
+    catalog materializes per snapshot.
+
+    One aggregation job computes every metric for every column; the long
+    (column, metric) layout comes from a literal-array inline explode of the
+    already-aggregated single row, so the unpivot costs nothing. min/max are
+    computed on the NATIVE type (a varchar min of a double column would be
+    lexicographic nonsense) and rendered to strings afterwards; doubles are
+    rounded at 2 before rendering so both engines print identical minimal
+    digits.
+
+    ``exact_distinct=False`` swaps every COUNT(DISTINCT) for
+    ``approx_count_distinct`` — the 100-TB form with no Expand in the plan
+    (kept out of the oracle contract; the default is exact)."""
+    df = load(spark, "orders", sf_dir)
+    nd = (
+        (lambda c: F.countDistinct(c))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(c))
+    )
+
+    def render(c: str) -> tuple:
+        dt = dict(df.dtypes)[c]
+        col = F.col(c)
+        if dt in ("double", "float"):
+            mn, mx = F.round(F.min(col), 2), F.round(F.max(col), 2)
+        else:
+            mn, mx = F.min(col), F.max(col)
+        return mn.cast("string"), mx.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        mn, mx = render(c)
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            nd(c).cast("long").alias(f"_nd_{c}"),
+            mn.alias(f"_mn_{c}"),
+            mx.alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").cast("long").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).cast("long").alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_str"),
+                F.col(f"_mx_{c}").alias("max_str"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return (
+        one.select(F.explode(entries).alias("e"))
+        .select("e.*")
+        .orderBy("col_name")
+    )
+
+
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST({f"ROUND(MIN({c}), 2)" if c == "o_totalprice" else f"MIN({c})"} AS VARCHAR) AS min_str,
+       CAST({f"ROUND(MAX({c}), 2)" if c == "o_totalprice" else f"MAX({c})"} AS VARCHAR) AS max_str
+FROM orders"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+# (constraint name, fact table, fact key, dim table, dim key); None dim =
+# not-null / uniqueness checks handled separately.
+_FK_SPECS = (
+    ("fk_lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("fk_lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("fk_lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("fk_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the star schema: four foreign keys (orphan fact
+    rows), primary-key uniqueness on orders, and a NOT NULL check — one row
+    per constraint with (n_checked, n_violations), the report a lakehouse
+    gate consumes to pass/fail an ingest batch.
+
+    Orphan checks collapse the fact key to DISTINCT (key, multiplicity)
+    first, anti-join that against the dim's key column, and recover the
+    violating ROW count as the sum of orphan multiplicities — so the join
+    shuffles |distinct keys| rows regardless of fact width or duplication
+    (at TPC-H shape, lineitem→orders has ~4× fewer distinct keys than
+    rows; real event data is far more duplicated). NULL fact keys are
+    excluded from FK checks (SQL FK semantics) and surfaced by the
+    NOT NULL constraint row instead."""
+    parts = []
+    for name, fact, fkey, dim, dkey in _FK_SPECS:
+        fk = (
+            load(spark, fact, sf_dir)
+            .filter(F.col(fkey).isNotNull())
+            .groupBy(F.col(fkey).alias("k"))
+            .agg(F.count(F.lit(1)).alias("mult"))
+        )
+        dk = load(spark, dim, sf_dir).select(F.col(dkey).alias("k"))
+        orphans = fk.join(dk, "k", "left_anti")
+        parts.append(
+            fk.agg(
+                F.lit(name).alias("constraint_name"),
+                F.coalesce(F.sum("mult"), F.lit(0)).cast("long").alias("n_checked"),
+            ).crossJoin(
+                orphans.agg(
+                    F.coalesce(F.sum("mult"), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
+                )
+            )
+        )
+    orders = load(spark, "orders", sf_dir)
+    dup = (
+        orders.filter(F.col("o_orderkey").isNotNull())
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("mult"))
+        .filter(F.col("mult") > 1)
+    )
+    parts.append(
+        orders.agg(
+            F.lit("pk_orders_orderkey_unique").alias("constraint_name"),
+            F.count("o_orderkey").cast("long").alias("n_checked"),
+        ).crossJoin(
+            dup.agg(
+                F.coalesce(F.sum("mult"), F.lit(0)).cast("long").alias("n_violations")
+            )
+        )
+    )
+    parts.append(
+        orders.agg(
+            F.lit("notnull_orders_custkey").alias("constraint_name"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.col("o_custkey").isNull().cast("int"))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("constraint_name")
+
+
+RI_AUDIT_SQL = """
+WITH fk1 AS (SELECT l_orderkey AS k, COUNT(*) AS mult FROM lineitem
+             WHERE l_orderkey IS NOT NULL GROUP BY 1),
+fk2 AS (SELECT l_partkey AS k, COUNT(*) AS mult FROM lineitem
+        WHERE l_partkey IS NOT NULL GROUP BY 1),
+fk3 AS (SELECT l_suppkey AS k, COUNT(*) AS mult FROM lineitem
+        WHERE l_suppkey IS NOT NULL GROUP BY 1),
+fk4 AS (SELECT o_custkey AS k, COUNT(*) AS mult FROM orders
+        WHERE o_custkey IS NOT NULL GROUP BY 1)
+SELECT 'fk_lineitem_orders' AS constraint_name,
+       CAST(COALESCE((SELECT SUM(mult) FROM fk1), 0) AS BIGINT) AS n_checked,
+       CAST(COALESCE((SELECT SUM(mult) FROM fk1
+                      WHERE k NOT IN (SELECT o_orderkey FROM orders
+                                      WHERE o_orderkey IS NOT NULL)), 0)
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'fk_lineitem_part',
+       CAST(COALESCE((SELECT SUM(mult) FROM fk2), 0) AS BIGINT),
+       CAST(COALESCE((SELECT SUM(mult) FROM fk2
+                      WHERE k NOT IN (SELECT p_partkey FROM part
+                                      WHERE p_partkey IS NOT NULL)), 0)
+            AS BIGINT)
+UNION ALL
+SELECT 'fk_lineitem_supplier',
+       CAST(COALESCE((SELECT SUM(mult) FROM fk3), 0) AS BIGINT),
+       CAST(COALESCE((SELECT SUM(mult) FROM fk3
+                      WHERE k NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_suppkey IS NOT NULL)), 0)
+            AS BIGINT)
+UNION ALL
+SELECT 'fk_orders_customer',
+       CAST(COALESCE((SELECT SUM(mult) FROM fk4), 0) AS BIGINT),
+       CAST(COALESCE((SELECT SUM(mult) FROM fk4
+                      WHERE k NOT IN (SELECT c_custkey FROM customer
+                                      WHERE c_custkey IS NOT NULL)), 0)
+            AS BIGINT)
+UNION ALL
+SELECT 'pk_orders_orderkey_unique',
+       CAST((SELECT COUNT(o_orderkey) FROM orders) AS BIGINT),
+       CAST(COALESCE((SELECT SUM(mult) FROM (
+              SELECT o_orderkey, COUNT(*) AS mult FROM orders
+              WHERE o_orderkey IS NOT NULL
+              GROUP BY 1 HAVING COUNT(*) > 1)), 0) AS BIGINT)
+UNION ALL
+SELECT 'notnull_orders_custkey',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+ORDER BY constraint_name
+"""
+
+
+QUERIES = {
+    "table_profile": table_profile,
+    "referential_integrity_audit": referential_integrity_audit,
+}
+
+ORACLES = {
+    "table_profile": TABLE_PROFILE_SQL,
+    "referential_integrity_audit": RI_AUDIT_SQL,
+}

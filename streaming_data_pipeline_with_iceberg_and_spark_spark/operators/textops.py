@@ -268,12 +268,12 @@ LIMIT 20
 """
 
 
-def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram frequency: global top-20 word bigrams (zip_with of the token
-    array against its own tail — no self-join)."""
-    docs = load_spread(spark, "documents", sf_dir)
-    toks = tokens("text")
-    bigrams = F.filter(
+def bigram_array(toks):
+    """Word-bigram array from a token array: zip_with against its own tail —
+    no self-join, no posexplode. Shared by ``text_bigram_freq`` and
+    ``text_pmi_collocations`` so the two ops cannot disagree about what a
+    bigram is."""
+    return F.filter(
         F.zip_with(
             toks,
             F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
@@ -281,6 +281,13 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda b: b.isNotNull(),
     )
+
+
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram frequency: global top-20 word bigrams (zip_with of the token
+    array against its own tail — no self-join)."""
+    docs = load_spread(spark, "documents", sf_dir)
+    bigrams = bigram_array(tokens("text"))
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -2145,9 +2152,132 @@ FROM raw r JOIN norms n USING (doc_id)
 """
 
 
+# Collocation extraction thresholds: a bigram needs ≥5 occurrences before
+# its PMI is trusted (rare pairs have degenerate, maximal PMI — the classic
+# sparsity failure Church & Hanks (1990) flag for mutual-information
+# collocation mining).
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (NEW round 11): the top-20 word bigrams by
+    pointwise mutual information, PMI = ln(p(xy) / (p(x)·p(y))) with
+    p(x) = unigram count / total tokens and p(xy) = bigram count / total
+    bigrams — Church & Hanks' association ratio, the standard "these words
+    belong together" statistic behind phrase induction and tokenizer-merge
+    candidates. Bigrams below ``_PMI_MIN_COUNT`` occurrences are dropped
+    BEFORE ranking (rare pairs score degenerate maximal PMI); totals are
+    computed over the UNFILTERED streams so probabilities stay honest.
+
+    Shares ``bigram_array``/``tokens`` with ``text_bigram_freq`` (same
+    corpus, same bigram definition — frequency and association faces
+    cannot diverge).
+
+    Scale shape: two wordcount-class hash aggs (unigrams, bigrams) with
+    map-side combine; the two 1-row totals and the unigram-count frame
+    join back BROADCAST (vocabulary ≪ corpus; the bigram frame, the only
+    large one after aggregation, never moves again — the min-count filter
+    prunes it before the joins). PMI divides doubles in one pinned
+    operation order, rounded at 6; ties → (w1, w2) — cross-engine
+    exact."""
+    docs = load_spread(spark, "documents", sf_dir)
+    toks = tokens("text")
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    bg = (
+        docs.select(F.explode(bigram_array(toks)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    n_uni = uni.agg(F.sum("n_w").cast("double").alias("n_tok"))
+    n_bg = bg.agg(F.sum("n_xy").cast("double").alias("n_big"))
+    cand = (
+        bg.filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+    )
+    joined = (
+        cand.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_xy").cast("double") / F.col("n_big"))
+            / (
+                (F.col("n_x").cast("double") / F.col("n_tok"))
+                * (F.col("n_y").cast("double") / F.col("n_tok"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOP_K)
+    )
+
+
+TEXT_PMI_SQL = f"""
+WITH t AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+),
+uni AS (
+  SELECT unnest(toks) AS w FROM t
+),
+ucnt AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+bg AS (
+  SELECT unnest(list_filter(
+           list_transform(list_zip(toks, toks[2:]),
+                          p -> CASE WHEN p[2] IS NOT NULL
+                                    THEN p[1] || ' ' || p[2] END),
+           x -> x IS NOT NULL)) AS bigram
+  FROM t
+),
+bcnt AS (SELECT bigram, COUNT(*) AS n_xy FROM bg GROUP BY bigram),
+tot AS (
+  SELECT (SELECT CAST(SUM(n_w) AS DOUBLE) FROM ucnt) AS n_tok,
+         (SELECT CAST(SUM(n_xy) AS DOUBLE) FROM bcnt) AS n_big
+),
+cand AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2,
+         n_xy
+  FROM bcnt WHERE n_xy >= {_PMI_MIN_COUNT}
+)
+SELECT c.w1, c.w2, CAST(c.n_xy AS BIGINT) AS n_xy,
+       ROUND(LN((CAST(c.n_xy AS DOUBLE) / t.n_big)
+                / ((CAST(ux.n_w AS DOUBLE) / t.n_tok)
+                   * (CAST(uy.n_w AS DOUBLE) / t.n_tok))), 6) AS pmi
+FROM cand c
+JOIN ucnt ux ON ux.w = c.w1
+JOIN ucnt uy ON uy.w = c.w2
+CROSS JOIN tot t
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT {_PMI_TOP_K}
+"""
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
     "text_hashing_vectorizer": text_hashing_vectorizer,
+    "text_pmi_collocations": text_pmi_collocations,
     "text_char_entropy": text_char_entropy,
     "text_zipf_fit": text_zipf_fit,
     "corpus_source_report": corpus_source_report,
@@ -2179,6 +2309,8 @@ QUERIES = {
 ORACLES = {
     # round 10: signed feature hashing (md5 bucket/sign, integer sums)
     "text_hashing_vectorizer": TEXT_HASHING_VECTORIZER_SQL,
+    # round 11: PMI collocation mining (shared tokens/bigram defs)
+    "text_pmi_collocations": TEXT_PMI_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "text_zipf_fit": TEXT_ZIPF_SQL,
