@@ -87,6 +87,7 @@ _PRIORITY = [
     "events_user_lifecycle",
     "events_cusum_changepoint",
     "text_pmi_collocations",
+    "events_value_quantiles",
     # (b) the forty-two r7-era entries, grouped by family
     "agg_bitmap_distinct",
     "agg_histogram_quantiles",
@@ -130,12 +131,12 @@ _PRIORITY = [
     "window_range_30d",
     "window_running_sum",
     "window_sliding_10m_5m",
-    # (c) family-diverse r8 fill (trimmed from eight to three when the five
-    # round-11 head entries landed — funnel_latency, hybrid_search_rrf,
-    # item_pagerank, join_full_outer and join_semi move to the r12 head)
+    # (c) family-diverse r8 fill (trimmed from eight to two as the six
+    # round-11 head entries landed — events_dau_wau_mau, funnel_latency,
+    # hybrid_search_rrf, item_pagerank, join_full_outer and join_semi move
+    # to the r12 head)
     "ann_ivf_index",
     "events_markov_transitions",
-    "events_dau_wau_mau",
 ]
 
 

@@ -149,6 +149,7 @@ HEADLINE = [
     "events_user_lifecycle",
     "events_cusum_changepoint",
     "text_pmi_collocations",
+    "events_value_quantiles",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -2325,6 +2325,110 @@ SELECT user_id, rec_rank, rec_item, score, n_neighbors FROM (
 """
 
 
+# Pinned fixed-width value-histogram bin spec for the incremental quantile
+# path. UNLIKE agg_histogram_quantiles' data-derived (min, span) edges —
+# which change as data arrives and therefore cannot be maintained
+# incrementally — a fixed absolute width makes the bin function pure, so
+# per-batch (type, bin, c) partials merge by addition forever (the
+# mergeable-sums IVM class). Estimate error ≤ one bin width by
+# construction; state size is values-span/width rows per type, not fact
+# rows. Production picks width from the metric's unit (here: events.value
+# is a ~[0, 500] price-like metric → width 1.0).
+_VH_BIN_WIDTH = 1.0
+
+
+def value_hist(events: DataFrame) -> DataFrame:
+    """Fixed-width (event_type, bin, c) value-histogram counts — the one
+    pass over the raw fact that the batch quantile readout and the
+    incremental value-hist ingest share (the hourly_counts discipline).
+    bin = floor(value / width) on the raw double — pure, so partials are
+    additive with no ordering contract and late data merges exactly."""
+    return (
+        events.filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(_VH_BIN_WIDTH)).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def merge_value_hist(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch histogram partials to one row per
+    (type, bin) — the serve-side merge (and the whole job of
+    ``compact_value_hist``)."""
+    return state.groupBy("event_type", "bin").agg(F.sum("c").alias("c"))
+
+
+def quantiles_from_value_hist(state: DataFrame) -> DataFrame:
+    """p50/p90/p99 readout over (possibly partial) value-histogram rows:
+    merge, then one cumulative window over the ≤ span/width metadata rows
+    per type — never the fact. Estimates are deterministic bin LOWER
+    EDGES (bin · width), exact integer/double arithmetic both engines."""
+    hist = merge_value_hist(state)
+    w = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+    qcols = [
+        F.min(F.when(F.col("cum") >= F.lit(q) * F.col("n"), F.col("bin"))).alias(b)
+        for q, b in ((0.5, "b50"), (0.9, "b90"), (0.99, "b99"))
+    ]
+    est = cum.groupBy("event_type").agg(F.max("n").cast("long").alias("n_events"), *qcols)
+    return est.select(
+        "event_type",
+        "n_events",
+        *[
+            F.round(F.col(b) * F.lit(_VH_BIN_WIDTH), 6).alias(f"p{p}_est")
+            for b, p in (("b50", 50), ("b90", 90), ("b99", 99))
+        ],
+    ).orderBy("event_type")
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p90/p99 value quantiles from the PINNED
+    fixed-width histogram (NEW round 11) — the latency/price monitoring
+    readout whose state the eleventh incremental path
+    (``streaming.ingest.start_incremental_value_hist_ingest``) maintains
+    at ingest. The op IS the composition ``quantiles_from_value_hist ∘
+    value_hist`` — batch and maintained-table serving faces share both
+    definitions and cannot diverge.
+
+    The exact-math siblings: ``agg_percentiles`` (full multiset, exact)
+    and ``agg_histogram_quantiles`` (data-derived edges, tighter bins,
+    not incrementally maintainable). This face trades ≤ one bin width of
+    error for a state table that merges by addition forever."""
+    return quantiles_from_value_hist(value_hist(load(spark, "events", sf_dir)))
+
+
+EVENTS_VALUE_QUANTILES_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(FLOOR(value / {_VH_BIN_WIDTH}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       ROUND(MIN(CASE WHEN cum >= 0.5 * n THEN bin END) * {_VH_BIN_WIDTH}, 6) AS p50_est,
+       ROUND(MIN(CASE WHEN cum >= 0.9 * n THEN bin END) * {_VH_BIN_WIDTH}, 6) AS p90_est,
+       ROUND(MIN(CASE WHEN cum >= 0.99 * n THEN bin END) * {_VH_BIN_WIDTH}, 6) AS p99_est
+FROM cum
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth accounting (NEW round 11): per day, how many active users are
     NEW (first-ever activity day), RETAINED (also active the previous day),
@@ -2586,6 +2690,7 @@ QUERIES = {
     "sessions_peak_concurrency": sessions_peak_concurrency,
     "events_user_lifecycle": events_user_lifecycle,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "events_value_quantiles": events_value_quantiles,
 }
 
 
@@ -2628,4 +2733,5 @@ ORACLES = {
     # round 11: growth accounting + CUSUM changepoint
     "events_user_lifecycle": USER_LIFECYCLE_SQL,
     "events_cusum_changepoint": CUSUM_SQL,
+    "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,
 }

@@ -1427,6 +1427,64 @@ def start_incremental_hourly_ingest(
     return writer.start()
 
 
+def start_incremental_value_hist_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    hist_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "value_hist_ingest",
+) -> StreamingQuery:
+    """EXACT incremental per-type value-quantile maintenance — the
+    ELEVENTH incremental path, mergeable-sums class: each batch appends
+    its PINNED fixed-width (event_type, bin, c) histogram partials
+    (``operators.analytics.value_hist``, the SAME pass the batch op uses)
+    under the idempotent namespaced batch key. The bin function is pure
+    (floor(value / width), no data-derived edges), so counts are additive
+    forever — late and out-of-order events merge exactly, no ordering
+    contract, state bounded by value-span/width rows per type.
+    ``quantiles_from_value_hist`` over the maintained table equals the
+    batch ``events_value_quantiles`` over everything ingested (parity
+    test in tests/test_streaming.py): per-type p50/p90/p99 monitoring
+    serves from metadata-sized state, never a fact re-scan — this is how
+    a latency/price dashboard stays O(1) per refresh at 100 TB.
+    ``compact_value_hist`` collapses the partials log between drains
+    (overwrite keeps the key log → replay-safe)."""
+    from ..operators.analytics import value_hist
+    from ..sources.snapshots import SnapshotTable
+
+    hist_t = SnapshotTable(spark, hist_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def hist_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hist_t.append_batch(value_hist(batch_df), f"{stream_id}#{batch_id}")
+
+    writer = stream.writeStream.foreachBatch(hist_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_value_hist(
+    spark: SparkSession, hist_root: str, compaction_id=None
+) -> None:
+    """Rewrite the value-histogram partials table as its per-(type, bin)
+    sum — a semantic no-op (readers merge either way); the overwrite
+    keeps the log so the stream's batch keys survive (the
+    compact_hourly_counts protocol)."""
+    from ..operators.analytics import merge_value_hist
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, hist_root)
+    t.overwrite(merge_value_hist(t.read()), batch_id=compaction_id)
+
+
 def apply_sessions_batch(
     spark: SparkSession,
     closed_t,

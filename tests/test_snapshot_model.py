@@ -760,6 +760,105 @@ def test_hourly_counts_stay_derived_from_ingested(spark, ops):
         assert got == want, f"hourly counts diverged after {op}"
 
 
+# Round-11 derived-state model: the incremental value-histogram table
+# (eleventh path). Mergeable-sums mechanics on the PINNED (type, bin) key —
+# the invariant is that the per-cell MERGE of the maintained table equals
+# re-deriving the histogram from everything ingested, under ingested
+# batches (incl. negative values and NULL value/type rows the shared pass
+# excludes), replayed keys, compaction, expiry, maintenance. Values are
+# quarter-integers so bin assignment is binary-exact.
+
+_VH_EVENT = st.tuples(
+    st.one_of(st.none(), st.just("a"), st.just("b")),          # event_type
+    st.one_of(st.none(), st.integers(min_value=-20, max_value=40)),  # value/4
+)
+
+_VH_OP = st.one_of(
+    st.tuples(st.just("ingest"), st.lists(_VH_EVENT, min_size=1, max_size=4)),
+    st.tuples(st.just("replay"),),
+    st.tuples(st.just("compact"),),
+    st.tuples(st.just("expire"),),
+    st.tuples(st.just("maintain"),),
+)
+
+
+@settings(
+    max_examples=_fuzz_examples(3),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        _VH_OP,
+        min_size=2,
+        max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "6")),
+    )
+)
+def test_value_hist_stays_derived_from_ingested(spark, ops):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        merge_value_hist,
+        value_hist,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import maintain_table
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import compact_value_hist
+
+    root = tempfile.mkdtemp()
+    hist_t = SnapshotTable(spark, root + "/vhist")
+    schema = "event_id long, event_type string, value double"
+    ingested: list = []
+    next_eid = {"n": 0}
+    last = {"key": None, "rows": None}
+    n_batches = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "ingest":
+            rows = []
+            for etype, v4 in op[1]:
+                eid = next_eid["n"]
+                next_eid["n"] += 1
+                rows.append(
+                    (eid, etype, None if v4 is None else v4 / 4.0)
+                )
+            key = f"fuzz#{n_batches}"
+            n_batches += 1
+            hist_t.append_batch(
+                value_hist(spark.createDataFrame(rows, schema)), key
+            )
+            ingested.extend(rows)
+            last["key"], last["rows"] = key, rows
+        elif kind == "replay":
+            if last["key"] is None:
+                continue
+            hist_t.append_batch(
+                value_hist(spark.createDataFrame(last["rows"], schema)),
+                last["key"],
+            )
+        elif kind == "compact":
+            if hist_t.current_version() is None:
+                continue
+            compact_value_hist(spark, root + "/vhist")
+        elif kind == "expire":
+            if hist_t.current_version() is None:
+                continue
+            hist_t.expire_snapshots(keep_last=1)
+        elif kind == "maintain":
+            if hist_t.current_version() is None:
+                continue
+            maintain_table(hist_t, max_files=8, orphan_grace_seconds=3600.0)
+        if not ingested:
+            continue
+
+        def canon(df):
+            return sorted(
+                (r.event_type, r.bin, r.c)
+                for r in merge_value_hist(df).collect()
+            )
+
+        got = canon(hist_t.read())
+        want = canon(value_hist(spark.createDataFrame(ingested, schema)))
+        assert got == want, f"value hist diverged after {op}"
+
+
 # Round-10 derived-state model: the incremental-sessionization pair (tenth
 # path, boundary-state class). Batches of per-user-ORDERED events (a global
 # clock drives every ts, so the order contract holds by construction) drive

@@ -2101,6 +2101,82 @@ def test_incremental_hourly_ingest_matches_batch(spark, tmp_path):
     assert canon(anomalies_from_counts(counts_t.read())) == want_anom
 
 
+def test_incremental_value_hist_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental value-quantile maintenance (mergeable-sums class,
+    the eleventh path): p50/p90/p99 finalized from the maintained pinned
+    fixed-width histogram must equal the batch events_value_quantiles
+    composition over everything ingested — including a later batch whose
+    values revisit earlier bins (additive merge), negative values (floor
+    handles the sign), and NULL value/type rows (excluded on both paths).
+    Compaction is a semantic no-op that still blocks replay; a re-drain
+    from the same checkpoint adds nothing."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        quantiles_from_value_hist,
+        value_hist,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_value_hist,
+        start_incremental_value_hist_ingest,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    all_rows = []
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for eid, etype, value in specs:
+                row = {"event_id": eid, "event_type": etype, "value": value}
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    # batch a: two types, spread values; batch b revisits type/bin cells,
+    # adds a negative value, a NULL value and a NULL type (both excluded)
+    write_file("a.json", [(1, "click", 0.4), (2, "click", 7.2), (3, "buy", 99.9),
+                          (4, "buy", 0.1), (5, "click", 7.9)])
+    write_file("b.json", [(6, "click", 7.5), (7, "buy", -3.2), (8, "click", 0.6),
+                          (9, "click", None), (10, None, 5.0)])
+    hist_root = str(tmp_path / "vhist")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, event_type string, value double"
+
+    def drain():
+        q = start_incremental_value_hist_ingest(
+            spark,
+            str(src),
+            hist_root,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    hist_t = SnapshotTable(spark, hist_root)
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["event_type"], r["value"]) for r in all_rows], schema
+    )
+
+    def canon(df):
+        return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+    vh = value_hist(batch_df)
+    want = canon(quantiles_from_value_hist(vh))
+    assert canon(quantiles_from_value_hist(hist_t.read())) == want and want
+
+    # compaction: semantic no-op, one row per (type, bin), replay blocked
+    compact_value_hist(spark, hist_root)
+    assert canon(quantiles_from_value_hist(hist_t.read())) == want
+    assert hist_t.read().count() == vh.count()
+    v = hist_t.current_version()
+    drain()
+    assert hist_t.current_version() == v
+    assert canon(quantiles_from_value_hist(hist_t.read())) == want
+
+
 def test_incremental_sessions_ingest_matches_batch(spark, tmp_path):
     """Exact incremental sessionization (boundary-state class, the tenth
     path): sessions served from (closed log + open boundaries) must equal
