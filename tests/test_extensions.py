@@ -2099,6 +2099,169 @@ def test_rfm_sliced_path_releases_caches(spark, sf_dir, monkeypatch):
     assert cm.isEmpty() or not empty_before
 
 
+def test_hashing_vectorizer_rows_are_unit_normalized(spark, sf_dir):
+    """Every emitted doc's coordinates are the L2-normalized signed bucket
+    sums: Σ weight² ≈ 1 (6-decimal rounding tolerance) and no zero
+    coordinates survive the sign-cancellation filter."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        text_hashing_vectorizer,
+    )
+
+    rows = text_hashing_vectorizer(spark, sf_dir).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert r["weight"] != 0.0
+        assert 0 <= r["bucket"] < 64
+        by_doc.setdefault(r["doc_id"], 0.0)
+        by_doc[r["doc_id"]] += r["weight"] ** 2
+    for doc, ss in by_doc.items():
+        assert abs(ss - 1.0) < 5e-5, (doc, ss)
+
+
+def test_quality_weighted_sample_is_deterministic_acceptance(spark, sf_dir):
+    """The sampler accepts exactly the docs whose md5-derived uniform falls
+    below their pinned quality score (every surviving row satisfies
+    u < score), and two invocations return the identical sample."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    a = quality_weighted_sample(spark, sf_dir).collect()
+    b = quality_weighted_sample(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+    for r in a:
+        assert r["u"] < r["quality_score"]
+
+
+def test_dedup_representative_pick_takes_best_scored_member(spark, sf_dir):
+    """Per cluster the pick is the max-quality member (ties → lowest
+    doc_id), verified against the clustering and classifier outputs it
+    composes."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_representative_pick,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        text_linear_quality_classifier,
+    )
+
+    members = {}
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_linear_quality_classifier(spark, sf_dir).collect()
+    }
+    for r in dedup_clusters(spark, sf_dir).collect():
+        if r["doc_id"] in scores:
+            members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    picks = dedup_representative_pick(spark, sf_dir).collect()
+    assert picks
+    for p in picks:
+        docs = members[p["cluster_id"]]
+        best = min(docs, key=lambda d: (-scores[d], d))
+        assert p["rep_doc_id"] == best
+        assert p["n_members"] == len(docs)
+        assert p["rep_score"] == scores[best]
+
+
+def test_user_lifecycle_growth_accounting_identity(spark, sf_dir):
+    """On consecutive observed days, dau(d) − dau(d−1) must equal
+    new + resurrected − churned — the accounting identity that makes the
+    lifecycle decomposition a decomposition and not four unrelated
+    counters."""
+    from datetime import timedelta
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        events_dau_wau_mau,
+        events_user_lifecycle,
+    )
+
+    dau = {
+        r["day"]: r["dau"] for r in events_dau_wau_mau(spark, sf_dir).collect()
+    }
+    lc = events_user_lifecycle(spark, sf_dir).collect()
+    assert lc
+    checked = 0
+    for r in lc:
+        prev = r["day"] - timedelta(days=1)
+        if prev in dau and r["day"] in dau:
+            delta = dau[r["day"]] - dau[prev]
+            assert delta == r["n_new"] + r["n_resurrected"] - r["n_churned"], r
+            checked += 1
+    assert checked > 0
+
+
+def test_cusum_mean_and_spine_consistency(spark, sf_dir):
+    """Every type reports the same zero-filled spine length, and
+    mean_daily · n_days recovers the type's event count."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        events_cusum_changepoint,
+    )
+
+    import pyspark.sql.functions as F
+
+    rows = events_cusum_changepoint(spark, sf_dir).collect()
+    assert rows
+    n_days = {r["n_days"] for r in rows}
+    assert len(n_days) == 1
+    counts = {
+        r["event_type"]: r["n"]
+        for r in load(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r["mean_daily"] * r["n_days"] - counts[r["event_type"]]) < 0.01
+
+
+def test_referential_integrity_audit_counts_orphan_rows(spark, sf_dir, tmp_path):
+    """The shipped testdata is FK-clean (all-zero violations), and on a
+    dirtied copy the audit counts orphan ROWS (multiplicity, not distinct
+    keys) plus duplicate-PK and null-FK rows."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.quality import (
+        referential_integrity_audit,
+    )
+
+    clean = {
+        r["constraint_name"]: r["n_violations"]
+        for r in referential_integrity_audit(spark, sf_dir).collect()
+    }
+    assert set(clean.values()) == {0} and len(clean) == 6
+
+    d = tmp_path / "dirty"
+    d.mkdir()
+    for t in ("customer", "part", "supplier"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+            str(d / f"{t}.parquet")
+        )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    extra = li.limit(2).withColumn(
+        "l_orderkey", F.lit(999_999_999).cast("long")
+    )
+    li.unionByName(extra).write.mode("overwrite").parquet(
+        str(d / "lineitem.parquet")
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dup = od.limit(1)
+    nullfk = od.limit(1).withColumn(
+        "o_custkey", F.lit(None).cast("long")
+    ).withColumn("o_orderkey", F.lit(888_888_888).cast("long"))
+    od.unionByName(dup).unionByName(nullfk).write.mode("overwrite").parquet(
+        str(d / "orders.parquet")
+    )
+    dirty = {
+        r["constraint_name"]: r["n_violations"]
+        for r in referential_integrity_audit(spark, str(d)).collect()
+    }
+    assert dirty["fk_lineitem_orders"] == 2  # orphan ROW count
+    assert dirty["pk_orders_orderkey_unique"] == 2  # both copies of the dup
+    assert dirty["notnull_orders_custkey"] == 1
+    assert dirty["fk_lineitem_part"] == 0
+
+
 def _write_clustered_embeddings(path, n=2000, d=64, k=8, sigma=0.35, seed=42):
     """Mixture-of-Gaussians embeddings fixture (r9 verdict order #5): the
     driver testdata's embeddings are uniform-random — IVF's worst case, so
