@@ -88,6 +88,8 @@ _PRIORITY = [
     "events_cusum_changepoint",
     "text_pmi_collocations",
     "events_value_quantiles",
+    "lang_id_confusion",
+    "embedding_norm_audit",
     # (b) the forty-two r7-era entries, grouped by family
     "agg_bitmap_distinct",
     "agg_histogram_quantiles",
@@ -131,12 +133,11 @@ _PRIORITY = [
     "window_range_30d",
     "window_running_sum",
     "window_sliding_10m_5m",
-    # (c) family-diverse r8 fill (trimmed from eight to two as the six
-    # round-11 head entries landed — events_dau_wau_mau, funnel_latency,
-    # hybrid_search_rrf, item_pagerank, join_full_outer and join_semi move
-    # to the r12 head)
-    "ann_ivf_index",
-    "events_markov_transitions",
+    # (c) the r8 fill was displaced entirely as the eight round-11 head
+    # entries landed — ann_ivf_index, events_markov_transitions,
+    # events_dau_wau_mau, funnel_latency, hybrid_search_rrf, item_pagerank,
+    # join_full_outer and join_semi move to the r12 head (all r8 rows,
+    # newer than every (b) entry)
 ]
 
 

@@ -150,6 +150,8 @@ HEADLINE = [
     "events_cusum_changepoint",
     "text_pmi_collocations",
     "events_value_quantiles",
+    "lang_id_confusion",
+    "embedding_norm_audit",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -1737,6 +1737,75 @@ ORDER BY cluster"""
 KMEANS_PROFILE_SQL = _kmeans_profile_sql()
 
 
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-hygiene audit (NEW round 11): per label — n_vecs, the
+    mean/min/max L2 norm (rounded 6), and the count of degenerate vectors
+    (norm < 1e-6 or any non-finite coordinate) — the pre-index check every
+    vector pipeline runs before ANN/quantization, where a batch of zero or
+    NaN embeddings from a crashed encoder silently poisons recall.
+
+    Norms use the shared sequential-fold ``functions.vector.norm``
+    (≡ DuckDB sqrt(list_inner_product)) — bit-identical per row; the mean
+    divides once and rounds at 6. NULL embeddings count as degenerate and
+    contribute no norm; NULL labels fold to -1 so the audit is total.
+
+    Scale shape: pure scan-level projection into ONE hash agg over
+    ≤ |labels| rows — map-side partials, nothing after the agg touches
+    the corpus."""
+    emb = load(spark, "embeddings", sf_dir)
+    nrm = norm("embedding")
+    bad = (
+        F.col("embedding").isNull()
+        | (nrm < F.lit(1e-6))
+        | F.exists("embedding", lambda x: F.isnan(x) | x.cast("double").isNull())
+    )
+    return (
+        emb.select(
+            F.coalesce(F.col("label"), F.lit(-1)).cast("int").alias("label"),
+            F.when(~bad, nrm).alias("nrm"),
+            bad.cast("int").alias("is_bad"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.sum("is_bad").cast("long").alias("n_degenerate"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_AUDIT_SQL = """
+WITH e AS (
+  SELECT COALESCE(label, -1) AS label,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE sqrt(list_inner_product(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))))
+         END AS nrm0,
+         (embedding IS NULL) OR
+         (sqrt(list_inner_product(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(embedding, x -> CAST(x AS DOUBLE)))) < 1e-6) OR
+         (len(list_filter(embedding,
+                          x -> isnan(CAST(x AS DOUBLE)) OR x IS NULL)) > 0)
+           AS is_bad
+  FROM embeddings
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(CASE WHEN NOT is_bad THEN nrm0 END), 6) AS mean_norm,
+       ROUND(MIN(CASE WHEN NOT is_bad THEN nrm0 END), 6) AS min_norm,
+       ROUND(MAX(CASE WHEN NOT is_bad THEN nrm0 END), 6) AS max_norm,
+       CAST(SUM(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+FROM e
+GROUP BY label
+ORDER BY label
+"""
+
+
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
     ⌊x_i/scale + ½⌋ — 4× smaller embeddings for storage/serving, the
@@ -2030,6 +2099,7 @@ QUERIES = {
     "matryoshka_recall_eval": matryoshka_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
     "quantize_embeddings_int8": quantize_embeddings_int8,
+    "embedding_norm_audit": embedding_norm_audit,
 }
 
 ORACLES = {
@@ -2040,6 +2110,8 @@ ORACLES = {
     "knn_bruteforce_vectorized": KNN_BRUTEFORCE_SQL,
     "knn_dot_topk": KNN_DOT_SQL,
     "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
+    # round 11: embedding-hygiene audit (shared fold-norm ≡ list_inner_product)
+    "embedding_norm_audit": EMBEDDING_NORM_AUDIT_SQL,
     # round 6: ann_lsh_hyperplane upgraded from rows-only to value-exact
     # (md5-derived hyperplane weights reproducible in DuckDB)
     "ann_lsh_hyperplane": ANN_LSH_SQL,

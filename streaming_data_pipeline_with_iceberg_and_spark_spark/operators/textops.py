@@ -2152,6 +2152,56 @@ FROM raw r JOIN norms n USING (doc_id)
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (NEW round 11): detected vs labeled
+    language with per-label share — the eval face that tells you WHERE the
+    marker heuristic fails (which labeled language leaks into 'und' or a
+    sibling), not just how often; the quality_classifier_eval discipline
+    applied to the lang-ID component.
+
+    Composes ``text_lang_id`` verbatim (the op under eval IS the shared
+    definition — the eval cannot drift from the component it scores).
+    NULL labels fold to 'unlabeled' on both engines so the matrix is
+    total. Scale shape: the per-doc detector is a scan-level projection;
+    the matrix is one hash agg to ≤ |langs|² cells and the share divides
+    a windowed label total over those cells — nothing after the agg
+    touches the corpus."""
+    ids = text_lang_id(spark, sf_dir).select(
+        F.coalesce("labeled_lang", F.lit("unlabeled")).alias("labeled_lang"),
+        "detected_lang",
+    )
+    cells = ids.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wl = Window.partitionBy("labeled_lang")
+    return (
+        cells.select(
+            "labeled_lang",
+            "detected_lang",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wl), 6
+            ).alias("share_of_label"),
+        )
+        .orderBy("labeled_lang", "detected_lang")
+    )
+
+
+LANG_ID_CONFUSION_SQL = f"""
+WITH ids AS ({TEXT_LANG_ID_SQL}),
+cells AS (
+  SELECT COALESCE(labeled_lang, 'unlabeled') AS labeled_lang,
+         detected_lang, COUNT(*) AS n
+  FROM ids GROUP BY 1, 2
+)
+SELECT labeled_lang, detected_lang, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY labeled_lang), 6) AS share_of_label
+FROM cells
+ORDER BY labeled_lang, detected_lang
+"""
+
+
 # Collocation extraction thresholds: a bigram needs ≥5 occurrences before
 # its PMI is trusted (rare pairs have degenerate, maximal PMI — the classic
 # sparsity failure Church & Hanks (1990) flag for mutual-information
@@ -2278,6 +2328,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "text_hashing_vectorizer": text_hashing_vectorizer,
     "text_pmi_collocations": text_pmi_collocations,
+    "lang_id_confusion": lang_id_confusion,
     "text_char_entropy": text_char_entropy,
     "text_zipf_fit": text_zipf_fit,
     "corpus_source_report": corpus_source_report,
@@ -2311,6 +2362,8 @@ ORACLES = {
     "text_hashing_vectorizer": TEXT_HASHING_VECTORIZER_SQL,
     # round 11: PMI collocation mining (shared tokens/bigram defs)
     "text_pmi_collocations": TEXT_PMI_SQL,
+    # round 11: lang-ID eval face (wraps the shared TEXT_LANG_ID_SQL)
+    "lang_id_confusion": LANG_ID_CONFUSION_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "text_zipf_fit": TEXT_ZIPF_SQL,
