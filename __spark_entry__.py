@@ -90,7 +90,10 @@ _PRIORITY = [
     "events_value_quantiles",
     "lang_id_confusion",
     "embedding_norm_audit",
-    # (b) the forty-two r7-era entries, grouped by family
+    "abc_pareto_parts",
+    # (b) the forty-two r7-era entries, grouped by family — with
+    # window_sliding_10m_5m displaced to the r12 head by the ninth new
+    # entry (its W3 shape shares window_tumbling_5min's r10-green surface)
     "agg_bitmap_distinct",
     "agg_histogram_quantiles",
     "agg_hll_mergeable",
@@ -132,7 +135,6 @@ _PRIORITY = [
     "window_ntile_pct",
     "window_range_30d",
     "window_running_sum",
-    "window_sliding_10m_5m",
     # (c) the r8 fill was displaced entirely as the eight round-11 head
     # entries landed — ann_ivf_index, events_markov_transitions,
     # events_dau_wau_mau, funnel_latency, hybrid_search_rrf, item_pagerank,

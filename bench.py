@@ -152,6 +152,7 @@ HEADLINE = [
     "events_value_quantiles",
     "lang_id_confusion",
     "embedding_norm_audit",
+    "abc_pareto_parts",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -877,6 +877,104 @@ ORDER BY s_name
 """
 
 
+def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification (NEW round 11): rank parts by
+    discounted revenue, classify by cumulative share — class A carries the
+    first 80% of revenue, B the next 15%, C the tail — and report each
+    class's part count, revenue and share: the classic inventory-analytics
+    cut ("20% of SKUs are 80% of revenue") and the prioritization face of
+    the Lorenz curve (`events_power_users_curve` is the same math on
+    users).
+
+    The crossing part belongs to the LOWER class (cum share BEFORE the
+    part < threshold ⇒ the part that crosses 80% is still A). EVERYTHING
+    after the per-part rounding runs in INTEGER CENTS: a class's revenue
+    is a sum of ~10⁹-magnitude rounded doubles whose addition order
+    differs between a parallel hash agg and DuckDB's sequential scan, and
+    a last-ulp difference at a ROUND(…, 2) boundary flipped a cent in
+    testing — integer sums are order-free, and the 80/95% cuts compare
+    cum·100 < total·80 exactly (the quantize_embeddings_int8 discipline:
+    floor-of-shifted, never engine round()).
+
+    Scale shape: the fact collapses to per-part revenue in one hash agg
+    (map-side partials); everything after runs over the PART CATALOG —
+    a dimension bounded in the millions, not the fact — so the single
+    global prefix-sum window is a metadata-sized sort, and the final
+    class rollup is a 3-row agg."""
+    from pyspark.sql import Window
+
+    li = load(spark, "lineitem", sf_dir)
+    rev = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100
+                + 0.5
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+    cum = rev.select(
+        "cents",
+        (F.sum("cents").over(w) - F.col("cents")).alias("cum_before"),
+    ).crossJoin(F.broadcast(rev.agg(F.sum("cents").alias("total"))))
+    classed = cum.select(
+        "cents",
+        "total",
+        F.when(F.col("cum_before") * 100 < F.col("total") * 80, "A")
+        .when(F.col("cum_before") * 100 < F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.sum("cents").cast("double") / F.max("total"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_PARETO_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem WHERE l_partkey IS NOT NULL
+  GROUP BY l_partkey
+),
+cum AS (
+  SELECT cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey ASC) - cents
+              AS BIGINT) AS cum_before,
+         (SELECT CAST(SUM(cents) AS BIGINT) FROM rev) AS total
+  FROM rev
+),
+classed AS (
+  SELECT cents, total,
+         CASE WHEN cum_before * 100 < total * 80 THEN 'A'
+              WHEN cum_before * 100 < total * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / MAX(total), 6) AS revenue_share
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_parts": q11_important_parts,
@@ -895,6 +993,7 @@ QUERIES = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
+    "abc_pareto_parts": abc_pareto_parts,
 }
 
 ORACLES = {
@@ -915,4 +1014,6 @@ ORACLES = {
     "q19_disjunctive_revenue": Q19_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "q22_dormant_customers": Q22_SQL,
+    # round 11: ABC/Pareto revenue classification
+    "abc_pareto_parts": ABC_PARETO_SQL,
 }
