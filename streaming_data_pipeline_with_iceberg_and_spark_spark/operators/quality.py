@@ -156,10 +156,12 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("constraint_name"),
                 F.coalesce(F.sum("mult"), F.lit(0)).cast("long").alias("n_checked"),
             ).crossJoin(
-                orphans.agg(
-                    F.coalesce(F.sum("mult"), F.lit(0))
-                    .cast("long")
-                    .alias("n_violations")
+                F.broadcast(
+                    orphans.agg(
+                        F.coalesce(F.sum("mult"), F.lit(0))
+                        .cast("long")
+                        .alias("n_violations")
+                    )
                 )
             )
         )
@@ -175,8 +177,12 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("pk_orders_orderkey_unique").alias("constraint_name"),
             F.count("o_orderkey").cast("long").alias("n_checked"),
         ).crossJoin(
-            dup.agg(
-                F.coalesce(F.sum("mult"), F.lit(0)).cast("long").alias("n_violations")
+            F.broadcast(
+                dup.agg(
+                    F.coalesce(F.sum("mult"), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations")
+                )
             )
         )
     )

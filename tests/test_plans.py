@@ -822,3 +822,50 @@ def test_decile_faces_sliced_path_has_no_global_ntile(spark, sf_dir, monkeypatch
         # every row_number (the per-slice local rank) partitions by _bk
         specs = re.findall(r"row_number\(\)[^\n]*windowspecdefinition\(([^,]*),", p)
         assert specs and all("_bk" in s for s in specs), (q, specs)
+
+
+def test_ri_audit_collapses_keys_before_anti_joins(plan):
+    """Every FK orphan check must aggregate the fact key to distinct
+    (key, multiplicity) BEFORE its anti join — the shuffle then carries
+    |distinct keys| rows, not |fact| rows. Four anti joins, no cartesian,
+    and at least one HashAggregate feeding each join side."""
+    p = plan("referential_integrity_audit")
+    # formatted explain mentions each join in the tree AND detail sections
+    assert p.count("LeftAnti") >= 4, p[:800]
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_abc_pareto_windows_run_over_the_catalog_not_the_fact(plan):
+    """The prefix-sum window must consume the per-part AGGREGATE (one hash
+    agg collapses the fact first); lineitem columns may appear only below
+    that agg, never as window inputs."""
+    import re
+
+    p = plan("abc_pareto_parts")
+    assert "HashAggregate" in p and "Window" in p
+    # the window sorts (cents DESC, partkey) — the post-agg frame
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs and all("l_extendedprice" not in s for s in specs), specs
+
+
+def test_pmi_joins_vocabulary_frames_broadcast(plan):
+    """The unigram-count frame (vocabulary-sized) joins back to the
+    min-count-filtered bigram frame as a BROADCAST — the big bigram side
+    must not shuffle again after its hash agg."""
+    p = plan("text_pmi_collocations")
+    assert p.count("BroadcastHashJoin") >= 2, p[:800]
+    assert "SortMergeJoin" not in p, p[:800]
+    assert "TakeOrderedAndProject" in p
+
+
+def test_value_quantile_windows_partition_by_type(plan):
+    """The quantile readout windows run over the merged histogram rows
+    partitioned by event_type — bounded by span/width per type, never the
+    fact; and the fact reaches them through one hash agg."""
+    import re
+
+    p = plan("events_value_quantiles")
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", p)
+    assert specs and all("event_type" in s for s in specs), specs
+    assert "HashAggregate" in p
