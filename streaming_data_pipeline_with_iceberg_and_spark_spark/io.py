@@ -112,6 +112,10 @@ def checkpoint_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     downstream action would materialize anyway.
     """
     out = result.localCheckpoint(eager=True)
+    # keep the computation's plan inspectable: the checkpointed frame's own
+    # plan is just `Scan ExistingRDD` (plans/audit.explain_string follows
+    # this attribute so plan audits see the real shape)
+    out._spark_graft_source = result
     for df in cached:
         df.unpersist()
     return out

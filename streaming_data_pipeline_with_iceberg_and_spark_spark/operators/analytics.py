@@ -2420,9 +2420,12 @@ cum AS (
 )
 SELECT event_type,
        CAST(MAX(n) AS BIGINT) AS n_events,
-       ROUND(MIN(CASE WHEN cum >= 0.5 * n THEN bin END) * {_VH_BIN_WIDTH}, 6) AS p50_est,
-       ROUND(MIN(CASE WHEN cum >= 0.9 * n THEN bin END) * {_VH_BIN_WIDTH}, 6) AS p90_est,
-       ROUND(MIN(CASE WHEN cum >= 0.99 * n THEN bin END) * {_VH_BIN_WIDTH}, 6) AS p99_est
+       ROUND(CAST(MIN(CASE WHEN cum >= 0.5 * n THEN bin END) AS DOUBLE)
+             * {_VH_BIN_WIDTH}, 6) AS p50_est,
+       ROUND(CAST(MIN(CASE WHEN cum >= 0.9 * n THEN bin END) AS DOUBLE)
+             * {_VH_BIN_WIDTH}, 6) AS p90_est,
+       ROUND(CAST(MIN(CASE WHEN cum >= 0.99 * n THEN bin END) AS DOUBLE)
+             * {_VH_BIN_WIDTH}, 6) AS p99_est
 FROM cum
 GROUP BY event_type
 ORDER BY event_type

@@ -13,7 +13,15 @@ from pyspark.sql import DataFrame
 
 
 def explain_string(df: DataFrame, mode: str = "formatted") -> str:
-    """The string ``df.explain(mode)`` would print."""
+    """The string ``df.explain(mode)`` would print.
+
+    Frames returned through ``io.checkpoint_release`` are eager
+    localCheckpoints whose own plan is an opaque ``Scan ExistingRDD`` —
+    the real computation already ran. Those frames carry the source frame
+    as ``_spark_graft_source`` so plan audits (and the plan regression
+    tests) keep seeing the computation's actual shape rather than the
+    checkpoint scan."""
+    df = getattr(df, "_spark_graft_source", df)
     jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         mode
     )
