@@ -91,9 +91,15 @@ _PRIORITY = [
     "lang_id_confusion",
     "embedding_norm_audit",
     "abc_pareto_parts",
-    # (b) the forty-two r7-era entries, grouped by family — with
-    # window_sliding_10m_5m displaced to the r12 head by the ninth new
-    # entry (its W3 shape shares window_tumbling_5min's r10-green surface)
+    "data_freshness_audit",
+    "events_coverage_audit",
+    # (b) the r7-era entries, grouped by family. Three were displaced to
+    # the r12 head by the last new entries, each with an in-window or
+    # fresher same-surface sibling: window_sliding_10m_5m (W3 shape shares
+    # window_tumbling_5min's r10-green surface), knn_bruteforce_vectorized
+    # (shares knn_bruteforce's EXACT oracle string — knn_bruteforce is
+    # r10-green), dedup_apply (a projection over dedup_clusters, which is
+    # in-window)
     "agg_bitmap_distinct",
     "agg_histogram_quantiles",
     "agg_hll_mergeable",
@@ -101,7 +107,6 @@ _PRIORITY = [
     "ann_pq",
     "bm25_search",
     "curate_multimodal_corpus",
-    "dedup_apply",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_fingerprint",
@@ -110,7 +115,6 @@ _PRIORITY = [
     "events_anomaly_mad",
     "grouped_ols_trend",
     "json_variant_extract",
-    "knn_bruteforce_vectorized",
     "mixture_weighted_interleave",
     "pack_sequences",
     "pca_covariance",

@@ -153,6 +153,8 @@ HEADLINE = [
     "lang_id_confusion",
     "embedding_norm_audit",
     "abc_pareto_parts",
+    "data_freshness_audit",
+    "events_coverage_audit",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

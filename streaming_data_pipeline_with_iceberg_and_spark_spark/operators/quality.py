@@ -252,12 +252,157 @@ ORDER BY constraint_name
 """
 
 
+# (table, event-time column) pairs the freshness audit monitors.
+_FRESHNESS_SPECS = (
+    ("events", "ts"),
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+)
+
+
+def data_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness audit: per monitored (table, event-time column), the max
+    timestamp and its lag in days behind the freshest table — the staleness
+    panel an ingest SLA monitor reads (a pipeline whose orders stream
+    stalls shows up here days before anyone reads a wrong dashboard).
+
+    Each max is one column-pruned scan agg (parquet footer statistics make
+    it near-free); the lag joins three 1-row frames broadcast. Integer day
+    lags — cross-engine exact."""
+    maxes = []
+    for tbl, col in _FRESHNESS_SPECS:
+        maxes.append(
+            load(spark, tbl, sf_dir).agg(
+                F.lit(tbl).alias("table_name"),
+                F.max(F.col(col).cast("timestamp")).alias("max_ts"),
+            )
+        )
+    out = maxes[0]
+    for m in maxes[1:]:
+        out = out.unionByName(m)
+    freshest = out.agg(F.max("max_ts").alias("global_max"))
+    return (
+        out.crossJoin(F.broadcast(freshest))
+        .select(
+            "table_name",
+            "max_ts",
+            F.datediff(F.to_date("global_max"), F.to_date("max_ts"))
+            .cast("long")
+            .alias("lag_days"),
+        )
+        .orderBy("table_name")
+    )
+
+
+FRESHNESS_SQL = """
+WITH m AS (
+  SELECT 'events' AS table_name, MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events
+  UNION ALL
+  SELECT 'lineitem', MAX(CAST(l_shipdate AS TIMESTAMP)) FROM lineitem
+  UNION ALL
+  SELECT 'orders', MAX(CAST(o_orderdate AS TIMESTAMP)) FROM orders
+)
+SELECT table_name, max_ts,
+       CAST(date_diff('day', CAST(max_ts AS DATE),
+                      (SELECT CAST(MAX(max_ts) AS DATE) FROM m)) AS BIGINT)
+         AS lag_days
+FROM m
+ORDER BY table_name
+"""
+
+
+def events_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-coverage audit: per calendar day in [min, max] — ZERO-FILLED,
+    so a silent dead day surfaces as an explicit 0-row, not an absent row —
+    the event count, its ratio to the discrete median daily count, and a
+    low-coverage flag (n < half the median): the "did yesterday's ingest
+    actually arrive" check that catches partial-delivery incidents exact
+    row counts alone hide.
+
+    The median is DISCRETE (rank ⌈n/2⌉ by (n, day) — the events_anomaly_mad
+    idiom: no interpolation arithmetic for engines to disagree on). One
+    hash agg over the fact to ≤ |days| rows; the spine join and both
+    windows run over that calendar-bounded frame."""
+    ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    grid = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n", "day")
+    ranked = grid.select(
+        "day",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("cnt") + 1) / 2)
+    ).select(F.col("n").alias("median_n"))
+    return (
+        grid.crossJoin(F.broadcast(med))
+        .select(
+            "day",
+            "n",
+            "median_n",
+            F.round(F.col("n").cast("double") / F.col("median_n"), 6).alias(
+                "ratio_to_median"
+            ),
+            (F.col("n") * 2 < F.col("median_n")).alias("low_coverage"),
+        )
+        .orderBy("day")
+    )
+
+
+COVERAGE_AUDIT_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day FROM events WHERE ts IS NOT NULL
+),
+daily AS (SELECT day, COUNT(*) AS n FROM ev GROUP BY day),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS DATE) AS day
+),
+grid AS (
+  SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+  FROM spine s LEFT JOIN daily d USING (day)
+),
+ranked AS (
+  SELECT day, n,
+         ROW_NUMBER() OVER (ORDER BY n, day) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM grid
+),
+med AS (SELECT n AS median_n FROM ranked WHERE rn = (cnt + 1) // 2)
+SELECT g.day, g.n, CAST(m.median_n AS BIGINT) AS median_n,
+       ROUND(CAST(g.n AS DOUBLE) / m.median_n, 6) AS ratio_to_median,
+       (g.n * 2 < m.median_n) AS low_coverage
+FROM grid g CROSS JOIN med m
+ORDER BY g.day
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "referential_integrity_audit": referential_integrity_audit,
+    "data_freshness_audit": data_freshness_audit,
+    "events_coverage_audit": events_coverage_audit,
 }
 
 ORACLES = {
     "table_profile": TABLE_PROFILE_SQL,
     "referential_integrity_audit": RI_AUDIT_SQL,
+    "data_freshness_audit": FRESHNESS_SQL,
+    "events_coverage_audit": COVERAGE_AUDIT_SQL,
 }
