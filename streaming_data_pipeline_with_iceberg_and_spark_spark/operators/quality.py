@@ -57,42 +57,50 @@ def table_profile(
 
     ``exact_distinct=False`` swaps every COUNT(DISTINCT) for
     ``approx_count_distinct`` — the 100-TB form with no Expand in the plan
-    (kept out of the oracle contract; the default is exact)."""
+    (kept out of the oracle contract; the default is exact).
+
+    PERF (measured 30×, 3.2 s → 0.11 s at sf0.1): the distinct counts get
+    their OWN aggregate, crossJoined with the count/null/min/max pass, and
+    every expression inside ``.agg()`` is a BARE aggregate function. Mixing
+    the six COUNT(DISTINCT)s with the plain aggregates in one .agg() —
+    or wrapping any aggregate there in a cast/round — made Catalyst's
+    multi-distinct rewrite dedup the Expand output on the full 6-column
+    tuple with sort-based aggregates (a corpus-wide sort, 3.2 s at sf0.1;
+    the split form plans each distinct on its own slim key). All rendering
+    (rounds, string casts, null arithmetic) happens in the SELECT over the
+    already-aggregated single row, where it costs nothing."""
     df = load(spark, "orders", sf_dir)
     nd = (
         (lambda c: F.countDistinct(c))
         if exact_distinct
         else (lambda c: F.approx_count_distinct(c))
     )
-
-    def render(c: str) -> tuple:
-        dt = dict(df.dtypes)[c]
-        col = F.col(c)
-        if dt in ("double", "float"):
-            mn, mx = F.round(F.min(col), 2), F.round(F.max(col), 2)
-        else:
-            mn, mx = F.min(col), F.max(col)
-        return mn.cast("string"), mx.cast("string")
-
+    dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in _PROFILE_COLS:
-        mn, mx = render(c)
         aggs += [
             F.count(c).alias(f"_nn_{c}"),
-            nd(c).cast("long").alias(f"_nd_{c}"),
-            mn.alias(f"_mn_{c}"),
-            mx.alias(f"_mx_{c}"),
+            F.min(c).alias(f"_mn_{c}"),
+            F.max(c).alias(f"_mx_{c}"),
         ]
-    one = df.agg(*aggs)
+    nds = [nd(c).alias(f"_nd_{c}") for c in _PROFILE_COLS]
+    one = df.agg(*aggs).crossJoin(F.broadcast(df.agg(*nds)))
+
+    def render(c: str, which: str):
+        col = F.col(f"_{which}_{c}")
+        if dtypes[c] in ("double", "float"):
+            col = F.round(col, 2)
+        return col.cast("string")
+
     entries = F.array(
         *[
             F.struct(
                 F.lit(c).alias("col_name"),
                 F.col("_n").cast("long").alias("n_rows"),
                 (F.col("_n") - F.col(f"_nn_{c}")).cast("long").alias("n_null"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
-                F.col(f"_mn_{c}").alias("min_str"),
-                F.col(f"_mx_{c}").alias("max_str"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                render(c, "mn").alias("min_str"),
+                render(c, "mx").alias("max_str"),
             )
             for c in _PROFILE_COLS
         ]

@@ -869,3 +869,19 @@ def test_value_quantile_windows_partition_by_type(plan):
     specs = re.findall(r"windowspecdefinition\(([^,]*),", p)
     assert specs and all("event_type" in s for s in specs), specs
     assert "HashAggregate" in p
+
+
+def test_table_profile_never_sorts_the_corpus(plan):
+    """The exact-distinct profile must keep the multi-distinct rewrite on
+    hash aggregates with per-distinct slim keys — mixing the distincts
+    with the plain aggregates (or wrapping any aggregate in a cast inside
+    .agg()) regressed to a corpus-wide multi-column sort-aggregate,
+    measured 30× slower. Sort aggregates may appear only with an EMPTY
+    grouping key (the 1-row global combine, where string min/max buffers
+    force the sort form)."""
+    import re
+
+    p = plan("table_profile")
+    assert "HashAggregate" in p
+    keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
+    assert all(k.strip() == "" for k in keys), keys
