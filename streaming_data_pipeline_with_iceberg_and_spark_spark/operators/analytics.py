@@ -2451,8 +2451,20 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: distinct pairs → ONE user-keyed window (lag + lead per
     user, shuffle bounded by |activity pairs|, every user independent) →
     two day-keyed hash aggs merged on the day. Integer counts —
-    cross-engine exact."""
-    act = activity_pairs(load(spark, "events", sf_dir))
+    cross-engine exact.
+
+    The op IS the composition ``lifecycle_from_activity ∘ activity_pairs``
+    — the engagement ingest (the seventh incremental path) maintains
+    exactly that DISTINCT activity table, so growth accounting serves from
+    maintained state with ZERO new state (parity asserted in
+    tests/test_streaming.py alongside DAU/WAU/MAU)."""
+    return lifecycle_from_activity(activity_pairs(load(spark, "events", sf_dir)))
+
+
+def lifecycle_from_activity(act: DataFrame) -> DataFrame:
+    """Growth-accounting finalization over a DISTINCT (user_id, day)
+    activity frame (see :func:`events_user_lifecycle` for semantics and
+    the shape rationale)."""
     w = Window.partitionBy("user_id").orderBy("day")
     tagged = act.select(
         "user_id",

@@ -1618,6 +1618,19 @@ def test_incremental_engagement_ingest_matches_batch(spark, tmp_path):
         for r in engagement_from_activity(activity.read()).collect()
     }
     assert got == want and got
+    # growth accounting serves from the SAME maintained table (round 11:
+    # events_user_lifecycle ≡ lifecycle_from_activity ∘ activity_pairs)
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        lifecycle_from_activity,
+    )
+
+    lc_want = sorted(
+        tuple(r) for r in lifecycle_from_activity(activity_pairs(batch_df)).collect()
+    )
+    lc_got = sorted(
+        tuple(r) for r in lifecycle_from_activity(activity.read()).collect()
+    )
+    assert lc_got == lc_want and lc_got
     # the maintained table holds exactly the distinct pairs, no dupes
     pairs = [(r.user_id, r.day) for r in activity.read().collect()]
     assert len(pairs) == len(set(pairs)) == 6
