@@ -93,13 +93,16 @@ _PRIORITY = [
     "abc_pareto_parts",
     "data_freshness_audit",
     "events_coverage_audit",
-    # (b) the r7-era entries, grouped by family. Three were displaced to
+    "dedup_cluster_size_histogram",
+    # (b) the r7-era entries, grouped by family. Four were displaced to
     # the r12 head by the last new entries, each with an in-window or
     # fresher same-surface sibling: window_sliding_10m_5m (W3 shape shares
     # window_tumbling_5min's r10-green surface), knn_bruteforce_vectorized
     # (shares knn_bruteforce's EXACT oracle string — knn_bruteforce is
     # r10-green), dedup_apply (a projection over dedup_clusters, which is
-    # in-window)
+    # in-window), snapshot_changelog_orders (shares the r9-green
+    # snapshot_schema_evolution_orders surface; its time-travel sibling
+    # stays in-window)
     "agg_bitmap_distinct",
     "agg_histogram_quantiles",
     "agg_hll_mergeable",
@@ -126,7 +129,6 @@ _PRIORITY = [
     "resample_ffill_1min",
     "set_union",
     "shuffle_epoch_rank",
-    "snapshot_changelog_orders",
     "snapshot_time_travel_orders",
     "text_bigram_freq",
     "text_heavy_hitters",

@@ -155,6 +155,7 @@ HEADLINE = [
     "abc_pareto_parts",
     "data_freshness_audit",
     "events_coverage_audit",
+    "dedup_cluster_size_histogram",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

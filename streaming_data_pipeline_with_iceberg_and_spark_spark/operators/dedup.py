@@ -590,6 +590,69 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-profile histogram (NEW round 11): how many near-dup
+    clusters exist at each cluster size, with the document share each size
+    class carries — the "how duplicated is this corpus" panel a curation
+    run reads before deciding dedup strategy (a corpus whose mass sits in
+    size-1 clusters needs no dedup pass; one with a few giant clusters
+    needs the representative pick, not pair-level removal).
+
+    Composes the SHARED ``dedup_clusters`` connected components verbatim,
+    so the histogram cannot disagree with the clustering it profiles.
+    Singleton documents are size-1 clusters (every doc belongs to exactly
+    one cluster), so n_members · n_clusters sums to the corpus size — the
+    totality check pinned in tests.
+
+    Scale shape: two hash aggs over the (doc, cluster) assignment —
+    cluster → size, size → count — both with map-side combine; the share
+    divides by a broadcast 1-row total. Integer counts, one rounded
+    division — cross-engine exact."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    hist = sizes.groupBy("n_members").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    total = clusters.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.round(
+                (F.col("n_members") * F.col("n_clusters")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("n_members")
+    )
+
+
+def _dedup_cluster_hist_sql() -> str:
+    """SQL twin of the size histogram over the shared recursive-CTE
+    components (deferred like ``_dedup_rep_pick_sql`` — the CTE constant
+    is defined further down the module)."""
+    return _CC_ORACLE_CTES + """
+, assign AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+csizes AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM assign GROUP BY cluster_id
+)
+SELECT CAST(n_members AS BIGINT) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       ROUND(CAST(n_members * COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM assign), 6) AS doc_share
+FROM csizes
+GROUP BY n_members
+ORDER BY n_members
+"""
+
+
 def dedup_representative_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-based representative selection (NEW round 10): per near-dup
     cluster keep the HIGHEST-QUALITY member, not the lowest doc_id — the
@@ -969,6 +1032,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_apply": dedup_apply,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
     "dedup_representative_pick": dedup_representative_pick,
 }
 
@@ -988,4 +1052,6 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     # round 10: quality-based representative pick (shared CC + classifier)
     "dedup_representative_pick": _dedup_rep_pick_sql(),
+    # round 11: duplication-profile histogram (shared CC CTEs)
+    "dedup_cluster_size_histogram": _dedup_cluster_hist_sql(),
 }

@@ -2346,3 +2346,19 @@ def test_ann_recall_eval_oracle_green_on_clustered_fixture(spark, tmp_path):
     g = canon(got.columns, got.collect())
     w = canon(want.columns, want.fetchall())
     assert g == w and g, (g[:3], w[:3])
+
+
+def test_cluster_size_histogram_is_total(spark, sf_dir):
+    """Every document belongs to exactly one cluster, so the histogram's
+    n_members · n_clusters must sum to the corpus size and doc_share to
+    1.0 — the totality invariant that catches a dropped singleton class."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        dedup_cluster_size_histogram,
+    )
+
+    rows = dedup_cluster_size_histogram(spark, sf_dir).collect()
+    assert rows
+    n_docs = load(spark, "documents", sf_dir).count()
+    assert sum(r["n_members"] * r["n_clusters"] for r in rows) == n_docs
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4
