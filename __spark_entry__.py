@@ -94,6 +94,7 @@ _PRIORITY = [
     "data_freshness_audit",
     "events_coverage_audit",
     "dedup_cluster_size_histogram",
+    "dedup_lsh_recall_eval",
     # (b) the r7-era entries, grouped by family. Four were displaced to
     # the r12 head by the last new entries, each with an in-window or
     # fresher same-surface sibling: window_sliding_10m_5m (W3 shape shares
@@ -102,7 +103,8 @@ _PRIORITY = [
     # r10-green), dedup_apply (a projection over dedup_clusters, which is
     # in-window), snapshot_changelog_orders (shares the r9-green
     # snapshot_schema_evolution_orders surface; its time-travel sibling
-    # stays in-window)
+    # stays in-window), dedup_fingerprint (L1 hash-groupBy shape shared
+    # with the r9-green dedup_exact)
     "agg_bitmap_distinct",
     "agg_histogram_quantiles",
     "agg_hll_mergeable",
@@ -112,7 +114,6 @@ _PRIORITY = [
     "curate_multimodal_corpus",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "dedup_fingerprint",
     "dedup_span_exact",
     "drop_duplicates_subset",
     "events_anomaly_mad",

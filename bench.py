@@ -156,6 +156,7 @@ HEADLINE = [
     "data_freshness_audit",
     "events_coverage_audit",
     "dedup_cluster_size_histogram",
+    "dedup_lsh_recall_eval",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

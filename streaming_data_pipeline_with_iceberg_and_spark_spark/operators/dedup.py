@@ -157,8 +157,10 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: MinHash + LSH banding near-dup candidates. Every hash in the
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash+LSH candidate-pair set (doc_a, doc_b, n_agree) —
+    the shared core of the top-20 face (``dedup_minhash_lsh``) and the
+    recall eval (``dedup_lsh_recall_eval``). Every hash in the
     pipeline is md5-derived with pinned permutation seeds (`_MH_AB`), so
     the DuckDB oracle (`DEDUP_MINHASH_SQL`) reproduces the ENTIRE pipeline
     — shingling, 32 permuted mins, band signatures, the 200-member bucket
@@ -237,6 +239,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    return pairs
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash + LSH banding near-dup candidates — the top-20 face over
+    :func:`minhash_candidate_pairs` (docstring there has the pipeline and
+    scale rationale)."""
+    pairs = minhash_candidate_pairs(spark, sf_dir)
     return (
         pairs.select(
             "doc_a",
@@ -297,7 +307,11 @@ SELECT doc_a, doc_b,
 FROM pairs
 ORDER BY est_jaccard DESC, doc_a, doc_b
 LIMIT 20
-""".format(
+"""
+
+# Shared format args for every SQL template that replays the pinned MinHash
+# pipeline (the top-20 face above and the recall eval below).
+_MH_SQL_FMT = dict(
     min_exprs=",\n          ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P}))"
         for a, b in _MH_AB
@@ -309,6 +323,131 @@ LIMIT 20
     nbands=_MH_BANDS,
     nperms=_MH_PERMS,
 )
+DEDUP_MINHASH_SQL = DEDUP_MINHASH_SQL.format(**_MH_SQL_FMT)
+
+
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter-quality eval (NEW round 11): how much of the TRUE
+    near-dup pair set (exact 3-gram Jaccard ≥ 0.5 — the same edge set the
+    clustering builds on) does the MinHash+LSH candidate stage recover,
+    and at what candidate-volume price — one row of
+    (n_truth, n_candidates, n_hit, recall, precision). The dedup twin of
+    ``ann_recall_eval``: it closes the eval-face set (ANN recall,
+    Matryoshka truncation, classifier confusion, lang-ID confusion,
+    retrieval NDCG — and now the banding scheme itself), answering "are
+    32 permutations × 8 bands right for THIS corpus" with a measurement
+    instead of folklore.
+
+    Composes the SHARED definitions verbatim — truth from
+    ``_jaccard_pairs`` at ``_CC_THRESHOLD``, candidates from
+    ``minhash_candidate_pairs`` — so the eval cannot drift from the
+    operators it scores. Scale shape: both sides end in (a, b) pair
+    frames bounded by the candidate caps (inverted-index df cap ≤ 100,
+    LSH bucket cap 200); the hit count is one join on the pair key and
+    the report is three 1-row aggregates broadcast together."""
+    truth = (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jac") >= F.lit(_CC_THRESHOLD))
+        .select("doc_a", "doc_b")
+    )
+    cand = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    report = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(
+            F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        )
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+    )
+    frac = lambda num, den: F.when(  # noqa: E731 — local readability
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den), 6),
+    )
+    return report.select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        frac("n_hit", "n_truth").alias("recall"),
+        frac("n_hit", "n_candidates").alias("precision"),
+    )
+
+
+# The truth chain is the _CC_ORACLE_CTES jaccard prefix verbatim; the
+# candidate chain is DEDUP_MINHASH_SQL's pipeline with ld/lsig/lband names
+# (a bare `sh` would collide with the truth chain's CTE).
+DEDUP_LSH_RECALL_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), kinv AS (
+  SELECT doc_id, shingle FROM inv
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM kinv GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kinv a JOIN kinv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b,
+         n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jac
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+), truth AS (
+  SELECT doc_a, doc_b FROM jac WHERE jac >= 0.5
+), ld AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE coalesce(trim(text), '') <> ''
+), lsh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+  FROM ld
+), hs AS (
+  SELECT doc_id,
+         list_transform(s, x ->
+             CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483648) AS hs
+  FROM lsh WHERE len(s) > 0
+), lsig AS (
+  SELECT doc_id, [{min_exprs}] AS sig
+  FROM hs
+), lbands AS (
+  SELECT doc_id, sig, b.band_idx,
+         md5(concat_ws(',', sig[b.band_idx * {rows} + 1]{band_tail})) AS band_sig
+  FROM lsig CROSS JOIN (SELECT unnest(range({nbands})) AS band_idx) b
+), lranked AS (
+  SELECT band_idx, band_sig, doc_id,
+         row_number() OVER (PARTITION BY band_idx, band_sig
+                            ORDER BY doc_id) AS rn
+  FROM lbands
+), lcapped AS (
+  SELECT * FROM lranked WHERE rn <= 200
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM lcapped a
+  JOIN lcapped b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+), hit AS (
+  SELECT COUNT(*) AS c FROM truth JOIN cand USING (doc_a, doc_b)
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT c FROM hit) AS BIGINT) AS n_hit,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+            THEN ROUND(CAST((SELECT c FROM hit) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM truth), 6) END AS recall,
+       CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+            THEN ROUND(CAST((SELECT c FROM hit) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM cand), 6) END AS precision
+""".format(**_MH_SQL_FMT)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,6 +1172,7 @@ QUERIES = {
     "dedup_apply": dedup_apply,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
+    "dedup_lsh_recall_eval": dedup_lsh_recall_eval,
     "dedup_representative_pick": dedup_representative_pick,
 }
 
@@ -1054,4 +1194,6 @@ ORACLES = {
     "dedup_representative_pick": _dedup_rep_pick_sql(),
     # round 11: duplication-profile histogram (shared CC CTEs)
     "dedup_cluster_size_histogram": _dedup_cluster_hist_sql(),
+    # round 11: LSH banding recall/precision vs the exact Jaccard truth set
+    "dedup_lsh_recall_eval": DEDUP_LSH_RECALL_SQL,
 }
