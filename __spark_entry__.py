@@ -95,6 +95,7 @@ _PRIORITY = [
     "events_coverage_audit",
     "dedup_cluster_size_histogram",
     "dedup_lsh_recall_eval",
+    "curation_waterfall",
     # (b) the r7-era entries, grouped by family. Four were displaced to
     # the r12 head by the last new entries, each with an in-window or
     # fresher same-surface sibling: window_sliding_10m_5m (W3 shape shares
@@ -104,7 +105,8 @@ _PRIORITY = [
     # in-window), snapshot_changelog_orders (shares the r9-green
     # snapshot_schema_evolution_orders surface; its time-travel sibling
     # stays in-window), dedup_fingerprint (L1 hash-groupBy shape shared
-    # with the r9-green dedup_exact)
+    # with the r9-green dedup_exact), text_rolling_hash (shares the
+    # shingle/fingerprint surface with the in-window dedup_span_exact)
     "agg_bitmap_distinct",
     "agg_histogram_quantiles",
     "agg_hll_mergeable",
@@ -134,7 +136,6 @@ _PRIORITY = [
     "text_bigram_freq",
     "text_heavy_hitters",
     "text_lang_id",
-    "text_rolling_hash",
     "text_rollup_by_lang_source",
     "text_token_bpe",
     "text_within_doc_repetition",

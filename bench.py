@@ -157,6 +157,7 @@ HEADLINE = [
     "events_coverage_audit",
     "dedup_cluster_size_histogram",
     "dedup_lsh_recall_eval",
+    "curation_waterfall",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -2152,6 +2152,105 @@ FROM raw r JOIN norms n USING (doc_id)
 """
 
 
+def curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report (NEW round 11): how many documents survive
+    each successive gate — non-null text → Gopher rules → learned
+    classifier (score ≥ 0.5) → exact dedup (one survivor per raw text) —
+    with per-stage drop rates. The waterfall is THE summary a curation
+    review starts from ("which gate is eating the corpus?"); per-source
+    health lives in ``corpus_source_report``, this is the sequential
+    view.
+
+    Composes the SHARED definitions verbatim (``_gopher_signals``, the
+    pinned ``_linear_score_expr``, raw-text identity for dedup — the
+    corpus_source_report discipline), so the funnel cannot disagree with
+    the standalone gates.
+
+    Scale shape: every stage signal is a per-row expression, so ALL four
+    stage counts come out of ONE aggregation pass (conditional counts +
+    one conditional COUNT(DISTINCT text) for the dedup stage — a bare
+    distinct aggregate, per the table_profile lesson); the 4-row
+    waterfall is a literal-array explode of the single aggregated row.
+    Integer counts, one rounded rate per stage — cross-engine exact."""
+    docs = load(spark, "documents", sf_dir)
+    _, _, _, keep = _gopher_signals()
+    score = _linear_score_expr(_LQC_W, _LQC_BIAS)
+    nn = F.col("text").isNotNull()
+    g = nn & keep
+    q = g & (score >= 0.5)
+    one = docs.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(nn, 1)).alias("n_text"),
+        F.count(F.when(g, 1)).alias("n_gopher"),
+        F.count(F.when(q, 1)).alias("n_quality"),
+        F.countDistinct(F.when(q, F.col("text"))).alias("n_dedup"),
+    )
+    stages = [
+        ("1_nonnull_text", "n_all", "n_text"),
+        ("2_gopher_rules", "n_text", "n_gopher"),
+        ("3_quality_classifier", "n_gopher", "n_quality"),
+        ("4_exact_dedup", "n_quality", "n_dedup"),
+    ]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.col(nin).cast("long").alias("n_in"),
+                F.col(nout).cast("long").alias("n_out"),
+                F.when(
+                    F.col(nin) > 0,
+                    F.round(
+                        (F.col(nin) - F.col(nout)).cast("double") / F.col(nin),
+                        6,
+                    ),
+                ).alias("drop_rate"),
+            )
+            for name, nin, nout in stages
+        ]
+    )
+    return (
+        one.select(F.explode(entries).alias("e")).select("e.*").orderBy("stage")
+    )
+
+
+def _curation_waterfall_sql() -> str:
+    return f"""
+WITH lqc AS ({TEXT_LQC_SQL}),
+gopher AS ({TEXT_GOPHER_SQL}),
+sig AS (
+  SELECT d.doc_id, d.text,
+         (d.text IS NOT NULL) AS nn,
+         (d.text IS NOT NULL AND COALESCE(g.keep, FALSE)) AS g_keep,
+         (d.text IS NOT NULL AND COALESCE(g.keep, FALSE)
+          AND COALESCE(l.quality_score, 0) >= 0.5) AS q_keep
+  FROM documents d
+  LEFT JOIN gopher g USING (doc_id)
+  LEFT JOIN lqc l USING (doc_id)
+),
+agg AS (
+  SELECT COUNT(*) AS n_all,
+         COUNT(CASE WHEN nn THEN 1 END) AS n_text,
+         COUNT(CASE WHEN g_keep THEN 1 END) AS n_gopher,
+         COUNT(CASE WHEN q_keep THEN 1 END) AS n_quality,
+         COUNT(DISTINCT CASE WHEN q_keep THEN text END) AS n_dedup
+  FROM sig
+)
+SELECT stage, CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+       CASE WHEN n_in > 0
+            THEN ROUND(CAST(n_in - n_out AS DOUBLE) / n_in, 6) END AS drop_rate
+FROM (
+  SELECT '1_nonnull_text' AS stage, n_all AS n_in, n_text AS n_out FROM agg
+  UNION ALL
+  SELECT '2_gopher_rules', n_text, n_gopher FROM agg
+  UNION ALL
+  SELECT '3_quality_classifier', n_gopher, n_quality FROM agg
+  UNION ALL
+  SELECT '4_exact_dedup', n_quality, n_dedup FROM agg
+)
+ORDER BY stage
+"""
+
+
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix (NEW round 11): detected vs labeled
     language with per-label share — the eval face that tells you WHERE the
@@ -2329,6 +2428,7 @@ QUERIES = {
     "text_hashing_vectorizer": text_hashing_vectorizer,
     "text_pmi_collocations": text_pmi_collocations,
     "lang_id_confusion": lang_id_confusion,
+    "curation_waterfall": curation_waterfall,
     "text_char_entropy": text_char_entropy,
     "text_zipf_fit": text_zipf_fit,
     "corpus_source_report": corpus_source_report,
@@ -2364,6 +2464,8 @@ ORACLES = {
     "text_pmi_collocations": TEXT_PMI_SQL,
     # round 11: lang-ID eval face (wraps the shared TEXT_LANG_ID_SQL)
     "lang_id_confusion": LANG_ID_CONFUSION_SQL,
+    # round 11: sequential curation funnel (shared gopher/LQC/dedup defs)
+    "curation_waterfall": _curation_waterfall_sql(),
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "text_char_entropy": TEXT_CHAR_ENTROPY_SQL,
     "text_zipf_fit": TEXT_ZIPF_SQL,
