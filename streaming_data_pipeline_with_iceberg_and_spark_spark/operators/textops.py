@@ -316,21 +316,64 @@ LIMIT 20
 
 
 def text_rollup_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus rollup: doc counts + char stats by (lang, source)."""
-    docs = load(spark, "documents", sf_dir)
+    """Corpus rollup: doc counts + char stats by (lang, source). Since
+    round 11 the op IS the composition ``rollup_from_cells ∘
+    corpus_cells`` — the leaf-cell pass the TWELFTH incremental path
+    (``streaming.ingest.start_incremental_corpus_rollup_ingest``)
+    maintains, so the corpus dashboard serves from a
+    |langs|×|sources|-bounded state table and batch/maintained faces
+    cannot diverge."""
+    return rollup_from_cells(corpus_cells(load(spark, "documents", sf_dir)))
+
+
+def corpus_cells(docs: DataFrame) -> DataFrame:
+    """Leaf (lang, source) cell partials — n docs, n non-null-char docs,
+    char sum — the one pass over the corpus that the batch rollup and the
+    incremental corpus-rollup ingest share (the hourly_counts
+    discipline). All three measures are ADDITIVE integer sums, so
+    per-batch partials merge by addition forever: the mergeable-sums IVM
+    class, no ordering contract, late data exact."""
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("n_chars").alias("nn"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars"),
+    )
+
+
+def merge_corpus_cells(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch cell partials to one row per cell —
+    the serve-side merge (and the whole job of
+    ``compact_corpus_cells``)."""
+    return state.groupBy("lang", "source").agg(
+        F.sum("n").alias("n"),
+        F.sum("nn").alias("nn"),
+        F.sum("chars").alias("chars"),
+    )
+
+
+def rollup_from_cells(state: DataFrame) -> DataFrame:
+    """ROLLUP finalization over (possibly partial) leaf cells: merge, then
+    re-aggregate the ≤ |langs|×|sources| metadata rows through the same
+    rollup lattice the direct form uses. avg divides the merged integer
+    sums once (AVG over bigint is sum/count in double on both engines),
+    so the readout is bit-identical to the direct rollup."""
+    cells = merge_corpus_cells(state)
     return (
-        docs.rollup("lang", "source")
+        cells.rollup("lang", "source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum("n").alias("n_docs"),
+            F.sum("nn").alias("_nn"),
+            F.sum("chars").alias("_chars"),
         )
         .select(
             F.coalesce("lang", F.lit("(all)")).alias("lang"),
             F.coalesce("source", F.lit("(all)")).alias("source"),
             "n_docs",
-            "total_chars",
-            "avg_chars",
+            F.when(F.col("_nn") > 0, F.col("_chars")).alias("total_chars"),
+            F.when(
+                F.col("_nn") > 0,
+                F.round(F.col("_chars").cast("double") / F.col("_nn"), 6),
+            ).alias("avg_chars"),
         )
     )
 

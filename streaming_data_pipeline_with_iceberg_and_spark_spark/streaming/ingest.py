@@ -1485,6 +1485,63 @@ def compact_value_hist(
     t.overwrite(merge_value_hist(t.read()), batch_id=compaction_id)
 
 
+def start_incremental_corpus_rollup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    cells_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "corpus_rollup_ingest",
+) -> StreamingQuery:
+    """EXACT incremental corpus-rollup maintenance — the TWELFTH
+    incremental path, mergeable-sums class, and the first DOC-side
+    dashboard path (the events side already serves engagement, retention,
+    RFM, funnel, seasonality, anomalies, sessions and value quantiles
+    from state): each batch appends its leaf (lang, source) cell partials
+    (``operators.textops.corpus_cells``, the SAME pass the batch rollup
+    uses) under the idempotent namespaced batch key. All three measures
+    are additive integer sums — late and out-of-order documents merge
+    exactly, no ordering contract, state bounded by |langs| × |sources|
+    rows. ``rollup_from_cells`` over the maintained table equals the
+    batch ``text_rollup_by_lang_source`` over everything ingested (parity
+    test in tests/test_streaming.py) — the corpus volume dashboard never
+    re-scans the corpus. ``compact_corpus_cells`` collapses the partials
+    log between drains (overwrite keeps the key log → replay-safe)."""
+    from ..operators.textops import corpus_cells
+    from ..sources.snapshots import SnapshotTable
+
+    cells_t = SnapshotTable(spark, cells_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def cells_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells_t.append_batch(corpus_cells(batch_df), f"{stream_id}#{batch_id}")
+
+    writer = stream.writeStream.foreachBatch(cells_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_corpus_cells(
+    spark: SparkSession, cells_root: str, compaction_id=None
+) -> None:
+    """Rewrite the corpus-cell partials table as its per-cell sum — a
+    semantic no-op (readers merge either way); the overwrite keeps the
+    log so the stream's batch keys survive (the compact_value_hist
+    protocol)."""
+    from ..operators.textops import merge_corpus_cells
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, cells_root)
+    t.overwrite(merge_corpus_cells(t.read()), batch_id=compaction_id)
+
+
 def apply_sessions_batch(
     spark: SparkSession,
     closed_t,

@@ -859,6 +859,105 @@ def test_value_hist_stays_derived_from_ingested(spark, ops):
         assert got == want, f"value hist diverged after {op}"
 
 
+# Round-11 second derived-state model: the incremental corpus-rollup cells
+# (twelfth path). Mergeable-sums on the (lang, source) key with NULL keys
+# and NULL n_chars in the domain — the invariant is that the per-cell MERGE
+# of the maintained table equals re-deriving the cells from everything
+# ingested, under ingested batches, replayed keys, compaction, expiry,
+# maintenance.
+
+_CR_DOC = st.tuples(
+    st.one_of(st.none(), st.just("en"), st.just("de")),           # lang
+    st.one_of(st.none(), st.just("web"), st.just("books")),       # source
+    st.one_of(st.none(), st.integers(min_value=0, max_value=500)),  # n_chars
+)
+
+_CR_OP = st.one_of(
+    st.tuples(st.just("ingest"), st.lists(_CR_DOC, min_size=1, max_size=4)),
+    st.tuples(st.just("replay"),),
+    st.tuples(st.just("compact"),),
+    st.tuples(st.just("expire"),),
+    st.tuples(st.just("maintain"),),
+)
+
+
+@settings(
+    max_examples=_fuzz_examples(3),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        _CR_OP,
+        min_size=2,
+        max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "6")),
+    )
+)
+def test_corpus_cells_stay_derived_from_ingested(spark, ops):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        corpus_cells,
+        merge_corpus_cells,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import maintain_table
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import compact_corpus_cells
+
+    root = tempfile.mkdtemp()
+    cells_t = SnapshotTable(spark, root + "/cells")
+    schema = "doc_id long, lang string, source string, n_chars long"
+    ingested: list = []
+    next_did = {"n": 0}
+    last = {"key": None, "rows": None}
+    n_batches = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "ingest":
+            rows = []
+            for lang, source, n_chars in op[1]:
+                did = next_did["n"]
+                next_did["n"] += 1
+                rows.append((did, lang, source, n_chars))
+            key = f"fuzz#{n_batches}"
+            n_batches += 1
+            cells_t.append_batch(
+                corpus_cells(spark.createDataFrame(rows, schema)), key
+            )
+            ingested.extend(rows)
+            last["key"], last["rows"] = key, rows
+        elif kind == "replay":
+            if last["key"] is None:
+                continue
+            cells_t.append_batch(
+                corpus_cells(spark.createDataFrame(last["rows"], schema)),
+                last["key"],
+            )
+        elif kind == "compact":
+            if cells_t.current_version() is None:
+                continue
+            compact_corpus_cells(spark, root + "/cells")
+        elif kind == "expire":
+            if cells_t.current_version() is None:
+                continue
+            cells_t.expire_snapshots(keep_last=1)
+        elif kind == "maintain":
+            if cells_t.current_version() is None:
+                continue
+            maintain_table(cells_t, max_files=8, orphan_grace_seconds=3600.0)
+        if not ingested:
+            continue
+
+        def canon(df):
+            # stringify: lang/source may be None, and Python can't order
+            # None against str inside tuple comparison
+            return sorted(
+                (str(r.lang), str(r.source), r.n, r.nn, r.chars)
+                for r in merge_corpus_cells(df).collect()
+            )
+
+        got = canon(cells_t.read())
+        want = canon(corpus_cells(spark.createDataFrame(ingested, schema)))
+        assert got == want, f"corpus cells diverged after {op}"
+
+
 # Round-10 derived-state model: the incremental-sessionization pair (tenth
 # path, boundary-state class). Batches of per-user-ORDERED events (a global
 # clock drives every ts, so the order contract holds by construction) drive

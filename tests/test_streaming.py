@@ -2190,6 +2190,81 @@ def test_incremental_value_hist_ingest_matches_batch(spark, tmp_path):
     assert canon(quantiles_from_value_hist(hist_t.read())) == want
 
 
+def test_incremental_corpus_rollup_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental corpus-rollup maintenance (mergeable-sums class,
+    the twelfth path): the (lang, source) ROLLUP finalized from the
+    maintained leaf cells must equal batch text_rollup_by_lang_source
+    over everything ingested — including later batches revisiting cells
+    (additive merge), NULL lang/source keys (leaf NULLs flow through the
+    rollup lattice identically on both paths) and NULL n_chars (counted
+    as a doc, excluded from char stats). Compaction is a semantic no-op
+    that still blocks replay; a re-drain adds nothing."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        corpus_cells,
+        rollup_from_cells,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_corpus_cells,
+        start_incremental_corpus_rollup_ingest,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    all_rows = []
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for did, lang, source, n_chars in specs:
+                row = {"doc_id": did, "lang": lang, "source": source,
+                       "n_chars": n_chars}
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    write_file("a.json", [(1, "en", "web", 100), (2, "en", "web", 300),
+                          (3, "de", "books", 50), (4, None, "web", 70)])
+    write_file("b.json", [(5, "en", "web", 20), (6, "de", None, 10),
+                          (7, "en", "books", None), (8, None, None, 5)])
+    cells_root = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, lang string, source string, n_chars long"
+
+    def drain():
+        q = start_incremental_corpus_rollup_ingest(
+            spark,
+            str(src),
+            cells_root,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    cells_t = SnapshotTable(spark, cells_root)
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["source"], r["n_chars"]) for r in all_rows],
+        schema,
+    )
+
+    def canon(df):
+        return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+    cells = corpus_cells(batch_df)
+    want = canon(rollup_from_cells(cells))
+    assert canon(rollup_from_cells(cells_t.read())) == want and want
+
+    compact_corpus_cells(spark, cells_root)
+    assert canon(rollup_from_cells(cells_t.read())) == want
+    assert cells_t.read().count() == cells.count()
+    v = cells_t.current_version()
+    drain()
+    assert cells_t.current_version() == v
+    assert canon(rollup_from_cells(cells_t.read())) == want
+
+
 def test_incremental_sessions_ingest_matches_batch(spark, tmp_path):
     """Exact incremental sessionization (boundary-state class, the tenth
     path): sessions served from (closed log + open boundaries) must equal
