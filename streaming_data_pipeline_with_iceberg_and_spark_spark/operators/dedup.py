@@ -345,11 +345,9 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames bounded by the candidate caps (inverted-index df cap ≤ 100,
     LSH bucket cap 200); the hit count is one join on the pair key and
     the report is three 1-row aggregates broadcast together."""
-    truth = (
-        _jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jac") >= F.lit(_CC_THRESHOLD))
-        .select("doc_a", "doc_b")
-    )
+    # the truth set IS the clustering's memoized edge list (one derivation
+    # per session; see _cc_edges)
+    truth = _cc_edges(spark, sf_dir)
     cand = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     hit = truth.join(cand, ["doc_a", "doc_b"])
     report = (
@@ -695,29 +693,47 @@ def _connected_components(verts: DataFrame, edges: DataFrame) -> DataFrame:
 # reintroduce the r10 cache-leak class. Stale sessions are evicted like
 # the IVF memo.
 _CC_LABELS_CACHE: dict = {}
+_CC_EDGES_CACHE: dict = {}
+
+
+def _evict_stale_cc_cache() -> None:
+    for cache in (_CC_LABELS_CACHE, _CC_EDGES_CACHE):
+        for k, old in list(cache.items()):
+            try:
+                stale = old.sparkSession.sparkContext._jsc is None
+            except Exception:
+                stale = True
+            if stale:
+                cache.pop(k, None)
+
+
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded exact-Jaccard edge list (doc_a, doc_b at jac ≥ 0.5)
+    — memoized and eagerly checkpointed once per (session, sf_dir).
+    Materializing it ONCE matters twice over: everything downstream of the
+    clustering (sym ×2, verts ×2) re-evaluates its input plan — the full
+    shingle/inverted-index/Jaccard pipeline — and the LSH recall eval's
+    truth set IS this edge list."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    edges = _CC_EDGES_CACHE.get(key)
+    if edges is None:
+        _evict_stale_cc_cache()
+        jac = _jaccard_pairs(spark, sf_dir)
+        edges = (
+            jac.filter(F.col("jac") >= F.lit(_CC_THRESHOLD))
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        _CC_EDGES_CACHE[key] = edges
+    return edges
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     labels = _CC_LABELS_CACHE.get(key)
     if labels is None:
-        for k, old in list(_CC_LABELS_CACHE.items()):
-            try:
-                stale = old.sparkSession.sparkContext._jsc is None
-            except Exception:
-                stale = True
-            if stale:
-                _CC_LABELS_CACHE.pop(k, None)
-        jac = _jaccard_pairs(spark, sf_dir)
-        # Materialize the thresholded edge list ONCE: everything downstream
-        # (sym ×2, verts ×2) re-evaluates its input plan, and the input here
-        # is the full shingle/inverted-index/Jaccard pipeline — without this
-        # truncation the corpus-wide subplan executes ~4× per clustering run.
-        edges = (
-            jac.filter(F.col("jac") >= F.lit(_CC_THRESHOLD))
-            .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
-        )
+        _evict_stale_cc_cache()
+        edges = _cc_edges(spark, sf_dir)
         verts = (
             edges.select(F.col("doc_a").alias("doc_id"))
             .union(edges.select(F.col("doc_b").alias("doc_id")))
