@@ -310,13 +310,14 @@ def test_connected_components_fast_convergence_on_corpus(spark, sf_dir):
     propagation must settle in ≤3 rounds (incl. the confirming round). A
     regression here means the edge set got pathological — switch to
     large-star/small-star before raising the cap."""
-    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
-        _connected_components,
-        dedup_clusters,
-    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import dedup
 
-    dedup_clusters(spark, sf_dir).collect()
-    assert _connected_components.last_rounds <= 3
+    # the CC memo would otherwise serve a cached labels frame and leave
+    # last_rounds holding some OTHER test's adversarial-graph round count
+    dedup._CC_LABELS_CACHE.clear()
+    dedup._CC_EDGES_CACHE.clear()
+    dedup.dedup_clusters(spark, sf_dir).collect()
+    assert dedup._connected_components.last_rounds <= 3
 
 
 def test_jaccard_stop_shingle_cap_bounds_pair_blowup(spark, tmp_path):
