@@ -60,94 +60,97 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# After round 10 the latest-row histogram is r7:42, r8:50, r9:50, r10:50
-# with zero failures ever recorded as latest state and NO never-checked
-# entries.  Round 11's window is:
-# (a) new round-11 entries, inserted at the head as they land;
-# (b) ALL forty-two remaining r7-era entries (the exact set whose latest
-#     ledger row is r7, computed from the CORRECTNESS_r* files at round-11
-#     start) — after this window no entry's latest row predates r8.  This
-#     includes the three rows displaced from the r10 window by its late new
-#     ops (agg_hll_mergeable, ann_pq, set_union);
-# (c) the remaining slots filled with family-diverse r8 rows: the pinned
-#     index face (ann_ivf_index), the stateful-ingest finalizer family
-#     (events_markov_transitions, events_dau_wau_mau, funnel_latency), the
-#     retrieval composite (hybrid_search_rrf), graph analytics
-#     (item_pagerank), and the two outer/semi join faces (join_full_outer,
-#     join_semi).
-# Rows-only entries in this window keep their standing impossibility
-# contracts (agg_hll_mergeable: sketch internals; ann_pq / ann_ivf:
-# learned quantizers, pinned twins oracle-green r8/r9;
+# After round 11 the latest-row histogram is r7:6, r8:50, r9:50, r10:50,
+# r11:50 with zero failures ever recorded as latest state and NO
+# never-checked entries.  Round 12's window is:
+# (a) new round-12 entries, inserted at the head as they land;
+# (b) ALL six remaining r7-era entries (latest ledger row r7, computed from
+#     the CORRECTNESS_r* files at round-12 start) — after this window no
+#     entry's latest row predates r8;
+# (c) the eight r8 fills displaced from the r11 window by its late new ops
+#     (ann_ivf_index, events_markov_transitions, events_dau_wau_mau,
+#     funnel_latency, hybrid_search_rrf, item_pagerank, join_full_outer,
+#     join_semi);
+# (d) the remaining slots on the oldest r8 rows, with the most-displaceable
+#     rows LAST so each new (a) entry evicts the row with the strongest
+#     fresher same-surface sibling.  Six r8 rows are deferred to r13
+#     outright (50 slots < 56 stale rows): q5_revenue_by_nation (it IS
+#     entry(), smoke-run by the driver every round), set_except +
+#     union_by_name (setops surface; set_union r11-green, set_intersect
+#     r10-green), sort_within_partitions (sort_limit_topk r10-green),
+#     bm25_prf_search (composes the identical BM25 chain as the r11-green
+#     bm25_search, twice), window_first_last (W2 surface shared with the
+#     r10-green window_lag_lead).
+# Rows-only entries keep their standing impossibility contracts
+# (agg_hll_mergeable: sketch internals; ann_pq / ann_ivf: learned
+# quantizers, pinned twins oracle-green — ann_ivf_index is in-window here;
 # pca_embeddings_project: driver-side eigensolver, its distributed input
 # IS the oracle-checked pca_covariance).
 _PRIORITY = [
-    # (a) new round-11 entries (all value-exact oracles), at head
-    "table_profile",
-    "referential_integrity_audit",
-    "events_user_lifecycle",
-    "events_cusum_changepoint",
-    "text_pmi_collocations",
-    "events_value_quantiles",
-    "lang_id_confusion",
-    "embedding_norm_audit",
-    "abc_pareto_parts",
-    "data_freshness_audit",
-    "events_coverage_audit",
-    "dedup_cluster_size_histogram",
-    "dedup_lsh_recall_eval",
-    "curation_waterfall",
-    # (b) the r7-era entries, grouped by family. Four were displaced to
-    # the r12 head by the last new entries, each with an in-window or
-    # fresher same-surface sibling: window_sliding_10m_5m (W3 shape shares
-    # window_tumbling_5min's r10-green surface), knn_bruteforce_vectorized
-    # (shares knn_bruteforce's EXACT oracle string — knn_bruteforce is
-    # r10-green), dedup_apply (a projection over dedup_clusters, which is
-    # in-window), snapshot_changelog_orders (shares the r9-green
-    # snapshot_schema_evolution_orders surface; its time-travel sibling
-    # stays in-window), dedup_fingerprint (L1 hash-groupBy shape shared
-    # with the r9-green dedup_exact), text_rolling_hash (shares the
-    # shingle/fingerprint surface with the in-window dedup_span_exact)
-    "agg_bitmap_distinct",
-    "agg_histogram_quantiles",
-    "agg_hll_mergeable",
-    "ann_ivf",
-    "ann_pq",
-    "bm25_search",
-    "curate_multimodal_corpus",
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_span_exact",
-    "drop_duplicates_subset",
-    "events_anomaly_mad",
-    "grouped_ols_trend",
-    "json_variant_extract",
-    "mixture_weighted_interleave",
-    "pack_sequences",
-    "pca_covariance",
-    "pca_embeddings_project",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q20_excess_share_suppliers",
-    "q21_waiting_suppliers",
-    "resample_ffill_1min",
-    "set_union",
-    "shuffle_epoch_rank",
-    "snapshot_time_travel_orders",
-    "text_bigram_freq",
-    "text_heavy_hitters",
-    "text_lang_id",
-    "text_rollup_by_lang_source",
-    "text_token_bpe",
-    "text_within_doc_repetition",
-    "window_moving_avg",
-    "window_ntile_pct",
-    "window_range_30d",
-    "window_running_sum",
-    # (c) the r8 fill was displaced entirely as the eight round-11 head
-    # entries landed — ann_ivf_index, events_markov_transitions,
-    # events_dau_wau_mau, funnel_latency, hybrid_search_rrf, item_pagerank,
-    # join_full_outer and join_semi move to the r12 head (all r8 rows,
-    # newer than every (b) entry)
+    # (a) new round-12 entries land here, at head
+    # (b) the six remaining r7-era entries
+    "dedup_apply",
+    "dedup_fingerprint",
+    "knn_bruteforce_vectorized",
+    "snapshot_changelog_orders",
+    "text_rolling_hash",
+    "window_sliding_10m_5m",
+    # (c) the eight r8 fills displaced from the r11 window
+    "ann_ivf_index",
+    "events_markov_transitions",
+    "events_dau_wau_mau",
+    "funnel_latency",
+    "hybrid_search_rrf",
+    "item_pagerank",
+    "join_full_outer",
+    "join_semi",
+    # (d) oldest r8 rows, most-displaceable last (tail eviction order for
+    # new (a) entries, each eviction justified by a fresher same-surface
+    # sibling: scalar_string_funcs — P8 scalar surface, siblings
+    # scalar_date_funcs r9 / scalar_math_funcs + case_when_banding r10;
+    # q6_forecast_revenue — the simplest filter-agg, q1_pricing_summary
+    # stays in-window; top_customers — same revenue-join shape as the
+    # in-window q10_returned_items; events_rfm_segments — IS the
+    # composition served by the r9-green rfm-from-state path;
+    # item_communities / item_triangles — taste-graph family with
+    # item_pagerank in-window on the shared edge definition; mmr_search /
+    # retrieval_eval — retrieval family with hybrid_search_rrf in-window)
+    "attribution_last_touch",
+    "basket_association_rules",
+    "chunk_documents",
+    "events_item_cooccurrence",
+    "mine_triplets",
+    "null_handling",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "quantize_embeddings_int8",
+    "recommend_items",
+    "session_top_paths",
+    "snapshot_bloom_point_lookup",
+    "snapshot_positional_delete_orders",
+    "snapshot_update_constrained_orders",
+    "text_perplexity_bigram",
+    "retrieval_eval",
+    "mmr_search",
+    "item_triangles",
+    "item_communities",
+    "events_rfm_segments",
+    "top_customers",
+    "q6_forecast_revenue",
+    "scalar_string_funcs",
 ]
 
 
