@@ -330,7 +330,13 @@ def events_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The median is DISCRETE (rank ⌈n/2⌉ by (n, day) — the events_anomaly_mad
     idiom: no interpolation arithmetic for engines to disagree on). One
     hash agg over the fact to ≤ |days| rows; the spine join and both
-    windows run over that calendar-bounded frame."""
+    windows run over that calendar-bounded frame.
+
+    median_n = 0 (half or more of the spine days empty — the long-outage
+    scenario this audit exists for) guards both derived columns to NULL:
+    unguarded, the ratio is a float division by zero whose Inf/NaN
+    rendering the engines may disagree on, and n·2 < 0 is vacuously
+    false exactly when coverage is at its worst."""
     ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
     daily = (
         ev.select(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
@@ -362,10 +368,13 @@ def events_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "n",
             "median_n",
-            F.round(F.col("n").cast("double") / F.col("median_n"), 6).alias(
-                "ratio_to_median"
-            ),
-            (F.col("n") * 2 < F.col("median_n")).alias("low_coverage"),
+            F.when(
+                F.col("median_n") > 0,
+                F.round(F.col("n").cast("double") / F.col("median_n"), 6),
+            ).alias("ratio_to_median"),
+            F.when(
+                F.col("median_n") > 0, F.col("n") * 2 < F.col("median_n")
+            ).alias("low_coverage"),
         )
         .orderBy("day")
     )
@@ -394,8 +403,11 @@ ranked AS (
 ),
 med AS (SELECT n AS median_n FROM ranked WHERE rn = (cnt + 1) // 2)
 SELECT g.day, g.n, CAST(m.median_n AS BIGINT) AS median_n,
-       ROUND(CAST(g.n AS DOUBLE) / m.median_n, 6) AS ratio_to_median,
-       (g.n * 2 < m.median_n) AS low_coverage
+       CASE WHEN m.median_n > 0
+            THEN ROUND(CAST(g.n AS DOUBLE) / m.median_n, 6) END
+         AS ratio_to_median,
+       CASE WHEN m.median_n > 0
+            THEN (g.n * 2 < m.median_n) END AS low_coverage
 FROM grid g CROSS JOIN med m
 ORDER BY g.day
 """

@@ -887,14 +887,18 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     users).
 
     The crossing part belongs to the LOWER class (cum share BEFORE the
-    part < threshold ⇒ the part that crosses 80% is still A). EVERYTHING
-    after the per-part rounding runs in INTEGER CENTS: a class's revenue
-    is a sum of ~10⁹-magnitude rounded doubles whose addition order
-    differs between a parallel hash agg and DuckDB's sequential scan, and
-    a last-ulp difference at a ROUND(…, 2) boundary flipped a cent in
-    testing — integer sums are order-free, and the 80/95% cuts compare
-    cum·100 < total·80 exactly (the quantize_embeddings_int8 discipline:
-    floor-of-shifted, never engine round()).
+    part < threshold ⇒ the part that crosses 80% is still A). The ENTIRE
+    money chain runs in INTEGER CENTS from the row up: each row's
+    discounted price is floored-to-cents FIRST (one deterministic IEEE
+    multiply per row, identical on both engines), and every subsequent
+    sum — per-part, cumulative, class — adds longs, which is order-free
+    between Spark's parallel hash agg and DuckDB's sequential scan.
+    (Round 11 rounded per-PART sums of doubles; a part landing within an
+    ulp of a half-cent boundary could still flip a cent because the
+    rounding INPUT was order-dependent — per-row quantization removes the
+    last double sum. The 80/95% cuts compare cum·100 < total·80 exactly;
+    the quantize_embeddings_int8 discipline: floor-of-shifted, never
+    engine round().)
 
     Scale shape: the fact collapses to per-part revenue in one hash agg
     (map-side partials); everything after runs over the PART CATALOG —
@@ -906,16 +910,15 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, "lineitem", sf_dir)
     rev = (
         li.filter(F.col("l_partkey").isNotNull())
-        .groupBy("l_partkey")
-        .agg(
+        .withColumn(
+            "row_cents",
             F.floor(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                * 100
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
                 + 0.5
-            )
-            .cast("long")
-            .alias("cents")
+            ).cast("long"),
         )
+        .groupBy("l_partkey")
+        .agg(F.sum("row_cents").alias("cents"))
     )
     w = Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
     cum = rev.select(
@@ -946,8 +949,8 @@ def abc_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ABC_PARETO_SQL = """
 WITH rev AS (
   SELECT l_partkey,
-         CAST(FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
-              AS BIGINT) AS cents
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
   FROM lineitem WHERE l_partkey IS NOT NULL
   GROUP BY l_partkey
 ),

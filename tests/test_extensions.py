@@ -2363,3 +2363,58 @@ def test_cluster_size_histogram_is_total(spark, sf_dir):
     n_docs = load(spark, "documents", sf_dir).count()
     assert sum(r["n_members"] * r["n_clusters"] for r in rows) == n_docs
     assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_coverage_audit_zero_median_outage_guard(spark, tmp_path):
+    """A long outage (half or more of the spine days empty) makes the
+    discrete median daily count 0 — exactly the scenario this audit
+    targets. Unguarded, ratio_to_median is a float division by zero and
+    low_coverage is vacuously false; both must come back NULL instead,
+    and the DuckDB oracle must agree value-exactly (r11 ADVICE)."""
+    import duckdb
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.quality import (
+        COVERAGE_AUDIT_SQL,
+        events_coverage_audit,
+    )
+
+    sf = str(tmp_path)
+    # events on day 1 and day 11 only -> 11-day spine, 9 empty days,
+    # median daily count 0
+    rows = [
+        (i, "2024-03-%02d 10:00:00" % day, i, "view", 1.0, "{}")
+        for i, day in enumerate([1, 1, 1, 11, 11])
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = events_coverage_audit(spark, sf)
+    got_rows = got.collect()
+    assert len(got_rows) == 11
+    assert all(r["median_n"] == 0 for r in got_rows)
+    assert all(r["ratio_to_median"] is None for r in got_rows)
+    assert all(r["low_coverage"] is None for r in got_rows)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    want = con.sql(COVERAGE_AUDIT_SQL)
+
+    def canon(cols, rws):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def cell(v):
+            return repr(round(v, 9)) if isinstance(v, float) else str(v)
+
+        return sorted("|".join(cell(r[i]) for i in order) for r in rws)
+
+    g = canon(got.columns, got_rows)
+    w = canon(want.columns, want.fetchall())
+    assert g == w and g, (g[:3], w[:3])
