@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load, parquet_row_count
+from ..io import checkpoint_release, load, parquet_row_count
 
 _FUNNEL = ["view", "click", "purchase"]
 
@@ -794,7 +794,11 @@ def baskets_from_items(ui: DataFrame, cap: int = _CO_USER_CAP) -> DataFrame:
 def _user_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One basket (sorted distinct-item array) per user, built by a single
     user-keyed shuffle over the event scan. Cached — several bounded aggs
-    consume it (co-occurrence, PageRank)."""
+    consume it within each caller's plan (co-occurrence, PageRank).
+    EVERY caller must release this frame via ``checkpoint_release`` on its
+    result (the rfm-slice discipline, analytics.py `events_rfm_segments`
+    chain): a returned-lazy persist pins a user-cardinality CacheManager
+    entry for the session's lifetime per call."""
     ev = load(spark, "events", sf_dir)
     return baskets_from_items(user_item_pairs(ev)).persist()
 
@@ -870,7 +874,7 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     co = _basket_pairs(baskets)
-    return (
+    result = (
         co.join(cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")), "item_a")
         .join(cnt.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")), "item_b")
         .crossJoin(F.broadcast(n_users))
@@ -885,6 +889,7 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+    return checkpoint_release(result, baskets)
 
 
 # Shared oracle CTE chain: baskets → pair counts. Both co-occurrence and
@@ -943,7 +948,7 @@ def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     co = _basket_pairs(baskets)
-    return (
+    result = (
         co.join(cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")), "item_a")
         .join(cnt.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")), "item_b")
         .select(
@@ -957,6 +962,7 @@ def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    return checkpoint_release(result, baskets)
 
 
 ITEM_JACCARD_SQL = f"""
@@ -1018,10 +1024,11 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("item"),
             ((1.0 - d) / F.col("n") + d * F.col("s")).alias("r"),
         )
-    return (
+    result = (
         ranks.join(deg.withColumnRenamed("src", "item"), "item")
         .select("item", F.round("r", 8).alias("pagerank"), "deg")
     )
+    return checkpoint_release(result, baskets, edges, deg)
 
 
 def _pagerank_sql() -> str:
@@ -1340,7 +1347,8 @@ def item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select(F.col("dst").alias("item"), "label")
         )
-    return labels.select("item", F.col("label").alias("community"))
+    result = labels.select("item", F.col("label").alias("community"))
+    return checkpoint_release(result, baskets, edges)
 
 
 def _lpa_sql() -> str:
@@ -2092,7 +2100,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
-    return (
+    result = (
         directed.crossJoin(F.broadcast(n_users))
         .filter(F.col("co_users") / F.col("cnt_ante") >= _RULE_MIN_CONF)
         .select(
@@ -2108,6 +2116,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+    return checkpoint_release(result, baskets)
 
 
 ASSOCIATION_RULES_SQL = f"""
@@ -2172,7 +2181,7 @@ def item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item")
         .agg(F.count("*").alias("deg"))
     )
-    return pert.join(deg, "item").select(
+    result = pert.join(deg, "item").select(
         "item",
         "triangles",
         "deg",
@@ -2185,6 +2194,7 @@ def item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("clustering"),
     )
+    return checkpoint_release(result, baskets)
 
 
 ITEM_TRIANGLES_SQL = f"""
@@ -2241,7 +2251,9 @@ def recommend_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     owned = baskets.select(
         "user_id", F.explode("items").alias("item")
     )
-    return _recommend_from(owned, _basket_pairs(baskets))
+    return checkpoint_release(
+        _recommend_from(owned, _basket_pairs(baskets)), baskets
+    )
 
 
 def _recommend_from(owned: DataFrame, co: DataFrame) -> DataFrame:

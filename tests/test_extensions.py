@@ -2418,3 +2418,30 @@ def test_coverage_audit_zero_median_outage_guard(spark, tmp_path):
     g = canon(got.columns, got_rows)
     w = canon(want.columns, want.fetchall())
     assert g == w and g, (g[:3], w[:3])
+
+
+def test_taste_graph_ops_release_caches(spark, sf_dir):
+    """Every taste-graph op that persists the shared `_user_baskets` frame
+    (and PageRank/LPA's edge frames) must release those CacheManager
+    entries via checkpoint_release before returning — the r11 verdict's
+    leaked-persist class: a long-lived session otherwise accumulates one
+    dead user-cardinality cache entry per call."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        analytics,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    empty_before = cm.isEmpty()
+    for op in (
+        analytics.events_item_cooccurrence,
+        analytics.item_jaccard_similarity,
+        analytics.item_pagerank,
+        analytics.item_communities,
+        analytics.basket_association_rules,
+        analytics.item_triangles,
+        analytics.recommend_items,
+    ):
+        # materialize fully (tiny-SF row counts may legitimately be 0 —
+        # the min-count pair gate; emptiness of the CACHE is the point)
+        op(spark, sf_dir).count()
+        assert cm.isEmpty() or not empty_before, op.__name__
