@@ -98,6 +98,32 @@ def parquet_row_count(name: str, sf_dir: str | None = None) -> int:
         return (1 << 63) - 1
 
 
+def data_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap content-version fingerprint of a table's parquet path: every
+    file's (relative name, size, mtime_ns), sorted. Session-lifetime memos
+    (the CC labels and pinned-IVF caches) fold this into their key so a
+    rewrite of the inputs WITHIN one session builds fresh state instead of
+    silently serving stale results — the r11 verdict's memo-staleness
+    class. Metadata-only: no file contents are read."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(("", st.st_size, st.st_mtime_ns))
+    else:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                try:
+                    st = os.stat(fp)
+                except OSError:
+                    continue
+                entries.append(
+                    (os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
+                )
+    return repr(sorted(entries))
+
+
 def checkpoint_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize ``result`` eagerly, then release per-call cache entries.
 

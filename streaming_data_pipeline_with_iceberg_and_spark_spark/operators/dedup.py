@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket16, md5_bucket32, normalize, shingles, tokens
 from ..functions.vector import dot, norm
-from ..io import checkpoint_release, load, load_spread
+from ..io import checkpoint_release, data_fingerprint, load, load_spread
 
 # MinHash parameters: 32 permutations in 8 bands of 4 rows; fixed seeds.
 _MH_PERMS = 32
@@ -683,17 +683,31 @@ def _connected_components(verts: DataFrame, edges: DataFrame) -> DataFrame:
     return labels
 
 
-# Per-(session, sf_dir) memo of the connected-component LABELS frame — the
-# _pinned_ivf_index discipline. Four registry faces (clusters, apply,
-# representative pick, size histogram) and the bench all re-derive the SAME
-# clustering; without the memo each call re-runs the full shingle/
-# inverted-index/Jaccard/CC pipeline (~3 s each at sf0.1). The memoized
-# frame is the eagerly-localCheckpointed labels table — BOUNDED by the
-# corpus' near-dup fraction, not corpus-sized, so pinning it does not
-# reintroduce the r10 cache-leak class. Stale sessions are evicted like
-# the IVF memo.
+# Per-(session, documents-version, sf_dir) memo of the connected-component
+# LABELS frame — the _pinned_ivf_index discipline. Four registry faces
+# (clusters, apply, representative pick, size histogram) and the bench all
+# re-derive the SAME clustering; without the memo each call re-runs the
+# full shingle/inverted-index/Jaccard/CC pipeline (~3 s each at sf0.1).
+# The memoized frame is the eagerly-localCheckpointed labels table —
+# BOUNDED by the corpus' near-dup fraction, not corpus-sized, so pinning
+# it does not reintroduce the r10 cache-leak class. Stale sessions are
+# evicted like the IVF memo; the documents fingerprint in the key makes a
+# same-session rewrite of the corpus (the snapshot layer can) build fresh
+# labels instead of serving stale clusters (the r11 memo-staleness
+# finding — global mutable state earned a scar in f4a0c63). The
+# localCheckpointed frames are NOT recoverable after executor loss; in a
+# cluster deployment this memo would live behind a reliable checkpoint or
+# a materialized table.
 _CC_LABELS_CACHE: dict = {}
 _CC_EDGES_CACHE: dict = {}
+
+
+def clear_cc_cache() -> None:
+    """Drop the memoized edge/labels frames (test hook; also the escape
+    hatch for callers that mutate documents in place without an mtime
+    bump — network filesystems can have coarse mtime granularity)."""
+    _CC_LABELS_CACHE.clear()
+    _CC_EDGES_CACHE.clear()
 
 
 def _evict_stale_cc_cache() -> None:
@@ -707,17 +721,36 @@ def _evict_stale_cc_cache() -> None:
                 cache.pop(k, None)
 
 
+def _cc_key(spark: SparkSession, sf_dir: str) -> tuple:
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "documents"),
+    )
+
+
+def _cc_evict_other_versions(key: tuple) -> None:
+    """A new documents version displaces ALL older entries for the same
+    (session, sf_dir) — the stale frames would otherwise pin dead RDD
+    blocks until session end."""
+    for cache in (_CC_LABELS_CACHE, _CC_EDGES_CACHE):
+        for k in list(cache):
+            if k[:2] == key[:2] and k != key:
+                cache.pop(k, None)
+
+
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The thresholded exact-Jaccard edge list (doc_a, doc_b at jac ≥ 0.5)
-    — memoized and eagerly checkpointed once per (session, sf_dir).
-    Materializing it ONCE matters twice over: everything downstream of the
-    clustering (sym ×2, verts ×2) re-evaluates its input plan — the full
-    shingle/inverted-index/Jaccard pipeline — and the LSH recall eval's
-    truth set IS this edge list."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    — memoized and eagerly checkpointed once per (session, documents
+    version). Materializing it ONCE matters twice over: everything
+    downstream of the clustering (sym ×2, verts ×2) re-evaluates its input
+    plan — the full shingle/inverted-index/Jaccard pipeline — and the LSH
+    recall eval's truth set IS this edge list."""
+    key = _cc_key(spark, sf_dir)
     edges = _CC_EDGES_CACHE.get(key)
     if edges is None:
         _evict_stale_cc_cache()
+        _cc_evict_other_versions(key)
         jac = _jaccard_pairs(spark, sf_dir)
         edges = (
             jac.filter(F.col("jac") >= F.lit(_CC_THRESHOLD))
@@ -729,10 +762,11 @@ def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _cc_key(spark, sf_dir)
     labels = _CC_LABELS_CACHE.get(key)
     if labels is None:
         _evict_stale_cc_cache()
+        _cc_evict_other_versions(key)
         edges = _cc_edges(spark, sf_dir)
         verts = (
             edges.select(F.col("doc_a").alias("doc_id"))

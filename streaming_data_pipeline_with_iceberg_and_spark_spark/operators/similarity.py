@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket32
 from ..functions.vector import as_double, dot, l2_distance, norm
-from ..io import checkpoint_release, load, load_spread
+from ..io import checkpoint_release, data_fingerprint, load, load_spread
 
 _N_PLANES = 4  # per hash table → 16 buckets
 _N_TABLES = 2  # independent tables; candidates = union over tables
@@ -1171,8 +1171,22 @@ def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # build instead of each paying the ~4 s scratch construction — the r8 verdict
 # flagged the duplicate build as the dominant cost of ann_recall_eval's
 # driver row. Keyed by applicationId so a fresh session (tests spin their
-# own) never reuses an index whose SparkSession is gone.
+# own) never reuses an index whose SparkSession is gone, and by the
+# embeddings table's file fingerprint so a same-session rewrite of the
+# corpus builds a fresh index instead of probing stale cells (the r11
+# memo-staleness finding).
 _PINNED_IVF_CACHE: dict = {}
+
+
+def clear_pinned_ivf_cache() -> None:
+    """Drop (and delete the scratch dirs of) all pinned indexes — test
+    hook and the escape hatch for in-place mutation without an mtime
+    bump."""
+    import shutil
+
+    for _k, idx in list(_PINNED_IVF_CACHE.items()):
+        shutil.rmtree(idx.root, ignore_errors=True)
+    _PINNED_IVF_CACHE.clear()
 
 
 def _evict_stale_ivf_cache() -> None:
@@ -1198,10 +1212,20 @@ def _pinned_ivf_index(spark: SparkSession, sf_dir: str) -> "IvfIndex":
     import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "embeddings"),
+    )
     idx = _PINNED_IVF_CACHE.get(key)
     if idx is None:
         _evict_stale_ivf_cache()
+        # a new embeddings version displaces older entries for the same
+        # (session, sf_dir) — their scratch dirs would otherwise linger
+        # until session end
+        for k in list(_PINNED_IVF_CACHE):
+            if k[:2] == key[:2] and k != key:
+                shutil.rmtree(_PINNED_IVF_CACHE.pop(k).root, ignore_errors=True)
         scratch = tempfile.mkdtemp(prefix="spark_graft_ivfidx_")
         atexit.register(shutil.rmtree, scratch, ignore_errors=True)
         idx = IvfIndex(spark, scratch)

@@ -314,8 +314,7 @@ def test_connected_components_fast_convergence_on_corpus(spark, sf_dir):
 
     # the CC memo would otherwise serve a cached labels frame and leave
     # last_rounds holding some OTHER test's adversarial-graph round count
-    dedup._CC_LABELS_CACHE.clear()
-    dedup._CC_EDGES_CACHE.clear()
+    dedup.clear_cc_cache()
     dedup.dedup_clusters(spark, sf_dir).collect()
     assert dedup._connected_components.last_rounds <= 3
 
@@ -2445,3 +2444,39 @@ def test_taste_graph_ops_release_caches(spark, sf_dir):
         # the min-count pair gate; emptiness of the CACHE is the point)
         op(spark, sf_dir).count()
         assert cm.isEmpty() or not empty_before, op.__name__
+
+
+def test_cc_memo_rebuilds_after_documents_rewrite(spark, tmp_path):
+    """The CC labels memo keys on a file fingerprint of documents, so a
+    SAME-SESSION rewrite of the corpus under the same path (the snapshot
+    layer can do this) must produce fresh clusters, not the memoized
+    stale ones (r11 verdict low #2)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import dedup
+
+    sf = str(tmp_path)
+
+    def write_docs(texts):
+        rows = [
+            (i, t, "en", "web", len(t)) for i, t in enumerate(texts)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    # v1: docs 0 and 1 are exact near-dups -> one 2-member cluster
+    write_docs([base, base + " extra", "completely different text about spark engines and parquet files"])
+    v1 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(spark, sf).collect()
+    }
+    assert v1[0] == v1[1]
+    # v2 rewrite: all three docs pairwise-distinct -> all singletons
+    write_docs([base, "an entirely new second document with no shared shingles whatsoever here",
+                "completely different text about spark engines and parquet files"])
+    v2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(spark, sf).collect()
+    }
+    assert v2[0] != v2[1], "memo served stale clusters after rewrite"
+    assert len(set(v2.values())) == 3
