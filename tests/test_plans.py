@@ -885,3 +885,23 @@ def test_table_profile_never_sorts_the_corpus(plan):
     assert "HashAggregate" in p
     keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
     assert all(k.strip() == "" for k in keys), keys
+
+
+def test_r11_audit_single_pass_ops_never_sort_the_corpus(plan):
+    """curation_waterfall mixes ONE countDistinct with plain aggregates in
+    a single .agg() — safe while the distinct plans on its slim key, but
+    the same shape with casts inside .agg() (or several distincts) is
+    exactly what regressed table_profile 30× to corpus-wide sort
+    aggregates. Pin the hash-aggregate-only plan on the op that cites the
+    lesson, and on the other single-pass r11 audits."""
+    import re
+
+    for name in (
+        "curation_waterfall",
+        "referential_integrity_audit",
+        "data_freshness_audit",
+    ):
+        p = plan(name)
+        assert "HashAggregate" in p, name
+        keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
+        assert all(k.strip() == "" for k in keys), (name, keys)
