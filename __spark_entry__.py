@@ -88,6 +88,8 @@ _MODULES = [
 # IS the oracle-checked pca_covariance).
 _PRIORITY = [
     # (a) new round-12 entries land here, at head
+    "train_bpe_merges",
+    "bpe_apply_merges",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -149,8 +151,6 @@ _PRIORITY = [
     "item_communities",
     "events_rfm_segments",
     "top_customers",
-    "q6_forecast_revenue",
-    "scalar_string_funcs",
 ]
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, md5_bucket16, mg_fold, tokens
-from ..io import load, load_spread, parquet_row_count
+from ..io import data_fingerprint, load, load_spread, parquet_row_count
 
 # marker stopwords per language for the n-gram/stopword language-ID heuristic
 _LANG_MARKERS = {
@@ -90,6 +90,305 @@ SELECT doc_id,
        ROUND(CAST(len(bpe) AS DOUBLE) / len(ws), 6) AS bpe_per_ws_token
 FROM t
 """.format(rx=_BPE_REGEX.replace("'", "''"))
+
+
+# ---------------------------------------------------------------------------
+# In-engine BPE merge TRAINING (round 12): learn the merge table itself —
+# the piece of the tokenizer story that was pinned, not learned (the apply
+# face `text_token_bpe` and the diagnostics `vocab_coverage` /
+# `text_pmi_collocations` predate it). The algorithm is Sennrich et al.
+# 2016 (arXiv:1508.07909): iteratively merge the most frequent adjacent
+# symbol pair. Two design decisions make it 100 TB-shaped and
+# SQL-replayable:
+#
+#  * TRAIN ON THE VOCABULARY, NOT THE CORPUS (the original paper's trick):
+#    pair counts over word TYPES weighted by corpus frequency equal pair
+#    counts over the raw token stream, so each round's state and shuffle
+#    are bounded by the word-type table — millions of rows at 100 TB, not
+#    the fact. The corpus is scanned exactly once (to build w0).
+#  * PINNED merge count + constant driver state (one (lhs, rhs, cnt) row
+#    collected per round — the train_quality_classifier discipline), so
+#    DuckDB replays the whole run as unrolled AS MATERIALIZED CTEs and the
+#    entry is VALUE-EXACT, all-integer (no rounding anywhere).
+#
+# The greedy left-to-right non-overlapping merge is ONE fold shared by
+# both engines (F.aggregate ≡ list_reduce) over the word's symbols joined
+# by a reserved delimiter (U+001F, excluded from the vocabulary on both
+# sides): tail symbol == lhs and next == rhs ⇒ append rhs to the tail.
+# A freshly merged tail can never re-match (lhs||rhs ≠ lhs since rhs is
+# nonempty), which is exactly greedy semantics.
+_BPE_TRAIN_MERGES = 10
+_BPE_CKPT_EVERY = 4
+_BPE_DELIM = "\x1f"
+
+
+def bpe_word_table(docs: DataFrame) -> DataFrame:
+    """(word, freq) over the BPE pre-tokens — the training input. Shared
+    by training and the apply face so the two cannot disagree about what
+    a word is. Words containing the reserved delimiter are excluded on
+    both engines (the oracle's strpos guard)."""
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_REGEX), 0)
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(toks).alias("word"))
+        .filter(~F.col("word").contains(_BPE_DELIM))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _bpe_merge_fold(seq, lhs: str, rhs: str):
+    """Greedy merge of the pinned (lhs, rhs) pair over a delimited symbol
+    string, as ONE fold. The rounds nest these expressions (round k's
+    input is round k-1's fold), so the input `seq` must appear EXACTLY
+    ONCE — the first formulation seeded the fold with element_at(syms, 1)
+    and folded slice(syms, 2, …), referencing the previous round's whole
+    tree three times: 3^k expression growth, and round ~8 hung Catalyst.
+    The empty-string sentinel keeps it single-use (symbols are never
+    empty — every pre-token matches ≥1 char — so acc = '' uniquely marks
+    "before the first symbol"). DuckDB's list_reduce seeds with the first
+    element instead; the two are semantically identical here."""
+    d = _BPE_DELIM
+    return F.aggregate(
+        F.split(seq, d),
+        F.lit(""),
+        lambda acc, x: F.when(acc == F.lit(""), x)
+        .when(
+            (x == F.lit(rhs))
+            & ((acc == F.lit(lhs)) | F.endswith(acc, F.lit(d + lhs))),
+            F.concat(acc, F.lit(rhs)),
+        )
+        .otherwise(F.concat(acc, F.lit(d), x)),
+    )
+
+
+# (applicationId, sf_dir, documents-fingerprint) -> (merges, final words
+# frame). The CC-memo discipline: the train face and the apply face share
+# one run; the fingerprint key rebuilds on a same-session corpus rewrite;
+# the memoized frame is vocabulary-bounded.
+_BPE_STATE_CACHE: dict = {}
+
+
+def clear_bpe_cache() -> None:
+    _BPE_STATE_CACHE.clear()
+
+
+def _bpe_state(spark: SparkSession, sf_dir: str):
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "documents"),
+    )
+    hit = _BPE_STATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_BPE_STATE_CACHE):
+        try:
+            stale = (
+                _BPE_STATE_CACHE[k][1].sparkSession.sparkContext._jsc is None
+            )
+        except Exception:
+            stale = True
+        if stale or k[:2] == key[:2]:
+            _BPE_STATE_CACHE.pop(k, None)
+    words = bpe_word_table(load(spark, "documents", sf_dir))
+    # Materialize sparsely: w0 once, then every _BPE_CKPT_EVERY rounds.
+    # Between checkpoints each round's single pair-count job re-applies
+    # the accumulated merge folds MAP-SIDE as a nested expression — a
+    # per-round materialization job costs more than the folds (measured:
+    # per-round checkpointing was ~2 jobs/round and 16 s at sf0.01; the
+    # fold re-derivation shape runs the same training in ~half). The
+    # periodic checkpoint bounds the re-derivation at O(c·vocab) per
+    # round instead of O(N·vocab) — the knob that matters when the
+    # word-type table is 10⁸ rows at 100 TB.
+    state = words.select(
+        "word",
+        "freq",
+        F.array_join(F.split("word", ""), _BPE_DELIM).alias("seq"),
+    ).localCheckpoint(eager=True)
+    seq_expr = F.col("seq")
+    merges: list = []
+    for rank in range(1, _BPE_TRAIN_MERGES + 1):
+        syms = F.split(seq_expr, _BPE_DELIM)
+        pairs = (
+            state.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        F.slice(syms, 2, F.size(syms) - 1),
+                        lambda a, b: F.struct(
+                            a.alias("lhs"), b.alias("rhs")
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.lhs", "pr.rhs")
+            # BARE aggregate; no casts inside .agg() (the r11 sort-agg
+            # lesson) — counts are already long
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        # constant-bounded collect: exactly ONE row per pinned round (the
+        # argmax pair), the train_quality_classifier driver-state shape
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # fully merged / empty corpus: fewer than N merges
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+        seq_expr = _bpe_merge_fold(seq_expr, lhs, rhs)
+        if rank % _BPE_CKPT_EVERY == 0 and rank < _BPE_TRAIN_MERGES:
+            state = state.select(
+                "word", "freq", seq_expr.alias("seq")
+            ).localCheckpoint(eager=True)
+            seq_expr = F.col("seq")
+    final_words = state.select("word", "freq", seq_expr.alias("seq"))
+    _BPE_STATE_CACHE[key] = (merges, final_words)
+    return merges, final_words
+
+
+def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the top-``_BPE_TRAIN_MERGES`` BPE merges from the corpus:
+    (merge_rank, lhs, rhs, merged, pair_count), rank-ordered. Value-exact:
+    the oracle replays every round as unrolled MATERIALIZED CTEs and every
+    column is a string or an integer count."""
+    merges, _ = _bpe_state(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count long",
+    )
+
+
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the LEARNED merge table — the apply face fed
+    by :func:`train_bpe_merges` (one shared training run per session via
+    the memo). Per doc: pre-token count, post-merge symbol count, and
+    symbols-per-token (the compression the learned merges actually buy).
+
+    Scale shape: symbol counts are computed once per word TYPE on the
+    final vocabulary table (the training state — vocabulary-bounded), then
+    joined to per-(doc, word) counts: the fold never runs per token
+    instance. No broadcast hint on the vocab join (word types are
+    corpus-scale at 100 TB; AQE decides at small SF)."""
+    _, final_words = _bpe_state(spark, sf_dir)
+    vocab = final_words.select(
+        "word", F.size(F.split("seq", _BPE_DELIM)).alias("n_syms")
+    )
+    docs = load_spread(spark, "documents", sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_REGEX), 0)
+    per_word = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(toks).alias("word"))
+        .filter(~F.col("word").contains(_BPE_DELIM))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_word.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_pretokens"),
+            F.sum(F.col("n") * F.col("n_syms")).alias("n_bpe_symbols"),
+        )
+        .select(
+            "doc_id",
+            "n_pretokens",
+            "n_bpe_symbols",
+            F.round(
+                F.col("n_bpe_symbols") / F.col("n_pretokens"), 6
+            ).alias("symbols_per_token"),
+        )
+    )
+
+
+def _bpe_train_ctes() -> str:
+    """The unrolled training rounds as a CTE chain (shared by the train
+    and apply oracles). MATERIALIZED is required: w{i} references w{i-1}
+    twice (pair scan + merge scan) and DuckDB would otherwise inline the
+    chain exponentially."""
+    rx = _BPE_REGEX.replace("'", "''")
+    d = "chr(31)"
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT word, freq, array_to_string(string_split(word, ''), {d}) AS seq
+  FROM (
+    SELECT word, COUNT(*) AS freq FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{rx}')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ) WHERE strpos(word, {d}) = 0
+    GROUP BY word
+  )
+)"""
+    ]
+    for i in range(1, _BPE_TRAIN_MERGES + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, SUM(freq) AS cnt
+  FROM (SELECT string_split(seq, {d}) AS syms, freq,
+               unnest(range(1, len(string_split(seq, {d})))) AS i
+        FROM w{i - 1})
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{i} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+w{i} AS MATERIALIZED (
+  SELECT word, freq,
+         list_reduce(string_split(seq, {d}),
+           (acc, x) -> CASE WHEN x = b.rhs
+                             AND (acc = b.lhs OR ends_with(acc, {d} || b.lhs))
+                        THEN acc || x ELSE acc || {d} || x END) AS seq
+  FROM w{i - 1}, b{i} b
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def _train_bpe_sql() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, _BPE_TRAIN_MERGES + 1)
+    )
+    return (
+        f"WITH {_bpe_train_ctes()}\n"
+        f"SELECT * FROM ({selects}) ORDER BY merge_rank"
+    )
+
+
+TRAIN_BPE_SQL = _train_bpe_sql()
+
+
+def _bpe_apply_sql() -> str:
+    rx = _BPE_REGEX.replace("'", "''")
+    n = _BPE_TRAIN_MERGES
+    return f"""
+WITH {_bpe_train_ctes()},
+bpe_vocab AS (
+  SELECT word, len(string_split(seq, chr(31))) AS n_syms FROM w{n}
+),
+bpe_per_word AS (
+  SELECT doc_id, word, COUNT(*) AS n FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{rx}')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE strpos(word, chr(31)) = 0
+  GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_pretokens,
+       CAST(SUM(n * n_syms) AS BIGINT) AS n_bpe_symbols,
+       ROUND(CAST(SUM(n * n_syms) AS DOUBLE) / SUM(n), 6)
+         AS symbols_per_token
+FROM bpe_per_word JOIN bpe_vocab USING (word)
+GROUP BY doc_id
+"""
+
+
+BPE_APPLY_SQL = _bpe_apply_sql()
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2491,6 +2790,8 @@ QUERIES = {
     "text_repeated_ngrams": text_repeated_ngrams,
     "text_token_stats": text_token_stats,
     "text_token_bpe": text_token_bpe,
+    "train_bpe_merges": train_bpe_merges,
+    "bpe_apply_merges": bpe_apply_merges,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -2533,6 +2834,8 @@ ORACLES = {
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_token_bpe": TEXT_TOKEN_BPE_SQL,
+    "train_bpe_merges": TRAIN_BPE_SQL,
+    "bpe_apply_merges": BPE_APPLY_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_tfidf_top_terms": TEXT_TFIDF_SQL,

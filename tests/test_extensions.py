@@ -2480,3 +2480,80 @@ def test_cc_memo_rebuilds_after_documents_rewrite(spark, tmp_path):
     }
     assert v2[0] != v2[1], "memo served stale clusters after rewrite"
     assert len(set(v2.values())) == 3
+
+
+def test_bpe_merge_fold_is_exact_greedy(spark):
+    """The delimiter-string fold must implement greedy left-to-right
+    NON-OVERLAPPING merging: runs pair from the left ('aaa' -> [aa, a]),
+    a freshly merged tail never re-matches, multi-char symbols merge by
+    tail identity (not suffix collision)."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        _BPE_DELIM,
+        _bpe_merge_fold,
+    )
+
+    d = _BPE_DELIM
+    cases = [
+        # (symbols, lhs, rhs, expected symbols after merge)
+        (["a", "a", "a"], "a", "a", ["aa", "a"]),
+        (["a", "a", "a", "a"], "a", "a", ["aa", "aa"]),
+        (["a", "b", "b"], "a", "b", ["ab", "b"]),
+        (["aa", "a", "a"], "aa", "a", ["aaa", "a"]),
+        (["x", "a", "b", "a", "b"], "a", "b", ["x", "ab", "ab"]),
+        (["ba", "a", "b"], "a", "b", ["ba", "ab"]),  # no suffix collision
+        (["q"], "a", "b", ["q"]),  # single symbol untouched
+    ]
+    rows = [(i, d.join(syms)) for i, (syms, _, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, seq string")
+    for i, (_syms, lhs, rhs, want) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_bpe_merge_fold(F.col("seq"), lhs, rhs).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got.split(d) == want, (i, got.split(d), want)
+
+
+def test_bpe_training_conserves_symbol_counts(spark, sf_dir):
+    """Exactness invariant of the whole training run: applying merge k
+    replaces pair_count_k adjacent pairs with single symbols, so the
+    corpus-weighted total symbol count must shrink by EXACTLY
+    sum(pair_count) between the char-level start and the final state —
+    an off-by-anything in the fold (overlaps double-merged, runs
+    mis-paired) breaks the identity."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        textops,
+    )
+
+    merges, final_words = textops._bpe_state(spark, sf_dir)
+    assert len(merges) == textops._BPE_TRAIN_MERGES
+    # ranks pinned 1..N, counts non-increasing? (not guaranteed in general
+    # BPE — later merges can outnumber earlier ones only if created pairs
+    # dominate; do not assert monotonicity, just positivity)
+    assert [m[0] for m in merges] == list(range(1, len(merges) + 1))
+    assert all(m[4] > 0 for m in merges)
+    start = (
+        textops.bpe_word_table(load(spark, "documents", sf_dir))
+        .select(
+            (F.col("freq") * F.length("word")).alias("w")
+        )
+        .agg(F.sum("w").alias("s"))
+        .collect()[0]["s"]
+    )
+    # start counts CODEPOINTS via char-split length == initial symbols
+    final = (
+        final_words.select(
+            (
+                F.col("freq")
+                * F.size(F.split("seq", textops._BPE_DELIM))
+            ).alias("w")
+        )
+        .agg(F.sum("w").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert start - final == sum(m[4] for m in merges), (start, final)
