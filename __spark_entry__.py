@@ -90,6 +90,8 @@ _PRIORITY = [
     # (a) new round-12 entries land here, at head
     "train_bpe_merges",
     "bpe_apply_merges",
+    "decontaminate_split",
+    "split_leakage_audit",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -149,8 +151,6 @@ _PRIORITY = [
     "mmr_search",
     "item_triangles",
     "item_communities",
-    "events_rfm_segments",
-    "top_customers",
 ]
 
 

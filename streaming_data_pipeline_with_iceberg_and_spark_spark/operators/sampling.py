@@ -303,6 +303,231 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
+def _split_of(col: F.Column) -> F.Column:
+    """Split label from an id column — the ONE hash-split definition
+    (split_train_val_test, the decontamination faces and the leakage audit
+    all compose it, so they cannot disagree about an assignment)."""
+    b = F.pmod(md5_bucket16(col.cast("string")), F.lit(_BUCKETS))
+    return (
+        F.when(b < _TRAIN_HI, "train")
+        .when(b < _VAL_HI, "val")
+        .otherwise("test")
+    )
+
+
+def _split_case_sql(expr: str) -> str:
+    """The oracle twin of :func:`_split_of` over an arbitrary SQL id
+    expression."""
+    h = f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 4)) AS INT) % {_BUCKETS}"
+    return (
+        f"CASE WHEN {h} < {_TRAIN_HI} THEN 'train' "
+        f"WHEN {h} < {_VAL_HI} THEN 'val' ELSE 'test' END"
+    )
+
+
+# a train doc is flagged when it shares at least this many retained
+# (df-capped) 3-gram shingles with the held-out splits AND at least this
+# share of its own shingles — the absolute floor kills tiny-doc noise, the
+# ratio is what separates: on this corpus background phrase overlap sits
+# at 0.06-0.30 and planted cross-split near-dups at ~1.0, so 0.5 lives in
+# the same bimodal gap the clustering threshold uses
+_DECON_MIN_SHARED = 3
+_DECON_MIN_RATIO = 0.5
+
+
+def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set DECONTAMINATION audit: which train-split documents share
+    ≥ ``_DECON_MIN_SHARED`` informative 3-gram shingles with any val/test
+    document — the n-gram-overlap decontamination step every serious
+    pretraining pipeline runs against its eval sets (GPT-3 §2.2 popularized
+    the 13-gram form; 3-grams here match the corpus' planted-near-dup
+    scale). Shingle and df-cap definitions are dedup's
+    (``_doc_shingles`` / ``_JACCARD_DF_CAP``) — the decontamination face
+    and the near-dup family cannot disagree about what an informative
+    shingle is; the split is :func:`_split_of`.
+
+    Scale shape: NO pair join anywhere — the held-out shingle set is a
+    DISTINCT over the eval splits' postings (shingle-vocabulary-bounded)
+    and each train doc's overlap is one shingle-keyed semi-join + per-doc
+    count, the wordcount shape. The df cap drops boilerplate shingles
+    before the join, same as the Jaccard chain."""
+    from .dedup import _JACCARD_DF_CAP, _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir)
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    dfc = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kinv = inv.join(
+        dfc.filter(F.col("df") <= _JACCARD_DF_CAP), "shingle"
+    ).select("doc_id", "shingle", _split_of(F.col("doc_id")).alias("split"))
+    eval_sh = (
+        kinv.filter(F.col("split") != "train").select("shingle").distinct()
+    )
+    train = kinv.filter(F.col("split") == "train")
+    sizes = train.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    shared = (
+        train.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return (
+        shared.filter(F.col("n_shared_shingles") >= _DECON_MIN_SHARED)
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared_shingles",
+            "n_shingles",
+            F.round(
+                F.col("n_shared_shingles") / F.col("n_shingles"), 6
+            ).alias("overlap_ratio"),
+        )
+        # ratio gate on the ROUNDED value so the boundary compare is the
+        # same number on both engines (the round-then-compare contract)
+        .filter(F.col("overlap_ratio") >= _DECON_MIN_RATIO)
+    )
+
+
+def _decontaminate_sql() -> str:
+    from .dedup import _JACCARD_DF_CAP
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), kinv AS (
+  SELECT doc_id, shingle, {_split_case_sql("doc_id")} AS split FROM inv
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_JACCARD_DF_CAP}
+), eval_sh AS (
+  SELECT DISTINCT shingle FROM kinv WHERE split <> 'train'
+), train AS (
+  SELECT doc_id, shingle FROM kinv WHERE split = 'train'
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+), shared AS (
+  SELECT doc_id, COUNT(*) AS n_shared FROM train
+  JOIN eval_sh USING (shingle) GROUP BY doc_id
+)
+SELECT * FROM (
+  SELECT s.doc_id,
+         CAST(n_shared AS BIGINT) AS n_shared_shingles,
+         CAST(n_shingles AS BIGINT) AS n_shingles,
+         ROUND(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_ratio
+  FROM shared s JOIN sizes USING (doc_id)
+  WHERE n_shared >= {_DECON_MIN_SHARED}
+) WHERE overlap_ratio >= {_DECON_MIN_RATIO}
+"""
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVAL face of the two split definitions: over the exact near-dup
+    edge list (Jaccard ≥ 0.5 — dedup's memoized truth set), count edges
+    whose endpoints land in DIFFERENT splits under (a) the per-document
+    hash split and (b) the cluster-aware split. One row per method with
+    the cross-split edge count and leakage rate — quantifying exactly the
+    eval-leakage bug ``split_leakage_free`` exists to fix (its row is 0
+    by construction: both endpoints of an edge share a component, and the
+    invariant is pinned in tests rather than assumed).
+
+    Scale shape: the edge list is bounded by the corpus' near-dup
+    fraction; two endpoint joins against the (memo-served) cluster
+    assignment and one 2-method hash agg."""
+    from .dedup import _cc_edges, dedup_clusters
+
+    edges = _cc_edges(spark, sf_dir)
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    lab = (
+        edges.join(
+            cl.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("cluster_id").alias("cl_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            cl.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("cluster_id").alias("cl_b"),
+            ),
+            "doc_b",
+        )
+    )
+    both = lab.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("doc_hash").alias("method"),
+                    (
+                        _split_of(F.col("doc_a"))
+                        != _split_of(F.col("doc_b"))
+                    ).alias("crossed"),
+                ),
+                F.struct(
+                    F.lit("cluster_hash").alias("method"),
+                    (
+                        _split_of(F.col("cl_a"))
+                        != _split_of(F.col("cl_b"))
+                    ).alias("crossed"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.method", "m.crossed")
+    return (
+        both.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count(F.when(F.col("crossed"), 1)).alias(
+                "n_cross_split_edges"
+            ),
+        )
+        .select(
+            "method",
+            "n_edges",
+            "n_cross_split_edges",
+            F.round(
+                F.col("n_cross_split_edges") / F.col("n_edges"), 6
+            ).alias("leakage_rate"),
+        )
+        .orderBy("method")
+    )
+
+
+def _leakage_audit_sql() -> str:
+    from .dedup import _CC_ORACLE_CTES
+
+    return _CC_ORACLE_CTES + f""", e AS (
+  SELECT doc_a, doc_b FROM jac WHERE jac >= 0.5
+), lab AS (
+  SELECT e.doc_a, e.doc_b, ca.cluster_id AS cl_a, cb.cluster_id AS cl_b
+  FROM e
+  JOIN comp ca ON e.doc_a = ca.doc_id
+  JOIN comp cb ON e.doc_b = cb.doc_id
+), flags AS (
+  SELECT 'doc_hash' AS method,
+         ({_split_case_sql("doc_a")}) <> ({_split_case_sql("doc_b")}) AS crossed
+  FROM lab
+  UNION ALL
+  SELECT 'cluster_hash',
+         ({_split_case_sql("cl_a")}) <> ({_split_case_sql("cl_b")})
+  FROM lab
+)
+SELECT method,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) FILTER (WHERE crossed) AS BIGINT) AS n_cross_split_edges,
+       ROUND(CAST(COUNT(*) FILTER (WHERE crossed) AS DOUBLE) / COUNT(*), 6)
+         AS leakage_rate
+FROM flags
+GROUP BY method
+ORDER BY method
+"""
+
+
 _ILV_LCM = 12  # lcm of the weight domain {1,2,3,4} → integer-exact slots
 
 
@@ -537,6 +762,8 @@ QUERIES = {
     "split_train_val_test": split_train_val_test,
     "mixture_weighted_interleave": mixture_weighted_interleave,
     "split_leakage_free": split_leakage_free,
+    "decontaminate_split": decontaminate_split,
+    "split_leakage_audit": split_leakage_audit,
     "sample_temperature_by_lang": sample_temperature_by_lang,
     "sample_hash_fraction": sample_hash_fraction,
     "sample_stratified_by_lang": sample_stratified_by_lang,
@@ -552,6 +779,9 @@ ORACLES = {
     "split_train_val_test": SPLIT_SQL,
     "mixture_weighted_interleave": MIXTURE_INTERLEAVE_SQL,
     "split_leakage_free": _leakage_free_sql(),
+    # round 12: eval-set decontamination + cross-split leakage eval
+    "decontaminate_split": _decontaminate_sql(),
+    "split_leakage_audit": _leakage_audit_sql(),
     "sample_temperature_by_lang": SAMPLE_TEMPERATURE_SQL,
     "sample_hash_fraction": SAMPLE_HASH_SQL,
     "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,

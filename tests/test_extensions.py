@@ -2557,3 +2557,40 @@ def test_bpe_training_conserves_symbol_counts(spark, sf_dir):
         .collect()[0]["s"]
     )
     assert start - final == sum(m[4] for m in merges), (start, final)
+
+
+def test_split_leakage_audit_invariants(spark, sf_dir):
+    """Both methods audit the SAME edge list, and the cluster-aware split
+    must leak zero near-dup edges by construction (both endpoints of an
+    edge share a component, the component shares one hash draw) — while
+    the per-document split on this corpus leaks some (the planted
+    near-dups straddle split boundaries)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        split_leakage_audit,
+    )
+
+    rows = {r["method"]: r for r in split_leakage_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"doc_hash", "cluster_hash"}
+    assert rows["doc_hash"]["n_edges"] == rows["cluster_hash"]["n_edges"] > 0
+    assert rows["cluster_hash"]["n_cross_split_edges"] == 0
+    assert rows["cluster_hash"]["leakage_rate"] == 0.0
+
+
+def test_decontaminate_split_flags_only_train_docs(spark, sf_dir):
+    """Every flagged doc must be in the train split under the shared
+    assignment, with a sane overlap ratio in (0, 1]."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        decontaminate_split,
+        split_train_val_test,
+    )
+
+    flagged = decontaminate_split(spark, sf_dir).collect()
+    assert flagged  # the corpus plants cross-split near-dups
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in split_train_val_test(spark, sf_dir).collect()
+    }
+    for r in flagged:
+        assert splits[r["doc_id"]] == "train", r
+        assert 0 < r["overlap_ratio"] <= 1.0
+        assert r["n_shared_shingles"] <= r["n_shingles"]
