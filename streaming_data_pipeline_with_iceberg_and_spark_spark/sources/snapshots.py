@@ -2626,6 +2626,59 @@ class MultiTableTransaction:
     def stage_overwrite(self, table: SnapshotTable, df: DataFrame, batch_id=None) -> None:
         self._stage(table, df, "overwrite", batch_id)
 
+    def stage_upsert_keys(
+        self, table: SnapshotTable, df: DataFrame, key: str, batch_id=None
+    ) -> None:
+        """Keyed MERGE-ON-READ upsert inside the transaction: stage ``df``
+        as a new data dir plus an equality-delete file on ``key`` covering
+        the dirs visible at stage time (the :meth:`SnapshotTable.delete_keys`
+        v2 shape), so matched rows are superseded and unmatched rows
+        insert — at O(|df|) write cost per batch regardless of table size.
+
+        This is the per-batch shape for hot keyed state (the sessions
+        open-boundary table): a copy-on-write merge rewrites every file
+        whose key range intersects the batch's, which for a uniformly
+        spread key set is the WHOLE table every batch; the delete file
+        costs O(batch keys) and periodic compaction materializes the
+        pending deletes. Rewrite-shaped w.r.t. racing commits (the staged
+        dir list replaces the table's), so recovery enforces the same
+        parent pin as a staged overwrite. On an empty table it degrades
+        to a plain staged append (no delete file)."""
+        tkey = (table.root, table.ref)
+        self._table(tkey)
+        table._check_stale_writer(df)
+        table._enforce_constraints(df)
+        snap = (
+            table._snapshot(None)
+            if table.current_version() is not None
+            else None
+        )
+        d = table._write_new_dir(table._apply_layout(df))
+        base_dirs = list(snap["dirs"]) if snap else []
+        deletes = list(snap.get("deletes", [])) if snap else []
+        if base_dirs:
+            # the delete-key set IS the staged dir's key column, so the
+            # eq-delete entry points at the data dir itself (the reader
+            # selects only `col` and distincts): zero extra write jobs,
+            # and the upsert's two halves can never disagree about which
+            # keys it covers. applies_to excludes the new dir — its own
+            # rows are never anti-joined away.
+            deletes = deletes + [
+                {"type": "eq", "col": key, "path": d, "applies_to": base_dirs}
+            ]
+        self.staged.append(
+            {
+                "root": table.root,
+                "ref": table.ref,
+                "op": "upsert-keys",
+                "new_dirs": [d],
+                "base_dirs": base_dirs,
+                "deletes": deletes,
+                "batch_id": batch_id,
+                "parent": table.current_version(),
+            }
+        )
+
     def commit(self) -> dict[tuple[str, str], int]:
         """Publish every staged write. Returns {(root, ref): version}."""
         import uuid
@@ -2681,12 +2734,12 @@ def _apply_staged(
         for s, done in zip(staged, applied):
             t = tables[(s["root"], s["ref"])]
             if (
-                s["op"] == "overwrite"
+                s["op"] in ("overwrite", "upsert-keys")
                 and not done
                 and t.current_version() != s.get("parent")
             ):
                 raise SnapshotConflict(
-                    f"crashed overwrite for {t.root} was staged at version "
+                    f"crashed {s['op']} for {t.root} was staged at version "
                     f"{s.get('parent')} but the table is now at "
                     f"{t.current_version()}"
                 )
@@ -2703,6 +2756,14 @@ def _apply_staged(
             base["batch_id"] = s["batch_id"]
         if s["op"] == "append":
             entry = t._commit(base, new_dirs=list(s["new_dirs"]))
+        elif s["op"] == "upsert-keys":
+            e = {
+                **base,
+                "dirs": list(s.get("base_dirs", [])) + list(s["new_dirs"]),
+            }
+            if s.get("deletes"):
+                e["deletes"] = s["deletes"]
+            entry = t._commit(e)
         else:
             entry = t._commit({**base, "dirs": list(s["new_dirs"])})
         versions[(t.root, t.ref)] = entry["id"]

@@ -2095,3 +2095,111 @@ def test_rollback_preserves_pending_mor_deletes(spark, table):
     # and a rollback PAST the delete really does restore the rows
     table.rollback(1)
     assert _ids(table.read()) == list(range(10))
+
+
+def test_stage_upsert_keys_merges_on_read(spark, tmp_path):
+    """stage_upsert_keys must (a) supersede matched keys, insert unmatched,
+    leave others untouched; (b) cost O(batch) — one new data dir, one
+    delete file, the base dirs carried by REFERENCE; (c) stack across
+    batches; and (d) compact away: an overwrite of read() materializes
+    the pending deletes and clears them."""
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "open"))
+    base = spark.createDataFrame(
+        [(u, 0) for u in range(10)], "user_id long, v int"
+    )
+    t.append(base.coalesce(1))
+    base_dirs = set(t._snapshot(None)["dirs"])
+
+    def rows(df):
+        return sorted((r["user_id"], r["v"]) for r in df.collect())
+
+    # batch 1: update users 3..5, insert 100
+    b1 = spark.createDataFrame(
+        [(3, 1), (4, 1), (5, 1), (100, 1)], "user_id long, v int"
+    )
+    txn = MultiTableTransaction([t], str(tmp_path / "txns"))
+    txn.stage_upsert_keys(t, b1.coalesce(1), key="user_id", batch_id="b1")
+    txn.commit()
+    want = {(u, 0) for u in range(10) if u not in (3, 4, 5)} | {
+        (3, 1), (4, 1), (5, 1), (100, 1)
+    }
+    assert set(rows(t.read())) == want
+    snap = t._snapshot(None)
+    # base dirs carried by reference, exactly one new dir, one eq delete
+    assert base_dirs < set(snap["dirs"]) and len(snap["dirs"]) == 2
+    assert len(snap.get("deletes", [])) == 1
+    assert snap["deletes"][0]["type"] == "eq"
+    assert set(snap["deletes"][0]["applies_to"]) == base_dirs
+
+    # batch 2 stacks: update 4 again and 100
+    b2 = spark.createDataFrame([(4, 2), (100, 2)], "user_id long, v int")
+    txn2 = MultiTableTransaction([t], str(tmp_path / "txns"))
+    txn2.stage_upsert_keys(t, b2.coalesce(1), key="user_id", batch_id="b2")
+    txn2.commit()
+    want = (want - {(4, 1), (100, 1)}) | {(4, 2), (100, 2)}
+    assert set(rows(t.read())) == want
+    assert len(t._snapshot(None).get("deletes", [])) == 2
+
+    # compaction materializes and clears the pending deletes
+    t.overwrite(t.read())
+    snap = t._snapshot(None)
+    assert not snap.get("deletes")
+    assert set(rows(t.read())) == want
+
+
+def test_stage_upsert_keys_recovery_and_stale_pin(spark, tmp_path):
+    """A crashed upsert-keys intent must recover exactly once; one staged
+    against a version the table has moved past must NOT apply (it would
+    revert the racing writer's commit) — the overwrite pin, extended."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources import (
+        snapshots as snapmod,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+    )
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, 0), (2, 0)], "user_id long, v int"))
+    txn = MultiTableTransaction([t], str(tmp_path / "txns"))
+    txn.stage_upsert_keys(
+        t,
+        spark.createDataFrame([(2, 9), (3, 9)], "user_id long, v int"),
+        key="user_id",
+    )
+    os.makedirs(str(tmp_path / "txns"), exist_ok=True)
+    intent = str(tmp_path / "txns" / "txn-cafef00d.json")
+    with open(intent, "w") as f:
+        _json.dump(txn.staged, f)
+    # crash before apply -> recovery completes it
+    recovered = recover_transactions(spark, str(tmp_path / "txns"))
+    assert recovered == [intent]
+    got = sorted((r["user_id"], r["v"]) for r in t.read().collect())
+    assert got == [(1, 0), (2, 9), (3, 9)]
+
+    # stale pin: stage against current version, then race an append
+    txn2 = MultiTableTransaction([t], str(tmp_path / "txns"))
+    txn2.stage_upsert_keys(
+        t,
+        spark.createDataFrame([(1, 5)], "user_id long, v int"),
+        key="user_id",
+    )
+    t.append(spark.createDataFrame([(7, 0)], "user_id long, v int"))
+    intent2 = str(tmp_path / "txns" / "txn-deadd00d.json")
+    with open(intent2, "w") as f:
+        _json.dump(txn2.staged, f)
+    recover_transactions(spark, str(tmp_path / "txns"))
+    # aborted, not applied: the racing append survives, no v=5 row
+    got = sorted((r["user_id"], r["v"]) for r in t.read().collect())
+    assert (1, 5) not in got and (7, 0) in got
+    assert any(n.endswith(".aborted.json") for n in os.listdir(str(tmp_path / "txns")))

@@ -2385,3 +2385,67 @@ def test_incremental_sessions_ingest_matches_batch(spark, tmp_path):
         q.awaitTermination(180)
         q.processAllAvailable()
     assert (closed_t.current_version(), open_t.current_version()) == (vc, vo)
+
+
+def test_sessions_open_table_batch_cost_is_o_batch(spark, tmp_path):
+    """The open-boundary table must be maintained at O(batch-users) write
+    cost per micro-batch (the r10/r11 verdict finding, retired by the
+    merge-on-read upsert): after a batch touching ONE user of many, the
+    commit's new data dir holds exactly that user's row — never a rewrite
+    of the whole open set — and a pending equality delete supersedes the
+    user's old row; compact_open_sessions materializes the deletes
+    without changing what readers see."""
+    import pyarrow.parquet as pq
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        apply_sessions_batch,
+        compact_open_sessions,
+    )
+
+    closed_t = SnapshotTable(spark, str(tmp_path / "closed"))
+    open_t = SnapshotTable(spark, str(tmp_path / "open"))
+    txn_dir = str(tmp_path / "txn")
+    schema = "event_id long, ts long, user_id long, value double"
+    t0 = 1_700_000_000
+
+    # batch 1: 50 users, one event each
+    b1 = [(u, t0 + u, u, 1.0) for u in range(50)]
+    apply_sessions_batch(
+        spark, closed_t, open_t, txn_dir,
+        spark.createDataFrame(b1, schema), "b1",
+    )
+    assert open_t.read().count() == 50
+
+    # batch 2: ONE user reappears much later (their old session closes)
+    b2 = [(1000, t0 + 10**6, 7, 1.0)]
+    apply_sessions_batch(
+        spark, closed_t, open_t, txn_dir,
+        spark.createDataFrame(b2, schema), "b2",
+    )
+    snap = open_t._snapshot(None)
+    # the commit added exactly one NEW dir; batch-1's dir is carried by
+    # reference; the new dir holds ONE row (user 7's new boundary)
+    prev_dirs = set(open_t._snapshot(1)["dirs"])
+    new_dirs = [d for d in snap["dirs"] if d not in prev_dirs]
+    assert len(new_dirs) == 1
+    n_new_rows = sum(
+        pq.ParquetFile(os.path.join(new_dirs[0], f)).metadata.num_rows
+        for f in os.listdir(new_dirs[0])
+        if f.endswith(".parquet")
+    )
+    assert n_new_rows == 1
+    assert len(snap.get("deletes", [])) == 1
+    # reader semantics: still one open row per user, user 7's updated
+    opened = {r["user_id"]: r["last_ts"] for r in open_t.read().collect()}
+    assert len(opened) == 50
+    assert opened[7] == t0 + 10**6
+    # user 7's old open session closed into the log
+    assert closed_t.read().filter("user_id = 7").count() == 1
+
+    before = sorted(tuple(r) for r in open_t.read().collect())
+    compact_open_sessions(spark, str(tmp_path / "open"))
+    assert not open_t._snapshot(None).get("deletes")
+    assert sorted(tuple(r) for r in open_t.read().collect()) == before
