@@ -158,6 +158,13 @@ HEADLINE = [
     "dedup_cluster_size_histogram",
     "dedup_lsh_recall_eval",
     "curation_waterfall",
+    # Appended round 12: in-engine BPE merge training + its learned-table
+    # apply face (one shared memoized training run), and the dataset
+    # decontamination/leakage pair.
+    "train_bpe_merges",
+    "bpe_apply_merges",
+    "decontaminate_split",
+    "split_leakage_audit",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the
