@@ -157,6 +157,20 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_shingle_rows(docs: DataFrame) -> DataFrame:
+    """Exploded DISTINCT (doc_id, shingle) posting rows over a documents
+    frame — THE shingle definition (identical to `_doc_shingles`), shared
+    by the decontamination faces and the incremental shingle-index ingest
+    so batch and maintained-index paths cannot disagree about a posting.
+    NULL-text docs contribute no rows (explode of NULL drops)."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(tokens("text"), 3))).alias(
+            "shingle"
+        ),
+    )
+
+
 def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MinHash+LSH candidate-pair set (doc_a, doc_b, n_agree) —
     the shared core of the top-20 face (``dedup_minhash_lsh``) and the

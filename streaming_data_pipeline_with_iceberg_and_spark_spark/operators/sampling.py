@@ -350,11 +350,27 @@ def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT over the eval splits' postings (shingle-vocabulary-bounded)
     and each train doc's overlap is one shingle-keyed semi-join + per-doc
     count, the wordcount shape. The df cap drops boilerplate shingles
-    before the join, same as the Jaccard chain."""
-    from .dedup import _JACCARD_DF_CAP, _doc_shingles
+    before the join, same as the Jaccard chain.
 
-    sh = _doc_shingles(spark, sf_dir)
-    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    Since round 12 the op is the composition ``decon_from_postings ∘
+    doc_shingle_rows`` — the same two pieces the incremental
+    shingle-index ingest maintains and serves from (the activity_pairs
+    discipline: batch and maintained-index paths share one definition)."""
+    from .dedup import doc_shingle_rows
+    from ..io import load_spread
+
+    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
+    return decon_from_postings(doc_shingle_rows(docs))
+
+
+def decon_from_postings(inv: DataFrame) -> DataFrame:
+    """The decontamination core over DISTINCT (doc_id, shingle) posting
+    rows — consumed by the batch face and by
+    ``streaming.ingest.decontaminate_from_index`` over the maintained
+    shingle index. The df cap, split assignment, and flag thresholds all
+    live HERE, once."""
+    from .dedup import _JACCARD_DF_CAP
+
     dfc = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kinv = inv.join(
         dfc.filter(F.col("df") <= _JACCARD_DF_CAP), "shingle"

@@ -1542,6 +1542,81 @@ def compact_corpus_cells(
     t.overwrite(merge_corpus_cells(t.read()), batch_id=compaction_id)
 
 
+def start_incremental_shingle_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "shingle_index_ingest",
+) -> StreamingQuery:
+    """EXACT incremental shingle-index maintenance — the THIRTEENTH
+    incremental path, append-only-postings class (the BM25 postings
+    discipline on the dedup/decontamination shingle grain): each batch
+    appends its documents' DISTINCT (doc_id, shingle) posting rows
+    (``operators.dedup.doc_shingle_rows`` — the SAME shingle definition
+    the Jaccard/LSH/decontamination chain uses) under the idempotent
+    namespaced batch key. Each document arrives once (the corpus-rollup
+    contract), so postings from disjoint batches union to the full
+    corpus index exactly — no ordering contract, late documents merge
+    exactly. ``decontaminate_from_index`` over the maintained table
+    equals batch ``decontaminate_split`` over everything ingested
+    (parity test): the continuous-curation loop — "which of today's
+    train docs leak tomorrow's eval set" — serves from state, with the
+    document-frequency cap recomputed at query time over the maintained
+    postings, so a shingle that ONLY LATER crosses the boilerplate cap
+    is dropped exactly as the batch face would. State is
+    posting-cardinality (Σ per-doc distinct shingles) — the price of any
+    inverted index; ``compact_shingle_index`` collapses the per-batch
+    small files between drains (overwrite keeps the key log →
+    replay-safe)."""
+    from ..operators.dedup import doc_shingle_rows
+    from ..sources.snapshots import SnapshotTable
+
+    index_t = SnapshotTable(spark, index_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        index_t.append_batch(
+            doc_shingle_rows(batch_df), f"{stream_id}#{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(index_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def decontaminate_from_index(index: DataFrame) -> DataFrame:
+    """Serve the eval-set decontamination audit from the MAINTAINED
+    shingle index — exactly equal to batch
+    ``operators.sampling.decontaminate_split`` over every document
+    ingested (the serving face IS the shared core over the maintained
+    postings)."""
+    from ..operators.sampling import decon_from_postings
+
+    return decon_from_postings(index)
+
+
+def compact_shingle_index(
+    spark: SparkSession, index_root: str, compaction_id=None
+) -> None:
+    """Rewrite the per-batch posting files as one compacted set — a
+    semantic no-op (the postings are already distinct rows; only the
+    file layout changes). The overwrite keeps the log so the stream's
+    batch keys survive (the compact_corpus_cells protocol)."""
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, index_root)
+    t.overwrite(t.read(), batch_id=compaction_id)
+
+
 def apply_sessions_batch(
     spark: SparkSession,
     closed_t,

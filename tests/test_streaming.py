@@ -2449,3 +2449,92 @@ def test_sessions_open_table_batch_cost_is_o_batch(spark, tmp_path):
     compact_open_sessions(spark, str(tmp_path / "open"))
     assert not open_t._snapshot(None).get("deletes")
     assert sorted(tuple(r) for r in open_t.read().collect()) == before
+
+
+def test_incremental_shingle_index_matches_batch_decontamination(spark, tmp_path):
+    """The THIRTEENTH incremental path (append-only postings): the
+    decontamination audit served from the maintained shingle index must
+    equal batch decontaminate_split over everything ingested — including
+    an eval doc arriving in a LATER batch than the train doc it
+    contaminates (the retro-detection case that makes maintained state
+    worth having). Replay adds nothing; compaction is a semantic no-op."""
+    import hashlib
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        decontaminate_split,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_shingle_index,
+        decontaminate_from_index,
+        start_incremental_shingle_index_ingest,
+    )
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    train_ids = [i for i in range(200) if split_of(i) == "train"]
+    eval_ids = [i for i in range(200) if split_of(i) != "train"]
+    assert train_ids and eval_ids
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "one two three four five six seven eight nine ten eleven"
+    other = "red orange yellow green blue indigo violet cyan magenta umber"
+    # batch 1: a train doc with the leaking text + a clean train doc
+    b1 = [(train_ids[0], leak), (train_ids[1], clean)]
+    # batch 2 (LATER): the eval doc carrying the same text + noise
+    b2 = [(eval_ids[0], leak), (eval_ids[1], other)]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    all_rows = []
+    for name, rows in (("a.json", b1), ("b.json", b2)):
+        with open(src / name, "w") as f:
+            for did, text in rows:
+                row = {"doc_id": did, "text": text, "lang": "en",
+                       "source": "web", "n_chars": len(text)}
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    index_root = str(tmp_path / "shidx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def drain():
+        q = start_incremental_shingle_index_ingest(
+            spark, str(src), index_root, schema=schema,
+            checkpoint_dir=ckpt, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    index_t = SnapshotTable(spark, index_root)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    got = canon(decontaminate_from_index(index_t.read()))
+    # the batch face over the same corpus written as parquet
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+         for r in all_rows], schema,
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    want = canon(decontaminate_split(spark, sf))
+    assert got == want
+    # the retro case actually fired: the batch-1 train doc is flagged
+    assert any(r[0] == train_ids[0] for r in got), got
+    assert all(split_of(r[0]) == "train" for r in got)
+
+    # replay: a second drain of the same files adds nothing
+    n_before = index_t.read().count()
+    drain()
+    assert index_t.read().count() == n_before
+    # compaction: semantic no-op, replay still blocked after it
+    compact_shingle_index(spark, index_root)
+    assert canon(decontaminate_from_index(index_t.read())) == want
+    drain()
+    assert index_t.read().count() == n_before
