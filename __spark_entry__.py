@@ -92,6 +92,8 @@ _PRIORITY = [
     "bpe_apply_merges",
     "decontaminate_split",
     "split_leakage_audit",
+    "quantization_recall_eval",
+    "bpe_compression_curve",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -149,8 +151,6 @@ _PRIORITY = [
     "text_perplexity_bigram",
     "retrieval_eval",
     "mmr_search",
-    "item_triangles",
-    "item_communities",
 ]
 
 

@@ -1841,17 +1841,8 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines evaluate the identical double expression ⌊x/s + 0.5⌋ (explicit
     floor-of-shifted rather than round(), whose half-way tie rule is the one
     place engines drift)."""
-    emb = load(spark, "embeddings", sf_dir)
-    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-    withmax = emb.select(
-        "vec_id",
-        "embedding",
-        F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0)).alias("s"),
-    )
-    qvec = F.transform(
-        "embedding",
-        lambda x: F.floor(x / F.col("s") + F.lit(0.5)).cast("int"),
-    )
+    withmax = _int8_scaled(load(spark, "embeddings", sf_dir))
+    qvec = _int8_qvec()
     # The int8 codes stay an array inside the plan; the DRIVER-facing output
     # renders them as one deterministic CSV string plus min/max probes —
     # array-typed result columns crash the harness's pandas canonicalizer
@@ -1865,6 +1856,131 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(qvec).alias("q_min"),
         F.array_max(qvec).alias("q_max"),
     )
+
+
+def _int8_scaled(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, s) with the symmetric per-vector int8 scale —
+    THE quantizer definition, shared by the storage face
+    (`quantize_embeddings_int8`) and the quantization recall eval so the
+    two cannot disagree about a code."""
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0)).alias("s"),
+    )
+
+
+def _int8_qvec():
+    """The int8 code array over a `_int8_scaled` row (floor-of-shifted,
+    never round() — the engines' half-way tie rules differ)."""
+    return F.transform(
+        "embedding",
+        lambda x: F.floor(x / F.col("s") + F.lit(0.5)).cast("int"),
+    )
+
+
+def quantization_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8-QUANTIZED cosine search against full-precision
+    exact search, per query — the THIRD leg of the serving stack's
+    recall-budget decomposition: `ann_recall_eval` measures INDEX loss,
+    `matryoshka_recall_eval` measures REPRESENTATION (truncation) loss,
+    this measures QUANTIZATION loss for the `quantize_embeddings_int8`
+    codes. Key identity making it exact and cheap: symmetric per-vector
+    scales CANCEL in cosine — cos(q_a·s_a, q_b·s_b) = cos(q_a, q_b) — so
+    the quantized ranking runs directly on the INTEGER code vectors
+    (dots/norms are exact integer arithmetic in doubles; |q| ≤ 127 and
+    d ≤ 1024 keep every partial well under 2⁵³), with the same fold
+    cosine, 5-decimal rounding and (score, vec_id) tie rules as
+    `knn_bruteforce`. Same scale shape as the other recall evals: two
+    audited corpus scans + a |Q|·k-bounded comparison join; at 100 TB the
+    quantized scan reads 4× fewer vector bytes — the point of shipping
+    int8."""
+    codes = _int8_scaled(load_spread(spark, "embeddings", sf_dir)).select(
+        "vec_id",
+        F.transform(_int8_qvec(), lambda q: q.cast("double")).alias("dq"),
+    ).withColumn("nrm", norm("dq"))
+    queries = (
+        _int8_scaled(load(spark, "embeddings", sf_dir))
+        .filter(_query_pred(50))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.transform(_int8_qvec(), lambda q: q.cast("double")).alias(
+                "q_vec"
+            ),
+        )
+        .withColumn("q_nrm", norm("q_vec"))
+    )
+    scored = codes.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("dq")) / (F.col("q_nrm") * F.col("nrm")),
+            5,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    quant = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id")
+    )
+    exact = knn_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        quant.join(exact, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_q = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    return per_q.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        "n_exact",
+        F.round(
+            F.coalesce("n_hits", F.lit(0).cast("long")) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+QUANTIZATION_RECALL_SQL = f"""
+WITH qm AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x))) AS amax
+  FROM embeddings
+), qs AS (
+  SELECT vec_id, embedding,
+         CASE WHEN amax = 0 THEN 1.0 ELSE CAST(amax AS DOUBLE) / 127.0 END AS s
+  FROM qm
+), qd AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(CAST(FLOOR(x / s + 0.5) AS INT) AS DOUBLE))
+           AS dq
+  FROM qs
+), quant AS (
+  SELECT q_id, vec_id FROM (
+    SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(a.dq, b.dq), 5) DESC,
+                      b.vec_id ASC) AS rank
+    FROM (SELECT * FROM qd WHERE vec_id % 50 = 0 AND vec_id < 1000) a
+    JOIN qd b ON b.vec_id != a.vec_id
+  ) WHERE rank <= 5
+), exact AS (
+  SELECT q_id, vec_id FROM ({KNN_BRUTEFORCE_SQL})
+), hits AS (
+  SELECT q.q_id, COUNT(*) AS n_hits
+  FROM quant q JOIN exact e ON e.q_id = q.q_id AND e.vec_id = q.vec_id
+  GROUP BY 1
+), per_q AS (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT p.q_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       p.n_exact,
+       ROUND(COALESCE(h.n_hits, 0) / (p.n_exact * 1.0), 6) AS recall
+FROM per_q p LEFT JOIN hits h ON h.q_id = p.q_id
+"""
 
 
 QUANTIZE_INT8_SQL = """
@@ -2120,6 +2236,7 @@ QUERIES = {
     "ann_ivfpq": ann_ivfpq,
     "ann_ivf_index": ann_ivf_index,
     "ann_recall_eval": ann_recall_eval,
+    "quantization_recall_eval": quantization_recall_eval,
     "matryoshka_recall_eval": matryoshka_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
     "quantize_embeddings_int8": quantize_embeddings_int8,
@@ -2152,6 +2269,7 @@ ORACLES = {
     # folds are SQL-reproducible; the learned paths above stay rows-only)
     "ann_ivf_index": ANN_IVF_INDEX_SQL,
     "ann_recall_eval": ANN_RECALL_SQL,
+    "quantization_recall_eval": QUANTIZATION_RECALL_SQL,
     "matryoshka_recall_eval": MATRYOSHKA_RECALL_SQL,
     # round 9: kmeans_cluster_profile upgraded rows-only → value-exact —
     # md5-Forgy pinned seeds + fold-exact assignment + ROUND(6) means make

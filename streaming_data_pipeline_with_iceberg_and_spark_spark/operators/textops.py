@@ -305,6 +305,65 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal value of each learned BPE merge: applying merge k removes
+    exactly pair_count_k symbols from the corpus-weighted total (the
+    conservation identity the tests pin), so the compression curve —
+    symbols remaining and ratio-to-char-level after each merge — falls
+    out of the merge table and ONE corpus total, no re-encoding pass.
+    The diminishing-returns diagnostic that sizes a vocabulary budget
+    (pair with `vocab_coverage`, its pre-BPE twin). Rides the memoized
+    training run; all-integer until the final rounded division."""
+    merges, _ = _bpe_state(spark, sf_dir)
+    m = spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count long",
+    )
+    total = bpe_word_table(load(spark, "documents", sf_dir)).agg(
+        F.sum(F.col("freq") * F.length("word")).alias("start_symbols")
+    )
+    w = Window.orderBy("merge_rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("pair_count").over(w)
+    return (
+        m.crossJoin(F.broadcast(total))
+        .select(
+            "merge_rank",
+            "merged",
+            "pair_count",
+            (F.col("start_symbols") - cum).alias("symbols_after"),
+            F.round(
+                (F.col("start_symbols") - cum) / F.col("start_symbols"), 6
+            ).alias("compression_ratio"),
+        )
+        .orderBy("merge_rank")
+    )
+
+
+def _bpe_compression_sql() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, lhs || rhs AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, _BPE_TRAIN_MERGES + 1)
+    )
+    return f"""
+WITH {_bpe_train_ctes()},
+mt AS ({selects}),
+tot AS (
+  SELECT CAST(SUM(freq * length(word)) AS BIGINT) AS start_symbols FROM w0
+)
+SELECT merge_rank, merged, pair_count,
+       CAST(start_symbols - SUM(pair_count) OVER (ORDER BY merge_rank)
+            AS BIGINT) AS symbols_after,
+       ROUND(CAST(start_symbols - SUM(pair_count) OVER (ORDER BY merge_rank)
+                  AS DOUBLE) / start_symbols, 6) AS compression_ratio
+FROM mt, tot
+ORDER BY merge_rank
+"""
+
+
 def _bpe_train_ctes() -> str:
     """The unrolled training rounds as a CTE chain (shared by the train
     and apply oracles). MATERIALIZED is required: w{i} references w{i-1}
@@ -361,6 +420,7 @@ def _train_bpe_sql() -> str:
 
 
 TRAIN_BPE_SQL = _train_bpe_sql()
+BPE_COMPRESSION_SQL = _bpe_compression_sql()
 
 
 def _bpe_apply_sql() -> str:
@@ -2792,6 +2852,7 @@ QUERIES = {
     "text_token_bpe": text_token_bpe,
     "train_bpe_merges": train_bpe_merges,
     "bpe_apply_merges": bpe_apply_merges,
+    "bpe_compression_curve": bpe_compression_curve,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -2836,6 +2897,7 @@ ORACLES = {
     "text_token_bpe": TEXT_TOKEN_BPE_SQL,
     "train_bpe_merges": TRAIN_BPE_SQL,
     "bpe_apply_merges": BPE_APPLY_SQL,
+    "bpe_compression_curve": BPE_COMPRESSION_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_ID_SQL,
     "text_tfidf_top_terms": TEXT_TFIDF_SQL,

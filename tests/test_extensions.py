@@ -2594,3 +2594,25 @@ def test_decontaminate_split_flags_only_train_docs(spark, sf_dir):
         assert splits[r["doc_id"]] == "train", r
         assert 0 < r["overlap_ratio"] <= 1.0
         assert r["n_shared_shingles"] <= r["n_shingles"]
+
+
+def test_quantization_recall_eval_structure(spark, sf_dir):
+    """Structural invariants of the quantization-loss leg: one row per
+    pinned query, the exact side is always top-5, recall bounded. On
+    THIS corpus int8 is lossless (uniform 64-dim vectors sit far apart
+    relative to the quantization step, so recall pins at 1.0 — the same
+    honest non-discriminative caveat as the LSH banding eval on the
+    synthetic corpus); the eval becomes discriminative exactly when
+    near-parallel vectors crowd the top-k boundary, which is when a
+    deployment needs it."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        quantization_recall_eval,
+    )
+
+    rows = quantization_recall_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["recall"] == round(r["n_hits"] / r["n_exact"], 6)
