@@ -34,14 +34,10 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 train/val/test assignment per document — pure projection,
     stable under corpus growth (a document's split never changes)."""
     docs = load(spark, "documents", sf_dir)
-    b = _bucket()
     return docs.select(
         "doc_id",
-        b.alias("bucket"),
-        F.when(b < _TRAIN_HI, "train")
-        .when(b < _VAL_HI, "val")
-        .otherwise("test")
-        .alias("split"),
+        _bucket().alias("bucket"),
+        _split_of(F.col("doc_id")).alias("split"),
     )
 
 
