@@ -165,6 +165,10 @@ HEADLINE = [
     "bpe_apply_merges",
     "decontaminate_split",
     "split_leakage_audit",
+    # Appended round 12, second segment: the quantization leg of the
+    # recall-budget triad and the merge-table compression curve.
+    "quantization_recall_eval",
+    "bpe_compression_curve",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the
