@@ -905,3 +905,24 @@ def test_r11_audit_single_pass_ops_never_sort_the_corpus(plan):
         assert "HashAggregate" in p, name
         keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
         assert all(k.strip() == "" for k in keys), (name, keys)
+
+
+def test_r12_faces_stay_hash_agg_and_bounded(plan):
+    """The round-12 faces must never sort or cross-join the corpus:
+    decontamination and the leakage audit are wordcount-shaped (hash aggs
+    + keyed joins only), the BPE apply face is a vocab-side join, and the
+    quantized top-5 carries WindowGroupLimit so partial top-k bounds the
+    rows leaving each partition."""
+    import re
+
+    for name in (
+        "decontaminate_split",
+        "split_leakage_audit",
+        "bpe_apply_merges",
+        "quantization_recall_eval",
+    ):
+        p = plan(name)
+        assert "CartesianProduct" not in p, name
+        keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
+        assert all(k.strip() == "" for k in keys), (name, keys)
+    assert "WindowGroupLimit" in plan("quantization_recall_eval")
