@@ -94,6 +94,8 @@ _PRIORITY = [
     "split_leakage_audit",
     "quantization_recall_eval",
     "bpe_compression_curve",
+    "point_in_time_features",
+    "negative_sampling_uniform",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -149,8 +151,6 @@ _PRIORITY = [
     "snapshot_positional_delete_orders",
     "snapshot_update_constrained_orders",
     "text_perplexity_bigram",
-    "retrieval_eval",
-    "mmr_search",
 ]
 
 

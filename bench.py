@@ -169,6 +169,10 @@ HEADLINE = [
     # recall-budget triad and the merge-table compression curve.
     "quantization_recall_eval",
     "bpe_compression_curve",
+    # Appended round 12, third segment: training-data assembly faces —
+    # leakage-safe point-in-time features and deterministic negatives.
+    "point_in_time_features",
+    "negative_sampling_uniform",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

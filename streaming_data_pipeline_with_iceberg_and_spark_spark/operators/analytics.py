@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import md5_bucket32
 from ..io import checkpoint_release, load, parquet_row_count
 
 _FUNNEL = ["view", "click", "purchase"]
@@ -2692,6 +2693,255 @@ ORDER BY event_type
 """
 
 
+# negatives per positive, and the expected items-per-bucket the dynamic
+# bucket count targets (fan-out per (positive, slot) is ~_NEG_BUCKET_TARGET)
+_NEG_K = 2
+_NEG_BUCKET_TARGET = 64
+
+
+def negative_sampling_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive / item-CF training:
+    for every (user, positive item) interaction pair, draw ``_NEG_K``
+    pseudo-random negative items the user has NOT interacted with —
+    word2vec/two-tower training prep, with NO RNG anywhere (md5 draws, so
+    re-runs, engines, and any partitioning agree row-for-row).
+
+    Mechanism: items hash into B ≈ |items|/``_NEG_BUCKET_TARGET`` buckets
+    and are ranked WITHIN their bucket (a bucket-partitioned window —
+    parallel, vocabulary-sized); each (user, positive, slot) hashes to a
+    target bucket and picks member ``draw % bucket_size`` directly, so
+    the pick costs ONE md5 per slot and two keyed joins — no candidate
+    fan-out anywhere (a per-slot argmin over bucket members, the first
+    formulation, evaluated ~bucket_target md5 draws per slot and swept
+    ~40% slower). Owned items are removed by one user-keyed anti-join
+    AFTER the pick, so a collision yields a dropped slot rather than a
+    biased re-draw (the quality_weighted_sample acceptance discipline) —
+    the per-slot drop probability is the user's owned share of the
+    bucket.
+
+    Scale shape: NO dense GLOBAL item index and NO global sort — the
+    classic implementation ranks items 0..N-1 in one unpartitioned
+    window, a single-task sort at 10⁸ items; the within-bucket rank is
+    the same idea sharded B ways. Work is Θ(pairs·K) — output-linear,
+    the floor for a sampler that emits K rows per pair. Positives are
+    the SHARED taste-graph atom (``user_item_pairs``), so the sampler
+    can never disagree with the recommender about what an interaction
+    is."""
+    ui = user_item_pairs(load(spark, "events", sf_dir))
+    items = ui.select("item").distinct()
+    nb = items.agg(
+        F.greatest(
+            F.lit(1),
+            F.floor(F.count(F.lit(1)) / F.lit(_NEG_BUCKET_TARGET)).cast(
+                "int"
+            ),
+        ).alias("n_buckets")
+    )
+    wb = Window.partitionBy("bucket").orderBy("neg_item")
+    ranked = (
+        items.crossJoin(F.broadcast(nb))
+        .select(
+            F.col("item").alias("neg_item"),
+            F.pmod(
+                md5_bucket32(F.col("item").cast("string")),
+                F.col("n_buckets"),
+            ).alias("bucket"),
+        )
+        .select(
+            "neg_item",
+            "bucket",
+            (F.row_number().over(wb) - 1).alias("idx"),
+            F.count(F.lit(1)).over(Window.partitionBy("bucket")).alias(
+                "bucket_size"
+            ),
+        )
+    )
+    sizes = ranked.select("bucket", "bucket_size").distinct()
+    slots = (
+        ui.select(
+            "user_id",
+            F.col("item").alias("pos_item"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_NEG_K)])
+            ).alias("slot"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "user_id",
+            "pos_item",
+            "slot",
+            md5_bucket32(
+                F.concat_ws(
+                    "|",
+                    F.col("user_id").cast("string"),
+                    F.col("pos_item").cast("string"),
+                    F.col("slot").cast("string"),
+                )
+            ).alias("draw"),
+            "n_buckets",
+        )
+        .select(
+            "user_id",
+            "pos_item",
+            "slot",
+            "draw",
+            "n_buckets",
+            F.pmod(F.col("draw"), F.col("n_buckets")).alias("bucket"),
+        )
+    )
+    picked = (
+        slots.join(sizes, "bucket")
+        .select(
+            "user_id",
+            "pos_item",
+            "slot",
+            "bucket",
+            # an INDEPENDENT residue for the within-bucket pick: reusing
+            # draw % size would correlate with the bucket choice
+            # (draw % n_buckets) when sizes divide the bucket count
+            F.pmod(
+                F.floor(F.col("draw") / F.col("n_buckets")).cast("long"),
+                F.col("bucket_size"),
+            ).alias("idx"),
+        )
+        .join(ranked.select("bucket", "idx", "neg_item"), ["bucket", "idx"])
+        .select("user_id", "pos_item", "slot", "neg_item")
+    )
+    owned = ui.select("user_id", F.col("item").alias("neg_item"))
+    return picked.join(owned, ["user_id", "neg_item"], "left_anti").select(
+        "user_id", "pos_item", "slot", "neg_item"
+    )
+
+
+def _negative_sampling_sql() -> str:
+    def h32(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+    slot_key = (
+        "CAST(user_id AS VARCHAR) || '|' || CAST(pos_item AS VARCHAR)"
+        " || '|' || CAST(slot AS VARCHAR)"
+    )
+    return f"""
+WITH {_CO_CTES},
+items AS (SELECT DISTINCT item FROM ui),
+nb AS (
+  SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / {_NEG_BUCKET_TARGET}.0) AS INT))
+           AS n_buckets
+  FROM items
+),
+ranked AS (
+  SELECT neg_item, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY neg_item) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
+  FROM (
+    SELECT item AS neg_item,
+           {h32("CAST(item AS VARCHAR)")} % n_buckets AS bucket
+    FROM items, nb
+  )
+),
+slots AS (
+  SELECT user_id, pos_item, slot, draw, n_buckets,
+         draw % n_buckets AS bucket
+  FROM (
+    SELECT user_id, pos_item, slot, {h32(slot_key)} AS draw, n_buckets
+    FROM (SELECT user_id, item AS pos_item,
+                 unnest(range({_NEG_K})) AS slot FROM ui), nb
+  )
+),
+picked AS (
+  SELECT s.user_id, s.pos_item, s.slot, r.neg_item
+  FROM slots s
+  JOIN (SELECT DISTINCT bucket, bucket_size FROM ranked) bs
+    USING (bucket)
+  JOIN ranked r
+    ON r.bucket = s.bucket
+   AND r.idx = (s.draw // s.n_buckets) % bs.bucket_size
+)
+SELECT p.user_id, p.pos_item, CAST(p.slot AS INT) AS slot, p.neg_item
+FROM picked p
+ANTI JOIN ui o ON o.user_id = p.user_id AND o.item = p.neg_item
+"""
+
+
+NEGATIVE_SAMPLING_SQL = _negative_sampling_sql()
+
+
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-CORRECT training-feature assembly — the feature-store
+    join discipline that prevents label leakage: for every 'purchase'
+    label event, behavioral features computed ONLY from the user's
+    STRICTLY-PRIOR events (a ROWS frame ending at -1 — never the label
+    row itself, never anything after it). The classic bug this op exists
+    to make impossible is training on features that already contain the
+    label's own contribution; here the frame boundary IS the correctness
+    contract, and the oracle replays it exactly.
+
+    One user-keyed window over the fact (the sessionize shuffle shape);
+    the label filter applies AFTER the frame so prior non-purchase events
+    still count as history. Ordering ties break on event_id — the same
+    total order every event-sequence op in this module sorts by; NULL
+    user/ts rows are excluded (they cannot take a position in a user's
+    timeline). The running value sum is sequential in frame order on
+    both engines — the window_running_sum exactness idiom — and rounds
+    at 6."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.count(F.lit(1)).over(w).alias("n_prior_events"),
+            F.round(F.sum("value").over(w), 6).alias("prior_value_sum"),
+            F.min("ts").over(w).alias("first_prior_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "n_prior_events",
+            # NULL when the user has no prior events (a first-touch
+            # purchase) or all prior values are NULL — both engines skip
+            # NULLs in SUM identically
+            "prior_value_sum",
+            F.datediff(F.to_date("ts"), F.to_date("first_prior_ts")).alias(
+                "days_since_first_seen"
+            ),
+        )
+    )
+
+
+PIT_FEATURES_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type, value
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+feat AS (
+  SELECT user_id, event_id, ts, event_type,
+         COUNT(*) OVER w AS n_prior_events,
+         ROUND(SUM(value) OVER w, 6) AS prior_value_sum,
+         MIN(ts) OVER w AS first_prior_ts
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+       CAST(n_prior_events AS BIGINT) AS n_prior_events,
+       prior_value_sum,
+       CAST(date_diff('day', CAST(first_prior_ts AS DATE), CAST(ts AS DATE))
+            AS INT) AS days_since_first_seen
+FROM feat
+WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_latency": funnel_latency,
@@ -2717,6 +2967,8 @@ QUERIES = {
     "sessions_peak_concurrency": sessions_peak_concurrency,
     "events_user_lifecycle": events_user_lifecycle,
     "events_cusum_changepoint": events_cusum_changepoint,
+    "point_in_time_features": point_in_time_features,
+    "negative_sampling_uniform": negative_sampling_uniform,
     "events_value_quantiles": events_value_quantiles,
 }
 
@@ -2760,5 +3012,7 @@ ORACLES = {
     # round 11: growth accounting + CUSUM changepoint
     "events_user_lifecycle": USER_LIFECYCLE_SQL,
     "events_cusum_changepoint": CUSUM_SQL,
+    "point_in_time_features": PIT_FEATURES_SQL,
+    "negative_sampling_uniform": NEGATIVE_SAMPLING_SQL,
     "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,
 }

@@ -2616,3 +2616,87 @@ def test_quantization_recall_eval_structure(spark, sf_dir):
         assert 0 <= r["n_hits"] <= 5
         assert 0.0 <= r["recall"] <= 1.0
         assert r["recall"] == round(r["n_hits"] / r["n_exact"], 6)
+
+
+def test_point_in_time_features_exclude_label_and_future(spark, tmp_path):
+    """The leakage contract, hand-computed: a purchase's features count
+    ONLY strictly-prior events — not the label row's own value, not
+    anything after it; a first-touch purchase gets zero history and NULL
+    value sum; all-NULL prior values stay NULL (never coerced to 0)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        point_in_time_features,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        # user 1: view(10.0), view(NULL), PURCHASE(99.0), view(5.0), PURCHASE(1.0)
+        (1, "2024-01-01 10:00:00", 1, "view", 10.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "view", None, "{}"),
+        (3, "2024-01-02 10:00:00", 1, "purchase", 99.0, "{}"),
+        (4, "2024-01-03 10:00:00", 1, "view", 5.0, "{}"),
+        (5, "2024-01-04 10:00:00", 1, "purchase", 1.0, "{}"),
+        # user 2: first-touch purchase — no history at all
+        (6, "2024-01-05 10:00:00", 2, "purchase", 7.0, "{}"),
+        # user 3: only NULL-valued history before the purchase
+        (7, "2024-01-01 10:00:00", 3, "view", None, "{}"),
+        (8, "2024-01-06 10:00:00", 3, "purchase", 2.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = {
+        r["event_id"]: (
+            r["n_prior_events"], r["prior_value_sum"],
+            r["days_since_first_seen"],
+        )
+        for r in point_in_time_features(spark, sf).collect()
+    }
+    assert got == {
+        # label 3: prior = events 1,2 -> 2 events, 10.0 (NULL skipped), 1 day
+        3: (2, 10.0, 1),
+        # label 5: prior = 1,2,3,4 -> 99.0 counted ONLY as history of a
+        # LATER label, 10+99+5 = 114.0, 3 days since first seen
+        5: (4, 114.0, 3),
+        # label 6: first touch -> empty frame
+        6: (0, None, None),
+        # label 8: one prior event, all-NULL values stay NULL
+        8: (1, None, 5),
+    }
+
+
+def test_negative_sampling_invariants(spark, sf_dir):
+    """No sampled negative may be an item its user interacted with; at
+    most _NEG_K negatives per positive; every negative is a real item;
+    and the draw is deterministic (two runs agree row-for-row)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        _NEG_K,
+        negative_sampling_uniform,
+        user_item_pairs,
+    )
+
+    rows = negative_sampling_uniform(spark, sf_dir).collect()
+    assert rows
+    owned = {
+        (r["user_id"], r["item"])
+        for r in user_item_pairs(load(spark, "events", sf_dir)).collect()
+    }
+    items = {i for _, i in owned}
+    from collections import Counter
+
+    per_pos = Counter()
+    for r in rows:
+        assert (r["user_id"], r["neg_item"]) not in owned, r
+        assert r["neg_item"] in items, r
+        assert 0 <= r["slot"] < _NEG_K
+        per_pos[(r["user_id"], r["pos_item"])] += 1
+        assert (r["user_id"], r["pos_item"]) in owned  # positives are real
+    assert max(per_pos.values()) <= _NEG_K
+    again = negative_sampling_uniform(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
