@@ -1087,3 +1087,115 @@ def test_sessions_state_stays_derived_from_ingested(spark, ops):
             )
         )
         assert got == want, f"sessions diverged after {op}"
+
+
+# Round-12 derived-state model: the incremental shingle index (thirteenth
+# path, append-only-postings class). Documents with tiny word pools make
+# shingle collisions (and df-cap crossings at scale) plausible; after ANY
+# interleaving of ingested batches, replayed keys, compaction, expiry and
+# maintenance, the decontamination audit served from the maintained index
+# must equal the batch shared-core over everything ingested — the df cap
+# and split assignment recompute at query time, so later batches can both
+# contaminate earlier train docs AND push a shingle over the boilerplate
+# cap retroactively.
+
+_SI_WORDS = ["alpha", "beta", "gamma", "delta", "omega"]
+
+_SI_DOC = st.one_of(
+    st.none(),  # NULL-text doc: contributes no postings
+    st.lists(st.sampled_from(_SI_WORDS), min_size=3, max_size=6),
+)
+
+_SI_OP = st.one_of(
+    st.tuples(st.just("ingest"), st.lists(_SI_DOC, min_size=1, max_size=4)),
+    st.tuples(st.just("replay"),),
+    st.tuples(st.just("compact"),),
+    st.tuples(st.just("expire"),),
+    st.tuples(st.just("maintain"),),
+)
+
+
+@settings(
+    max_examples=_fuzz_examples(3),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        _SI_OP,
+        min_size=2,
+        max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "6")),
+    )
+)
+def test_shingle_index_stays_derived_from_ingested(spark, ops):
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        doc_shingle_rows,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        decon_from_postings,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        maintain_table,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_shingle_index,
+    )
+
+    root = tempfile.mkdtemp()
+    index_t = SnapshotTable(spark, root + "/shidx")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    ingested: list = []
+    next_did = {"n": 0}
+    last = {"key": None, "rows": None}
+    n_batches = 0
+    for op in ops:
+        kind = op[0]
+        if kind == "ingest":
+            rows = []
+            for words in op[1]:
+                did = next_did["n"]
+                next_did["n"] += 1
+                text = None if words is None else " ".join(words)
+                rows.append((did, text, "en", "web",
+                             0 if text is None else len(text)))
+            key = f"fuzz#{n_batches}"
+            n_batches += 1
+            index_t.append_batch(
+                doc_shingle_rows(spark.createDataFrame(rows, schema)), key
+            )
+            ingested.extend(rows)
+            last["key"], last["rows"] = key, rows
+        elif kind == "replay":
+            if last["key"] is None:
+                continue
+            index_t.append_batch(
+                doc_shingle_rows(
+                    spark.createDataFrame(last["rows"], schema)
+                ),
+                last["key"],
+            )
+        elif kind == "compact":
+            if index_t.current_version() is None:
+                continue
+            compact_shingle_index(spark, root + "/shidx")
+        elif kind == "expire":
+            if index_t.current_version() is None:
+                continue
+            index_t.expire_snapshots(keep_last=1)
+        elif kind == "maintain":
+            if index_t.current_version() is None:
+                continue
+            maintain_table(index_t, max_files=8, orphan_grace_seconds=3600.0)
+        if not ingested or index_t.current_version() is None:
+            continue
+
+        def canon(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        got = canon(decon_from_postings(index_t.read()))
+        want = canon(
+            decon_from_postings(
+                doc_shingle_rows(spark.createDataFrame(ingested, schema))
+            )
+        )
+        assert got == want, f"shingle index diverged after {op}"
