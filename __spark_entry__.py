@@ -96,6 +96,8 @@ _PRIORITY = [
     "bpe_compression_curve",
     "point_in_time_features",
     "negative_sampling_uniform",
+    "label_balance_audit",
+    "embedding_drift_audit",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -112,17 +114,21 @@ _PRIORITY = [
     "item_pagerank",
     "join_full_outer",
     "join_semi",
-    # (d) oldest r8 rows, most-displaceable last (tail eviction order for
-    # new (a) entries, each eviction justified by a fresher same-surface
-    # sibling: scalar_string_funcs — P8 scalar surface, siblings
-    # scalar_date_funcs r9 / scalar_math_funcs + case_when_banding r10;
-    # q6_forecast_revenue — the simplest filter-agg, q1_pricing_summary
-    # stays in-window; top_customers — same revenue-join shape as the
-    # in-window q10_returned_items; events_rfm_segments — IS the
-    # composition served by the r9-green rfm-from-state path;
-    # item_communities / item_triangles — taste-graph family with
-    # item_pagerank in-window on the shared edge definition; mmr_search /
-    # retrieval_eval — retrieval family with hybrid_search_rrf in-window)
+    # (d) oldest r8 rows, most-displaceable last. Ten were evicted by the
+    # round-12 head entries, each with a fresher same-surface sibling:
+    # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
+    # r9 / scalar_math_funcs + case_when_banding r10; q6_forecast_revenue
+    # — the simplest filter-agg, q1_pricing_summary stays in-window;
+    # top_customers — same revenue-join shape as the in-window
+    # q10_returned_items; events_rfm_segments — IS the composition served
+    # by the r9-green rfm-from-state path; item_communities /
+    # item_triangles — taste-graph family with item_pagerank in-window on
+    # the shared edge definition; mmr_search / retrieval_eval — retrieval
+    # family with hybrid_search_rrf in-window; quantize_embeddings_int8 —
+    # its quantizer expressions are the SHARED definition the in-window
+    # quantization_recall_eval exercises; text_perplexity_bigram — L15
+    # surface shares the token/bigram defs with the r11-green
+    # text_bigram_freq / text_pmi_collocations.
     "attribution_last_touch",
     "basket_association_rules",
     "chunk_documents",
@@ -144,13 +150,11 @@ _PRIORITY = [
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
-    "quantize_embeddings_int8",
     "recommend_items",
     "session_top_paths",
     "snapshot_bloom_point_lookup",
     "snapshot_positional_delete_orders",
     "snapshot_update_constrained_orders",
-    "text_perplexity_bigram",
 ]
 
 

@@ -173,6 +173,8 @@ HEADLINE = [
     # leakage-safe point-in-time features and deterministic negatives.
     "point_in_time_features",
     "negative_sampling_uniform",
+    "label_balance_audit",
+    "embedding_drift_audit",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

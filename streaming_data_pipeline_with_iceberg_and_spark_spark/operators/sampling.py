@@ -540,6 +540,80 @@ ORDER BY method
 """
 
 
+def label_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split label/quality balance — the pre-training sanity check
+    that a hash split didn't land a skewed slice: per train/val/test,
+    document count, Gopher keep count and rate, classifier-pass count
+    and rate, and mean classifier score. A val split whose keep rate
+    diverges from train's invalidates every eval run on it; this is the
+    one-page check that catches it before the GPUs spin.
+
+    Every signal is the SHARED definition (``_gopher_signals``, the
+    pinned ``_linear_score_expr``, the ``_split_of`` assignment) — the
+    audit cannot disagree with the gates or the split it audits. One
+    corpus pass into a 3-row hash agg; integer counts, rates rounded at
+    6 (the corpus_source_report shape, cut by split instead of
+    source)."""
+    from .textops import (
+        _LQC_BIAS,
+        _LQC_W,
+        _gopher_signals,
+        _linear_score_expr,
+    )
+
+    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    _, _, _, keep = _gopher_signals()
+    score = _linear_score_expr(_LQC_W, _LQC_BIAS)
+    enriched = docs.select(
+        _split_of(F.col("doc_id")).alias("split"),
+        keep.cast("int").alias("g"),
+        score.alias("q"),
+    )
+    return (
+        enriched.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("g").alias("n_gopher_keep"),
+            F.round(F.avg("g"), 6).alias("gopher_keep_rate"),
+            F.count(F.when(F.col("q") >= 0.5, 1)).alias("n_quality_pass"),
+            F.round(F.avg((F.col("q") >= 0.5).cast("int")), 6).alias(
+                "quality_pass_rate"
+            ),
+            F.round(F.avg("q"), 6).alias("mean_quality"),
+        )
+        .orderBy("split")
+    )
+
+
+def _label_balance_sql() -> str:
+    from .textops import TEXT_GOPHER_SQL, TEXT_LQC_SQL
+
+    return f"""
+WITH lqc AS ({TEXT_LQC_SQL}),
+gopher AS ({TEXT_GOPHER_SQL}),
+d AS (
+  SELECT doc_id, {_split_case_sql("doc_id")} AS split
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT d.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher_keep,
+       ROUND(AVG(CASE WHEN g.keep THEN 1 ELSE 0 END), 6)
+         AS gopher_keep_rate,
+       CAST(COUNT(CASE WHEN l.quality_score >= 0.5 THEN 1 END) AS BIGINT)
+         AS n_quality_pass,
+       ROUND(AVG(CASE WHEN l.quality_score >= 0.5 THEN 1 ELSE 0 END), 6)
+         AS quality_pass_rate,
+       ROUND(AVG(l.quality_score), 6) AS mean_quality
+FROM d
+JOIN gopher g USING (doc_id)
+JOIN lqc l USING (doc_id)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 _ILV_LCM = 12  # lcm of the weight domain {1,2,3,4} → integer-exact slots
 
 
@@ -776,6 +850,7 @@ QUERIES = {
     "split_leakage_free": split_leakage_free,
     "decontaminate_split": decontaminate_split,
     "split_leakage_audit": split_leakage_audit,
+    "label_balance_audit": label_balance_audit,
     "sample_temperature_by_lang": sample_temperature_by_lang,
     "sample_hash_fraction": sample_hash_fraction,
     "sample_stratified_by_lang": sample_stratified_by_lang,
@@ -794,6 +869,7 @@ ORACLES = {
     # round 12: eval-set decontamination + cross-split leakage eval
     "decontaminate_split": _decontaminate_sql(),
     "split_leakage_audit": _leakage_audit_sql(),
+    "label_balance_audit": _label_balance_sql(),
     "sample_temperature_by_lang": SAMPLE_TEMPERATURE_SQL,
     "sample_hash_fraction": SAMPLE_HASH_SQL,
     "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,

@@ -1880,6 +1880,81 @@ def _int8_qvec():
     )
 
 
+def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between two corpus cohorts — the
+    feature-drift monitor an embedding pipeline runs when the encoder (or
+    the upstream corpus) changes: top-10 dimensions by |Δmean| between a
+    reference cohort and a candidate cohort, with both means and cohort
+    sizes. Cohorts are vec_id parity — the deterministic stand-in for
+    "last week's vectors vs this week's" the testdata supports; in
+    deployment the cohort key is an ingestion date or a model version
+    column (`embedding_norm_audit` is the companion magnitude/hygiene
+    gate; this is the per-coordinate location gate).
+
+    Scale shape: one posexplode (d rows per vector — the PCA moment
+    pass's grain) into ONE (dim)-keyed hash agg with conditional
+    averages; the top-10 cut orders the ≤d aggregated rows, never the
+    corpus. Means round at 6 before the delta, so the comparison and the
+    cut happen on identical numbers in both engines."""
+    emb = load_spread(spark, "embeddings", sf_dir)
+    cohort = F.pmod(F.col("vec_id"), F.lit(2))
+    x = emb.select(
+        cohort.alias("cohort"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    agg = (
+        x.groupBy("dim")
+        .agg(
+            F.round(F.avg(F.when(F.col("cohort") == 0, F.col("val"))), 6)
+            .alias("mean_ref"),
+            F.round(F.avg(F.when(F.col("cohort") == 1, F.col("val"))), 6)
+            .alias("mean_cand"),
+            F.count(F.when(F.col("cohort") == 0, 1)).alias("n_ref"),
+            F.count(F.when(F.col("cohort") == 1, 1)).alias("n_cand"),
+        )
+    )
+    return (
+        agg.select(
+            "dim",
+            "mean_ref",
+            "mean_cand",
+            F.round(F.abs(F.col("mean_ref") - F.col("mean_cand")), 6).alias(
+                "abs_delta"
+            ),
+            "n_ref",
+            "n_cand",
+        )
+        .orderBy(F.desc("abs_delta"), F.asc("dim"))
+        .limit(10)
+    )
+
+
+EMBEDDING_DRIFT_SQL = """
+WITH x AS (
+  SELECT vec_id % 2 AS cohort, embedding,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+v AS (
+  SELECT cohort, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS val FROM x
+),
+agg AS (
+  SELECT dim,
+         ROUND(AVG(CASE WHEN cohort = 0 THEN val END), 6) AS mean_ref,
+         ROUND(AVG(CASE WHEN cohort = 1 THEN val END), 6) AS mean_cand,
+         COUNT(CASE WHEN cohort = 0 THEN 1 END) AS n_ref,
+         COUNT(CASE WHEN cohort = 1 THEN 1 END) AS n_cand
+  FROM v GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, mean_ref, mean_cand,
+       ROUND(ABS(mean_ref - mean_cand), 6) AS abs_delta,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cand AS BIGINT) AS n_cand
+FROM agg
+ORDER BY abs_delta DESC, dim ASC
+LIMIT 10
+"""
+
+
 def quantization_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of int8-QUANTIZED cosine search against full-precision
     exact search, per query — the THIRD leg of the serving stack's
@@ -2237,6 +2312,7 @@ QUERIES = {
     "ann_ivf_index": ann_ivf_index,
     "ann_recall_eval": ann_recall_eval,
     "quantization_recall_eval": quantization_recall_eval,
+    "embedding_drift_audit": embedding_drift_audit,
     "matryoshka_recall_eval": matryoshka_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
     "quantize_embeddings_int8": quantize_embeddings_int8,
@@ -2270,6 +2346,7 @@ ORACLES = {
     "ann_ivf_index": ANN_IVF_INDEX_SQL,
     "ann_recall_eval": ANN_RECALL_SQL,
     "quantization_recall_eval": QUANTIZATION_RECALL_SQL,
+    "embedding_drift_audit": EMBEDDING_DRIFT_SQL,
     "matryoshka_recall_eval": MATRYOSHKA_RECALL_SQL,
     # round 9: kmeans_cluster_profile upgraded rows-only → value-exact —
     # md5-Forgy pinned seeds + fold-exact assignment + ROUND(6) means make
