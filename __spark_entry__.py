@@ -98,6 +98,10 @@ _PRIORITY = [
     "negative_sampling_uniform",
     "label_balance_audit",
     "embedding_drift_audit",
+    "classifier_auc_eval",
+    "lang_id_kappa",
+    "label_knn_purity",
+    "source_unigram_divergence",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -114,8 +118,16 @@ _PRIORITY = [
     "item_pagerank",
     "join_full_outer",
     "join_semi",
-    # (d) oldest r8 rows, most-displaceable last. Ten were evicted by the
-    # round-12 head entries, each with a fresher same-surface sibling:
+    # (d) oldest r8 rows, most-displaceable last. Fourteen were evicted by
+    # the round-12 head entries, each with a fresher same-surface sibling.
+    # The four evicted by the head's fourth segment (classifier_auc_eval,
+    # lang_id_kappa, label_knn_purity, source_unigram_divergence):
+    # session_top_paths — its session-path edge definition is exercised by
+    # the in-window events_markov_transitions; snapshot_bloom_point_lookup /
+    # snapshot_positional_delete_orders / snapshot_update_constrained_orders
+    # — snapshot-layer family with snapshot_changelog_orders in-window and
+    # snapshot_time_travel_orders r11-green on the same table machinery.
+    # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
     # r9 / scalar_math_funcs + case_when_banding r10; q6_forecast_revenue
     # — the simplest filter-agg, q1_pricing_summary stays in-window;

@@ -175,6 +175,13 @@ HEADLINE = [
     "negative_sampling_uniform",
     "label_balance_audit",
     "embedding_drift_audit",
+    # Appended round 12, fourth segment: threshold-free classifier AUC,
+    # chance-corrected lang-ID agreement, per-source unigram drift, and
+    # the sampled kNN label-noise audit.
+    "classifier_auc_eval",
+    "lang_id_kappa",
+    "source_unigram_divergence",
+    "label_knn_purity",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -2298,6 +2298,139 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj
 
 
+_PURITY_K = 10  # neighbors per audited vector (excluding self)
+
+
+def label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement audit (NEW round 12) — sampled label-noise
+    detection (the Confident-Learning / deep-kNN heuristic: a vector
+    whose nearest neighbors overwhelmingly carry a DIFFERENT label is a
+    suspected mislabel or an embedding-space outlier). For each audited
+    vector: its own label, how many of its k=10 exact-cosine neighbors
+    share it, the neighbors' majority label (ties: larger count, then
+    smaller label), and the suspect flag (own ≠ majority).
+
+    Audit set = the shared ``_query_pred`` carve (≤ _Q_CAP vectors at any
+    corpus size) — a label-noise audit is a sampled estimate by nature,
+    and the cap is what keeps the pair work O(corpus) (queries broadcast,
+    corpus streams once; the knn_bruteforce shape). Full-corpus variant
+    composes the same vote aggregation over the IVF cell-keyed candidate
+    join instead. Neighbor selection reuses the exact-baseline fold:
+    round-5 cosine, vec_id tie-break — the oracle replays it verbatim;
+    the votes/majority stage runs on the ≤ _Q_CAP·k row frame."""
+    emb = load_spread(spark, "embeddings", sf_dir).withColumn(
+        "nrm", norm("embedding")
+    )
+    queries = (
+        load(spark, "embeddings", sf_dir)
+        .withColumn("nrm", norm("embedding"))
+        .filter(_query_pred(25))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        F.col("label").alias("nb_label"),
+        F.round(
+            dot(F.col("q_vec"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            5,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    nbrs = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PURITY_K)
+    )
+    votes = nbrs.groupBy("q_id", "q_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("nb_label"))
+    maj = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select(
+            "q_id",
+            F.col("nb_label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+        )
+    )
+    agree = votes.filter(F.col("q_label") == F.col("nb_label")).select(
+        "q_id", F.col("n").alias("n_agree")
+    )
+    base = votes.groupBy("q_id", "q_label").agg(F.sum("n").alias("k_found"))
+    return (
+        base.join(maj, "q_id")
+        .join(agree, "q_id", "left")
+        .select(
+            "q_id",
+            F.col("q_label").alias("label"),
+            F.col("k_found").cast("long").alias("k_found"),
+            F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
+            "majority_label",
+            F.col("majority_n").cast("long").alias("majority_n"),
+            (F.col("q_label") != F.col("majority_label")).alias("suspect"),
+        )
+        .orderBy("q_id")
+    )
+
+
+LABEL_KNN_PURITY_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  WHERE vec_id % 25 = 0 AND vec_id < {25 * _Q_CAP}
+),
+scored AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         e.vec_id AS vec_id, e.label AS nb_label,
+         ROUND(list_cosine_similarity(
+             list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 5)
+           AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+),
+nbrs AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {_PURITY_K}
+),
+votes AS (
+  SELECT q_id, q_label, nb_label, COUNT(*) AS n
+  FROM nbrs GROUP BY 1, 2, 3
+),
+maj AS (
+  SELECT q_id, nb_label AS majority_label, n AS majority_n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY n DESC, nb_label ASC) AS r
+    FROM votes
+  ) WHERE r = 1
+),
+agree AS (SELECT q_id, n AS n_agree FROM votes WHERE q_label = nb_label),
+base AS (
+  SELECT q_id, q_label, CAST(SUM(n) AS BIGINT) AS k_found
+  FROM votes GROUP BY 1, 2
+)
+SELECT b.q_id, b.q_label AS label, b.k_found,
+       CAST(COALESCE(a.n_agree, 0) AS BIGINT) AS n_agree,
+       m.majority_label, CAST(m.majority_n AS BIGINT) AS majority_n,
+       b.q_label != m.majority_label AS suspect
+FROM base b
+JOIN maj m USING (q_id)
+LEFT JOIN agree a USING (q_id)
+ORDER BY b.q_id
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "mine_triplets": mine_triplets,
@@ -2317,6 +2450,7 @@ QUERIES = {
     "kmeans_cluster_profile": kmeans_cluster_profile,
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "embedding_norm_audit": embedding_norm_audit,
+    "label_knn_purity": label_knn_purity,
 }
 
 ORACLES = {
@@ -2329,6 +2463,8 @@ ORACLES = {
     "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
     # round 11: embedding-hygiene audit (shared fold-norm ≡ list_inner_product)
     "embedding_norm_audit": EMBEDDING_NORM_AUDIT_SQL,
+    # round 12: sampled kNN label-noise audit (exact-baseline fold replayed)
+    "label_knn_purity": LABEL_KNN_PURITY_SQL,
     # round 6: ann_lsh_hyperplane upgraded from rows-only to value-exact
     # (md5-derived hyperplane weights reproducible in DuckDB)
     "ann_lsh_hyperplane": ANN_LSH_SQL,

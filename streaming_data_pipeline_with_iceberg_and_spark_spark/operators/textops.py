@@ -2825,11 +2825,277 @@ LIMIT {_PMI_TOP_K}
 """
 
 
+def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the linear quality classifier against the Gopher rules
+    (NEW round 12) — the threshold-free ranking metric read next to
+    ``quality_classifier_eval``'s fixed-0.5 confusion matrix and
+    ``classifier_calibration``'s reliability curve: does a higher score
+    actually mean a higher chance the rules would keep the doc, across
+    EVERY operating point? AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻)
+    (the Mann-Whitney form, ties at half credit).
+
+    Exactness + scale in one shape: docs collapse to DISTINCT score bins
+    (the score is the SHARED round-6 ``quality_score`` — already
+    value-exact cross-engine, so the bin key needs no new rounding) with
+    integer pos/neg counts; the pair statistic is then
+    Σ_bins n_pos·(2·cum_neg_below + n_neg) over the BIN frame — the
+    unpartitioned cumulative window runs over ≤ 10⁶+1 rows (round-6
+    scores in [0,1]) at ANY corpus size, the CUSUM-spine discipline,
+    never the corpus. Everything is a long until the single final
+    division (AUC) resp. division-minus-one (Gini = 2·AUC − 1, computed
+    from the integer statistic, never from the rounded AUC); one-class
+    corpora emit NULL on both engines."""
+    clf = text_linear_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    ref = text_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rk")
+    )
+    bins = (
+        clf.join(ref, "doc_id")
+        .groupBy("quality_score")
+        .agg(
+            F.sum(F.col("rk").cast("long")).alias("n_pos"),
+            F.sum((~F.col("rk")).cast("long")).alias("n_neg"),
+        )
+    )
+    wb = Window.orderBy("quality_score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    terms = bins.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(wb), F.lit(0)).alias("cnb"),
+    )
+    m = terms.agg(
+        F.coalesce(F.sum("n_pos"), F.lit(0)).alias("p"),
+        F.coalesce(F.sum("n_neg"), F.lit(0)).alias("nn"),
+        F.count(F.lit(1)).alias("n_score_bins"),
+        F.coalesce(
+            F.sum(F.col("n_pos") * (2 * F.col("cnb") + F.col("n_neg"))),
+            F.lit(0),
+        ).alias("num2"),
+    )
+    p, nn, num2 = F.col("p"), F.col("nn"), F.col("num2")
+    ok = (p > 0) & (nn > 0)
+    return m.select(
+        p.cast("long").alias("n_pos"),
+        nn.cast("long").alias("n_neg"),
+        F.col("n_score_bins").cast("long").alias("n_score_bins"),
+        F.when(ok, F.round(num2 / (2.0 * p * nn), 6)).alias("auc"),
+        F.when(ok, F.round(num2 / (1.0 * p * nn) - 1.0, 6)).alias("gini"),
+    )
+
+
+CLASSIFIER_AUC_SQL_TEMPLATE = """
+WITH clf AS ({lqc_sql}),
+ref AS ({gopher_sql}),
+bins AS (
+  SELECT c.quality_score AS s,
+         CAST(SUM(CASE WHEN r.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN r.keep THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM clf c JOIN ref r ON r.doc_id = c.doc_id
+  GROUP BY 1
+),
+terms AS (
+  SELECT n_pos, n_neg,
+         COALESCE(SUM(n_neg) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM bins
+),
+m AS (
+  SELECT CAST(COALESCE(SUM(n_pos), 0) AS BIGINT) AS p,
+         CAST(COALESCE(SUM(n_neg), 0) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS n_score_bins,
+         CAST(COALESCE(SUM(n_pos * (2 * cnb + n_neg)), 0) AS BIGINT) AS num2
+  FROM terms
+)
+SELECT p AS n_pos, nn AS n_neg, n_score_bins,
+       CASE WHEN p > 0 AND nn > 0
+            THEN ROUND(num2 / (2.0 * p * nn), 6) END AS auc,
+       CASE WHEN p > 0 AND nn > 0
+            THEN ROUND(num2 / (1.0 * p * nn) - 1.0, 6) END AS gini
+FROM m
+"""
+
+
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the lang-ID heuristic (NEW round 12) — the
+    chance-corrected agreement score that ``lang_id_confusion``'s raw
+    matrix doesn't give you: a detector that answers 'en' for everything
+    on a 90%-English corpus gets 0.90 raw agreement but κ = 0, which is
+    the honest number a curation team compares detectors by
+    (Cohen 1960; the standard annotator-agreement statistic applied
+    detector-vs-label).
+
+    Composes ``text_lang_id`` verbatim (the shared definition — same
+    discipline as the confusion face). Closed integer form: with
+    n = Σ cells, agree = Σ diagonal, c2 = Σ_class row_total·col_total,
+    κ = (n·agree − c2) / (n² − c2) — one division total, so the value is
+    cross-engine exact, not a composition of rounded ratios. Scale: the
+    matrix is ≤ |langs|² cells; everything after the one hash agg runs
+    on that metadata-sized frame. Degenerate chance agreement
+    (n² = c2 — a single-class corpus) emits NULL κ on both engines."""
+    ids = text_lang_id(spark, sf_dir).select(
+        F.coalesce("labeled_lang", F.lit("unlabeled")).alias("l"),
+        F.col("detected_lang").alias("d"),
+    )
+    cells = ids.groupBy("l", "d").agg(F.count(F.lit(1)).alias("n"))
+    rows_ = cells.groupBy("l").agg(F.sum("n").alias("rn"))
+    cols_ = cells.groupBy("d").agg(F.sum("n").alias("cn"))
+    chance = (
+        rows_.join(cols_, rows_["l"] == cols_["d"])
+        .agg(F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).alias("c2"))
+    )
+    diag = cells.filter(F.col("l") == F.col("d")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("agree")
+    )
+    tot = cells.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n"))
+    m = tot.crossJoin(F.broadcast(diag)).crossJoin(F.broadcast(chance))
+    n, a, c2 = F.col("n"), F.col("agree"), F.col("c2")
+    return m.select(
+        n.cast("long").alias("n_docs"),
+        a.cast("long").alias("n_agree"),
+        F.when(n > 0, F.round(a / (n * 1.0), 6)).alias("observed_agreement"),
+        F.when(n > 0, F.round(c2 / (n * n * 1.0), 6)).alias(
+            "expected_agreement"
+        ),
+        F.when(n * n != c2, F.round((n * a - c2) / ((n * n - c2) * 1.0), 6))
+        .alias("kappa"),
+    )
+
+
+LANG_ID_KAPPA_SQL = f"""
+WITH ids AS ({TEXT_LANG_ID_SQL}),
+cells AS (
+  SELECT COALESCE(labeled_lang, 'unlabeled') AS l, detected_lang AS d,
+         COUNT(*) AS n
+  FROM ids GROUP BY 1, 2
+),
+rows_ AS (SELECT l, SUM(n) AS rn FROM cells GROUP BY l),
+cols_ AS (SELECT d, SUM(n) AS cn FROM cells GROUP BY d),
+m AS (
+  SELECT CAST(COALESCE((SELECT SUM(n) FROM cells), 0) AS BIGINT) AS n,
+         CAST(COALESCE((SELECT SUM(n) FROM cells WHERE l = d), 0) AS BIGINT)
+           AS agree,
+         CAST(COALESCE((SELECT SUM(rn * cn) FROM rows_
+                        JOIN cols_ ON cols_.d = rows_.l), 0) AS BIGINT) AS c2
+)
+SELECT n AS n_docs, agree AS n_agree,
+       CASE WHEN n > 0 THEN ROUND(agree / (n * 1.0), 6) END
+         AS observed_agreement,
+       CASE WHEN n > 0 THEN ROUND(c2 / (n * n * 1.0), 6) END
+         AS expected_agreement,
+       CASE WHEN n * n != c2
+            THEN ROUND((n * agree - c2) / ((n * n - c2) * 1.0), 6) END
+         AS kappa
+FROM m
+"""
+
+
+def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift (NEW round 12): Jensen-Shannon and
+    KL divergence between each source's unigram distribution and the
+    corpus-wide distribution — the "which domain is the odd one out"
+    statistic behind mixture re-weighting and crawl-quality triage (a
+    source whose JSD spikes is boilerplate, spam, or the wrong language;
+    the pipeline-level twin of the per-doc ``text_unigram_logprob``).
+
+    Shares ``tokens`` with every text face. Shape: one explode to
+    (source, tok) counts — the word-count class; corpus counts are
+    RE-AGGREGATED from those per-source partials (one pass, one shuffle);
+    the JSD term frame is the |vocab| × |sources| dense grid (sources are
+    a bounded domain registry; the grid is vocab-sized per source, the
+    same class as the vocab join in text_unigram_logprob — partitioned on
+    tok, never broadcast). KL(p‖q) needs only the source's OWN sparse
+    rows (q > 0 wherever p > 0 since source tokens ⊆ corpus vocab).
+    Integer counts throughout; per-term p/q/log arithmetic is identical
+    IEEE expression shape on both engines and the per-source sums round
+    at 6 (the accepted float-sum-order class, agg_stats precedent)."""
+    docs = load_spread(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    vocab = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    src_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    tot = vocab.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_corpus"))
+    grid = (
+        vocab.crossJoin(F.broadcast(src_tot))
+        .join(st, ["source", "tok"], "left")
+        .select(
+            "source",
+            "n_s",
+            "c_t",
+            F.coalesce("c_st", F.lit(0)).alias("c_st"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    q = F.col("c_t").cast("double") / F.col("n_corpus")
+    mm = (p + q) / 2
+    jsd_term = (
+        F.when(F.col("c_st") > 0, p * F.log(p / mm)).otherwise(F.lit(0.0))
+        * 0.5
+        + (q * F.log(q / mm)) * 0.5
+    )
+    kl_term = F.when(F.col("c_st") > 0, p * F.log(p / q)).otherwise(F.lit(0.0))
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.sum((F.col("c_st") > 0).cast("long")).alias("n_distinct_tokens"),
+            F.round(F.sum(jsd_term), 6).alias("jsd_vs_corpus"),
+            F.round(F.sum(kl_term), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_UNIGRAM_DIVERGENCE_SQL = """
+WITH tok AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+st AS (SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+vocab AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY tok),
+src AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+tot AS (SELECT COALESCE(SUM(c_t), 0) AS n_corpus FROM vocab),
+grid AS (
+  SELECT s.source, s.n_s, v.c_t, COALESCE(st.c_st, 0) AS c_st, t.n_corpus
+  FROM vocab v CROSS JOIN src s CROSS JOIN tot t
+  LEFT JOIN st ON st.source = s.source AND st.tok = v.tok
+),
+terms AS (
+  SELECT source, n_s, c_st,
+         CAST(c_st AS DOUBLE) / n_s AS p,
+         CAST(c_t AS DOUBLE) / n_corpus AS q
+  FROM grid
+)
+SELECT source,
+       CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c_st > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_distinct_tokens,
+       ROUND(SUM((CASE WHEN c_st > 0 THEN p * LN(p / ((p + q) / 2))
+                       ELSE 0.0 END) * 0.5
+                 + (q * LN(q / ((p + q) / 2))) * 0.5), 6) AS jsd_vs_corpus,
+       ROUND(SUM(CASE WHEN c_st > 0 THEN p * LN(p / q) ELSE 0.0 END), 6)
+         AS kl_vs_corpus
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
     "text_hashing_vectorizer": text_hashing_vectorizer,
     "text_pmi_collocations": text_pmi_collocations,
     "lang_id_confusion": lang_id_confusion,
+    "lang_id_kappa": lang_id_kappa,
+    "classifier_auc_eval": classifier_auc_eval,
+    "source_unigram_divergence": source_unigram_divergence,
     "curation_waterfall": curation_waterfall,
     "text_char_entropy": text_char_entropy,
     "text_zipf_fit": text_zipf_fit,
@@ -2869,6 +3135,14 @@ ORACLES = {
     "text_pmi_collocations": TEXT_PMI_SQL,
     # round 11: lang-ID eval face (wraps the shared TEXT_LANG_ID_SQL)
     "lang_id_confusion": LANG_ID_CONFUSION_SQL,
+    # round 12: chance-corrected agreement on the same shared detector
+    "lang_id_kappa": LANG_ID_KAPPA_SQL,
+    # round 12: threshold-free ranking eval of the shared classifier score
+    "classifier_auc_eval": CLASSIFIER_AUC_SQL_TEMPLATE.format(
+        lqc_sql=TEXT_LQC_SQL, gopher_sql=TEXT_GOPHER_SQL
+    ),
+    # round 12: per-source unigram JSD/KL drift vs the corpus distribution
+    "source_unigram_divergence": SOURCE_UNIGRAM_DIVERGENCE_SQL,
     # round 11: sequential curation funnel (shared gopher/LQC/dedup defs)
     "curation_waterfall": _curation_waterfall_sql(),
     "vocab_coverage": VOCAB_COVERAGE_SQL,

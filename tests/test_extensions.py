@@ -2700,3 +2700,137 @@ def test_negative_sampling_invariants(spark, sf_dir):
     assert max(per_pos.values()) <= _NEG_K
     again = negative_sampling_uniform(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_classifier_auc_matches_pairwise_definition(spark, sf_dir):
+    """The binned rank statistic must equal the O(P·N) textbook definition
+    AUC = [Σ_{+,-} (1 if s+ > s-) + ½ (if tie)] / (P·N) computed directly
+    on the shared round-6 scores — the closed form is an optimization,
+    not a redefinition."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        classifier_auc_eval,
+        text_gopher_quality,
+        text_linear_quality_classifier,
+    )
+
+    clf = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_linear_quality_classifier(spark, sf_dir).collect()
+    }
+    ref = {
+        r["doc_id"]: r["keep"]
+        for r in text_gopher_quality(spark, sf_dir).collect()
+    }
+    pos = [clf[d] for d in clf if d in ref and ref[d]]
+    neg = [clf[d] for d in clf if d in ref and not ref[d]]
+    assert pos and neg  # the fixture corpus has both classes
+    num = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        for sp in pos
+        for sn in neg
+    )
+    expected = round(num / (len(pos) * len(neg)), 6)
+    row = classifier_auc_eval(spark, sf_dir).collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - expected) < 1e-9, (row["auc"], expected)
+    assert abs(row["gini"] - round(2 * (num / (len(pos) * len(neg))) - 1, 6)) < 1e-6
+    assert row["n_score_bins"] == len(set(pos) | set(neg))
+
+
+def test_lang_id_kappa_consistent_with_confusion(spark, sf_dir):
+    """κ recomputed from the confusion matrix's own cells must match the
+    closed integer form, and land in (-1, 1]."""
+    from collections import Counter
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        lang_id_confusion,
+        lang_id_kappa,
+    )
+
+    cells = Counter()
+    for r in lang_id_confusion(spark, sf_dir).collect():
+        cells[(r["labeled_lang"], r["detected_lang"])] = r["n"]
+    n = sum(cells.values())
+    agree = sum(v for (l, d), v in cells.items() if l == d)
+    rows = Counter()
+    cols = Counter()
+    for (l, d), v in cells.items():
+        rows[l] += v
+        cols[d] += v
+    c2 = sum(rows[k] * cols.get(k, 0) for k in rows)
+    row = lang_id_kappa(spark, sf_dir).collect()[0]
+    assert row["n_docs"] == n and row["n_agree"] == agree
+    assert row["observed_agreement"] == round(agree / n, 6)
+    assert row["expected_agreement"] == round(c2 / (n * n), 6)
+    assert row["kappa"] == round((n * agree - c2) / (n * n - c2), 6)
+    assert -1.0 < row["kappa"] <= 1.0
+
+
+def test_label_knn_purity_invariants(spark, sf_dir):
+    """Each audited vector sees exactly min(k, N−1) neighbors; vote counts
+    are internally consistent; the suspect flag is exactly own ≠ majority;
+    and the audit is deterministic."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        _PURITY_K,
+        _Q_CAP,
+        label_knn_purity,
+    )
+
+    n_vecs = load(spark, "embeddings", sf_dir).count()
+    rows = label_knn_purity(spark, sf_dir).collect()
+    assert rows and len(rows) <= _Q_CAP
+    for r in rows:
+        assert r["k_found"] == min(_PURITY_K, n_vecs - 1)
+        assert 0 <= r["n_agree"] <= r["k_found"]
+        assert 1 <= r["majority_n"] <= r["k_found"]
+        assert r["majority_n"] >= r["n_agree"]  # majority is the argmax
+        assert r["suspect"] == (r["label"] != r["majority_label"])
+        if r["label"] == r["majority_label"]:
+            assert r["n_agree"] == r["majority_n"]
+    again = label_knn_purity(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_source_unigram_divergence_bounds_and_totals(spark, sf_dir):
+    """JSD ∈ [0, ln 2], KL ≥ 0, and per-source token counts sum to the
+    corpus total (the distributions are over the same stream)."""
+    import math as _math
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.functions.text import tokens
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        source_unigram_divergence,
+    )
+
+    rows = source_unigram_divergence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["jsd_vs_corpus"] <= _math.log(2) + 1e-9, r
+        assert r["kl_vs_corpus"] >= -1e-9, r
+        assert 1 <= r["n_distinct_tokens"] <= r["n_tokens"]
+    total = (
+        load(spark, "documents", sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.sum(F.size(tokens("text"))).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert sum(r["n_tokens"] for r in rows) == total
+
+
+def test_source_unigram_divergence_single_source_is_zero(spark, tmp_path):
+    """A corpus with ONE source has p ≡ q, so both divergences are exactly
+    0.0 (every log term is ln 1) — the sharp lower-bound case."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        source_unigram_divergence,
+    )
+
+    sf = str(tmp_path)
+    load(spark, "documents", "/root/testdata/sf0.001").withColumn(
+        "source", F.lit("only")
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = source_unigram_divergence(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["jsd_vs_corpus"] == 0.0
+    assert rows[0]["kl_vs_corpus"] == 0.0

@@ -926,3 +926,26 @@ def test_r12_faces_stay_hash_agg_and_bounded(plan):
         keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
         assert all(k.strip() == "" for k in keys), (name, keys)
     assert "WindowGroupLimit" in plan("quantization_recall_eval")
+
+
+def test_r12_eval_faces_stay_hash_agg_and_bounded(plan):
+    """The fourth round-12 segment: AUC/kappa/JSD/purity must never
+    cross-join or sort-aggregate the corpus. classifier_auc_eval's one
+    unpartitioned window runs over the DISTINCT-score bin frame (≤ 10⁶+1
+    rows by the round-6 score domain), never the doc stream — the plan
+    must show the hash agg collapsing docs to bins BEFORE any Sort; the
+    purity audit's rank filter carries WindowGroupLimit so per-partition
+    top-k bounds rows at the source."""
+    import re
+
+    for name in (
+        "classifier_auc_eval",
+        "lang_id_kappa",
+        "source_unigram_divergence",
+        "label_knn_purity",
+    ):
+        p = plan(name)
+        assert "CartesianProduct" not in p, name
+        keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
+        assert all(k.strip() == "" for k in keys), (name, keys)
+    assert "WindowGroupLimit" in plan("label_knn_purity")
