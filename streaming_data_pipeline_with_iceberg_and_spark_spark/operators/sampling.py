@@ -722,18 +722,59 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sample_temperature_by_lang`` APPLIES a temperature as a keep filter;
     this one reports the weights a mixture scheduler consumes.
 
+    Since round 12 the op IS the composition ``mixture_from_token_cells ∘
+    source_token_cells`` — the leaf-cell pass the FOURTEENTH incremental
+    path (``streaming.ingest.start_incremental_mixture_ingest``)
+    maintains, so a continuously-ingesting pipeline re-plans its mixture
+    from a |sources|-bounded state table instead of a corpus re-scan, and
+    the batch/maintained faces cannot diverge.
+
     Scale shape: token counting is a per-row array-length projection (no
     explode), one source-keyed agg to a |sources|-row frame, then a
     broadcast 1-row normalizer. Counts are integer-exact; pow/divide are
     evaluated on the tiny frame and round at 6 (both engines' pow may
     differ in the last ulp — far inside the round)."""
-    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    return mixture_from_token_cells(
+        source_token_cells(load(spark, "documents", sf_dir))
+    )
+
+
+def source_token_cells(docs: DataFrame) -> DataFrame:
+    """Leaf per-source (n_docs, total_tokens) partials — the one pass over
+    the corpus that the batch mixture planner and the incremental
+    mixture-weights ingest share (the corpus_cells discipline). Both
+    measures are ADDITIVE integer sums, so per-batch partials merge by
+    addition forever: the mergeable-sums IVM class, no ordering contract,
+    late data exact, state bounded by |sources| rows."""
     from ..functions.text import tokens
 
-    per_src = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(tokens("text")).cast("long")).alias("total_tokens"),
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens("text")).cast("long")).alias("total_tokens"),
+        )
     )
+
+
+def merge_source_token_cells(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch cell partials to one row per source —
+    the serve-side merge (and the whole job of
+    ``compact_source_token_cells``)."""
+    return state.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+    )
+
+
+def mixture_from_token_cells(state: DataFrame) -> DataFrame:
+    """Mixture readout over (possibly partial) source cells: merge, then
+    the pow/normalize arithmetic on the ≤ |sources| metadata rows. The
+    merged integer cells equal the direct one-pass aggregate, and every
+    double is computed AFTER the merge, so the readout is bit-identical
+    to the direct form."""
+    per_src = merge_source_token_cells(state)
     powed = per_src.withColumn(
         "pw", F.pow(F.col("total_tokens").cast("double"), F.lit(_MIX_ALPHA))
     )

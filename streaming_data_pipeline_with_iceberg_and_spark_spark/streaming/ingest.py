@@ -1617,6 +1617,65 @@ def compact_shingle_index(
     t.overwrite(t.read(), batch_id=compaction_id)
 
 
+def start_incremental_mixture_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    cells_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "mixture_ingest",
+) -> StreamingQuery:
+    """EXACT incremental mixture-weight maintenance — the FOURTEENTH
+    incremental path, mergeable-sums class: each batch appends its
+    per-source (n_docs, total_tokens) cell partials
+    (``operators.sampling.source_token_cells``, the SAME pass the batch
+    mixture planner uses) under the idempotent namespaced batch key.
+    Both measures are additive integer sums — late and out-of-order
+    documents merge exactly, no ordering contract, state bounded by
+    |sources| rows. ``mixture_from_token_cells`` over the maintained
+    table equals the batch ``domain_mixture_weights`` over everything
+    ingested (parity test in tests/test_streaming.py) — a continuously
+    ingesting training pipeline re-plans its sampling mixture per drain
+    from metadata-sized state instead of re-tokenizing the corpus.
+    ``compact_source_token_cells`` collapses the partials log between
+    drains (overwrite keeps the key log → replay-safe)."""
+    from ..operators.sampling import source_token_cells
+    from ..sources.snapshots import SnapshotTable
+
+    cells_t = SnapshotTable(spark, cells_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def cells_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells_t.append_batch(
+            source_token_cells(batch_df), f"{stream_id}#{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(cells_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_source_token_cells(
+    spark: SparkSession, cells_root: str, compaction_id=None
+) -> None:
+    """Rewrite the source-cell partials table as its per-source sum — a
+    semantic no-op (readers merge either way); the overwrite keeps the
+    log so the stream's batch keys survive (the compact_corpus_cells
+    protocol)."""
+    from ..operators.sampling import merge_source_token_cells
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, cells_root)
+    t.overwrite(merge_source_token_cells(t.read()), batch_id=compaction_id)
+
+
 def apply_sessions_batch(
     spark: SparkSession,
     closed_t,

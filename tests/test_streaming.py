@@ -2538,3 +2538,80 @@ def test_incremental_shingle_index_matches_batch_decontamination(spark, tmp_path
     assert canon(decontaminate_from_index(index_t.read())) == want
     drain()
     assert index_t.read().count() == n_before
+
+
+def test_incremental_mixture_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental mixture-weight maintenance (mergeable-sums class,
+    the fourteenth path): temperature weights read from the maintained
+    per-source token cells must equal batch domain_mixture_weights over
+    everything ingested — including later batches revisiting sources
+    (additive merge), NULL source keys, and NULL-text docs (excluded on
+    both paths). Compaction is a semantic no-op that still blocks
+    replay; a re-drain adds nothing."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        mixture_from_token_cells,
+        source_token_cells,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_source_token_cells,
+        start_incremental_mixture_ingest,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    all_rows = []
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for did, source, text in specs:
+                row = {"doc_id": did, "source": source, "text": text}
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    write_file("a.json", [(1, "web", "alpha beta gamma"),
+                          (2, "web", "delta"),
+                          (3, "books", "epsilon zeta"),
+                          (4, None, "eta theta iota kappa")])
+    write_file("b.json", [(5, "web", "lambda mu"),
+                          (6, "books", None),
+                          (7, "news", "nu xi omicron"),
+                          (8, None, "pi")])
+    cells_root = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, source string, text string"
+
+    def drain():
+        q = start_incremental_mixture_ingest(
+            spark,
+            str(src),
+            cells_root,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    cells_t = SnapshotTable(spark, cells_root)
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["source"], r["text"]) for r in all_rows], schema
+    )
+
+    def canon(df):
+        return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+    want = canon(mixture_from_token_cells(source_token_cells(batch_df)))
+    assert canon(mixture_from_token_cells(cells_t.read())) == want and want
+
+    compact_source_token_cells(spark, cells_root)
+    assert canon(mixture_from_token_cells(cells_t.read())) == want
+    # compaction collapsed the two per-batch partial sets to one row per
+    # distinct source key (web/books/None revisited across batches)
+    assert cells_t.read().count() == source_token_cells(batch_df).count()
+    v = cells_t.current_version()
+    drain()
+    assert cells_t.current_version() == v
+    assert canon(mixture_from_token_cells(cells_t.read())) == want
