@@ -102,6 +102,9 @@ _PRIORITY = [
     "lang_id_kappa",
     "label_knn_purity",
     "source_unigram_divergence",
+    "text_readability",
+    "events_forecast_backtest",
+    "attribution_linear",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -127,6 +130,13 @@ _PRIORITY = [
     # snapshot_positional_delete_orders / snapshot_update_constrained_orders
     # — snapshot-layer family with snapshot_changelog_orders in-window and
     # snapshot_time_travel_orders r11-green on the same table machinery.
+    # The three evicted by the fifth segment (text_readability,
+    # events_forecast_backtest, attribution_linear): q19_disjunctive_revenue
+    # — lineitem⋈part disjunctive filter, family siblings q16/q17 in-window
+    # on the same join; q22_dormant_customers — anti-join + global-avg
+    # shape with join_anti in-window; recommend_items — taste-graph CF
+    # family with item_pagerank in-window on the shared edge definition.
+    # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
     # r9 / scalar_math_funcs + case_when_banding r10; q6_forecast_revenue

@@ -182,6 +182,11 @@ HEADLINE = [
     "lang_id_kappa",
     "source_unigram_divergence",
     "label_knn_purity",
+    # Appended round 12, fifth segment: readability, the seasonal-naive
+    # forecast backtest, and linear multi-touch attribution.
+    "text_readability",
+    "events_forecast_backtest",
+    "attribution_linear",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

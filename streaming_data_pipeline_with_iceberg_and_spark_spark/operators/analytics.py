@@ -2564,6 +2564,37 @@ ORDER BY day
 """
 
 
+def daily_type_grid(ev: DataFrame) -> DataFrame:
+    """Zero-filled per-type daily count series over the global
+    [min day, max day] spine — the one series definition the monitoring
+    faces (CUSUM changepoint, seasonal-naive backtest) share. A silent
+    day is a signal, not a gap, so every type's series has the same
+    length and statistics are comparable across types. The spine is
+    calendar-bounded and BROADCASTs against the distinct-type frame; the
+    only corpus-scale work is the one (type, day) hash agg."""
+    ev = ev.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    daily = (
+        ev.select(
+            "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    return (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+        )
+    )
+
+
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection (NEW round 11) per event type: the day
     where the cumulative sum of (daily count − the type's mean daily
@@ -2581,32 +2612,10 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     series is spine-length — thousands of rows, not fact-scale). The
     cusum closed form S_d − idx·(total/n_days) uses integer running sums
     and one double division in a pinned operation order, rounded at 6 —
-    cross-engine exact."""
-    ev = load(spark, "events", sf_dir).filter(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
-    )
-    daily = (
-        ev.select(
-            "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    bounds = daily.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    spine = bounds.select(
-        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
-    )
-    grid = (
-        daily.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(spine))
-        .join(daily, ["event_type", "day"], "left")
-        .select(
-            "event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-        )
-    )
+    cross-engine exact. The zero-filled grid is the SHARED
+    ``daily_type_grid`` (also the forecast backtest's input — the
+    monitoring faces read one series definition)."""
+    grid = daily_type_grid(load(spark, "events", sf_dir))
     w = Window.partitionBy("event_type").orderBy("day")
     wall = Window.partitionBy("event_type")
     cs = grid.select(
@@ -2690,6 +2699,228 @@ SELECT event_type, day AS change_day, cusum_abs AS max_abs_cusum,
        mean_daily, CAST(n_days AS BIGINT) AS n_days
 FROM scored WHERE rn = 1
 ORDER BY event_type
+"""
+
+
+# Seasonal-naive forecast horizon: predict day d with day d−7 (same
+# weekday last week) — the standard no-model baseline every real
+# forecaster must beat, and the cheapest honest drift monitor.
+_FC_LAG_DAYS = 7
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (NEW round 12) per event type:
+    predict each day's event count with the count from the same weekday
+    one week earlier, then score the forecast over every evaluable day —
+    MAE, signed bias, and sMAPE (0/0 days score 0). This is the
+    baseline-quality gate a volume-forecasting pipeline runs before
+    trusting any learned model ("does it beat seasonal-naive?") and a
+    drift monitor in its own right (a regime change inflates the
+    baseline's error immediately).
+
+    Reads the SHARED ``daily_type_grid`` zero-filled series (the CUSUM
+    face's input — the two monitors cannot disagree about the series).
+    Scale shape: after the one (type, day) hash agg everything runs on
+    the calendar-bounded grid: lag(7) per type partition, one hash agg
+    to |types| rows. MAE/bias average exact integer differences (AVG
+    over bigint = sum/count in double, the rollup_from_cells identity);
+    sMAPE terms are per-row doubles in a pinned operation order summed
+    at round-6 (the accepted float-sum-order class)."""
+    grid = daily_type_grid(load(spark, "events", sf_dir))
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = grid.withColumn("pred", F.lag("n", _FC_LAG_DAYS).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    n, pred = F.col("n"), F.col("pred")
+    smape_term = F.when(
+        n + pred > 0,
+        F.abs(n - pred).cast("double") / ((n + pred) / 2.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_eval"),
+            F.sum("n").cast("long").alias("total_actual"),
+            F.sum("pred").cast("long").alias("total_pred"),
+            F.round(F.avg(F.abs(n - pred).cast("double")), 6).alias("mae"),
+            F.round(F.avg((pred - n).cast("double")), 6).alias("bias"),
+            F.round(F.avg(smape_term), 6).alias("smape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+FORECAST_BACKTEST_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS day
+),
+grid AS (
+  SELECT t.event_type, CAST(s.day AS DATE) AS day, COALESCE(d.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN spine s
+  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = CAST(s.day AS DATE)
+),
+p AS (
+  SELECT * FROM (
+    SELECT event_type, day, n,
+           LAG(n, {_FC_LAG_DAYS}) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS pred
+    FROM grid
+  ) WHERE pred IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+       CAST(SUM(n) AS BIGINT) AS total_actual,
+       CAST(SUM(pred) AS BIGINT) AS total_pred,
+       ROUND(AVG(CAST(ABS(n - pred) AS DOUBLE)), 6) AS mae,
+       ROUND(AVG(CAST(pred - n AS DOUBLE)), 6) AS bias,
+       ROUND(AVG(CASE WHEN n + pred > 0
+                      THEN CAST(ABS(n - pred) AS DOUBLE) / ((n + pred) / 2.0)
+                      ELSE 0.0 END), 6) AS smape
+FROM p
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (NEW round 12): every touch within
+    the 7-day lookback of the user's NEXT conversion shares that
+    conversion's value equally — the multi-touch counterpart of
+    ``attribution_last_touch`` (same touch/conversion/lookback
+    definitions), answering "which channels participated" instead of
+    "which channel closed".
+
+    Scale shape — one user_id shuffle total, the last-touch discipline
+    flipped forward: a single ROWS frame (1 FOLLOWING..UNBOUNDED) per
+    user carries each touch's next conversion (timestamp, id, value) —
+    never a per-conversion range join. Per-conversion touch counts are
+    one hash agg on conv_id; credit = value / n_touches divides BEFORE
+    the channel rollup (each conversion distributes exactly its value).
+    Conversions with no in-lookback touch credit 'direct' in full, so
+    Σ attributed_value = Σ conversion value — the conservation identity
+    pinned in tests. Money sums follow the q1 idiom (ROUND(,2) +0.0)."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_touch = F.col("event_type").isin(_ATTR_TOUCHES)
+    is_conv = F.col("event_type") == _ATTR_CONVERSION
+
+    def nxt(expr):
+        return F.first(F.when(is_conv, expr), ignorenulls=True).over(wf)
+
+    rows = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "value",
+        "event_id",
+        nxt(F.unix_micros("ts")).alias("conv_us"),
+        nxt(F.col("event_id")).alias("conv_id"),
+        nxt(F.col("value")).alias("conv_value"),
+    )
+    touches = rows.filter(
+        is_touch
+        & F.col("conv_us").isNotNull()
+        & (F.col("conv_us") - F.col("us") <= _ATTR_LOOKBACK_US)
+    ).select(F.col("event_type").alias("channel"), "conv_id", "conv_value")
+    counts = touches.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_t"))
+    credited = touches.join(counts, "conv_id").select(
+        "channel", "conv_id", (F.col("conv_value") / F.col("n_t")).alias("credit")
+    )
+    attr = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("conv_id").alias("n_conversions"),
+        (F.round(F.sum("credit"), 2) + F.lit(0.0)).alias("attributed_value"),
+    )
+    direct = (
+        ev.filter(is_conv)
+        .select(F.col("event_id").alias("conv_id"), "value")
+        .join(counts, "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            (F.round(F.sum("value"), 2) + F.lit(0.0)).alias("attributed_value"),
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_conversions",
+            "attributed_value",
+        )
+        .filter(F.col("n_conversions") > 0)
+    )
+    return attr.unionByName(direct).orderBy("channel")
+
+
+ATTRIBUTION_LINEAR_SQL = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+rows_ AS (
+  SELECT event_type, epoch_us(ts) AS us, value, event_id,
+         FIRST_VALUE(CASE WHEN event_type = '{_ATTR_CONVERSION}'
+                          THEN epoch_us(ts) END IGNORE NULLS)
+           OVER wf AS conv_us,
+         FIRST_VALUE(CASE WHEN event_type = '{_ATTR_CONVERSION}'
+                          THEN event_id END IGNORE NULLS)
+           OVER wf AS conv_id,
+         FIRST_VALUE(CASE WHEN event_type = '{_ATTR_CONVERSION}'
+                          THEN value END IGNORE NULLS)
+           OVER wf AS conv_value
+  FROM ev
+  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+touches AS (
+  SELECT event_type AS channel, conv_id, conv_value
+  FROM rows_
+  WHERE event_type IN ({_ATTR_TOUCH_LIST})
+    AND conv_us IS NOT NULL
+    AND conv_us - us <= {_ATTR_LOOKBACK_US}
+),
+counts AS (SELECT conv_id, COUNT(*) AS n_t FROM touches GROUP BY conv_id),
+credited AS (
+  SELECT t.channel, t.conv_id, t.conv_value / c.n_t AS credit
+  FROM touches t JOIN counts c USING (conv_id)
+),
+attr AS (
+  SELECT channel,
+         CAST(COUNT(*) AS BIGINT) AS n_touches,
+         CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+         ROUND(SUM(credit), 2) + 0.0 AS attributed_value
+  FROM credited GROUP BY channel
+),
+direct AS (
+  SELECT 'direct' AS channel,
+         CAST(0 AS BIGINT) AS n_touches,
+         CAST(COUNT(*) AS BIGINT) AS n_conversions,
+         ROUND(SUM(e.value), 2) + 0.0 AS attributed_value
+  FROM ev e
+  WHERE e.event_type = '{_ATTR_CONVERSION}'
+    AND e.event_id NOT IN (SELECT conv_id FROM counts)
+  HAVING COUNT(*) > 0
+)
+SELECT * FROM attr
+UNION ALL
+SELECT * FROM direct
+ORDER BY channel
 """
 
 
@@ -2945,6 +3176,8 @@ WHERE event_type = 'purchase'
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_latency": funnel_latency,
+    "events_forecast_backtest": events_forecast_backtest,
+    "attribution_linear": attribution_linear,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
     "events_item_cooccurrence": events_item_cooccurrence,
@@ -3012,6 +3245,10 @@ ORACLES = {
     # round 11: growth accounting + CUSUM changepoint
     "events_user_lifecycle": USER_LIFECYCLE_SQL,
     "events_cusum_changepoint": CUSUM_SQL,
+    # round 12: seasonal-naive backtest over the SHARED daily_type_grid
+    "events_forecast_backtest": FORECAST_BACKTEST_SQL,
+    # round 12: linear multi-touch attribution (shared touch/lookback defs)
+    "attribution_linear": ATTRIBUTION_LINEAR_SQL,
     "point_in_time_features": PIT_FEATURES_SQL,
     "negative_sampling_uniform": NEGATIVE_SAMPLING_SQL,
     "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,

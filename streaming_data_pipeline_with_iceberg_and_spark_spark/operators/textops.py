@@ -2825,6 +2825,81 @@ LIMIT {_PMI_TOP_K}
 """
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document (NEW round
+    12) — the classic readability gate (Flesch 1948; Kincaid 1975) a
+    curation pipeline reads next to the Gopher rules: wildly low ease
+    flags run-on boilerplate/legalese, negative grades flag fragment
+    spam. Deterministic counting stand-ins keep it cross-engine exact:
+    words = the SHARED whitespace tokenization; sentences =
+    ``[.!?]+`` group count clamped ≥ 1; syllables = per-word vowel-group
+    (``[aeiouy]+``) count clamped ≥ 1 — the standard dictionary-free
+    approximation, verified identical Spark-vs-DuckDB.
+
+    Scale shape: entirely a scan-level per-row projection (one
+    higher-order aggregate over the token array — no explode, no
+    shuffle, no UDF, the text_token_stats class). Counts are integers;
+    the two formulas divide integers in a pinned operation order and
+    round at 6."""
+    docs = load_spread(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    toks = tokens("text")
+    n_words = F.size(toks)
+    n_sentences = F.greatest(
+        F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+"))
+    )
+    n_syllables = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.greatest(F.lit(1), F.regexp_count(t, F.lit("[aeiouy]+"))),
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6)
+        .alias("flesch_ease"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6)
+        .alias("fk_grade"),
+    )
+
+
+TEXT_READABILITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_words,
+         CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT)
+           AS n_sentences,
+         CAST(list_sum(list_transform(
+                string_split_regex(lower(trim(text)), '\\s+'),
+                t -> GREATEST(1, len(regexp_extract_all(t, '[aeiouy]+')))))
+              AS BIGINT) AS n_syllables
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+         AS flesch_ease,
+       ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+             - 15.59, 6) AS fk_grade
+FROM base
+"""
+
+
 def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC-AUC of the linear quality classifier against the Gopher rules
     (NEW round 12) — the threshold-free ranking metric read next to
@@ -3096,6 +3171,7 @@ QUERIES = {
     "lang_id_kappa": lang_id_kappa,
     "classifier_auc_eval": classifier_auc_eval,
     "source_unigram_divergence": source_unigram_divergence,
+    "text_readability": text_readability,
     "curation_waterfall": curation_waterfall,
     "text_char_entropy": text_char_entropy,
     "text_zipf_fit": text_zipf_fit,
@@ -3143,6 +3219,8 @@ ORACLES = {
     ),
     # round 12: per-source unigram JSD/KL drift vs the corpus distribution
     "source_unigram_divergence": SOURCE_UNIGRAM_DIVERGENCE_SQL,
+    # round 12: Flesch/FK readability (integer counting stand-ins)
+    "text_readability": TEXT_READABILITY_SQL,
     # round 11: sequential curation funnel (shared gopher/LQC/dedup defs)
     "curation_waterfall": _curation_waterfall_sql(),
     "vocab_coverage": VOCAB_COVERAGE_SQL,

@@ -949,3 +949,27 @@ def test_r12_eval_faces_stay_hash_agg_and_bounded(plan):
         keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
         assert all(k.strip() == "" for k in keys), (name, keys)
     assert "WindowGroupLimit" in plan("label_knn_purity")
+
+
+def test_readability_is_scan_level(plan):
+    """Flesch readability is a pure per-row projection (the
+    text_token_stats class: higher-order aggregate over the token array,
+    no explode) — the ONLY exchange allowed is load_spread's deliberate
+    round-robin split spread; no keyed shuffle, no aggregate, no join."""
+    p = plan("text_readability")
+    assert "hashpartitioning" not in p and "rangepartitioning" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "Aggregate" not in p and "Join" not in p
+
+
+def test_r12_monitoring_faces_stay_bounded(plan):
+    """Forecast backtest windows run over the calendar grid, attribution
+    windows over user partitions — neither may cross-join or
+    sort-aggregate the fact."""
+    import re
+
+    for name in ("events_forecast_backtest", "attribution_linear"):
+        p = plan(name)
+        assert "CartesianProduct" not in p, name
+        keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
+        assert all(k.strip() == "" for k in keys), (name, keys)
