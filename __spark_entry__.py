@@ -105,6 +105,7 @@ _PRIORITY = [
     "text_readability",
     "events_forecast_backtest",
     "attribution_linear",
+    "entity_match_candidates",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -136,6 +137,10 @@ _PRIORITY = [
     # on the same join; q22_dormant_customers — anti-join + global-avg
     # shape with join_anti in-window; recommend_items — taste-graph CF
     # family with item_pagerank in-window on the shared edge definition.
+    # entity_match_candidates (sixth segment) evicts
+    # q18_large_volume_orders — its agg-having semi-join feeds the same
+    # join family as the in-window q17_small_quantity_revenue per-key agg
+    # filter, and the whole TPC-H family keeps 8 in-window rows.
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs

@@ -187,6 +187,8 @@ HEADLINE = [
     "text_readability",
     "events_forecast_backtest",
     "attribution_linear",
+    # Appended round 12, sixth segment: blocked record linkage.
+    "entity_match_candidates",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

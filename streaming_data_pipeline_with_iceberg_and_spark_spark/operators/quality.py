@@ -413,11 +413,128 @@ ORDER BY g.day
 """
 
 
+# Record-linkage match threshold: candidate pairs within one edit of each
+# other (Fellegi-Sunter style deterministic pass; a learned scorer would
+# consume the same candidate frame).
+_ER_LEV_MAX = 1
+
+
+def entity_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record-linkage candidates (NEW round 12) over the customer
+    master: within-nation DISTINCT-NAME pairs within one edit of each
+    other — the entity-resolution pass a data-cleaning pipeline runs
+    before merging duplicate registrations (Fellegi & Sunter 1969;
+    blocking per Christen's indexing survey). Emits matched name pairs
+    with exact Levenshtein distance, each side's duplicate multiplicity
+    and representative key, and the implied record-pair count.
+
+    Scale discipline — two layers:
+    (1) EXACT duplicates collapse FIRST: identical (nation, name) rows
+        become ONE frame row carrying (multiplicity, min custkey) — the
+        referential_integrity distinct-key-collapse idea. Without it the
+        fuzzy stage is quadratic in entity multiplicity (a corpus where
+        every entity has 100 duplicate registrations would pay 100² the
+        pair work for zero information); with it, duplication inflates a
+        COLUMN, never the join.
+    (2) NEVER an all-pairs join: TWO blocking passes (name 13-prefix and
+        5-suffix, each AND nation — prefix+suffix lengths sum to the
+        name length, so a single edit anywhere preserves at least one
+        block) union into one tagged frame self-joined on the
+        (pass, nation, block) key; pairs dedup on the name pair BEFORE
+        the edit-distance scoring. The LSH-banding discipline applied to
+        structured records.
+    Levenshtein is integer-exact cross-engine; name_a < name_b
+    lexicographically (deterministic, engine-independent order)."""
+    c = load(spark, "customer", sf_dir).filter(F.col("c_name").isNotNull())
+    names = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_name").alias("name")
+    ).agg(
+        F.count(F.lit(1)).alias("mult"),
+        F.min("c_custkey").alias("rep_key"),
+    )
+    tagged = names.select(
+        "*", F.substring("name", 1, 13).alias("blk"), F.lit(1).alias("pass")
+    ).unionByName(
+        names.select(
+            "*", F.expr("right(name, 5)").alias("blk"), F.lit(2).alias("pass")
+        )
+    )
+    a = tagged.select(
+        "nationkey", "blk", "pass",
+        F.col("name").alias("name_a"),
+        F.col("mult").alias("n_a"),
+        F.col("rep_key").alias("rep_a"),
+    )
+    b = tagged.select(
+        "nationkey", "blk", "pass",
+        F.col("name").alias("name_b"),
+        F.col("mult").alias("n_b"),
+        F.col("rep_key").alias("rep_b"),
+    )
+    pairs = (
+        a.join(b, ["nationkey", "blk", "pass"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("nationkey", "name_a", "name_b", "n_a", "n_b", "rep_a", "rep_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "lev_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("lev_dist") <= _ER_LEV_MAX)
+        .select(
+            "nationkey",
+            "name_a",
+            "name_b",
+            "lev_dist",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_record_pairs"),
+            "rep_a",
+            "rep_b",
+        )
+        .orderBy("nationkey", "name_a", "name_b")
+    )
+
+
+ENTITY_MATCH_SQL = f"""
+WITH names AS (
+  SELECT c_nationkey AS nationkey, c_name AS name,
+         COUNT(*) AS mult, MIN(c_custkey) AS rep_key
+  FROM customer WHERE c_name IS NOT NULL
+  GROUP BY 1, 2
+),
+tagged AS (
+  SELECT *, substr(name, 1, 13) AS blk, 1 AS pass FROM names
+  UNION ALL
+  SELECT *, right(name, 5) AS blk, 2 AS pass FROM names
+),
+pairs AS (
+  SELECT DISTINCT a.nationkey, a.name AS name_a, b.name AS name_b,
+         a.mult AS n_a, b.mult AS n_b,
+         a.rep_key AS rep_a, b.rep_key AS rep_b
+  FROM tagged a JOIN tagged b
+    ON a.nationkey = b.nationkey AND a.blk = b.blk AND a.pass = b.pass
+   AND a.name < b.name
+)
+SELECT nationkey, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_a * n_b AS BIGINT) AS n_record_pairs,
+       rep_a, rep_b
+FROM pairs
+WHERE levenshtein(name_a, name_b) <= {_ER_LEV_MAX}
+ORDER BY nationkey, name_a, name_b
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "referential_integrity_audit": referential_integrity_audit,
     "data_freshness_audit": data_freshness_audit,
     "events_coverage_audit": events_coverage_audit,
+    "entity_match_candidates": entity_match_candidates,
 }
 
 ORACLES = {
@@ -425,4 +542,6 @@ ORACLES = {
     "referential_integrity_audit": RI_AUDIT_SQL,
     "data_freshness_audit": FRESHNESS_SQL,
     "events_coverage_audit": COVERAGE_AUDIT_SQL,
+    # round 12: blocked record-linkage candidates (two-pass blocking)
+    "entity_match_candidates": ENTITY_MATCH_SQL,
 }

@@ -2939,3 +2939,86 @@ def test_text_readability_count_bounds(spark, sf_dir):
     for r in rows:
         assert r["n_syllables"] >= r["n_words"] >= 1
         assert r["n_sentences"] >= 1
+
+
+def test_entity_match_blocking_recall_vs_bruteforce(spark):
+    """The two-pass (prefix, suffix) blocking must recover EVERY
+    within-nation pair at Levenshtein ≤ 1 on the fixture corpus (an edit
+    in the suffix preserves the prefix block and vice versa), and every
+    emitted pair must satisfy the match predicate — recall AND precision
+    1.0 vs the brute-force truth at sf0.001."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.quality import (
+        _ER_LEV_MAX,
+        entity_match_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = [
+        (r["c_custkey"], r["c_name"], r["c_nationkey"])
+        for r in load(spark, "customer", sf).collect()
+    ]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    truth = set()
+    by_nation = {}
+    for k, nm, nat in cust:
+        by_nation.setdefault(nat, set()).add(nm)
+    for nat, members in by_nation.items():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                if lev(ms[i], ms[j]) <= _ER_LEV_MAX:
+                    truth.add((nat, ms[i], ms[j]))
+    got_rows = entity_match_candidates(spark, sf).collect()
+    got = {(r["nationkey"], r["name_a"], r["name_b"]) for r in got_rows}
+    assert got == truth and truth
+    keys = {(k, nm): True for k, nm, _ in cust}
+    for r in got_rows:
+        assert r["name_a"] < r["name_b"]
+        assert r["lev_dist"] <= _ER_LEV_MAX
+        # fixture names are unique, so multiplicities are 1 and the rep
+        # keys are real custkeys
+        assert r["n_a"] == r["n_b"] == r["n_record_pairs"] == 1
+        assert (r["rep_a"], r["name_a"]) in keys
+        assert (r["rep_b"], r["name_b"]) in keys
+    assert len(got_rows) == len(got)  # no duplicate pairs survive the union
+
+
+def test_entity_match_collapses_exact_duplicates_first(spark, tmp_path):
+    """A corpus where one entity has many duplicate registrations must
+    collapse them BEFORE the fuzzy join: multiplicities ride a column
+    (n_a·n_b record pairs), never the pair frame."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.quality import (
+        entity_match_candidates,
+    )
+
+    sf = str(tmp_path)
+    rows = [(i, "Customer#000000001", 7, 0.0, "AUTOMOBILE") for i in range(50)]
+    rows += [(100 + i, "Customer#000000002", 7, 0.0, "AUTOMOBILE") for i in range(3)]
+    rows += [(900, "Customer#000000009", 8, 0.0, "MACHINERY")]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    out = entity_match_candidates(spark, sf).collect()
+    # one NAME pair survives (nation 7), carrying 50×3 record pairs
+    assert len(out) == 1
+    r = out[0]
+    assert (r["name_a"], r["name_b"]) == (
+        "Customer#000000001", "Customer#000000002"
+    )
+    assert (r["n_a"], r["n_b"], r["n_record_pairs"]) == (50, 3, 150)
+    assert (r["rep_a"], r["rep_b"]) == (0, 100)
