@@ -106,6 +106,8 @@ _PRIORITY = [
     "events_forecast_backtest",
     "attribution_linear",
     "entity_match_candidates",
+    "join_key_skew_audit",
+    "order_reconciliation_audit",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -141,6 +143,10 @@ _PRIORITY = [
     # q18_large_volume_orders — its agg-having semi-join feeds the same
     # join family as the in-window q17_small_quantity_revenue per-key agg
     # filter, and the whole TPC-H family keeps 8 in-window rows.
+    # The seventh segment (join_key_skew_audit, order_reconciliation_audit)
+    # evicts basket_association_rules + events_item_cooccurrence — the
+    # taste-graph co-occurrence family keeps mine_triplets in the window
+    # and item_pagerank in (c) on the SHARED user-item edge definition.
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
@@ -157,9 +163,7 @@ _PRIORITY = [
     # surface shares the token/bigram defs with the r11-green
     # text_bigram_freq / text_pmi_collocations.
     "attribution_last_touch",
-    "basket_association_rules",
     "chunk_documents",
-    "events_item_cooccurrence",
     "mine_triplets",
     "null_handling",
     "q1_pricing_summary",
@@ -182,6 +186,8 @@ _PRIORITY = [
     "snapshot_bloom_point_lookup",
     "snapshot_positional_delete_orders",
     "snapshot_update_constrained_orders",
+    "basket_association_rules",
+    "events_item_cooccurrence",
 ]
 
 

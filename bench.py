@@ -189,6 +189,10 @@ HEADLINE = [
     "attribution_linear",
     # Appended round 12, sixth segment: blocked record linkage.
     "entity_match_candidates",
+    # Appended round 12, seventh segment: shuffle-skew diagnosis and
+    # header-vs-lines reconciliation.
+    "join_key_skew_audit",
+    "order_reconciliation_audit",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -529,12 +529,190 @@ ORDER BY nationkey, name_a, name_b
 """
 
 
+# Join-key skew audit targets: the fact-side keys whose distribution
+# decides shuffle-partition sizing and salting at scale.
+_SKEW_SPECS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+)
+
+
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key distribution audit (NEW round 12): per audited fact key,
+    row count, distinct-key count, mean/max per-key multiplicity, the
+    skew ratio (max/mean), and the hottest key — the numbers that decide
+    ``spark.sql.shuffle.partitions`` sizing, AQE skew-join thresholds and
+    whether a key needs salting BEFORE a 100-TB join melts an executor
+    (the join_salted_skew operator is the cure; this is the diagnosis).
+
+    Scale shape: one distinct-key collapse per spec (the
+    referential_integrity discipline — the shuffle carries keys, not
+    rows), then every statistic is a 1-row aggregate over the key frame;
+    the hot key is max_by on (multiplicity, −key) — deterministic
+    tie-break to the smallest key, no sort of the key frame. Integer
+    counts; the two ratios divide once and round at 6."""
+    parts = []
+    for fact, key in _SKEW_SPECS:
+        km = (
+            load(spark, fact, sf_dir)
+            .filter(F.col(key).isNotNull())
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("mult"))
+        )
+        agg = km.agg(
+            F.coalesce(F.sum("mult"), F.lit(0)).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("mult").cast("long").alias("max_mult"),
+            F.max_by(
+                "k", F.struct(F.col("mult").alias("m"), (-F.col("k")).alias("nk"))
+            ).alias("hot_key"),
+        )
+        parts.append(
+            agg.select(
+                F.lit(fact).alias("fact_table"),
+                F.lit(key).alias("key_col"),
+                "n_rows",
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.when(
+                    F.col("n_keys") > 0,
+                    F.round(
+                        F.col("n_rows").cast("double") / F.col("n_keys"), 6
+                    ),
+                ).alias("avg_mult"),
+                "max_mult",
+                F.when(
+                    F.col("n_rows") > 0,
+                    F.round(
+                        F.col("max_mult")
+                        * F.col("n_keys").cast("double")
+                        / F.col("n_rows"),
+                        6,
+                    ),
+                ).alias("skew_ratio"),
+                F.col("hot_key").cast("long").alias("hot_key"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("fact_table", "key_col")
+
+
+def _skew_audit_sql() -> str:
+    selects = []
+    for fact, key in _SKEW_SPECS:
+        selects.append(f"""
+SELECT * FROM (
+  WITH km AS (SELECT {key} AS k, COUNT(*) AS mult FROM {fact}
+              WHERE {key} IS NOT NULL GROUP BY 1)
+  SELECT '{fact}' AS fact_table, '{key}' AS key_col,
+         CAST(COALESCE(SUM(mult), 0) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CASE WHEN COUNT(*) > 0
+              THEN ROUND(CAST(COALESCE(SUM(mult), 0) AS DOUBLE) / COUNT(*), 6)
+         END AS avg_mult,
+         CAST(MAX(mult) AS BIGINT) AS max_mult,
+         CASE WHEN COALESCE(SUM(mult), 0) > 0
+              THEN ROUND(MAX(mult) * CAST(COUNT(*) AS DOUBLE)
+                         / COALESCE(SUM(mult), 0), 6)
+         END AS skew_ratio,
+         CAST((SELECT k FROM km ORDER BY mult DESC, k ASC LIMIT 1) AS BIGINT)
+           AS hot_key
+  FROM km
+)"""
+        )
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY fact_table, key_col"
+
+
+SKEW_AUDIT_SQL = _skew_audit_sql()
+
+
+# Reconciliation tolerance in cents: header total vs the sum of its lines.
+_RECON_TOL_CENTS = 1
+
+
+def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit (NEW round 12): does each order
+    header's o_totalprice equal the sum of its lineitem revenue
+    (extendedprice · (1−discount) · (1+tax))? One summary row — orders
+    checked, orders with no lines, orders reconciled within 1 cent, the
+    worst absolute gap, and both grand totals — the finance-grade
+    consistency gate between a fact and its rollup header (on the
+    synthetic fixture the generator draws totals independently, so the
+    audit honestly reports zero reconciled; the op exists for corpora
+    where the identity is supposed to hold).
+
+    Money discipline (the abc_pareto lesson): every amount becomes
+    integer CENTS per ROW (floor(x·100 + 0.5) on the per-line revenue
+    and the header), so all sums are order-free longs and the comparison
+    is exact cross-engine. Scale shape: one hash agg collapses lineitem
+    to per-order cents (distinct-key frame), one join to headers, one
+    1-row aggregate."""
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
+    lines = (
+        load(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey").isNotNull())
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.sum(line_cents).alias("line_cents"))
+    )
+    hdr = load(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("hdr_cents"),
+    )
+    j = hdr.join(lines, "k", "left")
+    diff = F.abs(F.col("hdr_cents") - F.col("line_cents"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("line_cents").isNull(), 1)).alias("n_no_lines"),
+        F.count(F.when(diff <= _RECON_TOL_CENTS, 1)).alias("n_reconciled"),
+        F.max(diff).cast("long").alias("max_gap_cents"),
+        F.coalesce(F.sum("hdr_cents"), F.lit(0)).cast("long").alias("total_header_cents"),
+        F.coalesce(F.sum("line_cents"), F.lit(0)).cast("long").alias("total_line_cents"),
+    )
+
+
+ORDER_RECON_SQL = f"""
+WITH lines AS (
+  SELECT l_orderkey AS k,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                             * (1.0 + l_tax) * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS line_cents
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS hdr_cents,
+         l.line_cents
+  FROM orders o LEFT JOIN lines l ON l.k = o.o_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(CASE WHEN line_cents IS NULL THEN 1 END) AS BIGINT)
+         AS n_no_lines,
+       CAST(COUNT(CASE WHEN ABS(hdr_cents - line_cents) <= {_RECON_TOL_CENTS}
+                       THEN 1 END) AS BIGINT) AS n_reconciled,
+       CAST(MAX(ABS(hdr_cents - line_cents)) AS BIGINT) AS max_gap_cents,
+       CAST(COALESCE(SUM(hdr_cents), 0) AS BIGINT) AS total_header_cents,
+       CAST(COALESCE(SUM(line_cents), 0) AS BIGINT) AS total_line_cents
+FROM j
+"""
+
+
 QUERIES = {
     "table_profile": table_profile,
     "referential_integrity_audit": referential_integrity_audit,
     "data_freshness_audit": data_freshness_audit,
     "events_coverage_audit": events_coverage_audit,
     "entity_match_candidates": entity_match_candidates,
+    "join_key_skew_audit": join_key_skew_audit,
+    "order_reconciliation_audit": order_reconciliation_audit,
 }
 
 ORACLES = {
@@ -544,4 +722,8 @@ ORACLES = {
     "events_coverage_audit": COVERAGE_AUDIT_SQL,
     # round 12: blocked record-linkage candidates (two-pass blocking)
     "entity_match_candidates": ENTITY_MATCH_SQL,
+    # round 12: shuffle/salting diagnosis (distinct-key collapse per spec)
+    "join_key_skew_audit": SKEW_AUDIT_SQL,
+    # round 12: header-vs-lines reconciliation in integer cents
+    "order_reconciliation_audit": ORDER_RECON_SQL,
 }

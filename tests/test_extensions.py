@@ -3022,3 +3022,70 @@ def test_entity_match_collapses_exact_duplicates_first(spark, tmp_path):
     )
     assert (r["n_a"], r["n_b"], r["n_record_pairs"]) == (50, 3, 150)
     assert (r["rep_a"], r["rep_b"]) == (0, 100)
+
+
+def test_join_key_skew_audit_recompute(spark):
+    """Every statistic recomputed from the raw key multiplicities at
+    sf0.001; the hot key is the max-multiplicity key with smallest-key
+    tie-break."""
+    from collections import Counter
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.quality import (
+        _SKEW_SPECS,
+        join_key_skew_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        (r["fact_table"], r["key_col"]): r
+        for r in join_key_skew_audit(spark, sf).collect()
+    }
+    assert set(rows) == set(_SKEW_SPECS)
+    for fact, key in _SKEW_SPECS:
+        mult = Counter(
+            r[key]
+            for r in load(spark, fact, sf).select(key).collect()
+            if r[key] is not None
+        )
+        r = rows[(fact, key)]
+        assert r["n_rows"] == sum(mult.values())
+        assert r["n_keys"] == len(mult)
+        assert r["max_mult"] == max(mult.values())
+        assert r["avg_mult"] == round(sum(mult.values()) / len(mult), 6)
+        assert r["skew_ratio"] == round(
+            max(mult.values()) * len(mult) / sum(mult.values()), 6
+        )
+        assert r["hot_key"] == min(
+            k for k, m in mult.items() if m == max(mult.values())
+        )
+
+
+def test_order_reconciliation_counts_on_dirtied_copy(spark, tmp_path):
+    """On a crafted corpus: an order whose lines sum exactly to its header
+    reconciles; a 1-cent gap reconciles at the tolerance; a large gap and
+    a no-lines order are counted; totals are exact integer cents."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.quality import (
+        order_reconciliation_audit,
+    )
+
+    sf = str(tmp_path)
+    # order 1: one line 100.00 * (1-0) * (1+0) = 100.00 == header
+    # order 2: line 50.00 vs header 50.01 (1-cent gap -> reconciled at tol)
+    # order 3: line 10.00 vs header 99.99 (gap 8999 cents)
+    # order 4: no lines
+    spark.createDataFrame(
+        [(1, 100.0), (2, 50.01), (3, 99.99), (4, 7.0)],
+        "o_orderkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 100.0, 0.0, 0.0), (2, 50.0, 0.0, 0.0), (3, 10.0, 0.0, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    ).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    r = order_reconciliation_audit(spark, sf).collect()[0]
+    assert r["n_orders"] == 4
+    assert r["n_no_lines"] == 1
+    assert r["n_reconciled"] == 2
+    assert r["max_gap_cents"] == 8999
+    assert r["total_header_cents"] == 10000 + 5001 + 9999 + 700
+    assert r["total_line_cents"] == 10000 + 5000 + 1000
