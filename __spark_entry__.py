@@ -108,6 +108,7 @@ _PRIORITY = [
     "entity_match_candidates",
     "join_key_skew_audit",
     "order_reconciliation_audit",
+    "entity_resolution_groups",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -147,6 +148,9 @@ _PRIORITY = [
     # evicts basket_association_rules + events_item_cooccurrence — the
     # taste-graph co-occurrence family keeps mine_triplets in the window
     # and item_pagerank in (c) on the SHARED user-item edge definition.
+    # entity_resolution_groups (eighth segment) evicts null_handling —
+    # the P5-P7 null/filter scalar surface shares its definitions with
+    # the r9-green filter_project and the in-window scalar family.
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
@@ -165,7 +169,6 @@ _PRIORITY = [
     "attribution_last_touch",
     "chunk_documents",
     "mine_triplets",
-    "null_handling",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -188,6 +191,7 @@ _PRIORITY = [
     "snapshot_update_constrained_orders",
     "basket_association_rules",
     "events_item_cooccurrence",
+    "null_handling",
 ]
 
 

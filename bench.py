@@ -193,6 +193,8 @@ HEADLINE = [
     # header-vs-lines reconciliation.
     "join_key_skew_audit",
     "order_reconciliation_audit",
+    # Appended round 12, eighth segment: transitive entity clusters.
+    "entity_resolution_groups",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

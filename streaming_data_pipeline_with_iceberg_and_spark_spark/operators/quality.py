@@ -444,14 +444,43 @@ def entity_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         the edit-distance scoring. The LSH-banding discipline applied to
         structured records.
     Levenshtein is integer-exact cross-engine; name_a < name_b
-    lexicographically (deterministic, engine-independent order)."""
+    lexicographically (deterministic, engine-independent order).
+    ``entity_resolution_groups`` composes THIS pair frame (the shared
+    ``_er_matched_pairs`` core) into transitive entity clusters."""
+    return (
+        _er_matched_pairs(_er_name_frame(spark, sf_dir))
+        .select(
+            "nationkey",
+            "name_a",
+            "name_b",
+            "lev_dist",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_record_pairs"),
+            "rep_a",
+            "rep_b",
+        )
+        .orderBy("nationkey", "name_a", "name_b")
+    )
+
+
+def _er_name_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-duplicate collapse: one row per (nation, name) with its
+    record multiplicity and representative (min) custkey — the frame the
+    match pass, the grouping pass and their oracles all read."""
     c = load(spark, "customer", sf_dir).filter(F.col("c_name").isNotNull())
-    names = c.groupBy(
+    return c.groupBy(
         F.col("c_nationkey").alias("nationkey"), F.col("c_name").alias("name")
     ).agg(
         F.count(F.lit(1)).alias("mult"),
         F.min("c_custkey").alias("rep_key"),
     )
+
+
+def _er_matched_pairs(names: DataFrame) -> DataFrame:
+    """The blocked fuzzy-match core: two blocking passes, pair dedup on
+    the name pair, Levenshtein ≤ threshold. Shared by the candidate
+    report and the transitive grouping."""
     tagged = names.select(
         "*", F.substring("name", 1, 13).alias("blk"), F.lit(1).alias("pass")
     ).unionByName(
@@ -477,28 +506,58 @@ def entity_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nationkey", "name_a", "name_b", "n_a", "n_b", "rep_a", "rep_b")
         .distinct()
     )
+    return pairs.withColumn(
+        "lev_dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter(F.col("lev_dist") <= _ER_LEV_MAX)
+
+
+def entity_resolution_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive entity clusters (NEW round 12): connected components
+    over the blocked fuzzy-match edges — the resolution step that turns
+    pairwise candidates into mergeable entities (A≈B and B≈C put A and C
+    in one entity even when lev(A,C) > the pair threshold). One row per
+    distinct (nation, name): its representative key, the entity id (the
+    minimum rep key reachable through match edges), whether this name is
+    the entity's canonical spelling, and the name's record multiplicity
+    — exactly the dedup_clusters shape on the record-linkage grain.
+
+    Composes the SHARED ``_er_matched_pairs`` core (the grouping cannot
+    disagree with the candidate report) and the shared min-label CC
+    (iterated on the edge-induced subgraph only — matched names are a
+    small fraction of the master at any scale; the full name frame is
+    touched once by the closing left join). Oracle: DuckDB recursive-CTE
+    transitive closure over the identical pair SQL."""
+    from .dedup import _connected_components
+
+    names = _er_name_frame(spark, sf_dir)
+    edges = _er_matched_pairs(names).select(
+        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
+    )
+    verts = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select("doc_b"))
+        .distinct()
+    )
+    labels = _connected_components(verts, edges).select(
+        F.col("doc_id").alias("rep_key"), "cluster_id"
+    )
+    entity_id = F.coalesce("cluster_id", F.col("rep_key"))
     return (
-        pairs.withColumn(
-            "lev_dist", F.levenshtein("name_a", "name_b").cast("long")
-        )
-        .filter(F.col("lev_dist") <= _ER_LEV_MAX)
+        names.join(labels, "rep_key", "left")
         .select(
             "nationkey",
-            "name_a",
-            "name_b",
-            "lev_dist",
-            F.col("n_a").cast("long").alias("n_a"),
-            F.col("n_b").cast("long").alias("n_b"),
-            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_record_pairs"),
-            "rep_a",
-            "rep_b",
+            "name",
+            "rep_key",
+            entity_id.alias("entity_id"),
+            (entity_id == F.col("rep_key")).alias("is_canonical"),
+            F.col("mult").cast("long").alias("n_records"),
         )
-        .orderBy("nationkey", "name_a", "name_b")
+        .orderBy("nationkey", "name")
     )
 
 
-ENTITY_MATCH_SQL = f"""
-WITH names AS (
+_ER_PAIR_CTES = f"""
+WITH RECURSIVE names AS (
   SELECT c_nationkey AS nationkey, c_name AS name,
          COUNT(*) AS mult, MIN(c_custkey) AS rep_key
   FROM customer WHERE c_name IS NOT NULL
@@ -516,16 +575,42 @@ pairs AS (
   FROM tagged a JOIN tagged b
     ON a.nationkey = b.nationkey AND a.blk = b.blk AND a.pass = b.pass
    AND a.name < b.name
-)
-SELECT nationkey, name_a, name_b,
-       CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist,
+),
+matched AS (
+  SELECT *, CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist
+  FROM pairs WHERE levenshtein(name_a, name_b) <= {_ER_LEV_MAX}
+)"""
+
+
+ENTITY_MATCH_SQL = _ER_PAIR_CTES + """
+SELECT nationkey, name_a, name_b, lev_dist,
        CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
        CAST(n_a * n_b AS BIGINT) AS n_record_pairs,
        rep_a, rep_b
-FROM pairs
-WHERE levenshtein(name_a, name_b) <= {_ER_LEV_MAX}
+FROM matched
 ORDER BY nationkey, name_a, name_b
+"""
+
+
+ENTITY_GROUPS_SQL = _ER_PAIR_CTES + """,
+edges AS (
+  SELECT rep_a AS src, rep_b AS dst FROM matched
+  UNION ALL
+  SELECT rep_b AS src, rep_a AS dst FROM matched
+),
+reach(a, b) AS (
+  SELECT DISTINCT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS rep_key, MIN(b) AS cluster_id FROM reach GROUP BY a)
+SELECT n.nationkey, n.name, n.rep_key,
+       COALESCE(c.cluster_id, n.rep_key) AS entity_id,
+       COALESCE(c.cluster_id, n.rep_key) = n.rep_key AS is_canonical,
+       CAST(n.mult AS BIGINT) AS n_records
+FROM names n LEFT JOIN comp c USING (rep_key)
+ORDER BY n.nationkey, n.name
 """
 
 
@@ -711,6 +796,7 @@ QUERIES = {
     "data_freshness_audit": data_freshness_audit,
     "events_coverage_audit": events_coverage_audit,
     "entity_match_candidates": entity_match_candidates,
+    "entity_resolution_groups": entity_resolution_groups,
     "join_key_skew_audit": join_key_skew_audit,
     "order_reconciliation_audit": order_reconciliation_audit,
 }
@@ -722,6 +808,8 @@ ORACLES = {
     "events_coverage_audit": COVERAGE_AUDIT_SQL,
     # round 12: blocked record-linkage candidates (two-pass blocking)
     "entity_match_candidates": ENTITY_MATCH_SQL,
+    # round 12: transitive entity clusters (recursive-CTE closure oracle)
+    "entity_resolution_groups": ENTITY_GROUPS_SQL,
     # round 12: shuffle/salting diagnosis (distinct-key collapse per spec)
     "join_key_skew_audit": SKEW_AUDIT_SQL,
     # round 12: header-vs-lines reconciliation in integer cents

@@ -3089,3 +3089,42 @@ def test_order_reconciliation_counts_on_dirtied_copy(spark, tmp_path):
     assert r["max_gap_cents"] == 8999
     assert r["total_header_cents"] == 10000 + 5001 + 9999 + 700
     assert r["total_line_cents"] == 10000 + 5000 + 1000
+
+
+def test_entity_resolution_groups_match_union_find(spark):
+    """Entity labels must equal a union-find closure over the match pairs
+    (transitivity: A≈B, B≈C ⇒ one entity even when lev(A,C) > 1), each
+    entity's canonical name is its min rep key, and record counts are
+    conserved."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.quality import (
+        entity_match_candidates,
+        entity_resolution_groups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = entity_match_candidates(spark, sf).collect()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["rep_a"]), find(r["rep_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    rows = entity_resolution_groups(spark, sf).collect()
+    for r in rows:
+        want = find(r["rep_key"]) if r["rep_key"] in parent else r["rep_key"]
+        assert r["entity_id"] == want, r
+        assert r["is_canonical"] == (r["entity_id"] == r["rep_key"])
+    # one canonical spelling per entity; total records = customer count
+    canon = [r for r in rows if r["is_canonical"]]
+    assert len({r["entity_id"] for r in rows}) == len(canon)
+    n_cust = load(spark, "customer", sf).filter(
+        F.col("c_name").isNotNull()
+    ).count()
+    assert sum(r["n_records"] for r in rows) == n_cust
