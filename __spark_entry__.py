@@ -109,6 +109,8 @@ _PRIORITY = [
     "join_key_skew_audit",
     "order_reconciliation_audit",
     "entity_resolution_groups",
+    "experiment_ab_eval",
+    "touch_conversion_intervals",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -151,6 +153,11 @@ _PRIORITY = [
     # entity_resolution_groups (eighth segment) evicts null_handling —
     # the P5-P7 null/filter scalar surface shares its definitions with
     # the r9-green filter_project and the in-window scalar family.
+    # The ninth segment (experiment_ab_eval, touch_conversion_intervals)
+    # evicts attribution_last_touch — BOTH new faces compose its exact
+    # touch/conversion/lookback definitions in-window — and
+    # chunk_documents (L15 chunker; the tokenizer family keeps
+    # bpe_apply_merges + text_rolling_hash in the head).
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
@@ -166,8 +173,6 @@ _PRIORITY = [
     # quantization_recall_eval exercises; text_perplexity_bigram — L15
     # surface shares the token/bigram defs with the r11-green
     # text_bigram_freq / text_pmi_collocations.
-    "attribution_last_touch",
-    "chunk_documents",
     "mine_triplets",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -192,6 +197,8 @@ _PRIORITY = [
     "basket_association_rules",
     "events_item_cooccurrence",
     "null_handling",
+    "attribution_last_touch",
+    "chunk_documents",
 ]
 
 

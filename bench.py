@@ -195,6 +195,9 @@ HEADLINE = [
     "order_reconciliation_audit",
     # Appended round 12, eighth segment: transitive entity clusters.
     "entity_resolution_groups",
+    # Appended round 12, ninth segment: experimentation readouts.
+    "experiment_ab_eval",
+    "touch_conversion_intervals",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -2924,6 +2924,217 @@ ORDER BY channel
 """
 
 
+def experiment_ab_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout (NEW round 12): users split
+    into two arms by an md5 hash of their id (the cross-engine
+    ``_split_of`` discipline — assignment is a pure function, replayable
+    forever), metric = "did the user purchase", effect read as the rate
+    lift and the two-proportion pooled z-score — the minimal
+    experimentation readout every growth team ships before reaching for
+    a stats library (the p-value lookup is a monotone function of |z|;
+    the engine emits the statistic, the dashboard draws the line at
+    1.96).
+
+    Scale shape: ONE distinct-user collapse over the fact (user, ever
+    purchased) — the activity_pairs discipline — then a 2-row hash agg
+    and a 1-row closed form. Counts are integers; rates/lift/z divide in
+    a pinned IEEE operation order and round at 6; degenerate arms (empty,
+    or pooled rate 0/1 making the variance zero) emit NULL z on both
+    engines."""
+    ev = load(spark, "events", sf_dir).filter(F.col("user_id").isNotNull())
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == _ATTR_CONVERSION).cast("int")).alias(
+            "converted"
+        )
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 2
+    )
+    per_arm = users.select(arm.alias("arm"), "converted").groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("c")
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    m = a.crossJoin(F.broadcast(b))
+    n_a, c_a = F.col("n_a"), F.col("c_a")
+    n_b, c_b = F.col("n_b"), F.col("c_b")
+    p_a = c_a.cast("double") / n_a
+    p_b = c_b.cast("double") / n_b
+    pool = (c_a + c_b).cast("double") / (n_a + n_b)
+    var = pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)
+    return m.select(
+        n_a.cast("long").alias("n_a"),
+        c_a.cast("long").alias("conv_a"),
+        F.round(p_a, 6).alias("rate_a"),
+        n_b.cast("long").alias("n_b"),
+        c_b.cast("long").alias("conv_b"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_b - p_a, 6).alias("lift"),
+        F.when((n_a > 0) & (n_b > 0) & (pool > 0) & (pool < 1),
+               F.round((p_b - p_a) / F.sqrt(var), 6)).alias("z_score"),
+    )
+
+
+EXPERIMENT_AB_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = '{_ATTR_CONVERSION}' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+arms AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
+          % 2) AS arm, converted
+  FROM users
+),
+per_arm AS (SELECT arm, COUNT(*) AS n, SUM(converted) AS c
+            FROM arms GROUP BY arm),
+m AS (
+  SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+  FROM (SELECT * FROM per_arm WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM per_arm WHERE arm = 1) b
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+       ROUND(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+       ROUND(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       ROUND(CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a, 6) AS lift,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) > 0
+             AND CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) < 1
+            THEN ROUND((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                       / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                              * (1.0 / n_a + 1.0 / n_b)), 6)
+       END AS z_score
+FROM m
+"""
+
+
+# Wilson 95% interval z (pinned literal so both engines compute the same
+# closed form; the interval is the standard conversion-funnel error bar).
+_WILSON_Z = 1.96
+
+
+def touch_conversion_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel touch→conversion rate with a Wilson 95% interval (NEW
+    round 12): every touch event is a Bernoulli trial — did the user's
+    next conversion arrive within the attribution lookback? — so each
+    channel gets (trials, successes, rate, wilson_lo, wilson_hi), the
+    error bars a channel-ROI dashboard draws next to
+    ``attribution_linear``'s credit split (same forward-carry frame,
+    same touch/conversion/lookback definitions — the two faces cannot
+    disagree about what a converting touch is).
+
+    Scale shape: the one user-keyed forward window from the attribution
+    family, then a |channels|-row hash agg; the Wilson closed form runs
+    on integer counts in a pinned IEEE operation order, rounded at 6."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_conv = F.col("event_type") == _ATTR_CONVERSION
+    nxt_us = F.first(
+        F.when(is_conv, F.unix_micros("ts")), ignorenulls=True
+    ).over(wf)
+    touches = ev.select(
+        "event_type", F.unix_micros("ts").alias("us"), nxt_us.alias("conv_us")
+    ).filter(F.col("event_type").isin(_ATTR_TOUCHES))
+    hit = (
+        F.col("conv_us").isNotNull()
+        & (F.col("conv_us") - F.col("us") <= _ATTR_LOOKBACK_US)
+    ).cast("long")
+    agg = touches.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(hit).alias("n_converting"),
+    )
+    n = F.col("n_touches").cast("double")
+    p = F.col("n_converting").cast("double") / n
+    z2 = F.lit(_WILSON_Z * _WILSON_Z)
+    denom = 1.0 + z2 / n
+    center = p + z2 / (2.0 * n)
+    rad = F.lit(_WILSON_Z) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    return agg.select(
+        "channel",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.col("n_converting").cast("long").alias("n_converting"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - rad) / denom, 6).alias("wilson_lo"),
+        F.round((center + rad) / denom, 6).alias("wilson_hi"),
+    ).orderBy("channel")
+
+
+TOUCH_CONVERSION_CI_SQL = f"""
+WITH ev AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+touches AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         FIRST_VALUE(CASE WHEN event_type = '{_ATTR_CONVERSION}'
+                          THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS conv_us
+  FROM ev
+),
+agg AS (
+  SELECT event_type AS channel,
+         COUNT(*) AS n_touches,
+         SUM(CASE WHEN conv_us IS NOT NULL
+                   AND conv_us - us <= {_ATTR_LOOKBACK_US}
+                  THEN 1 ELSE 0 END) AS n_converting
+  FROM touches
+  WHERE event_type IN ({{touch_list}})
+  GROUP BY 1
+)
+SELECT channel,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(n_converting AS BIGINT) AS n_converting,
+       ROUND(CAST(n_converting AS DOUBLE) / CAST(n_touches AS DOUBLE), 6)
+         AS rate,
+       ROUND(((CAST(n_converting AS DOUBLE) / CAST(n_touches AS DOUBLE))
+               + {_WILSON_Z * _WILSON_Z!r} / (2.0 * CAST(n_touches AS DOUBLE))
+              - {_WILSON_Z!r} * SQRT(
+                  (CAST(n_converting AS DOUBLE) / CAST(n_touches AS DOUBLE))
+                  * (1.0 - CAST(n_converting AS DOUBLE)
+                           / CAST(n_touches AS DOUBLE))
+                  / CAST(n_touches AS DOUBLE)
+                  + {_WILSON_Z * _WILSON_Z!r}
+                    / (4.0 * CAST(n_touches AS DOUBLE)
+                           * CAST(n_touches AS DOUBLE))))
+             / (1.0 + {_WILSON_Z * _WILSON_Z!r}
+                      / CAST(n_touches AS DOUBLE)), 6) AS wilson_lo,
+       ROUND(((CAST(n_converting AS DOUBLE) / CAST(n_touches AS DOUBLE))
+               + {_WILSON_Z * _WILSON_Z!r} / (2.0 * CAST(n_touches AS DOUBLE))
+              + {_WILSON_Z!r} * SQRT(
+                  (CAST(n_converting AS DOUBLE) / CAST(n_touches AS DOUBLE))
+                  * (1.0 - CAST(n_converting AS DOUBLE)
+                           / CAST(n_touches AS DOUBLE))
+                  / CAST(n_touches AS DOUBLE)
+                  + {_WILSON_Z * _WILSON_Z!r}
+                    / (4.0 * CAST(n_touches AS DOUBLE)
+                           * CAST(n_touches AS DOUBLE))))
+             / (1.0 + {_WILSON_Z * _WILSON_Z!r}
+                      / CAST(n_touches AS DOUBLE)), 6) AS wilson_hi
+FROM agg
+ORDER BY channel
+""".format(touch_list=_ATTR_TOUCH_LIST)
+
+
 # negatives per positive, and the expected items-per-bucket the dynamic
 # bucket count targets (fan-out per (positive, slot) is ~_NEG_BUCKET_TARGET)
 _NEG_K = 2
@@ -3178,6 +3389,8 @@ QUERIES = {
     "funnel_latency": funnel_latency,
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
+    "experiment_ab_eval": experiment_ab_eval,
+    "touch_conversion_intervals": touch_conversion_intervals,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
     "events_item_cooccurrence": events_item_cooccurrence,
@@ -3249,6 +3462,10 @@ ORACLES = {
     "events_forecast_backtest": FORECAST_BACKTEST_SQL,
     # round 12: linear multi-touch attribution (shared touch/lookback defs)
     "attribution_linear": ATTRIBUTION_LINEAR_SQL,
+    # round 12: experimentation readout (md5 arms, pooled two-proportion z)
+    "experiment_ab_eval": EXPERIMENT_AB_SQL,
+    # round 12: per-channel Wilson interval on the shared converting-touch def
+    "touch_conversion_intervals": TOUCH_CONVERSION_CI_SQL,
     "point_in_time_features": PIT_FEATURES_SQL,
     "negative_sampling_uniform": NEGATIVE_SAMPLING_SQL,
     "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,

@@ -3128,3 +3128,115 @@ def test_entity_resolution_groups_match_union_find(spark):
         F.col("c_name").isNotNull()
     ).count()
     assert sum(r["n_records"] for r in rows) == n_cust
+
+
+def test_experiment_ab_eval_recompute(spark, sf_dir):
+    """Arm sizes, conversion counts, and the pooled z recomputed in
+    python from the per-user purchase flags under the same md5
+    assignment."""
+    import hashlib
+    import math as _math
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        experiment_ab_eval,
+    )
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type")
+        .collect()
+    )
+    conv = {}
+    for r in ev:
+        conv[r["user_id"]] = conv.get(r["user_id"], 0) or int(
+            r["event_type"] == "purchase"
+        )
+    arms = {0: [0, 0], 1: [0, 0]}
+    for u, c in conv.items():
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % 2
+        arms[arm][0] += 1
+        arms[arm][1] += c
+    row = experiment_ab_eval(spark, sf_dir).collect()[0]
+    assert (row["n_a"], row["conv_a"]) == tuple(arms[0])
+    assert (row["n_b"], row["conv_b"]) == tuple(arms[1])
+    (n_a, c_a), (n_b, c_b) = arms[0], arms[1]
+    pool = (c_a + c_b) / (n_a + n_b)
+    if 0 < pool < 1:
+        z = (c_b / n_b - c_a / n_a) / _math.sqrt(
+            pool * (1 - pool) * (1 / n_a + 1 / n_b)
+        )
+        assert abs(row["z_score"] - round(z, 6)) < 1e-6
+    else:
+        # fixture corpora where every user converts (or none do) have
+        # zero pooled variance — the guard must emit NULL, not ±inf
+        assert row["z_score"] is None
+    assert row["lift"] == round(c_b / n_b - c_a / n_a, 6)
+
+
+def test_experiment_ab_eval_discriminates_on_mixed_corpus(spark, tmp_path):
+    """On a crafted corpus with different arm rates the z-score matches
+    the closed form (the non-degenerate branch)."""
+    import hashlib
+    import math as _math
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        experiment_ab_eval,
+    )
+
+    sf = str(tmp_path)
+    rows = []
+    eid = 0
+    for u in range(200):
+        arm = int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % 2
+        # arm 0 converts ~30%, arm 1 ~60% (deterministic by user id)
+        converts = (u % 10) < (3 if arm == 0 else 6)
+        rows.append((eid, "2024-01-01 00:00:00", u, "view", 1.0))
+        eid += 1
+        if converts:
+            rows.append((eid, "2024-01-01 01:00:00", u, "purchase", 5.0))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    r = experiment_ab_eval(spark, sf).collect()[0]
+    n_a, c_a, n_b, c_b = r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]
+    pool = (c_a + c_b) / (n_a + n_b)
+    z = (c_b / n_b - c_a / n_a) / _math.sqrt(
+        pool * (1 - pool) * (1 / n_a + 1 / n_b)
+    )
+    assert abs(r["z_score"] - round(z, 6)) < 1e-6
+    assert r["lift"] > 0
+
+
+def test_touch_conversion_intervals_bounds(spark, sf_dir):
+    """Wilson bounds bracket the rate inside [0, 1]; trial counts equal
+    raw touch-event counts; converting ≤ trials."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        _ATTR_TOUCHES,
+        touch_conversion_intervals,
+    )
+
+    rows = touch_conversion_intervals(spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} <= set(_ATTR_TOUCHES)
+    raw = (
+        load(spark, "events", sf_dir)
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isin(_ATTR_TOUCHES)
+        )
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    raw_n = {r["event_type"]: r["count"] for r in raw}
+    for r in rows:
+        assert r["n_touches"] == raw_n[r["channel"]]
+        assert 0 <= r["n_converting"] <= r["n_touches"]
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
