@@ -631,7 +631,9 @@ _CC_MAX_ITERS = 50
 
 
 def _connected_components(verts: DataFrame, edges: DataFrame) -> DataFrame:
-    """Min-label propagation connected components.
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14) — O(log n) rounds on ANY graph shape.
 
     ``verts``: one column ``doc_id``; ``edges``: ``doc_a``/``doc_b``
     (undirected). Returns ``doc_id, cluster_id`` where cluster_id is the
@@ -643,58 +645,91 @@ def _connected_components(verts: DataFrame, edges: DataFrame) -> DataFrame:
     100 TB (the full corpus is touched once, by a left join in the caller —
     AQE picks broadcast vs shuffle from the label set's exact runtime size,
     since "fraction of docs with a near-dup" is data-dependent and unbounded
-    in the worst case). Each iteration is one join + one min-groupBy, O(E) shuffled
-    rows, converging in O(component diameter) rounds — near-dup components
-    are dense (almost cliques), so 2-3 rounds in practice.
-    ``localCheckpoint`` truncates the plan each round: without it the
-    lineage doubles per iteration and Catalyst re-analysis dominates. For
-    adversarial graphs with giant high-diameter components, switch to the
-    alternating large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce", SOCC'14) — same building blocks.
+    in the worst case). Each alternation is two (groupBy-min + join) phases
+    over O(E) canonical (hi, lo) pairs. Until round 12 this was plain
+    min-label propagation — O(component diameter) rounds, fine for the
+    near-clique near-dup components (2-3 rounds) but measured 26 rounds on
+    the record-linkage digit-edit chains (pointer-jumping did NOT help:
+    on chain graphs the label pointers are already flat, label(label(v)) =
+    label(v), so there is nothing to compress — the star alternation's
+    re-wiring of EDGES is what buys the logarithm; simulated 6 rounds on
+    the same graph). At the fixpoint every component is a star centered at
+    its minimum node, so the labels are read directly off the edge list.
+    ``localCheckpoint`` truncates lineage each round as before.
     """
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    cur = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = verts.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
     converged = False
     rounds = 0
     for _ in range(_CC_MAX_ITERS):
         rounds += 1
-        nbr = sym.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "cluster_id")
+        if cur.isEmpty():
+            converged = True
+            break
+        # LARGE-STAR: around each center c, every strictly-larger neighbor
+        # re-wires to m = min(neighbors ∪ {c}). Output pairs are canonical
+        # by construction (m ≤ c < neighbor).
+        sym = cur.select(F.col("hi").alias("c"), F.col("lo").alias("n")).union(
+            cur.select(F.col("lo").alias("c"), F.col("hi").alias("n"))
+        )
+        mins = sym.groupBy("c").agg(F.min("n").alias("mn"))
+        big = (
+            sym.join(mins, "c")
+            .withColumn("m", F.least("mn", "c"))
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # SMALL-STAR: around each larger endpoint, all smaller partners
+        # (and the endpoint itself) re-wire to the smallest partner.
+        mins2 = big.groupBy("hi").agg(F.min("lo").alias("m2"))
+        members = (
+            big.join(mins2, "hi")
+            .filter(F.col("lo") != F.col("m2"))
+            .select(F.col("lo").alias("hi"), F.col("m2").alias("lo"))
+        )
+        centers = mins2.select("hi", F.col("m2").alias("lo"))
         new = (
-            labels.union(nbr)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            members.union(centers)
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+            new.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(new).limit(1).count()
         )
-        labels = new
+        cur = new
         if changed == 0:
             converged = True
             break
     if not converged:
-        # Unconverged labels are plausible-looking but WRONG (a >_CC_MAX_ITERS
-        # diameter component keeps multiple cluster_ids). Fail loudly rather
-        # than return silently-wrong clusters; such graphs need the
-        # alternating large-star/small-star algorithm (O(log n) rounds).
+        # Unconverged output is plausible-looking but WRONG. Fail loudly
+        # rather than return silently-wrong clusters (at O(log n) rounds
+        # the cap now allows graphs of ~2^_CC_MAX_ITERS nodes).
         raise RuntimeError(
             f"connected components did not converge in {_CC_MAX_ITERS} rounds; "
-            "component diameter exceeds the iteration cap"
+            "edge set still re-wiring at the iteration cap"
         )
     _connected_components.last_rounds = rounds
-    return labels
+    # Fixpoint = star forest centered at each component minimum: non-center
+    # nodes appear exactly once as hi. Vertices with no edge label themselves.
+    labels = cur.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id"))
+    return (
+        verts.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 # Per-(session, documents-version, sf_dir) memo of the connected-component
