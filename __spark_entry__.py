@@ -111,6 +111,7 @@ _PRIORITY = [
     "entity_resolution_groups",
     "experiment_ab_eval",
     "touch_conversion_intervals",
+    "experiment_cuped_eval",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -158,6 +159,9 @@ _PRIORITY = [
     # touch/conversion/lookback definitions in-window — and
     # chunk_documents (L15 chunker; the tokenizer family keeps
     # bpe_apply_merges + text_rolling_hash in the head).
+    # experiment_cuped_eval (tenth segment) evicts mine_triplets — L16
+    # shares the user-item taste-graph atoms with the in-window
+    # item_pagerank and negative_sampling_uniform.
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
@@ -173,7 +177,6 @@ _PRIORITY = [
     # quantization_recall_eval exercises; text_perplexity_bigram — L15
     # surface shares the token/bigram defs with the r11-green
     # text_bigram_freq / text_pmi_collocations.
-    "mine_triplets",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -199,6 +202,7 @@ _PRIORITY = [
     "null_handling",
     "attribution_last_touch",
     "chunk_documents",
+    "mine_triplets",
 ]
 
 

@@ -198,6 +198,7 @@ HEADLINE = [
     # Appended round 12, ninth segment: experimentation readouts.
     "experiment_ab_eval",
     "touch_conversion_intervals",
+    "experiment_cuped_eval",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -3017,6 +3017,184 @@ FROM m
 """
 
 
+def experiment_cuped_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (NEW round 12; Deng et
+    al., WSDM'13 — the industry-standard pre-experiment covariate
+    adjustment): per user, x = pre-period event count and y = post-period
+    purchase value (periods split at the midpoint of the observed day
+    span — deterministic from the data, broadcast as one row); arms from
+    the SAME md5 assignment as ``experiment_ab_eval``; θ = cov(x, y) /
+    var(x) pooled, adjusted metric y′ = y − θ·(x − x̄). Emits θ, raw and
+    CUPED-adjusted lift, and the variance-reduction ratio
+    1 − var(y − θx)/var(y) — how much experiment runtime the covariate
+    buys.
+
+    Scale shape: one distinct-user collapse computing (x, y) per user,
+    one 2-row per-arm moment agg + a 1-row pooled-moment agg (Σx, Σy,
+    Σxy, Σx², Σy², all map-side combinable), closed form on the tiny
+    frame. Moment sums are the round-6 float-sum-order class; every
+    division happens once on the 1-row frame. Zero pre-period variance
+    (a corpus with no pre-period signal) emits NULL θ/adjusted columns
+    on both engines."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    days = ev.select(F.to_date("ts").alias("d")).agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    # midpoint day: pre-period = days strictly before it
+    mid = days.select(
+        F.expr("date_add(d0, CAST(floor(datediff(d1, d0) / 2) AS INT))").alias(
+            "mid"
+        )
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.to_date("ts") < F.col("mid")).cast("long")
+            ).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.to_date("ts") >= F.col("mid"))
+                        & (F.col("event_type") == _ATTR_CONVERSION),
+                        F.col("value"),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 2
+    )
+    pu = per_user.select(arm.alias("arm"), "x", "y")
+    pooled = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    arms = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("an"),
+        F.sum("x").alias("asx"),
+        F.sum("y").alias("asy"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("an").alias("n_a"), F.col("asx").alias("sx_a"),
+        F.col("asy").alias("sy_a"),
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("an").alias("n_b"), F.col("asx").alias("sx_b"),
+        F.col("asy").alias("sy_b"),
+    )
+    m = pooled.crossJoin(F.broadcast(a)).crossJoin(F.broadcast(b))
+    n = F.col("n").cast("double")
+    mean_x = F.col("sx") / n
+    var_x = F.col("sxx") / n - mean_x * mean_x
+    cov = F.col("sxy") / n - mean_x * (F.col("sy") / n)
+    theta = cov / var_x
+    mean_y = F.col("sy") / n
+    var_y = F.col("syy") / n - mean_y * mean_y
+    var_adj = var_y - (cov * cov) / var_x
+    ya, yb = F.col("sy_a") / F.col("n_a"), F.col("sy_b") / F.col("n_b")
+    xa, xb = F.col("sx_a") / F.col("n_a"), F.col("sx_b") / F.col("n_b")
+    ok = var_x > 0
+    return m.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.when(ok, F.round(theta, 6)).alias("theta"),
+        F.round(yb - ya, 6).alias("lift_raw"),
+        F.when(
+            ok,
+            F.round((yb - theta * (xb - mean_x)) - (ya - theta * (xa - mean_x)), 6),
+        ).alias("lift_cuped"),
+        F.when(ok & (var_y > 0), F.round(1.0 - var_adj / var_y, 6)).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+EXPERIMENT_CUPED_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_type, value
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+mid AS (
+  SELECT MIN(d) + CAST(FLOOR((MAX(d) - MIN(d)) / 2) AS INT) AS mid FROM ev
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN d < (SELECT mid FROM mid) THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         COALESCE(SUM(CASE WHEN d >= (SELECT mid FROM mid)
+                            AND event_type = '{_ATTR_CONVERSION}'
+                           THEN value END), 0.0) AS y
+  FROM ev GROUP BY user_id
+),
+pu AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
+          % 2) AS arm, x, y
+  FROM per_user
+),
+pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(y * y) AS syy
+  FROM pu
+),
+arms AS (SELECT arm, COUNT(*) AS an, SUM(x) AS asx, SUM(y) AS asy
+         FROM pu GROUP BY arm),
+m AS (
+  SELECT p.*, a.an AS n_a, a.asx AS sx_a, a.asy AS sy_a,
+         b.an AS n_b, b.asx AS sx_b, b.asy AS sy_b
+  FROM pooled p
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 0) a
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+)
+SELECT n AS n_users,
+  CASE WHEN CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+            * (CAST(sx AS DOUBLE) / n) > 0
+       THEN ROUND((sxy / n - (CAST(sx AS DOUBLE) / n) * (sy / n))
+                  / (CAST(sxx AS DOUBLE) / n
+                     - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6)
+  END AS theta,
+  ROUND(sy_b / n_b - sy_a / n_a, 6) AS lift_raw,
+  CASE WHEN CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+            * (CAST(sx AS DOUBLE) / n) > 0
+       THEN ROUND((sy_b / n_b
+                   - ((sxy / n - (CAST(sx AS DOUBLE) / n) * (sy / n))
+                      / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                         * (CAST(sx AS DOUBLE) / n)))
+                     * (CAST(sx_b AS DOUBLE) / n_b - CAST(sx AS DOUBLE) / n))
+                  - (sy_a / n_a
+                     - ((sxy / n - (CAST(sx AS DOUBLE) / n) * (sy / n))
+                        / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                           * (CAST(sx AS DOUBLE) / n)))
+                       * (CAST(sx_a AS DOUBLE) / n_a
+                          - CAST(sx AS DOUBLE) / n)), 6)
+  END AS lift_cuped,
+  CASE WHEN CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+            * (CAST(sx AS DOUBLE) / n) > 0
+        AND syy / n - (sy / n) * (sy / n) > 0
+       THEN ROUND(1.0 - ((syy / n - (sy / n) * (sy / n))
+                         - ((sxy / n - (CAST(sx AS DOUBLE) / n) * (sy / n))
+                            * (sxy / n - (CAST(sx AS DOUBLE) / n) * (sy / n)))
+                           / (CAST(sxx AS DOUBLE) / n
+                              - (CAST(sx AS DOUBLE) / n)
+                                * (CAST(sx AS DOUBLE) / n)))
+                  / (syy / n - (sy / n) * (sy / n)), 6)
+  END AS variance_reduction
+FROM m
+"""
+
+
 # Wilson 95% interval z (pinned literal so both engines compute the same
 # closed form; the interval is the standard conversion-funnel error bar).
 _WILSON_Z = 1.96
@@ -3390,6 +3568,7 @@ QUERIES = {
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
+    "experiment_cuped_eval": experiment_cuped_eval,
     "touch_conversion_intervals": touch_conversion_intervals,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
@@ -3464,6 +3643,8 @@ ORACLES = {
     "attribution_linear": ATTRIBUTION_LINEAR_SQL,
     # round 12: experimentation readout (md5 arms, pooled two-proportion z)
     "experiment_ab_eval": EXPERIMENT_AB_SQL,
+    # round 12: CUPED covariate adjustment (pooled moments closed form)
+    "experiment_cuped_eval": EXPERIMENT_CUPED_SQL,
     # round 12: per-channel Wilson interval on the shared converting-touch def
     "touch_conversion_intervals": TOUCH_CONVERSION_CI_SQL,
     "point_in_time_features": PIT_FEATURES_SQL,

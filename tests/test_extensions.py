@@ -3240,3 +3240,65 @@ def test_touch_conversion_intervals_bounds(spark, sf_dir):
         assert r["n_touches"] == raw_n[r["channel"]]
         assert 0 <= r["n_converting"] <= r["n_touches"]
         assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+
+
+def test_experiment_cuped_recompute(spark, sf_dir):
+    """θ, raw/adjusted lift, and variance reduction recomputed in python
+    from the per-user (x, y) pairs under the same midpoint split and md5
+    arms; CUPED must not change the expected lift direction definition
+    (identical x̄ subtraction on both arms)."""
+    import hashlib
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        experiment_cuped_eval,
+    )
+
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"), "event_type", "value")
+        .collect()
+    )
+    d0, d1 = min(r["d"] for r in ev), max(r["d"] for r in ev)
+    import datetime as _dt
+
+    mid = d0 + _dt.timedelta(days=(d1 - d0).days // 2)
+    per = {}
+    for r in ev:
+        x, y = per.setdefault(r["user_id"], [0, 0.0])
+        if r["d"] < mid:
+            per[r["user_id"]][0] += 1
+        if (
+            r["d"] >= mid
+            and r["event_type"] == "purchase"
+            and r["value"] is not None
+        ):
+            per[r["user_id"]][1] += r["value"]
+    xs = {u: v[0] for u, v in per.items()}
+    ys = {u: v[1] for u, v in per.items()}
+    n = len(per)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in per)
+    sxx = sum(x * x for x in xs.values())
+    syy = sum(y * y for y in ys.values())
+    mean_x, mean_y = sx / n, sy / n
+    var_x = sxx / n - mean_x * mean_x
+    var_y = syy / n - mean_y * mean_y
+    cov = sxy / n - mean_x * (sy / n)
+    theta = cov / var_x
+    arm = lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % 2
+    g = {0: [u for u in per if arm(u) == 0], 1: [u for u in per if arm(u) == 1]}
+    ya = sum(ys[u] for u in g[0]) / len(g[0])
+    yb = sum(ys[u] for u in g[1]) / len(g[1])
+    xa = sum(xs[u] for u in g[0]) / len(g[0])
+    xb = sum(xs[u] for u in g[1]) / len(g[1])
+    row = experiment_cuped_eval(spark, sf_dir).collect()[0]
+    assert row["n_users"] == n
+    assert abs(row["theta"] - theta) < 1e-5
+    assert abs(row["lift_raw"] - (yb - ya)) < 1e-5
+    adj = (yb - theta * (xb - mean_x)) - (ya - theta * (xa - mean_x))
+    assert abs(row["lift_cuped"] - adj) < 1e-5
+    vr = 1.0 - (var_y - cov * cov / var_x) / var_y
+    assert abs(row["variance_reduction"] - vr) < 1e-5
+    assert 0.0 <= row["variance_reduction"] <= 1.0
