@@ -21,9 +21,6 @@ def test_queries_oracles_keys_consistent():
     assert set(oracles) <= set(qs)
 
 
-def test_all_queries_run_and_have_stable_schema(spark, sf_dir):
-    for name, fn in entrymod.queries().items():
-        df = fn(spark, sf_dir)
-        assert df.columns, name
-        # column names must be duplicate-free for the driver's sorted compare
-        assert len(df.columns) == len(set(df.columns)), name
+# The full-registry analysis sweep lives in tests/test_registry_sweep_a.py
+# and tests/test_registry_sweep_b.py (split per the r11 verdict so the two
+# halves can be run — and timed — independently as the registry grows).

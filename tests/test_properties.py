@@ -4,15 +4,23 @@ Invariants that must hold for ANY input, not just the testdata: partial-sum
 composition (the algebra that makes map-side combine correct), dedup
 idempotence, and join cardinality bounds. Examples are kept small — each runs
 a real local Spark job.
+
+Example counts follow the SNAPSHOT_FUZZ_EXAMPLES discipline: the default
+profile is LEAN (PROPERTY_EXAMPLES=4 — these invariants are exact algebra,
+so a counterexample class almost always shows at tiny sizes), and the
+per-round deep soak re-runs the file with PROPERTY_EXAMPLES=12+.
 """
 
 from __future__ import annotations
+
+import os
 
 from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
-_settings = settings(max_examples=8, deadline=None)
+_N_EXAMPLES = int(os.environ.get("PROPERTY_EXAMPLES", "4"))
+_settings = settings(max_examples=_N_EXAMPLES, deadline=None)
 
 rows = st.lists(
     st.tuples(
@@ -151,7 +159,7 @@ def test_discrete_median_strategies_match_python_oracle(spark):
     )
 
     @settings(
-        max_examples=12,
+        max_examples=_N_EXAMPLES + _N_EXAMPLES // 2,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
