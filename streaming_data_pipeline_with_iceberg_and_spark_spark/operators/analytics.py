@@ -2567,19 +2567,48 @@ ORDER BY day
 def daily_type_grid(ev: DataFrame) -> DataFrame:
     """Zero-filled per-type daily count series over the global
     [min day, max day] spine — the one series definition the monitoring
-    faces (CUSUM changepoint, seasonal-naive backtest) share. A silent
-    day is a signal, not a gap, so every type's series has the same
-    length and statistics are comparable across types. The spine is
-    calendar-bounded and BROADCASTs against the distinct-type frame; the
-    only corpus-scale work is the one (type, day) hash agg."""
-    ev = ev.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
-    daily = (
-        ev.select(
+    faces (CUSUM changepoint, seasonal-naive backtest) share. Since
+    round 12 the op IS the composition ``grid_from_daily_cells ∘
+    daily_type_cells`` — the leaf-cell pass the FIFTEENTH incremental
+    path (``streaming.ingest.start_incremental_daily_type_ingest``)
+    maintains, so the monitoring dashboard re-reads a
+    |types|×|days|-bounded state table per refresh instead of
+    re-scanning the fact, and batch/maintained faces cannot diverge."""
+    return grid_from_daily_cells(daily_type_cells(ev))
+
+
+def daily_type_cells(ev: DataFrame) -> DataFrame:
+    """Leaf (event_type, day, n) count partials — the one pass over the
+    fact that the batch monitoring grid and the incremental daily-type
+    ingest share (the hourly_counts discipline). The count is an
+    ADDITIVE integer sum, so per-batch partials merge by addition
+    forever: the mergeable-sums IVM class, no ordering contract, late
+    events exact, state bounded by |types| × calendar days."""
+    return (
+        ev.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
             "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
         )
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def merge_daily_type_cells(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch cell partials to one row per
+    (type, day) — the serve-side merge (and the whole job of
+    ``compact_daily_type_cells``)."""
+    return state.groupBy("event_type", "day").agg(F.sum("n").alias("n"))
+
+
+def grid_from_daily_cells(state: DataFrame) -> DataFrame:
+    """Zero-filled grid finalization over (possibly partial) daily cells:
+    merge, then zero-fill over the global [min day, max day] spine. A
+    silent day is a signal, not a gap, so every type's series has the
+    same length and statistics are comparable across types. The spine is
+    calendar-bounded and BROADCASTs against the distinct-type frame —
+    everything after the merge runs on metadata-sized frames."""
+    daily = merge_daily_type_cells(state)
     bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")

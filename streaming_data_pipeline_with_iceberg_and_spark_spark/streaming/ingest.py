@@ -1676,6 +1676,66 @@ def compact_source_token_cells(
     t.overwrite(merge_source_token_cells(t.read()), batch_id=compaction_id)
 
 
+def start_incremental_daily_type_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    cells_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "daily_type_ingest",
+) -> StreamingQuery:
+    """EXACT incremental monitoring-series maintenance — the FIFTEENTH
+    incremental path, mergeable-sums class: each batch appends its
+    (event_type, day, n) count partials
+    (``operators.analytics.daily_type_cells``, the SAME pass the batch
+    monitoring grid uses) under the idempotent namespaced batch key.
+    The count is an additive integer sum — late and out-of-order events
+    merge exactly, no ordering contract, state bounded by
+    |types| × calendar days. ``grid_from_daily_cells`` over the
+    maintained table equals the batch ``daily_type_grid`` over
+    everything ingested, so BOTH monitoring faces — the CUSUM
+    changepoint and the seasonal-naive forecast backtest — serve from
+    metadata-sized state per refresh instead of a fact re-scan (parity
+    test in tests/test_streaming.py asserts the full backtest readout).
+    ``compact_daily_type_cells`` collapses the partials log between
+    drains (overwrite keeps the key log → replay-safe)."""
+    from ..operators.analytics import daily_type_cells
+    from ..sources.snapshots import SnapshotTable
+
+    cells_t = SnapshotTable(spark, cells_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def cells_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells_t.append_batch(
+            daily_type_cells(batch_df), f"{stream_id}#{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(cells_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_daily_type_cells(
+    spark: SparkSession, cells_root: str, compaction_id=None
+) -> None:
+    """Rewrite the daily-cell partials table as its per-(type, day) sum —
+    a semantic no-op (readers merge either way); the overwrite keeps the
+    log so the stream's batch keys survive (the compact_corpus_cells
+    protocol)."""
+    from ..operators.analytics import merge_daily_type_cells
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, cells_root)
+    t.overwrite(merge_daily_type_cells(t.read()), batch_id=compaction_id)
+
+
 def apply_sessions_batch(
     spark: SparkSession,
     closed_t,

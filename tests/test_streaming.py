@@ -2615,3 +2615,101 @@ def test_incremental_mixture_ingest_matches_batch(spark, tmp_path):
     drain()
     assert cells_t.current_version() == v
     assert canon(mixture_from_token_cells(cells_t.read())) == want
+
+
+def test_incremental_daily_type_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental monitoring-series maintenance (mergeable-sums
+    class, the fifteenth path): the zero-filled grid read from the
+    maintained (event_type, day) cells must equal batch daily_type_grid
+    over everything ingested — including later batches revisiting
+    (type, day) cells (additive merge), NULL ts/type rows (excluded on
+    both paths), and out-of-order days (no ordering contract). The
+    parity is asserted through the FULL forecast-backtest readout so the
+    serving face, not just the state, is pinned. Compaction is a
+    semantic no-op that still blocks replay; a re-drain adds nothing."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        _FC_LAG_DAYS,
+        daily_type_cells,
+        daily_type_grid,
+        grid_from_daily_cells,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_daily_type_cells,
+        start_incremental_daily_type_ingest,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    all_rows = []
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for eid, ts, et in specs:
+                row = {"event_id": eid, "ts": ts, "event_type": et}
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    # batch 1: a 10-day span with gaps; batch 2 arrives out of order,
+    # revisits day 3 for "view" and adds a new type
+    write_file("a.json", [(1, "2024-01-01 10:00:00", "view"),
+                          (2, "2024-01-03 11:00:00", "view"),
+                          (3, "2024-01-10 09:00:00", "click"),
+                          (4, None, "view"),
+                          (5, "2024-01-05 08:00:00", None)])
+    write_file("b.json", [(6, "2024-01-03 12:00:00", "view"),
+                          (7, "2024-01-02 07:00:00", "purchase"),
+                          (8, "2024-01-09 23:59:59", "view")])
+    cells_root = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, event_type string"
+
+    def drain():
+        q = start_incremental_daily_type_ingest(
+            spark,
+            str(src),
+            cells_root,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    cells_t = SnapshotTable(spark, cells_root)
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["event_type"]) for r in all_rows],
+        "event_id long, ts string, event_type string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+
+    def canon(df):
+        return sorted(tuple(str(v) for v in row) for row in df.collect())
+
+    want_grid = canon(daily_type_grid(batch_df))
+    assert canon(grid_from_daily_cells(cells_t.read())) == want_grid and want_grid
+
+    # the serving faces: replay the backtest arithmetic over both grids
+    from pyspark.sql import Window as W
+
+    def backtest(grid_df):
+        w = W.partitionBy("event_type").orderBy("day")
+        p = grid_df.withColumn("pred", F.lag("n", _FC_LAG_DAYS).over(w)).filter(
+            F.col("pred").isNotNull()
+        )
+        return p.groupBy("event_type").agg(
+            F.sum("n").alias("ta"), F.sum("pred").alias("tp")
+        )
+
+    assert canon(backtest(grid_from_daily_cells(cells_t.read()))) == canon(
+        backtest(daily_type_grid(batch_df))
+    )
+
+    compact_daily_type_cells(spark, cells_root)
+    assert canon(grid_from_daily_cells(cells_t.read())) == want_grid
+    assert cells_t.read().count() == daily_type_cells(batch_df).count()
+    v = cells_t.current_version()
+    drain()
+    assert cells_t.current_version() == v
+    assert canon(grid_from_daily_cells(cells_t.read())) == want_grid
