@@ -86,6 +86,19 @@ _MODULES = [
 # quantizers, pinned twins oracle-green — ann_ivf_index is in-window here;
 # pca_embeddings_project: driver-side eigensolver, its distributed input
 # IS the oracle-checked pca_covariance).
+#
+# ROUND-13 ROTATION PLAN (write the r13 window from this, then recompute
+# from the CORRECTNESS_r* ledger as always): head = new r13 ops as they
+# land, then the 14 rows the r12 head displaced (everything below index 50
+# in THIS list — q18/q19/q22, recommend_items, session_top_paths, the
+# three snapshot rows, basket_association_rules, events_item_cooccurrence,
+# null_handling, attribution_last_touch, chunk_documents, mine_triplets —
+# their latest driver rows stay r8 until then), then the six r8 rows
+# deferred outright since r12 (q5_revenue_by_nation — it IS entry();
+# set_except, union_by_name, sort_within_partitions, bm25_prf_search,
+# window_first_last — each with the sibling justification above), then
+# the oldest remaining rows (the r12-window r8 fills rotate out first;
+# the 27 r12-green entries are the youngest and go last).
 _PRIORITY = [
     # (a) new round-12 entries land here, at head
     "train_bpe_merges",
@@ -112,6 +125,7 @@ _PRIORITY = [
     "experiment_ab_eval",
     "touch_conversion_intervals",
     "experiment_cuped_eval",
+    "scd2_from_events",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -162,6 +176,9 @@ _PRIORITY = [
     # experiment_cuped_eval (tenth segment) evicts mine_triplets — L16
     # shares the user-item taste-graph atoms with the in-window
     # item_pagerank and negative_sampling_uniform.
+    # scd2_from_events (eleventh segment) evicts q14_promo_revenue — the
+    # lineitem⋈part filter-agg family keeps q16/q17 in-window and the
+    # disjunctive variant q19 defers alongside it.
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
@@ -185,7 +202,6 @@ _PRIORITY = [
     "q9_product_profit",
     "q10_returned_items",
     "q13_customer_distribution",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
@@ -203,6 +219,7 @@ _PRIORITY = [
     "attribution_last_touch",
     "chunk_documents",
     "mine_triplets",
+    "q14_promo_revenue",
 ]
 
 

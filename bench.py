@@ -199,6 +199,8 @@ HEADLINE = [
     "experiment_ab_eval",
     "touch_conversion_intervals",
     "experiment_cuped_eval",
+    # Appended round 12, eleventh segment: SCD2 dimension versioning.
+    "scd2_from_events",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -327,7 +327,78 @@ GROUP BY user_id, session_id
 """
 
 
+def scd2_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 build (NEW round 12; Kimball's
+    SCD2 — the warehouse pattern behind every versioned dimension): fold
+    each user's event stream into attribute-version rows. The tracked
+    attribute is the user's current activity state (event_type);
+    consecutive duplicates collapse (a repeated state is NOT a new
+    version — the classic SCD2 change-detection rule), each surviving
+    change opens a version with valid_from = its timestamp and
+    valid_to = the next version's valid_from (half-open periods; NULL =
+    still current), is_current flags the open row, version numbers are
+    1-based per user.
+
+    Scale shape: ONE user-keyed shuffle; the change-detection lag, the
+    validity lead and the version row_number all ride the same
+    (user_id × (ts, event_id)) window partitioning — Catalyst plans one
+    Sort + three window functions, no second exchange. Deterministic:
+    the (ts, event_id) order key is unique."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.lag("event_type").over(w).alias("_prev"),
+    ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.row_number().over(wc).alias("version"),
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wc).alias("valid_to"),
+        F.lead("ts").over(wc).isNull().alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+SCD2_SQL = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type AS state
+  FROM (
+    SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS _prev
+    FROM ev
+  )
+  WHERE _prev IS NULL OR _prev != event_type
+)
+SELECT user_id,
+       ROW_NUMBER() OVER w AS version,
+       state,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
 QUERIES = {
+    "scd2_from_events": scd2_from_events,
     "window_rank": window_rank,
     "window_lag_lead": window_lag_lead,
     "window_running_sum": window_running_sum,
@@ -340,6 +411,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    # round 12: Kimball SCD2 versioning (change-collapse + validity lead)
+    "scd2_from_events": SCD2_SQL,
     "window_rank": WINDOW_RANK_SQL,
     "window_lag_lead": WINDOW_LAG_LEAD_SQL,
     "window_running_sum": WINDOW_RUNNING_SUM_SQL,

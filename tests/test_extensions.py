@@ -3302,3 +3302,49 @@ def test_experiment_cuped_recompute(spark, sf_dir):
     vr = 1.0 - (var_y - cov * cov / var_x) / var_y
     assert abs(row["variance_reduction"] - vr) < 1e-5
     assert 0.0 <= row["variance_reduction"] <= 1.0
+
+
+def test_scd2_invariants(spark, sf_dir):
+    """SCD2 contract on the real stream: per user exactly one current row;
+    versions are 1..k contiguous; periods chain (valid_to == next
+    valid_from) and never go backwards; consecutive versions always
+    change state; the version count equals the user's change count
+    recomputed in python."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.windows import (
+        scd2_from_events,
+    )
+
+    rows = scd2_from_events(spark, sf_dir).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    ev = (
+        load(spark, "events", sf_dir)
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams = {}
+    for r in ev:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    for u, vs in per_user.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        assert sum(r["is_current"] for r in vs) == 1 and vs[-1]["is_current"]
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
+            assert a["state"] != b["state"]
+        # python recompute of the collapsed change count
+        seq = [t for _, _, t in sorted(streams[u])]
+        changes = 1 + sum(1 for x, y in zip(seq, seq[1:]) if x != y)
+        assert len(vs) == changes, u
+    assert set(per_user) == set(streams)

@@ -968,7 +968,8 @@ def test_r12_monitoring_faces_stay_bounded(plan):
     sort-aggregate the fact."""
     import re
 
-    for name in ("events_forecast_backtest", "attribution_linear"):
+    for name in ("events_forecast_backtest", "attribution_linear",
+                 "scd2_from_events"):
         p = plan(name)
         assert "CartesianProduct" not in p, name
         keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
