@@ -126,6 +126,7 @@ _PRIORITY = [
     "touch_conversion_intervals",
     "experiment_cuped_eval",
     "scd2_from_events",
+    "label_purity_ivf_audit",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -179,6 +180,10 @@ _PRIORITY = [
     # scd2_from_events (eleventh segment) evicts q14_promo_revenue — the
     # lineitem⋈part filter-agg family keeps q16/q17 in-window and the
     # disjunctive variant q19 defers alongside it.
+    # label_purity_ivf_audit (twelfth segment) evicts q13_customer_
+    # distribution — its outer-join + distribution-histogram shape is
+    # kept fresh by the in-window join_full_outer and the r10-green
+    # agg/distinct family.
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
@@ -201,7 +206,6 @@ _PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
@@ -220,6 +224,7 @@ _PRIORITY = [
     "chunk_documents",
     "mine_triplets",
     "q14_promo_revenue",
+    "q13_customer_distribution",
 ]
 
 

@@ -201,6 +201,8 @@ HEADLINE = [
     "experiment_cuped_eval",
     # Appended round 12, eleventh segment: SCD2 dimension versioning.
     "scd2_from_events",
+    # Appended round 12, twelfth segment: full-corpus IVF label purity.
+    "label_purity_ivf_audit",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

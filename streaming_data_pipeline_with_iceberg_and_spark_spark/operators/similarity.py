@@ -2301,6 +2301,213 @@ def pca_embeddings_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PURITY_K = 10  # neighbors per audited vector (excluding self)
 
 
+def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS kNN label-noise audit via the pinned IVF index (NEW
+    round 12) — the scale path ``label_knn_purity``'s docstring promises,
+    realized: EVERY vector is audited against its k=10 nearest IVF
+    candidates (nprobe=2 pinned-Forgy cells — the ann_ivf_index
+    machinery, so seed choice, cell assignment, probe selection and
+    candidate scoring are all reproducible in ANSI SQL), and the
+    per-vector verdicts roll up to a per-label report: vectors audited,
+    suspected mislabels (majority of IVF neighbors disagrees), suspect
+    rate, and mean neighbor agreement — the label-health dashboard a
+    training-data team reads before trusting a labeled corpus.
+
+    Scale shape: assignment and probing are the inherent IVF n×k dot
+    products (broadcast centroid frame, WindowGroupLimit keeps nprobe
+    rows per vector); candidates join on the cell key (never all-pairs;
+    candidate count per vector ≈ nprobe·n/k ≈ 2√n at the √n cell rule);
+    the verdict and label rollup run on ≤ n·k then ≤ |labels| rows.
+    Driver state = the ≤ k·d pinned seed list (the bounded-collect
+    contract). Same round-5 cosine + vec_id ties as every knn face."""
+    emb = load_spread(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    n = emb.count()
+    out_schema = (
+        "label int, n_audited bigint, n_suspect bigint, "
+        "suspect_rate double, mean_agree double"
+    )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    k = _ivf_n_cells(n)
+    cents = pinned_forgy_seeds(emb, k)
+    cells = spark.createDataFrame(
+        [(j, cents[j], _seq_half_sq(cents[j])) for j in range(len(cents))],
+        "cell int, c array<double>, chalf double",
+    )
+    scored_cells = (
+        emb.select("vec_id", "label", "embedding")
+        .withColumn("nrm", norm("embedding"))
+        .crossJoin(F.broadcast(cells))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "nrm",
+            "cell",
+            (dot("embedding", "c") - F.col("chalf")).alias("score"),
+        )
+    )
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    probes = (
+        scored_cells.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+            "cell",
+        )
+    )
+    members = pinned_fold_assign(spark, emb, cents).select(
+        "vec_id", "cell", "embedding"
+    ).join(
+        emb.select("vec_id", F.col("label").alias("nb_label")), "vec_id"
+    ).withColumn("nrm", norm("embedding"))
+    cands = probes.join(members, "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        "nb_label",
+        F.round(
+            dot(F.col("q_vec"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm")),
+            5,
+        ).alias("cos_sim"),
+    )
+    wn = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    nbrs = cands.withColumn("rank", F.row_number().over(wn)).filter(
+        F.col("rank") <= _PURITY_K
+    )
+    votes = nbrs.groupBy("q_id", "q_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("nb_label"))
+    maj = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("q_id", F.col("nb_label").alias("majority_label"))
+    )
+    agree = votes.filter(F.col("q_label") == F.col("nb_label")).select(
+        "q_id", F.col("n").alias("n_agree")
+    )
+    perq = (
+        votes.groupBy("q_id", "q_label")
+        .agg(F.sum("n").alias("k_found"))
+        .join(maj, "q_id")
+        .join(agree, "q_id", "left")
+        .select(
+            "q_id",
+            F.col("q_label").alias("label"),
+            F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
+            (F.col("q_label") != F.col("majority_label")).cast("long").alias(
+                "suspect"
+            ),
+        )
+    )
+    return (
+        perq.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_audited"),
+            F.sum("suspect").cast("long").alias("n_suspect"),
+            F.round(F.avg(F.col("suspect").cast("double")), 6).alias(
+                "suspect_rate"
+            ),
+            F.round(F.avg(F.col("n_agree").cast("double")), 6).alias(
+                "mean_agree"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_PURITY_IVF_SQL = f"""
+WITH p(np) AS (SELECT {_IVF_NPROBE}),
+kk AS (
+  SELECT GREATEST(4, LEAST({_IVF_MAX_CELLS},
+         CAST(FLOOR(SQRT(COUNT(*))) AS INT))) AS k
+  FROM embeddings
+),
+ev AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cell,
+         v AS c
+  FROM ev
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            <= (SELECT k FROM kk)
+),
+cn AS (SELECT cell, c, list_inner_product(c, c) / 2.0 AS chalf FROM seeds),
+assign AS (
+  SELECT vec_id, label, v, cell FROM (
+    SELECT ev.vec_id, ev.label, ev.v, cn.cell,
+           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+             ORDER BY (list_inner_product(ev.v, cn.c) - cn.chalf) DESC,
+                      cn.cell ASC) AS rn
+    FROM ev, cn
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, q_label, q_vec, cell FROM (
+    SELECT ev.vec_id AS q_id, ev.label AS q_label, ev.v AS q_vec, cn.cell,
+           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+             ORDER BY (list_inner_product(ev.v, cn.c) - cn.chalf) DESC,
+                      cn.cell ASC) AS rn
+    FROM ev, cn
+  ) WHERE rn <= (SELECT np FROM p)
+),
+nbrs AS (
+  SELECT * FROM (
+    SELECT q_id, q_label, vec_id, nb_label, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, vec_id ASC) AS rank
+    FROM (
+      SELECT pr.q_id, pr.q_label, a.vec_id, a.label AS nb_label,
+             ROUND(list_cosine_similarity(pr.q_vec, a.v), 5) AS cos_sim
+      FROM probes pr JOIN assign a
+        ON a.cell = pr.cell AND a.vec_id != pr.q_id
+    )
+  ) WHERE rank <= {_PURITY_K}
+),
+votes AS (
+  SELECT q_id, q_label, nb_label, COUNT(*) AS n
+  FROM nbrs GROUP BY 1, 2, 3
+),
+maj AS (
+  SELECT q_id, nb_label AS majority_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY n DESC, nb_label ASC) AS r
+    FROM votes
+  ) WHERE r = 1
+),
+agree AS (SELECT q_id, n AS n_agree FROM votes WHERE q_label = nb_label),
+perq AS (
+  SELECT b.q_id, b.q_label AS label,
+         COALESCE(a.n_agree, 0) AS n_agree,
+         CASE WHEN b.q_label != m.majority_label THEN 1 ELSE 0 END AS suspect
+  FROM (SELECT q_id, q_label FROM votes GROUP BY 1, 2) b
+  JOIN maj m USING (q_id)
+  LEFT JOIN agree a USING (q_id)
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_audited,
+       CAST(SUM(suspect) AS BIGINT) AS n_suspect,
+       ROUND(AVG(CAST(suspect AS DOUBLE)), 6) AS suspect_rate,
+       ROUND(AVG(CAST(n_agree AS DOUBLE)), 6) AS mean_agree
+FROM perq
+GROUP BY label
+ORDER BY label
+"""
+
+
 def label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-agreement audit (NEW round 12) — sampled label-noise
     detection (the Confident-Learning / deep-kNN heuristic: a vector
@@ -2451,6 +2658,7 @@ QUERIES = {
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "embedding_norm_audit": embedding_norm_audit,
     "label_knn_purity": label_knn_purity,
+    "label_purity_ivf_audit": label_purity_ivf_audit,
 }
 
 ORACLES = {
@@ -2465,6 +2673,8 @@ ORACLES = {
     "embedding_norm_audit": EMBEDDING_NORM_AUDIT_SQL,
     # round 12: sampled kNN label-noise audit (exact-baseline fold replayed)
     "label_knn_purity": LABEL_KNN_PURITY_SQL,
+    # round 12: full-corpus IVF-candidate purity rollup (pinned quantizer)
+    "label_purity_ivf_audit": LABEL_PURITY_IVF_SQL,
     # round 6: ann_lsh_hyperplane upgraded from rows-only to value-exact
     # (md5-derived hyperplane weights reproducible in DuckDB)
     "ann_lsh_hyperplane": ANN_LSH_SQL,

@@ -3348,3 +3348,51 @@ def test_scd2_invariants(spark, sf_dir):
         changes = 1 + sum(1 for x, y in zip(seq, seq[1:]) if x != y)
         assert len(vs) == changes, u
     assert set(per_user) == set(streams)
+
+
+def test_label_purity_ivf_audit_totals(spark, sf_dir):
+    """Every vector is audited exactly once; rates and agreement bounded."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        _PURITY_K,
+        label_purity_ivf_audit,
+    )
+
+    rows = label_purity_ivf_audit(spark, sf_dir).collect()
+    n = load(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull()
+    ).count()
+    assert sum(r["n_audited"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["n_suspect"] <= r["n_audited"]
+        assert 0.0 <= r["suspect_rate"] <= 1.0
+        assert 0.0 <= r["mean_agree"] <= _PURITY_K
+
+
+def test_label_purity_ivf_audit_clean_on_separated_clusters(spark, tmp_path):
+    """On a corpus whose labels are well-separated clusters, every
+    vector's IVF neighbors share its label — zero suspects, full
+    agreement (the audit is discriminative exactly when labels and
+    geometry disagree)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        label_purity_ivf_audit,
+    )
+
+    sf = str(tmp_path)
+    rows = []
+    # 3 labels, 40 members each, clusters on distant orthogonal axes with
+    # small deterministic jitter
+    for lab in range(3):
+        for i in range(40):
+            base = [0.0] * 8
+            base[lab] = 10.0
+            base[(lab + 3) % 8] = 0.01 * (i % 7)
+            rows.append((lab * 100 + i, [float(x) for x in base], lab))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = label_purity_ivf_audit(spark, sf).collect()
+    assert sum(r["n_audited"] for r in out) == 120
+    for r in out:
+        assert r["n_suspect"] == 0, r
+        assert r["suspect_rate"] == 0.0
