@@ -127,6 +127,7 @@ _PRIORITY = [
     "experiment_cuped_eval",
     "scd2_from_events",
     "label_purity_ivf_audit",
+    "customer_ltv_cohorts",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -184,6 +185,9 @@ _PRIORITY = [
     # distribution — its outer-join + distribution-histogram shape is
     # kept fresh by the in-window join_full_outer and the r10-green
     # agg/distinct family.
+    # customer_ltv_cohorts (thirteenth segment) evicts q15_top_supplier —
+    # its agg + global-max pick is the q2 correlated-min family with
+    # agg_global r10-green and seven TPC-H rows still in-window.
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
@@ -206,7 +210,6 @@ _PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q15_top_supplier",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
@@ -225,6 +228,7 @@ _PRIORITY = [
     "mine_triplets",
     "q14_promo_revenue",
     "q13_customer_distribution",
+    "q15_top_supplier",
 ]
 
 

@@ -203,6 +203,8 @@ HEADLINE = [
     "scd2_from_events",
     # Appended round 12, twelfth segment: full-corpus IVF label purity.
     "label_purity_ivf_audit",
+    # Appended round 12, thirteenth segment: cohort LTV triangle.
+    "customer_ltv_cohorts",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

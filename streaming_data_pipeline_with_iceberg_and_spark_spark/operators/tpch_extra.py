@@ -18,7 +18,7 @@ These shapes exercise the Catalyst paths that matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -978,7 +978,94 @@ ORDER BY abc_class
 """
 
 
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (NEW round 12): customers grouped by
+    first-order month, revenue tracked by months-since-acquisition —
+    each cohort row carries active customers, period revenue, and the
+    cumulative LTV running sum, the triangle every subscription /
+    repeat-purchase business reads to compare acquisition vintages
+    (the revenue-side twin of ``cohort_retention``'s activity triangle).
+
+    Money discipline (the abc_pareto lesson): o_totalprice becomes
+    integer CENTS per ROW, so period and cumulative sums are order-free
+    longs — cross-engine exact with no float-sum-order caveat. Scale
+    shape: one customer-keyed min-agg for cohort assignment (the only
+    corpus-scale shuffle), one (cohort, offset) hash agg, then the
+    cumulative window runs per cohort over the ≤ months² triangle —
+    calendar-bounded metadata, never the fact."""
+    orders = load(spark, "orders", sf_dir).filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    j = orders.join(first, "o_custkey").select(
+        "o_custkey",
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date"),
+            F.col("cohort"),
+        )
+        .cast("long")
+        .alias("month_offset"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    cell = j.groupBy("cohort", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cell.select(
+        F.col("cohort").alias("cohort_month"),
+        "month_offset",
+        F.col("n_active_customers").cast("long").alias("n_active_customers"),
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.sum("revenue_cents").over(w).cast("long").alias("cum_revenue_cents"),
+    ).orderBy("cohort_month", "month_offset")
+
+
+CUSTOMER_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_totalprice FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+first AS (
+  SELECT o_custkey,
+         CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort
+  FROM o GROUP BY o_custkey
+),
+j AS (
+  SELECT o.o_custkey, f.cohort,
+         CAST(datediff('month', f.cohort,
+                       CAST(date_trunc('month', o.o_orderdate) AS DATE))
+              AS BIGINT) AS month_offset,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM o JOIN first f USING (o_custkey)
+),
+cell AS (
+  SELECT cohort, month_offset,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active_customers,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents
+  FROM j GROUP BY 1, 2
+)
+SELECT cohort AS cohort_month, month_offset, n_active_customers,
+       revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort ORDER BY month_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue_cents
+FROM cell
+ORDER BY cohort_month, month_offset
+"""
+
+
 QUERIES = {
+    "customer_ltv_cohorts": customer_ltv_cohorts,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q11_important_parts": q11_important_parts,
     "q20_excess_share_suppliers": q20_excess_share_suppliers,
@@ -1000,6 +1087,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    # round 12: cohort LTV triangle (integer cents, bounded window)
+    "customer_ltv_cohorts": CUSTOMER_LTV_SQL,
     "q2_min_cost_supplier": Q2_SQL,
     "q11_important_parts": Q11_SQL,
     "q20_excess_share_suppliers": Q20_SQL,

@@ -3396,3 +3396,49 @@ def test_label_purity_ivf_audit_clean_on_separated_clusters(spark, tmp_path):
     for r in out:
         assert r["n_suspect"] == 0, r
         assert r["suspect_rate"] == 0.0
+
+
+def test_customer_ltv_cohorts_invariants(spark, sf_dir):
+    """Cohort accounting identities: offsets are non-negative and 0 exists
+    for every cohort (the acquisition month itself); cumulative revenue
+    is the running sum of period revenue; the grand total equals the
+    corpus order total in exact cents; active-customer counts never
+    exceed the cohort's size at offset 0... (not monotone — a cohort can
+    have MORE active customers later; only the offset-0 count equals the
+    cohort's acquisition size)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.tpch_extra import (
+        customer_ltv_cohorts,
+    )
+
+    rows = customer_ltv_cohorts(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    for c, vs in by_cohort.items():
+        vs.sort(key=lambda r: r["month_offset"])
+        assert vs[0]["month_offset"] == 0, c
+        cum = 0
+        for r in vs:
+            assert r["month_offset"] >= 0
+            cum += r["revenue_cents"]
+            assert r["cum_revenue_cents"] == cum, r
+    total = sum(r["revenue_cents"] for r in rows)
+    want = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert total == want
+    # offset-0 active counts sum to the number of distinct customers
+    n_cust = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(vs[0]["n_active_customers"] for vs in by_cohort.values()) == n_cust
