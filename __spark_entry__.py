@@ -128,6 +128,7 @@ _PRIORITY = [
     "scd2_from_events",
     "label_purity_ivf_audit",
     "customer_ltv_cohorts",
+    "impute_events_value",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -188,6 +189,10 @@ _PRIORITY = [
     # customer_ltv_cohorts (thirteenth segment) evicts q15_top_supplier —
     # its agg + global-max pick is the q2 correlated-min family with
     # agg_global r10-green and seven TPC-H rows still in-window.
+    # impute_events_value (fourteenth segment) evicts q10_returned_items
+    # — the returned-revenue join shape shares its chain with the
+    # in-window q1/q3/q7-q9 family (top_customers was already deferred
+    # on the same justification).
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
@@ -209,7 +214,6 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
@@ -229,6 +233,7 @@ _PRIORITY = [
     "q14_promo_revenue",
     "q13_customer_distribution",
     "q15_top_supplier",
+    "q10_returned_items",
 ]
 
 

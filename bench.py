@@ -205,6 +205,8 @@ HEADLINE = [
     "label_purity_ivf_audit",
     # Appended round 12, thirteenth segment: cohort LTV triangle.
     "customer_ltv_cohorts",
+    # Appended round 12, fourteenth segment: exact-median data repair.
+    "impute_events_value",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket32
-from ..io import checkpoint_release, load, parquet_row_count
+from ..io import checkpoint_release, load, load_spread, parquet_row_count
 
 _FUNNEL = ["view", "click", "purchase"]
 
@@ -3046,6 +3046,73 @@ FROM m
 """
 
 
+def impute_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-repair face (NEW round 12): NULL event values imputed with
+    their type's EXACT median — the deterministic cleaning step a
+    pipeline applies before any value-weighted aggregate, using the SAME
+    scale-adaptive exact-median machinery as ``events_anomaly_mad`` (the
+    repair and the outlier monitor cannot disagree about the center).
+    Every row survives: non-null values pass through, NULL values take
+    the group median (value itself, no arithmetic — cross-engine exact),
+    groups with NO observed values stay NULL with was_imputed still
+    flagged (an honest repair never invents a number). NULL event_type
+    rows form their own '(none)' group on both engines.
+
+    Scale shape: the median runs on the non-null projection via
+    ``_disc_median_select`` (histogram plan for small domains, sliced
+    ranks for huge groups — never a global sort); the repair itself is
+    one left join of the fact against the |types|-row median frame."""
+    ev = load_spread(spark, "events", sf_dir).filter(
+        F.col("event_id").isNotNull()
+    ).select(
+        "event_id",
+        "event_type",
+        F.coalesce("event_type", F.lit("(none)")).alias("k"),
+        "value",
+    )
+    med = _disc_median_select(
+        ev.filter(F.col("value").isNotNull()).select("k", "event_id", "value"),
+        "k",
+        "event_id",
+        "value",
+        "type_median",
+    )
+    return (
+        ev.join(F.broadcast(med), "k", "left")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce("value", "type_median").alias("value_imputed"),
+            F.col("value").isNull().alias("was_imputed"),
+        )
+        .orderBy("event_id")
+    )
+
+
+IMPUTE_EVENTS_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         COALESCE(event_type, '(none)') AS k, value
+  FROM events WHERE event_id IS NOT NULL
+),
+nn AS (SELECT k, event_id, value FROM ev WHERE value IS NOT NULL),
+med AS (
+  SELECT k, value AS type_median FROM (
+    SELECT k, value,
+           ROW_NUMBER() OVER (PARTITION BY k
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY k) AS n
+    FROM nn
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT e.event_id, e.event_type,
+       COALESCE(e.value, m.type_median) AS value_imputed,
+       e.value IS NULL AS was_imputed
+FROM ev e LEFT JOIN med m ON m.k = e.k
+ORDER BY e.event_id
+"""
+
+
 def experiment_cuped_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced experiment readout (NEW round 12; Deng et
     al., WSDM'13 — the industry-standard pre-experiment covariate
@@ -3598,6 +3665,7 @@ QUERIES = {
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
     "experiment_cuped_eval": experiment_cuped_eval,
+    "impute_events_value": impute_events_value,
     "touch_conversion_intervals": touch_conversion_intervals,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
@@ -3674,6 +3742,8 @@ ORACLES = {
     "experiment_ab_eval": EXPERIMENT_AB_SQL,
     # round 12: CUPED covariate adjustment (pooled moments closed form)
     "experiment_cuped_eval": EXPERIMENT_CUPED_SQL,
+    # round 12: median imputation on the shared exact-median machinery
+    "impute_events_value": IMPUTE_EVENTS_SQL,
     # round 12: per-channel Wilson interval on the shared converting-touch def
     "touch_conversion_intervals": TOUCH_CONVERSION_CI_SQL,
     "point_in_time_features": PIT_FEATURES_SQL,

@@ -3442,3 +3442,35 @@ def test_customer_ltv_cohorts_invariants(spark, sf_dir):
         .select("o_custkey").distinct().count()
     )
     assert sum(vs[0]["n_active_customers"] for vs in by_cohort.values()) == n_cust
+
+
+def test_impute_events_value_contract(spark, tmp_path):
+    """Crafted corpus pins the repair contract: pass-through of observed
+    values, exact group median for NULLs (even group size picks rank
+    ⌈n/2⌉ — the lower middle), the '(none)' group for NULL types, and a
+    group with no observed values staying NULL while still flagged."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        impute_events_value,
+    )
+
+    sf = str(tmp_path)
+    rows = [
+        # type a: values 1, 3, 5, NULL  -> median rank (3+1)//2=2 -> 3.0
+        (1, "a", 1.0), (2, "a", 3.0), (3, "a", 5.0), (4, "a", None),
+        # type b: values 10, 20 -> rank (2+1)//2=1 -> 10.0
+        (5, "b", 10.0), (6, "b", None), (7, "b", 20.0),
+        # NULL type: value 7 observed, one NULL -> '(none)' median 7.0
+        (8, None, 7.0), (9, None, None),
+        # type c: nothing observed -> stays NULL, flagged
+        (10, "c", None),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {r["event_id"]: r for r in impute_events_value(spark, sf).collect()}
+    assert got[1]["value_imputed"] == 1.0 and not got[1]["was_imputed"]
+    assert got[4]["value_imputed"] == 3.0 and got[4]["was_imputed"]
+    assert got[6]["value_imputed"] == 10.0 and got[6]["was_imputed"]
+    assert got[9]["value_imputed"] == 7.0 and got[9]["was_imputed"]
+    assert got[10]["value_imputed"] is None and got[10]["was_imputed"]
+    assert len(got) == 10
