@@ -129,6 +129,7 @@ _PRIORITY = [
     "label_purity_ivf_audit",
     "customer_ltv_cohorts",
     "impute_events_value",
+    "events_type_mix_drift",
     # (b) the six remaining r7-era entries
     "dedup_apply",
     "dedup_fingerprint",
@@ -193,6 +194,9 @@ _PRIORITY = [
     # — the returned-revenue join shape shares its chain with the
     # in-window q1/q3/q7-q9 family (top_customers was already deferred
     # on the same justification).
+    # events_type_mix_drift (fifteenth segment) evicts q9_product_profit
+    # — the widest profit join keeps q7/q8 on the same backbone in-window
+    # and every displaced TPC-H row heads r13 together.
     # All evicted rows defer to r13.
     # The earlier ten:
     # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
@@ -213,7 +217,6 @@ _PRIORITY = [
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
@@ -234,6 +237,7 @@ _PRIORITY = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q10_returned_items",
+    "q9_product_profit",
 ]
 
 

@@ -207,6 +207,8 @@ HEADLINE = [
     "customer_ltv_cohorts",
     # Appended round 12, fourteenth segment: exact-median data repair.
     "impute_events_value",
+    # Appended round 12, fifteenth segment: weekly categorical mix drift.
+    "events_type_mix_drift",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -3046,6 +3046,95 @@ FROM m
 """
 
 
+def events_type_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix-drift monitor (NEW round 12): per ISO week, the
+    Jensen-Shannon divergence between that week's event-type mix and the
+    overall corpus mix — the "did the traffic composition change"
+    dashboard line that catches an instrumentation break or a bot wave
+    before any single-type monitor fires (the categorical twin of
+    ``source_unigram_divergence``, on the events axis the CUSUM monitors
+    per type).
+
+    Scale shape: one (week, type) hash agg over the fact; the week×type
+    grid (weeks calendar-bounded × |types|) is metadata-sized, overall
+    totals broadcast as one row. Integer counts; per-cell p/q/log terms
+    in identical IEEE shapes, per-week sums over ≤ |types| terms round
+    at 6."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    wk = ev.select(
+        F.date_trunc("week", F.col("ts").cast("timestamp"))
+        .cast("date")
+        .alias("week"),
+        "event_type",
+    )
+    cells = wk.groupBy("week", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    week_tot = cells.groupBy("week").agg(F.sum("c").alias("n_w"))
+    type_tot = cells.groupBy("event_type").agg(F.sum("c").alias("c_t"))
+    tot = type_tot.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n"))
+    grid = (
+        week_tot.crossJoin(F.broadcast(type_tot))
+        .join(cells, ["week", "event_type"], "left")
+        .select(
+            "week",
+            "n_w",
+            "c_t",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c").cast("double") / F.col("n_w")
+    q = F.col("c_t").cast("double") / F.col("n")
+    mm = (p + q) / 2
+    jsd_term = (
+        F.when(F.col("c") > 0, p * F.log(p / mm)).otherwise(F.lit(0.0)) * 0.5
+        + (q * F.log(q / mm)) * 0.5
+    )
+    return (
+        grid.groupBy("week")
+        .agg(
+            F.max("n_w").cast("long").alias("n_events"),
+            F.sum((F.col("c") > 0).cast("long")).alias("n_types_seen"),
+            F.round(F.sum(jsd_term), 6).alias("jsd_vs_overall"),
+        )
+        .orderBy("week")
+    )
+
+
+EVENTS_TYPE_MIX_SQL = """
+WITH ev AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+cells AS (SELECT week, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+week_tot AS (SELECT week, SUM(c) AS n_w FROM cells GROUP BY week),
+type_tot AS (SELECT event_type, SUM(c) AS c_t FROM cells GROUP BY event_type),
+tot AS (SELECT COALESCE(SUM(c_t), 0) AS n FROM type_tot),
+grid AS (
+  SELECT w.week, w.n_w, t.c_t, COALESCE(cl.c, 0) AS c, x.n
+  FROM week_tot w CROSS JOIN type_tot t CROSS JOIN tot x
+  LEFT JOIN cells cl ON cl.week = w.week AND cl.event_type = t.event_type
+),
+terms AS (
+  SELECT week, n_w, c,
+         CAST(c AS DOUBLE) / n_w AS p,
+         CAST(c_t AS DOUBLE) / n AS q
+  FROM grid
+)
+SELECT week,
+       CAST(MAX(n_w) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_types_seen,
+       ROUND(SUM((CASE WHEN c > 0 THEN p * LN(p / ((p + q) / 2))
+                       ELSE 0.0 END) * 0.5
+                 + (q * LN(q / ((p + q) / 2))) * 0.5), 6) AS jsd_vs_overall
+FROM terms
+GROUP BY week
+ORDER BY week
+"""
+
+
 def impute_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-repair face (NEW round 12): NULL event values imputed with
     their type's EXACT median — the deterministic cleaning step a
@@ -3666,6 +3755,7 @@ QUERIES = {
     "experiment_ab_eval": experiment_ab_eval,
     "experiment_cuped_eval": experiment_cuped_eval,
     "impute_events_value": impute_events_value,
+    "events_type_mix_drift": events_type_mix_drift,
     "touch_conversion_intervals": touch_conversion_intervals,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
@@ -3744,6 +3834,8 @@ ORACLES = {
     "experiment_cuped_eval": EXPERIMENT_CUPED_SQL,
     # round 12: median imputation on the shared exact-median machinery
     "impute_events_value": IMPUTE_EVENTS_SQL,
+    # round 12: weekly categorical mix drift (the JSD pattern on types)
+    "events_type_mix_drift": EVENTS_TYPE_MIX_SQL,
     # round 12: per-channel Wilson interval on the shared converting-touch def
     "touch_conversion_intervals": TOUCH_CONVERSION_CI_SQL,
     "point_in_time_features": PIT_FEATURES_SQL,

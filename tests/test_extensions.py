@@ -3474,3 +3474,45 @@ def test_impute_events_value_contract(spark, tmp_path):
     assert got[9]["value_imputed"] == 7.0 and got[9]["was_imputed"]
     assert got[10]["value_imputed"] is None and got[10]["was_imputed"]
     assert len(got) == 10
+
+
+def test_events_type_mix_drift_bounds_and_zero_case(spark, tmp_path):
+    """JSD ∈ [0, ln 2]; a corpus whose weekly mix equals the overall mix
+    exactly scores 0.0 every week; n_events sums to the fact size."""
+    import math as _math
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        events_type_mix_drift,
+    )
+
+    sf0 = "/root/testdata/sf0.01"
+    rows = events_type_mix_drift(spark, sf0).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["jsd_vs_overall"] <= _math.log(2) + 1e-9
+    n = (
+        load(spark, "events", sf0)
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .count()
+    )
+    assert sum(r["n_events"] for r in rows) == n
+
+    # identical mix every week -> exact 0.0 (p == q cell-for-cell)
+    sf = str(tmp_path)
+    data = []
+    eid = 0
+    for wk_day in ("2024-01-01", "2024-01-08", "2024-01-15"):
+        for et, k in (("view", 6), ("click", 3), ("purchase", 1)):
+            for i in range(k):
+                data.append((eid, f"{wk_day} 10:00:00", et))
+                eid += 1
+    spark.createDataFrame(
+        data, "event_id long, ts string, event_type string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "event_type"
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = events_type_mix_drift(spark, sf).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["jsd_vs_overall"] == 0.0 and r["n_types_seen"] == 3
