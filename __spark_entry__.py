@@ -60,184 +60,82 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# After round 11 the latest-row histogram is r7:6, r8:50, r9:50, r10:50,
-# r11:50 with zero failures ever recorded as latest state and NO
-# never-checked entries.  Round 12's window is:
-# (a) new round-12 entries, inserted at the head as they land;
-# (b) ALL six remaining r7-era entries (latest ledger row r7, computed from
-#     the CORRECTNESS_r* files at round-12 start) — after this window no
-#     entry's latest row predates r8;
-# (c) the eight r8 fills displaced from the r11 window by its late new ops
-#     (ann_ivf_index, events_markov_transitions, events_dau_wau_mau,
-#     funnel_latency, hybrid_search_rrf, item_pagerank, join_full_outer,
-#     join_semi);
-# (d) the remaining slots on the oldest r8 rows, with the most-displaceable
-#     rows LAST so each new (a) entry evicts the row with the strongest
-#     fresher same-surface sibling.  Six r8 rows are deferred to r13
-#     outright (50 slots < 56 stale rows): q5_revenue_by_nation (it IS
-#     entry(), smoke-run by the driver every round), set_except +
-#     union_by_name (setops surface; set_union r11-green, set_intersect
-#     r10-green), sort_within_partitions (sort_limit_topk r10-green),
-#     bm25_prf_search (composes the identical BM25 chain as the r11-green
-#     bm25_search, twice), window_first_last (W2 surface shared with the
-#     r10-green window_lag_lead).
+# After round 12 the latest-row histogram (recomputed from the
+# CORRECTNESS_r* ledger at round-13 start) is r8:35, r9:50, r10:50, r11:50,
+# r12:50 — zero failures ever recorded as latest state, no never-checked
+# entries.  ROUND-13 WINDOW (executes the written r13 rotation plan):
+# (a) new round-13 entries, inserted at the head as they land;
+# (b) ALL 35 remaining r8-era rows — every row the r12 head displaced
+#     (q9/q10/q13/q14/q15/q18/q19/q22, recommend_items, session_top_paths,
+#     the three snapshot rows, basket_association_rules,
+#     events_item_cooccurrence, null_handling, attribution_last_touch,
+#     chunk_documents, mine_triplets), the six rows deferred outright since
+#     r12 (q5_revenue_by_nation, set_except, union_by_name,
+#     sort_within_partitions, bm25_prf_search, window_first_last), and the
+#     ten earlier r11-eviction deferrals (scalar_string_funcs,
+#     q6_forecast_revenue, top_customers, events_rfm_segments,
+#     item_communities, item_triangles, mmr_search, retrieval_eval,
+#     quantize_embeddings_int8, text_perplexity_bigram).
+#     35 + up to 15 new head entries = the 50-slot window; after r13 NO
+#     entry's latest driver row predates r9.  Ordering within (b): the
+#     displaced TPC-H family and one-of-a-kind surfaces FIRST (no fresh
+#     sibling covers them), rows whose surface has an r10+-green sibling
+#     LAST so a 16th+ new head entry evicts the row with the strongest
+#     fresher same-surface sibling (eviction justifications inline below).
 # Rows-only entries keep their standing impossibility contracts
 # (agg_hll_mergeable: sketch internals; ann_pq / ann_ivf: learned
-# quantizers, pinned twins oracle-green — ann_ivf_index is in-window here;
-# pca_embeddings_project: driver-side eigensolver, its distributed input
-# IS the oracle-checked pca_covariance).
-#
-# ROUND-13 ROTATION PLAN (write the r13 window from this, then recompute
-# from the CORRECTNESS_r* ledger as always): head = new r13 ops as they
-# land, then the 14 rows the r12 head displaced (everything below index 50
-# in THIS list — q18/q19/q22, recommend_items, session_top_paths, the
-# three snapshot rows, basket_association_rules, events_item_cooccurrence,
-# null_handling, attribution_last_touch, chunk_documents, mine_triplets —
-# their latest driver rows stay r8 until then), then the six r8 rows
-# deferred outright since r12 (q5_revenue_by_nation — it IS entry();
-# set_except, union_by_name, sort_within_partitions, bm25_prf_search,
-# window_first_last — each with the sibling justification above), then
-# the oldest remaining rows (the r12-window r8 fills rotate out first;
-# the 27 r12-green entries are the youngest and go last).
+# quantizers, pinned twins oracle-green; pca_embeddings_project: driver-side
+# eigensolver, its distributed input IS the oracle-checked pca_covariance).
 _PRIORITY = [
-    # (a) new round-12 entries land here, at head
-    "train_bpe_merges",
-    "bpe_apply_merges",
-    "decontaminate_split",
-    "split_leakage_audit",
-    "quantization_recall_eval",
-    "bpe_compression_curve",
-    "point_in_time_features",
-    "negative_sampling_uniform",
-    "label_balance_audit",
-    "embedding_drift_audit",
-    "classifier_auc_eval",
-    "lang_id_kappa",
-    "label_knn_purity",
-    "source_unigram_divergence",
-    "text_readability",
-    "events_forecast_backtest",
-    "attribution_linear",
-    "entity_match_candidates",
-    "join_key_skew_audit",
-    "order_reconciliation_audit",
-    "entity_resolution_groups",
-    "experiment_ab_eval",
-    "touch_conversion_intervals",
-    "experiment_cuped_eval",
-    "scd2_from_events",
-    "label_purity_ivf_audit",
-    "customer_ltv_cohorts",
-    "impute_events_value",
-    "events_type_mix_drift",
-    # (b) the six remaining r7-era entries
-    "dedup_apply",
-    "dedup_fingerprint",
-    "knn_bruteforce_vectorized",
-    "snapshot_changelog_orders",
-    "text_rolling_hash",
-    "window_sliding_10m_5m",
-    # (c) the eight r8 fills displaced from the r11 window
-    "ann_ivf_index",
-    "events_markov_transitions",
-    "events_dau_wau_mau",
-    "funnel_latency",
-    "hybrid_search_rrf",
-    "item_pagerank",
-    "join_full_outer",
-    "join_semi",
-    # (d) oldest r8 rows, most-displaceable last. Fourteen were evicted by
-    # the round-12 head entries, each with a fresher same-surface sibling.
-    # The four evicted by the head's fourth segment (classifier_auc_eval,
-    # lang_id_kappa, label_knn_purity, source_unigram_divergence):
-    # session_top_paths — its session-path edge definition is exercised by
-    # the in-window events_markov_transitions; snapshot_bloom_point_lookup /
-    # snapshot_positional_delete_orders / snapshot_update_constrained_orders
-    # — snapshot-layer family with snapshot_changelog_orders in-window and
-    # snapshot_time_travel_orders r11-green on the same table machinery.
-    # The three evicted by the fifth segment (text_readability,
-    # events_forecast_backtest, attribution_linear): q19_disjunctive_revenue
-    # — lineitem⋈part disjunctive filter, family siblings q16/q17 in-window
-    # on the same join; q22_dormant_customers — anti-join + global-avg
-    # shape with join_anti in-window; recommend_items — taste-graph CF
-    # family with item_pagerank in-window on the shared edge definition.
-    # entity_match_candidates (sixth segment) evicts
-    # q18_large_volume_orders — its agg-having semi-join feeds the same
-    # join family as the in-window q17_small_quantity_revenue per-key agg
-    # filter, and the whole TPC-H family keeps 8 in-window rows.
-    # The seventh segment (join_key_skew_audit, order_reconciliation_audit)
-    # evicts basket_association_rules + events_item_cooccurrence — the
-    # taste-graph co-occurrence family keeps mine_triplets in the window
-    # and item_pagerank in (c) on the SHARED user-item edge definition.
-    # entity_resolution_groups (eighth segment) evicts null_handling —
-    # the P5-P7 null/filter scalar surface shares its definitions with
-    # the r9-green filter_project and the in-window scalar family.
-    # The ninth segment (experiment_ab_eval, touch_conversion_intervals)
-    # evicts attribution_last_touch — BOTH new faces compose its exact
-    # touch/conversion/lookback definitions in-window — and
-    # chunk_documents (L15 chunker; the tokenizer family keeps
-    # bpe_apply_merges + text_rolling_hash in the head).
-    # experiment_cuped_eval (tenth segment) evicts mine_triplets — L16
-    # shares the user-item taste-graph atoms with the in-window
-    # item_pagerank and negative_sampling_uniform.
-    # scd2_from_events (eleventh segment) evicts q14_promo_revenue — the
-    # lineitem⋈part filter-agg family keeps q16/q17 in-window and the
-    # disjunctive variant q19 defers alongside it.
-    # label_purity_ivf_audit (twelfth segment) evicts q13_customer_
-    # distribution — its outer-join + distribution-histogram shape is
-    # kept fresh by the in-window join_full_outer and the r10-green
-    # agg/distinct family.
-    # customer_ltv_cohorts (thirteenth segment) evicts q15_top_supplier —
-    # its agg + global-max pick is the q2 correlated-min family with
-    # agg_global r10-green and seven TPC-H rows still in-window.
-    # impute_events_value (fourteenth segment) evicts q10_returned_items
-    # — the returned-revenue join shape shares its chain with the
-    # in-window q1/q3/q7-q9 family (top_customers was already deferred
-    # on the same justification).
-    # events_type_mix_drift (fifteenth segment) evicts q9_product_profit
-    # — the widest profit join keeps q7/q8 on the same backbone in-window
-    # and every displaced TPC-H row heads r13 together.
-    # All evicted rows defer to r13.
-    # The earlier ten:
-    # scalar_string_funcs — P8 scalar surface, siblings scalar_date_funcs
-    # r9 / scalar_math_funcs + case_when_banding r10; q6_forecast_revenue
-    # — the simplest filter-agg, q1_pricing_summary stays in-window;
-    # top_customers — same revenue-join shape as the in-window
-    # q10_returned_items; events_rfm_segments — IS the composition served
-    # by the r9-green rfm-from-state path; item_communities /
-    # item_triangles — taste-graph family with item_pagerank in-window on
-    # the shared edge definition; mmr_search / retrieval_eval — retrieval
-    # family with hybrid_search_rrf in-window; quantize_embeddings_int8 —
-    # its quantizer expressions are the SHARED definition the in-window
-    # quantization_recall_eval exercises; text_perplexity_bigram — L15
-    # surface shares the token/bigram defs with the r11-green
-    # text_bigram_freq / text_pmi_collocations.
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
+    # (a) new round-13 entries land here, at head (uncommented as each
+    # lands — queries() hard-fails on names with no implementation)
+    # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
+    # TPC-H family first:
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
-    "recommend_items",
+    "top_customers",
+    "null_handling",
+    "scalar_string_funcs",
+    "set_except",
+    "union_by_name",
+    "sort_within_partitions",
+    "window_first_last",
+    "bm25_prf_search",
+    "chunk_documents",
+    "text_perplexity_bigram",
+    "attribution_last_touch",
     "session_top_paths",
+    "basket_association_rules",
+    "events_item_cooccurrence",
+    "events_rfm_segments",
+    "recommend_items",
+    "mine_triplets",
+    "item_communities",
+    "item_triangles",
     "snapshot_bloom_point_lookup",
     "snapshot_positional_delete_orders",
     "snapshot_update_constrained_orders",
-    "basket_association_rules",
-    "events_item_cooccurrence",
-    "null_handling",
-    "attribution_last_touch",
-    "chunk_documents",
-    "mine_triplets",
-    "q14_promo_revenue",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q10_returned_items",
-    "q9_product_profit",
+    "quantize_embeddings_int8",
+    "mmr_search",
+    "retrieval_eval",
+    # (b)-tail displacement order, for a 16th+ new head entry: the last
+    # rows above have the strongest fresh same-surface siblings —
+    # retrieval_eval / mmr_search (retrieval family, hybrid_search_rrf
+    # r12-green on the shared top-k frames), quantize_embeddings_int8
+    # (its quantizer expressions ARE the r12-green
+    # quantization_recall_eval's shared definition), the three snapshot
+    # rows (snapshot_changelog_orders r12-green + snapshot_time_travel
+    # r11-green on the same table machinery), item_triangles /
+    # item_communities (taste-graph family, item_pagerank r12-green on
+    # the shared edge definition).
 ]
 
 

@@ -912,7 +912,11 @@ class IvfIndex:
         # lazy-return operators can't do this and use checkpoint_release.
         emb = emb.persist()
         try:
-            n = emb.count()
+            # k derives from the INDEXABLE row set (embedding non-null) —
+            # the same row set the seeds and the SQL twin's ev CTE use
+            # (r12 ADVICE: the unfiltered count was a latent cross-engine
+            # k divergence on corpora containing NULL embeddings).
+            n = emb.filter(F.col("embedding").isNotNull()).count()
             if pinned_seeds:
                 k_eff = min(k or _ivf_n_cells(n), max(n, 1))
                 seed_rows = (
@@ -1033,7 +1037,8 @@ class IvfIndex:
         import numpy as np
 
         emb = emb.persist()
-        n = emb.count()
+        # same filtered-count rule as build(): k from the indexable rows
+        n = emb.filter(F.col("embedding").isNotNull()).count()
         if pinned_seeds:
             seed_rows = (
                 emb.filter(F.col("embedding").isNotNull())
@@ -1241,14 +1246,16 @@ def _pinned_ivf_index(spark: SparkSession, sf_dir: str) -> "IvfIndex":
 # top-5. All folds are list_inner_product ≡ F.aggregate — bit-exact.
 ANN_IVF_INDEX_SQL = f"""
 WITH p(np) AS (SELECT {_IVF_NPROBE}),
-kk AS (
-  SELECT GREATEST(4, LEAST({_IVF_MAX_CELLS},
-         CAST(FLOOR(SQRT(COUNT(*))) AS INT))) AS k
-  FROM embeddings
-),
 ev AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings WHERE embedding IS NOT NULL
+),
+kk AS (
+  -- k from the same NULL-filtered row set the engine's build() counts
+  -- (r12 ADVICE: an unfiltered count diverges on corpora with NULLs)
+  SELECT GREATEST(4, LEAST({_IVF_MAX_CELLS},
+         CAST(FLOOR(SQRT(COUNT(*))) AS INT))) AS k
+  FROM ev
 ),
 seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
@@ -2427,15 +2434,17 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LABEL_PURITY_IVF_SQL = f"""
 WITH p(np) AS (SELECT {_IVF_NPROBE}),
-kk AS (
-  SELECT GREATEST(4, LEAST({_IVF_MAX_CELLS},
-         CAST(FLOOR(SQRT(COUNT(*))) AS INT))) AS k
-  FROM embeddings
-),
 ev AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+),
+kk AS (
+  -- k from the same NULL-filtered row set the Spark face counts
+  -- (r12 ADVICE: an unfiltered count diverges on corpora with NULLs)
+  SELECT GREATEST(4, LEAST({_IVF_MAX_CELLS},
+         CAST(FLOOR(SQRT(COUNT(*))) AS INT))) AS k
+  FROM ev
 ),
 seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)

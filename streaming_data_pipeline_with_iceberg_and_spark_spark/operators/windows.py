@@ -358,14 +358,13 @@ def scd2_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         F.lag("event_type").over(w).alias("_prev"),
     ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
-    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
-        F.row_number().over(wc).alias("version"),
+        F.row_number().over(w).alias("version"),
         "state",
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(wc).alias("valid_to"),
-        F.lead("ts").over(wc).isNull().alias("is_current"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
     ).orderBy("user_id", "version")
 
 
