@@ -640,6 +640,8 @@ def bm25_prf_rank(
     n_exp: int = _PRF_EXP_TERMS,
     topk: int = None,
     terms: list | None = None,
+    postings: DataFrame | None = None,
+    stats_partials: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 with pseudo-relevance-feedback expansion — the reusable
     operator. Pass 1 ranks with the original terms; the top-``fb`` docs
@@ -656,18 +658,53 @@ def bm25_prf_rank(
     distinct terms to the driver — the documented bm25 request-batch
     contract (`_BM25_MAX_TERMS`-guarded).
 
+    When ``postings``/``stats_partials`` are given (a maintained or
+    session-materialized inverted index — textops.materialized_bm25_index
+    or the incremental-ingest tables), NOTHING is tokenized at query time:
+    pass 1 reads only the query terms' postings rows, the feedback vote
+    reads only the ≤|Q|·fb feedback docs' rows (both pushed-down scans of
+    the term-clustered index), and pass 2 reads only the expanded terms'
+    rows — the r12 verdict's #1 bench fix, and the plan a 100-TB serving
+    path wants (query cost ∝ matching postings, never corpus size).
+
     Cross-engine exactness: the expansion vote is integer tf sums with
     (w DESC, term ASC) ties; both BM25 passes are the already-oracled
     round-6 scoring. Fully value-checked — no rows-only carve-out."""
-    from .textops import _BM25_TOPK, bm25_doc_postings, bm25_rank
+    from ..io import checkpoint_release
+    from .textops import (
+        _BM25_TOPK,
+        bm25_doc_postings,
+        bm25_rank,
+        bm25_rank_from_index,
+    )
 
     if topk is None:
         topk = _BM25_TOPK
-    base = bm25_rank(docs, qterms, k=fb, terms=terms, check_terms=False)
-    fb_docs = base.select("query_id", "doc_id")
-    fb_posts = bm25_doc_postings(
-        docs.join(F.broadcast(fb_docs.select("doc_id").distinct()), "doc_id")
-    )
+    from_index = postings is not None
+    if from_index:
+        base = bm25_rank_from_index(
+            postings, stats_partials, qterms, k=fb, terms=terms,
+            check_terms=False,
+        )
+    else:
+        base = bm25_rank(docs, qterms, k=fb, terms=terms, check_terms=False)
+    # ≤|Q|·fb rows by the bm25 bounded-request contract; eager so pass 1
+    # runs ONCE (the vote below and pass 2's data-derived term collect
+    # would otherwise each recompute it)
+    fb_docs = checkpoint_release(base.select("query_id", "doc_id"))
+    if from_index:
+        # pushed-down point lookup: the collected id list (≤|Q|·fb values,
+        # driver-bounded) reaches the index scan as an IN filter, so only
+        # the feedback docs' row groups are read — no tokenization at all
+        fb_ids = [
+            r["doc_id"]
+            for r in fb_docs.select("doc_id").distinct().collect()
+        ]
+        fb_posts = postings.filter(F.col("doc_id").isin(fb_ids))
+    else:
+        fb_posts = bm25_doc_postings(
+            docs.join(F.broadcast(fb_docs.select("doc_id").distinct()), "doc_id")
+        )
     votes = (
         fb_posts.join(F.broadcast(fb_docs), "doc_id")
         .groupBy("query_id", "term")
@@ -680,7 +717,13 @@ def bm25_prf_rank(
         .filter(F.col("rn") <= n_exp)
         .select("query_id", "term")
     )
-    q2 = qterms.select("query_id", "term").unionByName(expansion)
+    # ≤|Q|·(|terms|+n_exp) rows; eager so pass 2's term collect and its
+    # scoring don't re-run the vote chain
+    q2 = checkpoint_release(
+        qterms.select("query_id", "term").unionByName(expansion)
+    )
+    if from_index:
+        return bm25_rank_from_index(postings, stats_partials, q2, k=topk)
     return bm25_rank(docs, q2, k=topk)
 
 
@@ -688,13 +731,20 @@ def bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRF-expanded BM25 for the pinned query set (registry face of
     :func:`bm25_prf_rank`) — the recall stage of the retrieval story
     (rank → EXPAND → fuse → diversify → evaluate)."""
+    from .textops import materialized_bm25_index
+
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
         "query_id int, term string",
     )
     all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    postings, stats_partials = materialized_bm25_index(spark, sf_dir)
     return bm25_prf_rank(
-        load_spread(spark, "documents", sf_dir), qterms, terms=all_terms
+        None,
+        qterms,
+        terms=all_terms,
+        postings=postings,
+        stats_partials=stats_partials,
     )
 
 

@@ -1855,6 +1855,88 @@ def bm25_rank_from_index(
     )
 
 
+# One materialized inverted index per (Spark application, sf_dir, corpus
+# fingerprint) — the batch-session twin of the stream-maintained
+# start_incremental_bm25_ingest tables.  The round-12 verdict's #1 bench
+# finding was bm25_prf_search re-deriving the postings chain twice (6.2 s);
+# every BM25-composing registry face in one session can instead share ONE
+# tokenize+aggregate pass whose output is a term-clustered parquet postings
+# table (so a query-term isin filter prunes row groups — the inverted-index
+# property, now backed by storage layout) plus the 1-row stats partial.
+# Keyed by applicationId + data fingerprint exactly like _PINNED_IVF_CACHE
+# (the r11 memo-staleness rule: a same-session corpus rewrite builds fresh).
+_BM25_INDEX_CACHE: dict = {}
+
+
+def clear_bm25_index_cache() -> None:
+    """Drop (and delete the scratch dirs of) all materialized BM25 indexes
+    — test hook, mirroring clear_pinned_ivf_cache."""
+    import shutil
+
+    for _k, scratch in list(_BM25_INDEX_CACHE.items()):
+        shutil.rmtree(scratch, ignore_errors=True)
+    _BM25_INDEX_CACHE.clear()
+
+
+def materialized_bm25_index(
+    spark: SparkSession,
+    sf_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats_partials) for the documents corpus, materialized
+    once per session to scratch parquet and memoized.
+
+    The postings write hash-partitions on term and sorts within partitions
+    by (term, doc_id): every row group then covers a narrow term range, so
+    bm25_score_postings' ``term IN (...)`` filter and the PRF vote's
+    ``doc_id IN (...)`` filter both push down to the scan and skip files —
+    query cost scales with matching postings, not corpus size.  This is the
+    scratch-session realization of the layout the incremental ingest
+    (streaming/ingest.py start_incremental_bm25_ingest) maintains durably;
+    bm25_rank_from_index over either returns exactly what bm25_rank
+    computes on the fly (parity tests in tests/test_streaming.py and
+    tests/test_textops.py)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "documents"),
+    )
+    scratch = _BM25_INDEX_CACHE.get(key)
+    if scratch is None:
+        # a new corpus version displaces older entries for the same
+        # (session, sf_dir) — their scratch dirs would otherwise linger
+        for k in list(_BM25_INDEX_CACHE):
+            if k[:2] == key[:2] and k != key:
+                shutil.rmtree(_BM25_INDEX_CACHE.pop(k), ignore_errors=True)
+        scratch = tempfile.mkdtemp(prefix="spark_graft_bm25idx_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        docs = load_spread(spark, "documents", sf_dir).persist()
+        try:
+            (
+                bm25_doc_postings(docs, text_col, id_col)
+                .repartition(F.col("term"))
+                .sortWithinPartitions("term", id_col)
+                .write.mode("overwrite")
+                .parquet(os.path.join(scratch, "postings"))
+            )
+            bm25_stats_partial(docs, text_col).write.mode("overwrite").parquet(
+                os.path.join(scratch, "stats")
+            )
+        finally:
+            docs.unpersist()
+        _BM25_INDEX_CACHE[key] = scratch
+    return (
+        spark.read.parquet(os.path.join(scratch, "postings")),
+        spark.read.parquet(os.path.join(scratch, "stats")),
+    )
+
+
 def bm25_rank(
     docs: DataFrame,
     qmap: DataFrame,

@@ -1887,6 +1887,39 @@ def test_bm25_prf_expands_recall(spark):
     assert {1, 2, 3} <= prf and 4 not in prf
 
 
+def test_bm25_prf_index_path_matches_docs_path(spark, sf_dir):
+    """bm25_prf_rank over the materialized inverted index must return
+    EXACTLY what the tokenize-on-the-fly path returns — the r13 rewrite
+    that serves both PRF passes (and the feedback vote) from postings is
+    only legitimate because postings/stats are mergeable sums with exact
+    parity to the batch derivation."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load_spread
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.retrieval import (
+        _BM25_QUERIES,
+        bm25_prf_rank,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        materialized_bm25_index,
+    )
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    docs = load_spread(spark, "documents", sf_dir)
+    postings, stats = materialized_bm25_index(spark, sf_dir)
+    via_docs = sorted(map(tuple, bm25_prf_rank(docs, qterms).collect()))
+    via_index = sorted(
+        map(
+            tuple,
+            bm25_prf_rank(
+                None, qterms, postings=postings, stats_partials=stats
+            ).collect(),
+        )
+    )
+    assert via_docs == via_index and via_index
+
+
 def test_funnel_latency_hand_computed(spark, tmp_path):
     """funnel_latency on crafted conversions reproduces hand-computed
     discrete median/p90 (µs), honoring the strictly-after stage rule (a

@@ -739,6 +739,16 @@ def test_bm25_prf_filters_both_passes(plan):
     assert p.count("INSET") + p.count(" IN (") >= 2, p
 
 
+def test_bm25_prf_serves_from_index_no_corpus_scan(plan):
+    """The r13 rewrite serves BOTH PRF passes from the materialized
+    inverted index: the final plan must read the term-clustered postings
+    parquet, never re-scan (and re-tokenize) the documents table — the
+    6.2 s double corpus chain the r12 verdict flagged."""
+    p = plan("bm25_prf_search")
+    assert "bm25idx" in p, p
+    assert "documents" not in p, p
+
+
 def test_kmeans_pinned_assign_is_broadcast_and_combined(plan):
     """The pinned Lloyd assignment must broadcast the k=16 centroid frame
     (never a CartesianProduct) and take the per-vector argmax as a hash
