@@ -1212,6 +1212,204 @@ WHERE len(t) > 0
 """
 
 
+# Sequence-packing knobs: token budget per training row and the target
+# chunk rows per packing bucket (both interpolated into the oracle). The
+# bucket count scales as ceil(n_chunks / _PACK_BUCKET_ROWS), so per-bucket
+# state stays ~_PACK_BUCKET_ROWS rows at ANY corpus size — the packing
+# fold's cost class is flat per bucket while buckets scale out.
+_PACK_BUDGET = 128
+_PACK_BUCKET_ROWS = 512
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    n_buckets: int,
+    budget: int = _PACK_BUDGET,
+) -> DataFrame:
+    """Greedy next-fit packing of atomic chunks into fixed-token-budget
+    training sequences — the reusable operator (the last step of the
+    chunk → decontaminate → PACK assembly chain; GPT-style pretraining
+    consumes fixed-length rows, and packing decides how much of the token
+    budget is padding).
+
+    Determinism + distribution: every chunk hashes to a bucket by
+    ``md5(doc_id:chunk_idx) % n_buckets`` and buckets pack INDEPENDENTLY
+    in (md5, doc_id, chunk_idx) order — so the assignment is a pure
+    function of the data (partition-layout invariant, test-pinned), and
+    the packing state never crosses bucket boundaries.  Within a bucket
+    the next-fit rule (chunk overflows the open sequence → close it, open
+    a new one) runs as ONE JVM sequential fold (``F.aggregate``) over the
+    bucket's sorted chunk array — no Python in the loop, no iteration
+    joins.  The trade: each bucket's last sequence may run underfull
+    (bounded by n_buckets·budget wasted tokens corpus-wide, negligible at
+    _PACK_BUCKET_ROWS rows per bucket).
+
+    Scale shape: one hash shuffle on the bucket key (n/_PACK_BUCKET_ROWS
+    groups), a linear fold per bucket, then an explode back to per-chunk
+    rows — cost is one pass regardless of corpus size, and per-executor
+    memory is bounded by the ~_PACK_BUCKET_ROWS-row bucket arrays.
+
+    Returns the per-chunk assignment: (bucket, seq, doc_id, chunk_idx,
+    chunk_tokens); ``seq`` is 0-based within its bucket."""
+    ord_col = F.md5(
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).cast("binary")
+    )
+    keyed = chunks.select(
+        (F.conv(F.substring(ord_col, 1, 4), 16, 10).cast("int") % n_buckets)
+        .alias("bucket"),
+        ord_col.alias("o"),
+        F.col("doc_id").alias("d"),
+        F.col("chunk_idx").alias("i"),
+        F.col("chunk_tokens").cast("long").alias("n"),
+    )
+    # sort_array over (o, d, i, n) structs = ORDER BY md5, doc_id, chunk_idx
+    packed = keyed.groupBy("bucket").agg(
+        F.sort_array(F.collect_list(F.struct("o", "d", "i", "n"))).alias("xs")
+    )
+    out_t = "array<struct<d:bigint,i:int,n:bigint,seq:bigint>>"
+    zero = F.struct(
+        F.lit(0).cast("long").alias("fill"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.expr(f"CAST(array() AS {out_t})").alias("out"),
+    )
+
+    def step(acc, x):
+        start = (acc["seq"] < 0) | ((acc["fill"] + x["n"]) > budget)
+        newseq = F.when(start, acc["seq"] + 1).otherwise(acc["seq"])
+        newfill = F.when(start, x["n"]).otherwise(acc["fill"] + x["n"])
+        entry = F.struct(
+            x["d"].alias("d"),
+            x["i"].alias("i"),
+            x["n"].alias("n"),
+            newseq.alias("seq"),
+        )
+        return F.struct(
+            newfill.alias("fill"),
+            newseq.alias("seq"),
+            F.concat(acc["out"], F.array(entry)).alias("out"),
+        )
+
+    folded = packed.select(
+        "bucket",
+        F.aggregate("xs", zero, step, lambda acc: acc["out"]).alias("out"),
+    )
+    a = F.explode("out")
+    return folded.select("bucket", a.alias("a")).select(
+        "bucket",
+        F.col("a.seq").alias("seq"),
+        F.col("a.d").alias("doc_id"),
+        F.col("a.i").alias("chunk_idx"),
+        F.col("a.n").alias("chunk_tokens"),
+    )
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23 dataset assembly, final step (NEW round 13): place every
+    chunk_documents chunk into fixed-{budget}-token training sequences by
+    the concat-and-chop rule — chunks concatenate in deterministic
+    (md5, doc_id, chunk_idx) order within their bucket and SPLIT at
+    budget boundaries, so every sequence except each bucket's last holds
+    exactly {budget} tokens (the standard GPT-style pretraining packer:
+    zero padding waste, document boundaries carried as metadata).  Output
+    is the per-chunk placement manifest: (bucket, doc_id, chunk_idx,
+    chunk_tokens, start_seq, start_off, end_seq) — a chunk whose span
+    crosses a boundary reports start_seq < end_seq (the trainer chops it
+    there).  Σ chunk_tokens is trivially conserved (placement never drops
+    tokens); the exactly-{budget}-per-closed-sequence identity is
+    test-pinned.
+
+    Why chop and not atomic next-fit for the REGISTRY face: the
+    boundary-split placement is a closed-form window prefix sum —
+    value-exact in plain ANSI SQL at any scale — while the atomic
+    variant (:func:`pack_sequences`, kept for retrieval-style training
+    where chunks must stay whole) is an inherently sequential per-bucket
+    fold whose SQL replay costs iterations × corpus and has no bounded
+    unroll; it is verified by hand-case/property/parity tests instead.
+
+    Scale shape: one count action for the scale-adaptive bucket count
+    (ceil(n/{rows}) — window partitions stay ~{rows} rows at any corpus
+    size), then ONE hash shuffle on the bucket key and one window prefix
+    sum; everything else is per-row arithmetic.""".format(
+        budget=_PACK_BUDGET, rows=_PACK_BUCKET_ROWS
+    )
+    chunks = chunk_documents(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_tokens"
+    )
+    # scale-adaptive bucket count (the adaptive-NTILE discipline): one
+    # cheap count action; the oracle computes the identical expression
+    n_chunks = chunks.count()
+    nb = max(1, -(-n_chunks // _PACK_BUCKET_ROWS))
+    ord_col = F.md5(
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).cast("binary")
+    )
+    keyed = chunks.select(
+        (F.conv(F.substring(ord_col, 1, 4), 16, 10).cast("int") % nb).alias(
+            "bucket"
+        ),
+        ord_col.alias("o"),
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("o", "doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("chunk_tokens").over(w), F.lit(0).cast("long"))
+    b = F.lit(_PACK_BUDGET).cast("long")
+    return keyed.select(
+        "bucket",
+        "doc_id",
+        "chunk_idx",
+        "chunk_tokens",
+        F.floor(cum / b).alias("start_seq"),
+        (cum % b).alias("start_off"),
+        F.floor((cum + F.col("chunk_tokens") - 1) / b).alias("end_seq"),
+    )
+
+
+PACK_TRAINING_SEQUENCES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         CAST(s / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+         CAST(len(t[s + 1 : s + {_CHUNK_SIZE}]) AS BIGINT) AS chunk_tokens
+  FROM d, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS r(s)
+  WHERE len(t) > 0
+),
+nbc AS (
+  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {_PACK_BUCKET_ROWS}.0) AS INT))
+         AS nb
+  FROM ch
+),
+keyed AS (
+  SELECT CAST(('0x' || substr(
+           md5(doc_id::VARCHAR || ':' || chunk_idx::VARCHAR), 1, 4))
+           AS INT) % (SELECT nb FROM nbc) AS bucket,
+         md5(doc_id::VARCHAR || ':' || chunk_idx::VARCHAR) AS o,
+         doc_id, chunk_idx, chunk_tokens
+  FROM ch
+),
+placed AS (
+  SELECT bucket, doc_id, chunk_idx, chunk_tokens,
+         COALESCE(SUM(chunk_tokens) OVER (
+           PARTITION BY bucket ORDER BY o, doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM keyed
+)
+SELECT bucket, doc_id, chunk_idx, chunk_tokens,
+       CAST(FLOOR(cum / {_PACK_BUDGET}) AS BIGINT) AS start_seq,
+       CAST(cum % {_PACK_BUDGET} AS BIGINT) AS start_off,
+       CAST(FLOOR((cum + chunk_tokens - 1) / {_PACK_BUDGET}) AS BIGINT)
+         AS end_seq
+FROM placed
+"""
+
+
 def text_within_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style WITHIN-document repetition rules (Rae et al. 2021
     §A1.1): the fraction of duplicate word 2-grams and the share of
@@ -3270,6 +3468,7 @@ QUERIES = {
     "text_unigram_logprob": text_unigram_logprob,
     "text_perplexity_bigram": text_perplexity_bigram,
     "chunk_documents": chunk_documents,
+    "pack_training_sequences": pack_training_sequences,
     "text_gopher_quality": text_gopher_quality,
     "text_repeated_ngrams": text_repeated_ngrams,
     "text_token_stats": text_token_stats,
@@ -3325,6 +3524,8 @@ ORACLES = {
     "text_unigram_logprob": TEXT_UNIGRAM_LP_SQL,
     "text_perplexity_bigram": TEXT_PERPLEXITY_BIGRAM_SQL,
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
+    # round 13: next-fit packing replayed by a per-bucket recursive CTE
+    "pack_training_sequences": PACK_TRAINING_SEQUENCES_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,

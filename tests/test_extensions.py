@@ -1887,6 +1887,106 @@ def test_bm25_prf_expands_recall(spark):
     assert {1, 2, 3} <= prf and 4 not in prf
 
 
+def test_pack_chop_identities(spark, sf_dir):
+    """Boundary-split packing invariants: (a) token conservation -- the
+    placement manifest carries every chunk token exactly once; (b) every
+    CLOSED sequence (one that is not its bucket's last) holds exactly
+    _PACK_BUDGET tokens -- the zero-padding-waste property that makes
+    concat-and-chop the standard pretraining packer; (c) placements tile
+    contiguously: within a bucket, each chunk starts exactly where the
+    previous one ended."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        _PACK_BUDGET,
+        chunk_documents,
+        pack_training_sequences,
+    )
+
+    placed = pack_training_sequences(spark, sf_dir).collect()
+    chunks = chunk_documents(spark, sf_dir).collect()
+    assert sum(r.chunk_tokens for r in placed) == sum(
+        r.chunk_tokens for r in chunks
+    )
+    assert len(placed) == len(chunks)
+    by_bucket = {}
+    for r in placed:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: (r.start_seq, r.start_off, r.doc_id))
+        # (c) contiguous tiling
+        off = 0
+        for r in rows:
+            assert r.start_seq * _PACK_BUDGET + r.start_off == off
+            assert r.end_seq == (off + r.chunk_tokens - 1) // _PACK_BUDGET
+            off += r.chunk_tokens
+        # (b) closed sequences are exactly full
+        total = off
+        n_closed = total // _PACK_BUDGET
+        assert rows[-1].end_seq == (
+            n_closed if total % _PACK_BUDGET else n_closed - 1
+        )
+
+
+def test_pack_sequences_next_fit_hand_case(spark):
+    """Atomic next-fit on one bucket, hand-computed: chunks of sizes
+    [60, 50, 30, 120, 10] against budget 128 in md5 order must close a
+    sequence exactly when the next chunk would overflow it, and never
+    split a chunk."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import pack_sequences
+
+    sizes = {0: 60, 1: 50, 2: 30, 3: 120, 4: 10}
+    chunks = spark.createDataFrame(
+        [(7, i, n) for i, n in sizes.items()],
+        "doc_id long, chunk_idx int, chunk_tokens int",
+    )
+    got = {
+        r.chunk_idx: r.seq for r in pack_sequences(chunks, 1, budget=128).collect()
+    }
+    # replay next-fit in the same md5(doc_id:chunk_idx) order
+    import hashlib
+
+    order = sorted(
+        sizes, key=lambda i: hashlib.md5(f"7:{i}".encode()).hexdigest()
+    )
+    fill, seq, want = 0, -1, {}
+    for i in order:
+        if seq < 0 or fill + sizes[i] > 128:
+            seq, fill = seq + 1, sizes[i]
+        else:
+            fill += sizes[i]
+        want[i] = seq
+    assert got == want
+    # conservation: every chunk appears exactly once
+    assert set(got) == set(sizes)
+
+
+def test_pack_sequences_partition_invariant(spark, sf_dir):
+    """The packing assignment must be a pure function of the data: a
+    repartitioned/shuffled input produces the identical assignment (the
+    md5-ordered per-bucket fold, not arrival order)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    chunks = chunk_documents(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_tokens"
+    )
+    a = sorted(map(tuple, pack_sequences(chunks, 8).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(chunks.repartition(17, "chunk_idx"), 8).collect())
+    )
+    assert a == b and a
+    # next-fit never overflows the budget within a sequence
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for bucket, seq, _d, _i, n in a:
+        fill[(bucket, seq)] += n
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import _PACK_BUDGET
+
+    assert all(v <= _PACK_BUDGET for v in fill.values())
+
+
 def test_bm25_prf_index_path_matches_docs_path(spark, sf_dir):
     """bm25_prf_rank over the materialized inverted index must return
     EXACTLY what the tokenize-on-the-fly path returns — the r13 rewrite

@@ -739,6 +739,23 @@ def test_bm25_prf_filters_both_passes(plan):
     assert p.count("INSET") + p.count(" IN (") >= 2, p
 
 
+def test_pack_training_sequences_single_bucket_shuffle(plan):
+    """Chop-packing must cost exactly ONE shuffle (the bucket hash
+    partitioning feeding the window prefix sum) — an accidental global
+    sort or a second exchange would serialize the packer at corpus
+    scale."""
+    import re
+
+    p = plan("pack_training_sequences")
+    # one bucket hash exchange; the only other allowed exchange is
+    # load_spread's round-robin input spread. No range partitioning —
+    # that would be a global sort.
+    assert p.count("hashpartitioning(bucket") == 1, p
+    assert "rangepartitioning" not in p, p
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_exchanges - p.count("RoundRobinPartitioning") == 1, p
+
+
 def test_bm25_prf_serves_from_index_no_corpus_scan(plan):
     """The r13 rewrite serves BOTH PRF passes from the materialized
     inverted index: the final plan must read the term-clustered postings
