@@ -90,6 +90,8 @@ _PRIORITY = [
     # (a) new round-13 entries land here, at head (uncommented as each
     # lands — queries() hard-fails on names with no implementation)
     "pack_training_sequences",
+    "train_unigram_lm",
+    "unigram_lm_segment",
     # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
     # TPC-H family first:
     "q5_revenue_by_nation",

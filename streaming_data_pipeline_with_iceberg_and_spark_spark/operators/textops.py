@@ -451,6 +451,401 @@ GROUP BY doc_id
 BPE_APPLY_SQL = _bpe_apply_sql()
 
 
+# Unigram-LM tokenizer training knobs (interpolated into the oracle).
+_UNI_MAXP = 4  # max piece length (chars)
+_UNI_MAXW = 16  # word-type length cap — longer types sit out of training
+_UNI_SEED = 80  # multi-char seed candidates kept from substring counting
+_UNI_VOCAB = 48  # multi-char pieces kept per pruning round
+_UNI_ROUNDS = 3  # pinned segment→count→prune rounds
+
+
+def _uni_word_table(docs: DataFrame) -> DataFrame:
+    """Length-capped word-type table for unigram-LM training: the SAME
+    pre-tokenizer as BPE (shared regex — the two trainers must agree on
+    what a word is), plus the ≤_UNI_MAXW cap that bounds the greedy
+    fold's iteration count on both engines."""
+    return bpe_word_table(docs).filter(F.length("word") <= _UNI_MAXW)
+
+
+def _uni_greedy_pieces(word, vocab_multi: list[str]):
+    """Greedy longest-match segmentation of ``word`` against the (driver-
+    bounded) multi-char vocabulary + the implicit single-char fallback,
+    as ONE JVM sequential fold — n iterations, each consuming one piece
+    (single-char pieces guarantee progress, so n iterations always
+    finish).  Returns the array<string> of pieces in order."""
+    n = F.length(word)
+    vmap = (
+        F.create_map(
+            *[c for p in vocab_multi for c in (F.lit(p), F.lit(1))]
+        )
+        if vocab_multi
+        else None
+    )
+
+    def step(acc, _i):
+        pos = acc["pos"]
+        cands = []
+        if vmap is not None:
+            for L in range(_UNI_MAXP, 1, -1):
+                c = word.substr(pos, F.lit(L))
+                cands.append(
+                    F.when(
+                        (pos + F.lit(L - 1) <= n)
+                        & F.element_at(vmap, c).isNotNull(),
+                        c,
+                    )
+                )
+        piece = F.coalesce(*cands, word.substr(pos, F.lit(1)))
+        return F.when(pos > n, acc).otherwise(
+            F.struct(
+                (pos + F.length(piece)).alias("pos"),
+                F.concat(acc["out"], F.array(piece)).alias("out"),
+            )
+        )
+
+    zero = F.struct(
+        F.lit(1).cast("int").alias("pos"),
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), n), zero, step, lambda acc: acc["out"]
+    )
+
+
+# (applicationId, sf_dir, documents-fingerprint) -> (vocab_rows,
+# word_pieces frame).  The _BPE_STATE_CACHE discipline: train and apply
+# faces share one run; fingerprint key rebuilds on same-session rewrite;
+# the memoized frame is word-type-bounded.
+_UNI_STATE_CACHE: dict = {}
+
+
+def clear_unigram_cache() -> None:
+    _UNI_STATE_CACHE.clear()
+
+
+def _uni_state(spark: SparkSession, sf_dir: str):
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "documents"),
+    )
+    hit = _UNI_STATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_UNI_STATE_CACHE):
+        try:
+            stale = (
+                _UNI_STATE_CACHE[k][1].sparkSession.sparkContext._jsc is None
+            )
+        except Exception:
+            stale = True
+        if stale or k[:2] == key[:2]:
+            _UNI_STATE_CACHE.pop(k, None)
+    words = _uni_word_table(load(spark, "documents", sf_dir)).localCheckpoint(
+        eager=True
+    )
+    word = F.col("word")
+    n = F.length(word)
+    # seed: every substring of length 2.._UNI_MAXP, corpus-weighted.
+    # Factory closure, NOT a default-arg lambda: F.transform treats a
+    # two-parameter lambda as (element, index) and would bind the array
+    # index over the default.
+    def _subs(L: int):
+        return F.when(
+            n >= L,
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(L - 1)),
+                lambda i: word.substr(i, F.lit(L)),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    sub_arrays = [_subs(L) for L in range(2, _UNI_MAXP + 1)]
+    seed = (
+        words.select("freq", F.explode(F.flatten(F.array(*sub_arrays))).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_UNI_SEED)
+        .collect()
+    )
+    vocab = sorted(r["piece"] for r in seed)
+    for _round in range(_UNI_ROUNDS):
+        counts = (
+            words.select(
+                "freq", F.explode(_uni_greedy_pieces(word, vocab)).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("cnt"))
+            .filter(F.length("piece") > 1)
+        )
+        # prune by marginal saving = cnt·(len−1) chars vs char-level
+        # segmentation, ties (saving DESC, cnt DESC, piece ASC) — the
+        # constant-bounded collect contract (≤_UNI_VOCAB rows/round)
+        kept = (
+            counts.orderBy(
+                F.desc((F.col("cnt") * (F.length("piece") - 1))),
+                F.desc("cnt"),
+                F.asc("piece"),
+            )
+            .limit(_UNI_VOCAB)
+            .collect()
+        )
+        vocab = sorted(r["piece"] for r in kept)
+    # final pass: segment with the FINAL vocabulary; memoize the
+    # word-type → pieces frame (word-type-bounded, like BPE final_words)
+    word_pieces = words.select(
+        "word", "freq", _uni_greedy_pieces(word, vocab).alias("pieces")
+    ).localCheckpoint(eager=True)
+    _UNI_STATE_CACHE[key] = (vocab, word_pieces)
+    return vocab, word_pieces
+
+
+def train_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (NEW round 13; SentencePiece's
+    unigram model, Kudo 2018) — the second trainer of the L23 tokenizer
+    family, sharing :func:`bpe_word_table`'s pre-tokenizer with
+    :func:`train_bpe_merges`.  Deterministic hard-EM variant built for
+    cross-engine exactness: seed the candidate vocabulary from weighted
+    substring counts (top-{seed} of length 2..{maxp}), then {rounds}
+    pinned rounds of segment → count → prune, where segmentation is
+    greedy longest-match (the WordPiece inference rule — integer-exact,
+    no float Viterbi scores to diverge on) and pruning keeps the
+    {vocab} pieces with the largest marginal saving cnt·(len−1), ties
+    (saving, cnt, piece) pinned.  Single-char pieces are never pruned
+    (every word stays segmentable).  Output: the final vocabulary with
+    usage counts under ITS OWN segmentation and the unigram probability
+    — rank, piece, piece_len, count, prob (ROUND 9; an exact division
+    of two integers, so no libm divergence).
+
+    Conservation (test-pinned): Σ count·piece_len = Σ freq·len(word) —
+    greedy segmentation re-tiles every character exactly once.
+
+    Scale shape: the corpus is scanned once into the word-TYPE table
+    (the wordcount shuffle); each round is one segmentation projection
+    (a JVM fold per word type — never per token instance) + one
+    vocab-keyed count shuffle + a ≤{vocab}-row driver collect.  Driver
+    state is the vocabulary list — constant-bounded, the BPE best-pair
+    contract.  Word types longer than {maxw} chars sit out (pinned cap,
+    both engines).""".format(
+        seed=_UNI_SEED,
+        maxp=_UNI_MAXP,
+        rounds=_UNI_ROUNDS,
+        vocab=_UNI_VOCAB,
+        maxw=_UNI_MAXW,
+    )
+    vocab, word_pieces = _uni_state(spark, sf_dir)
+    counts = (
+        word_pieces.select("freq", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("count"))
+    )
+    vocab_df = spark.createDataFrame(
+        [(p,) for p in vocab], "piece string"
+    ).unionByName(
+        word_pieces.select(
+            F.explode(F.split("word", "")).alias("piece")
+        ).distinct()
+    ).distinct()
+    total = counts.agg(F.sum("count").alias("total"))
+    out = (
+        vocab_df.join(counts, "piece", "left")
+        .select(
+            "piece",
+            F.length("piece").alias("piece_len"),
+            F.coalesce("count", F.lit(0).cast("long")).alias("count"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            "piece_len",
+            "count",
+            F.round(F.col("count") / F.col("total"), 9).alias("prob"),
+        )
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("piece"))
+    return out.select(
+        F.row_number().over(w).alias("rank"),
+        "piece",
+        "piece_len",
+        "count",
+        "prob",
+    ).orderBy("rank")
+
+
+def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply face of :func:`train_unigram_lm` (the bpe_apply_merges twin):
+    encode the corpus with the LEARNED unigram vocabulary and report per
+    document: word count, piece count, pieces-per-word and
+    chars-per-piece — the fertility metrics a tokenizer evaluation
+    reads.  Piece counts are computed once per word TYPE on the memoized
+    segmentation frame, then joined to per-(doc, word) counts — the fold
+    never runs per token instance.  Words longer than the training cap
+    pass through as single out-of-model pieces (piece count 1, pinned on
+    both engines)."""
+    _, word_pieces = _uni_state(spark, sf_dir)
+    per_type = word_pieces.select(
+        "word", F.size("pieces").alias("n_pieces_word")
+    )
+    docs = load_spread(spark, "documents", sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_REGEX), 0)
+    per_word = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(toks).alias("word"))
+        .filter(~F.col("word").contains(_BPE_DELIM))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_word.join(per_type, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(
+                F.col("n") * F.coalesce("n_pieces_word", F.lit(1))
+            ).alias("n_pieces"),
+            F.sum(F.col("n") * F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            F.round(F.col("n_pieces") / F.col("n_words"), 6).alias(
+                "pieces_per_word"
+            ),
+            F.round(F.col("n_chars") / F.col("n_pieces"), 6).alias(
+                "chars_per_piece"
+            ),
+        )
+    )
+
+
+def _uni_seg_ctes(tag: str, vcte: str, rounds_src: str = "wu") -> str:
+    """One greedy longest-match segmentation as a recursive CTE: the
+    frontier is one row per word type carrying the cursor position; each
+    iteration consumes one piece (longest vocab match at the cursor, via
+    length-guarded LEFT JOINs, single char as fallback), so iterations
+    are bounded by _UNI_MAXW — never the corpus."""
+    joins = "\n".join(
+        f"    LEFT JOIN {vcte} c{L}\n"
+        f"      ON g.pos + {L - 1} <= len(g.word)\n"
+        f"     AND c{L}.piece = substr(g.word, g.pos, {L})"
+        for L in range(_UNI_MAXP, 1, -1)
+    )
+    coal = ", ".join(
+        [f"c{L}.piece" for L in range(_UNI_MAXP, 1, -1)]
+        + ["substr(g.word, g.pos, 1)"]
+    )
+    return f"""g{tag} AS (
+  SELECT word, freq, 1 AS pos, CAST(NULL AS VARCHAR) AS piece
+  FROM {rounds_src}
+  UNION ALL
+  SELECT g.word, g.freq,
+         g.pos + length(COALESCE({coal})),
+         COALESCE({coal})
+  FROM g{tag} g
+{joins}
+  WHERE g.pos <= len(g.word)
+)"""
+
+
+def _train_unigram_sql(final_select: str) -> str:
+    rx = _BPE_REGEX.replace("'", "''")
+    d = "chr(31)"
+    subs = " UNION ALL ".join(
+        f"SELECT substr(word, i, {L}) AS piece, freq\n"
+        f"  FROM wu, unnest(range(1, len(word) - {L} + 2)) AS t(i)\n"
+        f"  WHERE len(word) >= {L}"
+        for L in range(2, _UNI_MAXP + 1)
+    )
+    ctes = [
+        f"""wu AS MATERIALIZED (
+  SELECT word, freq FROM (
+    SELECT word, COUNT(*) AS freq FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{rx}')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ) WHERE strpos(word, {d}) = 0
+    GROUP BY word
+  ) WHERE len(word) <= {_UNI_MAXW}
+)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT piece FROM (
+    SELECT piece, SUM(freq) AS cnt FROM ({subs}) GROUP BY piece
+  ) ORDER BY cnt DESC, piece ASC LIMIT {_UNI_SEED}
+)""",
+    ]
+    for r in range(1, _UNI_ROUNDS + 1):
+        ctes.append(_uni_seg_ctes(str(r), f"v{r - 1}"))
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT piece FROM (
+    SELECT piece, SUM(freq) AS cnt FROM g{r}
+    WHERE piece IS NOT NULL AND len(piece) > 1
+    GROUP BY piece
+  )
+  ORDER BY cnt * (len(piece) - 1) DESC, cnt DESC, piece ASC
+  LIMIT {_UNI_VOCAB}
+)""",
+        )
+    ctes.append(_uni_seg_ctes("f", f"v{_UNI_ROUNDS}"))
+    ctes.append(
+        """cf AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS count
+  FROM gf WHERE piece IS NOT NULL GROUP BY piece
+)"""
+    )
+    return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + final_select
+
+
+TRAIN_UNIGRAM_SQL = _train_unigram_sql(
+    f"""
+, vall AS (
+  SELECT piece FROM v{_UNI_ROUNDS}
+  UNION
+  SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM wu
+),
+tot AS (SELECT CAST(SUM(count) AS BIGINT) AS total FROM cf),
+outv AS (
+  SELECT v.piece,
+         CAST(len(v.piece) AS INT) AS piece_len,
+         COALESCE(c.count, 0) AS count
+  FROM vall v LEFT JOIN cf c ON c.piece = v.piece
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY count DESC, piece ASC) AS INT)
+         AS rank,
+       piece, piece_len, count,
+       ROUND(count * 1.0 / total, 9) AS prob
+FROM outv, tot
+ORDER BY rank
+"""
+)
+
+UNIGRAM_SEGMENT_SQL = _train_unigram_sql(
+    f"""
+, npw AS (
+  SELECT word, COUNT(*) AS n_pieces_word
+  FROM gf WHERE piece IS NOT NULL GROUP BY word
+),
+pw AS (
+  SELECT doc_id, word, COUNT(*) AS n FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text),
+      '{_BPE_REGEX.replace("'", "''")}')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE strpos(word, chr(31)) = 0
+  GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_words,
+       CAST(SUM(n * COALESCE(t.n_pieces_word, 1)) AS BIGINT) AS n_pieces,
+       ROUND(SUM(n * COALESCE(t.n_pieces_word, 1)) * 1.0 / SUM(n), 6)
+         AS pieces_per_word,
+       ROUND(SUM(n * len(word)) * 1.0
+             / SUM(n * COALESCE(t.n_pieces_word, 1)), 6) AS chars_per_piece
+FROM pw LEFT JOIN npw t USING (word)
+GROUP BY doc_id
+"""
+)
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering: length bounds, punct/digit/stopword ratios, and a
     composite keep/drop flag (the L6 boilerplate-filter shape)."""
@@ -3469,6 +3864,8 @@ QUERIES = {
     "text_perplexity_bigram": text_perplexity_bigram,
     "chunk_documents": chunk_documents,
     "pack_training_sequences": pack_training_sequences,
+    "train_unigram_lm": train_unigram_lm,
+    "unigram_lm_segment": unigram_lm_segment,
     "text_gopher_quality": text_gopher_quality,
     "text_repeated_ngrams": text_repeated_ngrams,
     "text_token_stats": text_token_stats,
@@ -3526,6 +3923,9 @@ ORACLES = {
     "chunk_documents": CHUNK_DOCUMENTS_SQL,
     # round 13: next-fit packing replayed by a per-bucket recursive CTE
     "pack_training_sequences": PACK_TRAINING_SEQUENCES_SQL,
+    # round 13: greedy hard-EM unigram trainer, unrolled-round recursive CTEs
+    "train_unigram_lm": TRAIN_UNIGRAM_SQL,
+    "unigram_lm_segment": UNIGRAM_SEGMENT_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,

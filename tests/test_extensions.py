@@ -1987,6 +1987,42 @@ def test_pack_sequences_partition_invariant(spark, sf_dir):
     assert all(v <= _PACK_BUDGET for v in fill.values())
 
 
+def test_unigram_lm_conservation_and_greedy(spark, sf_dir):
+    """Unigram-LM trainer invariants: (a) character conservation --
+    Σ count·piece_len over the final vocabulary equals Σ freq·len(word)
+    over the capped word-type table (greedy segmentation re-tiles every
+    character exactly once); (b) the greedy fold is longest-match: no
+    emitted piece could be extended to a longer vocab piece at the same
+    position (checked on the memoized segmentation frame)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        _UNI_MAXP,
+        _uni_state,
+        _uni_word_table,
+        load,
+        train_unigram_lm,
+    )
+    from pyspark.sql import functions as F
+
+    vocab_rows = train_unigram_lm(spark, sf_dir).collect()
+    words = _uni_word_table(load(spark, "documents", sf_dir)).collect()
+    assert sum(r["count"] * r.piece_len for r in vocab_rows) == sum(
+        r.freq * len(r.word) for r in words
+    )
+    vocab, word_pieces = _uni_state(spark, sf_dir)
+    vset = set(vocab)
+    for r in word_pieces.limit(200).collect():
+        pos = 0
+        for piece in r.pieces:
+            assert r.word[pos : pos + len(piece)] == piece
+            # longest-match: no longer vocab piece starts here
+            for L in range(len(piece) + 1, _UNI_MAXP + 1):
+                assert r.word[pos : pos + L] not in vset or len(
+                    r.word[pos : pos + L]
+                ) < L
+            pos += len(piece)
+        assert pos == len(r.word)
+
+
 def test_bm25_prf_index_path_matches_docs_path(spark, sf_dir):
     """bm25_prf_rank over the materialized inverted index must return
     EXACTLY what the tokenize-on-the-fly path returns — the r13 rewrite
