@@ -2390,6 +2390,14 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbrs = cands.withColumn("rank", F.row_number().over(wn)).filter(
         F.col("rank") <= _PURITY_K
     )
+    return _purity_label_rollup(nbrs)
+
+
+def _purity_label_rollup(nbrs: DataFrame) -> DataFrame:
+    """Shared verdict tail of the purity audits: per-query majority vote
+    over (q_id, q_label, nb_label) neighbor rows, then the per-label
+    report — the full audit and the capped monitor MUST roll up
+    identically or their suspect rates silently diverge."""
     votes = nbrs.groupBy("q_id", "q_label", "nb_label").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2432,7 +2440,70 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LABEL_PURITY_IVF_SQL = f"""
+_PURITY_MONITOR_CAP = 20  # audited vectors per label in monitor mode
+
+
+def label_purity_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped monitor face of :func:`label_purity_ivf_audit` (NEW round
+    13 — the r12 verdict's row-cap order): audit only the first
+    ``_PURITY_MONITOR_CAP`` vectors per label (deterministic
+    md5(vec_id)-ranked carve, the `_query_pred` discipline) against the
+    session's MATERIALIZED pinned IVF index instead of re-deriving the
+    assignment inline.  The full audit is an O(n^1.5) batch job by
+    contract; this face is what a scheduler may run as a recurring
+    monitor — query cost is |labels|·cap·nprobe·n/k ≈ O(√n), the sampled
+    sibling's class, and the index build amortizes across the session
+    (and is incrementally maintainable at ingest).
+
+    Exactness contract: identical seeds/assignment/probe/tie rules as
+    the full audit (the ann_ivf_index machinery), so the SQL twin is the
+    full audit's oracle with one QUALIFY cap on the query side.  Assumes
+    vec_id is non-null (it is the index key)."""
+    emb = load_spread(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    wq = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+    )
+    queries = (
+        emb.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= _PURITY_MONITOR_CAP)
+        .select("vec_id", "label", "embedding")
+    )
+    idx = _pinned_ivf_index(spark, sf_dir)
+    nbrs = idx.query(
+        queries.select("vec_id", "embedding"),
+        k=_PURITY_K,
+        exact_probes=True,
+    )
+    joined = nbrs.join(
+        emb.select("vec_id", F.col("label").alias("nb_label")), "vec_id"
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+            )
+        ),
+        "q_id",
+    )
+    return _purity_label_rollup(joined)
+
+
+def _label_purity_sql(cap: int | None = None) -> str:
+    """SQL twin of the purity audits; ``cap`` adds the monitor face's
+    per-label QUALIFY carve on the query side (members stay full)."""
+    qv = (
+        ""
+        if cap is None
+        else f""",
+qv AS (
+  SELECT vec_id, label, v FROM ev
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY label
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {cap}
+)"""
+    )
+    qsrc = "ev" if cap is None else "qv"
+    return f"""
 WITH p(np) AS (SELECT {_IVF_NPROBE}),
 ev AS (
   SELECT vec_id, label,
@@ -2454,7 +2525,7 @@ seeds AS (
   QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
             <= (SELECT k FROM kk)
 ),
-cn AS (SELECT cell, c, list_inner_product(c, c) / 2.0 AS chalf FROM seeds),
+cn AS (SELECT cell, c, list_inner_product(c, c) / 2.0 AS chalf FROM seeds){qv},
 assign AS (
   SELECT vec_id, label, v, cell FROM (
     SELECT ev.vec_id, ev.label, ev.v, cn.cell,
@@ -2466,11 +2537,11 @@ assign AS (
 ),
 probes AS (
   SELECT q_id, q_label, q_vec, cell FROM (
-    SELECT ev.vec_id AS q_id, ev.label AS q_label, ev.v AS q_vec, cn.cell,
-           ROW_NUMBER() OVER (PARTITION BY ev.vec_id
-             ORDER BY (list_inner_product(ev.v, cn.c) - cn.chalf) DESC,
+    SELECT q.vec_id AS q_id, q.label AS q_label, q.v AS q_vec, cn.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY (list_inner_product(q.v, cn.c) - cn.chalf) DESC,
                       cn.cell ASC) AS rn
-    FROM ev, cn
+    FROM {qsrc} q, cn
   ) WHERE rn <= (SELECT np FROM p)
 ),
 nbrs AS (
@@ -2515,6 +2586,10 @@ FROM perq
 GROUP BY label
 ORDER BY label
 """
+
+
+LABEL_PURITY_IVF_SQL = _label_purity_sql()
+LABEL_PURITY_MONITOR_SQL = _label_purity_sql(_PURITY_MONITOR_CAP)
 
 
 def label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2668,6 +2743,7 @@ QUERIES = {
     "embedding_norm_audit": embedding_norm_audit,
     "label_knn_purity": label_knn_purity,
     "label_purity_ivf_audit": label_purity_ivf_audit,
+    "label_purity_monitor": label_purity_monitor,
 }
 
 ORACLES = {
@@ -2684,6 +2760,8 @@ ORACLES = {
     "label_knn_purity": LABEL_KNN_PURITY_SQL,
     # round 12: full-corpus IVF-candidate purity rollup (pinned quantizer)
     "label_purity_ivf_audit": LABEL_PURITY_IVF_SQL,
+    # round 13: capped monitor face served from the materialized index
+    "label_purity_monitor": LABEL_PURITY_MONITOR_SQL,
     # round 6: ann_lsh_hyperplane upgraded from rows-only to value-exact
     # (md5-derived hyperplane weights reproducible in DuckDB)
     "ann_lsh_hyperplane": ANN_LSH_SQL,

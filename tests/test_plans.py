@@ -739,6 +739,16 @@ def test_bm25_prf_filters_both_passes(plan):
     assert p.count("INSET") + p.count(" IN (") >= 2, p
 
 
+def test_label_purity_monitor_serves_from_index(plan):
+    """The capped monitor must answer from the MATERIALIZED pinned IVF
+    index (manifest-pruned probed-cell scan), never re-run the full
+    audit's corpus×centroid assignment cross join — that inline
+    assignment is exactly the O(n^1.5) cost the cap exists to avoid."""
+    p = plan("label_purity_monitor")
+    assert "ivfidx" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_pack_training_sequences_single_bucket_shuffle(plan):
     """Chop-packing must cost exactly ONE shuffle (the bucket hash
     partitioning feeding the window prefix sum) — an accidental global
