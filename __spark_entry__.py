@@ -93,6 +93,7 @@ _PRIORITY = [
     "train_unigram_lm",
     "unigram_lm_segment",
     "label_purity_monitor",
+    "write_training_shards",
     # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
     # TPC-H family first:
     "q5_revenue_by_nation",

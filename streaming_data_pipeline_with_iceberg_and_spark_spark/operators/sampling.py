@@ -882,6 +882,177 @@ def _quality_weighted_sample_sql() -> str:
     )
 
 
+# Shard-writer knobs (interpolated into the oracle): pinned shuffle seed
+# and target docs per shard (shard count scales as ceil(n/_SHARD_ROWS)).
+_SHARD_SEED = "42"
+_SHARD_ROWS = 128
+
+
+def shard_corpus(docs: DataFrame, seed: str, n_shards: int) -> DataFrame:
+    """Seeded deterministic shard assignment + training order for a
+    document frame — the reusable projection under
+    :func:`write_training_shards`.  Every row gets: its shard
+    (md5(seed:doc_id) bucket — a seeded reshuffle, NOT a global sort;
+    hash sharding keeps the write one shuffle at any corpus size while
+    shard sizes concentrate within ±√rows of the mean), its within-shard
+    training order key ``ord`` (the same md5 — scanning a shard in ord
+    order IS the seeded shuffle order), token count, and a per-row
+    content fingerprint folded into the manifest hash."""
+    from ..functions.text import tokens
+
+    ord_col = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col("doc_id")).cast("binary")
+    )
+    return docs.select(
+        (F.conv(F.substring(ord_col, 1, 4), 16, 10).cast("int") % n_shards)
+        .alias("shard"),
+        ord_col.alias("ord"),
+        "doc_id",
+        F.when(F.col("text").isNotNull(), F.size(tokens("text")))
+        .otherwise(0)
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(seed), F.col("doc_id"), F.coalesce("text", F.lit(""))
+            ).cast("binary")
+        ).alias("row_fp"),
+    )
+
+
+def shard_manifest(keyed: DataFrame) -> DataFrame:
+    """Per-shard manifest over a :func:`shard_corpus` frame: row count,
+    token count, and the shard content hash — md5 over the row
+    fingerprints concatenated in training (ord) order, so two writes
+    agree iff their shards hold the same rows in the same order (the
+    replay test's identity).  One hash shuffle; the per-shard fold is
+    bounded by the ~_SHARD_ROWS shard size."""
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ord", "doc_id", "row_fp")
+                            )
+                        ),
+                        lambda x: x["row_fp"],
+                    ),
+                    "",
+                ).cast("binary")
+            ).alias("content_hash"),
+        )
+        .orderBy("shard")
+    )
+
+
+# (applicationId, sf_dir, documents-fingerprint, seed) -> manifest
+# SnapshotTable.  The pinned-IVF scratch discipline: one write per corpus
+# version per session, scratch dirs reclaimed at exit.
+_SHARD_CACHE: dict = {}
+
+
+def clear_shard_cache() -> None:
+    _SHARD_CACHE.clear()
+
+
+def write_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shard writer (NEW round 13) — the
+    reproducible-training-order face every 100-TB pipeline needs before
+    the trainer: materialize the documents corpus as seeded-shuffled
+    fixed-target-size shards PLUS a manifest table (shard → row count,
+    token count, content hash), committed together in ONE multi-table
+    transaction so a reader can never see shard rows without their
+    manifest (or vice versa).  Same seed ⇒ byte-identical shard
+    membership, order, and manifest (replay test); the manifest hash
+    chain is how a training job proves it consumed the exact corpus
+    version it claims.
+
+    Returns the manifest read back FROM the committed snapshot table —
+    the registry face exercises write + txn + read, and the manifest is
+    value-checked against the oracle (integer counts + md5 chains are
+    engine-independent).
+
+    Scale shape: ONE hash shuffle assigns shards (seeded md5 bucketing —
+    no global sort barrier; a shard's internal order is recovered by
+    sorting its ~{rows} rows on the md5 key at read), the shard write
+    sorts within partitions only, and the manifest is a second bounded
+    shuffle over shard keys.  Scale-adaptive shard count
+    ceil(n/{rows}).""".format(rows=_SHARD_ROWS)
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..io import data_fingerprint, load_spread
+    from ..sources.snapshots import MultiTableTransaction, SnapshotTable
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "documents"),
+        _SHARD_SEED,
+    )
+    manifest_table = _SHARD_CACHE.get(key)
+    if manifest_table is None:
+        for k in list(_SHARD_CACHE):
+            if k[:2] == key[:2] and k != key:
+                _SHARD_CACHE.pop(k, None)
+        scratch = tempfile.mkdtemp(prefix="spark_graft_shards_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        docs = load_spread(spark, "documents", sf_dir)
+        n_docs = docs.count()
+        ns = max(1, -(-n_docs // _SHARD_ROWS))
+        keyed = shard_corpus(docs, _SHARD_SEED, ns)
+        rows_table = SnapshotTable(spark, f"{scratch}/rows")
+        manifest_table = SnapshotTable(spark, f"{scratch}/manifest")
+        txn = MultiTableTransaction(
+            [rows_table, manifest_table], f"{scratch}/txn"
+        )
+        txn.stage_append(
+            rows_table,
+            keyed.repartition(ns, "shard").sortWithinPartitions(
+                "shard", "ord", "doc_id"
+            ),
+        )
+        txn.stage_append(manifest_table, shard_manifest(keyed))
+        txn.commit()
+        _SHARD_CACHE[key] = manifest_table
+    return (
+        manifest_table.read()
+        .select("shard", "n_rows", "n_tokens", "content_hash")
+        .orderBy("shard")
+    )
+
+
+WRITE_TRAINING_SHARDS_SQL = f"""
+WITH nsc AS (
+  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {_SHARD_ROWS}.0) AS INT)) AS ns
+  FROM documents
+),
+k AS (
+  SELECT CAST(('0x' || substr(md5('{_SHARD_SEED}:' || doc_id::VARCHAR),
+               1, 4)) AS INT) % (SELECT ns FROM nsc) AS shard,
+         md5('{_SHARD_SEED}:' || doc_id::VARCHAR) AS o,
+         doc_id,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END
+           AS n_tokens,
+         md5('{_SHARD_SEED}:' || doc_id::VARCHAR || ':'
+             || COALESCE(text, '')) AS fp
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       md5(string_agg(fp, '' ORDER BY o, doc_id)) AS content_hash
+FROM k GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
     "curate_pretraining_corpus": curate_pretraining_corpus,
     "quality_weighted_sample": quality_weighted_sample,
@@ -897,6 +1068,7 @@ QUERIES = {
     "sample_stratified_by_lang": sample_stratified_by_lang,
     "pack_sequences": pack_sequences,
     "shuffle_epoch_rank": shuffle_epoch_rank,
+    "write_training_shards": write_training_shards,
 }
 
 ORACLES = {
@@ -916,4 +1088,6 @@ ORACLES = {
     "sample_stratified_by_lang": SAMPLE_STRATIFIED_SQL,
     "pack_sequences": PACK_SQL,
     "shuffle_epoch_rank": SHUFFLE_EPOCH_SQL,
+    # round 13: seeded shard writer manifest (integer counts + md5 chains)
+    "write_training_shards": WRITE_TRAINING_SHARDS_SQL,
 }

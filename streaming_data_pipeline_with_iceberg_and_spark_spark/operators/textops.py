@@ -1567,7 +1567,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/pretraining chunker: split each document into overlapping
     token-window chunks (size {size}, stride {stride}) with stable ids —
     the projection between raw documents and embedding/packing stages
-    (``pack_sequences`` packs fixed budgets; this preserves overlap
+    (``pack_chunks_next_fit`` packs whole-chunk budgets; this preserves overlap
     context for retrieval).
 
     Pure per-row column math (sequence → posexplode → slice → join): no
@@ -1616,7 +1616,7 @@ _PACK_BUDGET = 128
 _PACK_BUCKET_ROWS = 512
 
 
-def pack_sequences(
+def pack_chunks_next_fit(
     chunks: DataFrame,
     n_buckets: int,
     budget: int = _PACK_BUDGET,
@@ -1716,7 +1716,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why chop and not atomic next-fit for the REGISTRY face: the
     boundary-split placement is a closed-form window prefix sum —
     value-exact in plain ANSI SQL at any scale — while the atomic
-    variant (:func:`pack_sequences`, kept for retrieval-style training
+    variant (:func:`pack_chunks_next_fit`, kept for retrieval-style training
     where chunks must stay whole) is an inherently sequential per-bucket
     fold whose SQL replay costs iterations × corpus and has no bounded
     unroll; it is verified by hand-case/property/parity tests instead.

@@ -1931,7 +1931,7 @@ def test_pack_sequences_next_fit_hand_case(spark):
     [60, 50, 30, 120, 10] against budget 128 in md5 order must close a
     sequence exactly when the next chunk would overflow it, and never
     split a chunk."""
-    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import pack_sequences
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import pack_chunks_next_fit
 
     sizes = {0: 60, 1: 50, 2: 30, 3: 120, 4: 10}
     chunks = spark.createDataFrame(
@@ -1939,7 +1939,7 @@ def test_pack_sequences_next_fit_hand_case(spark):
         "doc_id long, chunk_idx int, chunk_tokens int",
     )
     got = {
-        r.chunk_idx: r.seq for r in pack_sequences(chunks, 1, budget=128).collect()
+        r.chunk_idx: r.seq for r in pack_chunks_next_fit(chunks, 1, budget=128).collect()
     }
     # replay next-fit in the same md5(doc_id:chunk_idx) order
     import hashlib
@@ -1965,15 +1965,15 @@ def test_pack_sequences_partition_invariant(spark, sf_dir):
     md5-ordered per-bucket fold, not arrival order)."""
     from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
         chunk_documents,
-        pack_sequences,
+        pack_chunks_next_fit,
     )
 
     chunks = chunk_documents(spark, sf_dir).select(
         "doc_id", "chunk_idx", "chunk_tokens"
     )
-    a = sorted(map(tuple, pack_sequences(chunks, 8).collect()))
+    a = sorted(map(tuple, pack_chunks_next_fit(chunks, 8).collect()))
     b = sorted(
-        map(tuple, pack_sequences(chunks.repartition(17, "chunk_idx"), 8).collect())
+        map(tuple, pack_chunks_next_fit(chunks.repartition(17, "chunk_idx"), 8).collect())
     )
     assert a == b and a
     # next-fit never overflows the budget within a sequence

@@ -2203,3 +2203,62 @@ def test_stage_upsert_keys_recovery_and_stale_pin(spark, tmp_path):
     got = sorted((r["user_id"], r["v"]) for r in t.read().collect())
     assert (1, 5) not in got and (7, 0) in got
     assert any(n.endswith(".aborted.json") for n in os.listdir(str(tmp_path / "txns")))
+
+
+def test_write_training_shards_replay_and_txn(spark, tmp_path):
+    """Shard-writer guarantees: (a) same seed => byte-identical shard
+    membership, order, and manifest across two independent writes
+    (reproducible training order); (b) a different seed reshuffles (at
+    least one shard content hash changes); (c) rows and manifest commit
+    in ONE multi-table transaction -- after the write, both tables exist
+    at version 1 and the manifest's totals reconcile exactly with the
+    committed rows."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        shard_corpus,
+        shard_manifest,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " + "tok " * (i % 7)) for i in range(57)],
+        "doc_id long, text string",
+    )
+
+    def write(root, seed):
+        keyed = shard_corpus(docs, seed, 4)
+        rows_t = SnapshotTable(spark, f"{root}/rows")
+        man_t = SnapshotTable(spark, f"{root}/manifest")
+        txn = MultiTableTransaction([rows_t, man_t], f"{root}/txn")
+        txn.stage_append(rows_t, keyed)
+        txn.stage_append(man_t, shard_manifest(keyed))
+        txn.commit()
+        return rows_t, man_t
+
+    r1, m1 = write(tmp_path / "a", "s1")
+    r2, m2 = write(tmp_path / "b", "s1")
+    man1 = sorted(map(tuple, m1.read().collect()))
+    man2 = sorted(map(tuple, m2.read().collect()))
+    assert man1 == man2 and len(man1) == 4
+    rows1 = sorted(map(tuple, r1.read().collect()))
+    rows2 = sorted(map(tuple, r2.read().collect()))
+    assert rows1 == rows2
+
+    _r3, m3 = write(tmp_path / "c", "s2")
+    man3 = {t[0]: t for t in map(tuple, m3.read().collect())}
+    assert any(man3[s][3] != h for (s, _n, _t, h) in man1 if s in man3)
+
+    # (c) atomic pair: both tables at their first committed version, and
+    # the manifest reconciles with the rows it was committed alongside
+    assert r1.current_version() == m1.current_version() == 1
+    got = (
+        r1.read()
+        .groupBy("shard")
+        .count()
+        .collect()
+    )
+    assert {r["shard"]: r["count"] for r in got} == {
+        s: n for (s, n, _t, _h) in man1
+    }
