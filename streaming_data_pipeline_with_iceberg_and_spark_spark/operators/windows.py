@@ -368,6 +368,37 @@ def scd2_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "version")
 
 
+def scd2_from_state(closed: DataFrame, open_state: DataFrame) -> DataFrame:
+    """Serve the SCD2 dimension from the incrementally-maintained pair
+    (closed-versions log + per-user open-version boundary) — the
+    SIXTEENTH incremental path (round 13), boundary-state class like
+    sessions.  Union the open rows as current versions (valid_to NULL),
+    project the batch face's columns — equal row-for-row to
+    ``scd2_from_events`` over everything ingested (parity + replay +
+    late-data tests in tests/test_streaming.py).  Version numbers were
+    assigned at stitch time, so serving is a pure union + projection:
+    no window, no shuffle beyond the scan."""
+    ts_type = dict(open_state.dtypes)["valid_from"]
+    open_rows = open_state.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        F.lit(None).cast(ts_type).alias("valid_to"),
+    )
+    allr = closed.select(
+        "user_id", "version", "state", "valid_from", "valid_to"
+    ).unionByName(open_rows)
+    return allr.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
 SCD2_SQL = """
 WITH ev AS (
   SELECT user_id, ts, event_id, event_type

@@ -1919,6 +1919,267 @@ def apply_sessions_batch(
         b.unpersist()
 
 
+def apply_scd2_batch(
+    spark: SparkSession,
+    closed_t,
+    open_t,
+    txn_dir: str,
+    batch_df: DataFrame,
+    key,
+) -> bool:
+    """One micro-batch of exact incremental SCD2 maintenance (the
+    SIXTEENTH path, round 13; boundary-state class): within-batch change
+    detection + boundary stitch against the per-user open-version state,
+    committed as one multi-table transaction under ``key``.  Returns
+    False (whole-batch no-op) when ``key`` has already committed.
+
+    Stitch rule (the Kimball change-detection rule across the batch
+    boundary): the batch's first change for a user MERGES into the
+    stored open version when its state equals the stored state (a
+    repeated state is never a new version — valid_from and version carry
+    over); otherwise the stored open version CLOSES at the first batch
+    change's timestamp.  Every batch change with a successor closes
+    inside the batch; the last becomes the new open boundary.  Version
+    numbers continue from the stored open version.
+
+    ORDER CONTRACT (the sessions/Markov discipline, checked loudly): a
+    user's events in a later batch must be strictly later by
+    (ts, event_id) than their stored last event — a late event can
+    re-open or re-split ALREADY-CLOSED versions, which is a rebuild, not
+    an append.  NULL user/state/ts/event_id rows are excluded, same as
+    the batch face.
+
+    PER-BATCH COST: closed versions append-only; the open table is a
+    keyed MERGE-ON-READ upsert (``stage_upsert_keys``) — one
+    O(batch-users) data dir + one O(batch-users) equality-delete file
+    per batch, never a rewrite of the open set (the sessions r12
+    machinery, measured flat in tests)."""
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        transaction_batch_seen,
+    )
+
+    if transaction_batch_seen([closed_t, open_t], key):
+        return False
+    b = batch_df.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).persist()
+    try:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = b.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.row_number().over(w).alias("__rn"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("__n"),
+            F.lag("event_type").over(w).alias("__prev"),
+        )
+        firsts = ev.filter(F.col("__rn") == 1).select(
+            "user_id",
+            F.col("ts").alias("__ts0"),
+            F.col("event_id").alias("__eid0"),
+        )
+        lasts = ev.filter(F.col("__rn") == F.col("__n")).select(
+            "user_id",
+            F.col("ts").alias("__lts"),
+            F.col("event_id").alias("__leid"),
+        )
+        chg = ev.filter(
+            F.col("__prev").isNull() | (F.col("__prev") != F.col("state"))
+        )
+        wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        chg = chg.select(
+            "user_id",
+            "state",
+            F.col("ts").alias("valid_from"),
+            F.row_number().over(wc).alias("__bi"),
+            F.lead("ts").over(wc).alias("valid_to"),
+        )
+        prev = open_t.read() if open_t.current_version() is not None else None
+        if prev is not None:
+            pj = firsts.join(prev, "user_id")
+            n_bad = (
+                pj.filter(
+                    (F.col("__ts0") < F.col("last_ts"))
+                    | (
+                        (F.col("__ts0") == F.col("last_ts"))
+                        & (F.col("__eid0") <= F.col("last_eid"))
+                    )
+                )
+                .limit(1)
+                .count()
+            )
+            if n_bad:
+                raise RuntimeError(
+                    "scd2 ingest order contract violated: a batch "
+                    "delivered a user event at or before that user's "
+                    "already-ingested last event; exact incremental SCD2 "
+                    "requires per-user-ordered delivery — route this "
+                    "source through a keyed, ordered log or rebuild the "
+                    "version tables"
+                )
+            minfo = pj.select(
+                "user_id",
+                F.col("version").alias("__p_ver"),
+                F.col("state").alias("__p_state"),
+                F.col("valid_from").alias("__p_from"),
+            )
+            adj = chg.join(minfo, "user_id", "left")
+            merged = (F.col("__bi") == 1) & (
+                F.col("state").eqNullSafe(F.col("__p_state"))
+            )
+            known = F.col("__p_ver").isNotNull()
+            adj = adj.select(
+                "user_id",
+                "state",
+                # the merged first change IS the stored open version:
+                # valid_from and version carry over (state is equal)
+                F.when(merged, F.col("__p_from"))
+                .otherwise(F.col("valid_from"))
+                .alias("valid_from"),
+                "valid_to",
+                F.when(~known, F.col("__bi").cast("long"))
+                .when(
+                    # every change of a MERGED user shifts by −1 (bi 1 is
+                    # the carried stored version; bi k is version p+k−1)
+                    F.first(merged.cast("int")).over(
+                        Window.partitionBy("user_id").orderBy("__bi")
+                    )
+                    == 1,
+                    F.col("__p_ver") + F.col("__bi") - 1,
+                )
+                .otherwise(F.col("__p_ver") + F.col("__bi"))
+                .alias("version"),
+                merged.alias("__merged_first"),
+                F.col("__bi"),
+            )
+            # stored open versions that did NOT merge close at the first
+            # batch change's timestamp
+            first_batch = adj.filter(F.col("__bi") == 1).select(
+                "user_id",
+                F.col("valid_from").alias("__t1"),
+                F.col("__merged_first"),
+            )
+            old_closures = (
+                prev.join(
+                    first_batch.filter(~F.col("__merged_first")).select(
+                        "user_id", "__t1"
+                    ),
+                    "user_id",
+                )
+                .select(
+                    "user_id",
+                    "version",
+                    "state",
+                    "valid_from",
+                    F.col("__t1").alias("valid_to"),
+                )
+            )
+        else:
+            adj = chg.select(
+                "user_id",
+                "state",
+                "valid_from",
+                "valid_to",
+                F.col("__bi").cast("long").alias("version"),
+                F.lit(False).alias("__merged_first"),
+                F.col("__bi"),
+            )
+            old_closures = None
+        closure_cols = ["user_id", "version", "state", "valid_from", "valid_to"]
+        closures = adj.filter(F.col("valid_to").isNotNull()).select(
+            *closure_cols
+        )
+        if old_closures is not None:
+            closures = closures.unionByName(old_closures)
+        new_open = (
+            adj.filter(F.col("valid_to").isNull())
+            .join(lasts, "user_id")
+            .select(
+                "user_id",
+                "version",
+                "state",
+                "valid_from",
+                F.col("__lts").alias("last_ts"),
+                F.col("__leid").alias("last_eid"),
+            )
+        )
+        txn = MultiTableTransaction([closed_t, open_t], txn_dir)
+        txn.stage_append(closed_t, closures, batch_id=key)
+        if open_t.current_version() is None:
+            txn.stage_append(open_t, new_open, batch_id=key)
+        else:
+            # merge-on-read keyed upsert: O(batch-users) data + delete
+            # files per batch (the sessions open-boundary machinery)
+            txn.stage_upsert_keys(open_t, new_open, key="user_id", batch_id=key)
+        txn.commit()
+        return True
+    finally:
+        b.unpersist()
+
+
+def start_incremental_scd2_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    closed_root: str,
+    open_root: str,
+    txn_dir: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "scd2_ingest",
+) -> StreamingQuery:
+    """EXACT incremental SCD2 dimension maintenance — semantics, the
+    order contract and per-batch cost are documented on
+    :func:`apply_scd2_batch`; ``operators.windows.scd2_from_state`` over
+    (closed log + open boundaries) equals batch ``scd2_from_events``
+    over everything ingested.  At 100 TB this turns "refresh the
+    versioned dimension" from a full-fact window sort into per-batch
+    change detection plus a user-keyed boundary join; the open table
+    holds ONE row per tracked user and closed versions are append-only.
+    Exactly-once via namespaced batch keys in one multi-table
+    transaction; pending open-table deletes compact on the sessions
+    cadence."""
+    from ..sources.snapshots import SnapshotTable, recover_transactions
+
+    closed_t = SnapshotTable(spark, closed_root)
+    open_t = SnapshotTable(spark, open_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def scd2_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([closed_t, open_t], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        apply_scd2_batch(
+            spark, closed_t, open_t, txn_dir, batch_df, f"{stream_id}#{batch_id}"
+        )
+        state["max_seen"] = batch_id
+        snap_deletes = (
+            open_t._snapshot(None).get("deletes", [])
+            if open_t.current_version() is not None
+            else []
+        )
+        if len(snap_deletes) >= _OPEN_COMPACT_EVERY:
+            compact_open_sessions(spark, open_root)
+
+    writer = stream.writeStream.foreachBatch(scd2_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_incremental_sessions_ingest(
     spark: SparkSession,
     source_dir: str,

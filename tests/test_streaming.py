@@ -2713,3 +2713,194 @@ def test_incremental_daily_type_ingest_matches_batch(spark, tmp_path):
     drain()
     assert cells_t.current_version() == v
     assert canon(grid_from_daily_cells(cells_t.read())) == want_grid
+
+
+def test_incremental_scd2_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental SCD2 (boundary-state class, the sixteenth path):
+    the dimension served from (closed-versions log + open boundaries)
+    must equal batch scd2_from_events over everything ingested — across
+    batches that CONTINUE the open state (merge: no new version), change
+    state exactly at the boundary (stored version closes at the first
+    batch change), carry multi-change batches, and users absent from
+    later batches. Replay from the same checkpoint adds no versions; an
+    out-of-order batch raises the order contract instead of corrupting
+    closed versions."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.windows import scd2_from_state
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        start_incremental_scd2_ingest,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events"
+    src.mkdir()
+    all_rows = []
+    t0 = 1_700_000_000
+
+    def write_file(name, specs):
+        with open(src / name, "w") as f:
+            for eid, user, off, etype in specs:
+                row = {
+                    "event_id": eid,
+                    "ts": t0 + off,
+                    "user_id": user,
+                    "event_type": etype,
+                }
+                all_rows.append(row)
+                f.write(_json.dumps(row) + "\n")
+
+    # user 1: a a | a b b | b a  (merge, then boundary change, then a
+    #   same-state boundary merge followed by an in-batch change)
+    # user 2: x | y  (boundary change closes the stored version)
+    # user 3: appears only in batch b with repeated then changed states
+    write_file("a.json", [(1, 1, 0, "a"), (2, 1, 10, "a"), (3, 2, 5, "x")])
+    write_file(
+        "b.json",
+        [
+            (4, 1, 20, "a"),
+            (5, 1, 30, "b"),
+            (6, 1, 40, "b"),
+            (7, 2, 50, "y"),
+            (8, 3, 0, "m"),
+            (9, 3, 60, "m"),
+            (10, 3, 70, "n"),
+        ],
+    )
+    write_file("c.json", [(11, 1, 80, "b"), (12, 1, 90, "a")])
+
+    closed_root = str(tmp_path / "closed")
+    open_root = str(tmp_path / "open")
+    txn_dir = str(tmp_path / "txn")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts long, user_id long, event_type string"
+
+    def drain():
+        q = start_incremental_scd2_ingest(
+            spark,
+            str(src),
+            closed_root,
+            open_root,
+            txn_dir,
+            schema=schema,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    drain()
+    closed_t = SnapshotTable(spark, closed_root)
+    open_t = SnapshotTable(spark, open_root)
+
+    batch_df = spark.createDataFrame(
+        [
+            (r["event_id"], r["ts"], r["user_id"], r["event_type"])
+            for r in all_rows
+        ],
+        schema,
+    )
+
+    # batch twin on the same frame (scd2_from_events reads parquet, so
+    # inline the identical definition here)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = batch_df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.lag("event_type").over(w).alias("_prev"),
+    ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
+    want_df = changes.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    got = canon(scd2_from_state(closed_t.read(), open_t.read()))
+    want = canon(want_df)
+    assert got == want and len(want) == 7
+    # user 1 versions: a[0,30) b[30,90) a[90,∞); user 2: x[5,50) y[50,∞);
+    # user 3: m[0,70) n[70,∞)
+    assert open_t.read().count() == 3
+    assert closed_t.read().count() == 4
+
+    # replay: same checkpoint, no new versions on either table
+    vc, vo = closed_t.current_version(), open_t.current_version()
+    drain()
+    assert (closed_t.current_version(), open_t.current_version()) == (vc, vo)
+    assert canon(scd2_from_state(closed_t.read(), open_t.read())) == want
+
+    # order contract: an event at/before user 1's stored last event raises
+    with open(src / "z.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {"event_id": 99, "ts": t0 + 85, "user_id": 1, "event_type": "q"}
+            )
+            + "\n"
+        )
+    import pytest as _pytest
+
+    q = start_incremental_scd2_ingest(
+        spark,
+        str(src),
+        closed_root,
+        open_root,
+        txn_dir,
+        schema=schema,
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+    )
+    with _pytest.raises(Exception, match="order contract"):
+        q.awaitTermination(180)
+        q.processAllAvailable()
+    assert (closed_t.current_version(), open_t.current_version()) == (vc, vo)
+
+
+def test_scd2_open_table_batch_cost_is_o_batch(spark, tmp_path):
+    """The SCD2 open-boundary table must be maintained at O(batch-users)
+    write cost per micro-batch: after a batch touching ONE user of many,
+    the commit's new data dir holds exactly that user's row — never a
+    rewrite of the whole open set (the sessions merge-on-read upsert
+    machinery, shared by construction)."""
+    import pyarrow.parquet as pq
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import apply_scd2_batch
+
+    schema = "event_id long, ts long, user_id long, event_type string"
+    seed = spark.createDataFrame(
+        [(i, 1000 + i, i % 50, "s0") for i in range(200)], schema
+    )
+    closed_t = SnapshotTable(spark, str(tmp_path / "closed"))
+    open_t = SnapshotTable(spark, str(tmp_path / "open"))
+    apply_scd2_batch(
+        spark, closed_t, open_t, str(tmp_path / "txn"), seed, "t#1"
+    )
+    assert open_t.read().count() == 50
+    one = spark.createDataFrame([(900, 9000, 7, "s1")], schema)
+    apply_scd2_batch(
+        spark, closed_t, open_t, str(tmp_path / "txn"), one, "t#2"
+    )
+    # the open set still reads one row per user, user 7 now on s1 v2
+    got = {r.user_id: (r.state, r.version) for r in open_t.read().collect()}
+    assert len(got) == 50 and got[7] == ("s1", 2)
+    # O(batch) write: the latest snapshot's newest data dir holds ONLY
+    # user 7's row
+    snap = open_t._snapshot(None)
+    new_dirs = [d for d in snap["dirs"] if d not in {"."}]
+    import os
+
+    newest = max(
+        (os.path.join(str(tmp_path / "open"), d) for d in new_dirs),
+        key=os.path.getmtime,
+    )
+    tbl = pq.read_table(newest)
+    assert tbl.num_rows == 1
