@@ -94,6 +94,8 @@ _PRIORITY = [
     "unigram_lm_segment",
     "label_purity_monitor",
     "write_training_shards",
+    "user_survival_km",
+    "text_textrank_keywords",
     # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
     # TPC-H family first:
     "q5_revenue_by_nation",

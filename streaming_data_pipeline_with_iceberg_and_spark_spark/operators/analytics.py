@@ -3747,9 +3747,155 @@ WHERE event_type = 'purchase'
 """
 
 
+# Kaplan-Meier knobs: users whose last event falls within the censor
+# window of the corpus max date are CENSORED (still alive), not churned.
+# 0 = censor only users active on the corpus max date — the synthetic
+# fixture's activity clusters at the end, so any wider window censors
+# everyone; production sets this to the product's churn definition.
+_KM_CENSOR_DAYS = 0
+
+
+def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-survival curve (NEW round 13; Kaplan & Meier
+    1958 — the standard right-censored churn/retention estimator, a
+    different object from `cohort_retention`'s share-active curve): per
+    user, lifetime T = days between first and last event; users whose
+    last event is within {censor} days of the corpus max date are
+    right-CENSORED (still alive), the rest are churn events at T.  For
+    each churn time t: the at-risk count n_t (users with T ≥ t), churn
+    count d_t, censored-at-t count, and the survival estimate
+    S(t) = Π_{{t_i ≤ t}} (1 − d_i/n_i).
+
+    Cross-engine exactness: the product is a SEQUENTIAL fold over the
+    churn-time factors with ROUND(·, 9) after every multiply — identical
+    step order on both engines (Spark F.aggregate ≡ DuckDB list_reduce,
+    the _bpe_merge_fold discipline), so no EXP(SUM(LN)) libm divergence.
+    The fold runs over the CHURN-TIME table — calendar-bounded (≤ days
+    spanned by the corpus), never the users.
+
+    Scale shape: one user-keyed shuffle (the lifetime agg), a broadcast
+    1-row max date, one calendar-bounded day table whose at-risk counts
+    come from a prefix-sum window over ≤|days| rows, and the O(days²)
+    per-row fold on that same bounded table.""".format(
+        censor=_KM_CENSOR_DAYS
+    )
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.col("ts").cast("timestamp"))).alias("d0"),
+        F.max(F.to_date(F.col("ts").cast("timestamp"))).alias("d1"),
+    )
+    mx = u.agg(F.max("d1").alias("dmax"))
+    lt = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff("d1", "d0").alias("t"),
+        (F.datediff("dmax", "d1") > _KM_CENSOR_DAYS)
+        .cast("int")
+        .alias("died"),
+    )
+    per_t = lt.groupBy("t").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("died").alias("n_deaths"),
+        F.sum(1 - F.col("died")).alias("n_censored"),
+    )
+    total = lt.agg(F.count(F.lit(1)).alias("n_total"))
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.crossJoin(F.broadcast(total)).select(
+        "t",
+        "n_deaths",
+        "n_censored",
+        (F.col("n_total") - F.coalesce(F.sum("m").over(wt), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    # churn-time factors in t order, then the per-row pinned-round fold
+    # over the bounded factor array (S(t) needs the prefix product)
+    deaths = risk.filter(F.col("n_deaths") > 0).withColumn(
+        "k", F.row_number().over(Window.orderBy("t"))
+    )
+    # sort_array over (t, factor) structs, NOT collect_list over a sorted
+    # frame — aggregation order is not guaranteed to follow the sort
+    factors = deaths.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "t",
+                        (F.lit(1.0) - F.col("n_deaths") / F.col("n_risk")).alias(
+                            "f"
+                        ),
+                    )
+                )
+            ),
+            lambda x: x["f"],
+        ).alias("fs")
+    )
+    return (
+        deaths.crossJoin(F.broadcast(factors))
+        .select(
+            "t",
+            "n_risk",
+            "n_deaths",
+            "n_censored",
+            F.aggregate(
+                F.slice("fs", 1, F.col("k")),
+                F.lit(1.0),
+                lambda acc, x: F.round(acc * x, 9),
+            ).alias("survival"),
+        )
+        .orderBy("t")
+    )
+
+
+USER_SURVIVAL_KM_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0,
+         MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d1
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+),
+mx AS (SELECT MAX(d1) AS dmax FROM u),
+lt AS (
+  SELECT CAST(date_diff('day', d0, d1) AS INT) AS t,
+         CASE WHEN date_diff('day', d1, dmax) > {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS died
+  FROM u, mx
+),
+per_t AS (
+  SELECT t, COUNT(*) AS m,
+         CAST(SUM(died) AS BIGINT) AS n_deaths,
+         CAST(SUM(1 - died) AS BIGINT) AS n_censored
+  FROM lt GROUP BY t
+),
+tot AS (SELECT COUNT(*) AS n_total FROM lt),
+risk AS (
+  SELECT t, n_deaths, n_censored,
+         CAST(n_total - COALESCE(SUM(m) OVER (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM per_t, tot
+),
+deaths AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY t) AS k
+  FROM risk WHERE n_deaths > 0
+),
+fs AS (
+  SELECT list(1.0 - n_deaths * 1.0 / n_risk ORDER BY t) AS fs FROM deaths
+)
+SELECT t, n_risk, n_deaths, n_censored,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs[1:k]),
+                   (acc, x) -> ROUND(acc * x, 9)) AS survival
+FROM deaths, fs
+ORDER BY t
+"""
+
+
 QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_latency": funnel_latency,
+    "user_survival_km": user_survival_km,
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
@@ -3799,6 +3945,8 @@ def _sessions_peak_concurrency_sql() -> str:
     )
 
 ORACLES = {
+    # round 13: Kaplan-Meier churn curve (pinned-round sequential fold)
+    "user_survival_km": USER_SURVIVAL_KM_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "funnel_latency": FUNNEL_LATENCY_SQL,
     "cohort_retention": COHORT_SQL,

@@ -846,6 +846,176 @@ GROUP BY doc_id
 )
 
 
+# TextRank knobs (interpolated into the oracle): candidate-vocabulary
+# cap, damped-iteration count/damping (the item_pagerank constants), and
+# the keyword output size.
+_TR_VOCAB = 150
+_TR_DAMPING = 0.85
+_TR_ITERS = 3
+_TR_TOPK = 20
+_TR_WORD_RX = "[a-z]{3,}"
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (NEW round 13; Mihalcea & Tarau 2004 —
+    PageRank over the word co-occurrence graph, the classic unsupervised
+    keyword extractor; complements the frequency-driven
+    text_tfidf_top_terms with a centrality signal).  Candidate words are
+    ≥3-letter alphabetic tokens minus stopwords, capped to the top
+    ``{vocab}`` by (corpus freq, word) — the vocabulary-bounded-state
+    discipline; edges are ADJACENT candidate pairs within each document
+    (multi-edges kept: adjacency count is the edge weight, exactly the
+    weighted-TextRank formulation), made undirected; then ``{iters}``
+    damped iterations of r ← (1−d)/N + d·Σ r(u)/deg(u) — the
+    item_pagerank machinery on the word graph.
+
+    Output: top {topk} keywords by final score — rank, word, ROUND-8
+    pagerank, adjacency degree.  Determinism: same acceptance as
+    item_pagerank (float-sum order inside the per-destination aggregation
+    absorbed by the final ROUND 8).
+
+    Scale shape: one scan + explode builds the bounded vocabulary, one
+    pair explode (filtered to the broadcast top-set BEFORE the shuffle)
+    builds edges; each iteration is one src-keyed join + one dst-keyed
+    sum over the capped graph — every frame after the explode is
+    vocab-bounded.""".format(vocab=_TR_VOCAB, iters=_TR_ITERS, topk=_TR_TOPK)
+    docs = load_spread(spark, "documents", sf_dir)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    cand = F.filter(
+        F.regexp_extract_all(F.lower("text"), F.lit(_TR_WORD_RX), 0),
+        lambda t: ~F.array_contains(stop_arr, t),
+    )
+    seqs = docs.filter(F.col("text").isNotNull()).select(cand.alias("ws"))
+    top = (
+        seqs.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_TR_VOCAB)
+        .select("word")
+    )
+    ws = F.col("ws")
+    pairs = seqs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("pr")
+    ).select("pr.w1", "pr.w2").filter(F.col("w1") != F.col("w2"))
+    co = (
+        pairs.join(F.broadcast(top.withColumnRenamed("word", "w1")), "w1")
+        .join(F.broadcast(top.withColumnRenamed("word", "w2")), "w2")
+        # collapse to WEIGHTED edges before iterating: the adjacency
+        # count is the TextRank edge weight, and the iteration frames
+        # drop from corpus-scale pair rows to the ≤vocab² weighted graph
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = co.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "w"
+    ).unionByName(
+        co.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w")
+    ).persist()
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg")).persist()
+    nn = deg.agg(F.count("*").alias("n"))
+    d = _TR_DAMPING
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("word"), (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("word", "src"), "src")
+            .select("dst", (F.col("w") * F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("word"),
+            ((1.0 - d) / F.col("n") + d * F.col("s")).alias("r"),
+        )
+    # rank on the ROUNDED score (word tie-break): ordering on the raw
+    # float would let last-ulp engine differences flip adjacent ranks
+    scored = ranks.join(deg.withColumnRenamed("src", "word"), "word").select(
+        "word", F.round("r", 8).alias("pagerank"), "deg"
+    )
+    wr = Window.orderBy(F.desc("pagerank"), F.asc("word"))
+    result = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TR_TOPK)
+        .select("rank", "word", "pagerank", "deg")
+        .orderBy("rank")
+    )
+    from ..io import checkpoint_release
+
+    return checkpoint_release(result, edges, deg)
+
+
+def _textrank_sql() -> str:
+    """Unrolled pinned iterations over the same capped word graph (the
+    _pagerank_sql idiom)."""
+    d = _TR_DAMPING
+    stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    ctes = [
+        f"""seqs AS (
+  SELECT list_filter(regexp_extract_all(lower(text), '{_TR_WORD_RX}'),
+                     t -> NOT list_contains({stop}, t)) AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+top AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(ws) AS word FROM seqs)
+    GROUP BY word
+  ) ORDER BY freq DESC, word ASC LIMIT {_TR_VOCAB}
+),
+pairs AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM seqs)
+  WHERE ws[i] != ws[i + 1]
+),
+co AS (
+  SELECT w1, w2, COUNT(*) AS w FROM pairs
+  WHERE w1 IN (SELECT word FROM top) AND w2 IN (SELECT word FROM top)
+  GROUP BY w1, w2
+),
+edges AS (
+  SELECT w1 AS src, w2 AS dst, w FROM co
+  UNION ALL
+  SELECT w2 AS src, w1 AS dst, w FROM co
+),
+deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT src AS word, 1.0 / n AS r FROM deg, nn)"""
+    ]
+    for i in range(_TR_ITERS):
+        ctes.append(
+            f"""s{i + 1} AS (
+  SELECT e.dst AS word, SUM(e.w * r{i}.r / deg.deg) AS s
+  FROM edges e JOIN deg ON deg.src = e.src JOIN r{i} ON r{i}.word = e.src
+  GROUP BY e.dst
+),
+r{i + 1} AS (SELECT word, (1.0 - {d}) / n + {d} * s AS r FROM s{i + 1}, nn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(r.r, 8) DESC, r.word ASC)
+         AS INT) AS rank,
+       r.word, ROUND(r.r, 8) AS pagerank, deg.deg AS deg
+FROM r{_TR_ITERS} r JOIN deg ON deg.src = r.word
+QUALIFY rank <= {_TR_TOPK}
+ORDER BY rank
+"""
+    )
+
+
+TEXTRANK_SQL = _textrank_sql()
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering: length bounds, punct/digit/stopword ratios, and a
     composite keep/drop flag (the L6 boilerplate-filter shape)."""
@@ -3865,6 +4035,7 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "pack_training_sequences": pack_training_sequences,
     "train_unigram_lm": train_unigram_lm,
+    "text_textrank_keywords": text_textrank_keywords,
     "unigram_lm_segment": unigram_lm_segment,
     "text_gopher_quality": text_gopher_quality,
     "text_repeated_ngrams": text_repeated_ngrams,
@@ -3925,6 +4096,8 @@ ORACLES = {
     "pack_training_sequences": PACK_TRAINING_SEQUENCES_SQL,
     # round 13: greedy hard-EM unigram trainer, unrolled-round recursive CTEs
     "train_unigram_lm": TRAIN_UNIGRAM_SQL,
+    # round 13: TextRank keywords (pinned damped iterations, ROUND-8 rank)
+    "text_textrank_keywords": TEXTRANK_SQL,
     "unigram_lm_segment": UNIGRAM_SEGMENT_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,

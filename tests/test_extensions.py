@@ -2056,6 +2056,62 @@ def test_bm25_prf_index_path_matches_docs_path(spark, sf_dir):
     assert via_docs == via_index and via_index
 
 
+def test_user_survival_km_hand_computed(spark, tmp_path):
+    """Kaplan-Meier on crafted lifetimes, checked against the textbook
+    estimator: lifetimes (days, died) = 5 users churning at T=2 (x2),
+    T=5, T=9 and two censored (active on the max date).  S(2)=1-2/6,
+    S(5)=S(2)*(1-1/4)... wait -- derive in-code from the definition and
+    compare, so the test pins the ESTIMATOR, not hand arithmetic."""
+    import json as _json
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import user_survival_km
+
+    # user u: first event day0 + events through day0+T; censored users'
+    # last event lands ON the max date (gap 0)
+    rows = []
+    eid = 0
+    base = "2024-03-0"
+
+    def add(user, d_first, d_last):
+        nonlocal eid
+        for d in (d_first, d_last):
+            eid += 1
+            rows.append((eid, f"2024-03-{d:02d} 12:00:00", user, "e", 1.0))
+
+    # max date will be 2024-03-20
+    add(1, 1, 3)    # T=2  died
+    add(2, 1, 3)    # T=2  died
+    add(3, 2, 7)    # T=5  died
+    add(4, 3, 12)   # T=9  died
+    add(5, 1, 20)   # T=19 censored (on max date)
+    add(6, 10, 20)  # T=10 censored (on max date)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out_dir = tmp_path / "sf"
+    df.write.parquet(str(out_dir / "events.parquet"))
+    got = {
+        r.t: (r.n_risk, r.n_deaths, r.n_censored, r.survival)
+        for r in user_survival_km(spark, str(out_dir)).collect()
+    }
+    # textbook replay
+    lifetimes = [(2, 1), (2, 1), (5, 1), (9, 1), (19, 0), (10, 0)]
+    import collections
+
+    per_t = collections.defaultdict(lambda: [0, 0])
+    for t, died in lifetimes:
+        per_t[t][0 if died else 1] += 1
+    surv, want = 1.0, {}
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        n_risk = sum(1 for T, _ in lifetimes if T >= t)
+        if d > 0:
+            surv = round(surv * (1.0 - d / n_risk), 9)
+            want[t] = (n_risk, d, c, surv)
+    assert got == want and len(want) == 3
+
+
 def test_funnel_latency_hand_computed(spark, tmp_path):
     """funnel_latency on crafted conversions reproduces hand-computed
     discrete median/p90 (µs), honoring the strictly-after stage rule (a
