@@ -96,6 +96,7 @@ _PRIORITY = [
     "write_training_shards",
     "user_survival_km",
     "text_textrank_keywords",
+    "experiment_did_eval",
     # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
     # TPC-H family first:
     "q5_revenue_by_nation",

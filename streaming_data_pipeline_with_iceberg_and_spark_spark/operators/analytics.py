@@ -3747,6 +3747,125 @@ WHERE event_type = 'purchase'
 """
 
 
+def experiment_did_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (NEW round 13; the Card-Krueger
+    quasi-experimental design — completes the experimentation family
+    next to the A/B z-test, Wilson intervals and CUPED): users split
+    into control/treatment by the SAME md5 arm hash as
+    ``experiment_ab_eval`` (one assignment definition across the
+    family), time splits into pre/post at the corpus midpoint date, and
+    the effect estimate is (T_post − T_pre) − (C_post − C_pre) over the
+    per-cell mean event value — the estimator that differences away both
+    the stable arm gap and the common time trend.
+
+    Cross-engine exactness: event values sum as INTEGER CENTS (the
+    money-sum discipline — no float-sum order dependence), means divide
+    the exact cents total once, and the DiD closed form runs on those
+    exact doubles before the single ROUND 6.  One conditional-agg pass:
+    no joins, no window; the 8 cell aggregates collapse map-side."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 2
+    )
+    cells = ev.crossJoin(F.broadcast(bounds)).select(
+        arm.alias("arm"),
+        (
+            F.datediff(day, F.col("d0"))
+            >= F.floor(F.datediff("d1", "d0") / 2)
+        )
+        .cast("int")
+        .alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def cell(a: int, p: int, col, agg):
+        return agg(
+            F.when((F.col("arm") == a) & (F.col("post") == p), col)
+        )
+
+    m = cells.agg(
+        *[
+            cell(a, p, F.lit(1), F.count).alias(f"n_{'t' if a else 'c'}_{'post' if p else 'pre'}")
+            for a in (0, 1)
+            for p in (0, 1)
+        ],
+        *[
+            F.coalesce(
+                cell(a, p, F.col("cents"), F.sum), F.lit(0).cast("long")
+            ).alias(f"s_{'t' if a else 'c'}_{'post' if p else 'pre'}")
+            for a in (0, 1)
+            for p in (0, 1)
+        ],
+    )
+
+    def mean(tag):
+        return F.col(f"s_{tag}") / F.lit(100.0) / F.col(f"n_{tag}")
+
+    did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    return m.select(
+        *[F.col(f"n_{t}").cast("long").alias(f"n_{t}")
+          for t in ("c_pre", "c_post", "t_pre", "t_post")],
+        *[F.round(mean(t), 6).alias(f"mean_{t}")
+          for t in ("c_pre", "c_post", "t_pre", "t_post")],
+        F.round(did, 6).alias("did_estimate"),
+    )
+
+
+EXPERIMENT_DID_SQL = """
+WITH ev AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
+           % 2 AS arm,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+cells AS (
+  SELECT arm,
+         CASE WHEN date_diff('day', d0, day)
+                   >= FLOOR(date_diff('day', d0, d1) / 2)
+              THEN 1 ELSE 0 END AS post,
+         cents
+  FROM ev, bounds
+),
+m AS (
+  SELECT
+    COUNT(*) FILTER (arm = 0 AND post = 0) AS n_c_pre,
+    COUNT(*) FILTER (arm = 0 AND post = 1) AS n_c_post,
+    COUNT(*) FILTER (arm = 1 AND post = 0) AS n_t_pre,
+    COUNT(*) FILTER (arm = 1 AND post = 1) AS n_t_post,
+    COALESCE(SUM(cents) FILTER (arm = 0 AND post = 0), 0) AS s_c_pre,
+    COALESCE(SUM(cents) FILTER (arm = 0 AND post = 1), 0) AS s_c_post,
+    COALESCE(SUM(cents) FILTER (arm = 1 AND post = 0), 0) AS s_t_pre,
+    COALESCE(SUM(cents) FILTER (arm = 1 AND post = 1), 0) AS s_t_post
+  FROM cells
+)
+SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre,
+       CAST(n_c_post AS BIGINT) AS n_c_post,
+       CAST(n_t_pre AS BIGINT) AS n_t_pre,
+       CAST(n_t_post AS BIGINT) AS n_t_post,
+       ROUND(s_c_pre / 100.0 / n_c_pre, 6) AS mean_c_pre,
+       ROUND(s_c_post / 100.0 / n_c_post, 6) AS mean_c_post,
+       ROUND(s_t_pre / 100.0 / n_t_pre, 6) AS mean_t_pre,
+       ROUND(s_t_post / 100.0 / n_t_post, 6) AS mean_t_post,
+       ROUND((s_t_post / 100.0 / n_t_post - s_t_pre / 100.0 / n_t_pre)
+             - (s_c_post / 100.0 / n_c_post - s_c_pre / 100.0 / n_c_pre), 6)
+         AS did_estimate
+FROM m
+"""
+
+
 # Kaplan-Meier knobs: users whose last event falls within the censor
 # window of the corpus max date are CENSORED (still alive), not churned.
 # 0 = censor only users active on the corpus max date — the synthetic
@@ -3896,6 +4015,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "funnel_latency": funnel_latency,
     "user_survival_km": user_survival_km,
+    "experiment_did_eval": experiment_did_eval,
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
@@ -3947,6 +4067,7 @@ def _sessions_peak_concurrency_sql() -> str:
 ORACLES = {
     # round 13: Kaplan-Meier churn curve (pinned-round sequential fold)
     "user_survival_km": USER_SURVIVAL_KM_SQL,
+    "experiment_did_eval": EXPERIMENT_DID_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "funnel_latency": FUNNEL_LATENCY_SQL,
     "cohort_retention": COHORT_SQL,
