@@ -97,6 +97,7 @@ _PRIORITY = [
     "user_survival_km",
     "text_textrank_keywords",
     "experiment_did_eval",
+    "chunk_cdc",
     # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
     # TPC-H family first:
     "q5_revenue_by_nation",

@@ -1340,6 +1340,134 @@ FROM documents
 """
 
 
+# Content-defined-chunking knobs: boundary window (tokens), boundary
+# divisor (expected chunk length), both interpolated into the oracle.
+_CDC_W = 4
+_CDC_DIV = 64
+
+
+def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (NEW round 13; the rsync/LBFS rolling-
+    hash boundary rule — Muthitacharoen et al. 2001): a chunk boundary
+    falls after token i whenever the polynomial hash of the last
+    ``{w}`` token hashes is ≡ 0 mod ``{div}`` — so boundaries are a
+    LOCAL function of content, and an insertion early in a document
+    shifts only the chunks up to the next boundary while every later
+    chunk (and its hash) is byte-identical.  That shift-resistance is
+    what makes CDC the dedup-friendly chunker (fixed-stride
+    ``chunk_documents`` re-frames everything after an insert); the
+    stability property is test-pinned.
+
+    Output per chunk: doc_id, chunk_ord, start_tok, n_tokens and the
+    chunk content hash — the rows a chunk-level dedup (L1
+    ``dedup_span_exact`` family) consumes.
+
+    Pure per-row array math (token hash transform, an O(n·{w}) boundary
+    scan, one zip into segments, posexplode): no shuffle, no UDF,
+    scan-parallel at any corpus size.  The window hash reuses
+    ``text_rolling_hash``'s fold (md5_bucket32 token hashes, ×31 mod
+    2³¹) so the fingerprint family shares one definition.""".format(
+        w=_CDC_W, div=_CDC_DIV
+    )
+    from ..functions.text import md5_bucket32
+
+    docs = load_spread(spark, "documents", sf_dir)
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    base = base.select(
+        "doc_id",
+        "toks",
+        F.transform("toks", md5_bucket32).alias("hs"),
+        F.size("toks").alias("n"),
+    )
+    n = F.col("n")
+
+    def win_hash(i):
+        return F.aggregate(
+            F.slice("hs", i - F.lit(_CDC_W - 1), F.lit(_CDC_W)),
+            F.lit(0).cast("long"),
+            lambda acc, t: (acc * 31 + t) % F.lit(1 << 31).cast("long"),
+        )
+
+    bpos = F.when(
+        n > _CDC_W,
+        F.filter(
+            F.sequence(F.lit(_CDC_W), n - 1),
+            lambda i: win_hash(i) % _CDC_DIV == 0,
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    seg = base.select(
+        "doc_id",
+        "toks",
+        F.concat(
+            F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1)
+        ).alias("starts"),
+        F.concat(bpos, F.array(n)).alias("ends"),
+    )
+    ch = seg.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.zip_with(
+                "starts",
+                "ends",
+                lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+            )
+        ).alias("k0", "c"),
+    )
+    length = F.col("c.e") - F.col("c.s") + 1
+    return ch.select(
+        "doc_id",
+        (F.col("k0") + 1).cast("int").alias("chunk_ord"),
+        F.col("c.s").cast("int").alias("start_tok"),
+        length.cast("int").alias("n_tokens"),
+        F.md5(
+            F.array_join(F.slice("toks", F.col("c.s"), length), " ")
+        ).alias("chunk_hash"),
+    )
+
+
+CHUNK_CDC_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT doc_id, toks,
+         list_transform(toks,
+           tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)) AS hs,
+         len(toks) AS n
+  FROM d
+),
+b AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n > {_CDC_W} THEN
+           list_filter(range({_CDC_W}, n),
+             i -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                                 hs[i - {_CDC_W - 1}:i]),
+                    (acc, t) -> (acc * 31 + t) % 2147483648)
+                  % {_CDC_DIV} = 0)
+         ELSE CAST([] AS BIGINT[]) END AS bpos
+  FROM h
+),
+c AS (
+  SELECT doc_id, toks,
+         list_prepend(CAST(1 AS BIGINT),
+                      list_transform(bpos, x -> x + 1)) AS starts,
+         list_append(bpos, CAST(n AS BIGINT)) AS ends
+  FROM b
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_ord,
+       CAST(starts[k] AS INT) AS start_tok,
+       CAST(ends[k] - starts[k] + 1 AS INT) AS n_tokens,
+       md5(array_to_string(toks[starts[k]:ends[k]], ' ')) AS chunk_hash
+FROM c, unnest(range(1, len(starts) + 1)) AS t(k)
+"""
+
+
 # PII patterns restricted to constructs whose semantics agree between Java
 # regex (Spark) and RE2 (DuckDB): character classes, bounded repetition,
 # ASCII \b — no lookaround. Counts are taken on the ORIGINAL text per
@@ -4036,6 +4164,7 @@ QUERIES = {
     "pack_training_sequences": pack_training_sequences,
     "train_unigram_lm": train_unigram_lm,
     "text_textrank_keywords": text_textrank_keywords,
+    "chunk_cdc": chunk_cdc,
     "unigram_lm_segment": unigram_lm_segment,
     "text_gopher_quality": text_gopher_quality,
     "text_repeated_ngrams": text_repeated_ngrams,
@@ -4098,6 +4227,8 @@ ORACLES = {
     "train_unigram_lm": TRAIN_UNIGRAM_SQL,
     # round 13: TextRank keywords (pinned damped iterations, ROUND-8 rank)
     "text_textrank_keywords": TEXTRANK_SQL,
+    # round 13: content-defined chunking (rolling-hash boundaries)
+    "chunk_cdc": CHUNK_CDC_SQL,
     "unigram_lm_segment": UNIGRAM_SEGMENT_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,

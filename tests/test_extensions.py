@@ -2056,6 +2056,40 @@ def test_bm25_prf_index_path_matches_docs_path(spark, sf_dir):
     assert via_docs == via_index and via_index
 
 
+def test_chunk_cdc_shift_stability(spark, tmp_path):
+    """The defining CDC property (and why it beats fixed-stride chunking
+    for dedup): prepending tokens to a document changes only the chunks
+    BEFORE the first surviving boundary -- every chunk that starts after
+    it keeps a byte-identical content hash, because boundaries are a
+    local function of the token window.  Fixed-stride chunk_documents
+    re-frames everything after an insert; chunk_cdc must not."""
+    import random
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import chunk_cdc
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(5000)}" for _ in range(600)]
+    orig = " ".join(words)
+    shifted = "zzz qqq " + orig
+    df = spark.createDataFrame(
+        [(1, orig), (2, shifted)], "doc_id long, text string"
+    )
+    out = tmp_path / "sf"
+    df.write.parquet(str(out / "documents.parquet"))
+    rows = chunk_cdc(spark, str(out)).collect()
+    h1 = [r.chunk_hash for r in sorted(
+        (r for r in rows if r.doc_id == 1), key=lambda r: r.chunk_ord)]
+    h2 = [r.chunk_hash for r in sorted(
+        (r for r in rows if r.doc_id == 2), key=lambda r: r.chunk_ord)]
+    assert len(h1) > 5, "fixture too short to form several chunks"
+    # every chunk of the original except (at most) the first must
+    # reappear verbatim in the shifted document
+    assert set(h1[1:]) <= set(h2)
+    # and the shared tail is in the same order
+    k = h2.index(h1[1])
+    assert h2[k : k + len(h1) - 1] == h1[1:]
+
+
 def test_user_survival_km_hand_computed(spark, tmp_path):
     """Kaplan-Meier on crafted lifetimes, checked against the textbook
     estimator: lifetimes (days, died) = 5 users churning at T=2 (x2),
