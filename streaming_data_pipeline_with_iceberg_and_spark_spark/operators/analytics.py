@@ -3895,15 +3895,31 @@ def user_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-keyed shuffle (the lifetime agg), a broadcast
     1-row max date, one calendar-bounded day table whose at-risk counts
     come from a prefix-sum window over ≤|days| rows, and the O(days²)
-    per-row fold on that same bounded table.""".format(
+    per-row fold on that same bounded table.
+
+    The op is the composition ``survival_km_from_user_state ∘
+    rfm_user_partials`` (the events_rfm_segments discipline): the same
+    per-user lifecycle partials the incremental user-state ingest
+    maintains serve the survival curve with no extra state.""".format(
         censor=_KM_CENSOR_DAYS
     )
-    ev = load(spark, "events", sf_dir).filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    return survival_km_from_user_state(
+        rfm_user_partials(
+            load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+        )
     )
-    u = ev.groupBy("user_id").agg(
-        F.min(F.to_date(F.col("ts").cast("timestamp"))).alias("d0"),
-        F.max(F.to_date(F.col("ts").cast("timestamp"))).alias("d1"),
+
+
+def survival_km_from_user_state(state: DataFrame) -> DataFrame:
+    """KM finalizer over (merged) per-user lifecycle partials — the same
+    (user_id, d_first, d_last, …) rows :func:`rfm_user_partials` emits
+    and the incremental user-state ingest maintains, so the maintained
+    table serves survival curves with NO extra state (the seventeenth
+    serve face on an existing path; parity test in
+    tests/test_streaming.py).  Accepts un-merged per-batch partials too:
+    it re-merges per user first (min/max are idempotent)."""
+    u = state.groupBy("user_id").agg(
+        F.min("d_first").alias("d0"), F.max("d_last").alias("d1")
     )
     mx = u.agg(F.max("d1").alias("dmax"))
     lt = u.crossJoin(F.broadcast(mx)).select(

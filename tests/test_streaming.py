@@ -2029,6 +2029,19 @@ def test_incremental_rfm_ingest_matches_batch(spark, tmp_path):
     assert state_t.current_version() == v_compacted
     assert canon(rfm_from_user_state(state_t.read())) == want
 
+    # the Kaplan-Meier curve is ANOTHER serve face on the SAME maintained
+    # state (round 13): survival_km_from_user_state over the appended
+    # partials (pre- and post-compaction alike) must equal the batch
+    # composition over everything ingested — no extra state, no extra
+    # ingest path
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        survival_km_from_user_state,
+    )
+
+    km_want = canon(survival_km_from_user_state(rfm_user_partials(batch_df)))
+    assert canon(survival_km_from_user_state(state_t.read())) == km_want
+    assert km_want  # crafted lifetimes produce at least one churn row
+
 
 def test_incremental_hourly_ingest_matches_batch(spark, tmp_path):
     """Exact incremental (day, hour) count maintenance: the seasonality
