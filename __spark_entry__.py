@@ -98,6 +98,7 @@ _PRIORITY = [
     "text_textrank_keywords",
     "experiment_did_eval",
     "chunk_cdc",
+    "events_daily_autocorr",
     # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
     # TPC-H family first:
     "q5_revenue_by_nation",

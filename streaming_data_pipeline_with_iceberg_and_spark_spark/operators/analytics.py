@@ -3747,6 +3747,109 @@ WHERE event_type = 'purchase'
 """
 
 
+_ACF_MAX_LAG = 10
+
+
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..{lag} (NEW round 13) — the periodicity detector behind weekly-
+    seasonality discovery and forecast-model selection (a spike at lag 7
+    = weekly cycle; complements the hour-of-week seasonality profile,
+    which ASSUMES the cycle this op detects).  Missing days count as
+    ZERO (the series densifies over the full calendar — skipping gaps
+    would alias the lags), and the biased ACF estimator divides each
+    lag's autocovariance by the full-series variance.
+
+    Cross-engine: counts are integers, the mean divides once; the
+    covariance/variance sums run over the ≤|days| calendar table, and
+    the final ROUND 6 absorbs float-sum-order dust (the item_pagerank
+    acceptance class).
+
+    Scale shape: one day-keyed count shuffle over the fact, then
+    EVERYTHING ELSE — calendar densify, the lag self-join, the variance
+    — runs on the ≤|days| metadata table (a few hundred rows at any
+    corpus size).""".format(lag=_ACF_MAX_LAG)
+    ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    per_day = ev.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("c"))
+    bounds = per_day.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = (
+        bounds.select(
+            F.explode(F.sequence("d0", "d1")).alias("day"), "d0"
+        )
+        .join(per_day, "day", "left")
+        .select(
+            F.datediff("day", "d0").alias("i"),
+            F.coalesce("c", F.lit(0).cast("long")).alias("c"),
+        )
+    )
+    stats = cal.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("c") / F.count(F.lit(1))).alias("m"),
+    )
+    centered = cal.crossJoin(F.broadcast(stats)).select(
+        "i", (F.col("c") - F.col("m")).alias("x"), "n"
+    )
+    var = centered.agg(F.sum(F.col("x") * F.col("x")).alias("v"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = centered.select("i", F.col("x").alias("xa"))
+    b = centered.select(F.col("i").alias("j"), F.col("x").alias("xb"))
+    prods = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("j") == F.col("i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("xa") * F.col("xb")).alias("cov"),
+        )
+    )
+    return (
+        prods.crossJoin(F.broadcast(var))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("cov") / F.col("v"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+EVENTS_DAILY_AUTOCORR_SQL = f"""
+WITH per_day AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
+cal AS (
+  SELECT date_diff('day', d0, gs.day) AS i,
+         COALESCE(p.c, 0) AS c
+  FROM bounds,
+       LATERAL (SELECT unnest(generate_series(d0, d1,
+                INTERVAL 1 DAY))::DATE AS day) gs
+  LEFT JOIN per_day p ON p.day = gs.day
+),
+stats AS (SELECT COUNT(*) AS n, SUM(c) * 1.0 / COUNT(*) AS m FROM cal),
+centered AS (SELECT i, c - m AS x FROM cal, stats),
+var AS (SELECT SUM(x * x) AS v FROM centered),
+lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+prods AS (
+  SELECT lag,
+         COUNT(*) AS n_pairs,
+         SUM(a.x * b.x) AS cov
+  FROM centered a, lags
+  JOIN centered b ON b.i = a.i + lag
+  GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(cov / v, 6) AS acf
+FROM prods, var
+ORDER BY lag
+"""
+
+
 def experiment_did_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences readout (NEW round 13; the Card-Krueger
     quasi-experimental design — completes the experimentation family
@@ -4032,6 +4135,7 @@ QUERIES = {
     "funnel_latency": funnel_latency,
     "user_survival_km": user_survival_km,
     "experiment_did_eval": experiment_did_eval,
+    "events_daily_autocorr": events_daily_autocorr,
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
@@ -4084,6 +4188,7 @@ ORACLES = {
     # round 13: Kaplan-Meier churn curve (pinned-round sequential fold)
     "user_survival_km": USER_SURVIVAL_KM_SQL,
     "experiment_did_eval": EXPERIMENT_DID_SQL,
+    "events_daily_autocorr": EVENTS_DAILY_AUTOCORR_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "funnel_latency": FUNNEL_LATENCY_SQL,
     "cohort_retention": COHORT_SQL,
