@@ -99,6 +99,7 @@ _PRIORITY = [
     "experiment_did_eval",
     "chunk_cdc",
     "events_daily_autocorr",
+    "tokenizer_fertility_compare",
     # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
     # TPC-H family first:
     "q5_revenue_by_nation",

@@ -749,6 +749,14 @@ def _uni_seg_ctes(tag: str, vcte: str, rounds_src: str = "wu") -> str:
 
 
 def _train_unigram_sql(final_select: str) -> str:
+    return "WITH RECURSIVE " + ",\n".join(_uni_ctes()) + "\n" + final_select
+
+
+def _uni_ctes() -> list[str]:
+    """The unrolled unigram training rounds as a CTE list — shared by the
+    train/segment oracles and the tokenizer-comparison face (which
+    splices them next to the BPE chain; names are disjoint by
+    construction: wu/v*/g*/cf vs w*/p*/b*)."""
     rx = _BPE_REGEX.replace("'", "''")
     d = "chr(31)"
     subs = " UNION ALL ".join(
@@ -793,7 +801,7 @@ def _train_unigram_sql(final_select: str) -> str:
   FROM gf WHERE piece IS NOT NULL GROUP BY piece
 )"""
     )
-    return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + final_select
+    return ctes
 
 
 TRAIN_UNIGRAM_SQL = _train_unigram_sql(
@@ -844,6 +852,101 @@ FROM pw LEFT JOIN npw t USING (word)
 GROUP BY doc_id
 """
 )
+
+
+def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-vs-unigram tokenizer comparison per source (NEW round 13) —
+    the readout a tokenizer bake-off produces: for each document source,
+    the corpus word count, symbols-per-word under the learned BPE merges
+    and pieces-per-word under the learned unigram vocabulary, and their
+    ratio.  Composes BOTH memoized training runs (``_bpe_state`` /
+    ``_uni_state`` — the two trainers share the pre-tokenizer, so
+    per-word-type symbol counts join on the same word key), so the
+    comparison costs two vocab-bounded joins, never a re-train.
+
+    All-integer until the final rounded divisions: Σn, Σn·syms and
+    Σn·pieces are exact longs.  Words beyond the unigram length cap
+    count 1 piece (the unigram_lm_segment contract).  Scale: one
+    (source, word) count shuffle over the corpus + two word-type joins
+    (word types, not token instances)."""
+    _, final_words = _bpe_state(spark, sf_dir)
+    _, word_pieces = _uni_state(spark, sf_dir)
+    bpev = final_words.select(
+        "word", F.size(F.split("seq", _BPE_DELIM)).alias("n_syms")
+    )
+    npw = word_pieces.select("word", F.size("pieces").alias("n_pieces"))
+    docs = load_spread(spark, "documents", sf_dir)
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_REGEX), 0)
+    pw = (
+        docs.filter(F.col("text").isNotNull())
+        .select("source", F.explode(toks).alias("word"))
+        .filter(~F.col("word").contains(_BPE_DELIM))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n = F.col("n")
+    return (
+        pw.join(bpev, "word")
+        .join(npw, "word", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(n).alias("n_words"),
+            F.sum(n * F.col("n_syms")).alias("_bs"),
+            F.sum(n * F.coalesce("n_pieces", F.lit(1))).alias("_us"),
+        )
+        .select(
+            "source",
+            "n_words",
+            F.round(F.col("_bs") / F.col("n_words"), 6).alias(
+                "bpe_symbols_per_word"
+            ),
+            F.round(F.col("_us") / F.col("n_words"), 6).alias(
+                "uni_pieces_per_word"
+            ),
+            F.round(F.col("_us") / F.col("_bs"), 6).alias("uni_to_bpe_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def _fertility_compare_sql() -> str:
+    rx = _BPE_REGEX.replace("'", "''")
+    return (
+        "WITH RECURSIVE "
+        + _bpe_train_ctes()
+        + ",\n"
+        + ",\n".join(_uni_ctes())
+        + f""",
+bpev AS (
+  SELECT word, len(string_split(seq, chr(31))) AS n_syms
+  FROM w{_BPE_TRAIN_MERGES}
+),
+npw AS (
+  SELECT word, COUNT(*) AS n_pieces
+  FROM gf WHERE piece IS NOT NULL GROUP BY word
+),
+pw AS (
+  SELECT source, word, COUNT(*) AS n FROM (
+    SELECT source, unnest(regexp_extract_all(lower(text), '{rx}')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE strpos(word, chr(31)) = 0
+  GROUP BY source, word
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_words,
+       ROUND(SUM(n * b.n_syms) * 1.0 / SUM(n), 6) AS bpe_symbols_per_word,
+       ROUND(SUM(n * COALESCE(u.n_pieces, 1)) * 1.0 / SUM(n), 6)
+         AS uni_pieces_per_word,
+       ROUND(SUM(n * COALESCE(u.n_pieces, 1)) * 1.0 / SUM(n * b.n_syms), 6)
+         AS uni_to_bpe_ratio
+FROM pw JOIN bpev b USING (word) LEFT JOIN npw u USING (word)
+GROUP BY source
+ORDER BY source
+"""
+    )
+
+
+TOKENIZER_FERTILITY_SQL = _fertility_compare_sql()
 
 
 # TextRank knobs (interpolated into the oracle): candidate-vocabulary
@@ -4165,6 +4268,7 @@ QUERIES = {
     "train_unigram_lm": train_unigram_lm,
     "text_textrank_keywords": text_textrank_keywords,
     "chunk_cdc": chunk_cdc,
+    "tokenizer_fertility_compare": tokenizer_fertility_compare,
     "unigram_lm_segment": unigram_lm_segment,
     "text_gopher_quality": text_gopher_quality,
     "text_repeated_ngrams": text_repeated_ngrams,
@@ -4229,6 +4333,8 @@ ORACLES = {
     "text_textrank_keywords": TEXTRANK_SQL,
     # round 13: content-defined chunking (rolling-hash boundaries)
     "chunk_cdc": CHUNK_CDC_SQL,
+    # round 13: BPE-vs-unigram bake-off (both training chains spliced)
+    "tokenizer_fertility_compare": TOKENIZER_FERTILITY_SQL,
     "unigram_lm_segment": UNIGRAM_SEGMENT_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,
