@@ -100,6 +100,7 @@ _PRIORITY = [
     "chunk_cdc",
     "events_daily_autocorr",
     "tokenizer_fertility_compare",
+    "dedup_prefix_jaccard",
     # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
     # TPC-H family first:
     "q5_revenue_by_nation",

@@ -622,6 +622,137 @@ LIMIT 50
 """
 
 
+# Prefix-filter (AllPairs/PPJoin) threshold as an exact integer ratio —
+# θ = _PFX_NUM/_PFX_DEN; the prefix length and the verify compare both run
+# in integers, so no float boundary can flip a pair between engines.
+_PFX_NUM = 7
+_PFX_DEN = 10
+
+
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact θ-Jaccard similarity self-join via PREFIX FILTERING (NEW
+    round 13; AllPairs — Bayardo et al. 2007 / PPJoin — the ssjoin
+    algorithm family): a candidate-generation strategy with an EXACTNESS
+    GUARANTEE, unlike the df-cap heuristic of `dedup_ngram_jaccard`
+    (which drops stop-shingles from the similarity space) or MinHash-LSH
+    (probabilistic).  Shingles order globally rare-first (df ASC,
+    shingle ASC); each document exposes only its first
+    |d| − ⌈θ·|d|⌉ + 1 shingles in that order, and ANY pair with
+    J ≥ θ = {num}/{den} provably shares a prefix shingle — so the join
+    touches the prefix postings only, then verifies candidates with one
+    exact set intersection.  Returns every pair at or above θ.
+
+    Integer exactness end-to-end: prefix length = n − ((n·{num} + {den}
+    − 1) ÷ {den}) + 1 and the verify compare {den}·|A∩B| ≥
+    {num}·|A∪B| both avoid float θ entirely.
+
+    Scale shape: one df count + one per-doc sort (bounded by shingles
+    per doc), the pair join runs over PREFIX postings (rare shingles by
+    construction — short posting lists), and verification joins the two
+    bounded shingle arrays per surviving candidate.  Same shingle space
+    as the whole L1/L2 family (`_doc_shingles`).""".format(
+        num=_PFX_NUM, den=_PFX_DEN
+    )
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0)
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        inv.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("osh")
+        )
+    )
+    n = F.size("osh")
+    plen = n - F.floor((n * _PFX_NUM + _PFX_DEN - 1) / _PFX_DEN).cast(
+        "int"
+    ) + 1
+    prefixes = ordered.select(
+        "doc_id", F.explode(F.slice("osh", 1, plen)).alias("shingle")
+    )
+    cands = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            (na + nb - inter).alias("n_union"),
+        )
+        .filter(F.col("n_inter") * _PFX_DEN >= F.col("n_union") * _PFX_NUM)
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_union",
+        F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"),
+    ).orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+
+
+DEDUP_PREFIX_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+    FROM toks
+  ) WHERE len(s) > 0
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM inv GROUP BY shingle
+), ordered AS (
+  SELECT doc_id, list(shingle ORDER BY df, shingle) AS osh
+  FROM inv JOIN dfreq USING (shingle)
+  GROUP BY doc_id
+), prefixes AS (
+  SELECT doc_id, unnest(osh[1 : len(osh)
+           - CAST(FLOOR((len(osh) * {_PFX_NUM} + {_PFX_DEN} - 1)
+                        / {_PFX_DEN}) AS INT) + 1]) AS shingle
+  FROM ordered
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefixes a JOIN prefixes b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.s, sb.s)) AS n_inter,
+         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS n_union
+  FROM cands
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS INT) AS n_inter,
+       CAST(n_union AS INT) AS n_union,
+       ROUND(n_inter * 1.0 / n_union, 6) AS jaccard
+FROM verified
+WHERE n_inter * {_PFX_DEN} >= n_union * {_PFX_NUM}
+ORDER BY jaccard DESC, doc_a, doc_b
+"""
+
+
 # Near-dup edge threshold for cluster formation. The corpus' pair-similarity
 # distribution is bimodal (planted near-dups ≥0.7, background noise <0.3), so
 # 0.5 sits in a wide empty band — engine/oracle double-division agreement at
@@ -1288,6 +1419,7 @@ ORDER BY a.vec_id
 
 
 QUERIES = {
+    "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "dedup_exact": dedup_exact,
     "dedup_span_exact": dedup_span_exact,
     "dedup_semantic": dedup_semantic,
@@ -1304,6 +1436,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    # round 13: AllPairs/PPJoin prefix-filtered exact theta-join
+    "dedup_prefix_jaccard": DEDUP_PREFIX_JACCARD_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_span_exact": DEDUP_SPAN_SQL,
     # round 9: dedup_semantic upgraded rows-only → value-exact (pinned

@@ -2056,6 +2056,46 @@ def test_bm25_prf_index_path_matches_docs_path(spark, sf_dir):
     assert via_docs == via_index and via_index
 
 
+def test_dedup_prefix_jaccard_exactness(spark, tmp_path):
+    """The prefix filter must be EXACT at theta (the AllPairs guarantee,
+    unlike the df-cap heuristic or LSH): on a crafted corpus, the
+    operator's pair set equals the brute-force all-pairs set of exact
+    3-shingle Jaccard >= 7/10 -- recall AND precision 1.0."""
+    import itertools
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import dedup_prefix_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),
+        (2, base + " extra"),                      # near-dup of 1
+        (3, base.replace("fox", "cat")),           # near-dup of 1
+        (4, "completely different words entirely unrelated content here now"),
+        (5, base),                                 # exact dup of 1
+        (6, "the quick brown fox sentence shares a few shingles only"),
+    ]
+    out = tmp_path / "sf"
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(out / "documents.parquet")
+    )
+    got = {
+        (r.doc_a, r.doc_b) for r in dedup_prefix_jaccard(spark, str(out)).collect()
+    }
+
+    def sh3(text):
+        t = text.lower().split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    want = set()
+    for (a, ta), (b, tb) in itertools.combinations(docs, 2):
+        A, B = sh3(ta), sh3(tb)
+        inter = len(A & B)
+        union = len(A | B)
+        if union and inter * 10 >= union * 7:
+            want.add((a, b))
+    assert got == want and (1, 5) in want
+
+
 def test_chunk_cdc_shift_stability(spark, tmp_path):
     """The defining CDC property (and why it beats fixed-stride chunking
     for dedup): prepending tokens to a document changes only the chunks
