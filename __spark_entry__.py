@@ -101,6 +101,7 @@ _PRIORITY = [
     "events_daily_autocorr",
     "tokenizer_fertility_compare",
     "dedup_prefix_jaccard",
+    "text_keyphrase_rake",
     # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
     # TPC-H family first:
     "q5_revenue_by_nation",

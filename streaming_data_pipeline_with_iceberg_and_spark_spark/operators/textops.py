@@ -949,6 +949,146 @@ ORDER BY source
 TOKENIZER_FERTILITY_SQL = _fertility_compare_sql()
 
 
+_RAKE_TOPK = 20
+
+
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (NEW round 13; Rose et al. 2010 — Rapid
+    Automatic Keyword Extraction): candidate PHRASES are maximal runs of
+    content words (the TextRank candidate definition: ≥3-letter
+    alphabetic, non-stopword) between stopword/punctuation delimiters;
+    each word scores degree/frequency (degree = Σ length of phrases it
+    occurs in — co-occurrence reach; frequency = occurrence count), and
+    a phrase scores the sum of its words' scores — multi-word phrases
+    rank high exactly when their words travel together.  The
+    co-occurrence-degree heuristic complements text_textrank_keywords'
+    graph centrality (RAKE surfaces PHRASES, TextRank single words).
+
+    Output: top {topk} phrases by ROUNDED score (phrase tie-break) with
+    occurrence count and word count.
+
+    Mechanics: one posexplode + the gaps-and-islands window (run id =
+    position − candidate row_number, partitioned by doc) builds phrase
+    occurrences; word stats and phrase scores are two vocab-bounded
+    aggs.  Word scores divide exact integers; the per-phrase sum is ≤
+    phrase-length doubles absorbed by ROUND 6 (the item_pagerank
+    acceptance class).  One doc-keyed window + two bounded shuffles —
+    scan-parallel at any corpus size.""".format(topk=_RAKE_TOPK)
+    docs = load_spread(spark, "documents", sf_dir)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z']+"), 0)
+    pos = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(toks).alias("pos", "w")
+    )
+    cand = pos.withColumn(
+        "is_c",
+        (F.length("w") >= 3)
+        & ~F.array_contains(stop_arr, F.col("w"))
+        & F.col("w").rlike("^[a-z]+$"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        cand.filter(F.col("is_c"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(wd))
+    )
+    phrases = runs.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    occ = runs.join(phrases, ["doc_id", "grp"]).select("w", "plen")
+    wscore = occ.groupBy("w").agg(
+        (F.sum("plen") / F.count(F.lit(1))).alias("ws")
+    )
+    pstats = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("plen").alias("n_words"),
+    )
+    pscore = (
+        pstats.select(
+            "phrase",
+            "n_occurrences",
+            "n_words",
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(wscore, "w")
+        .groupBy("phrase", "n_occurrences", "n_words")
+        .agg(F.round(F.sum("ws"), 6).alias("score"))
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        pscore.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _RAKE_TOPK)
+        .select(
+            "rank",
+            "phrase",
+            "score",
+            F.col("n_words").cast("int").alias("n_words"),
+            "n_occurrences",
+        )
+        .orderBy("rank")
+    )
+
+
+TEXT_KEYPHRASE_RAKE_SQL = """
+WITH pos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS w
+  FROM (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z'']+') AS toks
+    FROM documents WHERE text IS NOT NULL
+  ), unnest(range(1, len(toks) + 1)) AS t(i)
+),
+runs AS (
+  SELECT doc_id, pos, w,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pos
+  WHERE len(w) >= 3 AND NOT list_contains({stopwords}, w)
+    AND regexp_matches(w, '^[a-z]+$')
+),
+phrases AS (
+  SELECT doc_id, grp,
+         array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+         COUNT(*) AS plen
+  FROM runs GROUP BY doc_id, grp
+),
+occ AS (
+  SELECT r.w, p.plen
+  FROM runs r JOIN phrases p USING (doc_id, grp)
+),
+wscore AS (
+  SELECT w, SUM(plen) * 1.0 / COUNT(*) AS ws FROM occ GROUP BY w
+),
+pstats AS (
+  SELECT phrase, COUNT(*) AS n_occurrences, MAX(plen) AS n_words
+  FROM phrases GROUP BY phrase
+),
+pscore AS (
+  SELECT phrase, n_occurrences, n_words,
+         ROUND(SUM(ws), 6) AS score
+  FROM (SELECT phrase, n_occurrences, n_words, unnest(string_split(phrase, ' ')) AS w
+        FROM pstats)
+  JOIN wscore USING (w)
+  GROUP BY phrase, n_occurrences, n_words
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, phrase ASC) AS INT)
+         AS rank,
+       phrase, score,
+       CAST(n_words AS INT) AS n_words,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM pscore
+QUALIFY rank <= {topk}
+ORDER BY rank
+""".format(
+    stopwords="[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]",
+    topk=_RAKE_TOPK,
+)
+
+
 # TextRank knobs (interpolated into the oracle): candidate-vocabulary
 # cap, damped-iteration count/damping (the item_pagerank constants), and
 # the keyword output size.
@@ -4269,6 +4409,7 @@ QUERIES = {
     "text_textrank_keywords": text_textrank_keywords,
     "chunk_cdc": chunk_cdc,
     "tokenizer_fertility_compare": tokenizer_fertility_compare,
+    "text_keyphrase_rake": text_keyphrase_rake,
     "unigram_lm_segment": unigram_lm_segment,
     "text_gopher_quality": text_gopher_quality,
     "text_repeated_ngrams": text_repeated_ngrams,
@@ -4335,6 +4476,8 @@ ORACLES = {
     "chunk_cdc": CHUNK_CDC_SQL,
     # round 13: BPE-vs-unigram bake-off (both training chains spliced)
     "tokenizer_fertility_compare": TOKENIZER_FERTILITY_SQL,
+    # round 13: RAKE keyphrases (gaps-and-islands runs, degree/freq scores)
+    "text_keyphrase_rake": TEXT_KEYPHRASE_RAKE_SQL,
     "unigram_lm_segment": UNIGRAM_SEGMENT_SQL,
     "text_gopher_quality": TEXT_GOPHER_SQL,
     "text_repeated_ngrams": TEXT_REPEATED_NGRAMS_SQL,
