@@ -209,6 +209,25 @@ HEADLINE = [
     "impute_events_value",
     # Appended round 12, fifteenth segment: weekly categorical mix drift.
     "events_type_mix_drift",
+    # Appended round 13: dataset-assembly tail (packing, shards), the
+    # unigram tokenizer family + the bake-off face, the capped purity
+    # monitor, survival/DiD/autocorr analytics, CDC chunking, the
+    # prefix-filtered exact similarity join, RAKE/TextRank keywords and
+    # personalized-PageRank recs.
+    "pack_training_sequences",
+    "train_unigram_lm",
+    "unigram_lm_segment",
+    "tokenizer_fertility_compare",
+    "label_purity_monitor",
+    "write_training_shards",
+    "user_survival_km",
+    "experiment_did_eval",
+    "events_daily_autocorr",
+    "chunk_cdc",
+    "dedup_prefix_jaccard",
+    "text_textrank_keywords",
+    "text_keyphrase_rake",
+    "recommend_ppr",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -1067,6 +1067,117 @@ FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.item
 PAGERANK_SQL = _pagerank_sql()
 
 
+_PPR_SEEDS = 5  # seed items (top-degree picks, ties item ASC)
+_PPR_TOPK = 10  # recommendations per seed
+
+
+def recommend_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized-PageRank recommendations (NEW round 13; the
+    random-walk-with-restart recommender — Pixie/SALSA's core signal):
+    for each of the ``{seeds}`` highest-degree seed items, run
+    ``_PR_ITERS`` damped iterations of r ← (1−d)·e_seed + d·Σ r(u)/deg(u)
+    over the SAME co-occurrence edge definition as item_pagerank /
+    recommend_items (the shared-edge discipline — three rec signals, one
+    graph), and emit the top {topk} non-seed items per seed.  PPR
+    concentrates mass NEAR the seed, so unlike global PageRank the
+    ranking answers "what goes with THIS item".
+
+    All seeds propagate in one batched iteration (state keyed
+    (seed, item) — ≤ seeds·|items| rows, vocab-bounded); ranking orders
+    on the ROUNDED score (item tie-break), the TextRank discipline, so
+    last-ulp float dust cannot flip ranks cross-engine.""".format(
+        seeds=_PPR_SEEDS, topk=_PPR_TOPK
+    )
+    baskets = _user_baskets(spark, sf_dir)
+    co = _basket_pairs(baskets)
+    edges = co.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        co.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(_PPR_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    d = _PR_DAMPING
+    ranks = seeds.select("seed", F.col("seed").alias("item"), F.lit(1.0).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(edges.withColumnRenamed("src", "item"), "item")
+            .join(deg.withColumnRenamed("src", "item"), "item")
+            .select("seed", "dst", (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("seed", "dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            "seed",
+            F.col("dst").alias("item"),
+            (
+                d * F.col("s")
+                + F.when(F.col("dst") == F.col("seed"), 1.0 - d).otherwise(0.0)
+            ).alias("r"),
+        )
+    scored = ranks.filter(F.col("item") != F.col("seed")).select(
+        "seed", "item", F.round("r", 8).alias("ppr")
+    )
+    wr = Window.partitionBy("seed").orderBy(F.desc("ppr"), F.asc("item"))
+    result = (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PPR_TOPK)
+        .select("seed", "rank", "item", "ppr")
+        .orderBy("seed", "rank")
+    )
+    return checkpoint_release(result, baskets, edges, deg)
+
+
+def _ppr_sql() -> str:
+    d = _PR_DAMPING
+    ctes = [
+        f"""edges AS (
+  SELECT item_a AS src, item_b AS dst FROM co
+  UNION ALL
+  SELECT item_b AS src, item_a AS dst FROM co
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+seeds AS (
+  SELECT src AS seed FROM deg ORDER BY deg DESC, src ASC LIMIT {_PPR_SEEDS}
+),
+r0 AS (SELECT seed, seed AS item, 1.0 AS r FROM seeds)"""
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"""s{i + 1} AS (
+  SELECT r{i}.seed, e.dst, SUM(r{i}.r / deg.deg) AS s
+  FROM r{i} JOIN edges e ON e.src = r{i}.item
+  JOIN deg ON deg.src = r{i}.item
+  GROUP BY r{i}.seed, e.dst
+),
+r{i + 1} AS (
+  SELECT seed, dst AS item,
+         {d} * s + CASE WHEN dst = seed THEN 1.0 - {d} ELSE 0.0 END AS r
+  FROM s{i + 1}
+)"""
+        )
+    return (
+        f"WITH {_CO_CTES},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT seed, CAST(ROW_NUMBER() OVER (PARTITION BY seed
+         ORDER BY ROUND(r, 8) DESC, item ASC) AS INT) AS rank,
+       item, ROUND(r, 8) AS ppr
+FROM r{_PR_ITERS}
+WHERE item != seed
+QUALIFY rank <= {_PPR_TOPK}
+ORDER BY seed, rank
+"""
+    )
+
+
+RECOMMEND_PPR_SQL = _ppr_sql()
+
+
 def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov model of user behavior: P(next event_type | this
     event_type) from each user's time-ordered event sequence — the
@@ -4136,6 +4247,7 @@ QUERIES = {
     "user_survival_km": user_survival_km,
     "experiment_did_eval": experiment_did_eval,
     "events_daily_autocorr": events_daily_autocorr,
+    "recommend_ppr": recommend_ppr,
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
@@ -4189,6 +4301,7 @@ ORACLES = {
     "user_survival_km": USER_SURVIVAL_KM_SQL,
     "experiment_did_eval": EXPERIMENT_DID_SQL,
     "events_daily_autocorr": EVENTS_DAILY_AUTOCORR_SQL,
+    "recommend_ppr": RECOMMEND_PPR_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "funnel_latency": FUNNEL_LATENCY_SQL,
     "cohort_retention": COHORT_SQL,
