@@ -56,6 +56,8 @@ def hybrid_rank(
     k: int = _HYBRID_K,
     topk: int = _HYBRID_TOPK,
     c: int = _RRF_C,
+    postings: DataFrame | None = None,
+    stats_partials: DataFrame | None = None,
 ) -> DataFrame:
     """RRF-fuse BM25 top-``k`` with cosine top-``k`` — the reusable operator.
 
@@ -66,7 +68,15 @@ def hybrid_rank(
     with both constituent ranks exposed (NULL where a doc appeared in only
     one list).
     """
-    sparse = bm25_rank(docs, qterms, k=k).select(
+    if postings is not None:
+        # r13: the sparse arm serves from the materialized inverted index
+        # (exact parity with bm25_rank by the mergeable-postings contract)
+        from .textops import bm25_rank_from_index
+
+        sparse = bm25_rank_from_index(postings, stats_partials, qterms, k=k)
+    else:
+        sparse = bm25_rank(docs, qterms, k=k)
+    sparse = sparse.select(
         "query_id", "doc_id", F.col("rank").alias("bm25_rank")
     )
 
@@ -138,11 +148,16 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvecs = spark.createDataFrame(
         sorted(_HYBRID_QVECS.items()), "query_id int, qvec_id long"
     )
+    from .textops import materialized_bm25_index
+
+    postings, stats_partials = materialized_bm25_index(spark, sf_dir)
     return hybrid_rank(
-        load_spread(spark, "documents", sf_dir),
+        None,
         load(spark, "embeddings", sf_dir),
         qterms,
         qvecs,
+        postings=postings,
+        stats_partials=stats_partials,
     )
 
 
