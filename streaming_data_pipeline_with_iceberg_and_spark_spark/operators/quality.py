@@ -560,6 +560,59 @@ def _er_matched_pairs(names: DataFrame) -> DataFrame:
     )
 
 
+# Per-(session, customer-version, sf_dir) memo of the record-linkage CC
+# labels — the dedup-family _CC_LABEL_CACHE discipline brought to the ER
+# grain (round 13: the bench showed every warm entity_resolution_groups
+# call re-running the ~6 star-alternation rounds, ~10 s each; within one
+# session the clustering over a static master is one derivation).  The
+# memoized frame is the eagerly-localCheckpointed labels table; the
+# customer fingerprint in the key rebuilds on a same-session rewrite.
+_ER_CC_CACHE: dict = {}
+
+
+def clear_er_cc_cache() -> None:
+    _ER_CC_CACHE.clear()
+
+
+def _er_cc_labels(
+    spark: SparkSession, sf_dir: str, names: DataFrame
+) -> DataFrame:
+    from ..io import data_fingerprint
+    from .dedup import _connected_components
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "customer"),
+    )
+    hit = _ER_CC_CACHE.get(key)
+    if hit is not None:
+        try:
+            if hit.sparkSession.sparkContext._jsc is not None:
+                return hit
+        except Exception:
+            pass
+        _ER_CC_CACHE.pop(key, None)
+    for k in list(_ER_CC_CACHE):
+        if k[:2] == key[:2] and k != key:
+            _ER_CC_CACHE.pop(k, None)
+    edges = _er_matched_pairs(names).select(
+        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
+    )
+    verts = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select("doc_b"))
+        .distinct()
+    )
+    labels = (
+        _connected_components(verts, edges)
+        .select(F.col("doc_id").alias("rep_key"), "cluster_id")
+        .localCheckpoint(eager=True)
+    )
+    _ER_CC_CACHE[key] = labels
+    return labels
+
+
 def entity_resolution_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive entity clusters (NEW round 12): connected components
     over the blocked fuzzy-match edges — the resolution step that turns
@@ -576,20 +629,8 @@ def entity_resolution_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     small fraction of the master at any scale; the full name frame is
     touched once by the closing left join). Oracle: DuckDB recursive-CTE
     transitive closure over the identical pair SQL."""
-    from .dedup import _connected_components
-
     names = _er_name_frame(spark, sf_dir)
-    edges = _er_matched_pairs(names).select(
-        F.col("rep_a").alias("doc_a"), F.col("rep_b").alias("doc_b")
-    )
-    verts = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .union(edges.select("doc_b"))
-        .distinct()
-    )
-    labels = _connected_components(verts, edges).select(
-        F.col("doc_id").alias("rep_key"), "cluster_id"
-    )
+    labels = _er_cc_labels(spark, sf_dir, names)
     entity_id = F.coalesce("cluster_id", F.col("rep_key"))
     return (
         names.join(labels, "rep_key", "left")

@@ -4231,7 +4231,14 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("labeled_lang", F.lit("unlabeled")).alias("l"),
         F.col("detected_lang").alias("d"),
     )
-    cells = ids.groupBy("l", "d").agg(F.count(F.lit(1)).alias("n"))
+    # materialize the ≤|langs|² matrix ONCE: the four marginal branches
+    # below would otherwise each re-run the corpus lang-ID chain (r13
+    # bench finding: 4× corpus scans, 2.3 s for a 25-cell statistic)
+    cells = (
+        ids.groupBy("l", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     rows_ = cells.groupBy("l").agg(F.sum("n").alias("rn"))
     cols_ = cells.groupBy("d").agg(F.sum("n").alias("cn"))
     chance = (
