@@ -139,6 +139,9 @@ _PRIORITY = [
     "quantize_embeddings_int8",
     "mmr_search",
     "retrieval_eval",
+    # (c) the 50th window slot: 14 head entries + 35 r8 rows = 49, so
+    # exactly one more r13 op fits without evicting any rotation row
+    "events_holt_forecast",
     # (b)-tail displacement order, for a 16th+ new head entry: the last
     # rows above have the strongest fresh same-surface siblings —
     # retrieval_eval / mmr_search (retrieval family, hybrid_search_rrf

@@ -228,6 +228,7 @@ HEADLINE = [
     "text_textrank_keywords",
     "text_keyphrase_rake",
     "recommend_ppr",
+    "events_holt_forecast",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

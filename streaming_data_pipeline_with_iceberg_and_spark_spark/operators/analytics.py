@@ -3858,6 +3858,159 @@ WHERE event_type = 'purchase'
 """
 
 
+# Holt smoothing constants (exact literals, interpolated into the oracle)
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_H = 3
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per event type (NEW
+    round 13; Holt 1957 — the ETS(A,A,N) workhorse, completing the
+    forecasting family next to the seasonal-naive backtest and the ACF
+    detector): over the SHARED zero-filled daily grid
+    (``daily_type_grid`` — the same series CUSUM and the backtest read),
+    fold level/trend updates l ← α·y + (1−α)(l+b),
+    b ← β(l−l_prev) + (1−β)b with pinned init (l₁=y₁; the second
+    observation fits exactly and seeds the trend), and report the final
+    state, the in-sample one-step MAE, and the h=1..{h} forecasts
+    l + h·b.
+
+    Cross-engine exactness: the recurrence is a SEQUENTIAL fold with
+    ROUND(·, 9) after every level/trend/error update — identical step
+    order on both engines (F.aggregate over the sorted per-type day
+    array ≡ a recursive CTE stepping idx), the user_survival_km
+    discipline.  The fold runs over the ≤|days| calendar series per
+    type, never the fact.
+
+    Scale shape: one (type, day) count shuffle (the shared leaf-cell
+    pass the FIFTEENTH incremental path maintains — this face refreshes
+    from state like the other monitors), then per-type folds on the
+    |types|×|days| metadata grid.""".format(h=_HOLT_H)
+    grid = daily_type_grid(
+        load(spark, "events", sf_dir)
+    )
+    a, bta = _HOLT_ALPHA, _HOLT_BETA
+    series = grid.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda x: x["n"].cast("double"),
+        ).alias("ys")
+    )
+    zero = F.struct(
+        F.lit(0).cast("int").alias("k"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("sae"),
+    )
+
+    def step(acc, y):
+        k, l, b, sae = acc["k"], acc["l"], acc["b"], acc["sae"]
+        lb = l + b
+        l_new = (
+            F.when(k == 0, y)
+            .when(k == 1, y)
+            .otherwise(F.round(a * y + (1 - a) * lb, 9))
+        )
+        b_new = (
+            F.when(k == 0, F.lit(0.0))
+            .when(k == 1, y - l)
+            .otherwise(F.round(bta * (l_new - l) + (1 - bta) * b, 9))
+        )
+        sae_new = F.when(
+            k >= 2, F.round(sae + F.abs(y - lb), 9)
+        ).otherwise(sae)
+        return F.struct(
+            (k + 1).alias("k"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+            sae_new.alias("sae"),
+        )
+
+    folded = series.select(
+        "event_type",
+        F.size("ys").alias("n_days"),
+        F.aggregate("ys", zero, step).alias("st"),
+    )
+    l, b, sae = F.col("st.l"), F.col("st.b"), F.col("st.sae")
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(l, 6).alias("level"),
+        F.round(b, 6).alias("trend"),
+        F.when(
+            F.col("n_days") > 2, F.round(sae / (F.col("n_days") - 2), 6)
+        ).alias("mae_1step"),
+        *[
+            F.round(l + h * b, 6).alias(f"forecast_h{h}")
+            for h in range(1, _HOLT_H + 1)
+        ],
+    ).orderBy("event_type")
+
+
+def _holt_sql() -> str:
+    a, bta = _HOLT_ALPHA, _HOLT_BETA
+    l_new = (
+        f"CASE WHEN g.idx = 2 THEN CAST(g.n AS DOUBLE) "
+        f"ELSE ROUND({a} * g.n + {1 - a} * (h.l + h.b), 9) END"
+    )
+    fcsts = ",\n       ".join(
+        f"ROUND(l + {h} * b, 6) AS forecast_h{h}"
+        for h in range(1, _HOLT_H + 1)
+    )
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS day
+),
+gridc AS (
+  SELECT t.event_type, COALESCE(d.n, 0) AS n,
+         ROW_NUMBER() OVER (PARTITION BY t.event_type
+                            ORDER BY s.day) AS idx,
+         COUNT(*) OVER (PARTITION BY t.event_type) AS n_days
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN spine s
+  LEFT JOIN daily d ON d.event_type = t.event_type
+                   AND d.day = CAST(s.day AS DATE)
+),
+hw AS (
+  SELECT event_type, idx, n_days,
+         CAST(n AS DOUBLE) AS l,
+         CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS sae
+  FROM gridc WHERE idx = 1
+  UNION ALL
+  SELECT g.event_type, g.idx, g.n_days,
+         {l_new},
+         CASE WHEN g.idx = 2 THEN g.n - h.l
+              ELSE ROUND({bta} * (({l_new}) - h.l) + {1 - bta} * h.b, 9) END,
+         CASE WHEN g.idx >= 3
+              THEN ROUND(h.sae + ABS(g.n - (h.l + h.b)), 9)
+              ELSE h.sae END
+  FROM hw h JOIN gridc g
+    ON g.event_type = h.event_type AND g.idx = h.idx + 1
+)
+SELECT event_type,
+       CAST(n_days AS INT) AS n_days,
+       ROUND(l, 6) AS level,
+       ROUND(b, 6) AS trend,
+       CASE WHEN n_days > 2 THEN ROUND(sae / (n_days - 2), 6) END
+         AS mae_1step,
+       {fcsts}
+FROM hw WHERE idx = n_days
+ORDER BY event_type
+"""
+
+
+EVENTS_HOLT_SQL = _holt_sql()
+
+
 _ACF_MAX_LAG = 10
 
 
@@ -4248,6 +4401,7 @@ QUERIES = {
     "experiment_did_eval": experiment_did_eval,
     "events_daily_autocorr": events_daily_autocorr,
     "recommend_ppr": recommend_ppr,
+    "events_holt_forecast": events_holt_forecast,
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
@@ -4302,6 +4456,7 @@ ORACLES = {
     "experiment_did_eval": EXPERIMENT_DID_SQL,
     "events_daily_autocorr": EVENTS_DAILY_AUTOCORR_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
+    "events_holt_forecast": EVENTS_HOLT_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "funnel_latency": FUNNEL_LATENCY_SQL,
     "cohort_retention": COHORT_SQL,
