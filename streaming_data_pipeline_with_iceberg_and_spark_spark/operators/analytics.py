@@ -4014,6 +4014,14 @@ EVENTS_HOLT_SQL = _holt_sql()
 _ACF_MAX_LAG = 10
 
 
+def autocorr_from_daily_cells_input(state: DataFrame) -> DataFrame:
+    """Per-day total counts from (possibly partial) daily type cells —
+    the merge that lets the maintained daily-cells table serve
+    ``events_daily_autocorr`` (cells are additive integer sums, so
+    partials from any batch split merge exactly)."""
+    return state.groupBy("day").agg(F.sum("n").alias("c"))
+
+
 def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of the daily event-count series at lags
     1..{lag} (NEW round 13) — the periodicity detector behind weekly-
@@ -4033,9 +4041,13 @@ def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVERYTHING ELSE — calendar densify, the lag self-join, the variance
     — runs on the ≤|days| metadata table (a few hundred rows at any
     corpus size).""".format(lag=_ACF_MAX_LAG)
-    ev = load(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
-    day = F.to_date(F.col("ts").cast("timestamp"))
-    per_day = ev.groupBy(day.alias("day")).agg(F.count(F.lit(1)).alias("c"))
+    # composes the FIFTEENTH incremental path's leaf cells (the
+    # daily_type_grid discipline): per-day totals are the type cells
+    # summed over types, so the maintained state table serves the ACF
+    # with no new state (NULL-type events sit out, the cells' contract)
+    per_day = autocorr_from_daily_cells_input(
+        daily_type_cells(load(spark, "events", sf_dir))
+    )
     bounds = per_day.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     cal = (
         bounds.select(
@@ -4083,7 +4095,7 @@ def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_DAILY_AUTOCORR_SQL = f"""
 WITH per_day AS (
   SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS c
-  FROM events WHERE ts IS NOT NULL GROUP BY 1
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1
 ),
 bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM per_day),
 cal AS (

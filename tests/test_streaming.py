@@ -2719,8 +2719,18 @@ def test_incremental_daily_type_ingest_matches_batch(spark, tmp_path):
         backtest(daily_type_grid(batch_df))
     )
 
+    # the round-13 ACF serve face: per-day totals from maintained cells
+    # (pre- and post-compaction) equal the batch composition
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        autocorr_from_daily_cells_input,
+    )
+
+    want_perday = canon(autocorr_from_daily_cells_input(daily_type_cells(batch_df)))
+    assert canon(autocorr_from_daily_cells_input(cells_t.read())) == want_perday
+
     compact_daily_type_cells(spark, cells_root)
     assert canon(grid_from_daily_cells(cells_t.read())) == want_grid
+    assert canon(autocorr_from_daily_cells_input(cells_t.read())) == want_perday
     assert cells_t.read().count() == daily_type_cells(batch_df).count()
     v = cells_t.current_version()
     drain()
