@@ -1089,7 +1089,17 @@ def recommend_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds=_PPR_SEEDS, topk=_PPR_TOPK
     )
     baskets = _user_baskets(spark, sf_dir)
-    co = _basket_pairs(baskets)
+    result, cached = ppr_over_edges(_basket_pairs(baskets))
+    return checkpoint_release(result, baskets, *cached)
+
+
+def ppr_over_edges(co: DataFrame):
+    """The PPR core over a (item_a, item_b[, …]) co-occurrence edge
+    frame — shared by the batch face and the maintained-table serve path
+    (``cooccurrence_edges_from_index`` emits the identical frame, so the
+    incremental co-occurrence state serves PPR recs with no new state;
+    parity asserted in the co-occurrence ingest test).  Returns
+    (result, frames-to-release)."""
     edges = co.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionByName(
@@ -1129,7 +1139,7 @@ def recommend_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seed", "rank", "item", "ppr")
         .orderBy("seed", "rank")
     )
-    return checkpoint_release(result, baskets, edges, deg)
+    return result, (edges, deg)
 
 
 def _ppr_sql() -> str:

@@ -1851,6 +1851,27 @@ def test_incremental_cooccurrence_ingest_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+    # round 13: the PPR recommender serves from the SAME maintained edge
+    # frame — ppr_over_edges(maintained) ≡ ppr_over_edges(batch pairs)
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import ppr_over_edges
+
+    def run_ppr(co):
+        res, cached = ppr_over_edges(co)
+        rows = sorted(map(tuple, res.collect()))
+        for f in cached:
+            f.unpersist()
+        return rows
+
+    batch_pairs = (
+        basket_pair_rows(baskets_from_items(user_item_pairs(batch_df), cap))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("co_users"))
+    )
+    assert run_ppr(
+        cooccurrence_edges_from_index(delta_t.read(), min_count=1)
+    ) == run_ppr(batch_pairs)
+
     # maintained items table is exactly the distinct pairs (ALL of them —
     # the cap applies at pair generation, not item storage)
     pairs = [(r.user_id, r.item) for r in items_t.read().collect()]
