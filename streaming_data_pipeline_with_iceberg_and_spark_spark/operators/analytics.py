@@ -833,6 +833,59 @@ def _basket_pairs(baskets: DataFrame) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir, events-fingerprint) -> (pair counts, item
+# counts, n_users) — the taste-graph bundle EIGHT registry faces derive
+# per call (co-occurrence, Jaccard, PageRank, PPR, LPA communities,
+# triangles, association rules, CF recs).  All three frames are
+# item-space-bounded (never user- or event-cardinality), so the memo
+# holds metadata-sized localCheckpoints; the events fingerprint rebuilds
+# on a same-session rewrite (the r11 memo-staleness rule).  Round 13:
+# the bench showed each face re-running the basket build + pair explode
+# (~1-2 s each) per call; within a session the graph is one derivation.
+_TASTE_GRAPH_CACHE: dict = {}
+
+
+def clear_taste_graph_cache() -> None:
+    _TASTE_GRAPH_CACHE.clear()
+
+
+def _taste_graph(spark: SparkSession, sf_dir: str):
+    from ..io import data_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "events"),
+    )
+    hit = _TASTE_GRAPH_CACHE.get(key)
+    if hit is not None:
+        try:
+            if hit[0].sparkSession.sparkContext._jsc is not None:
+                return hit
+        except Exception:
+            pass
+        _TASTE_GRAPH_CACHE.pop(key, None)
+    for k in list(_TASTE_GRAPH_CACHE):
+        if k[:2] == key[:2] and k != key:
+            _TASTE_GRAPH_CACHE.pop(k, None)
+    baskets = _user_baskets(spark, sf_dir)
+    try:
+        co = _basket_pairs(baskets).localCheckpoint(eager=True)
+        cnt = (
+            baskets.select(F.explode("items").alias("item"))
+            .groupBy("item")
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        n_users = baskets.agg(F.count("*").alias("n_users")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        baskets.unpersist()
+    _TASTE_GRAPH_CACHE[key] = (co, cnt, n_users)
+    return co, cnt, n_users
+
+
 def cooccurrence_edges_from_index(
     delta: DataFrame, min_count: int = _CO_MIN_COUNT
 ) -> DataFrame:
@@ -867,14 +920,7 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     no broadcast hints (item cardinality is corpus-sized at 100 TB; AQE
     may downgrade at small SF). Lift is integer-count arithmetic divided
     once, rounded at 6 — cross-engine exact."""
-    baskets = _user_baskets(spark, sf_dir)
-    n_users = baskets.agg(F.count("*").alias("n_users"))
-    cnt = (
-        baskets.select(F.explode("items").alias("item"))
-        .groupBy("item")
-        .agg(F.count("*").alias("cnt"))
-    )
-    co = _basket_pairs(baskets)
+    co, cnt, n_users = _taste_graph(spark, sf_dir)
     result = (
         co.join(cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")), "item_a")
         .join(cnt.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")), "item_b")
@@ -890,7 +936,7 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    return checkpoint_release(result, baskets)
+    return result
 
 
 # Shared oracle CTE chain: baskets → pair counts. Both co-occurrence and
@@ -942,13 +988,7 @@ def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     items with no broadcast hints. |U_a ∪ U_b| = cnt_a + cnt_b − co is
     integer arithmetic; the single division rounds at 6 — cross-engine
     exact."""
-    baskets = _user_baskets(spark, sf_dir)
-    cnt = (
-        baskets.select(F.explode("items").alias("item"))
-        .groupBy("item")
-        .agg(F.count("*").alias("cnt"))
-    )
-    co = _basket_pairs(baskets)
+    co, cnt, _n = _taste_graph(spark, sf_dir)
     result = (
         co.join(cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")), "item_a")
         .join(cnt.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")), "item_b")
@@ -963,7 +1003,7 @@ def item_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return checkpoint_release(result, baskets)
+    return result
 
 
 ITEM_JACCARD_SQL = f"""
@@ -1000,8 +1040,7 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     every node at least one outgoing edge by construction. Deterministic up
     to float-sum order inside the per-destination aggregation; the final
     round at 8 decimals absorbs that (~1e-16 relative) on both engines."""
-    baskets = _user_baskets(spark, sf_dir)
-    co = _basket_pairs(baskets)
+    co, _cnt, _n = _taste_graph(spark, sf_dir)
     edges = co.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionByName(
@@ -1029,7 +1068,7 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.join(deg.withColumnRenamed("src", "item"), "item")
         .select("item", F.round("r", 8).alias("pagerank"), "deg")
     )
-    return checkpoint_release(result, baskets, edges, deg)
+    return checkpoint_release(result, edges, deg)
 
 
 def _pagerank_sql() -> str:
@@ -1088,9 +1127,9 @@ def recommend_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp float dust cannot flip ranks cross-engine.""".format(
         seeds=_PPR_SEEDS, topk=_PPR_TOPK
     )
-    baskets = _user_baskets(spark, sf_dir)
-    result, cached = ppr_over_edges(_basket_pairs(baskets))
-    return checkpoint_release(result, baskets, *cached)
+    co, _cnt, _n = _taste_graph(spark, sf_dir)
+    result, cached = ppr_over_edges(co)
+    return checkpoint_release(result, *cached)
 
 
 def ppr_over_edges(co: DataFrame):
@@ -1447,8 +1486,7 @@ def item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     count + one rank-1 window (WindowGroupLimit); plan depth bounded by
     the pinned round count, the same distributed LPA step GraphX/GraphFrames
     run per superstep."""
-    baskets = _user_baskets(spark, sf_dir)
-    co = _basket_pairs(baskets)
+    co, _cnt, _n = _taste_graph(spark, sf_dir)
     edges = co.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionByName(
@@ -1470,7 +1508,7 @@ def item_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("item"), "label")
         )
     result = labels.select("item", F.col("label").alias("community"))
-    return checkpoint_release(result, baskets, edges)
+    return checkpoint_release(result, edges)
 
 
 def _lpa_sql() -> str:
@@ -2184,15 +2222,9 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB; AQE decides at small SF) and n_users rides a broadcast 1-row
     aggregate. Ratios are integer counts divided once, rounded at 6 —
     cross-engine exact."""
-    baskets = _user_baskets(spark, sf_dir)
-    n_users = baskets.agg(F.count("*").alias("n_users"))
-    cnt = (
-        baskets.select(F.explode("items").alias("item"))
-        .groupBy("item")
-        .agg(F.count("*").alias("cnt"))
-    )
+    co0, cnt, n_users = _taste_graph(spark, sf_dir)
     co = (
-        _basket_pairs(baskets)
+        co0
         .join(
             cnt.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")),
             "item_a",
@@ -2238,7 +2270,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    return checkpoint_release(result, baskets)
+    return result
 
 
 ASSOCIATION_RULES_SQL = f"""
@@ -2285,8 +2317,7 @@ def item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 6 — cross-engine exact. Only items in ≥1 triangle are emitted
     (their degree is ≥2 by construction, so the coefficient denominator
     never hits zero on either engine)."""
-    baskets = _user_baskets(spark, sf_dir)
-    co = _basket_pairs(baskets)
+    co, _cnt, _n = _taste_graph(spark, sf_dir)
     e = co.select("item_a", "item_b")
     e1 = e.select(F.col("item_a").alias("a"), F.col("item_b").alias("b"))
     e2 = e.select(F.col("item_a").alias("b"), F.col("item_b").alias("c"))
@@ -2316,7 +2347,7 @@ def item_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("clustering"),
     )
-    return checkpoint_release(result, baskets)
+    return result
 
 
 ITEM_TRIANGLES_SQL = f"""
@@ -2373,9 +2404,8 @@ def recommend_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     owned = baskets.select(
         "user_id", F.explode("items").alias("item")
     )
-    return checkpoint_release(
-        _recommend_from(owned, _basket_pairs(baskets)), baskets
-    )
+    co, _cnt, _n = _taste_graph(spark, sf_dir)
+    return checkpoint_release(_recommend_from(owned, co), baskets)
 
 
 def _recommend_from(owned: DataFrame, co: DataFrame) -> DataFrame:
