@@ -86,6 +86,13 @@ _MODULES = [
 # (agg_hll_mergeable: sketch internals; ann_pq / ann_ivf: learned
 # quantizers, pinned twins oracle-green; pca_embeddings_project: driver-side
 # eigensolver, its distributed input IS the oracle-checked pca_covariance).
+#
+# ROUND-14 ROTATION PLAN (write the r14 window from this, then recompute
+# from the CORRECTNESS_r* ledger as always): after r13's window the
+# latest-row histogram is r9:50, r10:50, r11:50, r12:50, r13:50 — head =
+# new r14 ops as they land, then ALL 50 r9-era rows (they become the
+# oldest); new-op overflow defers r9 rows whose surface has the freshest
+# same-surface sibling, justified inline per the r12/r13 discipline.
 _PRIORITY = [
     # (a) new round-13 entries land here, at head (uncommented as each
     # lands — queries() hard-fails on names with no implementation)

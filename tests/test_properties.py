@@ -249,3 +249,49 @@ def test_pca_moment_merge_equals_single_pass(spark, batches):
     assert np.allclose(inc[1], ref[1], atol=1e-9)  # mean
     assert np.allclose(inc[2], ref[2], atol=1e-7)  # cov
     assert np.allclose(inc[3], ref[3], atol=1e-6)  # eigenvalues
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=128), min_size=1, max_size=25
+    ),
+    nb=st.integers(min_value=1, max_value=4),
+)
+@_settings
+def test_next_fit_packing_invariants(spark, sizes, nb):
+    """For ANY chunk-size multiset and bucket count, the atomic next-fit
+    packer must (a) assign every chunk exactly once (conservation),
+    (b) never overflow the budget within a sequence, and (c) replay the
+    greedy rule exactly in md5 order per bucket."""
+    import hashlib
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        _PACK_BUDGET,
+        pack_chunks_next_fit,
+    )
+
+    chunks = spark.createDataFrame(
+        [(0, i, n) for i, n in enumerate(sizes)],
+        "doc_id long, chunk_idx int, chunk_tokens int",
+    )
+    got = {
+        (r.bucket, r.chunk_idx): (r.seq, r.chunk_tokens)
+        for r in pack_chunks_next_fit(chunks, nb).collect()
+    }
+    assert len(got) == len(sizes)
+    # python replay, bucket-by-bucket in md5 order
+    by_bucket = {}
+    for i, n in enumerate(sizes):
+        h = hashlib.md5(f"0:{i}".encode()).hexdigest()
+        b = int(h[:4], 16) % nb
+        by_bucket.setdefault(b, []).append((h, i, n))
+    want = {}
+    for b, items in by_bucket.items():
+        fill, seq = 0, -1
+        for _h, i, n in sorted(items):
+            if seq < 0 or fill + n > _PACK_BUDGET:
+                seq, fill = seq + 1, n
+            else:
+                fill += n
+            want[(b, i)] = (seq, n)
+    assert got == want
