@@ -4228,7 +4228,12 @@ def experiment_did_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mean(tag):
-        return F.col(f"s_{tag}") / F.lit(100.0) / F.col(f"n_{tag}")
+        # empty-cell guard (ANSI mode errors on /0; an empty cell has no
+        # mean — NULL, and the DiD estimate is NULL with it)
+        return F.when(
+            F.col(f"n_{tag}") > 0,
+            F.col(f"s_{tag}") / F.lit(100.0) / F.col(f"n_{tag}"),
+        )
 
     did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
     return m.select(
@@ -4274,13 +4279,19 @@ SELECT CAST(n_c_pre AS BIGINT) AS n_c_pre,
        CAST(n_c_post AS BIGINT) AS n_c_post,
        CAST(n_t_pre AS BIGINT) AS n_t_pre,
        CAST(n_t_post AS BIGINT) AS n_t_post,
-       ROUND(s_c_pre / 100.0 / n_c_pre, 6) AS mean_c_pre,
-       ROUND(s_c_post / 100.0 / n_c_post, 6) AS mean_c_post,
-       ROUND(s_t_pre / 100.0 / n_t_pre, 6) AS mean_t_pre,
-       ROUND(s_t_post / 100.0 / n_t_post, 6) AS mean_t_post,
-       ROUND((s_t_post / 100.0 / n_t_post - s_t_pre / 100.0 / n_t_pre)
-             - (s_c_post / 100.0 / n_c_post - s_c_pre / 100.0 / n_c_pre), 6)
-         AS did_estimate
+       ROUND(CASE WHEN n_c_pre > 0 THEN s_c_pre / 100.0 / n_c_pre END, 6)
+         AS mean_c_pre,
+       ROUND(CASE WHEN n_c_post > 0 THEN s_c_post / 100.0 / n_c_post END, 6)
+         AS mean_c_post,
+       ROUND(CASE WHEN n_t_pre > 0 THEN s_t_pre / 100.0 / n_t_pre END, 6)
+         AS mean_t_pre,
+       ROUND(CASE WHEN n_t_post > 0 THEN s_t_post / 100.0 / n_t_post END, 6)
+         AS mean_t_post,
+       ROUND(CASE WHEN n_c_pre > 0 AND n_c_post > 0
+                   AND n_t_pre > 0 AND n_t_post > 0
+             THEN (s_t_post / 100.0 / n_t_post - s_t_pre / 100.0 / n_t_pre)
+                - (s_c_post / 100.0 / n_c_post - s_c_pre / 100.0 / n_c_pre)
+             END, 6) AS did_estimate
 FROM m
 """
 
