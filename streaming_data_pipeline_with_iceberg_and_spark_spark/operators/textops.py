@@ -1020,10 +1020,14 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phrase", "n_occurrences", "n_words")
         .agg(F.round(F.sum("ws"), 6).alias("score"))
     )
+    # top-k via TakeOrdered (distributed), THEN rank the 20-row result —
+    # a row_number window over ALL distinct phrases would sort the
+    # corpus-scale phrase table in one partition (the sort_limit_topk
+    # discipline; distinct phrases grow with the corpus)
+    top = pscore.orderBy(F.desc("score"), F.asc("phrase")).limit(_RAKE_TOPK)
     wr = Window.orderBy(F.desc("score"), F.asc("phrase"))
     return (
-        pscore.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _RAKE_TOPK)
+        top.withColumn("rank", F.row_number().over(wr))
         .select(
             "rank",
             "phrase",

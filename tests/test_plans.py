@@ -739,6 +739,15 @@ def test_bm25_prf_filters_both_passes(plan):
     assert p.count("INSET") + p.count(" IN (") >= 2, p
 
 
+def test_rake_topk_is_take_ordered(plan):
+    """RAKE's final ranking must reach the driver via TakeOrdered (a
+    distributed top-k) — a row_number window over the distinct-phrase
+    table would sort a corpus-scale frame in one partition; the rank
+    window may only run on the ≤TOPK-row result."""
+    p = plan("text_keyphrase_rake")
+    assert "TakeOrderedAndProject" in p, p
+
+
 def test_label_purity_monitor_serves_from_index(plan):
     """The capped monitor must answer from the MATERIALIZED pinned IVF
     index (manifest-pruned probed-cell scan), never re-run the full
