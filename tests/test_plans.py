@@ -756,6 +756,9 @@ def test_label_purity_monitor_serves_from_index(plan):
     p = plan("label_purity_monitor")
     assert "ivfidx" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+    # the per-label query carve must run as a WindowGroupLimit (bounded
+    # rows per label partition map-side), never a full per-label sort
+    assert "WindowGroupLimit" in p, p
 
 
 def test_pack_training_sequences_single_bucket_shuffle(plan):
