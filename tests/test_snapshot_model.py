@@ -1199,3 +1199,138 @@ def test_shingle_index_stays_derived_from_ingested(spark, ops):
             )
         )
         assert got == want, f"shingle index diverged after {op}"
+
+
+# Round-13 derived-state model: exact incremental SCD2 (sixteenth path,
+# boundary-state class). Batches of per-user-ORDERED typed events (the
+# global clock makes the order contract hold by construction) drive the
+# real apply_scd2_batch stitcher; after ANY interleaving of ingests,
+# replayed keys, snapshot expiry and maintenance on either table, serving
+# scd2_from_state(closed, open) must equal the batch change-collapse over
+# everything ingested. A 3-letter state pool makes boundary merges
+# (same-state continuation), boundary closes and multi-change batches all
+# plausible; NULL users/states exercise the ingest filter.
+
+_SCD2_EVENT = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=1, max_value=3)),  # user_id
+    st.integers(min_value=1, max_value=50),  # clock advance, ×10 s
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # state
+)
+
+_SCD2_OP = st.one_of(
+    st.tuples(st.just("ingest"), st.lists(_SCD2_EVENT, min_size=1, max_size=5)),
+    st.tuples(st.just("replay")),
+    st.tuples(st.just("expire"), st.integers(min_value=0, max_value=1)),
+    st.tuples(st.just("maintain"), st.integers(min_value=0, max_value=1)),
+)
+
+
+@settings(
+    max_examples=_fuzz_examples(4),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        _SCD2_OP,
+        min_size=2,
+        max_size=int(os.environ.get("SNAPSHOT_FUZZ_OPS", "6")),
+    )
+)
+def test_scd2_state_stays_derived_from_ingested(spark, ops):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.windows import scd2_from_state
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        maintain_table,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        apply_scd2_batch,
+    )
+
+    root = tempfile.mkdtemp()
+    closed_t = SnapshotTable(spark, root + "/closed")
+    open_t = SnapshotTable(spark, root + "/open")
+    txn_dir = root + "/txn"
+    schema = "event_id long, ts long, user_id long, event_type string"
+    clock = {"t": 1_700_000_000, "eid": 0}
+    ingested: list = []
+    last = {"key": None, "rows": None}
+    n_batches = 0
+
+    for op in ops:
+        kind = op[0]
+        if kind == "ingest":
+            rows = []
+            for user, adv, state in op[1]:
+                clock["t"] += adv * 10
+                clock["eid"] += 1
+                rows.append((clock["eid"], clock["t"], user, state))
+            key = f"fuzz#{n_batches}"
+            n_batches += 1
+            apply_scd2_batch(
+                spark,
+                closed_t,
+                open_t,
+                txn_dir,
+                spark.createDataFrame(rows, schema),
+                key,
+            )
+            ingested.extend(rows)
+            last["key"], last["rows"] = key, rows
+        elif kind == "replay":
+            if last["key"] is None:
+                continue
+            applied = apply_scd2_batch(
+                spark,
+                closed_t,
+                open_t,
+                txn_dir,
+                spark.createDataFrame(last["rows"], schema),
+                last["key"],
+            )
+            assert applied is False
+        elif kind == "expire":
+            t = (closed_t, open_t)[op[1]]
+            if t.current_version() is None:
+                continue
+            t.expire_snapshots(keep_last=1)
+        elif kind == "maintain":
+            t = (closed_t, open_t)[op[1]]
+            if t.current_version() is None:
+                continue
+            maintain_table(t, max_files=8, orphan_grace_seconds=3600.0)
+        if open_t.current_version() is None:
+            continue
+
+        def canon(df):
+            return sorted(
+                (r.user_id, r.version, r.state, r.valid_from, r.valid_to,
+                 r.is_current)
+                for r in df.collect()
+            )
+
+        got = canon(scd2_from_state(closed_t.read(), open_t.read()))
+        ev = spark.createDataFrame(ingested, schema).filter(
+            "user_id IS NOT NULL AND event_type IS NOT NULL"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        changes = ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.lag("event_type").over(w).alias("_prev"),
+        ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("state")))
+        want = canon(
+            changes.select(
+                "user_id",
+                F.row_number().over(w).cast("long").alias("version"),
+                "state",
+                F.col("ts").alias("valid_from"),
+                F.lead("ts").over(w).alias("valid_to"),
+                F.lead("ts").over(w).isNull().alias("is_current"),
+            )
+        )
+        assert got == want, f"scd2 diverged after {op}"
