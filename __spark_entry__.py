@@ -149,6 +149,10 @@ _PRIORITY = [
     # (c) the 50th window slot: 14 head entries + 35 r8 rows = 49, so
     # exactly one more r13 op fits without evicting any rotation row
     "events_holt_forecast",
+    # r14-queue: landed post-window, self-verified green at 3 SFs; the
+    # r14 rotation picks these up first
+    "markov_entropy_rate",
+    "scd2_asof_lookup",
     # (b)-tail displacement order, for a 16th+ new head entry: the last
     # rows above have the strongest fresh same-surface siblings —
     # retrieval_eval / mmr_search (retrieval family, hybrid_search_rrf

@@ -229,6 +229,8 @@ HEADLINE = [
     "text_keyphrase_rake",
     "recommend_ppr",
     "events_holt_forecast",
+    "markov_entropy_rate",
+    "scd2_asof_lookup",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -1312,6 +1312,59 @@ FROM tr
 """
 
 
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain (NEW round 13;
+    Shannon's H(X_{{t+1}}|X_t) under the empirical source distribution)
+    — ONE number summarizing how predictable the behavior stream is:
+    H = −Σ_s π(s)·Σ_t p(t|s)·ln p(t|s) with π the empirical prev-state
+    mix.  The corpus-health twin of `user_behavior_surprisal` (that face
+    scores USERS against the model; this scores the MODEL itself — a
+    falling rate means behavior is homogenizing, a jump means a new flow
+    or instrumentation break).  Perplexity = e^H is the branching
+    factor.
+
+    Composes `markov_transition_counts` verbatim (the shared transition
+    definition — also what the incremental Markov path maintains, so the
+    maintained table serves this too).  Everything after the transition
+    count runs on the |types|² matrix; ln/exp at ROUND 6 is the
+    established bm25/perplexity acceptance class."""
+    tr = markov_transition_counts(load(spark, "events", sf_dir))
+    total = tr.agg(F.sum("n").alias("tot"))
+    wp = Window.partitionBy("prev_type")
+    row_n = F.sum("n").over(wp)
+    contrib = tr.crossJoin(F.broadcast(total)).select(
+        "prev_type",
+        "n",
+        (
+            (F.col("n") / F.col("tot"))
+            * -F.log(F.col("n") / row_n)
+        ).alias("h_term"),
+    )
+    return contrib.agg(
+        F.countDistinct("prev_type").cast("long").alias("n_states"),
+        F.sum("n").alias("n_transitions"),
+        F.round(F.sum("h_term"), 6).alias("entropy_rate_nats"),
+        F.round(F.exp(F.sum("h_term")), 6).alias("perplexity"),
+    )
+
+
+MARKOV_ENTROPY_SQL = f"""
+WITH {_MARKOV_CTES},
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM tr),
+contrib AS (
+  SELECT prev_type, n,
+         (n * 1.0 / tot)
+         * -LN(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type)) AS h_term
+  FROM tr, tot
+)
+SELECT CAST(COUNT(DISTINCT prev_type) AS BIGINT) AS n_states,
+       CAST(SUM(n) AS BIGINT) AS n_transitions,
+       ROUND(SUM(h_term), 6) AS entropy_rate_nats,
+       ROUND(EXP(SUM(h_term)), 6) AS perplexity
+FROM contrib
+"""
+
+
 def user_behavior_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral anomaly score: the mean negative log-likelihood
     of a user's event transitions under the CORPUS Markov model — the
@@ -4465,6 +4518,7 @@ QUERIES = {
     "events_daily_autocorr": events_daily_autocorr,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
+    "markov_entropy_rate": markov_entropy_rate,
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
@@ -4520,6 +4574,7 @@ ORACLES = {
     "events_daily_autocorr": EVENTS_DAILY_AUTOCORR_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
+    "markov_entropy_rate": MARKOV_ENTROPY_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "funnel_latency": FUNNEL_LATENCY_SQL,
     "cohort_retention": COHORT_SQL,

@@ -427,8 +427,59 @@ ORDER BY user_id, version
 """
 
 
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook SCD2 CONSUMPTION query (NEW round 13): resolve each
+    purchase event against the versioned dimension — which activity-state
+    version was current when the user purchased (half-open period match:
+    valid_from ≤ ts < valid_to, NULL valid_to = still open).  This is the
+    query the dimension exists FOR; every fact-to-dimension join in a
+    Kimball warehouse is this shape.
+
+    Composes ``scd2_from_events`` (ONE dimension definition — the
+    maintained ``scd2_from_state`` serves the same frame at ingest).
+    Every purchase resolves to exactly ONE version (periods partition the
+    user's timeline from their first event) — uniqueness is the test-
+    pinned invariant.
+
+    Scale shape: one user-keyed join; versions per user are bounded by
+    that user's state changes, so the per-key match work is tiny and the
+    period predicate prunes to one row. At 100 TB both sides bucket on
+    user_id — the standard co-located fact⋈dimension layout."""
+    dim = scd2_from_events(spark, sf_dir)
+    ev = load(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    return (
+        ev.select("event_id", "user_id", "ts")
+        .join(dim, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "ts", "version", "state")
+    )
+
+
+SCD2_ASOF_SQL = f"""
+WITH dim AS ({SCD2_SQL}),
+ev AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT ev.event_id, ev.user_id, ev.ts, dim.version, dim.state
+FROM ev JOIN dim USING (user_id)
+WHERE dim.valid_from <= ev.ts
+  AND (dim.valid_to IS NULL OR ev.ts < dim.valid_to)
+"""
+
+
 QUERIES = {
     "scd2_from_events": scd2_from_events,
+    "scd2_asof_lookup": scd2_asof_lookup,
     "window_rank": window_rank,
     "window_lag_lead": window_lag_lead,
     "window_running_sum": window_running_sum,
@@ -443,6 +494,8 @@ QUERIES = {
 ORACLES = {
     # round 12: Kimball SCD2 versioning (change-collapse + validity lead)
     "scd2_from_events": SCD2_SQL,
+    # round 13: the SCD2 consumption query (fact ⋈ versioned dimension)
+    "scd2_asof_lookup": SCD2_ASOF_SQL,
     "window_rank": WINDOW_RANK_SQL,
     "window_lag_lead": WINDOW_LAG_LEAD_SQL,
     "window_running_sum": WINDOW_RUNNING_SUM_SQL,

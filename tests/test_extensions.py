@@ -2096,6 +2096,35 @@ def test_dedup_prefix_jaccard_exactness(spark, tmp_path):
     assert got == want and (1, 5) in want
 
 
+def test_scd2_asof_lookup_unique_resolution(spark, sf_dir):
+    """Every purchase must resolve to EXACTLY one dimension version (the
+    half-open periods partition each user's timeline from their first
+    event), and the resolved state must equal the user's event_type run
+    covering the purchase timestamp."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.windows import (
+        scd2_asof_lookup,
+        scd2_from_events,
+    )
+
+    rows = scd2_asof_lookup(spark, sf_dir).collect()
+    assert rows
+    # one row per purchase event
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))
+    # spot-verify 20 rows against the dimension
+    dim = {}
+    for d in scd2_from_events(spark, sf_dir).collect():
+        dim.setdefault(d.user_id, []).append(d)
+    for r in rows[:20]:
+        matches = [
+            d
+            for d in dim[r.user_id]
+            if d.valid_from <= r.ts and (d.valid_to is None or r.ts < d.valid_to)
+        ]
+        assert len(matches) == 1
+        assert (matches[0].version, matches[0].state) == (r.version, r.state)
+
+
 def test_chunk_cdc_shift_stability(spark, tmp_path):
     """The defining CDC property (and why it beats fixed-stride chunking
     for dedup): prepending tokens to a document changes only the chunks
