@@ -153,6 +153,7 @@ _PRIORITY = [
     # r14 rotation picks these up first
     "markov_entropy_rate",
     "scd2_asof_lookup",
+    "cdc_chunk_dedup",
     # (b)-tail displacement order, for a 16th+ new head entry: the last
     # rows above have the strongest fresh same-surface siblings —
     # retrieval_eval / mmr_search (retrieval family, hybrid_search_rrf

@@ -231,6 +231,7 @@ HEADLINE = [
     "events_holt_forecast",
     "markov_entropy_rate",
     "scd2_asof_lookup",
+    "cdc_chunk_dedup",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -1715,6 +1715,45 @@ FROM c, unnest(range(1, len(starts) + 1)) AS t(k)
 """
 
 
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated CDC chunks (NEW round 13) — the reason
+    content-defined chunking exists: because :func:`chunk_cdc` boundaries
+    are content-local, a boilerplate block shared by many documents lands
+    in byte-identical chunks regardless of where it sits in each
+    document, so ONE hash groupBy finds shared spans that fixed-stride
+    chunking would frame differently per document (the `dedup_span_exact`
+    story at the variable-length grain).  Emits every chunk content hash
+    appearing in ≥2 distinct documents: document count, occurrence
+    count, chunk token length — the boilerplate-removal worklist.
+
+    One hash shuffle over the chunk stream; output bounded by repeated
+    content.  Deterministic integers + md5 — value-exact."""
+    ch = chunk_cdc(spark, sf_dir)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("chunk_hash"))
+    )
+
+
+CDC_CHUNK_DEDUP_SQL = f"""
+WITH chunks AS ({CHUNK_CDC_SQL})
+SELECT chunk_hash,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(n_tokens) AS INT) AS n_tokens
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash ASC
+"""
+
+
 # PII patterns restricted to constructs whose semantics agree between Java
 # regex (Spark) and RE2 (DuckDB): character classes, bounded repetition,
 # ASCII \b — no lookaround. Counts are taken on the ORIGINAL text per
@@ -4419,6 +4458,7 @@ QUERIES = {
     "train_unigram_lm": train_unigram_lm,
     "text_textrank_keywords": text_textrank_keywords,
     "chunk_cdc": chunk_cdc,
+    "cdc_chunk_dedup": cdc_chunk_dedup,
     "tokenizer_fertility_compare": tokenizer_fertility_compare,
     "text_keyphrase_rake": text_keyphrase_rake,
     "unigram_lm_segment": unigram_lm_segment,
@@ -4485,6 +4525,7 @@ ORACLES = {
     "text_textrank_keywords": TEXTRANK_SQL,
     # round 13: content-defined chunking (rolling-hash boundaries)
     "chunk_cdc": CHUNK_CDC_SQL,
+    "cdc_chunk_dedup": CDC_CHUNK_DEDUP_SQL,
     # round 13: BPE-vs-unigram bake-off (both training chains spliced)
     "tokenizer_fertility_compare": TOKENIZER_FERTILITY_SQL,
     # round 13: RAKE keyphrases (gaps-and-islands runs, degree/freq scores)
