@@ -154,6 +154,7 @@ _PRIORITY = [
     "markov_entropy_rate",
     "scd2_asof_lookup",
     "cdc_chunk_dedup",
+    "events_type_dow_chisq",
     # (b)-tail displacement order, for a 16th+ new head entry: the last
     # rows above have the strongest fresh same-surface siblings —
     # retrieval_eval / mmr_search (retrieval family, hybrid_search_rrf

@@ -232,6 +232,7 @@ HEADLINE = [
     "markov_entropy_rate",
     "scd2_asof_lookup",
     "cdc_chunk_dedup",
+    "events_type_dow_chisq",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

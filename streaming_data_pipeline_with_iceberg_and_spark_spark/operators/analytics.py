@@ -1365,6 +1365,123 @@ FROM contrib
 """
 
 
+def events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test of event_type × day-of-week (NEW
+    round 13) — the classic contingency-table question behind "does
+    behavior mix shift by weekday?" (a significant statistic says the
+    type mix is NOT independent of the weekday — the batch-analytics
+    twin of the weekly JSD drift monitor, which localizes WHICH weeks;
+    this face tests the global hypothesis and reports the top deviating
+    cells).  One row: table dims, n, χ², degrees of freedom, plus the
+    most over-represented cell (largest (o−e)²/e with its direction).
+
+    Everything after one (type, dow) hash agg runs on the ≤|types|×7
+    matrix; expected counts are exact integer products divided once;
+    the χ² sum is over ≤35 cells, ROUND 6 (the accepted float-sum
+    class)."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("rn"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    full = (
+        cells.join(rows_, "event_type")
+        .join(cols_, "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            (F.col("rn") * F.col("cn") / F.col("n")).alias("e"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            "e",
+            ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+            .alias("cell_chi"),
+        )
+        .localCheckpoint(eager=True)  # ≤|types|×7 rows; four consumers
+    )
+    dims = full.agg(
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("dow").cast("long").alias("n_dows"),
+        F.sum("o").alias("n"),
+        F.round(F.sum("cell_chi"), 6).alias("chi2"),
+    )
+    wtop = Window.orderBy(
+        F.desc(F.round("cell_chi", 6)), F.asc("event_type"), F.asc("dow")
+    )
+    top = (
+        full.withColumn("r", F.row_number().over(wtop))
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("event_type").alias("top_cell_type"),
+            F.col("dow").alias("top_cell_dow"),
+            (F.col("o") > F.col("e")).alias("top_cell_over"),
+        )
+    )
+    return dims.crossJoin(F.broadcast(top)).select(
+        "n_types",
+        "n_dows",
+        "n",
+        "chi2",
+        ((F.col("n_types") - 1) * (F.col("n_dows") - 1)).alias("dof"),
+        "top_cell_type",
+        "top_cell_dow",
+        "top_cell_over",
+    )
+
+
+EVENTS_TYPE_DOW_CHISQ_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+         COUNT(*) AS o
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+rows_ AS (SELECT event_type, SUM(o) AS rn FROM cells GROUP BY 1),
+cols_ AS (SELECT dow, SUM(o) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM cells),
+expected AS (
+  SELECT c.event_type, c.dow, c.o,
+         r.rn * co.cn * 1.0 / t.n AS e
+  FROM cells c
+  JOIN rows_ r USING (event_type)
+  JOIN cols_ co USING (dow)
+  CROSS JOIN tot t
+),
+scored AS (
+  SELECT *, (o - e) * (o - e) / e AS cell_chi FROM expected
+),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows,
+         CAST(SUM(o) AS BIGINT) AS n,
+         ROUND(SUM(cell_chi), 6) AS chi2
+  FROM scored
+),
+top AS (
+  SELECT event_type AS top_cell_type, dow AS top_cell_dow,
+         o > e AS top_cell_over
+  FROM scored
+  ORDER BY ROUND(cell_chi, 6) DESC, event_type ASC, dow ASC
+  LIMIT 1
+)
+SELECT n_types, n_dows, n, chi2,
+       (n_types - 1) * (n_dows - 1) AS dof,
+       top_cell_type, top_cell_dow, top_cell_over
+FROM dims, top
+"""
+
+
 def user_behavior_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral anomaly score: the mean negative log-likelihood
     of a user's event transitions under the CORPUS Markov model — the
@@ -4519,6 +4636,7 @@ QUERIES = {
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "markov_entropy_rate": markov_entropy_rate,
+    "events_type_dow_chisq": events_type_dow_chisq,
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
@@ -4575,6 +4693,7 @@ ORACLES = {
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     "markov_entropy_rate": MARKOV_ENTROPY_SQL,
+    "events_type_dow_chisq": EVENTS_TYPE_DOW_CHISQ_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "funnel_latency": FUNNEL_LATENCY_SQL,
     "cohort_retention": COHORT_SQL,
