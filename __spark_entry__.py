@@ -155,6 +155,8 @@ _PRIORITY = [
     "scd2_asof_lookup",
     "cdc_chunk_dedup",
     "events_type_dow_chisq",
+    "events_sequence_support",
+    "events_fano_factor",
     # (b)-tail displacement order, for a 16th+ new head entry: the last
     # rows above have the strongest fresh same-surface siblings —
     # retrieval_eval / mmr_search (retrieval family, hybrid_search_rrf

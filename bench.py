@@ -233,6 +233,8 @@ HEADLINE = [
     "scd2_asof_lookup",
     "cdc_chunk_dedup",
     "events_type_dow_chisq",
+    "events_sequence_support",
+    "events_fano_factor",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -1365,6 +1365,160 @@ FROM contrib
 """
 
 
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burstiness via the Fano factor (NEW round 13;
+    variance-to-mean ratio of the zero-filled daily count series — a
+    Poisson-stable stream sits at 1, crawler/bot bursts push it far
+    above, rate-limited synthetic traffic below): the dispersion
+    diagnostic the anomaly monitors assume but never report.  Computes
+    population variance from the exact integer moments (Σn, Σn²) so the
+    value is one division — cross-engine exact up to the final ROUND 6.
+
+    Serves from the FIFTEENTH incremental path's state by composition
+    (``daily_type_grid`` = grid_from_daily_cells ∘ daily_type_cells);
+    everything after the leaf-cell shuffle runs on the |types|×|days|
+    metadata grid."""
+    grid = daily_type_grid(load(spark, "events", sf_dir))
+    # Σn² as an exact INTEGER sum (order-independent; a double sum would
+    # be order-dependent once intermediate values pass 2^53)
+    m = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("_ss"),
+    )
+    mean = F.col("total") / F.col("n_days")
+    var = F.col("_ss") / F.col("n_days") - mean * mean
+    return m.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        "total",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.when(mean > 0, F.round(var / mean, 6)).alias("fano_factor"),
+    ).orderBy("event_type")
+
+
+EVENTS_FANO_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS day
+),
+grid AS (
+  SELECT t.event_type, COALESCE(d.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN spine s
+  LEFT JOIN daily d ON d.event_type = t.event_type
+                   AND d.day = CAST(s.day AS DATE)
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS _ss
+  FROM grid GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       total,
+       ROUND(total / (n_days * 1.0), 6) AS mean_daily,
+       ROUND(_ss / n_days - (total / (n_days * 1.0))
+             * (total / (n_days * 1.0)), 6) AS var_daily,
+       CASE WHEN total > 0 THEN
+         ROUND((_ss / n_days - (total / (n_days * 1.0))
+                * (total / (n_days * 1.0)))
+               / (total / (n_days * 1.0)), 6) END AS fano_factor
+FROM m
+ORDER BY event_type
+"""
+
+
+def events_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support for ordered type pairs (NEW round 13;
+    the 2-step slice of GSP/SPADE sequence mining): for every ordered
+    pair (a → b), how many users exhibit the pattern "some a event
+    strictly before some b event" — NOT adjacency (the Markov matrix) and
+    NOT co-occurrence (the basket graph): a funnel-discovery signal that
+    finds multi-step flows no one thought to define as a funnel.
+
+    Closed form that avoids per-user sequence scans: user u supports
+    (a → b) iff u's FIRST a precedes u's LAST b in the (ts, event_id)
+    total order — so support needs only each user's per-type first/last
+    occurrence (one (user, type) agg, mergeable min/max — maintainable
+    exactly like the RFM partials), then a per-user |types|² struct
+    compare.  Support ratio divides by the users having ANY typed event.
+
+    One user-keyed shuffle; the pair compare runs on ≤|users|·|types|
+    first/last rows self-joined per user (|types| is small by contract);
+    output ≤|types|² rows."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    fl = ev.groupBy("user_id", "event_type").agg(
+        F.min(key).alias("first_k"), F.max(key).alias("last_k")
+    )
+    n_users = fl.select("user_id").distinct().count()
+    a = fl.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("first_k").alias("fa"),
+    )
+    b = fl.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("last_k").alias("lb"),
+    )
+    sup = (
+        a.join(b, "user_id")
+        .filter(F.col("fa") < F.col("lb"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return sup.select(
+        "type_a",
+        "type_b",
+        "n_users",
+        F.round(F.col("n_users") / F.lit(n_users), 6).alias("support"),
+    ).orderBy("type_a", "type_b")
+
+
+EVENTS_SEQUENCE_SUPPORT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+fl AS (
+  SELECT user_id, event_type,
+         MIN(ROW(ts, event_id)) AS first_k,
+         MAX(ROW(ts, event_id)) AS last_k
+  FROM ev GROUP BY 1, 2
+),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM fl),
+sup AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_users
+  FROM fl a JOIN fl b ON a.user_id = b.user_id
+  WHERE a.first_k < b.last_k
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users,
+       ROUND(n_users * 1.0 / n, 6) AS support
+FROM sup, nu
+ORDER BY type_a, type_b
+"""
+
+
 def events_type_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson χ² independence test of event_type × day-of-week (NEW
     round 13) — the classic contingency-table question behind "does
@@ -4637,6 +4791,8 @@ QUERIES = {
     "events_holt_forecast": events_holt_forecast,
     "markov_entropy_rate": markov_entropy_rate,
     "events_type_dow_chisq": events_type_dow_chisq,
+    "events_sequence_support": events_sequence_support,
+    "events_fano_factor": events_fano_factor,
     "events_forecast_backtest": events_forecast_backtest,
     "attribution_linear": attribution_linear,
     "experiment_ab_eval": experiment_ab_eval,
@@ -4694,6 +4850,8 @@ ORACLES = {
     "events_holt_forecast": EVENTS_HOLT_SQL,
     "markov_entropy_rate": MARKOV_ENTROPY_SQL,
     "events_type_dow_chisq": EVENTS_TYPE_DOW_CHISQ_SQL,
+    "events_sequence_support": EVENTS_SEQUENCE_SUPPORT_SQL,
+    "events_fano_factor": EVENTS_FANO_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "funnel_latency": FUNNEL_LATENCY_SQL,
     "cohort_retention": COHORT_SQL,
