@@ -60,113 +60,112 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# After round 12 the latest-row histogram (recomputed from the
-# CORRECTNESS_r* ledger at round-13 start) is r8:35, r9:50, r10:50, r11:50,
-# r12:50 — zero failures ever recorded as latest state, no never-checked
-# entries.  ROUND-13 WINDOW (executes the written r13 rotation plan):
-# (a) new round-13 entries, inserted at the head as they land;
-# (b) ALL 35 remaining r8-era rows — every row the r12 head displaced
-#     (q9/q10/q13/q14/q15/q18/q19/q22, recommend_items, session_top_paths,
-#     the three snapshot rows, basket_association_rules,
-#     events_item_cooccurrence, null_handling, attribution_last_touch,
-#     chunk_documents, mine_triplets), the six rows deferred outright since
-#     r12 (q5_revenue_by_nation, set_except, union_by_name,
-#     sort_within_partitions, bm25_prf_search, window_first_last), and the
-#     ten earlier r11-eviction deferrals (scalar_string_funcs,
-#     q6_forecast_revenue, top_customers, events_rfm_segments,
-#     item_communities, item_triangles, mmr_search, retrieval_eval,
-#     quantize_embeddings_int8, text_perplexity_bigram).
-#     35 + up to 15 new head entries = the 50-slot window; after r13 NO
-#     entry's latest driver row predates r9.  Ordering within (b): the
-#     displaced TPC-H family and one-of-a-kind surfaces FIRST (no fresh
-#     sibling covers them), rows whose surface has an r10+-green sibling
-#     LAST so a 16th+ new head entry evicts the row with the strongest
-#     fresher same-surface sibling (eviction justifications inline below).
+# After round 13 the latest-row histogram (recomputed from the
+# CORRECTNESS_r* ledger at round-14 start) is r9:50, r10:50, r11:50,
+# r12:50, r13:50 — zero failures ever recorded as latest state — PLUS six
+# entries that landed after the r13 window filled and have NEVER had a
+# driver row (cdc_chunk_dedup, events_fano_factor, events_sequence_support,
+# events_type_dow_chisq, recommend_ppr, scd2_asof_lookup — all judge-green
+# in the r13 verdict's 256/256 selfcheck, recommend_ppr restored to the
+# queue per VERDICT r13 "What's wrong" #1 / ADVICE item 1).
+# ROUND-14 WINDOW:
+# (a) new round-14 entries, inserted at the head as they land;
+# (b) the SIX never-driver-checked late-r13 entries — first driver row at
+#     the earliest possible window, ahead of everything re-checkable;
+# (c) the 50 r9-era rows (now the oldest), ordered so one-of-a-kind
+#     surfaces come FIRST and rows whose surface has the strongest
+#     fresher same-surface sibling come LAST — each new head entry
+#     evicts from the tail, justification inline at the tail block.
 # Rows-only entries keep their standing impossibility contracts
 # (agg_hll_mergeable: sketch internals; ann_pq / ann_ivf: learned
 # quantizers, pinned twins oracle-green; pca_embeddings_project: driver-side
 # eigensolver, its distributed input IS the oracle-checked pca_covariance).
 #
-# ROUND-14 ROTATION PLAN (write the r14 window from this, then recompute
-# from the CORRECTNESS_r* ledger as always): after r13's window the
-# latest-row histogram is r9:50, r10:50, r11:50, r12:50, r13:50 — head =
-# new r14 ops as they land, then ALL 50 r9-era rows (they become the
-# oldest); new-op overflow defers r9 rows whose surface has the freshest
-# same-surface sibling, justified inline per the r12/r13 discipline.
+# ROUND-15 ROTATION PLAN (write the r15 window from this, then recompute
+# from the CORRECTNESS_r* ledger as always): head = new r15 ops + any
+# entry still without a driver row, then ALL 50 r10-era rows (they become
+# the oldest); overflow defers r10 rows with the freshest same-surface
+# sibling, justified inline per the r12/r13/r14 discipline.
 _PRIORITY = [
-    # (a) new round-13 entries land here, at head (uncommented as each
+    # (a) new round-14 entries land here, at head (uncommented as each
     # lands — queries() hard-fails on names with no implementation)
-    "pack_training_sequences",
-    "train_unigram_lm",
-    "unigram_lm_segment",
-    "label_purity_monitor",
-    "write_training_shards",
-    "user_survival_km",
-    "text_textrank_keywords",
-    "experiment_did_eval",
-    "chunk_cdc",
-    "events_daily_autocorr",
-    "tokenizer_fertility_compare",
-    "dedup_prefix_jaccard",
-    "text_keyphrase_rake",
-    # (b) the 35 r8-era rows.  One-of-a-kind surfaces + the displaced
-    # TPC-H family first:
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "top_customers",
-    "null_handling",
-    "scalar_string_funcs",
-    "set_except",
-    "union_by_name",
-    "sort_within_partitions",
-    "window_first_last",
-    "bm25_prf_search",
-    "chunk_documents",
-    "text_perplexity_bigram",
-    "attribution_last_touch",
-    "session_top_paths",
-    "basket_association_rules",
-    "events_item_cooccurrence",
-    "events_rfm_segments",
-    "recommend_items",
-    "mine_triplets",
-    "item_communities",
-    "item_triangles",
-    "snapshot_bloom_point_lookup",
-    "snapshot_positional_delete_orders",
-    "snapshot_update_constrained_orders",
-    "quantize_embeddings_int8",
-    "mmr_search",
-    "retrieval_eval",
-    # (c) the 50th window slot: 14 head entries + 35 r8 rows = 49, so
-    # exactly one more r13 op fits without evicting any rotation row
-    "events_holt_forecast",
-    # r14-queue: landed post-window, self-verified green at 3 SFs; the
-    # r14 rotation picks these up first
-    "markov_entropy_rate",
+    "dedup_exact_substr",
+    "events_hw_forecast",
+    "events_hw_backtest",
+    # (b) the six never-driver-checked entries (landed post-r13-window)
+    "recommend_ppr",
     "scd2_asof_lookup",
     "cdc_chunk_dedup",
     "events_type_dow_chisq",
     "events_sequence_support",
     "events_fano_factor",
-    # (b)-tail displacement order, for a 16th+ new head entry: the last
-    # rows above have the strongest fresh same-surface siblings —
-    # retrieval_eval / mmr_search (retrieval family, hybrid_search_rrf
-    # r12-green on the shared top-k frames), quantize_embeddings_int8
-    # (its quantizer expressions ARE the r12-green
-    # quantization_recall_eval's shared definition), the three snapshot
-    # rows (snapshot_changelog_orders r12-green + snapshot_time_travel
-    # r11-green on the same table machinery), item_triangles /
-    # item_communities (taste-graph family, item_pagerank r12-green on
-    # the shared edge definition).
+    # (c) the 50 r9-era rows.  One-of-a-kind surfaces first: the agg
+    # family (rollup/grouping-sets/pivot/percentiles/stats/count-distinct
+    # have no fresher same-surface row), scalar/array/map/json function
+    # surfaces, the join-strategy set (broadcast/outer/anti/theta/range/
+    # salted-skew — plan-shape surfaces nothing newer covers), schema
+    # evolution, cohort retention, and the seasonality/concurrency
+    # dashboard trio.
+    "filter_project",
+    "scalar_date_funcs",
+    "json_extraction",
+    "array_funcs",
+    "map_funcs",
+    "join_broadcast_dims",
+    "join_left_outer",
+    "join_anti",
+    "join_theta_band",
+    "join_range_shipdelay",
+    "join_salted_skew",
+    "agg_count_distinct",
+    "agg_stats",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_approx_distinct",
+    "window_rank",
+    "histogram_doc_length",
+    "q12_shipdelay_priority",
+    "cohort_retention",
+    "snapshot_schema_evolution_orders",
+    "events_hourly_seasonality",
+    "events_hourly_anomalies",
+    "events_power_users_curve",
+    "sessions_peak_concurrency",
+    "user_behavior_surprisal",
+    "item_jaccard_similarity",
+    "matryoshka_recall_eval",
+    "domain_mixture_weights",
+    "corpus_source_report",
+    "corpus_novelty_curve",
+    "vocab_coverage",
+    "session_stats",
+    "text_char_entropy",
+    "text_zipf_fit",
+    "curate_pretraining_corpus",
+    # (c)-tail, eviction order for new head entries — strongest fresh
+    # same-surface siblings evict first (bottom of this list goes first):
+    # ann_recall_eval / ann_ivfpq / kmeans_cluster_profile share the
+    # pinned-IVF machinery with r13-green label_purity_monitor and
+    # r12-green quantization_recall_eval; the dedup family
+    # (exact/minhash/simhash/ngram-jaccard/semantic) shares shingle +
+    # LSH machinery with r13-green dedup_prefix_jaccard and
+    # cdc_chunk_dedup (window head); the classifier faces
+    # (train/eval/calibration + text_linear_quality_classifier) share
+    # the trained-model definition with r12-green classifier_auc_eval.
+    "ann_recall_eval",
+    "ann_ivfpq",
+    "kmeans_cluster_profile",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_semantic",
+    "train_quality_classifier",
+    "quality_classifier_eval",
+    "classifier_calibration",
+    "text_linear_quality_classifier",
 ]
 
 

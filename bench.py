@@ -235,6 +235,12 @@ HEADLINE = [
     "events_type_dow_chisq",
     "events_sequence_support",
     "events_fano_factor",
+    # Appended round 14: ExactSubstr maximal repeated-span manifest (the
+    # exactness twin of the CDC chunk dedup), and the Holt-Winters
+    # weekly-seasonal pair completing the ETS family.
+    "dedup_exact_substr",
+    "events_hw_forecast",
+    "events_hw_backtest",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the
@@ -294,6 +300,46 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Ambient-load self-qualification (r13 verdict: BENCH_r13.json shipped
+# ~1.3×-inflated under hypervisor noise and the caveat lived only in
+# COVERAGE.md prose).  The bench now measures the box itself and stamps
+# the result INTO the JSON so a noisy artifact can't masquerade as a
+# regression — or as the absence of one.
+_AMBIENT_LOAD1_MAX = 2.0  # 1-min load tolerated on a 32-core box pre-run
+_STEAL_PCT_MAX = 2.0  # hypervisor steal over the bench interval
+
+
+def _cpu_times() -> tuple[int, int]:
+    """(steal jiffies, total jiffies) from /proc/stat; (0, 0) if absent."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()
+        vals = [int(x) for x in fields[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _ambient_gate() -> float:
+    """Wait briefly for ambient load to settle; return the load1 we start at.
+
+    Bounded: at most two 15 s waits, then proceed regardless (the flag in
+    the JSON, not the wait, is the contract)."""
+    load1 = os.getloadavg()[0]
+    for _ in range(2):
+        if load1 <= _AMBIENT_LOAD1_MAX:
+            break
+        print(
+            f"bench: ambient load1={load1:.1f} > {_AMBIENT_LOAD1_MAX}; "
+            "waiting 15s for the box to settle",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load1 = os.getloadavg()[0]
+    return load1
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -301,6 +347,10 @@ def main() -> int:
 
     from streaming_data_pipeline_with_iceberg_and_spark_spark.session import get_spark
     import __spark_entry__ as entry_mod
+
+    load1_before = _ambient_gate()
+    load_before = os.getloadavg()
+    steal0, total0 = _cpu_times()
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -344,6 +394,23 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    load_after = os.getloadavg()
+    steal1, total1 = _cpu_times()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        if total1 > total0
+        else 0.0
+    )
+    clean_run = (
+        load1_before <= _AMBIENT_LOAD1_MAX and steal_pct <= _STEAL_PCT_MAX
+    )
+    if not clean_run:
+        print(
+            f"bench: NOT a clean run — ambient load1 {load1_before:.1f} "
+            f"(limit {_AMBIENT_LOAD1_MAX}), steal {steal_pct:.1f}% "
+            f"(limit {_STEAL_PCT_MAX}%); timings may be inflated",
+            file=sys.stderr,
+        )
     payload = {
         "metric": "headline_query_total_runtime",
         "value": total,
@@ -351,6 +418,10 @@ def main() -> int:
         "queries": timings,
         "cold_total": round(cold, 3),
         "sf": sf,
+        "load_before": [round(x, 2) for x in load_before],
+        "load_after": [round(x, 2) for x in load_after],
+        "steal_pct": steal_pct,
+        "clean_run": clean_run,
     }
     # Round 8's driver bench came back `parsed: null`: the harness keeps only
     # a ~2 KB tail of stdout and parses the last JSON line in it, and the

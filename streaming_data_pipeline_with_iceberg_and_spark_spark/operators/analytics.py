@@ -4375,6 +4375,306 @@ ORDER BY event_type
 EVENTS_HOLT_SQL = _holt_sql()
 
 
+# Holt-Winters additive-seasonal knobs: weekly period, pinned smoothing
+# rates, a full-cycle forecast horizon, and the 7-day holdout the
+# backtest face reserves.
+_HW_ALPHA = 0.5
+_HW_BETA = 0.3
+_HW_GAMMA = 0.3
+_HW_M = 7
+_HW_H = 7
+
+
+def _hw_folded(grid: DataFrame, holdout: int) -> DataFrame:
+    """Shared Holt-Winters fold: per-type sorted daily series → final
+    (level, trend, rotated seasonal array, SAE, ys) after folding
+    t = m+1 .. n-holdout.  Pinned init from the first two weeks
+    (l₀ = week-1 mean, b₀ = (week-2 mean − week-1 mean)/m,
+    sᵢ = yᵢ − l₀), every state update ROUND(·, 9) in a fixed order —
+    the events_holt_forecast / user_survival_km cross-engine
+    discipline.  After the fold the seasonal array is rotated so
+    s[h] is the seasonal index for horizon h."""
+    a, bt, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+    series = grid.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda x: x["n"].cast("double"),
+        ).alias("ys")
+    )
+    n = F.size("ys")
+    fit_n = n - F.lit(holdout)
+    ssum = lambda lo, cnt: F.aggregate(
+        F.slice("ys", lo, cnt), F.lit(0.0), lambda acc, y: acc + y
+    )
+    m1 = ssum(1, m) / m
+    m2 = ssum(m + 1, m) / m
+    l0 = F.round(m1, 9)
+    b0 = F.round((m2 - m1) / m, 9)
+    s0 = F.transform(F.slice("ys", 1, m), lambda y: F.round(y - l0, 9))
+    init = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        s0.alias("s"),
+        F.lit(0.0).alias("sae"),
+    )
+
+    def step(acc, y):
+        l, b, s, sae = acc["l"], acc["b"], acc["s"], acc["sae"]
+        seas = F.element_at(s, 1)
+        pred = l + b + seas
+        l_new = F.round(a * (y - seas) + (1 - a) * (l + b), 9)
+        b_new = F.round(bt * (l_new - l) + (1 - bt) * b, 9)
+        s_val = F.round(g * (y - l_new) + (1 - g) * seas, 9)
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(F.slice(s, 2, m - 1), F.array(s_val)).alias("s"),
+            F.round(sae + F.abs(y - pred), 9).alias("sae"),
+        )
+
+    st = F.aggregate(
+        # ys[m+1 .. fit_n]; length clamped at 0 so sub-2m series (NULL
+        # state by contract) can't feed slice() a negative length
+        F.slice("ys", m + 1, F.greatest(fit_n - m, F.lit(0))),
+        init,
+        step,
+    )
+    return series.select(
+        "event_type",
+        n.cast("int").alias("n_days"),
+        fit_n.cast("int").alias("fit_n"),
+        F.when(fit_n >= 2 * m, st).alias("st"),
+        "ys",
+    )
+
+
+def events_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive-seasonal forecast per event type (NEW round
+    14; Winters 1960 — ETS(A,A,A) with weekly period m={m}, completing
+    the ETS family the r13 ``events_holt_forecast`` started): over the
+    SHARED zero-filled daily grid (``daily_type_grid``, the series the
+    FIFTEENTH incremental path maintains), fold
+    l ← α(y − s_{{t−m}}) + (1−α)(l+b), b ← β(l−l_prev) + (1−β)b,
+    s_t ← γ(y − l) + (1−γ)s_{{t−m}} from t = m+1 with the pinned
+    two-week init, and report the final state, the in-sample one-step
+    MAE (errors vs l+b+s before each update), and the h=1..{h}
+    forecasts l + h·b + s_{{next cycle}} — one full weekly cycle, the
+    dow-aware counterpart of Holt's trend-only line.
+
+    Cross-engine exactness: SEQUENTIAL fold with ROUND(·, 9) after
+    every level/trend/seasonal/error update, identical step order both
+    engines (F.aggregate over the sorted per-type day array carrying a
+    rotating length-{m} seasonal array ≡ a recursive CTE stepping idx
+    with a LIST state column); counts are integer-valued doubles so
+    the init sums are exact.  Types with fewer than 2m grid days emit
+    NULL state (contract, not error).
+
+    Scale shape: identical to ``events_holt_forecast`` — one
+    (type, day) count shuffle (served from maintained daily cells),
+    then per-type folds on the |types|×|days| metadata grid; the
+    seasonal array adds O(m) state per type, nothing
+    fact-scale.""".format(m=_HW_M, h=_HW_H)
+    folded = _hw_folded(
+        daily_type_grid(load(spark, "events", sf_dir)), holdout=0
+    )
+    l, b, s, sae = (
+        F.col("st.l"),
+        F.col("st.b"),
+        F.col("st.s"),
+        F.col("st.sae"),
+    )
+    n_folds = F.col("fit_n") - _HW_M
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(l, 6).alias("level"),
+        F.round(b, 6).alias("trend"),
+        F.when(
+            n_folds > 0, F.round(sae / n_folds, 6)
+        ).alias("mae_1step"),
+        *[
+            F.round(l + h * b + F.element_at(s, h), 6).alias(
+                f"forecast_h{h}"
+            )
+            for h in range(1, _HW_H + 1)
+        ],
+    ).orderBy("event_type")
+
+
+def events_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters backtest vs the lag-{m} seasonal-naive baseline (NEW
+    round 14): hold out the LAST {m} grid days per type, fit the
+    ``events_hw_forecast`` fold on the prefix, and score both the HW
+    h=1..{m} forecasts and the seasonal-naive predictions (y_{{t−m}})
+    against the held-out actuals — the "does the extra state earn its
+    keep" gate a forecast face needs before a scheduler trusts it
+    (sibling of ``events_forecast_backtest``, which scores the naive
+    baseline in-sample).  Emits per-type holdout MAE for both models
+    and the winner flag.  Types with fewer than 3m grid days emit NULL
+    metrics (2m to init+fold, m to hold out).
+
+    Same fold, same rounding discipline, same metadata-grid scale
+    shape as the forecast face.""".format(m=_HW_M)
+    folded = _hw_folded(
+        daily_type_grid(load(spark, "events", sf_dir)), holdout=_HW_M
+    )
+    l, b, s = F.col("st.l"), F.col("st.b"), F.col("st.s")
+    yat = lambda idx: F.get("ys", idx - 1)  # 1-based lookup, NULL past end
+    hw_err = [
+        F.abs(
+            yat(F.col("fit_n") + h)
+            - F.round(l + h * b + F.element_at(s, h), 9)
+        )
+        for h in range(1, _HW_M + 1)
+    ]
+    sn_err = [
+        F.abs(yat(F.col("fit_n") + h) - yat(F.col("fit_n") + h - _HW_M))
+        for h in range(1, _HW_M + 1)
+    ]
+    some = F.col("st").isNotNull()
+    mae_hw = F.round(
+        sum(hw_err[1:], hw_err[0]) / _HW_M, 6
+    )
+    mae_sn = F.round(
+        sum(sn_err[1:], sn_err[0]) / _HW_M, 6
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.when(some, mae_hw).alias("mae_hw"),
+        F.when(some, mae_sn).alias("mae_snaive"),
+        F.when(some, (mae_hw <= mae_sn).cast("int")).alias("hw_wins"),
+    ).orderBy("event_type")
+
+
+def _hw_sql(holdout: int, final_select: str) -> str:
+    a, bt, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+    y = "CAST(sr.ys[h.t + 1] AS DOUBLE)"
+    l_new = (
+        f"ROUND({a} * ({y} - h.s[1]) + {1 - a} * (h.l + h.b), 9)"
+    )
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS day
+),
+gridc AS (
+  SELECT t.event_type, s.day AS day, COALESCE(d.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN spine s
+  LEFT JOIN daily d ON d.event_type = t.event_type
+                   AND d.day = CAST(s.day AS DATE)
+),
+series AS (
+  SELECT event_type,
+         list(CAST(n AS DOUBLE) ORDER BY day) AS ys,
+         COUNT(*) AS n_days,
+         COUNT(*) - {holdout} AS fit_n
+  FROM gridc GROUP BY event_type
+),
+init AS (
+  SELECT event_type, n_days, fit_n, ys,
+         ROUND(list_aggregate(ys[1:{m}], 'sum') / {m}, 9) AS l0,
+         ROUND((list_aggregate(ys[{m + 1}:{2 * m}], 'sum') / {m}
+                - list_aggregate(ys[1:{m}], 'sum') / {m}) / {m}, 9) AS b0
+  FROM series WHERE fit_n >= {2 * m}
+),
+hw AS (
+  SELECT event_type, n_days, fit_n, ys, {m} AS t,
+         l0 AS l, b0 AS b,
+         [ROUND(yv - l0, 9) FOR yv IN ys[1:{m}]] AS s,
+         CAST(0.0 AS DOUBLE) AS sae
+  FROM init
+  UNION ALL
+  SELECT h.event_type, h.n_days, h.fit_n, h.ys, h.t + 1,
+         {l_new},
+         ROUND({bt} * (({l_new}) - h.l) + {1 - bt} * h.b, 9),
+         list_append(h.s[2:{m}],
+           ROUND({g} * ({y} - ({l_new})) + {1 - g} * h.s[1], 9)),
+         ROUND(h.sae + ABS({y} - (h.l + h.b + h.s[1])), 9)
+  FROM hw h JOIN series sr USING (event_type)
+  WHERE h.t < h.fit_n
+),
+fin AS (SELECT * FROM hw WHERE t = fit_n),
+short AS (SELECT event_type, n_days FROM series WHERE fit_n < {2 * m})
+{final_select}
+"""
+
+
+def _hw_forecast_sql() -> str:
+    m = _HW_M
+    fcsts = ",\n       ".join(
+        f"ROUND(l + {h} * b + s[{h}], 6) AS forecast_h{h}"
+        for h in range(1, _HW_H + 1)
+    )
+    nulls = ",\n       ".join(
+        f"CAST(NULL AS DOUBLE) AS forecast_h{h}"
+        for h in range(1, _HW_H + 1)
+    )
+    return _hw_sql(
+        0,
+        f"""
+SELECT event_type, CAST(n_days AS INT) AS n_days,
+       ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+       CASE WHEN fit_n > {m}
+            THEN ROUND(sae / (fit_n - {m}), 6) END AS mae_1step,
+       {fcsts}
+FROM fin
+UNION ALL
+SELECT event_type, CAST(n_days AS INT) AS n_days,
+       CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+       CAST(NULL AS DOUBLE) AS mae_1step,
+       {nulls}
+FROM short
+ORDER BY event_type
+""",
+    )
+
+
+def _hw_backtest_sql() -> str:
+    m = _HW_M
+    hw_terms = " + ".join(
+        f"ABS(ys[fit_n + {h}] - ROUND(l + {h} * b + s[{h}], 9))"
+        for h in range(1, m + 1)
+    )
+    sn_terms = " + ".join(
+        f"ABS(ys[fit_n + {h}] - ys[fit_n + {h} - {m}])"
+        for h in range(1, m + 1)
+    )
+    return _hw_sql(
+        m,
+        f"""
+SELECT event_type, CAST(n_days AS INT) AS n_days,
+       CASE WHEN fit_n >= {m} THEN ROUND(({hw_terms}) / {m}, 6) END
+         AS mae_hw,
+       CASE WHEN fit_n >= {m} THEN ROUND(({sn_terms}) / {m}, 6) END
+         AS mae_snaive,
+       CASE WHEN fit_n >= {m} THEN
+         CAST(ROUND(({hw_terms}) / {m}, 6)
+              <= ROUND(({sn_terms}) / {m}, 6) AS INT) END AS hw_wins
+FROM fin
+UNION ALL
+SELECT event_type, CAST(n_days AS INT) AS n_days,
+       CAST(NULL AS DOUBLE) AS mae_hw,
+       CAST(NULL AS DOUBLE) AS mae_snaive,
+       CAST(NULL AS INT) AS hw_wins
+FROM short
+ORDER BY event_type
+""",
+    )
+
+
+EVENTS_HW_FORECAST_SQL = _hw_forecast_sql()
+EVENTS_HW_BACKTEST_SQL = _hw_backtest_sql()
+
+
 _ACF_MAX_LAG = 10
 
 
@@ -4789,6 +5089,8 @@ QUERIES = {
     "events_daily_autocorr": events_daily_autocorr,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
+    "events_hw_forecast": events_hw_forecast,
+    "events_hw_backtest": events_hw_backtest,
     "markov_entropy_rate": markov_entropy_rate,
     "events_type_dow_chisq": events_type_dow_chisq,
     "events_sequence_support": events_sequence_support,
@@ -4848,6 +5150,10 @@ ORACLES = {
     "events_daily_autocorr": EVENTS_DAILY_AUTOCORR_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
+    # round 14: Holt-Winters additive weekly seasonality + its holdout
+    # backtest vs the lag-7 seasonal-naive baseline
+    "events_hw_forecast": EVENTS_HW_FORECAST_SQL,
+    "events_hw_backtest": EVENTS_HW_BACKTEST_SQL,
     "markov_entropy_rate": MARKOV_ENTROPY_SQL,
     "events_type_dow_chisq": EVENTS_TYPE_DOW_CHISQ_SQL,
     "events_sequence_support": EVENTS_SEQUENCE_SUPPORT_SQL,

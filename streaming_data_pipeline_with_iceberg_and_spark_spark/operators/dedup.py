@@ -20,6 +20,7 @@ import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import md5_bucket16, md5_bucket32, normalize, shingles, tokens
 from ..functions.vector import dot, norm
@@ -1292,6 +1293,123 @@ GROUP BY e.doc_id
 """
 
 
+# ExactSubstr window: a span is reported when every one of its k-token
+# windows also occurs in some other document (k = 8 here; Lee et al. use
+# 50 BPE tokens at web scale — the knob scales with document length, and
+# the synthetic corpus averages ~55 tokens/doc).
+_ES_K = 8
+
+
+def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated-substring span manifest (NEW round 14) — the
+    ExactSubstr face of Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better", and the exactness twin of
+    :func:`~..operators.textops.chunk_cdc` / ``cdc_chunk_dedup``: where
+    CDC finds boilerplate that happens to land on chunk boundaries,
+    this op finds EVERY token span of length ≥ ``_ES_K`` whose k-token
+    windows all recur in other documents, coalesced to maximal runs —
+    the per-document trim/remove worklist a span-level dedup pass
+    consumes.  (Lee et al. use a parallel suffix array; the
+    Spark-native equivalent is sliding k-gram postings + gaps-and-
+    islands coalescing — every k-window of a reported span is shared
+    verbatim with ≥1 other document, and the span is maximal: the
+    token before and after its island break the property.)
+
+    Output per span: doc_id, span_ord, start_tok (1-based), n_tokens
+    (≥ k by construction) and the md5 of the span text (the hash
+    proves both engines frame the identical tokens).
+
+    Scale shape: sliding k-gram rows are one posexplode off the scan
+    (never materialized as strings beyond the md5); "shared" is ONE
+    hash groupBy over shingle hashes (postings-bounded, the
+    `cdc_chunk_dedup` shuffle); the island coalescing is one window
+    per doc_id partition over only the SHARED positions (duplicate
+    mass, not corpus mass); the final slice re-reads tokens via a
+    doc_id-keyed join against the tokenized frame.  Nothing is
+    all-pairs; at 100 TB the postings pass is the same shape the
+    MinHash pipeline already runs, and the maintained face shares the
+    incremental shingle-index state."""
+    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
+    toked = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens("text").alias("t")
+    )
+    n = F.size("t")
+    kgram_hashes = F.when(
+        n >= _ES_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (_ES_K - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, _ES_K))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    rows = toked.select(
+        "doc_id", F.posexplode(kgram_hashes).alias("p0", "h")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    shared = (
+        rows.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = rows.join(shared, "h", "semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + F.lit(_ES_K - 1)).alias("end_tok"),
+    )
+    length = F.col("end_tok") - F.col("start_tok") + 1
+    wd = Window.partitionBy("doc_id").orderBy("start_tok")
+    return (
+        spans.join(toked, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(wd).cast("int").alias("span_ord"),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            length.cast("int").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice("t", F.col("start_tok"), length))
+            ).alias("span_hash"),
+        )
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+DEDUP_EXACT_SUBSTR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i + {_ES_K - 1}], ' ')) AS h
+  FROM d, unnest(range(1, len(toks) - {_ES_K} + 2)) AS t(i)
+  WHERE len(toks) >= {_ES_K}
+),
+shared AS (SELECT h FROM s GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT s.doc_id, s.pos FROM s JOIN shared USING (h)),
+g AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+),
+sp AS (
+  SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + {_ES_K - 1} AS end_tok
+  FROM g GROUP BY doc_id, grp
+)
+SELECT sp.doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY sp.doc_id
+                               ORDER BY sp.start_tok) AS INT) AS span_ord,
+       CAST(sp.start_tok AS INT) AS start_tok,
+       CAST(sp.end_tok - sp.start_tok + 1 AS INT) AS n_tokens,
+       md5(array_to_string(d.toks[sp.start_tok:sp.end_tok], ' '))
+         AS span_hash
+FROM sp JOIN d USING (doc_id)
+ORDER BY doc_id, start_tok
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023 shape): k-means-cluster the embedding
     space with the IVF coarse quantizer, then within each cluster drop
@@ -1421,6 +1539,7 @@ ORDER BY a.vec_id
 QUERIES = {
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "dedup_exact": dedup_exact,
+    "dedup_exact_substr": dedup_exact_substr,
     "dedup_span_exact": dedup_span_exact,
     "dedup_semantic": dedup_semantic,
     "dedup_fingerprint": dedup_fingerprint,
@@ -1439,6 +1558,9 @@ ORACLES = {
     # round 13: AllPairs/PPJoin prefix-filtered exact theta-join
     "dedup_prefix_jaccard": DEDUP_PREFIX_JACCARD_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    # round 14: ExactSubstr maximal repeated-span manifest (Lee et al.
+    # 2022) — sliding k-gram postings + gaps-and-islands coalescing
+    "dedup_exact_substr": DEDUP_EXACT_SUBSTR_SQL,
     "dedup_span_exact": DEDUP_SPAN_SQL,
     # round 9: dedup_semantic upgraded rows-only → value-exact (pinned
     # md5-Forgy blocking quantizer + 6-rounded cosine drop test);

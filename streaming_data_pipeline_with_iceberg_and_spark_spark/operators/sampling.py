@@ -950,13 +950,20 @@ def shard_manifest(keyed: DataFrame) -> DataFrame:
     )
 
 
-# (applicationId, sf_dir, documents-fingerprint, seed) -> manifest
-# SnapshotTable.  The pinned-IVF scratch discipline: one write per corpus
-# version per session, scratch dirs reclaimed at exit.
+# (applicationId, sf_dir, documents-fingerprint, seed) -> (manifest
+# SnapshotTable, scratch dir).  The pinned-IVF scratch discipline: one
+# write per corpus version per session; displaced entries (same app +
+# sf_dir, stale corpus fingerprint) have their scratch dirs reclaimed
+# EAGERLY — like _BM25_INDEX_CACHE — so repeated same-session corpus
+# rewrites don't accumulate spark_graft_shards_* dirs until exit.
 _SHARD_CACHE: dict = {}
 
 
 def clear_shard_cache() -> None:
+    import shutil
+
+    for _k, (_tbl, scratch) in list(_SHARD_CACHE.items()):
+        shutil.rmtree(scratch, ignore_errors=True)
     _SHARD_CACHE.clear()
 
 
@@ -996,11 +1003,13 @@ def write_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         data_fingerprint(sf_dir, "documents"),
         _SHARD_SEED,
     )
-    manifest_table = _SHARD_CACHE.get(key)
+    cached = _SHARD_CACHE.get(key)
+    manifest_table = cached[0] if cached is not None else None
     if manifest_table is None:
         for k in list(_SHARD_CACHE):
             if k[:2] == key[:2] and k != key:
-                _SHARD_CACHE.pop(k, None)
+                _tbl, stale_scratch = _SHARD_CACHE.pop(k)
+                shutil.rmtree(stale_scratch, ignore_errors=True)
         scratch = tempfile.mkdtemp(prefix="spark_graft_shards_")
         atexit.register(shutil.rmtree, scratch, ignore_errors=True)
         docs = load_spread(spark, "documents", sf_dir)
@@ -1020,7 +1029,7 @@ def write_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         txn.stage_append(manifest_table, shard_manifest(keyed))
         txn.commit()
-        _SHARD_CACHE[key] = manifest_table
+        _SHARD_CACHE[key] = (manifest_table, scratch)
     return (
         manifest_table.read()
         .select("shard", "n_rows", "n_tokens", "content_hash")

@@ -580,6 +580,40 @@ def test_dedup_span_exact_removes_planted_boilerplate(spark, tmp_path):
     assert out[2].kept_hash == hashlib.md5(uniq_b.encode()).hexdigest()
 
 
+def test_dedup_exact_substr_planted_spans(spark, tmp_path):
+    """ExactSubstr manifest on planted data: a 12-token block shared by two
+    documents at DIFFERENT offsets is reported in both as one maximal span
+    with the exact start/length/hash; unique docs, sub-k docs and a block
+    repeated only WITHIN one document produce no spans."""
+    import hashlib
+
+    shared = " ".join(f"boiler{i}" for i in range(12))
+    u = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    rows = [
+        (1, f"{u('a', 10)} {shared} {u('b', 10)}", "en", "s", 1),
+        (2, f"{u('c', 5)} {shared} {u('d', 8)}", "en", "s", 1),
+        (3, u("e", 30), "en", "s", 1),  # unique, long
+        (4, u("f", 5), "en", "s", 1),  # shorter than k
+        (5, f"{u('g', 3)} {u('h', 12)} {u('i', 3)} {u('h', 12)}", "en", "s", 1),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = dedup.dedup_exact_substr(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # docs 3-5 report nothing (doc 5's repeat is intra-document only)
+    assert set(by_doc) == {1, 2}
+    (s1,), (s2,) = by_doc[1], by_doc[2]
+    # maximality: exactly the 12 planted tokens, not more, not less
+    assert (s1.start_tok, s1.n_tokens, s1.span_ord) == (11, 12, 1)
+    assert (s2.start_tok, s2.n_tokens, s2.span_ord) == (6, 12, 1)
+    want = hashlib.md5(shared.encode()).hexdigest()
+    assert s1.span_hash == want and s2.span_hash == want
+
+
 def test_mixture_interleave_prefix_tracks_weights(spark, sf_dir):
     """Any prefix of the interleaved stream must approximate the weight
     mixture: a weight-4 source appears ~4x as often as a weight-1 source in
@@ -1683,6 +1717,73 @@ def test_session_top_paths_fixture_exact(spark, tmp_path):
     assert by_path == {"view>click>buy": 1, "view": 2, "click>view": 1}
     ranks = [r for r, _, _ in got]
     assert ranks == list(range(1, len(got) + 1))
+
+
+def test_hw_forecast_periodic_series_exact(spark, tmp_path):
+    """A perfectly weekly-periodic zero-trend count series is a fixed
+    point of the Holt-Winters recurrence: the pinned init recovers the
+    cycle exactly, every in-sample one-step error is 0, the forecasts
+    replay the next cycle verbatim, and the backtest scores both HW and
+    seasonal-naive at 0 (hw_wins on the <= tie rule)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        events_hw_backtest,
+        events_hw_forecast,
+    )
+
+    cycle = [3, 1, 4, 1, 5, 9, 2]  # counts per dow, repeated 4 weeks
+    rows = []
+    eid = 0
+    for d in range(28):
+        for _ in range(cycle[d % 7]):
+            eid += 1
+            rows.append((eid, f"2024-01-{d + 1:02d} 12:00:00", 1, "a", 1.0, "{}"))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    (fc,) = events_hw_forecast(spark, sf).collect()
+    assert fc.n_days == 28 and fc.mae_1step == 0.0
+    assert fc.trend == 0.0
+    got = [getattr(fc, f"forecast_h{h}") for h in range(1, 8)]
+    assert got == [float(c) for c in cycle], got
+
+    (bt,) = events_hw_backtest(spark, sf).collect()
+    assert (bt.mae_hw, bt.mae_snaive, bt.hw_wins) == (0.0, 0.0, 1)
+
+
+def test_hw_forecast_short_series_null_contract(spark, tmp_path):
+    """A grid spanning fewer than 2m days emits the type with NULL
+    state (and the backtest NULL metrics) instead of erroring — the
+    documented insufficient-series contract."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        events_hw_backtest,
+        events_hw_forecast,
+    )
+
+    rows = [
+        (i + 1, f"2024-01-{(i % 5) + 1:02d} 08:00:00", 1, "a", 1.0, "{}")
+        for i in range(10)
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    (fc,) = events_hw_forecast(spark, sf).collect()
+    assert fc.n_days == 5
+    assert fc.level is None and fc.trend is None and fc.forecast_h1 is None
+    (bt,) = events_hw_backtest(spark, sf).collect()
+    assert bt.mae_hw is None and bt.mae_snaive is None and bt.hw_wins is None
 
 
 def test_session_top_paths_invariants(spark):
