@@ -92,6 +92,7 @@ _PRIORITY = [
     "dedup_exact_substr",
     "events_hw_forecast",
     "events_hw_backtest",
+    "dedup_clusters_lsh",
     # (b) the six never-driver-checked entries (landed post-r13-window)
     "recommend_ppr",
     "scd2_asof_lookup",

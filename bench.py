@@ -241,6 +241,9 @@ HEADLINE = [
     "dedup_exact_substr",
     "events_hw_forecast",
     "events_hw_backtest",
+    # Appended round 14, second segment: the signature-agreement cluster
+    # batch face (twin of the seventeenth incremental path).
+    "dedup_clusters_lsh",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -16,6 +16,7 @@ Five dedup strategies over ``documents``, each designed scale-first:
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1293,6 +1294,173 @@ GROUP BY e.doc_id
 """
 
 
+# Signature-agreement cluster edges: fraction of the 32 MinHash
+# permutations two docs must agree on for a cluster edge (the neardup
+# ingest's threshold). 23/32 ≈ 0.72 estimated Jaccard — the edge
+# definition is a PER-PAIR function of the two signatures alone, which
+# is what makes the incremental cluster path exact: unlike the df-cap
+# (`_jaccard_pairs`) or bucket-cap (`minhash_candidate_pairs`)
+# heuristics, no corpus-global statistic can re-classify an edge after
+# the fact, so edges only ever ACCUMULATE as batches arrive.
+_LSH_CC_THRESHOLD = 0.7
+_LSH_CC_AGREE_MIN = math.ceil(_LSH_CC_THRESHOLD * _MH_PERMS)
+
+
+def sig_agreement(a, b):
+    """Number of agreeing positions between two MinHash signature arrays
+    — shared by the batch cluster face and the incremental cluster/
+    near-dup ingest paths (one agreement definition, no drift)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, z: F.when(x == z, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_agreement_edges(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """THE near-dup edge definition the SEVENTEENTH incremental path
+    maintains: (doc_a < doc_b) pairs colliding in ≥1 LSH band whose full
+    32-permutation signature agreement ≥ ``_LSH_CC_AGREE_MIN``.  NO
+    bucket cap — the cap would make an edge depend on what else shares
+    the bucket (corpus-global state), and the incremental path's
+    exactness proof needs edges that are pure pair functions.  At 100 TB
+    a hot band bucket is the same shuffle-skew problem every band join
+    has; AQE skew-split handles the join, and the verify filter bounds
+    surviving pairs by true duplicate mass."""
+    sigs = minhash_sig_bands(docs, text_col)
+    band_arr = F.array(*[F.col(f"band{b}") for b in range(_MH_BANDS)])
+    expl = sigs.select(
+        id_col, "sig", F.posexplode(band_arr).alias("band_idx", "band_sig")
+    )
+    a, b = expl.alias("a"), expl.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            sig_agreement(F.col("a.sig"), F.col("b.sig"))
+            >= _LSH_CC_AGREE_MIN
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the SIGNATURE-AGREEMENT edge set (NEW round
+    14) — the batch twin of the SEVENTEENTH incremental path
+    (``streaming.ingest.start_incremental_cluster_ingest``): connected
+    components of :func:`lsh_agreement_edges`, every document labeled
+    with its component's min doc_id, exactly the `dedup_clusters` output
+    shape on the corpus-independent edge definition.  The incremental
+    path's ``clusters_from_lsh_state`` over its maintained merge log is
+    parity-tested ≡ this face under every batch split.
+
+    Scale shape: one map-side signature pass, one (band_idx, band_sig)-
+    keyed self-join (never all-pairs; verify filter prunes to true
+    duplicate mass), star-alternation CC on the edge-induced subgraph
+    only, one left join back to the corpus."""
+    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
+    edges = lsh_agreement_edges(docs)
+    verts = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = _connected_components(verts, edges)
+    cluster_id = F.coalesce("cluster_id", F.col("doc_id"))
+    return load(spark, "documents", sf_dir).join(
+        labels, "doc_id", "left"
+    ).select(
+        "doc_id",
+        cluster_id.alias("cluster_id"),
+        (cluster_id == F.col("doc_id")).alias("is_survivor"),
+    )
+
+
+def clusters_from_lsh_state(docs: DataFrame, merge_log: DataFrame) -> DataFrame:
+    """Serve near-dup cluster labels from the incremental path's
+    append-only merge log — ``clusters_from_lsh_state(corpus, log) ≡
+    dedup_clusters_lsh`` (parity-tested).  The log is a functional
+    forest (each node appears as a source at most once; every event
+    points to a strictly smaller label), so component minima ARE the
+    final labels and the star-alternation CC converges in O(log depth)
+    rounds on a frame bounded by duplicate mass, never corpus mass."""
+    edges = merge_log.select(
+        F.col("node").alias("doc_a"), F.col("target").alias("doc_b")
+    )
+    verts = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = _connected_components(verts, edges)
+    cluster_id = F.coalesce("cluster_id", F.col("doc_id"))
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        cluster_id.alias("cluster_id"),
+        (cluster_id == F.col("doc_id")).alias("is_survivor"),
+    )
+
+
+_DEDUP_CLUSTERS_LSH_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE coalesce(trim(text), '') <> ''
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+  FROM d
+), hs AS (
+  SELECT doc_id,
+         list_transform(s, x ->
+             CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % 2147483648) AS hs
+  FROM sh WHERE len(s) > 0
+), sig AS (
+  SELECT doc_id, [{min_exprs}] AS sig
+  FROM hs
+), bands AS (
+  SELECT doc_id, sig, b.band_idx,
+         md5(concat_ws(',', sig[b.band_idx * {rows} + 1]{band_tail})) AS band_sig
+  FROM sig CROSS JOIN (SELECT unnest(range({nbands})) AS band_idx) b
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+  WHERE list_sum(list_transform(range(1, {nperms} + 1),
+            i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+        >= {agree_min}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(a, b) AS (
+  SELECT DISTINCT src AS a, src AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), comp AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT dd.doc_id,
+       COALESCE(c.cluster_id, dd.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, dd.doc_id) = dd.doc_id AS is_survivor
+FROM documents dd LEFT JOIN comp c USING (doc_id)
+"""
+DEDUP_CLUSTERS_LSH_SQL = _DEDUP_CLUSTERS_LSH_SQL.format(
+    agree_min=_LSH_CC_AGREE_MIN, **_MH_SQL_FMT
+)
+
+
 # ExactSubstr window: a span is reported when every one of its k-token
 # windows also occurs in some other document (k = 8 here; Lee et al. use
 # 50 BPE tokens at web scale — the knob scales with document length, and
@@ -1540,6 +1708,7 @@ QUERIES = {
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "dedup_exact": dedup_exact,
     "dedup_exact_substr": dedup_exact_substr,
+    "dedup_clusters_lsh": dedup_clusters_lsh,
     "dedup_span_exact": dedup_span_exact,
     "dedup_semantic": dedup_semantic,
     "dedup_fingerprint": dedup_fingerprint,
@@ -1561,6 +1730,9 @@ ORACLES = {
     # round 14: ExactSubstr maximal repeated-span manifest (Lee et al.
     # 2022) — sliding k-gram postings + gaps-and-islands coalescing
     "dedup_exact_substr": DEDUP_EXACT_SUBSTR_SQL,
+    # round 14: signature-agreement cluster batch face (the twin of the
+    # SEVENTEENTH incremental path's maintained merge log)
+    "dedup_clusters_lsh": DEDUP_CLUSTERS_LSH_SQL,
     "dedup_span_exact": DEDUP_SPAN_SQL,
     # round 9: dedup_semantic upgraded rows-only → value-exact (pinned
     # md5-Forgy blocking quantizer + 6-rounded cosine drop test);

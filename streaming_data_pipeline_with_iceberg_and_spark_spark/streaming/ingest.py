@@ -2291,6 +2291,263 @@ def compact_hourly_counts(
 
 # pending eq-delete files on the sessions open table before the streaming
 # closure compacts them away (each pending file costs readers one anti-join)
+def _resolve_merge_log(
+    log: DataFrame, nodes: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """Resolve ``nodes`` (one column ``node``) to their live cluster
+    labels by chasing pointers through the append-only merge log (a
+    functional forest: each node appears as a source at most once, every
+    event targets a strictly smaller label).  Per-round cost is one
+    keyed lookup join of the frontier (batch-bounded) against the log —
+    O(batch × chain depth), never O(corpus).  Chains are depth-1 right
+    after :func:`compact_cluster_merges`; the round cap fails loudly
+    (like the CC iteration cap) rather than return a stale label."""
+    kv = log.select(F.col("node").alias("__n"), F.col("target").alias("__t"))
+    cur = nodes.select("node", F.col("node").alias("root"))
+    for _ in range(max_rounds):
+        step = cur.join(kv, cur["root"] == kv["__n"], "left").localCheckpoint(
+            eager=True
+        )
+        if step.filter(F.col("__t").isNotNull()).isEmpty():
+            return step.select("node", "root")
+        cur = step.select(
+            "node", F.coalesce("__t", "root").alias("root")
+        )
+    raise RuntimeError(
+        f"merge-log resolution did not reach a fixpoint in {max_rounds} "
+        "rounds; run compact_cluster_merges and retry"
+    )
+
+
+def start_incremental_cluster_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_root: str,
+    bands_root: str,
+    merges_root: str,
+    txn_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "cluster_ingest",
+) -> StreamingQuery:
+    """Exact incremental near-dup CLUSTER maintenance at ingest — the
+    SEVENTEENTH maintenance path.  The batch face
+    (``operators.dedup.dedup_clusters_lsh``) recomputes connected
+    components of the signature-agreement graph from scratch; this path
+    maintains the same labels as documents arrive, so "which cluster is
+    this doc in" is answerable per batch without re-shuffling the corpus.
+
+    Mechanism (union-find as an append-only event log):
+
+    - Per batch, find signature-agreement edges among batch docs (one
+      band self-join) and between batch docs and every admitted doc (one
+      band-keyed probe join against the maintained ``bands`` table — the
+      near-dup ingest's probe shape).  The edge predicate
+      (:func:`~..operators.dedup.sig_agreement` ≥ 23/32 on band
+      collision) is a pure pair function, so edges only ever accumulate
+      — the monotonicity that makes merge-only state EXACT under any
+      batch split, arrival order, and late data.
+    - Resolve old endpoints to live labels through the merge log
+      (:func:`_resolve_merge_log` pointer chase), run the star-
+      alternation CC on the REDUCED batch graph only (batch docs +
+      touched live labels — bounded by batch size, never corpus), and
+      append one ``(node, target)`` merge event per label that changed:
+      new docs joining a cluster, and old cluster labels union-found
+      into a smaller one.  Full CC recompute never happens at ingest;
+      the log stays a functional forest (each source at most once,
+      targets strictly smaller), which is what keeps serve-side
+      resolution O(log depth).
+    - ``clusters_from_lsh_state(corpus, merges) ≡ dedup_clusters_lsh``
+      — parity-tested across batch splits, replay, and compaction.
+
+    Exactly-once: corpus rows, band rows and merge events commit in ONE
+    multi-table transaction under namespaced batch keys with recovery at
+    stream start (the standard protocol).  State: ``bands`` is 8 rows +
+    one 32-long signature per admitted doc (metadata-scale; bucketed on
+    (band_idx, band_sig) at real scale); ``merges`` is bounded by
+    duplicate mass (≤ one event per doc ever in a cluster + one per
+    cluster merge)."""
+    from ..operators.dedup import (
+        _LSH_CC_AGREE_MIN,
+        _MH_BANDS,
+        _connected_components,
+        minhash_sig_bands,
+        sig_agreement,
+    )
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+    )
+
+    corpus = SnapshotTable(spark, corpus_root)
+    bands = SnapshotTable(spark, bands_root)
+    merges = SnapshotTable(spark, merges_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+    band_arr = F.array(*[F.col(f"band{b}") for b in range(_MH_BANDS)])
+
+    def cluster_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([corpus, bands, merges], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        sigs = minhash_sig_bands(batch_df, text_col).persist()
+        try:
+            expl = sigs.select(
+                id_col,
+                "sig",
+                F.posexplode(band_arr).alias("band_idx", "band_sig"),
+            )
+            # within-batch edges (batch-bounded self-join)
+            a, b = expl.alias("a"), expl.alias("b")
+            edges = (
+                a.join(
+                    b,
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_sig") == F.col("b.band_sig"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+                .filter(
+                    sig_agreement(F.col("a.sig"), F.col("b.sig"))
+                    >= _LSH_CC_AGREE_MIN
+                )
+                .select(
+                    F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                )
+                .distinct()
+            )
+            # batch-vs-admitted edges via the maintained bands table; old
+            # endpoints resolve to live labels through the merge log
+            if bands.current_version() is not None:
+                seen_df = bands.read()
+                expl_t = dict(expl.dtypes)
+                seen_t = dict(seen_df.dtypes)
+                expected = {
+                    "band_idx": expl_t["band_idx"],
+                    "band_sig": expl_t["band_sig"],
+                    "seen_sig": expl_t["sig"],
+                }
+                drift = {
+                    c: (seen_t.get(c), want)
+                    for c, want in expected.items()
+                    if seen_t.get(c) != want
+                }
+                if drift:
+                    raise RuntimeError(
+                        f"bands table at {bands_root} column types {drift} "
+                        "(stored, expected) do not match the current MinHash "
+                        "pipeline; rebuild the cluster state before resuming"
+                    )
+                hits = (
+                    F.broadcast(expl)
+                    .join(seen_df, ["band_idx", "band_sig"])
+                    .filter(
+                        sig_agreement(F.col("sig"), F.col("seen_sig"))
+                        >= _LSH_CC_AGREE_MIN
+                    )
+                    .select(
+                        F.col(id_col).alias("new_id"),
+                        F.col("seen_id").alias("old_id"),
+                    )
+                    .distinct()
+                )
+                log = (
+                    merges.read()
+                    if merges.current_version() is not None
+                    else spark.createDataFrame([], "node long, target long")
+                )
+                resolved = _resolve_merge_log(
+                    log, hits.select(F.col("old_id").alias("node")).distinct()
+                )
+                old_edges = hits.join(
+                    resolved, hits["old_id"] == resolved["node"]
+                ).select(
+                    F.col("new_id").alias("doc_a"),
+                    F.col("root").alias("doc_b"),
+                )
+                edges = (
+                    edges.unionByName(old_edges)
+                    .filter(F.col("doc_a") != F.col("doc_b"))
+                    .distinct()
+                )
+            edges = edges.persist()
+            try:
+                verts = (
+                    edges.select(F.col("doc_a").alias("doc_id"))
+                    .union(edges.select(F.col("doc_b").alias("doc_id")))
+                    .distinct()
+                )
+                labels = _connected_components(verts, edges)
+                events = labels.filter(
+                    F.col("doc_id") != F.col("cluster_id")
+                ).select(
+                    F.col("doc_id").alias("node"),
+                    F.col("cluster_id").alias("target"),
+                )
+                band_rows = sigs.select(
+                    F.posexplode(band_arr).alias("band_idx", "band_sig"),
+                    F.col(id_col).alias("seen_id"),
+                    F.col("sig").alias("seen_sig"),
+                )
+                txn = MultiTableTransaction([corpus, bands, merges], txn_dir)
+                key = f"{stream_id}#{batch_id}"
+                txn.stage_append(corpus, batch_df, batch_id=key)
+                txn.stage_append(bands, band_rows, batch_id=key)
+                txn.stage_append(merges, events, batch_id=key)
+                txn.commit()
+            finally:
+                edges.unpersist()
+        finally:
+            sigs.unpersist()
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(cluster_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_cluster_merges(
+    spark: SparkSession, merges_root: str, compaction_id=None
+) -> None:
+    """Rewrite the cluster merge log as its fully-resolved depth-1 forest
+    (node → final label) — a semantic no-op for readers (CC resolution
+    gives the same roots either way) that bounds both the serve-side CC
+    depth and the ingest-side pointer chase.  The overwrite appends a
+    commit and never erases the log, so the stream's namespaced batch
+    keys survive and replay protection is unaffected (the
+    ``compact_user_state`` protocol)."""
+    from ..operators.dedup import _connected_components
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, merges_root)
+    log = t.read()
+    edges = log.select(
+        F.col("node").alias("doc_a"), F.col("target").alias("doc_b")
+    )
+    verts = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = _connected_components(verts, edges)
+    flat = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("target")
+    )
+    t.overwrite(flat, batch_id=compaction_id)
+
+
 _OPEN_COMPACT_EVERY = 4
 
 

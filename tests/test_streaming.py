@@ -2759,6 +2759,175 @@ def test_incremental_daily_type_ingest_matches_batch(spark, tmp_path):
     assert canon(grid_from_daily_cells(cells_t.read())) == want_grid
 
 
+def test_incremental_cluster_ingest_matches_batch(spark, tmp_path):
+    """Exact incremental near-dup cluster maintenance (union-find event
+    log, the seventeenth path): clusters_from_lsh_state over the
+    maintained merge log must equal batch dedup_clusters_lsh over
+    everything ingested — across batches where a doc's near-dups arrive
+    LATER (label merges union existing clusters), with null-text docs
+    admitted as singletons. The log stays a functional forest, replay
+    adds nothing, compaction flattens to depth 1 without changing
+    labels, and a one-cluster batch order produces identical labels."""
+    from pyspark.sql import types as T
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        clusters_from_lsh_state,
+        dedup_clusters_lsh,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_cluster_merges,
+        start_incremental_cluster_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pandas watch from a distant bamboo grove under heavy "
+        "summer rain that never seems to stop falling on the valley"
+    )
+    near1 = base.replace("seventeen", "eighteen")
+    near2 = base.replace("summer", "winter")
+    other = (
+        "completely different content about distributed query engines "
+        "processing petabytes of training data with columnar formats "
+        "snapshot isolation and carefully bounded shuffle stages"
+    )
+    third = (
+        "yet another unrelated document discussing the economics of "
+        "container shipping lanes across the northern pacific trade "
+        "routes during the early twenty first century boom years"
+    )
+    docs = {1: base, 2: near1, 3: other, 4: None, 5: near2, 6: third, 7: other}
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    corpus_root = str(tmp_path / "corpus")
+    bands_root = str(tmp_path / "bands")
+    merges_root = str(tmp_path / "merges")
+    txn_dir = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_cluster_ingest(
+            spark,
+            str(src),
+            corpus_root,
+            bands_root,
+            merges_root,
+            txn_dir,
+            schema=schema,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    # near-dups of 1 arrive BEFORE 1; 7 (exact dup of 3) before 3 — the
+    # final batch has to union clusters/singletons created earlier
+    for i, ids in enumerate([[2, 6], [5, 7, 4], [1, 3]]):
+        _write_ndjson(
+            src / f"b{i}.json",
+            [{"doc_id": d, "text": docs[d]} for d in ids],
+        )
+        drain()
+
+    corpus = SnapshotTable(spark, corpus_root)
+    bands = SnapshotTable(spark, bands_root)
+    merges = SnapshotTable(spark, merges_root)
+    assert sorted(r.doc_id for r in corpus.read().collect()) == list(range(1, 8))
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(d, t, "en", "s", 0) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    want = sorted(map(tuple, dedup_clusters_lsh(spark, sf).collect()))
+
+    def got():
+        return sorted(
+            map(
+                tuple,
+                clusters_from_lsh_state(
+                    corpus.read(), merges.read()
+                ).collect(),
+            )
+        )
+
+    assert got() == want
+    by_doc = dict((r[0], r[1]) for r in want)
+    # the guaranteed edges: base~near1, base~near2, other==other
+    assert by_doc[2] == 1 and by_doc[5] == 1 and by_doc[7] == 3
+    assert by_doc[4] == 4 and by_doc[6] == 6
+    # functional forest: each node is a source at most once, targets
+    # strictly smaller
+    ev = merges.read().collect()
+    srcs = [r.node for r in ev]
+    assert len(srcs) == len(set(srcs))
+    assert all(r.target < r.node for r in ev)
+
+    # replay: no movement, labels unchanged
+    v = corpus.current_version()
+    drain()
+    assert corpus.current_version() == v
+    assert got() == want
+
+    # O(batch) state growth: one new unrelated doc = 8 band rows, 0 events
+    n_bands, n_events = bands.read().count(), merges.read().count()
+    _write_ndjson(
+        src / "b3.json",
+        [{"doc_id": 8, "text": "entirely novel words nobody used before "
+                               "in any earlier document of this corpus"}],
+    )
+    drain()
+    assert bands.read().count() == n_bands + 8
+    assert merges.read().count() == n_events
+
+    # compaction: depth-1 forest, same labels
+    compact_cluster_merges(spark, merges_root)
+    flat = merges.read().collect()
+    assert not ({r.node for r in flat} & {r.target for r in flat})
+    state_labels = {
+        r.doc_id: r.cluster_id
+        for r in clusters_from_lsh_state(corpus.read(), merges.read()).collect()
+    }
+    for d, c in by_doc.items():
+        assert state_labels[d] == c
+
+    # order-invariance: everything in ONE batch gives the same labels
+    src2 = tmp_path / "docs_in2"
+    src2.mkdir()
+    _write_ndjson(
+        src2 / "all.json",
+        [{"doc_id": d, "text": t} for d, t in docs.items()],
+    )
+    q = start_incremental_cluster_ingest(
+        spark,
+        str(src2),
+        str(tmp_path / "corpus2"),
+        str(tmp_path / "bands2"),
+        str(tmp_path / "merges2"),
+        str(tmp_path / "txns2"),
+        schema=schema,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    got2 = sorted(
+        map(
+            tuple,
+            clusters_from_lsh_state(
+                SnapshotTable(spark, str(tmp_path / "corpus2")).read(),
+                SnapshotTable(spark, str(tmp_path / "merges2")).read(),
+            ).collect(),
+        )
+    )
+    assert got2 == want
+
+
 def test_incremental_scd2_ingest_matches_batch(spark, tmp_path):
     """Exact incremental SCD2 (boundary-state class, the sixteenth path):
     the dimension served from (closed-versions log + open boundaries)
