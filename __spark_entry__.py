@@ -93,6 +93,8 @@ _PRIORITY = [
     "events_hw_forecast",
     "events_hw_backtest",
     "dedup_clusters_lsh",
+    "mix_selection_report",
+    "assemble_training_mix",
     # (b) the six never-driver-checked entries (landed post-r13-window)
     "recommend_ppr",
     "scd2_asof_lookup",

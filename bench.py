@@ -244,6 +244,10 @@ HEADLINE = [
     # Appended round 14, second segment: the signature-agreement cluster
     # batch face (twin of the seventeenth incremental path).
     "dedup_clusters_lsh",
+    # Appended round 14, third segment: the end-to-end training-mix
+    # assembly capstone and its selection-stage report.
+    "mix_selection_report",
+    "assemble_training_mix",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

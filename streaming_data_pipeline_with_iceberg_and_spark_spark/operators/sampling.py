@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import md5_bucket16
 from ..io import load
@@ -1062,6 +1063,350 @@ FROM k GROUP BY shard ORDER BY shard
 """
 
 
+# Training-mix assembly knobs: the global token budget is the corpus
+# token mass over _MIX_FILL_DEN (re-mix half the corpus), split across
+# sources by the temperature weights.  Budget arithmetic is ALL-INTEGER
+# in a pinned decomposition — budget_s = (iw_s * (T DIV 2000)) DIV 1000
+# with iw_s = ROUND(weight_6 * 1e6) — so no float division can flip a
+# boundary doc between engines, and intermediate products stay < 2^63
+# out to ~100 PB of tokens.
+_MIX_FILL_DEN = 2
+
+
+def mix_source_budgets(docs: DataFrame) -> DataFrame:
+    """Per-source integer token budgets from the temperature mixture —
+    the planning half of :func:`assemble_training_mix` (weights are the
+    SHARED ``mixture_from_token_cells`` arithmetic; the budget is the
+    pinned integer decomposition above).  Returns
+    (source, weight, budget_tokens) — |sources| rows."""
+    per_src = merge_source_token_cells(source_token_cells(docs))
+    powed = per_src.withColumn(
+        "pw", F.pow(F.col("total_tokens").cast("double"), F.lit(_MIX_ALPHA))
+    )
+    norm = powed.agg(
+        F.sum("pw").alias("z"), F.sum("total_tokens").alias("t")
+    )
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .withColumn("weight", F.round(F.col("pw") / F.col("z"), 6))
+        .withColumn(
+            "iw", F.round(F.col("weight") * F.lit(1000000.0), 0).cast("long")
+        )
+        .selectExpr(
+            "source",
+            "weight",
+            f"(iw * (t DIV {2000 * _MIX_FILL_DEN // 2})) DIV 1000 "
+            "AS budget_tokens",
+        )
+    )
+
+
+def mix_selected_docs(docs: DataFrame) -> DataFrame:
+    """Greedy per-source quality fill against the mixture budgets — the
+    selection half of :func:`assemble_training_mix`: docs rank by the
+    pinned classifier score (6-rounded, ties by doc_id) within their
+    source, and the running-token prefix with cum ≤ budget survives (the
+    ``curate_multimodal_corpus`` fill rule).  Returns
+    (doc_id, source, n_tok, quality_score, cum, budget_tokens)."""
+    from ..functions.text import tokens
+    from .textops import _LQC_BIAS, _LQC_W, _linear_score_expr
+
+    budgets = mix_source_budgets(docs)
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+        _linear_score_expr(_LQC_W, _LQC_BIAS).alias("quality_score"),
+    )
+    ws = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.join(F.broadcast(budgets), "source")
+        .withColumn("cum", F.sum("n_tok").over(ws))
+        .filter(F.col("cum") <= F.col("budget_tokens"))
+    )
+
+
+def mix_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readout of the training-mix selection (NEW round 14):
+    mixture weight, integer token budget, and what the greedy quality
+    fill actually admitted — the planning report a curation run signs
+    off on before paying for the pack/shard write (and the stage-level
+    oracle for :func:`assemble_training_mix`'s selection half).
+
+    Scale shape: mixture planning is the |sources|-row metadata frame;
+    scoring is one scan-level projection; the fill is one source-keyed
+    running-sum window over the scored corpus."""
+    sel = mix_selected_docs(load(spark, "documents", sf_dir))
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.first("weight").alias("weight"),
+            F.first("budget_tokens").alias("budget_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# (applicationId, sf_dir, documents-fingerprint) -> (manifest table,
+# scratch dir); the _SHARD_CACHE discipline incl. eager displacement
+# rmtree.
+_MIX_CACHE: dict = {}
+
+
+def clear_mix_cache() -> None:
+    import shutil
+
+    for _k, (_tbl, scratch) in list(_MIX_CACHE.items()):
+        shutil.rmtree(scratch, ignore_errors=True)
+    _MIX_CACHE.clear()
+
+
+def assemble_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-set assembly capstone (NEW round 14) — the
+    one query that IS the curation pipeline's last mile, chaining the
+    shared definitions: temperature mixture planning
+    (``mixture_from_token_cells``) → integer per-source token budgets →
+    greedy per-source quality fill (pinned classifier, the
+    ``curate_multimodal_corpus`` rule) → chunking of the selected docs
+    (``chunk_rows``, the chunk_documents definition) → boundary-split
+    sequence packing (``place_chunks``, the pack_training_sequences
+    placement) → packed rows + per-bucket manifest committed in ONE
+    multi-table transaction (the write_training_shards discipline), the
+    manifest read back FROM the committed table as the result.
+
+    Manifest row per packing bucket: chunk count, closed+open sequence
+    count, token count, and the content hash — md5 over per-chunk
+    placement fingerprints concatenated in (o, doc_id, chunk_idx)
+    packing order, so two assemblies agree iff they packed the same
+    chunks into the same slots.  All integers + md5 — value-exact.
+
+    Scale shape: selection is one window over the scored scan; packing
+    is ONE bucket-keyed shuffle + a prefix-sum window (bucket partitions
+    stay ~_PACK_BUCKET_ROWS rows at any corpus size); the manifest is a
+    second bounded shuffle on bucket keys; the txn commit is
+    metadata-only."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..io import data_fingerprint, load_spread
+    from ..sources.snapshots import MultiTableTransaction, SnapshotTable
+    from .textops import _PACK_BUCKET_ROWS as _PBR
+    from .textops import chunk_rows, place_chunks
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "documents"),
+    )
+    cached = _MIX_CACHE.get(key)
+    manifest_table = cached[0] if cached is not None else None
+    if manifest_table is None:
+        for k in list(_MIX_CACHE):
+            if k[:2] == key[:2] and k != key:
+                _tbl, stale_scratch = _MIX_CACHE.pop(k)
+                shutil.rmtree(stale_scratch, ignore_errors=True)
+        scratch = tempfile.mkdtemp(prefix="spark_graft_mix_")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        docs = load_spread(spark, "documents", sf_dir)
+        sel = mix_selected_docs(docs).select("doc_id")
+        chunks = chunk_rows(docs.join(sel, "doc_id")).select(
+            "doc_id", "chunk_idx", "chunk_tokens"
+        )
+        n_chunks = chunks.count()
+        nb = max(1, -(-n_chunks // _PBR))
+        placed = place_chunks(chunks, nb)
+        fp = F.md5(
+            F.concat_ws(
+                ":", "doc_id", "chunk_idx", "start_seq", "start_off"
+            ).cast("binary")
+        )
+        rows = placed.withColumn("fp", fp)
+        manifest = rows.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            (F.max("end_seq") + 1).alias("n_seqs"),
+            F.sum("chunk_tokens").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("o", "doc_id", "chunk_idx", "fp")
+                            )
+                        ),
+                        lambda x: x["fp"],
+                    ),
+                    "",
+                ).cast("binary")
+            ).alias("content_hash"),
+        )
+        rows_table = SnapshotTable(spark, f"{scratch}/rows")
+        manifest_table = SnapshotTable(spark, f"{scratch}/manifest")
+        txn = MultiTableTransaction(
+            [rows_table, manifest_table], f"{scratch}/txn"
+        )
+        txn.stage_append(
+            rows_table,
+            rows.drop("fp").repartition(nb, "bucket").sortWithinPartitions(
+                "bucket", "o", "doc_id", "chunk_idx"
+            ),
+        )
+        txn.stage_append(manifest_table, manifest)
+        txn.commit()
+        _MIX_CACHE[key] = (manifest_table, scratch)
+    return (
+        manifest_table.read()
+        .select(
+            "bucket",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_seqs").cast("long").alias("n_seqs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "content_hash",
+        )
+        .orderBy("bucket")
+    )
+
+
+def _mix_ctes() -> str:
+    """Shared CTE block: mixture budgets + classifier-scored selection —
+    composed into both mix faces' oracles."""
+    from .textops import _LQC_BIAS, _LQC_VALUES
+
+    half = 2000 * _MIX_FILL_DEN // 2
+    return f"""
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS total_tokens
+  FROM documents WHERE text IS NOT NULL
+  GROUP BY source
+),
+powed AS (
+  SELECT *, POWER(CAST(total_tokens AS DOUBLE), {_MIX_ALPHA!r}) AS pw
+  FROM per_src
+),
+mnorm AS (SELECT SUM(pw) AS z, SUM(total_tokens) AS t FROM powed),
+budgets AS (
+  SELECT source,
+         ROUND(pw / (SELECT z FROM mnorm), 6) AS weight,
+         CAST((CAST(ROUND(ROUND(pw / (SELECT z FROM mnorm), 6) * 1000000,
+                          0) AS BIGINT)
+               * ((SELECT t FROM mnorm) // {half})) // 1000 AS BIGINT)
+           AS budget_tokens
+  FROM powed
+),
+tkq AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), wq(bk, wt) AS (VALUES {_LQC_VALUES}),
+sq AS (
+  SELECT doc_id, AVG(wt) AS mean_w
+  FROM tkq JOIN wq
+    ON (CAST(('0x' || substr(md5(tok), 1, 4)) AS INT) % 16) = bk
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split_regex(lower(trim(d.text)), '\\s+'))
+              AS BIGINT) AS n_tok,
+         ROUND(1.0 / (1.0 + EXP(-({_LQC_BIAS} + sq.mean_w))), 6)
+           AS quality_score
+  FROM documents d JOIN sq USING (doc_id)
+),
+filled AS (
+  SELECT sc.*, b.budget_tokens, b.weight,
+         CAST(SUM(n_tok) OVER (PARTITION BY sc.source
+                               ORDER BY quality_score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM scored sc JOIN budgets b USING (source)
+),
+sel AS (SELECT * FROM filled WHERE cum <= budget_tokens)
+"""
+
+
+def _mix_selection_report_sql() -> str:
+    return f"""
+WITH {_mix_ctes()}
+SELECT source,
+       MIN(weight) AS weight,
+       MIN(budget_tokens) AS budget_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM sel
+GROUP BY source
+ORDER BY source
+"""
+
+
+def _assemble_training_mix_sql() -> str:
+    from .textops import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        _PACK_BUCKET_ROWS,
+        _PACK_BUDGET,
+    )
+
+    return f"""
+WITH {_mix_ctes()},
+d2 AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM sel)
+),
+ch AS (
+  SELECT doc_id,
+         CAST(s / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+         CAST(len(t[s + 1 : s + {_CHUNK_SIZE}]) AS BIGINT) AS chunk_tokens
+  FROM d2, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS r(s)
+  WHERE len(t) > 0
+),
+nbc AS (
+  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {_PACK_BUCKET_ROWS}.0) AS INT))
+         AS nb
+  FROM ch
+),
+keyed AS (
+  SELECT CAST(('0x' || substr(
+           md5(doc_id::VARCHAR || ':' || chunk_idx::VARCHAR), 1, 4))
+           AS INT) % (SELECT nb FROM nbc) AS bucket,
+         md5(doc_id::VARCHAR || ':' || chunk_idx::VARCHAR) AS o,
+         doc_id, chunk_idx, chunk_tokens
+  FROM ch
+),
+placedm AS (
+  SELECT bucket, o, doc_id, chunk_idx, chunk_tokens,
+         COALESCE(SUM(chunk_tokens) OVER (
+           PARTITION BY bucket ORDER BY o, doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM keyed
+),
+pl AS (
+  SELECT bucket, o, doc_id, chunk_idx, chunk_tokens,
+         CAST(FLOOR(cum / {_PACK_BUDGET}) AS BIGINT) AS start_seq,
+         CAST(cum % {_PACK_BUDGET} AS BIGINT) AS start_off,
+         CAST(FLOOR((cum + chunk_tokens - 1) / {_PACK_BUDGET}) AS BIGINT)
+           AS end_seq
+  FROM placedm
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(MAX(end_seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens,
+       md5(string_agg(
+             md5(doc_id::VARCHAR || ':' || chunk_idx::VARCHAR || ':'
+                 || start_seq::VARCHAR || ':' || start_off::VARCHAR),
+             '' ORDER BY o, doc_id, chunk_idx)) AS content_hash
+FROM pl
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "curate_pretraining_corpus": curate_pretraining_corpus,
     "quality_weighted_sample": quality_weighted_sample,
@@ -1078,6 +1423,8 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "shuffle_epoch_rank": shuffle_epoch_rank,
     "write_training_shards": write_training_shards,
+    "mix_selection_report": mix_selection_report,
+    "assemble_training_mix": assemble_training_mix,
 }
 
 ORACLES = {
@@ -1099,4 +1446,9 @@ ORACLES = {
     "shuffle_epoch_rank": SHUFFLE_EPOCH_SQL,
     # round 13: seeded shard writer manifest (integer counts + md5 chains)
     "write_training_shards": WRITE_TRAINING_SHARDS_SQL,
+    # round 14: the end-to-end training-mix assembly capstone (mixture
+    # budgets -> greedy quality fill -> pack -> committed manifest) and
+    # its stage-level selection report
+    "mix_selection_report": _mix_selection_report_sql(),
+    "assemble_training_mix": _assemble_training_mix_sql(),
 }

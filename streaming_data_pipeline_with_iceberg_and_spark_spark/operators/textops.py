@@ -2160,7 +2160,14 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens. Deterministic strings/ints only — value-exact oracle.""".format(
         size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
     )
-    docs = load_spread(spark, "documents", sf_dir)
+    return chunk_rows(load_spread(spark, "documents", sf_dir))
+
+
+def chunk_rows(docs: DataFrame) -> DataFrame:
+    """THE chunk definition over a documents frame (identical to
+    ``chunk_documents``, which is this applied to the corpus scan) —
+    shared with the training-mix assembly capstone so selection-then-
+    chunk and chunk-the-corpus cannot disagree about a chunk."""
     base = docs.select("doc_id", tokens("text").alias("t"))
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("t") - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
@@ -2318,6 +2325,16 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheap count action; the oracle computes the identical expression
     n_chunks = chunks.count()
     nb = max(1, -(-n_chunks // _PACK_BUCKET_ROWS))
+    return place_chunks(chunks, nb).drop("o")
+
+
+def place_chunks(chunks: DataFrame, nb: int) -> DataFrame:
+    """THE boundary-split placement over a (doc_id, chunk_idx,
+    chunk_tokens) frame (identical to ``pack_training_sequences``, which
+    is this applied to the corpus chunk stream) — shared with the
+    training-mix assembly capstone.  Returns the placement plus the
+    md5 order key ``o`` (callers that persist a manifest hash the rows
+    in (o, doc_id, chunk_idx) order)."""
     ord_col = F.md5(
         F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).cast("binary")
     )
@@ -2339,6 +2356,7 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.lit(_PACK_BUDGET).cast("long")
     return keyed.select(
         "bucket",
+        "o",
         "doc_id",
         "chunk_idx",
         "chunk_tokens",

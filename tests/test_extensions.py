@@ -614,6 +614,139 @@ def test_dedup_exact_substr_planted_spans(spark, tmp_path):
     assert s1.span_hash == want and s2.span_hash == want
 
 
+def test_assemble_training_mix_conservation_and_budgets(spark, sf_dir):
+    """The end-to-end mix capstone conserves what it packs: the committed
+    manifest's token/chunk totals equal an independent recount of the
+    selected docs' chunks, every source's admitted tokens fit its integer
+    budget with greedy maximality (the first excluded doc would overflow),
+    the budget arithmetic matches the pinned integer decomposition, and
+    the manifest recomputed FROM the committed rows table equals the
+    committed manifest (the one-transaction claim)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import sampling
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        assemble_training_mix,
+        mix_selected_docs,
+        mix_source_budgets,
+        mix_selection_report,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import chunk_rows
+
+    docs = load(spark, "documents", sf_dir)
+    manifest = assemble_training_mix(spark, sf_dir).collect()
+    sel = mix_selected_docs(docs)
+
+    # token/chunk conservation vs an independent recount
+    recount = (
+        chunk_rows(docs.join(sel.select("doc_id"), "doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("n_tokens"),
+        )
+        .collect()[0]
+    )
+    assert sum(r.n_chunks for r in manifest) == recount.n_chunks
+    assert sum(r.n_tokens for r in manifest) == recount.n_tokens
+
+    # per-source budget fit + greedy maximality + the integer formula
+    budgets = {r.source: r for r in mix_source_budgets(docs).collect()}
+    report = {r.source: r for r in mix_selection_report(spark, sf_dir).collect()}
+    per_src = {
+        r.source: (r.total_tokens,)
+        for r in sampling.merge_source_token_cells(
+            sampling.source_token_cells(docs)
+        ).collect()
+    }
+    T = sum(v[0] for v in per_src.values())
+    for s, rep in report.items():
+        b = budgets[s]
+        assert rep.n_tokens <= b.budget_tokens
+        iw = round(b.weight * 1_000_000)
+        assert b.budget_tokens == (iw * (T // 2000)) // 1000
+    # maximality: the cheapest excluded doc per source would overflow
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.functions.text import tokens as _tokens
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        _LQC_BIAS,
+        _LQC_W,
+        _linear_score_expr,
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(_tokens("text")).cast("long").alias("n_tok"),
+        _linear_score_expr(_LQC_W, _LQC_BIAS).alias("q"),
+    )
+    ws = (
+        W.partitionBy("source")
+        .orderBy(F.desc("q"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = scored.withColumn("cum", F.sum("n_tok").over(ws))
+    first_excl = (
+        filled.join(
+            spark.createDataFrame(
+                [(s, b.budget_tokens) for s, b in budgets.items()],
+                "source string, budget long",
+            ),
+            "source",
+        )
+        .filter(F.col("cum") > F.col("budget"))
+        .groupBy("source")
+        .agg(F.min("cum").alias("first_over"))
+        .collect()
+    )
+    for r in first_excl:
+        assert r.first_over > budgets[r.source].budget_tokens
+
+    # one-transaction integrity: manifest recomputed from the committed
+    # rows table equals the committed manifest
+    (tbl, _scratch) = sampling._MIX_CACHE[
+        next(iter(sampling._MIX_CACHE))
+    ]
+    rows_root = str(tbl.root).replace("/manifest", "/rows")
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
+
+    rows = SnapshotTable(spark, rows_root).read()
+    fp = F.md5(
+        F.concat_ws(":", "doc_id", "chunk_idx", "start_seq", "start_off").cast(
+            "binary"
+        )
+    )
+    re_manifest = sorted(
+        map(
+            tuple,
+            rows.withColumn("fp", fp)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                (F.max("end_seq") + 1).cast("long").alias("n_seqs"),
+                F.sum("chunk_tokens").cast("long").alias("n_tokens"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct("o", "doc_id", "chunk_idx", "fp")
+                                )
+                            ),
+                            lambda x: x["fp"],
+                        ),
+                        "",
+                    ).cast("binary")
+                ).alias("content_hash"),
+            )
+            .collect(),
+        )
+    )
+    assert re_manifest == sorted(map(tuple, manifest))
+
+    # determinism / memoization: a second call returns the same manifest
+    again = assemble_training_mix(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, manifest))
+
+
 def test_mixture_interleave_prefix_tracks_weights(spark, sf_dir):
     """Any prefix of the interleaved stream must approximate the weight
     mixture: a weight-4 source appears ~4x as often as a weight-1 source in
