@@ -95,6 +95,7 @@ _PRIORITY = [
     "dedup_clusters_lsh",
     "mix_selection_report",
     "assemble_training_mix",
+    "dedup_exact_substr_apply",
     # (b) the six never-driver-checked entries (landed post-r13-window)
     "recommend_ppr",
     "scd2_asof_lookup",

@@ -248,6 +248,8 @@ HEADLINE = [
     # assembly capstone and its selection-stage report.
     "mix_selection_report",
     "assemble_training_mix",
+    # Appended round 14, fourth segment: the ExactSubstr trim executor.
+    "dedup_exact_substr_apply",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -1578,6 +1578,103 @@ ORDER BY doc_id, start_tok
 """
 
 
+def dedup_exact_substr_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the ExactSubstr trim worklist (NEW round 14) — the
+    remove-the-spans half of Lee et al.'s recipe, consuming
+    :func:`dedup_exact_substr`'s manifest: every token covered by a
+    reported span is dropped from its document, and the op emits the
+    per-document accounting plus the md5 of the surviving text (the
+    ``dedup_span_exact`` proof shape: the hash shows both engines
+    reconstruct the trimmed document byte-identically).  Documents with
+    no repeated spans keep their full text.
+
+    Scale shape: the manifest is bounded by duplicate mass; covered
+    positions explode from spans (Σ span lengths rows, not corpus
+    tokens); the trim is one doc_id-keyed left join + an ordered
+    re-aggregation per document — the dedup_span_exact plan at the
+    maximal-span grain."""
+    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
+    toked = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", tokens("text").alias("t")
+    )
+    spans = dedup_exact_substr(spark, sf_dir)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("start_tok"),
+                F.col("start_tok") + F.col("n_tokens") - 1,
+            )
+        ).alias("pos"),
+    ).distinct()
+    ex = toked.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    marked = ex.join(covered, ["doc_id", "pos"], "left_anti")
+    kept = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("kept_hash"),
+    )
+    n_tok = toked.select("doc_id", F.size("t").alias("n_tokens"))
+    return (
+        n_tok.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))
+            ).cast("long").alias("n_dropped"),
+            F.coalesce(
+                "kept_hash", F.md5(F.lit("").cast("binary"))
+            ).alias("kept_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_SUBSTR_APPLY_SQL = f"""
+WITH spans AS ({DEDUP_EXACT_SUBSTR_SQL.replace("ORDER BY doc_id, start_tok", "")}),
+d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+  FROM spans,
+       unnest(range(start_tok, start_tok + n_tokens)) AS t(p)
+),
+ex AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+  FROM d, unnest(range(1, len(toks) + 1)) AS t(i)
+),
+kept AS (
+  SELECT e.doc_id,
+         COUNT(*) AS n_kept,
+         md5(string_agg(e.tok, ' ' ORDER BY e.pos)) AS kept_hash
+  FROM ex e LEFT JOIN covered c
+    ON c.doc_id = e.doc_id AND c.pos = e.pos
+  WHERE c.pos IS NULL
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(k.kept_hash, md5('')) AS kept_hash
+FROM d LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023 shape): k-means-cluster the embedding
     space with the IVF coarse quantizer, then within each cluster drop
@@ -1708,6 +1805,7 @@ QUERIES = {
     "dedup_prefix_jaccard": dedup_prefix_jaccard,
     "dedup_exact": dedup_exact,
     "dedup_exact_substr": dedup_exact_substr,
+    "dedup_exact_substr_apply": dedup_exact_substr_apply,
     "dedup_clusters_lsh": dedup_clusters_lsh,
     "dedup_span_exact": dedup_span_exact,
     "dedup_semantic": dedup_semantic,
@@ -1730,6 +1828,7 @@ ORACLES = {
     # round 14: ExactSubstr maximal repeated-span manifest (Lee et al.
     # 2022) — sliding k-gram postings + gaps-and-islands coalescing
     "dedup_exact_substr": DEDUP_EXACT_SUBSTR_SQL,
+    "dedup_exact_substr_apply": DEDUP_EXACT_SUBSTR_APPLY_SQL,
     # round 14: signature-agreement cluster batch face (the twin of the
     # SEVENTEENTH incremental path's maintained merge log)
     "dedup_clusters_lsh": DEDUP_CLUSTERS_LSH_SQL,

@@ -613,6 +613,20 @@ def test_dedup_exact_substr_planted_spans(spark, tmp_path):
     want = hashlib.md5(shared.encode()).hexdigest()
     assert s1.span_hash == want and s2.span_hash == want
 
+    # the apply face trims exactly the covered tokens and reconstructs
+    # the survivors byte-identically
+    out = {r.doc_id: r for r in dedup.dedup_exact_substr_apply(spark, sf).collect()}
+    assert (out[1].n_tokens, out[1].n_dropped) == (32, 12)
+    assert out[1].kept_hash == hashlib.md5(
+        f"{u('a', 10)} {u('b', 10)}".encode()
+    ).hexdigest()
+    assert (out[2].n_tokens, out[2].n_dropped) == (25, 12)
+    assert out[2].kept_hash == hashlib.md5(
+        f"{u('c', 5)} {u('d', 8)}".encode()
+    ).hexdigest()
+    for d in (3, 4, 5):
+        assert out[d].n_dropped == 0
+
 
 def test_assemble_training_mix_conservation_and_budgets(spark, sf_dir):
     """The end-to-end mix capstone conserves what it packs: the committed
