@@ -1498,9 +1498,23 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash pipeline already runs, and the maintained face shares the
     incremental shingle-index state."""
     docs = load_spread(spark, "documents", sf_dir, key="doc_id")
-    toked = docs.filter(F.col("text").isNotNull()).select(
+    toked = es_tokenized(docs)
+    return exact_substr_manifest(kgram_rows(toked), toked)
+
+
+def es_tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, t) tokenized frame under the ExactSubstr family — THE
+    tokenization both the batch face and the maintained k-gram index
+    share (NULL-text docs contribute nothing)."""
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id", tokens("text").alias("t")
     )
+
+
+def kgram_rows(toked: DataFrame) -> DataFrame:
+    """Sliding ``_ES_K``-token k-gram postings (doc_id, pos, h) over a
+    tokenized frame — the leaf pass the EIGHTEENTH incremental path
+    appends per batch (tokenize + hash once at ingest, never again)."""
     n = F.size("t")
     kgram_hashes = F.when(
         n >= _ES_K,
@@ -1509,9 +1523,16 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, _ES_K))),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    rows = toked.select(
+    return toked.select(
         "doc_id", F.posexplode(kgram_hashes).alias("p0", "h")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+
+
+def exact_substr_spans(rows: DataFrame) -> DataFrame:
+    """Maximal shared-run coalescing over k-gram postings: shared =
+    hash in ≥2 distinct docs (ONE hash groupBy), then gaps-and-islands
+    per doc over only the shared positions.  Returns
+    (doc_id, start_tok, end_tok)."""
     shared = (
         rows.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1523,10 +1544,17 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands = marked.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
     )
-    spans = islands.groupBy("doc_id", "grp").agg(
+    return islands.groupBy("doc_id", "grp").agg(
         F.min("pos").alias("start_tok"),
         (F.max("pos") + F.lit(_ES_K - 1)).alias("end_tok"),
     )
+
+
+def exact_substr_manifest(rows: DataFrame, toked: DataFrame) -> DataFrame:
+    """Span manifest finalizer: islands → (span_ord, start_tok,
+    n_tokens, span_hash), re-reading tokens via a doc_id-keyed join
+    bounded by span-bearing docs (duplicate mass, not corpus mass)."""
+    spans = exact_substr_spans(rows)
     length = F.col("end_tok") - F.col("start_tok") + 1
     wd = Window.partitionBy("doc_id").orderBy("start_tok")
     return (
@@ -1542,6 +1570,15 @@ def dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "start_tok")
     )
+
+
+def exact_substr_from_index(index: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Serve the ExactSubstr manifest from the maintained k-gram index —
+    ``exact_substr_from_index(index, corpus) ≡ dedup_exact_substr``
+    (parity-tested).  The corpus-wide tokenize+hash pass happened at
+    ingest; serving re-tokenizes ONLY span-bearing documents (the
+    manifest join is bounded by duplicate mass)."""
+    return exact_substr_manifest(index, es_tokenized(corpus))
 
 
 DEDUP_EXACT_SUBSTR_SQL = f"""

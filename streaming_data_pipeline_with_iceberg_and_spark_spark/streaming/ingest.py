@@ -1617,6 +1617,86 @@ def compact_shingle_index(
     t.overwrite(t.read(), batch_id=compaction_id)
 
 
+def start_incremental_kgram_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_root: str,
+    index_root: str,
+    txn_dir: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "kgram_index_ingest",
+) -> StreamingQuery:
+    """EXACT incremental positional k-gram index maintenance — the
+    EIGHTEENTH incremental path, append-only-postings class on the
+    ExactSubstr grain: each batch appends its documents' sliding
+    (doc_id, pos, h) k-gram rows (``operators.dedup.kgram_rows`` — the
+    SAME leaf pass batch ``dedup_exact_substr`` runs) together with the
+    corpus rows in ONE multi-table transaction.  Each document arrives
+    once, so postings from disjoint batches union to the full-corpus
+    index exactly — no ordering contract, late documents merge exactly,
+    and the "shared by ≥2 docs" statistic is recomputed at query time
+    over the maintained postings, so a k-gram that only LATER becomes
+    shared flips its spans exactly as the batch face would.
+
+    ``exact_substr_from_index(index, corpus) ≡ dedup_exact_substr``
+    over everything ingested (parity test): the repeated-span audit —
+    "which spans of today's corpus are boilerplate" — serves from state
+    with the corpus-wide tokenize+hash pass paid once at ingest;
+    serving re-tokenizes only span-bearing documents.  State is
+    posting-cardinality (Σ per-doc window count ≈ corpus tokens — the
+    price of any positional index; compacted between drains by
+    ``compact_kgram_index``)."""
+    from ..operators.dedup import es_tokenized, kgram_rows
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+    )
+
+    corpus = SnapshotTable(spark, corpus_root)
+    index_t = SnapshotTable(spark, index_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def index_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch([corpus, index_t], stream_id)
+        if batch_id <= state["max_seen"]:
+            return
+        txn = MultiTableTransaction([corpus, index_t], txn_dir)
+        key = f"{stream_id}#{batch_id}"
+        txn.stage_append(corpus, batch_df, batch_id=key)
+        txn.stage_append(index_t, kgram_rows(es_tokenized(batch_df)), batch_id=key)
+        txn.commit()
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(index_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_kgram_index(
+    spark: SparkSession, index_root: str, compaction_id=None
+) -> None:
+    """Rewrite the per-batch k-gram posting files as one compacted set —
+    a semantic no-op (rows unchanged; only the file layout). The
+    overwrite keeps the log so the stream's batch keys survive (the
+    compact_shingle_index protocol)."""
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, index_root)
+    t.overwrite(t.read(), batch_id=compaction_id)
+
+
 def start_incremental_mixture_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -2759,6 +2759,114 @@ def test_incremental_daily_type_ingest_matches_batch(spark, tmp_path):
     assert canon(grid_from_daily_cells(cells_t.read())) == want_grid
 
 
+def test_incremental_kgram_index_matches_batch_exact_substr(spark, tmp_path):
+    """Positional k-gram index at ingest (append-only postings, the
+    eighteenth path): exact_substr_from_index over the maintained
+    (corpus, index) equals batch dedup_exact_substr — including the
+    later-shared flip (a span appears only when its SECOND document
+    arrives in a later batch). Replay adds nothing; compaction is a
+    semantic no-op."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        dedup_exact_substr,
+        exact_substr_from_index,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_kgram_index,
+        start_incremental_kgram_index_ingest,
+    )
+
+    shared = " ".join(f"boiler{i}" for i in range(12))
+    u = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = {
+        1: f"{u('a', 10)} {shared} {u('b', 10)}",
+        2: f"{u('c', 5)} {shared} {u('d', 8)}",
+        3: u("e", 30),
+        4: None,
+    }
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    corpus_root = str(tmp_path / "corpus")
+    index_root = str(tmp_path / "index")
+    txn_dir = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_kgram_index_ingest(
+            spark,
+            str(src),
+            corpus_root,
+            index_root,
+            txn_dir,
+            schema=schema,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    corpus = SnapshotTable(spark, corpus_root)
+    index_t = SnapshotTable(spark, index_root)
+
+    def serve():
+        return sorted(
+            map(
+                tuple,
+                exact_substr_from_index(
+                    index_t.read(), corpus.read()
+                ).collect(),
+            )
+        )
+
+    # batch 1: the span's FIRST copy + a unique doc -> nothing shared yet
+    _write_ndjson(
+        src / "b0.json",
+        [{"doc_id": d, "text": docs[d]} for d in (1, 3)],
+    )
+    drain()
+    assert serve() == []
+    # batch 2: null-text doc -> still nothing
+    _write_ndjson(src / "b1.json", [{"doc_id": 4, "text": None}])
+    drain()
+    assert serve() == []
+    # batch 3: the span's second copy arrives -> both docs report it
+    _write_ndjson(src / "b2.json", [{"doc_id": 2, "text": docs[2]}])
+    drain()
+    got = serve()
+    want_hash = hashlib.md5(shared.encode()).hexdigest()
+    assert got == [
+        (1, 1, 11, 12, want_hash),
+        (2, 1, 6, 12, want_hash),
+    ]
+
+    # == the batch face over the same corpus
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(d, t, "en", "s", 0) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    assert got == sorted(map(tuple, dedup_exact_substr(spark, sf).collect()))
+
+    # replay: no movement
+    v = index_t.current_version()
+    drain()
+    assert index_t.current_version() == v and serve() == got
+
+    # compaction: semantic no-op
+    compact_kgram_index(spark, index_root)
+    assert serve() == got
+
+
 def test_incremental_cluster_ingest_matches_batch(spark, tmp_path):
     """Exact incremental near-dup cluster maintenance (union-find event
     log, the seventeenth path): clusters_from_lsh_state over the
