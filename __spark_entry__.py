@@ -96,6 +96,7 @@ _PRIORITY = [
     "mix_selection_report",
     "assemble_training_mix",
     "dedup_exact_substr_apply",
+    "ql_search",
     # (b) the six never-driver-checked entries (landed post-r13-window)
     "recommend_ppr",
     "scd2_asof_lookup",

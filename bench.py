@@ -250,6 +250,9 @@ HEADLINE = [
     "assemble_training_mix",
     # Appended round 14, fourth segment: the ExactSubstr trim executor.
     "dedup_exact_substr_apply",
+    # Appended round 14, fifth segment: Dirichlet query-likelihood
+    # retrieval from the shared materialized index.
+    "ql_search",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

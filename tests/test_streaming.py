@@ -1391,6 +1391,34 @@ def test_incremental_bm25_ingest_matches_batch_rank(spark, tmp_path):
         map(tuple, vocab_coverage_from_index(bm25_doc_postings(corpus.read())).collect())
     )
     assert got_cov == want_cov and len(got_cov) == len(vocab)
+    # query-likelihood ranking served from the SAME maintained tables
+    # equals the batch-derived index (shared postings/stats shapes)
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        bm25_stats_partial,
+        ql_rank_from_index,
+    )
+
+    qterms = ["spark", "scan", "merge", "window"]
+    got_ql = sorted(
+        map(
+            tuple,
+            ql_rank_from_index(
+                postings.read(), stats.read(), qmap, terms=qterms
+            ).collect(),
+        )
+    )
+    want_ql = sorted(
+        map(
+            tuple,
+            ql_rank_from_index(
+                bm25_doc_postings(corpus.read()),
+                bm25_stats_partial(corpus.read()),
+                qmap,
+                terms=qterms,
+            ).collect(),
+        )
+    )
+    assert got_ql == want_ql and got_ql
 
 
 def test_incremental_pca_ingest_matches_batch_fit(spark, tmp_path):
