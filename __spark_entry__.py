@@ -97,6 +97,7 @@ _PRIORITY = [
     "assemble_training_mix",
     "dedup_exact_substr_apply",
     "ql_search",
+    "dedup_containment",
     # (b) the six never-driver-checked entries (landed post-r13-window)
     "recommend_ppr",
     "scd2_asof_lookup",

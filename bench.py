@@ -253,6 +253,8 @@ HEADLINE = [
     # Appended round 14, fifth segment: Dirichlet query-likelihood
     # retrieval from the shared materialized index.
     "ql_search",
+    # Appended round 14, sixth segment: asymmetric containment pairs.
+    "dedup_containment",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the

@@ -624,6 +624,104 @@ LIMIT 50
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs (NEW round 14) — the
+    quote-inclusion face of near-dup detection (Broder 1997's
+    containment next to his resemblance/Jaccard): c(a→b) =
+    |A∩B| / |A| finds a document mostly EMBEDDED in another (a quoted
+    mail, a boilerplate-wrapped article) that symmetric Jaccard misses
+    when the host is much larger.  Emits the top-50 candidate pairs by
+    max-direction containment with both directions reported — the
+    "which doc swallows which" triage list.
+
+    Same inverted-index candidate generation as ``dedup_ngram_jaccard``
+    (≥1 retained shingle, df-capped posting lists, i<j pairs off sorted
+    lists — never all-pairs); set sizes live in the same filtered
+    shingle space as the intersections.  Integer counts + two rounded
+    divisions — value-exact."""
+    sh = _doc_shingles(spark, sf_dir)
+    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    postings = inv.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    kept = postings.filter(F.size("ids") <= _JACCARD_DF_CAP)
+    sizes = (
+        kept.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    ids = F.col("ids")
+    id_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ids) - 1),
+            lambda i: F.transform(
+                F.slice(ids, i + 1, F.size(ids)),
+                lambda y: F.struct(
+                    F.element_at(ids, i).alias("doc_a"), y.alias("doc_b")
+                ),
+            ),
+        )
+    )
+    inter = (
+        kept.filter(F.size("ids") > 1)
+        .select(F.explode(id_pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    scored = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("sa.n_sh"), 6).alias(
+                "containment_ab"
+            ),
+            F.round(F.col("n_inter") / F.col("sb.n_sh"), 6).alias(
+                "containment_ba"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc(F.greatest("containment_ab", "containment_ba")),
+        "doc_a",
+        "doc_b",
+    ).limit(50)
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(t) - 2, 1) + 1)]) AS s
+  FROM toks
+), inv AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), kinv AS (
+  SELECT doc_id, shingle FROM inv
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 100
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM kinv GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kinv a JOIN kinv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_inter / sa.n_sh, 6) AS containment_ab,
+       ROUND(n_inter / sb.n_sh, 6) AS containment_ba
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY GREATEST(ROUND(n_inter / sa.n_sh, 6),
+                  ROUND(n_inter / sb.n_sh, 6)) DESC, doc_a, doc_b
+LIMIT 50
+"""
+
+
 # Prefix-filter (AllPairs/PPJoin) threshold as an exact integer ratio —
 # θ = _PFX_NUM/_PFX_DEN; the prefix length and the verify compare both run
 # in integers, so no float boundary can flip a pair between engines.
@@ -1850,6 +1948,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_clusters": dedup_clusters,
     "dedup_apply": dedup_apply,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1877,6 +1976,8 @@ ORACLES = {
     "dedup_fingerprint": DEDUP_FINGERPRINT_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    # round 14: asymmetric containment (quote-inclusion triage)
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_apply": DEDUP_APPLY_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
