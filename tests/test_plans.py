@@ -660,6 +660,48 @@ def test_bm25_index_serving_pushes_term_filter_to_scan(spark, tmp_path):
     assert out.count() > 0
 
 
+def test_ql_index_serving_pushes_term_filter_to_scan(spark, tmp_path):
+    """Query-likelihood serving inherits the BM25 index property: both the
+    collection-frequency pass and the matched-postings pass must push the
+    query-term INSET into the stored postings scan."""
+    import re
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        bm25_doc_postings,
+        bm25_stats_partial,
+        ql_rank_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} common") for i in range(200)],
+        "doc_id long, text string",
+    )
+    proot = str(tmp_path / "postings.parquet")
+    sroot = str(tmp_path / "stats.parquet")
+    bm25_doc_postings(docs).write.parquet(proot)
+    bm25_stats_partial(docs).write.parquet(sroot)
+    qmap = spark.createDataFrame(
+        [(1, "tok1"), (1, "common")], "query_id int, term string"
+    )
+    out = ql_rank_from_index(
+        spark.read.parquet(proot),
+        spark.read.parquet(sroot),
+        qmap,
+        terms=["tok1", "common"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    hits = [
+        ln
+        for ln in pushed
+        if re.search(r"PushedFilters: \[.*In\(term, \[(common|tok1),", ln)
+    ]
+    # two postings consumers (cf pass + matched pass) -> the filter must
+    # reach at least one scan per pass
+    assert len(hits) >= 2, f"term INSET not pushed on both passes: {pushed}"
+    assert out.count() > 0
+
+
 def test_attribution_is_join_free_two_shuffles(plan):
     """Last-touch attribution must stay a pure window pipeline: ONE
     user_id shuffle feeding the ROWS-frame window and one final channel
