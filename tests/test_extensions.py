@@ -716,9 +716,9 @@ def test_assemble_training_mix_conservation_and_budgets(spark, sf_dir):
 
     # one-transaction integrity: manifest recomputed from the committed
     # rows table equals the committed manifest
-    (tbl, _scratch) = sampling._MIX_CACHE[
-        next(iter(sampling._MIX_CACHE))
-    ]
+    (tbl, _scratch) = next(
+        v for k, v in sampling._MIX_CACHE.items() if k[1] == sf_dir
+    )
     rows_root = str(tbl.root).replace("/manifest", "/rows")
     from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import SnapshotTable
 
