@@ -980,6 +980,10 @@ def _connected_components(verts: DataFrame, edges: DataFrame) -> DataFrame:
 # a materialized table.
 _CC_LABELS_CACHE: dict = {}
 _CC_EDGES_CACHE: dict = {}
+# Same discipline for the signature-agreement clustering (the r14
+# dedup_clusters_lsh face): labels bounded by duplicate mass, keyed on
+# corpus fingerprint, evicted with the rest.
+_LSH_LABELS_CACHE: dict = {}
 
 
 def clear_cc_cache() -> None:
@@ -988,10 +992,11 @@ def clear_cc_cache() -> None:
     bump — network filesystems can have coarse mtime granularity)."""
     _CC_LABELS_CACHE.clear()
     _CC_EDGES_CACHE.clear()
+    _LSH_LABELS_CACHE.clear()
 
 
 def _evict_stale_cc_cache() -> None:
-    for cache in (_CC_LABELS_CACHE, _CC_EDGES_CACHE):
+    for cache in (_CC_LABELS_CACHE, _CC_EDGES_CACHE, _LSH_LABELS_CACHE):
         for k, old in list(cache.items()):
             try:
                 stale = old.sparkSession.sparkContext._jsc is None
@@ -1013,7 +1018,7 @@ def _cc_evict_other_versions(key: tuple) -> None:
     """A new documents version displaces ALL older entries for the same
     (session, sf_dir) — the stale frames would otherwise pin dead RDD
     blocks until session end."""
-    for cache in (_CC_LABELS_CACHE, _CC_EDGES_CACHE):
+    for cache in (_CC_LABELS_CACHE, _CC_EDGES_CACHE, _LSH_LABELS_CACHE):
         for k in list(cache):
             if k[:2] == key[:2] and k != key:
                 cache.pop(k, None)
@@ -1464,15 +1469,26 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-side signature pass, one (band_idx, band_sig)-
     keyed self-join (never all-pairs; verify filter prunes to true
     duplicate mass), star-alternation CC on the edge-induced subgraph
-    only, one left join back to the corpus."""
-    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
-    edges = lsh_agreement_edges(docs)
-    verts = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .union(edges.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    labels = _connected_components(verts, edges)
+    only, one left join back to the corpus.  Labels are memoized per
+    (session, corpus version) like ``_cc_labels`` — the iterated CC is
+    one derivation per corpus version, and warm calls pay only the
+    corpus join."""
+    key = _cc_key(spark, sf_dir)
+    labels = _LSH_LABELS_CACHE.get(key)
+    if labels is None:
+        _evict_stale_cc_cache()
+        _cc_evict_other_versions(key)
+        docs = load_spread(spark, "documents", sf_dir, key="doc_id")
+        edges = lsh_agreement_edges(docs)
+        verts = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .union(edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        labels = _connected_components(verts, edges).localCheckpoint(
+            eager=True
+        )
+        _LSH_LABELS_CACHE[key] = labels
     cluster_id = F.coalesce("cluster_id", F.col("doc_id"))
     return load(spark, "documents", sf_dir).join(
         labels, "doc_id", "left"
