@@ -191,7 +191,19 @@ def _bpe_state(spark: SparkSession, sf_dir: str):
             stale = True
         if stale or k[:2] == key[:2]:
             _BPE_STATE_CACHE.pop(k, None)
-    words = bpe_word_table(load(spark, "documents", sf_dir))
+    result = bpe_train_from_words(
+        bpe_word_table(load(spark, "documents", sf_dir))
+    )
+    _BPE_STATE_CACHE[key] = result
+    return result
+
+
+def bpe_train_from_words(words: DataFrame):
+    """THE BPE training loop over a (word, freq) table — shared by the
+    corpus batch face (`_bpe_state`) and the NINETEENTH incremental
+    path's serve face (`bpe_merges_from_word_cells`), so training from
+    the maintained word-cells table cannot diverge from training off
+    the scan.  Returns (merges list, final words frame)."""
     # Materialize sparsely: w0 once, then every _BPE_CKPT_EVERY rounds.
     # Between checkpoints each round's single pair-count job re-applies
     # the accumulated merge folds MAP-SIDE as a nested expression — a
@@ -246,8 +258,38 @@ def _bpe_state(spark: SparkSession, sf_dir: str):
             ).localCheckpoint(eager=True)
             seq_expr = F.col("seq")
     final_words = state.select("word", "freq", seq_expr.alias("seq"))
-    _BPE_STATE_CACHE[key] = (merges, final_words)
     return merges, final_words
+
+
+def merge_word_cells(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch (word, freq) partials to one row per
+    word type — the serve-side merge of the NINETEENTH incremental path
+    (and the whole job of ``compact_word_cells``).  Integer sums merge
+    exactly, so training from the merged cells is bit-identical to
+    training off the corpus scan."""
+    return state.groupBy("word").agg(F.sum("freq").alias("freq"))
+
+
+def bpe_merges_from_word_cells(spark: SparkSession, cells: DataFrame) -> DataFrame:
+    """Serve BPE merge training from the maintained word-cells table —
+    ``bpe_merges_from_word_cells(cells) ≡ train_bpe_merges`` over
+    everything ingested (parity test): retrain the tokenizer nightly
+    without re-scanning the corpus."""
+    merges, _ = bpe_train_from_words(merge_word_cells(cells))
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count long",
+    )
+
+
+def unigram_vocab_from_word_cells(cells: DataFrame):
+    """Serve unigram-LM training from the SAME maintained word-cells
+    table (the cap filter is a pure predicate on the merged cells) —
+    vocab ≡ the batch trainer's."""
+    return uni_train_from_words(
+        merge_word_cells(cells).filter(F.length("word") <= _UNI_MAXW)
+    )
 
 
 def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,9 +583,20 @@ def _uni_state(spark: SparkSession, sf_dir: str):
             stale = True
         if stale or k[:2] == key[:2]:
             _UNI_STATE_CACHE.pop(k, None)
-    words = _uni_word_table(load(spark, "documents", sf_dir)).localCheckpoint(
-        eager=True
+    result = uni_train_from_words(
+        _uni_word_table(load(spark, "documents", sf_dir))
     )
+    _UNI_STATE_CACHE[key] = result
+    return result
+
+
+def uni_train_from_words(words_capped: DataFrame):
+    """THE unigram-LM training loop over a length-capped (word, freq)
+    table — shared by the corpus batch face (`_uni_state`) and the
+    NINETEENTH incremental path's serve face
+    (`unigram_vocab_from_word_cells`).  Returns (vocab list,
+    word_pieces frame)."""
+    words = words_capped.localCheckpoint(eager=True)
     word = F.col("word")
     n = F.length(word)
     # seed: every substring of length 2.._UNI_MAXP, corpus-weighted.
@@ -596,7 +649,6 @@ def _uni_state(spark: SparkSession, sf_dir: str):
     word_pieces = words.select(
         "word", "freq", _uni_greedy_pieces(word, vocab).alias("pieces")
     ).localCheckpoint(eager=True)
-    _UNI_STATE_CACHE[key] = (vocab, word_pieces)
     return vocab, word_pieces
 
 

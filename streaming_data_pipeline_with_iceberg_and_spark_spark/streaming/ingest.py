@@ -1617,6 +1617,68 @@ def compact_shingle_index(
     t.overwrite(t.read(), batch_id=compaction_id)
 
 
+def start_incremental_word_cells_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    cells_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "word_cells_ingest",
+) -> StreamingQuery:
+    """EXACT incremental tokenizer-training state — the NINETEENTH
+    incremental path, mergeable-sums class: each batch appends its
+    per-word-TYPE frequency partials (``operators.textops.
+    bpe_word_table`` — the SAME pre-tokenizer pass both trainers run)
+    under the idempotent namespaced batch key.  Frequencies are
+    additive integer sums, so partials from any batch split merge
+    exactly — no ordering contract, late documents exact, state bounded
+    by vocabulary (word types), not corpus bytes.
+
+    ``bpe_merges_from_word_cells(cells) ≡ train_bpe_merges`` and
+    ``unigram_vocab_from_word_cells(cells)`` ≡ the batch unigram
+    trainer over everything ingested (parity test): BOTH tokenizer
+    trainers re-run from a word-type-bounded state table instead of a
+    corpus re-scan — the "retrain the tokenizer nightly" loop at 100 TB
+    touches no document bytes.  ``compact_word_cells`` collapses the
+    per-batch partials between drains (overwrite keeps the key log →
+    replay-safe)."""
+    from ..operators.textops import bpe_word_table
+    from ..sources.snapshots import SnapshotTable
+
+    cells_t = SnapshotTable(spark, cells_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def cells_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells_t.append_batch(
+            bpe_word_table(batch_df), f"{stream_id}#{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(cells_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_word_cells(
+    spark: SparkSession, cells_root: str, compaction_id=None
+) -> None:
+    """Rewrite the word-cells partials as their per-word merge — a
+    semantic no-op (readers merge either way). The overwrite keeps the
+    log so batch keys survive (the compact_source_token_cells
+    protocol)."""
+    from ..operators.textops import merge_word_cells
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, cells_root)
+    t.overwrite(merge_word_cells(t.read()), batch_id=compaction_id)
+
+
 def start_incremental_kgram_index_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -2787,6 +2787,94 @@ def test_incremental_daily_type_ingest_matches_batch(spark, tmp_path):
     assert canon(grid_from_daily_cells(cells_t.read())) == want_grid
 
 
+def test_incremental_word_cells_ingest_serves_both_trainers(spark, tmp_path):
+    """Word-type frequency cells at ingest (mergeable integer sums, the
+    nineteenth path): BOTH tokenizer trainers re-run from the maintained
+    cells table exactly — BPE merge table and unigram vocabulary equal
+    their batch twins over everything ingested, across batch splits,
+    after replay, and after compaction."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        bpe_merges_from_word_cells,
+        train_bpe_merges,
+        unigram_vocab_from_word_cells,
+        _uni_state,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_word_cells,
+        start_incremental_word_cells_ingest,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river",
+        "the lazy dog sleeps while the quick fox runs through the grass",
+        "a quick brown cat watches the lazy dog from the old fence",
+        "river grass grows where the brown fox and the cat once ran",
+        None,
+        "the old fence by the river keeps the dog from the grass",
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    cells_root = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_word_cells_ingest(
+            spark,
+            str(src),
+            cells_root,
+            schema="doc_id long, text string",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    # three uneven batches
+    for i, ids in enumerate([[0, 1], [2, 3, 4], [5]]):
+        with open(src / f"b{i}.json", "w") as f:
+            for d in ids:
+                f.write(_json.dumps({"doc_id": d, "text": texts[d]}) + "\n")
+        drain()
+
+    cells = SnapshotTable(spark, cells_root)
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    want_bpe = sorted(map(tuple, train_bpe_merges(spark, sf).collect()))
+    got_bpe = sorted(
+        map(tuple, bpe_merges_from_word_cells(spark, cells.read()).collect())
+    )
+    assert got_bpe == want_bpe and got_bpe
+
+    want_vocab = _uni_state(spark, sf)[0]
+    got_vocab, _ = unigram_vocab_from_word_cells(cells.read())
+    assert got_vocab == want_vocab and got_vocab
+
+    # replay: nothing appended twice
+    n = cells.read().count()
+    drain()
+    assert cells.read().count() == n
+
+    # compaction: one row per word type, training unchanged
+    compact_word_cells(spark, cells_root)
+    merged = cells.read()
+    assert merged.count() == merged.select("word").distinct().count()
+    assert (
+        sorted(
+            map(
+                tuple, bpe_merges_from_word_cells(spark, merged).collect()
+            )
+        )
+        == want_bpe
+    )
+
+
 def test_incremental_kgram_index_matches_batch_exact_substr(spark, tmp_path):
     """Positional k-gram index at ingest (append-only postings, the
     eighteenth path): exact_substr_from_index over the maintained
