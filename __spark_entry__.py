@@ -140,11 +140,8 @@ _PRIORITY = [
     "events_power_users_curve",
     "sessions_peak_concurrency",
     "user_behavior_surprisal",
-    "item_jaccard_similarity",
-    "matryoshka_recall_eval",
     "domain_mixture_weights",
     "corpus_source_report",
-    "corpus_novelty_curve",
     "vocab_coverage",
     "session_stats",
     "text_char_entropy",
@@ -152,14 +149,26 @@ _PRIORITY = [
     "curate_pretraining_corpus",
     # (c)-tail, eviction order for new head entries — strongest fresh
     # same-surface siblings evict first (bottom of this list goes first):
+    # matryoshka_recall_eval shares the recall-eval frame machinery with
+    # r12-green quantization_recall_eval; item_jaccard_similarity shares
+    # the taste-graph edge definition with r12-green item_pagerank and
+    # the exact set-overlap math with r13-green dedup_prefix_jaccard;
+    # corpus_novelty_curve shares the shingle/first-seen definitions
+    # with r12-green decontaminate_split;
     # ann_recall_eval / ann_ivfpq / kmeans_cluster_profile share the
     # pinned-IVF machinery with r13-green label_purity_monitor and
     # r12-green quantization_recall_eval; the dedup family
     # (exact/minhash/simhash/ngram-jaccard/semantic) shares shingle +
-    # LSH machinery with r13-green dedup_prefix_jaccard and
-    # cdc_chunk_dedup (window head); the classifier faces
+    # LSH machinery with r13-green dedup_prefix_jaccard,
+    # cdc_chunk_dedup and the r14-head ExactSubstr/containment/
+    # clusters-LSH entries; the classifier faces
     # (train/eval/calibration + text_linear_quality_classifier) share
-    # the trained-model definition with r12-green classifier_auc_eval.
+    # the trained-model definition with r12-green classifier_auc_eval
+    # and the r14-head mix_selection_report (which scores with the same
+    # pinned classifier).
+    "matryoshka_recall_eval",
+    "item_jaccard_similarity",
+    "corpus_novelty_curve",
     "ann_recall_eval",
     "ann_ivfpq",
     "kmeans_cluster_profile",
