@@ -54,6 +54,89 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_pricing_cells(li: DataFrame) -> DataFrame:
+    """Integer pricing partials per (l_returnflag, l_linestatus) — the
+    leaf pass of the TWENTIETH incremental path (Q1's pricing dashboard
+    served from maintained state).  Money enters as EXACT integers
+    (extendedprice → cents, discount/tax → basis points; TPC-H money
+    carries two decimals and quantity is integer-valued, so the ROUNDs
+    recover the exact ledger values), the disc-price and charge
+    numerators are integer products summed as decimal(38, 0) —
+    overflow-safe past 10¹¹ rows — and therefore per-batch partials
+    merge by addition EXACTLY (the mergeable-sums class; no float
+    accumulation order to diverge on).  The serve face divides once per
+    group at read time."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    tax_bp = F.round(F.col("l_tax") * 10000).cast("long")
+    disc_num = (cents * (10000 - disc_bp)).cast("decimal(38,0)")
+    charge_num = disc_num * (10000 + tax_bp).cast("decimal(38,0)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty.alias("q"),
+            cents.alias("c"),
+            disc_bp.alias("d"),
+            disc_num.alias("dn"),
+            charge_num.alias("cn"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("q").alias("sum_qty_i"),
+            F.sum("c").alias("sum_base_cents"),
+            F.sum("dn").alias("sum_disc_num"),
+            F.sum("cn").alias("sum_charge_num"),
+            F.sum("d").alias("sum_disc_bp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def merge_pricing_cells(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch pricing partials to one row per
+    (flag, status) — the serve-side merge (and the whole job of
+    ``compact_pricing_cells``)."""
+    return state.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("sum_qty_i").alias("sum_qty_i"),
+        F.sum("sum_base_cents").alias("sum_base_cents"),
+        F.sum("sum_disc_num").alias("sum_disc_num"),
+        F.sum("sum_charge_num").alias("sum_charge_num"),
+        F.sum("sum_disc_bp").alias("sum_disc_bp"),
+        F.sum("n").alias("n"),
+    )
+
+
+def q1_from_pricing_cells(state: DataFrame) -> DataFrame:
+    """Serve TPC-H Q1 from the maintained pricing cells —
+    ``q1_from_pricing_cells(cells) ≡ q1_pricing_summary`` over
+    everything ingested (parity-tested on the rounded report).  All
+    sums arrive as exact integers; every double is produced by ONE
+    division at read time over the ≤|flag×status| metadata rows, so
+    the maintained face cannot drift with batch splits (the batch
+    face's double accumulation is the less exact of the two)."""
+    m = merge_pricing_cells(state)
+    n = F.col("n")
+    return m.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sum_qty_i").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sum_base_cents") / 100.0, 2).alias("sum_base_price"),
+        F.round(F.col("sum_disc_num").cast("double") / 1.0e6, 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.col("sum_charge_num").cast("double") / 1.0e10, 2).alias(
+            "sum_charge"
+        ),
+        F.round(F.col("sum_qty_i") / n, 6).alias("avg_qty"),
+        F.round(F.col("sum_base_cents") / (100.0 * n), 6).alias("avg_price"),
+        F.round(F.col("sum_disc_bp") / (10000.0 * n), 6).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                                            AS sum_qty,

@@ -1679,6 +1679,62 @@ def compact_word_cells(
     t.overwrite(merge_word_cells(t.read()), batch_id=compaction_id)
 
 
+def start_incremental_pricing_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    cells_root: str,
+    schema,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "pricing_ingest",
+) -> StreamingQuery:
+    """EXACT incremental TPC-H Q1 pricing state — the TWENTIETH
+    incremental path, mergeable-sums class on the RELATIONAL fact: each
+    lineitem batch appends its integer pricing partials
+    (``operators.relational.lineitem_pricing_cells`` — money as exact
+    cents/basis-point integers, numerators as decimal(38,0) sums) under
+    the idempotent namespaced batch key.  ``q1_from_pricing_cells``
+    over the maintained cells equals batch ``q1_pricing_summary`` over
+    everything ingested (parity test) — the pricing dashboard refreshes
+    from a |flag×status|-bounded state table instead of re-scanning the
+    fact, and the integer cells make the maintained face the MORE exact
+    of the two.  ``compact_pricing_cells`` collapses partials between
+    drains (overwrite keeps the key log → replay-safe)."""
+    from ..operators.relational import lineitem_pricing_cells
+    from ..sources.snapshots import SnapshotTable
+
+    cells_t = SnapshotTable(spark, cells_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def pricing_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells_t.append_batch(
+            lineitem_pricing_cells(batch_df), f"{stream_id}#{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(pricing_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_pricing_cells(
+    spark: SparkSession, cells_root: str, compaction_id=None
+) -> None:
+    """Rewrite the pricing partials as their per-group merge — a
+    semantic no-op (readers merge either way); the overwrite keeps the
+    key log (the compact_word_cells protocol)."""
+    from ..operators.relational import merge_pricing_cells
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, cells_root)
+    t.overwrite(merge_pricing_cells(t.read()), batch_id=compaction_id)
+
+
 def start_incremental_kgram_index_ingest(
     spark: SparkSession,
     source_dir: str,

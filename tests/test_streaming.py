@@ -2787,6 +2787,79 @@ def test_incremental_daily_type_ingest_matches_batch(spark, tmp_path):
     assert canon(grid_from_daily_cells(cells_t.read())) == want_grid
 
 
+def test_incremental_pricing_ingest_matches_batch_q1(spark, tmp_path):
+    """Q1 pricing dashboard from maintained integer cells (the twentieth
+    path): q1_from_pricing_cells over partials ingested in three uneven
+    lineitem batches equals batch q1_pricing_summary on the same rows —
+    money as exact cents/basis-point integers, so batch splits cannot
+    move a digit. Replay adds nothing; compaction collapses to one row
+    per (flag, status) without changing the report."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.relational import (
+        q1_from_pricing_cells,
+        q1_pricing_summary,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_pricing_cells,
+        start_incremental_pricing_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    cols = li.columns
+    rows = li.collect()
+    src = tmp_path / "li_in"
+    src.mkdir()
+    cells_root = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp"
+    )
+
+    def drain():
+        q = start_incremental_pricing_ingest(
+            spark, str(src), cells_root, schema=schema, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    for b in range(3):
+        with open(src / f"b{b}.json", "w") as f:
+            for r in rows:
+                if r.l_orderkey % 3 != b:
+                    continue
+                d = {c: getattr(r, c) for c in cols}
+                d["l_shipdate"] = (
+                    r.l_shipdate.isoformat() if r.l_shipdate else None
+                )
+                f.write(_json.dumps(d) + "\n")
+        drain()
+
+    cells = SnapshotTable(spark, cells_root)
+    got = sorted(map(tuple, q1_from_pricing_cells(cells.read()).collect()))
+    want = sorted(map(tuple, q1_pricing_summary(spark, sf).collect()))
+    assert got == want and got
+
+    # replay: nothing appended twice
+    n = cells.read().count()
+    drain()
+    assert cells.read().count() == n
+
+    # compaction: one row per group, report unchanged
+    compact_pricing_cells(spark, cells_root)
+    merged = cells.read()
+    assert merged.count() == merged.select(
+        "l_returnflag", "l_linestatus"
+    ).distinct().count()
+    assert sorted(map(tuple, q1_from_pricing_cells(merged).collect())) == want
+
+
 def test_incremental_word_cells_ingest_serves_both_trainers(spark, tmp_path):
     """Word-type frequency cells at ingest (mergeable integer sums, the
     nineteenth path): BOTH tokenizer trainers re-run from the maintained
