@@ -1420,20 +1420,48 @@ def sig_agreement(a, b):
     )
 
 
-def lsh_agreement_edges(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """THE near-dup edge definition the SEVENTEENTH incremental path
-    maintains: (doc_a < doc_b) pairs colliding in ≥1 LSH band whose full
-    32-permutation signature agreement ≥ ``_LSH_CC_AGREE_MIN``.  NO
-    bucket cap — the cap would make an edge depend on what else shares
-    the bucket (corpus-global state), and the incremental path's
-    exactness proof needs edges that are pure pair functions.  At 100 TB
-    a hot band bucket is the same shuffle-skew problem every band join
-    has; AQE skew-split handles the join, and the verify filter bounds
-    surviving pairs by true duplicate mass."""
-    sigs = minhash_sig_bands(docs, text_col)
+def _collapse_identical_sigs(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse rows with IDENTICAL MinHash signatures to one
+    representative (the group's min id) before any pair generation.
+    Identical signatures agree on all 32 permutations and collide in
+    every band, so group members are trivially same-cluster: an
+    exact-dup boilerplate storm of m copies contributes ONE row to the
+    band self-join plus m-1 star edges instead of O(m²) candidate pairs
+    — the multiplicity-collapse discipline ``entity_match_candidates``
+    uses for blocking keys, applied to the signature graph.
+
+    Returns ``(rep_rows, star_edges)``: ``rep_rows`` is one
+    signature-schema row per distinct signature (the representative);
+    ``star_edges`` is ``(doc_a=rep, doc_b=member)`` for every collapsed
+    member (rep < member always, since rep is the group min).  Shapes:
+    one sig-keyed groupBy (map-side partial aggregation collapses the
+    storm before the shuffle) and one sig-keyed join back."""
+    keyed = sigs.withColumn(
+        "__sig_key",
+        F.md5(F.concat_ws(",", F.col("sig").cast("array<string>"))),
+    )
+    reps = keyed.groupBy("__sig_key").agg(
+        F.min(F.col(id_col)).alias("__rep_id")
+    )
+    tagged = keyed.join(reps, "__sig_key")
+    star = tagged.filter(F.col(id_col) != F.col("__rep_id")).select(
+        F.col("__rep_id").alias("doc_a"), F.col(id_col).alias("doc_b")
+    )
+    rep_rows = tagged.filter(F.col(id_col) == F.col("__rep_id")).drop(
+        "__sig_key", "__rep_id"
+    )
+    return rep_rows, star
+
+
+def _band_self_join_edges(rep_rows: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_a < doc_b) pairs of ``rep_rows`` colliding in ≥1 LSH band with
+    full-signature agreement ≥ ``_LSH_CC_AGREE_MIN`` — the band-keyed
+    self-join shared by the batch cluster face and the incremental
+    cluster ingest's within-batch step (one join definition, no drift)."""
     band_arr = F.array(*[F.col(f"band{b}") for b in range(_MH_BANDS)])
-    expl = sigs.select(
+    expl = rep_rows.select(
         id_col, "sig", F.posexplode(band_arr).alias("band_idx", "band_sig")
     )
     a, b = expl.alias("a"), expl.alias("b")
@@ -1454,6 +1482,39 @@ def lsh_agreement_edges(docs: DataFrame, id_col: str = "doc_id",
         )
         .distinct()
     )
+
+
+def lsh_agreement_edges(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """THE near-dup edge definition the SEVENTEENTH incremental path
+    maintains: the signature-agreement graph — (doc_a < doc_b) pairs
+    colliding in ≥1 LSH band whose full 32-permutation signature
+    agreement ≥ ``_LSH_CC_AGREE_MIN``.  The agreement predicate is a
+    pure PAIR function of the two signatures alone (no corpus-global
+    statistic can re-classify an edge later), which is what makes the
+    incremental cluster path exact: edges only ever accumulate.
+
+    Returned edge set (round 15): a component-exact SPARSIFICATION of
+    that graph.  Rows with identical signatures collapse to one
+    representative before the band self-join
+    (:func:`_collapse_identical_sigs`), and collapsed members re-attach
+    via (rep, member) star edges.  Connected components — the only thing
+    any consumer reads — are exactly the full graph's: every star edge
+    IS a full-graph edge (identical signatures agree on all 32 perms and
+    collide in every band), and every cross-group full-graph edge
+    (x, y) is witnessed by the representatives' edge (x's signature
+    equals its rep's, so x agrees with y iff rep(x) agrees with
+    rep(y)), with x~rep(x) and y~rep(y) supplied by the stars.  This
+    kills the exact-dup-storm worst case: m byte-identical boilerplate
+    docs previously generated O(m²) band-join candidates (NO bucket cap
+    here, deliberately — a cap would break the pure-pair-function
+    property); now they generate 1 join row + m-1 star edges, and the
+    remaining join mass is bounded by DISTINCT-signature collisions,
+    i.e. true near-dup (not exact-dup) mass.  AQE skew-split still
+    handles residual hot bands."""
+    sigs = minhash_sig_bands(docs, text_col)
+    rep_rows, star = _collapse_identical_sigs(sigs, id_col)
+    return _band_self_join_edges(rep_rows, id_col).unionByName(star)
 
 
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2572,6 +2572,8 @@ def start_incremental_cluster_ingest(
     from ..operators.dedup import (
         _LSH_CC_AGREE_MIN,
         _MH_BANDS,
+        _band_self_join_edges,
+        _collapse_identical_sigs,
         _connected_components,
         minhash_sig_bands,
         sig_agreement,
@@ -2599,30 +2601,21 @@ def start_incremental_cluster_ingest(
             return
         sigs = minhash_sig_bands(batch_df, text_col).persist()
         try:
-            expl = sigs.select(
+            # Collapse identical signatures first (the batch face's r15
+            # storm fix, shared helpers so the two faces cannot drift):
+            # within-batch edges = rep-level band self-join + (rep,
+            # member) star edges — component-exact (stars are real
+            # agreement edges; any member's cross edge is witnessed by
+            # its rep's), so CC labels and therefore merge events are
+            # unchanged, while an m-copy batch storm costs m-1 star
+            # edges instead of O(m²) candidates.
+            rep_rows, star = _collapse_identical_sigs(sigs, id_col)
+            expl = rep_rows.select(
                 id_col,
                 "sig",
                 F.posexplode(band_arr).alias("band_idx", "band_sig"),
             )
-            # within-batch edges (batch-bounded self-join)
-            a, b = expl.alias("a"), expl.alias("b")
-            edges = (
-                a.join(
-                    b,
-                    (F.col("a.band_idx") == F.col("b.band_idx"))
-                    & (F.col("a.band_sig") == F.col("b.band_sig"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-                )
-                .filter(
-                    sig_agreement(F.col("a.sig"), F.col("b.sig"))
-                    >= _LSH_CC_AGREE_MIN
-                )
-                .select(
-                    F.col(f"a.{id_col}").alias("doc_a"),
-                    F.col(f"b.{id_col}").alias("doc_b"),
-                )
-                .distinct()
-            )
+            edges = _band_self_join_edges(rep_rows, id_col).unionByName(star)
             # batch-vs-admitted edges via the maintained bands table; old
             # endpoints resolve to live labels through the merge log
             if bands.current_version() is not None:
