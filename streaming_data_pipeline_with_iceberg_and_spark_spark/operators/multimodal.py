@@ -267,10 +267,16 @@ def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the token budget is pure scan-level column math (never
     touches payload bytes — mm_patch_token_budget's rule), the dedup is one
-    shuffle on the content hash at post-gate size, the budget fill is one
-    per-source running-sum window. Every stage is ANSI-expressible, so the
+    shuffle on the content hash at post-gate size, the budget fill is the
+    scale-adaptive running sum (``sampling.scale_adaptive_prefix_sum`` —
+    sliced + broadcast offsets above the row threshold so one dominant
+    source never sorts on a single task, a plain per-source window below,
+    bit-identical either way). Every stage is ANSI-expressible, so the
     WHOLE chain is value-checked against DuckDB. NULL text yields a NULL
     token count and is dropped by the gate on both sides."""
+    from ..io import parquet_row_count
+    from .sampling import scale_adaptive_prefix_sum
+
     docs = load(spark, "documents", sf_dir)
     w_ = F.lit(16) + F.ascii(F.substring("text", 1, 1)) % 64
     h_ = F.lit(16) + F.ascii(F.substring("text", -1, 1)) % 64
@@ -291,12 +297,15 @@ def curate_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn", "text")
     )
-    ws = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    filled = scale_adaptive_prefix_sum(
+        deduped,
+        "source",
+        "doc_id",
+        "doc_id",
+        "vision_tokens",
+        "cum_tokens",
+        est_rows=parquet_row_count("documents", sf_dir),
     )
-    filled = deduped.withColumn("cum_tokens", F.sum("vision_tokens").over(ws))
     return filled.filter(F.col("cum_tokens") <= _MM_SOURCE_BUDGET).select(
         "doc_id", "source", "vision_tokens", "cum_tokens"
     )

@@ -685,6 +685,56 @@ def test_dedup_exact_substr_planted_spans(spark, tmp_path):
         assert out[d].n_dropped == 0
 
 
+def test_scale_adaptive_fill_sliced_equals_windowed(spark, sf_dir, monkeypatch):
+    """The greedy budget fills' two layers are bit-identical (r15, VERDICT
+    r14 What's-wrong #3): forcing the sliced prefix-sum plan (approx-
+    quantile score slices + broadcast per-slice offsets) reproduces the
+    plain per-source running-sum window EXACTLY — on the corpus fixture
+    for both fill faces (mix selection + multimodal curation), and on a
+    skewed fixture where one source holds ~95% of rows WITH planted
+    score ties (equal values may not straddle a slice — the property the
+    exactness proof leans on)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        multimodal,
+        sampling,
+    )
+
+    docs = load(spark, "documents", sf_dir)
+    want_mix = sorted(map(tuple, sampling.mix_selected_docs(docs).collect()))
+    want_mm = sorted(
+        map(tuple, multimodal.curate_multimodal_corpus(spark, sf_dir).collect())
+    )
+
+    monkeypatch.setattr(sampling, "_FILL_MAX_WINDOWED", -1)
+    got_mix = sorted(
+        map(tuple, sampling.mix_selected_docs(docs, est_rows=1).collect())
+    )
+    # curate_multimodal_corpus probes parquet_row_count itself; with the
+    # threshold at -1 that est forces its sliced path
+    got_mm = sorted(
+        map(tuple, multimodal.curate_multimodal_corpus(spark, sf_dir).collect())
+    )
+    assert got_mix == want_mix
+    assert got_mm == want_mm
+
+    # skewed fixture: source "big" holds 95% of rows, 40 distinct
+    # repeated texts → heavy identical-score ties inside the hot source
+    rows = [
+        (i, "big", f"doc body variant {i % 40} with some shared words")
+        for i in range(950)
+    ] + [(1000 + i, "small", f"tiny corpus doc {i}") for i in range(50)]
+    skew = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    monkeypatch.setattr(sampling, "_FILL_MAX_WINDOWED", 10**9)
+    want = sorted(map(tuple, sampling.mix_selected_docs(skew).collect()))
+    monkeypatch.setattr(sampling, "_FILL_MAX_WINDOWED", -1)
+    got = sorted(
+        map(tuple, sampling.mix_selected_docs(skew, est_rows=1000).collect())
+    )
+    assert got == want
+    assert len(want) > 0
+
+
 def test_assemble_training_mix_conservation_and_budgets(spark, sf_dir):
     """The end-to-end mix capstone conserves what it packs: the committed
     manifest's token/chunk totals equal an independent recount of the
@@ -755,6 +805,11 @@ def test_assemble_training_mix_conservation_and_budgets(spark, sf_dir):
         .rowsBetween(W.unboundedPreceding, 0)
     )
     filled = scored.withColumn("cum", F.sum("n_tok").over(ws))
+    # first excluded doc IN FILL ORDER per source: admitting it must
+    # overflow (admitted + its n_tok > budget) — a real maximality check
+    # that fails if the selection under-fills (the old min(cum) > budget
+    # form was a tautology of the cum > budget filter)
+    we = W.partitionBy("source").orderBy(F.desc("q"), "doc_id")
     first_excl = (
         filled.join(
             spark.createDataFrame(
@@ -764,12 +819,15 @@ def test_assemble_training_mix_conservation_and_budgets(spark, sf_dir):
             "source",
         )
         .filter(F.col("cum") > F.col("budget"))
-        .groupBy("source")
-        .agg(F.min("cum").alias("first_over"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select("source", "n_tok", "cum")
         .collect()
     )
     for r in first_excl:
-        assert r.first_over > budgets[r.source].budget_tokens
+        admitted = report[r.source].n_tokens if r.source in report else 0
+        assert admitted + r.n_tok > budgets[r.source].budget_tokens
+        assert r.cum == admitted + r.n_tok
 
     # one-transaction integrity: manifest recomputed from the committed
     # rows table equals the committed manifest
