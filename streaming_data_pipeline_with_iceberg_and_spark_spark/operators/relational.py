@@ -116,20 +116,29 @@ def q1_from_pricing_cells(state: DataFrame) -> DataFrame:
     sums arrive as exact integers; every double is produced by ONE
     division at read time over the ≤|flag×status| metadata rows, so
     the maintained face cannot drift with batch splits (the batch
-    face's double accumulation is the less exact of the two)."""
+    face's double accumulation is the less exact of the two).
+
+    Rounding stays in INTEGER space for the decimal(38,0) numerators:
+    ROUND(dn/10^k, 2) = ((dn + 10^(k-2)/2) div 10^(k-2)) / 100.0 —
+    half-up on non-negative exact integers, so no double cast touches
+    the numerator and the result is exact out to the full decimal(38,0)
+    range (a plain cast loses integer precision past 2^53, reached
+    within the documented 10^11-row envelope).  The avg columns divide
+    LONG numerators by n before any rounding; those are exact to 2^53
+    cents (≈ 9·10^16 dollars), an order beyond the envelope's mass."""
     m = merge_pricing_cells(state)
     n = F.col("n")
+    disc_cents = F.expr(
+        "(sum_disc_num + 5000) div 10000"
+    )  # dn is dollars·10^-6; half-up to cents in integer space
+    charge_cents = F.expr("(sum_charge_num + 50000000) div 100000000")
     return m.select(
         "l_returnflag",
         "l_linestatus",
         F.round(F.col("sum_qty_i").cast("double"), 2).alias("sum_qty"),
         F.round(F.col("sum_base_cents") / 100.0, 2).alias("sum_base_price"),
-        F.round(F.col("sum_disc_num").cast("double") / 1.0e6, 2).alias(
-            "sum_disc_price"
-        ),
-        F.round(F.col("sum_charge_num").cast("double") / 1.0e10, 2).alias(
-            "sum_charge"
-        ),
+        F.round(disc_cents / 100.0, 2).alias("sum_disc_price"),
+        F.round(charge_cents / 100.0, 2).alias("sum_charge"),
         F.round(F.col("sum_qty_i") / n, 6).alias("avg_qty"),
         F.round(F.col("sum_base_cents") / (100.0 * n), 6).alias("avg_price"),
         F.round(F.col("sum_disc_bp") / (10000.0 * n), 6).alias("avg_disc"),
@@ -191,6 +200,12 @@ LIMIT 10
 """
 
 
+# Q5's pinned order-date window — shared by the batch face and the
+# TWENTY-FIRST incremental path's ingest filter (one definition, no drift).
+_Q5_DATE_LO = "1995-01-01"
+_Q5_DATE_HI = "1997-01-01"
+
+
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: revenue by nation — star join over all 5 relational tables.
 
@@ -201,8 +216,8 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = F.broadcast(load(spark, "nation", sf_dir))
     cust = load(spark, "customer", sf_dir)
     orders = load(spark, "orders", sf_dir).filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        (F.col("o_orderdate") >= F.lit(_Q5_DATE_LO))
+        & (F.col("o_orderdate") < F.lit(_Q5_DATE_HI))
     )
     li = load(spark, "lineitem", sf_dir)
     return (
@@ -235,6 +250,82 @@ WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
 GROUP BY r_name, n_name
 ORDER BY revenue DESC, n_name ASC
 """
+
+
+def customer_nation_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c_custkey → (n_name, r_name) dimension for the TWENTY-FIRST
+    incremental path — customer ⋈ nation ⋈ region collapsed once; fixed
+    nation/region cardinality keeps it broadcastable at any SF."""
+    nation = F.broadcast(load(spark, "nation", sf_dir))
+    region = F.broadcast(load(spark, "region", sf_dir))
+    return (
+        load(spark, "customer", sf_dir)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+def lineitem_order_partials(li: DataFrame) -> DataFrame:
+    """Per-ORDER revenue partials from a lineitem delta — the lineitem
+    leaf of the TWENTY-FIRST incremental path (Q5 revenue cells via
+    delta-join).  Revenue enters as the exact integer
+    cents·(10000−disc_bp) = dollars·10⁻⁶ summed as decimal(38,0) (the
+    20th path's money discipline), keyed by o_orderkey — the join key
+    the delta-join resolves through.  Partial aggregation pushes below
+    the join: the view's group keys (r_name, n_name) are functionally
+    determined by the order, so per-orderkey sums lose nothing and the
+    join input shrinks from lineitem mass to order mass."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("long")
+    rev_num = (cents * (10000 - disc_bp)).cast("decimal(38,0)")
+    return (
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            rev_num.alias("rev_num"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum("rev_num").alias("rev_num"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def merge_order_partials(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch lineitem partials to one row per
+    order (the whole job of ``compact_revenue_state``'s lineitem leg —
+    additive integer sums, so merging is exact under any batch split)."""
+    return state.groupBy("o_orderkey").agg(
+        F.sum("rev_num").alias("rev_num"), F.sum("n").alias("n")
+    )
+
+
+def merge_revenue_cells(state: DataFrame) -> DataFrame:
+    """Collapse appended per-batch (r_name, n_name) revenue deltas to
+    one row per cell — additive integer sums."""
+    return state.groupBy("r_name", "n_name").agg(
+        F.sum("rev_num").alias("rev_num"), F.sum("n").alias("n")
+    )
+
+
+def q5_from_revenue_cells(cells: DataFrame) -> DataFrame:
+    """Serve Q5's revenue-by-nation report from the maintained cells —
+    ``q5_from_revenue_cells(cells) ≡ q5_revenue_by_nation`` over
+    everything ingested (parity-tested across uneven batch splits,
+    out-of-order arrival, replay and compaction).  Rounding follows the
+    20th path's integer discipline: rev_num is dollars·10⁻⁶ as
+    decimal(38,0); half-up to cents happens in integer space
+    ((rev_num + 5000) div 10000), ONE double division at read time over
+    the ≤|region×nation| metadata rows."""
+    m = merge_revenue_cells(cells)
+    rev_cents = F.expr("(rev_num + 5000) div 10000")
+    return m.select(
+        "r_name",
+        "n_name",
+        F.round(rev_cents / 100.0, 2).alias("revenue"),
+        F.col("n").alias("n_lineitems"),
+    ).orderBy(F.desc("revenue"), F.asc("n_name"))
 
 
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1735,6 +1735,183 @@ def compact_pricing_cells(
     t.overwrite(merge_pricing_cells(t.read()), batch_id=compaction_id)
 
 
+# Envelope schema for the TWENTY-FIRST path's interleaved fact stream:
+# lineitem and order rows share one source so arrival order is genuinely
+# arbitrary (a lineitem can precede ITS order in the same or an earlier
+# batch — the case the delta-join must union later).
+REVENUE_ENVELOPE_SCHEMA = (
+    "kind string, l_orderkey long, l_extendedprice double,"
+    " l_discount double, o_orderkey long, o_custkey long,"
+    " o_orderdate timestamp"
+)
+
+
+def start_incremental_revenue_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    li_root: str,
+    orders_root: str,
+    cells_root: str,
+    txn_dir: str,
+    cust_dim: DataFrame,
+    schema=REVENUE_ENVELOPE_SCHEMA,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "revenue_ingest",
+) -> StreamingQuery:
+    """EXACT incremental Q5 revenue-by-nation — the TWENTY-FIRST
+    incremental path and the first JOIN-BEARING one: the maintained view
+    is an aggregate over orders ⋈ lineitem (⋈ the static
+    customer→nation dimension), kept exact by the classic DELTA-JOIN
+    identity instead of mergeable partials alone:
+
+        Δ(L ⋈ O) = ΔL ⋈ (O ∪ ΔO)  ∪  L_old ⋈ ΔO
+
+    - ΔL pre-aggregates to per-orderkey integer revenue partials
+      (``lineitem_order_partials`` — aggregation pushed below the join,
+      so join inputs are order-mass, never lineitem-mass).
+    - ΔO filters to Q5's pinned date window and resolves
+      o_custkey → (n_name, r_name) through the broadcast ``cust_dim``
+      (``customer_nation_dim``), so orders state carries the view's
+      group keys directly.
+    - Both join legs' contributions collapse to (r_name, n_name) integer
+      delta cells, appended additively — a lineitem arriving BEFORE its
+      order waits in lineitem state and is picked up by the L_old ⋈ ΔO
+      leg when the order lands; an order arriving first feeds the
+      ΔL ⋈ O leg forever after.  Either order of arrival, any batch
+      split: the union of the two legs counts every (lineitem, order)
+      pair exactly once (ΔL pairs with everything known by this batch's
+      end; old L pairs with exactly the new orders).
+
+    State: lineitem partials are order-keyed integer sums (≤ one row
+    per order per batch; compaction merges to one per order), orders
+    state is one row per in-window order, cells are
+    ≤ |region×nation| rows.  All three commit in ONE multi-table
+    transaction under namespaced batch keys with recovery at stream
+    start (the standard protocol), so replay is a no-op.
+    ``q5_from_revenue_cells(cells) ≡ q5_revenue_by_nation`` over
+    everything ingested — parity-tested across uneven splits,
+    out-of-order arrival, replay and compaction."""
+    from ..operators.relational import (
+        _Q5_DATE_HI,
+        _Q5_DATE_LO,
+        lineitem_order_partials,
+    )
+    from ..sources.snapshots import (
+        MultiTableTransaction,
+        SnapshotTable,
+        recover_transactions,
+    )
+
+    li_t = SnapshotTable(spark, li_root)
+    ord_t = SnapshotTable(spark, orders_root)
+    cells_t = SnapshotTable(spark, cells_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {"max_seen": None}
+
+    def revenue_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if state["max_seen"] is None:
+            recover_transactions(spark, txn_dir)
+            state["max_seen"] = _max_seen_batch(
+                [li_t, ord_t, cells_t], stream_id
+            )
+        if batch_id <= state["max_seen"]:
+            return
+        dl = lineitem_order_partials(
+            batch_df.filter(F.col("kind") == "lineitem")
+        ).persist()
+        do = (
+            batch_df.filter(F.col("kind") == "order")
+            .filter(
+                (F.col("o_orderdate") >= F.lit(_Q5_DATE_LO))
+                & (F.col("o_orderdate") < F.lit(_Q5_DATE_HI))
+            )
+            .join(
+                F.broadcast(cust_dim),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "n_name", "r_name")
+            .persist()
+        )
+        try:
+            o_old = (
+                ord_t.read()
+                if ord_t.current_version() is not None
+                else spark.createDataFrame(
+                    [], "o_orderkey long, n_name string, r_name string"
+                )
+            )
+            l_old = (
+                li_t.read()
+                if li_t.current_version() is not None
+                else spark.createDataFrame(
+                    [], "o_orderkey long, rev_num decimal(38,0), n long"
+                )
+            )
+            # leg 1: new lineitems against everything known by batch end
+            c1 = dl.join(o_old.unionByName(do), "o_orderkey")
+            # leg 2: previously-stated lineitems against the new orders
+            # only (leg 1 already covered ΔL ⋈ ΔO)
+            c2 = l_old.join(do, "o_orderkey")
+            delta_cells = (
+                c1.unionByName(c2)
+                .groupBy("r_name", "n_name")
+                .agg(
+                    F.sum("rev_num").alias("rev_num"),
+                    F.sum("n").alias("n"),
+                )
+            )
+            txn = MultiTableTransaction([li_t, ord_t, cells_t], txn_dir)
+            key = f"{stream_id}#{batch_id}"
+            txn.stage_append(li_t, dl, batch_id=key)
+            txn.stage_append(ord_t, do, batch_id=key)
+            txn.stage_append(cells_t, delta_cells, batch_id=key)
+            txn.commit()
+        finally:
+            dl.unpersist()
+            do.unpersist()
+        state["max_seen"] = batch_id
+
+    writer = stream.writeStream.foreachBatch(revenue_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_revenue_state(
+    spark: SparkSession,
+    li_root: str,
+    orders_root: str,
+    cells_root: str,
+    compaction_id=None,
+) -> None:
+    """Collapse the 21st path's three state tables between drains — a
+    semantic no-op for every future batch and for the serve face:
+    lineitem partials merge per order, cells merge per (r_name, n_name)
+    (both additive integer sums), orders rewrite as-is (already one row
+    per order; only file layout changes).  Overwrites keep the key logs
+    so replay protection survives (the compact_pricing_cells protocol)."""
+    from ..operators.relational import (
+        merge_order_partials,
+        merge_revenue_cells,
+    )
+    from ..sources.snapshots import SnapshotTable
+
+    li_t = SnapshotTable(spark, li_root)
+    li_t.overwrite(merge_order_partials(li_t.read()), batch_id=compaction_id)
+    ord_t = SnapshotTable(spark, orders_root)
+    ord_t.overwrite(ord_t.read(), batch_id=compaction_id)
+    cells_t = SnapshotTable(spark, cells_root)
+    cells_t.overwrite(
+        merge_revenue_cells(cells_t.read()), batch_id=compaction_id
+    )
+
+
 def start_incremental_kgram_index_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -2860,6 +2860,125 @@ def test_incremental_pricing_ingest_matches_batch_q1(spark, tmp_path):
     assert sorted(map(tuple, q1_from_pricing_cells(merged).collect())) == want
 
 
+def test_incremental_revenue_ingest_matches_batch_q5(spark, tmp_path):
+    """Q5 revenue-by-nation from maintained delta-join state (the
+    twenty-first path — the first JOIN-BEARING incremental view):
+    q5_from_revenue_cells over cells ingested from an interleaved
+    lineitem/order envelope stream equals batch q5_revenue_by_nation on
+    the same tables — with OUT-OF-ORDER arrival both ways (lineitems
+    landing batches before their order, orders landing before any of
+    their lineitems) and orders outside Q5's date window leaving their
+    lineitems pending forever.  Replay adds nothing; compaction
+    collapses lineitem partials per order and cells per (region,
+    nation) without changing the report."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.relational import (
+        customer_nation_dim,
+        q5_from_revenue_cells,
+        q5_revenue_by_nation,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_revenue_state,
+        start_incremental_revenue_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li_rows = li.collect()
+    ord_rows = orders.collect()
+    src = tmp_path / "env_in"
+    src.mkdir()
+    roots = {
+        n: str(tmp_path / n) for n in ("li_state", "ord_state", "cells")
+    }
+    txn_dir = str(tmp_path / "txns")
+    ckpt = str(tmp_path / "ckpt")
+    cust_dim = customer_nation_dim(spark, sf)
+
+    def drain():
+        q = start_incremental_revenue_ingest(
+            spark,
+            str(src),
+            roots["li_state"],
+            roots["ord_state"],
+            roots["cells"],
+            txn_dir,
+            cust_dim=cust_dim,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    def li_env(r):
+        return {
+            "kind": "lineitem",
+            "l_orderkey": r.l_orderkey,
+            "l_extendedprice": r.l_extendedprice,
+            "l_discount": r.l_discount,
+        }
+
+    def ord_env(r):
+        return {
+            "kind": "order",
+            "o_orderkey": r.o_orderkey,
+            "o_custkey": r.o_custkey,
+            "o_orderdate": r.o_orderdate.isoformat() if r.o_orderdate else None,
+        }
+
+    # b0: lineitems of orders %3==0 arrive BEFORE those orders (which
+    # only land in b2); orders %3==1 arrive before ANY of their
+    # lineitems (which land in b1); b1 mixes both kinds.
+    batches = [
+        [li_env(r) for r in li_rows if r.l_orderkey % 3 == 0]
+        + [ord_env(r) for r in ord_rows if r.o_orderkey % 3 == 1],
+        [li_env(r) for r in li_rows if r.l_orderkey % 3 == 1]
+        + [ord_env(r) for r in ord_rows if r.o_orderkey % 3 == 2],
+        [li_env(r) for r in li_rows if r.l_orderkey % 3 == 2]
+        + [ord_env(r) for r in ord_rows if r.o_orderkey % 3 == 0],
+    ]
+    for i, b in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for d in b:
+                f.write(_json.dumps(d) + "\n")
+        drain()
+
+    cells = SnapshotTable(spark, roots["cells"])
+    got = [tuple(r) for r in q5_from_revenue_cells(cells.read()).collect()]
+    want = [tuple(r) for r in q5_revenue_by_nation(spark, sf).collect()]
+    assert got == want and got
+
+    # pending lineitems exist: some orders fall outside Q5's window, so
+    # their lineitem partials outnumber the stated orders' keys
+    li_t = SnapshotTable(spark, roots["li_state"])
+    ord_t = SnapshotTable(spark, roots["ord_state"])
+    li_keys = {r.o_orderkey for r in li_t.read().select("o_orderkey").distinct().collect()}
+    ord_keys = {r.o_orderkey for r in ord_t.read().select("o_orderkey").distinct().collect()}
+    assert li_keys - ord_keys, "expected forever-pending lineitems"
+
+    # replay: nothing appended twice
+    counts = (li_t.read().count(), ord_t.read().count(), cells.read().count())
+    drain()
+    assert (li_t.read().count(), ord_t.read().count(), cells.read().count()) == counts
+    assert [tuple(r) for r in q5_from_revenue_cells(cells.read()).collect()] == want
+
+    # compaction: one partial per order, one row per cell, report unchanged
+    compact_revenue_state(
+        spark, roots["li_state"], roots["ord_state"], roots["cells"]
+    )
+    assert li_t.read().count() == len(li_keys)
+    m = cells.read()
+    assert m.count() == m.select("r_name", "n_name").distinct().count()
+    assert [tuple(r) for r in q5_from_revenue_cells(m).collect()] == want
+
+
 def test_incremental_word_cells_ingest_serves_both_trainers(spark, tmp_path):
     """Word-type frequency cells at ingest (mergeable integer sums, the
     nineteenth path): BOTH tokenizer trainers re-run from the maintained
