@@ -1756,6 +1756,143 @@ def exact_substr_from_index(index: DataFrame, corpus: DataFrame) -> DataFrame:
     return exact_substr_manifest(index, es_tokenized(corpus))
 
 
+def span_decon_manifest(rows: DataFrame, toked: DataFrame) -> DataFrame:
+    """Span-level eval-decontamination core over k-gram postings — shared
+    by the batch face (:func:`decontaminate_spans`) and the maintained
+    k-gram index serve face (:func:`decontaminate_spans_from_index`), so
+    the two cannot disagree about a contaminated span.
+
+    For every (train doc, eval doc) pair: the MAXIMAL runs of train
+    positions whose ``_ES_K``-token windows all occur verbatim in that
+    eval doc, coalesced by gaps-and-islands per pair.  The split is
+    ``sampling._split_of`` — the ONE hash-split definition the ratio
+    heuristic (``decontaminate_split``) and the leakage audit already
+    compose.
+
+    Scale shape: train and eval postings split off ONE shared k-gram
+    pass; the candidate join is hash-keyed (eval postings distinct per
+    (eval doc, hash) first — benchmark-sized eval sets broadcast under
+    AQE automatically); islands window over (train doc, eval doc)
+    partitions of only the MATCHED positions (contamination mass, not
+    corpus mass); the final slice joins tokens for span-bearing train
+    docs only."""
+    from .sampling import _split_of
+
+    tagged = rows.withColumn("split", _split_of(F.col("doc_id")))
+    train = tagged.filter(F.col("split") == "train").select(
+        "doc_id", "pos", "h"
+    )
+    ev = (
+        tagged.filter(F.col("split") != "train")
+        .select(F.col("doc_id").alias("eval_doc_id"), "h")
+        .distinct()
+    )
+    hits = train.join(ev, "h").select(
+        "doc_id", "eval_doc_id", "pos"
+    ).distinct()
+    w = Window.partitionBy("doc_id", "eval_doc_id").orderBy("pos")
+    islands = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = islands.groupBy("doc_id", "eval_doc_id", "grp").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + F.lit(_ES_K - 1)).alias("end_tok"),
+    )
+    length = F.col("end_tok") - F.col("start_tok") + 1
+    wd = Window.partitionBy("doc_id", "eval_doc_id").orderBy("start_tok")
+    return (
+        spans.join(toked, "doc_id")
+        .select(
+            "doc_id",
+            "eval_doc_id",
+            F.row_number().over(wd).cast("int").alias("span_ord"),
+            F.col("start_tok").cast("int").alias("start_tok"),
+            length.cast("int").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice("t", F.col("start_tok"), length))
+            ).alias("span_hash"),
+        )
+        .orderBy("doc_id", "eval_doc_id", "start_tok")
+    )
+
+
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL eval decontamination (NEW round 15) — the Lee et al.
+    2022 eval-overlap recipe composed from the ExactSubstr machinery:
+    train-split documents sharing a maximal ≥ ``_ES_K``-token verbatim
+    span with any val/test document, one manifest row per contaminated
+    (train doc, eval doc, span) with the span's exact frame and text
+    hash.  The PRECISION upgrade over ``decontaminate_split``'s
+    df-capped shingle-ratio heuristic: that face flags documents by
+    aggregate overlap; this one names the exact token spans per eval
+    doc — what a surgical decontamination pass trims (feed the manifest
+    to the ``dedup_exact_substr_apply`` trim) and what an eval-leakage
+    report cites.
+
+    Reference parity note: the reference repo has no decontamination
+    surface; this extends SURVEY §2.8's L-inventory (the north-star
+    training-data pipeline), reusing ``kgram_rows`` + gaps-and-islands
+    (the 18th path's maintained leaf) so ingest-time state serves this
+    face too."""
+    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
+    toked = es_tokenized(docs)
+    return span_decon_manifest(kgram_rows(toked), toked)
+
+
+def decontaminate_spans_from_index(
+    index: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Serve the span-decontamination manifest from the EIGHTEENTH
+    path's maintained k-gram index —
+    ``decontaminate_spans_from_index(index, corpus) ≡
+    decontaminate_spans`` (parity-tested): the corpus-wide
+    tokenize+hash pass happened at ingest; serving re-tokenizes only
+    span-bearing train docs."""
+    return span_decon_manifest(index, es_tokenized(corpus))
+
+
+def _decontaminate_spans_sql() -> str:
+    from .sampling import _split_case_sql
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i + {_ES_K - 1}], ' ')) AS h,
+         {_split_case_sql("doc_id")} AS split
+  FROM d, unnest(range(1, len(toks) - {_ES_K} + 2)) AS t(i)
+  WHERE len(toks) >= {_ES_K}
+),
+tr AS (SELECT doc_id, pos, h FROM s WHERE split = 'train'),
+ev AS (SELECT DISTINCT doc_id AS eval_doc_id, h FROM s WHERE split <> 'train'),
+m AS (
+  SELECT DISTINCT tr.doc_id, ev.eval_doc_id, tr.pos
+  FROM tr JOIN ev USING (h)
+),
+g AS (
+  SELECT doc_id, eval_doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id, eval_doc_id
+                                  ORDER BY pos) AS grp
+  FROM m
+),
+sp AS (
+  SELECT doc_id, eval_doc_id,
+         MIN(pos) AS start_tok, MAX(pos) + {_ES_K - 1} AS end_tok
+  FROM g GROUP BY doc_id, eval_doc_id, grp
+)
+SELECT sp.doc_id, sp.eval_doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY sp.doc_id, sp.eval_doc_id
+                               ORDER BY sp.start_tok) AS INT) AS span_ord,
+       CAST(sp.start_tok AS INT) AS start_tok,
+       CAST(sp.end_tok - sp.start_tok + 1 AS INT) AS n_tokens,
+       md5(array_to_string(d.toks[sp.start_tok:sp.end_tok], ' '))
+         AS span_hash
+FROM sp JOIN d USING (doc_id)
+ORDER BY doc_id, eval_doc_id, start_tok
+"""
+
+
 DEDUP_EXACT_SUBSTR_SQL = f"""
 WITH d AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
@@ -2018,6 +2155,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_substr": dedup_exact_substr,
     "dedup_exact_substr_apply": dedup_exact_substr_apply,
+    "decontaminate_spans": decontaminate_spans,
     "dedup_clusters_lsh": dedup_clusters_lsh,
     "dedup_span_exact": dedup_span_exact,
     "dedup_semantic": dedup_semantic,
@@ -2042,6 +2180,9 @@ ORACLES = {
     # 2022) — sliding k-gram postings + gaps-and-islands coalescing
     "dedup_exact_substr": DEDUP_EXACT_SUBSTR_SQL,
     "dedup_exact_substr_apply": DEDUP_EXACT_SUBSTR_APPLY_SQL,
+    # round 15: span-level eval decontamination (Lee et al. eval-overlap
+    # composed from the ExactSubstr k-gram machinery + the shared split)
+    "decontaminate_spans": _decontaminate_spans_sql(),
     # round 14: signature-agreement cluster batch face (the twin of the
     # SEVENTEENTH incremental path's maintained merge log)
     "dedup_clusters_lsh": DEDUP_CLUSTERS_LSH_SQL,

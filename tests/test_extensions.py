@@ -319,6 +319,44 @@ def test_connected_components_fast_convergence_on_corpus(spark, sf_dir):
     assert dedup._connected_components.last_rounds <= 3
 
 
+def test_decontaminate_spans_planted_truth(spark, tmp_path):
+    """Span-level eval decontamination names the exact planted frame
+    (r15): a train doc carrying a 10-token span verbatim present in TWO
+    eval docs yields one manifest row PER contaminated pair with the
+    precise (start_tok, n_tokens, span_hash); a clean train doc and
+    eval↔eval sharing produce nothing (only train docs are audited).
+    Maximality: the tokens flanking the span break the run, so the
+    reported frame is exactly the plant."""
+    import hashlib
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        decontaminate_spans,
+    )
+
+    # md5-bucket splits (the _split_of definition): 1→78 train,
+    # 2→30 train, 5→86 eval, 8→96 eval
+    span = " ".join(f"leak{i}" for i in range(10))
+    u = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = {
+        1: f"{u('a', 9)} {span} {u('b', 9)}",   # contaminated train doc
+        2: u("c", 30),                            # clean train doc
+        5: f"{u('d', 4)} {span} {u('e', 5)}",   # eval doc with the plant
+        8: f"{span} {u('f', 11)}",               # second eval doc, plant at 1
+    }
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(d, t, "en", "s", 0) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = sorted(map(tuple, decontaminate_spans(spark, sf).collect()))
+    h = hashlib.md5(span.encode()).hexdigest()
+    assert got == [
+        (1, 5, 1, 10, 10, h),
+        (1, 8, 1, 10, 10, h),
+    ]
+
+
 def test_lsh_storm_collapse_bounds_pairs_and_is_component_exact(spark):
     """Planted 500-copy boilerplate storm (r15, VERDICT r14 What's-wrong
     #2): identical MinHash signatures collapse to one representative +

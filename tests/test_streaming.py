@@ -3174,6 +3174,40 @@ def test_incremental_kgram_index_matches_batch_exact_substr(spark, tmp_path):
     compact_kgram_index(spark, index_root)
     assert serve() == got
 
+    # r15: the SAME maintained index serves span-level eval
+    # decontamination — doc 5 hashes to the eval split (md5 bucket 86)
+    # and carries the planted span, so both train docs (1: bucket 78,
+    # 2: bucket 30) report their exact contaminated frame against it,
+    # equal to the batch face over the same corpus
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        decontaminate_spans,
+        decontaminate_spans_from_index,
+    )
+
+    docs[5] = f"{u('f', 6)} {shared} {u('g', 7)}"
+    _write_ndjson(src / "b3.json", [{"doc_id": 5, "text": docs[5]}])
+    drain()
+    sf2 = str(tmp_path / "sf2")
+    spark.createDataFrame(
+        [(d, t, "en", "s", 0) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf2}/documents.parquet")
+    got_dec = sorted(
+        map(
+            tuple,
+            decontaminate_spans_from_index(
+                index_t.read(), corpus.read()
+            ).collect(),
+        )
+    )
+    assert got_dec == [
+        (1, 5, 1, 11, 12, want_hash),
+        (2, 5, 1, 6, 12, want_hash),
+    ]
+    assert got_dec == sorted(
+        map(tuple, decontaminate_spans(spark, sf2).collect())
+    )
+
 
 def test_incremental_cluster_ingest_matches_batch(spark, tmp_path):
     """Exact incremental near-dup cluster maintenance (union-find event
