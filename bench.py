@@ -324,11 +324,16 @@ _STEAL_PCT_MAX = 2.0  # hypervisor steal over the bench interval
 
 
 def _cpu_times() -> tuple[int, int]:
-    """(steal jiffies, total jiffies) from /proc/stat; (0, 0) if absent."""
+    """(steal jiffies, total jiffies) from /proc/stat; (0, 0) if absent.
+
+    Total sums only user..steal (fields 1-8): guest/guest_nice are
+    already folded into user/nice on Linux, so including them would
+    double-count and understate steal_pct, loosening the clean_run
+    gate."""
     try:
         with open("/proc/stat") as f:
             fields = f.readline().split()
-        vals = [int(x) for x in fields[1:]]
+        vals = [int(x) for x in fields[1:9]]
         steal = vals[7] if len(vals) > 7 else 0
         return steal, sum(vals)
     except (OSError, ValueError, IndexError):

@@ -961,6 +961,13 @@ _SHARD_CACHE: dict = {}
 
 
 def clear_shard_cache() -> None:
+    """Drop the memoized shard tables AND their scratch parquet.
+
+    Invalidation contract: any DataFrame previously returned by
+    ``write_training_shards`` is backed by the deleted scratch files —
+    lazily consuming one after this call fails on missing parquet.
+    Collect what you need before clearing (tests do), or let the
+    ``atexit`` hook do the deletion at session end."""
     import shutil
 
     for _k, (_tbl, scratch) in list(_SHARD_CACHE.items()):
@@ -1275,6 +1282,10 @@ _MIX_CACHE: dict = {}
 
 
 def clear_mix_cache() -> None:
+    """Drop the memoized mix manifests AND their scratch parquet — same
+    invalidation contract as :func:`clear_shard_cache`: DataFrames
+    previously returned by ``assemble_training_mix`` die with the
+    scratch files; collect before clearing."""
     import shutil
 
     for _k, (_tbl, scratch) in list(_MIX_CACHE.items()):

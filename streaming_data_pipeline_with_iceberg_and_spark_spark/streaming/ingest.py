@@ -2745,7 +2745,13 @@ def start_incremental_cluster_ingest(
     one 32-long signature per admitted doc (metadata-scale; bucketed on
     (band_idx, band_sig) at real scale); ``merges`` is bounded by
     duplicate mass (≤ one event per doc ever in a cluster + one per
-    cluster merge)."""
+    cluster merge).
+
+    ``id_col`` contract: ids must be ORDERABLE and consistently typed
+    across batches — cluster labels are component minima and merge
+    targets are strictly smaller than their source, so the id column's
+    total order is load-bearing; the merge-log schema derives from the
+    id type at first batch."""
     from ..operators.dedup import (
         _LSH_CC_AGREE_MIN,
         _MH_BANDS,
@@ -2828,10 +2834,19 @@ def start_incremental_cluster_ingest(
                     )
                     .distinct()
                 )
+                # empty-log schema derives from the id column's actual
+                # type (ids must be ORDERABLE — the functional-forest
+                # invariant "target strictly smaller" and min-label CC
+                # both lean on the column's total order; a hardcoded
+                # long schema would break the first cross-batch probe
+                # for non-long ids)
+                id_type = dict(batch_df.dtypes)[id_col]
                 log = (
                     merges.read()
                     if merges.current_version() is not None
-                    else spark.createDataFrame([], "node long, target long")
+                    else spark.createDataFrame(
+                        [], f"node {id_type}, target {id_type}"
+                    )
                 )
                 resolved = _resolve_merge_log(
                     log, hits.select(F.col("old_id").alias("node")).distinct()
