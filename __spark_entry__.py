@@ -60,112 +60,37 @@ _MODULES = [
 
 # The driver's correctness gate checks roughly the first 50 registry entries
 # per round.  Rotated each round so every entry eventually gets a driver row.
-# After round 13 the latest-row histogram (recomputed from the
-# CORRECTNESS_r* ledger at round-14 start) is r9:50, r10:50, r11:50,
-# r12:50, r13:50 — zero failures ever recorded as latest state — PLUS six
-# entries that landed after the r13 window filled and have NEVER had a
-# driver row (cdc_chunk_dedup, events_fano_factor, events_sequence_support,
-# events_type_dow_chisq, recommend_ppr, scd2_asof_lookup — all judge-green
-# in the r13 verdict's 256/256 selfcheck, recommend_ppr restored to the
-# queue per VERDICT r13 "What's wrong" #1 / ADVICE item 1).
-# ROUND-14 WINDOW:
-# (a) new round-14 entries, inserted at the head as they land;
-# (b) the SIX never-driver-checked late-r13 entries — first driver row at
-#     the earliest possible window, ahead of everything re-checkable;
-# (c) the 50 r9-era rows (now the oldest), ordered so one-of-a-kind
-#     surfaces come FIRST and rows whose surface has the strongest
-#     fresher same-surface sibling come LAST — each new head entry
-#     evicts from the tail, justification inline at the tail block.
+# After round 14 the latest-row histogram (recomputed from the
+# CORRECTNESS_r* ledger at round-15 start): r9:15, r10:50, r11:50, r12:50,
+# r13:50, r14:50 — zero failures ever recorded as latest state, zero
+# entries without a driver row.  The r9:15 block is the r14 window's
+# justified-deferral tail — now the OLDEST rows in the registry, so they
+# go ahead of everything else re-checkable.
+# ROUND-15 WINDOW:
+# (a) new round-15 entries, inserted at the head as they land;
+# (b) ALL 15 r9-era rows (the oldest — the r14 deferrals get their
+#     re-check first, per the "no entry's latest row predates r10" goal);
+# (c) r10-era rows filling the window to ~50, ordered one-of-a-kind
+#     surfaces FIRST; the overflow defers the r10 rows with the
+#     strongest fresher same-surface sibling, justified inline at the
+#     tail block — each new head entry evicts from the in-window bottom.
 # Rows-only entries keep their standing impossibility contracts
 # (agg_hll_mergeable: sketch internals; ann_pq / ann_ivf: learned
 # quantizers, pinned twins oracle-green; pca_embeddings_project: driver-side
 # eigensolver, its distributed input IS the oracle-checked pca_covariance).
 #
-# ROUND-15 ROTATION PLAN (write the r15 window from this, then recompute
-# from the CORRECTNESS_r* ledger as always): head = new r15 ops + any
-# entry still without a driver row, then ALL 50 r10-era rows (they become
-# the oldest); overflow defers r10 rows with the freshest same-surface
-# sibling, justified inline per the r12/r13/r14 discipline.
+# ROUND-16 ROTATION PLAN (write the r16 window from this, then recompute
+# from the CORRECTNESS_r* ledger as always): head = new r16 ops + any
+# entry still without a driver row, then the r10 rows deferred below
+# (they stay the oldest), then the r11-era rows; overflow defers r11 rows
+# with the freshest same-surface sibling, justified inline per the
+# r12–r15 discipline.
 _PRIORITY = [
-    # (a) new round-14 entries land here, at head (uncommented as each
+    # (a) new round-15 entries land here, at head (uncommented as each
     # lands — queries() hard-fails on names with no implementation)
-    "dedup_exact_substr",
-    "events_hw_forecast",
-    "events_hw_backtest",
-    "dedup_clusters_lsh",
-    "mix_selection_report",
-    "assemble_training_mix",
-    "dedup_exact_substr_apply",
-    "ql_search",
-    "dedup_containment",
-    # (b) the six never-driver-checked entries (landed post-r13-window)
-    "recommend_ppr",
-    "scd2_asof_lookup",
-    "cdc_chunk_dedup",
-    "events_type_dow_chisq",
-    "events_sequence_support",
-    "events_fano_factor",
-    # (c) the 50 r9-era rows.  One-of-a-kind surfaces first: the agg
-    # family (rollup/grouping-sets/pivot/percentiles/stats/count-distinct
-    # have no fresher same-surface row), scalar/array/map/json function
-    # surfaces, the join-strategy set (broadcast/outer/anti/theta/range/
-    # salted-skew — plan-shape surfaces nothing newer covers), schema
-    # evolution, cohort retention, and the seasonality/concurrency
-    # dashboard trio.
-    "filter_project",
-    "scalar_date_funcs",
-    "json_extraction",
-    "array_funcs",
-    "map_funcs",
-    "join_broadcast_dims",
-    "join_left_outer",
-    "join_anti",
-    "join_theta_band",
-    "join_range_shipdelay",
-    "join_salted_skew",
-    "agg_count_distinct",
-    "agg_stats",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_approx_distinct",
-    "window_rank",
-    "histogram_doc_length",
-    "q12_shipdelay_priority",
-    "cohort_retention",
-    "snapshot_schema_evolution_orders",
-    "events_hourly_seasonality",
-    "events_hourly_anomalies",
-    "events_power_users_curve",
-    "sessions_peak_concurrency",
-    "user_behavior_surprisal",
-    "domain_mixture_weights",
-    "corpus_source_report",
-    "vocab_coverage",
-    "session_stats",
-    "text_char_entropy",
-    "text_zipf_fit",
-    "curate_pretraining_corpus",
-    # (c)-tail, eviction order for new head entries — strongest fresh
-    # same-surface siblings evict first (bottom of this list goes first):
-    # matryoshka_recall_eval shares the recall-eval frame machinery with
-    # r12-green quantization_recall_eval; item_jaccard_similarity shares
-    # the taste-graph edge definition with r12-green item_pagerank and
-    # the exact set-overlap math with r13-green dedup_prefix_jaccard;
-    # corpus_novelty_curve shares the shingle/first-seen definitions
-    # with r12-green decontaminate_split;
-    # ann_recall_eval / ann_ivfpq / kmeans_cluster_profile share the
-    # pinned-IVF machinery with r13-green label_purity_monitor and
-    # r12-green quantization_recall_eval; the dedup family
-    # (exact/minhash/simhash/ngram-jaccard/semantic) shares shingle +
-    # LSH machinery with r13-green dedup_prefix_jaccard,
-    # cdc_chunk_dedup and the r14-head ExactSubstr/containment/
-    # clusters-LSH entries; the classifier faces
-    # (train/eval/calibration + text_linear_quality_classifier) share
-    # the trained-model definition with r12-green classifier_auc_eval
-    # and the r14-head mix_selection_report (which scores with the same
-    # pinned classifier).
+    "decontaminate_spans",
+    # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
+    # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",
     "item_jaccard_similarity",
     "corpus_novelty_curve",
@@ -181,6 +106,97 @@ _PRIORITY = [
     "quality_classifier_eval",
     "classifier_calibration",
     "text_linear_quality_classifier",
+    # (c) r10-era rows, one-of-a-kind surfaces first: the mutation pair
+    # (MERGE upsert / DELETE+UPDATE CoW), as-of and cross join strategies,
+    # envelope JSON parse, PII redaction, explode/posexplode, hash and
+    # math scalar surfaces, the collect/conditional/global/unpivot agg
+    # faces, set ops and ordered limits, the text-stats family, window
+    # analytics, hyperplane LSH, CC-based representative pick, the split
+    # and quality-sample faces, the multimodal decode/frame plumbing and
+    # the vectorized pandas_udf surface — no fresher same-surface row
+    # exists for any of these.
+    "merge_upsert_orders",
+    "delete_update_orders",
+    "join_asof",
+    "join_cross",
+    "nested_envelope_parse",
+    "pii_redact",
+    "array_explode_posexplode",
+    "hash_funcs",
+    "scalar_math_funcs",
+    "case_when_banding",
+    "agg_collect",
+    "agg_conditional",
+    "agg_global",
+    "agg_unpivot",
+    "distinct_rows",
+    "sort_limit_topk",
+    "set_intersect",
+    "text_token_stats",
+    "text_tfidf_top_terms",
+    "text_repeated_ngrams",
+    "text_unigram_logprob",
+    "text_chunk_udtf",
+    "text_gopher_quality",
+    "text_hashing_vectorizer",
+    "window_lag_lead",
+    "window_topk_per_group",
+    "sessionize",
+    "ann_lsh_hyperplane",
+    "dedup_representative_pick",
+    "split_train_val_test",
+    "quality_weighted_sample",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "pandas_udf_haversine",
+    # (c)-tail: the 16 r10 rows deferred past the ~50 gate, strongest
+    # fresh same-surface sibling first (re-queued r16):
+    # decontaminate_eval_overlap — decontaminate_spans (r15 head) is the
+    #   same decontamination surface with a sharper face, and r12-green
+    #   decontaminate_split shares its shingle + split definitions;
+    # knn_bruteforce / knn_dot_topk — the exact brute-force top-k frame
+    #   is the truth side of ann_recall_eval + matryoshka_recall_eval,
+    #   both at this window's r9 block;
+    # mm_patch_token_budget — a literal sub-expression of r11-green
+    #   curate_multimodal_corpus (re-verified this round by the r15
+    #   fill plan-equivalence test + builder 3-SF selfcheck);
+    # mm_content_dedup — min-id survivor per payload hash, the
+    #   dedup_exact shape (in-window) inside the r11-green curate chain;
+    # mm_binary_metadata — the same metadata-only projection the
+    #   r11-green curate chain scans through;
+    # sample_stratified_by_lang / sample_temperature_by_lang — share the
+    #   temperature-mixture weights with r14-green domain_mixture_weights
+    #   and mix_selection_report;
+    # sample_hash_fraction — the one md5-bucket hash law, shared with
+    #   in-window split_train_val_test and the r13-green seeded shards;
+    # split_leakage_free — composes r12-green dedup_clusters with the
+    #   same split law split_train_val_test re-checks in-window;
+    # text_quality_score — its feature expressions are the classifier
+    #   quartet's (re-checked at this window's r9 block);
+    # agg_cube / rollup_multi_granularity — the grouping-sets machinery
+    #   is r14-green (agg_rollup, agg_grouping_sets);
+    # window_session_30min — same session definition as in-window
+    #   sessionize;
+    # window_tumbling_5min — the tumbling bucket face of r14-green
+    #   events_hourly_seasonality and the r12-green eventtime twins;
+    # funnel_conversion — ordered-event-sequence surface of r14-green
+    #   events_sequence_support.
+    "decontaminate_eval_overlap",
+    "knn_bruteforce",
+    "knn_dot_topk",
+    "mm_patch_token_budget",
+    "mm_content_dedup",
+    "mm_binary_metadata",
+    "sample_stratified_by_lang",
+    "sample_temperature_by_lang",
+    "sample_hash_fraction",
+    "split_leakage_free",
+    "text_quality_score",
+    "agg_cube",
+    "rollup_multi_granularity",
+    "window_session_30min",
+    "window_tumbling_5min",
+    "funnel_conversion",
 ]
 
 
