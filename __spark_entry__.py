@@ -89,6 +89,7 @@ _PRIORITY = [
     # (a) new round-15 entries land here, at head (uncommented as each
     # lands — queries() hard-fails on names with no implementation)
     "decontaminate_spans",
+    "decontamination_report",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",
@@ -148,8 +149,7 @@ _PRIORITY = [
     "quality_weighted_sample",
     "mm_feature_extract",
     "mm_frame_sample",
-    "pandas_udf_haversine",
-    # (c)-tail: the 16 r10 rows deferred past the ~50 gate, strongest
+    # (c)-tail: the 17 r10 rows deferred past the ~50 gate, strongest
     # fresh same-surface sibling first (re-queued r16):
     # decontaminate_eval_overlap — decontaminate_spans (r15 head) is the
     #   same decontamination surface with a sharper face, and r12-green
@@ -180,8 +180,12 @@ _PRIORITY = [
     # window_tumbling_5min — the tumbling bucket face of r14-green
     #   events_hourly_seasonality and the r12-green eventtime twins;
     # funnel_conversion — ordered-event-sequence surface of r14-green
-    #   events_sequence_support.
+    #   events_sequence_support;
+    # pandas_udf_haversine — evicted by the r15 head's second entry:
+    #   the vectorized pandas_udf surface runs in-window via
+    #   mm_feature_extract and the haversine math via scalar_math_funcs.
     "decontaminate_eval_overlap",
+    "pandas_udf_haversine",
     "knn_bruteforce",
     "knn_dot_topk",
     "mm_patch_token_budget",

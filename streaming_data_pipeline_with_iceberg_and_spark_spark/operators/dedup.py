@@ -1849,6 +1849,44 @@ def decontaminate_spans_from_index(
     return span_decon_manifest(index, es_tokenized(corpus))
 
 
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-doc contamination readout (NEW round 15) — the summary
+    an eval-set owner reads before trusting a benchmark number: how many
+    train docs share a maximal ≥``_ES_K``-token verbatim span with this
+    eval doc, the span count, the total and longest contaminated train
+    token runs.  Pure composition of :func:`decontaminate_spans`'s
+    manifest (shared definition — the report and the surgical trim
+    worklist cannot disagree), so the maintained k-gram index serves it
+    too.  Scale: one groupBy over the contamination-mass-bounded
+    manifest."""
+    spans = decontaminate_spans(spark, sf_dir)
+    return (
+        spans.groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_train_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("n_tokens").cast("long").alias("contaminated_tokens"),
+            F.max("n_tokens").cast("int").alias("max_span_tokens"),
+        )
+        .orderBy("eval_doc_id")
+    )
+
+
+def _decontamination_report_sql() -> str:
+    inner = _decontaminate_spans_sql().replace(
+        "ORDER BY doc_id, eval_doc_id, start_tok", ""
+    )
+    return f"""
+WITH spans AS ({inner})
+SELECT eval_doc_id,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_train_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(n_tokens) AS BIGINT) AS contaminated_tokens,
+       CAST(MAX(n_tokens) AS INT) AS max_span_tokens
+FROM spans GROUP BY eval_doc_id ORDER BY eval_doc_id
+"""
+
+
 def _decontaminate_spans_sql() -> str:
     from .sampling import _split_case_sql
 
@@ -2156,6 +2194,7 @@ QUERIES = {
     "dedup_exact_substr": dedup_exact_substr,
     "dedup_exact_substr_apply": dedup_exact_substr_apply,
     "decontaminate_spans": decontaminate_spans,
+    "decontamination_report": decontamination_report,
     "dedup_clusters_lsh": dedup_clusters_lsh,
     "dedup_span_exact": dedup_span_exact,
     "dedup_semantic": dedup_semantic,
@@ -2182,7 +2221,9 @@ ORACLES = {
     "dedup_exact_substr_apply": DEDUP_EXACT_SUBSTR_APPLY_SQL,
     # round 15: span-level eval decontamination (Lee et al. eval-overlap
     # composed from the ExactSubstr k-gram machinery + the shared split)
+    # + the per-eval-doc contamination report over the same manifest
     "decontaminate_spans": _decontaminate_spans_sql(),
+    "decontamination_report": _decontamination_report_sql(),
     # round 14: signature-agreement cluster batch face (the twin of the
     # SEVENTEENTH incremental path's maintained merge log)
     "dedup_clusters_lsh": DEDUP_CLUSTERS_LSH_SQL,
