@@ -436,6 +436,27 @@ def _disc_median_window(df, group: str, tie: str, col: str, out: str):
     )
 
 
+def slice_bucket_expr(col: F.Column, bounds: list[float]) -> F.Column:
+    """Quantile-slice index for a numeric column against SORTED literal
+    boundaries: COUNT(bounds < value), as a chain of when-sums.
+
+    Deliberately NOT the ``F.aggregate`` higher-order fold over an array
+    literal: that form trips a Catalyst binding bug (INTERNAL_ERROR
+    ATTRIBUTE_NOT_FOUND — the folded column reference is lost when the
+    bucket expression is consumed from a groupBy branch of certain
+    child plans; reproduced on Spark 4.1 with a cached repartitioned
+    input during the r15 fill sweep, and it bit ALL three sliced-plan
+    call sites).  The chained whens are semantically identical — bounds
+    are ≤ 2·parallelism driver-collected literals — and stay inside
+    whole-stage codegen.  Empty bounds (degenerate/all-NULL domain) →
+    one slice; NULL values fold to slice 0 (nulls-first, matching the
+    windowed twins)."""
+    expr = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(col > F.lit(float(b)), 1).otherwise(0)
+    return expr
+
+
 def _disc_median_hist(df, group: str, tie: str, col: str, out: str):
     """Exact median from the value histogram: the corpus is touched by ONE
     hash-agg; the cumulative window runs over ≤ distinct-count rows per
@@ -493,18 +514,8 @@ def _disc_median_select(df, group: str, tie: str, col: str, out: str):
     # the (slice, value, tie) order equals the global (value, tie) order;
     # NULLs fold to slice 0, matching the windowed path's nulls-first.
     # Degenerate domain (all-NULL values → approxQuantile returns no
-    # boundaries): one slice — F.array() cannot type an empty literal,
-    # and one slice is exactly right for a one-point domain.
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
-        )
-    else:
-        bucket = F.lit(0)
-    keyed = df.withColumn("_bk", bucket)
+    # boundaries): one slice, exactly right for a one-point domain.
+    keyed = df.withColumn("_bk", slice_bucket_expr(F.col(col), bounds))
     # slices are value-bounded, so these windows parallelize — with one
     # residual skew case: equal values cannot straddle a slice, so a
     # single value carrying more rows than a slice serializes ITS slice
@@ -604,16 +615,7 @@ def adaptive_ntile(
             )
         )
     )
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col("_v") > b, 1).otherwise(0),
-        )
-    else:
-        bucket = F.lit(0)
-    keyed = keyed.withColumn("_bk", bucket)
+    keyed = keyed.withColumn("_bk", slice_bucket_expr(F.col("_v"), bounds))
     slice_w = Window.partitionBy("_bk").orderBy(
         F.desc(value_col) if descending else F.asc(value_col), F.asc(tie_col)
     )

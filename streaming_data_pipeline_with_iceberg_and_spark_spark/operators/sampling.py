@@ -1131,6 +1131,8 @@ def scale_adaptive_prefix_sum(
         )
         return df.withColumn(out, F.sum(weight_col).over(w))
 
+    from .analytics import slice_bucket_expr
+
     spark = df.sparkSession
     keyed = df.withColumn(
         "_v",
@@ -1146,16 +1148,7 @@ def scale_adaptive_prefix_sum(
             )
         )
     )
-    if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col("_v") > b, 1).otherwise(0),
-        )
-    else:
-        bucket = F.lit(0)
-    keyed = keyed.withColumn("_bk", bucket)
+    keyed = keyed.withColumn("_bk", slice_bucket_expr(F.col("_v"), bounds))
     slice_w = (
         Window.partitionBy(group_col, "_bk")
         .orderBy(*order)
