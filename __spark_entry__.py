@@ -90,6 +90,7 @@ _PRIORITY = [
     # lands — queries() hard-fails on names with no implementation)
     "decontaminate_spans",
     "decontamination_report",
+    "decontaminate_spans_apply",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",
@@ -148,8 +149,7 @@ _PRIORITY = [
     "split_train_val_test",
     "quality_weighted_sample",
     "mm_feature_extract",
-    "mm_frame_sample",
-    # (c)-tail: the 17 r10 rows deferred past the ~50 gate, strongest
+    # (c)-tail: the 18 r10 rows deferred past the ~50 gate, strongest
     # fresh same-surface sibling first (re-queued r16):
     # decontaminate_eval_overlap — decontaminate_spans (r15 head) is the
     #   same decontamination surface with a sharper face, and r12-green
@@ -183,9 +183,14 @@ _PRIORITY = [
     #   events_sequence_support;
     # pandas_udf_haversine — evicted by the r15 head's second entry:
     #   the vectorized pandas_udf surface runs in-window via
-    #   mm_feature_extract and the haversine math via scalar_math_funcs.
+    #   mm_feature_extract and the haversine math via scalar_math_funcs;
+    # mm_frame_sample — evicted by the r15 head's third entry: the
+    #   deterministic frame-index metadata math is the mm chain's
+    #   (r11-green curate + in-window mm_feature_extract covers the
+    #   decode-stub batch surface).
     "decontaminate_eval_overlap",
     "pandas_udf_haversine",
+    "mm_frame_sample",
     "knn_bruteforce",
     "knn_dot_topk",
     "mm_patch_token_budget",

@@ -1872,6 +1872,63 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the span-level decontamination trim (NEW round 15) — the
+    surgical half of the eval-overlap recipe: every TRAIN-split token
+    covered by a contaminated span against ANY eval doc is dropped, and
+    the op emits per-train-doc accounting plus the md5 of the surviving
+    text (byte-identical reconstruction, the
+    ``dedup_exact_substr_apply`` proof shape).  Eval docs are never
+    trimmed; uncontaminated train docs keep their full text.  The
+    worklist is :func:`decontaminate_spans`' manifest and the trim is
+    the shared :func:`apply_span_trim` core — manifest, report and trim
+    cannot disagree about a span."""
+    from .sampling import _split_of
+
+    docs = load_spread(spark, "documents", sf_dir, key="doc_id")
+    toked = es_tokenized(docs)
+    spans = span_decon_manifest(kgram_rows(toked), toked)
+    train_toked = toked.filter(_split_of(F.col("doc_id")) == "train")
+    return apply_span_trim(train_toked, spans)
+
+
+def _decontaminate_spans_apply_sql() -> str:
+    from .sampling import _split_case_sql
+
+    inner = _decontaminate_spans_sql().replace(
+        "ORDER BY doc_id, eval_doc_id, start_tok", ""
+    )
+    return f"""
+WITH spans AS ({inner}),
+d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND {_split_case_sql("doc_id")} = 'train'
+),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+  FROM spans, unnest(range(start_tok, start_tok + n_tokens)) AS t(p)
+),
+ex AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+  FROM d, unnest(range(1, len(toks) + 1)) AS t(i)
+),
+kept AS (
+  SELECT e.doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(e.tok, ' ' ORDER BY e.pos)) AS kept_hash
+  FROM ex e LEFT JOIN covered c ON c.doc_id = e.doc_id AND c.pos = e.pos
+  WHERE c.pos IS NULL
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d.toks) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(k.kept_hash, md5('')) AS kept_hash
+FROM d LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def _decontamination_report_sql() -> str:
     inner = _decontaminate_spans_sql().replace(
         "ORDER BY doc_id, eval_doc_id, start_tok", ""
@@ -1984,7 +2041,18 @@ def dedup_exact_substr_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", tokens("text").alias("t")
     )
-    spans = dedup_exact_substr(spark, sf_dir)
+    return apply_span_trim(toked, dedup_exact_substr(spark, sf_dir))
+
+
+def apply_span_trim(toked: DataFrame, spans: DataFrame) -> DataFrame:
+    """Execute a span trim worklist over a tokenized frame — the shared
+    core of ``dedup_exact_substr_apply`` and
+    ``decontaminate_spans_apply``: every token of ``toked`` covered by
+    any (doc_id, start_tok, n_tokens) span is dropped; emits per-doc
+    (n_tokens, n_dropped, md5 of the surviving text).  Covered
+    positions explode from spans (Σ span lengths rows, not corpus
+    tokens); the trim is one doc_id-keyed anti join + an ordered
+    re-aggregation per document."""
     covered = spans.select(
         "doc_id",
         F.explode(
@@ -2195,6 +2263,7 @@ QUERIES = {
     "dedup_exact_substr_apply": dedup_exact_substr_apply,
     "decontaminate_spans": decontaminate_spans,
     "decontamination_report": decontamination_report,
+    "decontaminate_spans_apply": decontaminate_spans_apply,
     "dedup_clusters_lsh": dedup_clusters_lsh,
     "dedup_span_exact": dedup_span_exact,
     "dedup_semantic": dedup_semantic,
@@ -2224,6 +2293,7 @@ ORACLES = {
     # + the per-eval-doc contamination report over the same manifest
     "decontaminate_spans": _decontaminate_spans_sql(),
     "decontamination_report": _decontamination_report_sql(),
+    "decontaminate_spans_apply": _decontaminate_spans_apply_sql(),
     # round 14: signature-agreement cluster batch face (the twin of the
     # SEVENTEENTH incremental path's maintained merge log)
     "dedup_clusters_lsh": DEDUP_CLUSTERS_LSH_SQL,

@@ -356,6 +356,22 @@ def test_decontaminate_spans_planted_truth(spark, tmp_path):
         (1, 8, 1, 10, 10, h),
     ]
 
+    # the trim face drops EXACTLY the planted tokens from the
+    # contaminated train doc, keeps the clean one byte-identical, and
+    # never touches eval docs
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        decontaminate_spans_apply,
+    )
+
+    trimmed = sorted(
+        map(tuple, decontaminate_spans_apply(spark, sf).collect())
+    )
+    kept1 = f"{u('a', 9)} {u('b', 9)}"
+    assert trimmed == [
+        (1, 28, 10, hashlib.md5(kept1.encode()).hexdigest()),
+        (2, 30, 0, hashlib.md5(docs[2].encode()).hexdigest()),
+    ]
+
 
 def test_lsh_storm_collapse_bounds_pairs_and_is_component_exact(spark):
     """Planted 500-copy boilerplate storm (r15, VERDICT r14 What's-wrong
