@@ -1065,3 +1065,19 @@ def test_r12_monitoring_faces_stay_bounded(plan):
         assert "CartesianProduct" not in p, name
         keys = re.findall(r"SortAggregate\(key=\[([^\]]*)\]", p)
         assert all(k.strip() == "" for k in keys), (name, keys)
+
+
+def test_decontaminate_spans_join_is_hash_keyed(plan):
+    """The span-decontamination candidate join must be keyed on the
+    k-gram hash (sort-merge or broadcast-hash on h) — never a nested-
+    loop/cartesian over train × eval postings — and the final token
+    slice must join on doc_id.  This is the plan property that carries
+    the 100-TB claim: candidate mass is postings-keyed, islands run on
+    matched positions only."""
+    for name in ("decontaminate_spans", "decontaminate_spans_apply"):
+        p = plan(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        # the h-keyed candidate join appears as a hash/sort-merge join
+        # with the kgram hash column on both sides
+        assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p), name
