@@ -91,6 +91,9 @@ _PRIORITY = [
     "decontaminate_spans",
     "decontamination_report",
     "decontaminate_spans_apply",
+    "knn_hamming",
+    "ann_hamming_rerank",
+    "events_theil_sen_trend",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",

@@ -4792,6 +4792,180 @@ ORDER BY lag
 """
 
 
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate per event type (NEW round 15):
+    the slope is the median of all pairwise slopes (n_j − n_i)/(j − i)
+    over the zero-filled daily count series — the classic
+    breakdown-point-29% trend estimator that a single outage day or
+    bot-storm spike cannot drag the way it drags OLS (reported alongside
+    for exactly that contrast).  The companion intercept is the median
+    of (n_i − slope·i), the standard Theil–Sen pairing.
+
+    Reads the SHARED ``daily_type_grid`` series (CUSUM / backtest /
+    Holt-Winters all read the same one — the monitors cannot disagree
+    about the data).  Medians are DISCRETE lower-medians selected by
+    rank with (value, i, j) tie order — exact, engine-identical, no
+    interpolation divergence.
+
+    Scale shape: one (type, day) hash agg over the fact, then the O(d²)
+    pair frame runs on the CALENDAR-bounded grid (d = spine days, so
+    ~365² ≈ 130k pairs/type/year at ANY corpus size — quadratic in the
+    calendar, never in the data); slope pick + intercept are rank-1
+    windows over that bounded frame; OLS needs only integer moment sums.
+    """
+    return theil_sen_from_grid(daily_type_grid(load(spark, "events", sf_dir)))
+
+
+def theil_sen_from_grid(grid: DataFrame) -> DataFrame:
+    """Theil–Sen + OLS trend from any (event_type, day, n) series frame —
+    the grid→estimate core, split out so the planted-outlier truth test
+    and the maintained-cells serve path read the identical estimator."""
+    w0 = Window.partitionBy("event_type").orderBy("day")
+    pts = grid.select(
+        "event_type", F.row_number().over(w0).alias("i"), "n"
+    )
+    a = pts.select("event_type", "i", F.col("n").alias("ni"))
+    b = pts.select(
+        "event_type", F.col("i").alias("j"), F.col("n").alias("nj")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("i") < F.col("j")).select(
+        "event_type",
+        "i",
+        "j",
+        (
+            (F.col("nj") - F.col("ni")).cast("double")
+            / (F.col("j") - F.col("i")).cast("double")
+        ).alias("slope"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("slope", "i", "j")
+    slope = (
+        pairs.withColumn("rk", F.row_number().over(ws))
+        .withColumn(
+            "n_pairs", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select("event_type", "n_pairs", F.col("slope").alias("ts_slope"))
+    )
+    resid = pts.join(F.broadcast(slope), "event_type").select(
+        "event_type",
+        "i",
+        "n_pairs",
+        "ts_slope",
+        (F.col("n") - F.col("ts_slope") * F.col("i")).alias("r"),
+    )
+    wi = Window.partitionBy("event_type").orderBy("r", "i")
+    picked = (
+        resid.withColumn("rk", F.row_number().over(wi))
+        .withColumn(
+            "n_days", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rk") == F.floor((F.col("n_days") + 1) / 2))
+        .select(
+            "event_type", "n_days", "n_pairs", "ts_slope",
+            F.col("r").alias("ts_intercept"),
+        )
+    )
+    # OLS contrast from exact integer moments: one tiny agg on the grid.
+    ols = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("i").alias("sx"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("i") * F.col("n")).alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).alias("sxx"),
+    ).select(
+        "event_type",
+        (
+            (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("ols_slope"),
+    )
+    return (
+        picked.join(ols, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round("ts_slope", 6).alias("ts_slope"),
+            F.round("ts_intercept", 6).alias("ts_intercept"),
+            F.round("ols_slope", 6).alias("ols_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+THEIL_SEN_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS day
+),
+grid AS (
+  SELECT t.event_type, CAST(s.day AS DATE) AS day, COALESCE(d.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN spine s
+  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = CAST(s.day AS DATE)
+),
+pts AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         n
+  FROM grid
+),
+pairs AS (
+  SELECT a.event_type, a.i, b.i AS j,
+         CAST(b.n - a.n AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+  FROM pts a JOIN pts b ON b.event_type = a.event_type AND a.i < b.i
+),
+slope AS (
+  SELECT event_type, n_pairs, slope AS ts_slope FROM (
+    SELECT event_type, slope, i, j,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY slope, i, j) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+    FROM pairs
+  ) WHERE rk = CAST(FLOOR((n_pairs + 1) / 2.0) AS BIGINT)
+),
+resid AS (
+  SELECT p.event_type, p.i, s.n_pairs, s.ts_slope,
+         p.n - s.ts_slope * p.i AS r
+  FROM pts p JOIN slope s ON s.event_type = p.event_type
+),
+picked AS (
+  SELECT event_type, n_days, n_pairs, ts_slope, r AS ts_intercept FROM (
+    SELECT event_type, n_pairs, ts_slope, r, i,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r, i) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_days
+    FROM resid
+  ) WHERE rk = CAST(FLOOR((n_days + 1) / 2.0) AS BIGINT)
+),
+ols AS (
+  SELECT event_type,
+         CAST(COUNT(*) * SUM(i * n) - SUM(i) * SUM(n) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(i * i) - SUM(i) * SUM(i) AS DOUBLE)
+           AS ols_slope
+  FROM pts GROUP BY event_type
+)
+SELECT p.event_type,
+       CAST(p.n_days AS BIGINT) AS n_days,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(p.ts_slope, 6) AS ts_slope,
+       ROUND(p.ts_intercept, 6) AS ts_intercept,
+       ROUND(o.ols_slope, 6) AS ols_slope
+FROM picked p JOIN ols o ON o.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+
 def experiment_did_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences readout (NEW round 13; the Card-Krueger
     quasi-experimental design — completes the experimentation family
@@ -5089,6 +5263,7 @@ QUERIES = {
     "user_survival_km": user_survival_km,
     "experiment_did_eval": experiment_did_eval,
     "events_daily_autocorr": events_daily_autocorr,
+    "events_theil_sen_trend": events_theil_sen_trend,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "events_hw_forecast": events_hw_forecast,
@@ -5150,6 +5325,8 @@ ORACLES = {
     "user_survival_km": USER_SURVIVAL_KM_SQL,
     "experiment_did_eval": EXPERIMENT_DID_SQL,
     "events_daily_autocorr": EVENTS_DAILY_AUTOCORR_SQL,
+    # round 15: Theil–Sen robust trend on the shared daily grid
+    "events_theil_sen_trend": THEIL_SEN_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     # round 14: Holt-Winters additive weekly seasonality + its holdout

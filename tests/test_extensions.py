@@ -59,6 +59,39 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     assert recall > 0.05, f"ANN recall suspiciously low: {recall}"
 
 
+def test_sign_code_packing_and_hamming(spark, sf_dir):
+    """The 64 sign bits round-trip: each word is a non-negative 32-bit
+    value, bit i of word j is exactly (embedding[32j+i] >= 0), and the
+    Hamming scan's self-distance is 0 (a vector's code vs itself)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    emb = load(spark, "embeddings", sf_dir).limit(20)
+    coded = similarity._sign_coded(emb).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    for r in coded.collect():
+        for j, w in ((0, r.w0), (1, r.w1)):
+            assert 0 <= w < 2**32
+            for i in range(32):
+                expect = 1 if r.embedding[32 * j + i] >= 0 else 0
+                assert (w >> i) & 1 == expect, (r.vec_id, j, i)
+
+
+def test_hamming_rerank_recall_vs_exact(spark, sf_dir):
+    """64-bit sign codes + exact re-rank must preserve most of the exact
+    top-5 (Charikar: bit-agreement ≈ 1 − θ/π; with a 32-wide funnel the
+    measured recall on this data is ~0.8 — gate well below at 0.4)."""
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_bruteforce(spark, sf_dir).collect()
+    }
+    rer = similarity.ann_hamming_rerank(spark, sf_dir).collect()
+    approx = {(r.q_id, r.vec_id) for r in rer}
+    assert all(0 <= r.hamming <= 64 for r in rer)
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.4, f"binary rerank recall suspiciously low: {recall}"
+
+
 def test_ann_ivf_recall_and_determinism(spark, sf_dir):
     exact = {
         (r.q_id, r.vec_id)
@@ -2071,6 +2104,36 @@ def test_hw_forecast_periodic_series_exact(spark, tmp_path):
 
     (bt,) = events_hw_backtest(spark, sf).collect()
     assert (bt.mae_hw, bt.mae_snaive, bt.hw_wins) == (0.0, 0.0, 1)
+
+
+def test_theil_sen_resists_planted_outlier(spark):
+    """On a clean line y = 2i + 3 with ONE wild spike, Theil–Sen must
+    recover slope 2 exactly (the spike touches < 29% of pairs) while OLS
+    is visibly dragged — the robustness contrast the op reports."""
+    from datetime import date
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        theil_sen_from_grid,
+    )
+
+    n_days = 21
+    rows = [
+        (
+            "a",
+            date(2024, 1, 1 + i),
+            # spike on the LAST day — max x-leverage (a spike at mean-x
+            # would leave OLS untouched)
+            (2 * (i + 1) + 3) + (500 if i == n_days - 1 else 0),
+        )
+        for i in range(n_days)
+    ]
+    grid = spark.createDataFrame(rows, "event_type string, day date, n long")
+    (r,) = theil_sen_from_grid(grid).collect()
+    assert r.n_days == n_days
+    assert r.n_pairs == n_days * (n_days - 1) // 2
+    assert r.ts_slope == 2.0, r
+    assert r.ts_intercept == 3.0, r
+    assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
 def test_hw_forecast_short_series_null_contract(spark, tmp_path):
