@@ -94,6 +94,7 @@ _PRIORITY = [
     "knn_hamming",
     "ann_hamming_rerank",
     "events_theil_sen_trend",
+    "bootstrap_ci_order_value",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_bucket32
+from ..functions.text import md5_bucket16, md5_bucket32
 from ..io import checkpoint_release, load, load_spread, parquet_row_count
 
 _FUNNEL = ["view", "click", "purchase"]
@@ -4966,6 +4966,197 @@ ORDER BY p.event_type
 """
 
 
+# --- Deterministic Poisson bootstrap ---------------------------------------
+# Replicate count: enough for a discrete 95% band (ranks 2 and R−1), small
+# enough that the replicate fan-out is a constant factor on the scan.
+_BOOT_R = 40
+# Poisson(1) CDF thresholds, pinned to 6 decimals — the inverse-CDF table
+# BOTH engines compare the md5 uniform against (literal-for-literal, so the
+# draw cannot flake at a boundary); tail mass beyond 6 lands on w=7.
+_POIS1_CDF = (0.367879, 0.735759, 0.919699, 0.981012, 0.996341, 0.999406,
+              0.999917)
+
+
+def _pois1_weight(u: F.Column) -> F.Column:
+    """Inverse-CDF Poisson(1) draw from a uniform in [0,1): the smallest k
+    with u < F(k)."""
+    w: F.Column | None = None
+    expr = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        expr = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap 95% CI on the mean order value per order
+    priority (NEW round 15) — the uncertainty readout the experimentation
+    family (z / Wilson / CUPED / DiD) lacks for non-binary metrics with
+    no closed-form variance: does priority A's mean order value CREDIBLY
+    exceed B's, or is the gap inside resampling noise?
+
+    The resampler is the POISSON bootstrap (Chamandy et al., the
+    map-reduce-native form): instead of drawing n rows with replacement
+    (which needs a global index), each row independently contributes
+    Poisson(1) copies to each replicate — exchangeable with the classic
+    bootstrap at scale, and embarrassingly parallel. Every draw is
+    DETERMINISTIC, and hashing amortizes 8 draws per digest: one md5 has
+    32 hex chars = EIGHT 16-bit lanes, so replicate r reads lane (r mod 8)
+    of md5(orderkey:⌊r/8⌋) as u = (lane mod 10⁴)/10⁴ (the
+    ``sample_hash_fraction`` law per lane — R=40 costs 5 hashes/row, not
+    40) pushed through a 6-decimal-pinned inverse-CDF table, so reruns,
+    partitionings and both engines produce the same replicates. Money
+    sums as integer cents; each replicate mean is ONE integer/integer
+    double division; the CI is the DISCRETE (rank-2, rank-39) band of
+    the 40 sorted replicate means with (value, replicate) tie order —
+    no interpolation divergence.
+
+    Scale shape: the scan fans out ×R through a posexplode of the
+    per-row weight array, but partial aggregation collapses (priority,
+    replicate) cells map-side — the shuffle carries ≤ |priorities|·R
+    rows per task, and everything after runs on the |priorities|×R
+    grid. At 100 TB: one pass over orders, 200 shuffle rows per task,
+    driver state nil. (`load_spread`: the per-row hashing dominates scan
+    width, so the single-row-group test file must not serialize into
+    one task.)"""
+    orders = load_spread(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    n_salts = (_BOOT_R + 7) // 8
+    digests = F.transform(
+        F.sequence(F.lit(0), F.lit(n_salts - 1)),
+        lambda s: F.md5(
+            F.concat_ws(
+                ":", F.col("o_orderkey").cast("string"), s.cast("string")
+            )
+        ),
+    )
+    # Two-step binding, both load-bearing for cost: digests materialize as
+    # a COLUMN (an inlined expression would re-hash inside every lambda
+    # body), and u binds as a LAMBDA VARIABLE before the inverse-CDF CASE
+    # (whose 7 branches would otherwise each re-evaluate the whole
+    # hash-extract expression).
+    uniforms = F.transform(
+        F.sequence(F.lit(0), F.lit(_BOOT_R - 1)),
+        lambda r: F.pmod(
+            F.conv(
+                F.substring(
+                    F.get(F.col("h"), F.floor(r / 8).cast("int")),
+                    (F.pmod(r, F.lit(8)) * 4 + 1).cast("int"),
+                    F.lit(4),
+                ),
+                16,
+                10,
+            ).cast("int"),
+            F.lit(10000),
+        )
+        / F.lit(10000.0),
+    )
+    weights = F.transform(uniforms, lambda u: _pois1_weight(u).cast("long"))
+    cells = (
+        orders.withColumn("h", digests)
+        .select(
+            "o_orderpriority",
+            "cents",
+            F.posexplode(weights).alias("r", "w"),
+        )
+        .groupBy("o_orderpriority", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+            F.sum("w").alias("wn"),
+        )
+        .select(
+            "o_orderpriority",
+            "r",
+            (F.col("wsum").cast("double") / F.col("wn").cast("double")).alias(
+                "mean_c"
+            ),
+        )
+    )
+    wrk = Window.partitionBy("o_orderpriority").orderBy("mean_c", "r")
+    band = (
+        cells.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk").isin(2, _BOOT_R - 1))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("mean_c").alias("lo_c"),
+            F.max("mean_c").alias("hi_c"),
+        )
+    )
+    point = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("mean_c"),
+    )
+    return (
+        point.join(band, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("mean_c") / 100.0, 4).alias("mean_value"),
+            F.round(F.col("lo_c") / 100.0, 4).alias("ci_lo"),
+            F.round(F.col("hi_c") / 100.0, 4).alias("ci_hi"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _pois1_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {_POIS1_CDF[k]} THEN {k}"
+        for k in range(len(_POIS1_CDF))
+    )
+    return f"CASE {branches} ELSE {len(_POIS1_CDF)} END"
+
+
+BOOTSTRAP_CI_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+reps AS (SELECT UNNEST(range({_BOOT_R})) AS r),
+draws AS (
+  SELECT o.o_orderpriority, reps.r, o.cents,
+         {_pois1_weight_sql(
+             "((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' "
+             "|| CAST((r // 8) AS VARCHAR)), (r % 8) * 4 + 1, 4)) AS INT) "
+             "% 10000) / 10000.0)"
+         )} AS w
+  FROM o CROSS JOIN reps
+),
+cells AS (
+  SELECT o_orderpriority, r,
+         CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_c
+  FROM draws GROUP BY 1, 2
+),
+band AS (
+  SELECT o_orderpriority, MIN(mean_c) AS lo_c, MAX(mean_c) AS hi_c FROM (
+    SELECT o_orderpriority, mean_c,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY mean_c, r) AS rk
+    FROM cells
+  ) WHERE rk IN (2, {_BOOT_R - 1})
+  GROUP BY 1
+),
+point AS (
+  SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_c
+  FROM o GROUP BY 1
+)
+SELECT p.o_orderpriority,
+       CAST(p.n_orders AS BIGINT) AS n_orders,
+       ROUND(p.mean_c / 100.0, 4) AS mean_value,
+       ROUND(b.lo_c / 100.0, 4) AS ci_lo,
+       ROUND(b.hi_c / 100.0, 4) AS ci_hi
+FROM point p JOIN band b ON b.o_orderpriority = p.o_orderpriority
+ORDER BY p.o_orderpriority
+"""
+
+
 def experiment_did_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences readout (NEW round 13; the Card-Krueger
     quasi-experimental design — completes the experimentation family
@@ -5264,6 +5455,7 @@ QUERIES = {
     "experiment_did_eval": experiment_did_eval,
     "events_daily_autocorr": events_daily_autocorr,
     "events_theil_sen_trend": events_theil_sen_trend,
+    "bootstrap_ci_order_value": bootstrap_ci_order_value,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "events_hw_forecast": events_hw_forecast,
@@ -5327,6 +5519,8 @@ ORACLES = {
     "events_daily_autocorr": EVENTS_DAILY_AUTOCORR_SQL,
     # round 15: Theil–Sen robust trend on the shared daily grid
     "events_theil_sen_trend": THEIL_SEN_SQL,
+    # round 15: deterministic Poisson-bootstrap percentile CI
+    "bootstrap_ci_order_value": BOOTSTRAP_CI_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     # round 14: Holt-Winters additive weekly seasonality + its holdout

@@ -821,27 +821,90 @@ def order_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the header), so all sums are order-free longs and the comparison
     is exact cross-engine. Scale shape: one hash agg collapses lineitem
     to per-order cents (distinct-key frame), one join to headers, one
-    1-row aggregate."""
-    line_cents = F.floor(
+    1-row aggregate. Since round 15 the pieces are shared with the
+    TWENTY-SECOND incremental path (`reconciliation_from_state`): the
+    cents expressions, the per-order collapse and the final report
+    aggregate are single definitions, so the batch and maintained faces
+    cannot disagree."""
+    lines = recon_line_partials(
+        load(spark, "lineitem", sf_dir)
+    ).groupBy(F.col("k")).agg(F.sum("line_cents").alias("line_cents"))
+    hdr = recon_order_partials(load(spark, "orders", sf_dir)).select(
+        "k", "hdr_cents"
+    )
+    return _recon_report(hdr.join(lines, "k", "left"))
+
+
+def _recon_line_cents() -> F.Column:
+    """Per-line integer cents — THE line-revenue definition (batch audit
+    and the 22nd path's ingest partials share it)."""
+    return F.floor(
         F.col("l_extendedprice")
         * (F.lit(1.0) - F.col("l_discount"))
         * (F.lit(1.0) + F.col("l_tax"))
         * 100
         + F.lit(0.5)
     ).cast("long")
-    lines = (
-        load(spark, "lineitem", sf_dir)
-        .filter(F.col("l_orderkey").isNotNull())
+
+
+def recon_line_partials(li: DataFrame) -> DataFrame:
+    """Per-order additive lineitem partials (k, line_cents, n_lines) from
+    lineitem-shaped rows — aggregation pushed below any join, so state
+    appends are order-mass, never lineitem-mass."""
+    return (
+        li.filter(F.col("l_orderkey").isNotNull())
         .groupBy(F.col("l_orderkey").alias("k"))
-        .agg(F.sum(line_cents).alias("line_cents"))
+        .agg(
+            F.sum(_recon_line_cents()).alias("line_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
-    hdr = load(spark, "orders", sf_dir).select(
+
+
+def recon_order_partials(orders: DataFrame) -> DataFrame:
+    """Header partials (k, hdr_cents, hdr_n) — hdr_n makes the merged
+    state self-describing (an order is 'stated' iff hdr_n > 0)."""
+    return orders.filter(F.col("o_orderkey").isNotNull()).select(
         F.col("o_orderkey").alias("k"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("hdr_cents"),
+        F.lit(1).cast("long").alias("hdr_n"),
     )
-    j = hdr.join(lines, "k", "left")
+
+
+def merge_recon_partials(state: DataFrame) -> DataFrame:
+    """Collapse appended partials to one row per order — every column is
+    an additive integer sum, so ANY batch split / arrival order / replay
+    state merges to the same frame (the mergeable-sums IVM class)."""
+    return state.groupBy("k").agg(
+        F.sum("hdr_cents").alias("hdr_cents"),
+        F.sum("hdr_n").alias("hdr_n"),
+        F.sum("line_cents").alias("line_cents"),
+        F.sum("n_lines").alias("n_lines"),
+    )
+
+
+def reconciliation_from_state(state: DataFrame) -> DataFrame:
+    """The audit served from the 22nd path's maintained partials: merge,
+    keep stated orders (hdr_n > 0 — lines whose header never arrived stay
+    pending, exactly the batch face's header-driven left join), and map
+    n_lines = 0 back to the batch face's NULL line_cents (an order with
+    no lines is 'unmatched', not 'sums to zero'). ≡
+    ``order_reconciliation_audit`` over everything ingested."""
+    m = merge_recon_partials(state).filter(F.col("hdr_n") > 0)
+    j = m.select(
+        "hdr_cents",
+        F.when(F.col("n_lines") == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("line_cents"))
+        .alias("line_cents"),
+    )
+    return _recon_report(j)
+
+
+def _recon_report(j: DataFrame) -> DataFrame:
+    """One-row reconciliation report over a (hdr_cents, line_cents) frame
+    — the single final-aggregate definition both faces share."""
     diff = F.abs(F.col("hdr_cents") - F.col("line_cents"))
     return j.agg(
         F.count(F.lit(1)).alias("n_orders"),

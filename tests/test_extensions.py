@@ -2136,6 +2136,37 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_bootstrap_ci_invariants(spark, sf_dir):
+    """The percentile band must bracket the point estimate (40 replicates
+    of a mean around its own center), the band must be ordered, and the
+    pinned Poisson(1) inverse-CDF table must draw with mean ≈ 1 — the
+    property that makes Poisson-bootstrap replicates exchangeable with
+    the classic n-with-replacement bootstrap."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        _pois1_weight,
+        bootstrap_ci_order_value,
+    )
+
+    rows = bootstrap_ci_order_value(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ci_lo <= r.ci_hi
+        assert r.ci_lo <= r.mean_value <= r.ci_hi, r
+
+    draws = (
+        spark.range(20000)
+        .select(_pois1_weight((F.col("id") % 10000) / 10000.0).alias("w"))
+        .agg(
+            F.avg("w").alias("m"),
+            F.max("w").alias("mx"),
+            F.min("w").alias("mn"),
+        )
+        .collect()[0]
+    )
+    assert 0.95 < draws.m < 1.05, draws
+    assert draws.mn == 0 and draws.mx <= 7
+
+
 def test_hw_forecast_short_series_null_contract(spark, tmp_path):
     """A grid spanning fewer than 2m days emits the type with NULL
     state (and the backtest NULL metrics) instead of erroring — the
