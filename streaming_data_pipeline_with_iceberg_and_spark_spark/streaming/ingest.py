@@ -1912,6 +1912,100 @@ def compact_revenue_state(
     )
 
 
+RECON_ENVELOPE_SCHEMA = (
+    "kind string, l_orderkey long, l_extendedprice double,"
+    " l_discount double, l_tax double, o_orderkey long, o_totalprice double"
+)
+
+
+def start_incremental_recon_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    state_root: str,
+    schema=RECON_ENVELOPE_SCHEMA,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "recon_ingest",
+) -> StreamingQuery:
+    """EXACT incremental order-reconciliation maintenance — the
+    TWENTY-SECOND incremental path, and the second one whose served view
+    is a JOIN (orders ⋈ lineitem rollup): where the 21st path needed the
+    delta-join identity (its aggregate groups by a DIMENSION attribute),
+    the reconciliation view joins header and lines ON THE AGGREGATION KEY
+    itself (o_orderkey), so the join degenerates into a per-key merge of
+    two additive partial families — no stored-side join at ingest at all:
+
+    - lineitem-kind rows pre-aggregate to per-order (line_cents, n_lines)
+      partials (``recon_line_partials`` — the SAME cents expression and
+      collapse the batch audit uses);
+    - order-kind rows become (hdr_cents, hdr_n=1) partials
+      (``recon_order_partials``);
+    - both append into ONE order-keyed state table with every column an
+      additive integer sum — the mergeable-sums IVM class: no ordering
+      contract, a lineitem landing batches before its header (or after
+      it, or split across batches) merges exactly, replay is a no-op
+      under the idempotent namespaced batch key.
+
+    ``reconciliation_from_state(state) ≡ order_reconciliation_audit``
+    over everything ingested (parity test across uneven interleaved
+    splits, out-of-order arrival both ways, replay, compaction).  At
+    100 TB the finance gate refreshes from |orders|-bounded state —
+    never re-scanning the lineitem fact."""
+    from ..operators.quality import recon_line_partials, recon_order_partials
+    from ..sources.snapshots import SnapshotTable
+
+    state_t = SnapshotTable(spark, state_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def recon_batch(batch_df: DataFrame, batch_id: int) -> None:
+        lines = recon_line_partials(
+            batch_df.filter(F.col("kind") == "lineitem")
+        ).select(
+            "k",
+            F.lit(0).cast("long").alias("hdr_cents"),
+            F.lit(0).cast("long").alias("hdr_n"),
+            "line_cents",
+            "n_lines",
+        )
+        hdrs = recon_order_partials(
+            batch_df.filter(F.col("kind") == "order")
+        ).select(
+            "k",
+            "hdr_cents",
+            "hdr_n",
+            F.lit(0).cast("long").alias("line_cents"),
+            F.lit(0).cast("long").alias("n_lines"),
+        )
+        state_t.append_batch(
+            lines.unionByName(hdrs), f"{stream_id}#{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(recon_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_recon_state(
+    spark: SparkSession, state_root: str, compaction_id=None
+) -> None:
+    """Collapse the 22nd path's partials log to one row per order — a
+    semantic no-op (all columns additive integer sums; overwrite keeps
+    the key log so replay protection survives)."""
+    from ..operators.quality import merge_recon_partials
+    from ..sources.snapshots import SnapshotTable
+
+    state_t = SnapshotTable(spark, state_root)
+    state_t.overwrite(
+        merge_recon_partials(state_t.read()), batch_id=compaction_id
+    )
+
+
 def start_incremental_kgram_index_ingest(
     spark: SparkSession,
     source_dir: str,

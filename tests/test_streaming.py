@@ -2979,6 +2979,119 @@ def test_incremental_revenue_ingest_matches_batch_q5(spark, tmp_path):
     assert [tuple(r) for r in q5_from_revenue_cells(m).collect()] == want
 
 
+def test_incremental_recon_ingest_matches_batch_audit(spark, tmp_path):
+    """Order-reconciliation from maintained per-order partials (the
+    twenty-second path): reconciliation_from_state over state ingested
+    from an interleaved order/lineitem envelope stream equals the batch
+    order_reconciliation_audit on the same tables — with out-of-order
+    arrival both ways (lines before their header and headers before any
+    line), a planted no-lines order and planted header-less lines (which
+    must stay pending), replay adding nothing, and compaction collapsing
+    to one row per order without changing the report."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.quality import (
+        order_reconciliation_audit,
+        reconciliation_from_state,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_recon_state,
+        start_incremental_recon_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li_rows = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+        .collect()
+    )
+    ord_rows = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    src = tmp_path / "env_in"
+    src.mkdir()
+    state_root = str(tmp_path / "recon_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_recon_ingest(
+            spark, str(src), state_root, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    def li_env(r):
+        return {
+            "kind": "lineitem",
+            "l_orderkey": r.l_orderkey,
+            "l_extendedprice": r.l_extendedprice,
+            "l_discount": r.l_discount,
+            "l_tax": r.l_tax,
+        }
+
+    def ord_env(r):
+        return {
+            "kind": "order",
+            "o_orderkey": r.o_orderkey,
+            "o_totalprice": r.o_totalprice,
+        }
+
+    # headers %3==1 land a batch before any of their lines; lines %3==0
+    # land before their headers; header-less lines (keys beyond the
+    # order range) stay pending forever and must not enter the report
+    batches = [
+        [li_env(r) for r in li_rows if r.l_orderkey % 3 == 0]
+        + [ord_env(r) for r in ord_rows if r.o_orderkey % 3 == 1],
+        [li_env(r) for r in li_rows if r.l_orderkey % 3 == 1]
+        + [ord_env(r) for r in ord_rows if r.o_orderkey % 3 == 2]
+        + [
+            {
+                "kind": "lineitem",
+                "l_orderkey": 10**12,
+                "l_extendedprice": 1000.0,
+                "l_discount": 0.0,
+                "l_tax": 0.0,
+            }
+        ],
+        [li_env(r) for r in li_rows if r.l_orderkey % 3 == 2]
+        + [ord_env(r) for r in ord_rows if r.o_orderkey % 3 == 0],
+    ]
+    for i, b in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for d in b:
+                f.write(_json.dumps(d) + "\n")
+        drain()
+
+    state_t = SnapshotTable(spark, state_root)
+    want_row = order_reconciliation_audit(spark, sf).collect()[0]
+    got_row = reconciliation_from_state(state_t.read()).collect()[0]
+    # the planted header-less line must NOT shift the report
+    assert tuple(got_row) == tuple(want_row)
+    assert want_row.n_orders > 0
+
+    # replay: nothing appended twice
+    n = state_t.read().count()
+    drain()
+    assert state_t.read().count() == n
+    assert tuple(
+        reconciliation_from_state(state_t.read()).collect()[0]
+    ) == tuple(want_row)
+
+    # compaction: one row per order key (incl. the pending orphan),
+    # report unchanged
+    compact_recon_state(spark, state_root)
+    m = state_t.read()
+    assert m.count() == m.select("k").distinct().count()
+    assert 10**12 in {r.k for r in m.select("k").collect()}
+    assert tuple(
+        reconciliation_from_state(m).collect()[0]
+    ) == tuple(want_row)
+
+
 def test_incremental_word_cells_ingest_serves_both_trainers(spark, tmp_path):
     """Word-type frequency cells at ingest (mergeable integer sums, the
     nineteenth path): BOTH tokenizer trainers re-run from the maintained
