@@ -95,6 +95,7 @@ _PRIORITY = [
     "ann_hamming_rerank",
     "events_theil_sen_trend",
     "bootstrap_ci_order_value",
+    "text_topic_plsa",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",

@@ -4650,9 +4650,246 @@ ORDER BY source
 """
 
 
+# --- pLSA topic model ------------------------------------------------------
+# Hofmann's probabilistic latent semantic analysis (EM over p(w|z), p(z|d))
+# — the corpus-exploration face LLM curation uses for domain discovery and
+# mixture planning. Everything pinned for cross-engine exactness:
+_PLSA_K = 3        # topics
+_PLSA_V = 100      # vocabulary: top-V corpus tokens (count desc, token asc)
+_PLSA_ITERS = 3    # EM iterations, unrolled in the oracle
+_PLSA_TOP = 6      # terms reported per topic
+# Rounding contract: responsibilities at 12 (kills the k-way sum's
+# last-ulp order dependence), factor tables at 9 per iteration (the
+# kmeans/classifier trajectory-pinning recipe), report at 6.
+
+
+def _plsa_seed(prefix, z) -> F.Column:
+    """Deterministic strictly-positive init mass in [1, 1000] from the
+    md5 lane law — seeds p(w|z) and p(z|d) identically on both engines."""
+    return (
+        F.pmod(md5_bucket16(F.concat_ws(":", prefix, z.cast("string"))), F.lit(1000))
+        + 1
+    ).cast("double")
+
+
+def text_topic_plsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pLSA topic decomposition of the corpus (NEW round 15): factor the
+    (doc, term) count matrix into ``_PLSA_K`` topics by
+    expectation-maximization — p(w|z) topic-term profiles and p(z|d)
+    per-doc mixtures — and report each topic's top terms plus its corpus
+    share. The unsupervised corpus-exploration face next to the
+    supervised classifier family: domain discovery, mixture planning
+    ("what IS in this crawl?") and topic-balance gates all read this.
+
+    Deterministic and value-exact across engines (the pinned-iteration
+    discipline): md5-seeded strictly-positive init, ``_PLSA_ITERS``
+    unrolled EM rounds, responsibilities ROUND(12) (absorbing the k-way
+    sum's last-ulp order dependence), factor tables ROUND(9) per round
+    (the kmeans/classifier trajectory-pinning recipe — far above the
+    ~1e-16 float-reduction drift, so label switching cannot occur), and
+    a (p desc, term asc) rank with the report at ROUND(6).
+
+    Scale shape: vocabulary is TakeOrdered top-V (the textrank cap
+    discipline) so p(w|z) is a V×k BROADCAST table; p(z|d) is doc-keyed
+    and stays distributed; each EM round is ONE join-agg pass over the
+    (doc, term, count) frame (wordcount-shaped — the count matrix joins
+    its broadcast factors, responsibilities normalize in a (d,w) window
+    over k rows, and both M-step tables are hash aggs). Factor tables
+    localCheckpoint per round, so the lineage — and the recompute — is
+    one round deep regardless of iteration count."""
+    docs = load_spread(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        F.col("doc_id").alias("d"), F.explode(tokens("text")).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(_PLSA_V)
+        .select("w")
+    )
+    dw = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    zs = spark.range(_PLSA_K).select(F.col("id").cast("int").alias("z"))
+    wz = Window.partitionBy("z")
+    pwz = (
+        vocab.crossJoin(zs)
+        .select("w", "z", _plsa_seed(F.col("w"), F.col("z")).alias("raw"))
+        .select(
+            "w", "z", F.round(F.col("raw") / F.sum("raw").over(wz), 9).alias("p")
+        )
+        .localCheckpoint(eager=True)
+    )
+    wd = Window.partitionBy("d")
+    pzd = (
+        dw.select("d")
+        .distinct()
+        .crossJoin(F.broadcast(zs))
+        .select(
+            "d",
+            "z",
+            _plsa_seed(F.col("d").cast("string"), F.col("z")).alias("raw"),
+        )
+        .select(
+            "d", "z", F.round(F.col("raw") / F.sum("raw").over(wd), 9).alias("p")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cd = dw.groupBy("d").agg(F.sum("c").alias("cd"))
+    wdw = Window.partitionBy("d", "w")
+    for _ in range(_PLSA_ITERS):
+        tri = (
+            dw.join(F.broadcast(pwz.withColumnRenamed("p", "pw")), "w")
+            .join(pzd.withColumnRenamed("p", "pd"), ["d", "z"])
+            .select(
+                "d",
+                "w",
+                "z",
+                "c",
+                (F.col("pw") * F.col("pd")).alias("j"),
+            )
+            .select(
+                "d",
+                "w",
+                "z",
+                (
+                    F.col("c")
+                    * F.round(F.col("j") / F.sum("j").over(wdw), 12)
+                ).alias("m"),
+            )
+            .persist()
+        )
+        pwz = (
+            tri.groupBy("w", "z")
+            .agg(F.sum("m").alias("s"))
+            .select(
+                "w", "z", F.round(F.col("s") / F.sum("s").over(wz), 9).alias("p")
+            )
+            .localCheckpoint(eager=True)
+        )
+        pzd = (
+            tri.groupBy("d", "z")
+            .agg(F.sum("m").alias("s"))
+            .join(cd, "d")
+            .select(
+                "d", "z", F.round(F.col("s") / F.col("cd"), 9).alias("p")
+            )
+            .localCheckpoint(eager=True)
+        )
+        tri.unpersist()
+    dw.unpersist()
+    shares = pzd.groupBy("z").agg(F.round(F.avg("p"), 6).alias("topic_share"))
+    wr = Window.partitionBy("z").orderBy(F.desc("p"), F.asc("w"))
+    return (
+        pwz.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PLSA_TOP)
+        .join(F.broadcast(shares), "z")
+        .select(
+            F.col("z").alias("topic"),
+            "rank",
+            F.col("w").alias("term"),
+            F.round("p", 6).alias("p_term_topic"),
+            "topic_share",
+        )
+        .orderBy("topic", "rank")
+    )
+
+
+def _plsa_sql() -> str:
+    """Unrolled-EM oracle: init CTEs + one (resp → pwz → pzd) block per
+    iteration, all MATERIALIZED so DuckDB evaluates each round once."""
+    lane = "CAST(('0x' || substr(md5({s}), 1, 4)) AS INT) % 1000 + 1"
+    parts = [
+        f"""WITH tok AS MATERIALIZED (
+  SELECT doc_id AS d,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS MATERIALIZED (
+  SELECT w FROM tok GROUP BY w
+  ORDER BY COUNT(*) DESC, w ASC LIMIT {_PLSA_V}
+),
+dw AS MATERIALIZED (
+  SELECT t.d, t.w, COUNT(*) AS c FROM tok t JOIN vocab v ON v.w = t.w
+  GROUP BY t.d, t.w
+),
+cd AS MATERIALIZED (SELECT d, SUM(c) AS cd FROM dw GROUP BY d),
+zs AS (SELECT UNNEST(range({_PLSA_K})) AS z),
+pwz0 AS MATERIALIZED (
+  SELECT w, z, ROUND(raw / SUM(raw) OVER (PARTITION BY z), 9) AS p FROM (
+    SELECT w, z,
+           CAST({lane.format(s="w || ':' || CAST(z AS VARCHAR)")} AS DOUBLE)
+             AS raw
+    FROM vocab CROSS JOIN zs
+  )
+),
+pzd0 AS MATERIALIZED (
+  SELECT d, z, ROUND(raw / SUM(raw) OVER (PARTITION BY d), 9) AS p FROM (
+    SELECT d, z,
+           CAST({lane.format(
+               s="CAST(d AS VARCHAR) || ':' || CAST(z AS VARCHAR)"
+           )} AS DOUBLE) AS raw
+    FROM (SELECT DISTINCT d FROM dw) CROSS JOIN zs
+  )
+)"""
+    ]
+    for i in range(1, _PLSA_ITERS + 1):
+        parts.append(
+            f""",
+tri{i} AS MATERIALIZED (
+  SELECT d, w, z,
+         c * ROUND(j / SUM(j) OVER (PARTITION BY d, w), 12) AS m
+  FROM (
+    SELECT dw.d, dw.w, zs.z, dw.c, pw.p * pd.p AS j
+    FROM dw
+    CROSS JOIN zs
+    JOIN pwz{i - 1} pw ON pw.w = dw.w AND pw.z = zs.z
+    JOIN pzd{i - 1} pd ON pd.d = dw.d AND pd.z = zs.z
+  )
+),
+pwz{i} AS MATERIALIZED (
+  SELECT w, z, ROUND(s / SUM(s) OVER (PARTITION BY z), 9) AS p FROM (
+    SELECT w, z, SUM(m) AS s FROM tri{i} GROUP BY w, z
+  )
+),
+pzd{i} AS MATERIALIZED (
+  SELECT t.d, t.z, ROUND(t.s / cd.cd, 9) AS p FROM (
+    SELECT d, z, SUM(m) AS s FROM tri{i} GROUP BY d, z
+  ) t JOIN cd ON cd.d = t.d
+)"""
+        )
+    last = _PLSA_ITERS
+    parts.append(
+        f"""
+SELECT CAST(z AS INT) AS topic, CAST(rank AS INT) AS rank, term,
+       p_term_topic, topic_share
+FROM (
+  SELECT z, w AS term,
+         ROW_NUMBER() OVER (PARTITION BY z ORDER BY p DESC, w ASC) AS rank,
+         ROUND(p, 6) AS p_term_topic
+  FROM pwz{last}
+) r
+JOIN (SELECT z, ROUND(AVG(p), 6) AS topic_share FROM pzd{last} GROUP BY z) s
+  USING (z)
+WHERE rank <= {_PLSA_TOP}
+ORDER BY topic, rank"""
+    )
+    return "".join(parts)
+
+
+TEXT_TOPIC_PLSA_SQL = _plsa_sql()
+
+
 QUERIES = {
     "vocab_coverage": vocab_coverage,
     "text_hashing_vectorizer": text_hashing_vectorizer,
+    "text_topic_plsa": text_topic_plsa,
     "text_pmi_collocations": text_pmi_collocations,
     "lang_id_confusion": lang_id_confusion,
     "lang_id_kappa": lang_id_kappa,
@@ -4703,6 +4940,8 @@ QUERIES = {
 ORACLES = {
     # round 10: signed feature hashing (md5 bucket/sign, integer sums)
     "text_hashing_vectorizer": TEXT_HASHING_VECTORIZER_SQL,
+    # round 15: pLSA topic model (unrolled pinned-EM oracle)
+    "text_topic_plsa": TEXT_TOPIC_PLSA_SQL,
     # round 11: PMI collocation mining (shared tokens/bigram defs)
     "text_pmi_collocations": TEXT_PMI_SQL,
     # round 11: lang-ID eval face (wraps the shared TEXT_LANG_ID_SQL)

@@ -2136,6 +2136,46 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_plsa_separates_planted_topics(spark, tmp_path):
+    """Two disjoint planted vocabularies (sports vs cooking) must come
+    out as distinct dominant topics: some topic's entire top-term list
+    draws from one vocabulary, another's from the other — and the
+    factor-table invariants hold (probabilities in (0,1], shares
+    positive and summing to ~1)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        _PLSA_K,
+        _PLSA_TOP,
+        text_topic_plsa,
+    )
+
+    sports = "goal match team score player coach league win pitch referee"
+    cooking = "flour oven bake sugar butter recipe dough salt whisk pan"
+    rows = []
+    for i in range(40):
+        words = (sports if i % 2 == 0 else cooking).split()
+        # rotate so every doc is a different ordering of its vocabulary
+        text = " ".join(words[i % 10 :] + words[: i % 10])
+        rows.append((i, text, "en", "fixture", len(text)))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    out = text_topic_plsa(spark, sf).collect()
+    assert len(out) == _PLSA_K * _PLSA_TOP
+    assert all(0.0 < r.p_term_topic <= 1.0 for r in out)
+    shares = {r.topic: r.topic_share for r in out}
+    assert all(s > 0 for s in shares.values())
+    assert abs(sum(shares.values()) - 1.0) < 1e-3
+    s_set, c_set = set(sports.split()), set(cooking.split())
+    by_topic = {}
+    for r in out:
+        by_topic.setdefault(r.topic, set()).add(r.term)
+    pure_s = [t for t, terms in by_topic.items() if terms <= s_set]
+    pure_c = [t for t, terms in by_topic.items() if terms <= c_set]
+    assert pure_s and pure_c, by_topic
+
+
 def test_bootstrap_ci_invariants(spark, sf_dir):
     """The percentile band must bracket the point estimate (40 replicates
     of a mean around its own center), the band must be ordered, and the
