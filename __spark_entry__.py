@@ -96,6 +96,7 @@ _PRIORITY = [
     "events_theil_sen_trend",
     "bootstrap_ci_order_value",
     "text_topic_plsa",
+    "topic_mixture_by_source",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",

@@ -4672,6 +4672,40 @@ def _plsa_seed(prefix, z) -> F.Column:
     ).cast("double")
 
 
+_PLSA_FIT_CACHE: dict = {}
+
+
+def clear_plsa_cache() -> None:
+    _PLSA_FIT_CACHE.clear()
+
+
+def _plsa_fit(spark: SparkSession, sf_dir: str):
+    """Memoized EM run → (pwz, pzd) checkpointed factor frames — the
+    ``_BPE_STATE_CACHE`` discipline, so the topic report and the
+    per-source mixture face share ONE training run per corpus version
+    (and cannot disagree about a factor)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "documents"),
+    )
+    hit = _PLSA_FIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_PLSA_FIT_CACHE):
+        try:
+            stale = (
+                _PLSA_FIT_CACHE[k][1].sparkSession.sparkContext._jsc is None
+            )
+        except Exception:
+            stale = True
+        if stale or k[:2] == key[:2]:
+            _PLSA_FIT_CACHE.pop(k, None)
+    result = _plsa_train(spark, sf_dir)
+    _PLSA_FIT_CACHE[key] = result
+    return result
+
+
 def text_topic_plsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pLSA topic decomposition of the corpus (NEW round 15): factor the
     (doc, term) count matrix into ``_PLSA_K`` topics by
@@ -4697,6 +4731,26 @@ def text_topic_plsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     over k rows, and both M-step tables are hash aggs). Factor tables
     localCheckpoint per round, so the lineage — and the recompute — is
     one round deep regardless of iteration count."""
+    pwz, pzd = _plsa_fit(spark, sf_dir)
+    shares = pzd.groupBy("z").agg(F.round(F.avg("p"), 6).alias("topic_share"))
+    wr = Window.partitionBy("z").orderBy(F.desc("p"), F.asc("w"))
+    return (
+        pwz.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _PLSA_TOP)
+        .join(F.broadcast(shares), "z")
+        .select(
+            F.col("z").alias("topic"),
+            "rank",
+            F.col("w").alias("term"),
+            F.round("p", 6).alias("p_term_topic"),
+            "topic_share",
+        )
+        .orderBy("topic", "rank")
+    )
+
+
+def _plsa_train(spark: SparkSession, sf_dir: str):
+    """The EM run itself — returns (pwz, pzd) as checkpointed frames."""
     docs = load_spread(spark, "documents", sf_dir).filter(
         F.col("text").isNotNull()
     )
@@ -4784,26 +4838,50 @@ def text_topic_plsa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tri.unpersist()
     dw.unpersist()
-    shares = pzd.groupBy("z").agg(F.round(F.avg("p"), 6).alias("topic_share"))
-    wr = Window.partitionBy("z").orderBy(F.desc("p"), F.asc("w"))
+    return pwz, pzd
+
+
+def topic_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source topic mixture from the SAME memoized pLSA run (NEW
+    round 15): mean p(z|d) over each source's documents — the
+    mixture-planning readout ("how much of each topic does every crawl
+    source contribute?") that feeds temperature reweighting the way
+    ``domain_mixture_weights`` feeds source-level budgets, but in TOPIC
+    space (two sources can be distinct yet topically redundant — this
+    face sees that, source counts cannot).
+
+    Shares the checkpointed factor frames with ``text_topic_plsa``
+    (one training run per corpus version, the memoized-chain
+    discipline); the face itself is one |docs|-keyed join + a
+    |sources|×k hash agg. Docs with no in-vocabulary token have no
+    p(z|d) row and sit out — the factorization's documented domain."""
+    _, pzd = _plsa_fit(spark, sf_dir)
+    src = load(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    ).select(F.col("doc_id").alias("d"), "source")
     return (
-        pwz.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _PLSA_TOP)
-        .join(F.broadcast(shares), "z")
+        pzd.join(src, "d")
+        .groupBy("source", "z")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p"), 6).alias("topic_share"),
+        )
         .select(
+            "source",
             F.col("z").alias("topic"),
-            "rank",
-            F.col("w").alias("term"),
-            F.round("p", 6).alias("p_term_topic"),
+            "n_docs",
             "topic_share",
         )
-        .orderBy("topic", "rank")
+        .orderBy("source", "topic")
     )
 
 
 def _plsa_sql() -> str:
     """Unrolled-EM oracle: init CTEs + one (resp → pwz → pzd) block per
-    iteration, all MATERIALIZED so DuckDB evaluates each round once."""
+    iteration, all MATERIALIZED so DuckDB evaluates each round once.
+    ``_plsa_chain_sql`` is the shared WITH-chain; the two faces differ
+    only in their final SELECT — the same one-training-run guarantee the
+    memoized engine chain gives."""
     lane = "CAST(('0x' || substr(md5({s}), 1, 4)) AS INT) % 1000 + 1"
     parts = [
         f"""WITH tok AS MATERIALIZED (
@@ -4864,32 +4942,44 @@ pzd{i} AS MATERIALIZED (
   ) t JOIN cd ON cd.d = t.d
 )"""
         )
-    last = _PLSA_ITERS
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _plsa_chain_sql() -> str:
+    return _plsa_sql()
+
+
+TEXT_TOPIC_PLSA_SQL = f"""{_plsa_chain_sql()}
 SELECT CAST(z AS INT) AS topic, CAST(rank AS INT) AS rank, term,
        p_term_topic, topic_share
 FROM (
   SELECT z, w AS term,
          ROW_NUMBER() OVER (PARTITION BY z ORDER BY p DESC, w ASC) AS rank,
          ROUND(p, 6) AS p_term_topic
-  FROM pwz{last}
+  FROM pwz{_PLSA_ITERS}
 ) r
-JOIN (SELECT z, ROUND(AVG(p), 6) AS topic_share FROM pzd{last} GROUP BY z) s
+JOIN (SELECT z, ROUND(AVG(p), 6) AS topic_share FROM pzd{_PLSA_ITERS} GROUP BY z) s
   USING (z)
 WHERE rank <= {_PLSA_TOP}
 ORDER BY topic, rank"""
-    )
-    return "".join(parts)
 
 
-TEXT_TOPIC_PLSA_SQL = _plsa_sql()
+TOPIC_MIXTURE_BY_SOURCE_SQL = f"""{_plsa_chain_sql()}
+SELECT s.source, CAST(p.z AS INT) AS topic,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(p.p), 6) AS topic_share
+FROM pzd{_PLSA_ITERS} p
+JOIN (SELECT doc_id AS d, source FROM documents WHERE text IS NOT NULL) s
+  ON s.d = p.d
+GROUP BY s.source, p.z
+ORDER BY s.source, topic"""
 
 
 QUERIES = {
     "vocab_coverage": vocab_coverage,
     "text_hashing_vectorizer": text_hashing_vectorizer,
     "text_topic_plsa": text_topic_plsa,
+    "topic_mixture_by_source": topic_mixture_by_source,
     "text_pmi_collocations": text_pmi_collocations,
     "lang_id_confusion": lang_id_confusion,
     "lang_id_kappa": lang_id_kappa,
@@ -4942,6 +5032,8 @@ ORACLES = {
     "text_hashing_vectorizer": TEXT_HASHING_VECTORIZER_SQL,
     # round 15: pLSA topic model (unrolled pinned-EM oracle)
     "text_topic_plsa": TEXT_TOPIC_PLSA_SQL,
+    # round 15: per-source topic mixture from the same chain
+    "topic_mixture_by_source": TOPIC_MIXTURE_BY_SOURCE_SQL,
     # round 11: PMI collocation mining (shared tokens/bigram defs)
     "text_pmi_collocations": TEXT_PMI_SQL,
     # round 11: lang-ID eval face (wraps the shared TEXT_LANG_ID_SQL)
