@@ -1528,7 +1528,174 @@ ORDER BY bucket
 """
 
 
+# Neyman-allocation survey budget: total sampled docs across strata.
+_NEY_BUDGET = 200
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal (Neyman) stratified-sample allocation per language (NEW
+    round 15): split a fixed eval/annotation budget across strata
+    proportionally to N_h·S_h — stratum size times the stddev of the
+    measured variable (n_chars) — the textbook variance-minimizing
+    allocation for estimating a corpus mean, vs the proportional split
+    ``sample_stratified_by_lang``'s fixed cap approximates. A
+    high-variance language earns more of the labeling budget than its
+    row share; a uniform one earns less.
+
+    Determinism: moments are exact INTEGER sums (N, Σx, Σx²), S_h is one
+    correctly-rounded sqrt of an integer ratio, quotas resolve by the
+    LARGEST-REMAINDER method with (remainder desc, lang asc) tie order —
+    every comparison runs on identically-computed doubles, so both
+    engines allocate identically. The taken sample is pinned by the
+    (md5-bucket, doc_id) rank law the plain stratified sampler uses, and
+    the output's sample_checksum (Σ doc_id over taken rows) commits to
+    the exact membership, not just the counts.
+
+    Scale shape: one hash agg collapses the corpus to |strata| moment
+    rows; ALL allocation arithmetic (totals, floors, remainder ranks)
+    runs on that metadata frame; the take is one broadcast join + the
+    per-stratum rank window (swap in the sliced-rank pattern beyond
+    task-sized strata, per the sampler's documented upgrade path)."""
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("x")
+    )
+    mom = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_stratum"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    s_h = F.when(
+        F.col("n_stratum") > 1,
+        F.sqrt(
+            (
+                F.col("n_stratum") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double")
+            / (F.col("n_stratum") * (F.col("n_stratum") - 1)).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    wall = Window.partitionBy()
+    wrem = Window.partitionBy().orderBy(F.desc("rem"), F.asc("lang"))
+    alloc = (
+        mom.withColumn("s_h", s_h)
+        .withColumn("w_h", F.col("n_stratum") * F.col("s_h"))
+        .withColumn("tot_w", F.sum("w_h").over(wall))
+        .withColumn(
+            "quota",
+            F.when(
+                F.col("tot_w") > 0,
+                F.lit(_NEY_BUDGET) * F.col("w_h") / F.col("tot_w"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("base", F.floor("quota").cast("long"))
+        .withColumn("rem", F.col("quota") - F.col("base"))
+        .withColumn(
+            "leftover", F.lit(_NEY_BUDGET) - F.sum("base").over(wall)
+        )
+        .withColumn("rrank", F.row_number().over(wrem))
+        .withColumn(
+            "n_alloc",
+            F.col("base")
+            + F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0),
+        )
+        .select("lang", "n_stratum", "s_h", "n_alloc")
+    )
+    wtake = Window.partitionBy("lang").orderBy("bucket", "doc_id")
+    taken = (
+        docs.withColumn(
+            "bucket", md5_bucket16(F.col("doc_id").cast("string"))
+        )
+        .join(F.broadcast(alloc.select("lang", "n_alloc")), "lang")
+        .withColumn("rk", F.row_number().over(wtake))
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_taken"),
+            F.sum("doc_id").alias("sample_checksum"),
+        )
+    )
+    return (
+        alloc.join(taken, "lang", "left")
+        .select(
+            "lang",
+            "n_stratum",
+            F.round("s_h", 4).alias("stddev_chars"),
+            "n_alloc",
+            F.coalesce("n_taken", F.lit(0).cast("long")).alias("n_taken"),
+            F.coalesce("sample_checksum", F.lit(0).cast("long")).alias(
+                "sample_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLE_NEYMAN_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents
+),
+mom AS (
+  SELECT lang, COUNT(*) AS n_stratum, SUM(x) AS sx, SUM(x * x) AS sxx
+  FROM docs GROUP BY lang
+),
+alloc0 AS (
+  SELECT lang, n_stratum,
+         CASE WHEN n_stratum > 1
+              THEN SQRT(CAST(n_stratum * sxx - sx * sx AS DOUBLE)
+                        / CAST(n_stratum * (n_stratum - 1) AS DOUBLE))
+              ELSE 0.0 END AS s_h
+  FROM mom
+),
+alloc1 AS (
+  SELECT lang, n_stratum, s_h,
+         n_stratum * s_h AS w_h,
+         SUM(n_stratum * s_h) OVER () AS tot_w
+  FROM alloc0
+),
+alloc2 AS (
+  SELECT lang, n_stratum, s_h,
+         CASE WHEN tot_w > 0 THEN {_NEY_BUDGET} * w_h / tot_w
+              ELSE 0.0 END AS quota
+  FROM alloc1
+),
+alloc3 AS (
+  SELECT lang, n_stratum, s_h, quota,
+         CAST(FLOOR(quota) AS BIGINT) AS base,
+         quota - FLOOR(quota) AS rem
+  FROM alloc2
+),
+alloc AS (
+  SELECT lang, n_stratum, s_h,
+         base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC)
+                          <= {_NEY_BUDGET} - SUM(base) OVER ()
+                     THEN 1 ELSE 0 END AS n_alloc
+  FROM alloc3
+),
+taken AS (
+  SELECT lang, COUNT(*) AS n_taken, SUM(doc_id) AS sample_checksum FROM (
+    SELECT d.lang, d.doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.lang
+             ORDER BY CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                           1, 4)) AS INT) ASC, d.doc_id ASC
+           ) AS rk,
+           a.n_alloc
+    FROM docs d JOIN alloc a ON a.lang = d.lang
+  ) WHERE rk <= n_alloc
+  GROUP BY lang
+)
+SELECT a.lang,
+       CAST(a.n_stratum AS BIGINT) AS n_stratum,
+       ROUND(a.s_h, 4) AS stddev_chars,
+       CAST(a.n_alloc AS BIGINT) AS n_alloc,
+       CAST(COALESCE(t.n_taken, 0) AS BIGINT) AS n_taken,
+       CAST(COALESCE(t.sample_checksum, 0) AS BIGINT) AS sample_checksum
+FROM alloc a LEFT JOIN taken t ON t.lang = a.lang
+ORDER BY a.lang
+"""
+
+
 QUERIES = {
+    "sample_neyman_allocation": sample_neyman_allocation,
     "curate_pretraining_corpus": curate_pretraining_corpus,
     "quality_weighted_sample": quality_weighted_sample,
     "domain_mixture_weights": domain_mixture_weights,
@@ -1549,6 +1716,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    # round 15: Neyman-allocation stratified sampling
+    "sample_neyman_allocation": SAMPLE_NEYMAN_SQL,
     "curate_pretraining_corpus": CURATE_SQL,
     # round 10: quality-proportional sampler (shared classifier + md5 draw)
     "quality_weighted_sample": _quality_weighted_sample_sql(),

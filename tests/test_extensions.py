@@ -2136,6 +2136,38 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_neyman_allocation_favors_variance(spark, tmp_path, sf_dir):
+    """Equal-size strata with unequal spread: the high-variance language
+    must receive more of the budget (the Neyman property), the full
+    budget must be spent exactly, and n_taken == n_alloc when strata are
+    large enough."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        _NEY_BUDGET,
+        sample_neyman_allocation,
+    )
+
+    rows = []
+    for i in range(300):
+        rows.append((i, "t", "flat", "s", 1000))  # zero variance
+        rows.append((i + 1000, "t", "wild", "s", 100 + (i * 37) % 2000))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {r.lang: r for r in sample_neyman_allocation(spark, sf).collect()}
+    assert out["wild"].n_alloc > out["flat"].n_alloc
+    assert out["flat"].n_alloc == 0  # zero variance earns zero budget
+    assert sum(r.n_alloc for r in out.values()) == _NEY_BUDGET
+    assert all(r.n_taken == min(r.n_alloc, r.n_stratum) for r in out.values())
+
+    # real corpus: budget spent exactly, checksums commit to membership
+    real = sample_neyman_allocation(spark, sf_dir).collect()
+    assert sum(r.n_alloc for r in real) == _NEY_BUDGET
+    assert all(
+        (r.n_taken == 0) == (r.sample_checksum == 0) for r in real
+    )
+
+
 def test_plsa_separates_planted_topics(spark, tmp_path):
     """Two disjoint planted vocabularies (sports vs cooking) must come
     out as distinct dominant topics: some topic's entire top-term list
