@@ -1108,6 +1108,161 @@ FROM r{_PR_ITERS} r JOIN deg ON deg.src = r.item
 PAGERANK_SQL = _pagerank_sql()
 
 
+# SimRank knobs: decay C and the pinned iteration count (unrolled in the
+# oracle like PageRank's).
+_SR_C = 0.8
+_SR_ITERS = 3
+_SR_TOPK = 20
+
+
+def item_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimRank item-item similarity over the taste graph (NEW round 15):
+    "two items are similar if similar items co-occur with them" — the
+    STRUCTURAL-equivalence signal the direct-overlap family (Jaccard,
+    lift, co-count) cannot see: two items never bought together but
+    bought alongside the same third items score high here and zero
+    there. Jeh & Widom 2002 recurrence on the undirected co-occurrence
+    edges: s(a,a)=1, s ← C/(deg_a·deg_b) · Σ_{u∈N(a),v∈N(b)} s(u,v),
+    ``_SR_ITERS`` pinned iterations, ROUND(9) per iteration (the
+    PageRank/Lloyd trajectory pin), top-``_SR_TOPK`` co-occurring pairs
+    by final score with (score desc, pair asc) tie order.
+
+    Scale shape: the ONE shared edge definition (``_CO_CTES``) keeps the
+    item universe vocabulary-bounded (≤ |items|² similarity pairs — a
+    metadata frame, the Markov/transition-matrix class, NOT corpus
+    mass); each iteration is edges⋈edges⋈scores — Σ deg_a·deg_b =
+    (2|E|)² worst-case intermediate rows over the bounded edge list —
+    followed by one pair-keyed hash agg. The report ranks ALL
+    positive-scoring unordered pairs — including pairs with NO
+    co-occurrence edge, which is precisely SimRank's point — carrying
+    co_users (0 for never-together pairs) so the contrast with the
+    direct-overlap family is visible in the output itself."""
+    co, _cnt, _n = _taste_graph(spark, sf_dir)
+    edges = co.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        co.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    nodes = deg.select(F.col("src").alias("item"))
+    # s0 = identity on the full ordered pair space
+    s = (
+        nodes.select(F.col("item").alias("x"))
+        .crossJoin(nodes.select(F.col("item").alias("y")))
+        .select(
+            "x",
+            "y",
+            F.when(F.col("x") == F.col("y"), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+    )
+    ea = edges.select(F.col("src").alias("a"), F.col("dst").alias("u"))
+    eb = edges.select(F.col("src").alias("b"), F.col("dst").alias("v"))
+    for _ in range(_SR_ITERS):
+        # join order matters: edge⋈scores first (zero scores dropped —
+        # they contribute nothing), then the second edge leg; never the
+        # literal (2|E|)² cross product
+        contrib = (
+            ea.join(
+                s.filter(F.col("s") != 0), F.col("u") == F.col("x")
+            )
+            .join(eb, F.col("v") == F.col("y"))
+            .groupBy("a", "b")
+            .agg(F.sum("s").alias("t"))
+        )
+        s = (
+            contrib.join(deg.withColumnRenamed("src", "a").withColumnRenamed("deg", "da"), "a")
+            .join(deg.withColumnRenamed("src", "b").withColumnRenamed("deg", "db"), "b")
+            .select(
+                F.col("a").alias("x"),
+                F.col("b").alias("y"),
+                F.round(
+                    F.lit(_SR_C) * F.col("t") / (F.col("da") * F.col("db")),
+                    9,
+                ).alias("s"),
+            )
+            .select(
+                "x",
+                "y",
+                F.when(F.col("x") == F.col("y"), F.lit(1.0))
+                .otherwise(F.col("s"))
+                .alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        s.filter((F.col("x") < F.col("y")) & (F.col("s") > 0))
+        .join(
+            co,
+            (F.col("item_a") == F.col("x")) & (F.col("item_b") == F.col("y")),
+            "left",
+        )
+        .select(
+            F.col("x").alias("item_a"),
+            F.col("y").alias("item_b"),
+            F.coalesce("co_users", F.lit(0).cast("long")).alias("co_users"),
+            F.round("s", 8).alias("simrank"),
+        )
+        .orderBy(F.desc("simrank"), F.asc("item_a"), F.asc("item_b"))
+        .limit(_SR_TOPK)
+    )
+    return checkpoint_release(out, edges, deg)
+
+
+def _simrank_sql() -> str:
+    """Unrolled pinned-iteration oracle over the shared edge CTEs."""
+    ctes = [
+        f"""edges AS (
+  SELECT item_a AS src, item_b AS dst FROM co
+  UNION ALL
+  SELECT item_b AS src, item_a AS dst FROM co
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT src AS item FROM deg),
+s0 AS (
+  SELECT a.item AS x, b.item AS y,
+         CASE WHEN a.item = b.item THEN 1.0 ELSE 0.0 END AS s
+  FROM nodes a CROSS JOIN nodes b
+)"""
+    ]
+    for i in range(_SR_ITERS):
+        ctes.append(
+            f"""t{i + 1} AS MATERIALIZED (
+  SELECT ea.src AS a, eb.src AS b, SUM(s{i}.s) AS t
+  FROM edges ea
+  CROSS JOIN edges eb
+  JOIN s{i} ON s{i}.x = ea.dst AND s{i}.y = eb.dst
+  GROUP BY ea.src, eb.src
+),
+s{i + 1} AS MATERIALIZED (
+  SELECT t.a AS x, t.b AS y,
+         CASE WHEN t.a = t.b THEN 1.0
+              ELSE ROUND({_SR_C} * t.t / (da.deg * db.deg), 9) END AS s
+  FROM t{i + 1} t
+  JOIN deg da ON da.src = t.a
+  JOIN deg db ON db.src = t.b
+)"""
+        )
+    return (
+        f"WITH {_CO_CTES},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.x AS item_a, s.y AS item_b,
+       CAST(COALESCE(co.co_users, 0) AS BIGINT) AS co_users,
+       ROUND(s.s, 8) AS simrank
+FROM s{_SR_ITERS} s
+LEFT JOIN co ON co.item_a = s.x AND co.item_b = s.y
+WHERE s.x < s.y AND s.s > 0
+ORDER BY simrank DESC, item_a ASC, item_b ASC
+LIMIT {_SR_TOPK}
+"""
+    )
+
+
+SIMRANK_SQL = _simrank_sql()
+
+
 _PPR_SEEDS = 5  # seed items (top-degree picks, ties item ASC)
 _PPR_TOPK = 10  # recommendations per seed
 
@@ -5456,6 +5611,7 @@ QUERIES = {
     "events_daily_autocorr": events_daily_autocorr,
     "events_theil_sen_trend": events_theil_sen_trend,
     "bootstrap_ci_order_value": bootstrap_ci_order_value,
+    "item_simrank": item_simrank,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "events_hw_forecast": events_hw_forecast,
@@ -5521,6 +5677,8 @@ ORACLES = {
     "events_theil_sen_trend": THEIL_SEN_SQL,
     # round 15: deterministic Poisson-bootstrap percentile CI
     "bootstrap_ci_order_value": BOOTSTRAP_CI_SQL,
+    # round 15: SimRank structural similarity (unrolled pinned iterations)
+    "item_simrank": SIMRANK_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     # round 14: Holt-Winters additive weekly seasonality + its holdout

@@ -2136,6 +2136,49 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_simrank_sees_structural_twins(spark, tmp_path):
+    """Two items with IDENTICAL neighborhoods but zero co-occurrence
+    (users touch {1,3,4} or {2,3,4}, never 1 and 2 together) must rank
+    as the TOP SimRank pair with co_users = 0 — the structural-
+    equivalence signal the direct-overlap family scores zero."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        item_simrank,
+    )
+
+    rows, eid = [], 0
+    for u in range(10):
+        items = (1, 3, 4) if u < 5 else (2, 3, 4)
+        for it in items:
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    f"2024-01-{(eid % 27) + 1:02d} 10:00:00",
+                    u,
+                    "click",
+                    1.0,
+                    _json.dumps({"k": it}),
+                )
+            )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    out = item_simrank(spark, sf).collect()
+    assert out
+    assert all(0.0 < r.simrank <= 1.0 for r in out)
+    top = out[0]
+    assert (top.item_a, top.item_b, top.co_users) == (1, 2, 0), out[:3]
+
+
 def test_neyman_allocation_favors_variance(spark, tmp_path, sf_dir):
     """Equal-size strata with unequal spread: the high-variance language
     must receive more of the budget (the Neyman property), the full

@@ -2777,6 +2777,17 @@ def test_incremental_daily_type_ingest_matches_batch(spark, tmp_path):
     want_perday = canon(autocorr_from_daily_cells_input(daily_type_cells(batch_df)))
     assert canon(autocorr_from_daily_cells_input(cells_t.read())) == want_perday
 
+    # the round-15 Theil-Sen serve face: the robust trend re-estimates
+    # from the maintained cells with no fact re-scan
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        theil_sen_from_grid,
+    )
+
+    want_ts = canon(theil_sen_from_grid(daily_type_grid(batch_df)))
+    assert canon(
+        theil_sen_from_grid(grid_from_daily_cells(cells_t.read()))
+    ) == want_ts and want_ts
+
     compact_daily_type_cells(spark, cells_root)
     assert canon(grid_from_daily_cells(cells_t.read())) == want_grid
     assert canon(autocorr_from_daily_cells_input(cells_t.read())) == want_perday
