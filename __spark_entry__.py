@@ -98,6 +98,8 @@ _PRIORITY = [
     "text_topic_plsa",
     "topic_mixture_by_source",
     "sample_neyman_allocation",
+    "item_simrank",
+    "bm25_champion_search",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",

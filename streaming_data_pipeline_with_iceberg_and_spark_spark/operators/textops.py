@@ -3375,6 +3375,122 @@ def ql_rank_from_index(
     )
 
 
+# Champion-list width: docs kept per term for candidate generation.
+_CHAMP_M = 30
+
+
+def bm25_champion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list BM25 (NEW round 15) — the classic inexact-top-k
+    serving optimization (Manning/Raghavan/Schütze IR §7.1.3): per query
+    term keep only the ``_CHAMP_M`` highest-tf postings ("champions"),
+    take the union over the query's terms as the candidate set, and
+    score ONLY those candidates — with TRUE document frequencies and the
+    exact BM25 formula, so every reported score equals the full
+    ranking's score for that document (test-pinned); only membership is
+    approximate.
+
+    Why it matters at 100 TB: a high-df term's postings list is
+    corpus-sized, and full evaluation pays it on every query. Champion
+    lists bound the scored set at |terms|·M documents REGARDLESS of df
+    — the candidate frame is a broadcast, the heavy postings rows for
+    non-champion docs never reach the aggregation, and the champion
+    pick itself reuses the same per-term window partitioning the df
+    count needs (one shuffle, two windows). Served from the SAME
+    materialized term-clustered index as bm25_search/ql_search — the
+    champion lists could equally be precomputed at index build, which
+    is exactly what production engines do."""
+    postings, stats_p = materialized_bm25_index(spark, sf_dir)
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    all_terms = sorted({t for ts in _BM25_QUERIES.values() for t in ts})
+    stats = bm25_stats_finalize(stats_p)
+    p = postings.filter(F.col("term").isin(all_terms)).withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
+    )
+    wch = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    cand = (
+        p.withColumn("crk", F.row_number().over(wch))
+        .filter(F.col("crk") <= _CHAMP_M)
+        .join(F.broadcast(qmap), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    scored = p.crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    per_q = (
+        scored.withColumn("contrib", idf * tf_norm)
+        .join(F.broadcast(qmap), "term")
+        .join(F.broadcast(cand), ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        per_q.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+BM25_CHAMPION_SQL = f"""
+WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM d),
+e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM e WHERE term IN (SELECT DISTINCT term FROM q)
+  GROUP BY 1, 2
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+champ AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY term
+                              ORDER BY tf DESC, doc_id ASC) AS crk
+    FROM tf
+  ) WHERE crk <= {_CHAMP_M}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.doc_id
+  FROM champ c JOIN q USING (term)
+),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * ({_BM25_K1} + 1))
+         / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) AS c
+  FROM tf JOIN dfc USING (term), stats
+),
+perq AS (
+  SELECT q.query_id, contrib.doc_id AS doc_id, ROUND(SUM(c), 6) AS bm25
+  FROM contrib JOIN q USING (term)
+  JOIN cand ON cand.query_id = q.query_id AND cand.doc_id = contrib.doc_id
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, bm25
+FROM (
+  SELECT query_id, doc_id, bm25,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM perq
+)
+WHERE rank <= {_BM25_TOPK}
+"""
+
+
 def ql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-likelihood top-10 per pinned benchmark query (NEW round 14)
     — the second ranked-retrieval model next to BM25, served from the
@@ -4980,6 +5096,7 @@ QUERIES = {
     "text_hashing_vectorizer": text_hashing_vectorizer,
     "text_topic_plsa": text_topic_plsa,
     "topic_mixture_by_source": topic_mixture_by_source,
+    "bm25_champion_search": bm25_champion_search,
     "text_pmi_collocations": text_pmi_collocations,
     "lang_id_confusion": lang_id_confusion,
     "lang_id_kappa": lang_id_kappa,
@@ -5034,6 +5151,8 @@ ORACLES = {
     "text_topic_plsa": TEXT_TOPIC_PLSA_SQL,
     # round 15: per-source topic mixture from the same chain
     "topic_mixture_by_source": TOPIC_MIXTURE_BY_SOURCE_SQL,
+    # round 15: champion-list inexact top-k BM25 (true scores, pruned candidates)
+    "bm25_champion_search": BM25_CHAMPION_SQL,
     # round 11: PMI collocation mining (shared tokens/bigram defs)
     "text_pmi_collocations": TEXT_PMI_SQL,
     # round 11: lang-ID eval face (wraps the shared TEXT_LANG_ID_SQL)

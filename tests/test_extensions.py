@@ -2136,6 +2136,42 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_champion_bm25_scores_are_true_bm25(spark, sf_dir):
+    """Champion-list retrieval is inexact only in MEMBERSHIP: every
+    (query, doc) it returns must carry exactly the score the full BM25
+    ranking assigns that doc, and the full ranking's #1 doc (whose tf on
+    some query term is champion-grade by Zipf) must be recalled."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        _BM25_QUERIES,
+        bm25_champion_search,
+        bm25_rank,
+        bm25_search,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    champ = bm25_champion_search(spark, sf_dir).collect()
+    assert champ
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
+        "query_id int, term string",
+    )
+    full = {
+        (r.query_id, r.doc_id): r.bm25
+        for r in bm25_rank(
+            load(spark, "documents", sf_dir), qmap, k=10**6
+        ).collect()
+    }
+    for r in champ:
+        assert full[(r.query_id, r.doc_id)] == r.bm25, r
+    top1 = {
+        r.query_id: r.doc_id for r in bm25_search(spark, sf_dir).collect()
+        if r.rank == 1
+    }
+    champ_top1 = {r.query_id: r.doc_id for r in champ if r.rank == 1}
+    hits = sum(1 for q, d in top1.items() if champ_top1.get(q) == d)
+    assert hits >= len(top1) - 1, (top1, champ_top1)
+
+
 def test_simrank_sees_structural_twins(spark, tmp_path):
     """Two items with IDENTICAL neighborhoods but zero co-occurrence
     (users touch {1,3,4} or {2,3,4}, never 1 and 2 together) must rank
