@@ -121,11 +121,13 @@ _PRIORITY = [
     # (MERGE upsert / DELETE+UPDATE CoW), as-of and cross join strategies,
     # envelope JSON parse, PII redaction, explode/posexplode, hash and
     # math scalar surfaces, the collect/conditional/global/unpivot agg
-    # faces, set ops and ordered limits, the text-stats family, window
-    # analytics, hyperplane LSH, CC-based representative pick, the split
-    # and quality-sample faces, the multimodal decode/frame plumbing and
-    # the vectorized pandas_udf surface — no fresher same-surface row
-    # exists for any of these.
+    # faces, set ops and ordered limits, the token-stats/Gopher text
+    # faces, the lag/lead window, sessionization, the UDTF chunker and
+    # the vectorized pandas_udf decode surface — no fresher same-surface
+    # row exists for any of these.  (The 12-entry r15 head squeezed the
+    # in-window (c) block to 23; nine more r10 rows moved to the
+    # justified tail below as the head grew, per the standing eviction
+    # rule.)
     "merge_upsert_orders",
     "delete_update_orders",
     "join_asof",
@@ -144,22 +146,44 @@ _PRIORITY = [
     "sort_limit_topk",
     "set_intersect",
     "text_token_stats",
+    "text_chunk_udtf",
+    "text_gopher_quality",
+    "window_lag_lead",
+    "sessionize",
+    "mm_feature_extract",
+    # (c)-tail: the r10 rows deferred past the ~50 gate, strongest
+    # fresh same-surface sibling first (re-queued r16).  Nine evicted by
+    # the growing r15 head:
+    # text_tfidf_top_terms — the explode→df-window shape is the BM25
+    #   family's (bm25_champion_search r15 head; ql_search r14-green) and
+    #   vocab_coverage (r14-green) shares the token/count chain;
+    # text_repeated_ngrams — the shingle machinery runs in-window via
+    #   dedup_minhash_lsh / dedup_ngram_jaccard (r9 block);
+    # text_unigram_logprob — the unigram-LM chain is r13-green
+    #   text_perplexity_bigram's and the r13 unigram trainer's surface;
+    # text_hashing_vectorizer — md5 bucket/sign featurizer = in-window
+    #   train_quality_classifier's feature law;
+    # window_topk_per_group — the WindowGroupLimit surface is r14-green
+    #   window_rank's and every retrieval top-k face's (r15 head);
+    # ann_lsh_hyperplane — the sign-bucket LSH law is the r15 head's
+    #   knn_hamming / ann_hamming_rerank surface;
+    # dedup_representative_pick — composes r14-green dedup_clusters with
+    #   the in-window classifier-score quartet;
+    # split_train_val_test — the md5 split law is the r15 head's
+    #   decontaminate_spans `_split_of` (same law, fresh rows);
+    # quality_weighted_sample — the md5-uniform acceptance draw is the
+    #   r15 head bootstrap_ci_order_value's lane law; score side is the
+    #   in-window classifier chain.
     "text_tfidf_top_terms",
     "text_repeated_ngrams",
     "text_unigram_logprob",
-    "text_chunk_udtf",
-    "text_gopher_quality",
     "text_hashing_vectorizer",
-    "window_lag_lead",
     "window_topk_per_group",
-    "sessionize",
     "ann_lsh_hyperplane",
     "dedup_representative_pick",
     "split_train_val_test",
     "quality_weighted_sample",
-    "mm_feature_extract",
-    # (c)-tail: the 18 r10 rows deferred past the ~50 gate, strongest
-    # fresh same-surface sibling first (re-queued r16):
+    # Standing r15-plan deferrals:
     # decontaminate_eval_overlap — decontaminate_spans (r15 head) is the
     #   same decontamination surface with a sharper face, and r12-green
     #   decontaminate_split shares its shingle + split definitions;
