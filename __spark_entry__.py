@@ -100,6 +100,7 @@ _PRIORITY = [
     "sample_neyman_allocation",
     "item_simrank",
     "bm25_champion_search",
+    "events_forecast_conformal",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",

@@ -5121,6 +5121,144 @@ ORDER BY p.event_type
 """
 
 
+# Split-conformal interval: nominal coverage level and the holdout length
+# (the same final week the HW backtest holds out).
+_CFP_LEVEL = 0.9
+_CFP_TEST_DAYS = 7
+
+
+def events_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for the seasonal-naive
+    forecaster (NEW round 15): calibrate the 90% band as a DISCRETE
+    quantile of absolute lag-7 residuals on the calibration days (all
+    evaluable days except the final week), then measure empirical
+    coverage of actual ± q on the held-out week — the
+    distribution-free uncertainty wrapper (Vovk; Lei et al.) that turns
+    ANY point forecaster into an interval forecaster with finite-sample
+    guarantees, and the natural companion to the MAE-only
+    ``events_forecast_backtest``: a regime change shows up as coverage
+    collapsing below nominal before the MAE trend is obvious.
+
+    Exactness: residuals are integer counts, the calibration quantile is
+    the ⌈0.9·(n+1)⌉-th smallest residual selected by rank with (value,
+    day-index) tie order (clamped to the max residual when the rank
+    exceeds n — the finite-sample edge), and coverage compares integers
+    — one division at the end. Reads the SHARED ``daily_type_grid``;
+    everything after the one (type, day) hash agg runs on the
+    calendar-bounded grid."""
+    grid = daily_type_grid(load(spark, "events", sf_dir))
+    w0 = Window.partitionBy("event_type").orderBy("day")
+    wt = Window.partitionBy("event_type")
+    p = (
+        grid.withColumn("idx", F.row_number().over(w0))
+        .withColumn("t_days", F.count(F.lit(1)).over(wt))
+        .withColumn("pred", F.lag("n", _FC_LAG_DAYS).over(w0))
+        .filter(F.col("pred").isNotNull())
+        .withColumn("r", F.abs(F.col("n") - F.col("pred")).cast("long"))
+        .withColumn(
+            "is_test", F.col("idx") > F.col("t_days") - _CFP_TEST_DAYS
+        )
+    )
+    cal = p.filter(~F.col("is_test"))
+    n_cal = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cal"))
+    wq = Window.partitionBy("event_type").orderBy("r", "idx")
+    q = (
+        cal.withColumn("rk", F.row_number().over(wq))
+        .join(n_cal, "event_type")
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.ceil(F.lit(_CFP_LEVEL) * (F.col("n_cal") + 1)).cast("long"),
+                F.col("n_cal"),
+            )
+        )
+        .select("event_type", "n_cal", F.col("r").alias("q_resid"))
+    )
+    test = p.filter(F.col("is_test"))
+    cov = (
+        test.join(q, "event_type")
+        .groupBy("event_type", "n_cal", "q_resid")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count(F.when(F.col("r") <= F.col("q_resid"), 1)).alias(
+                "n_covered"
+            ),
+        )
+    )
+    return cov.select(
+        "event_type",
+        "n_cal",
+        "q_resid",
+        "n_test",
+        "n_covered",
+        F.round(F.col("n_covered") / F.col("n_test"), 6).alias("coverage"),
+    ).orderBy("event_type")
+
+
+FORECAST_CONFORMAL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS day
+),
+grid AS (
+  SELECT t.event_type, CAST(s.day AS DATE) AS day, COALESCE(d.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN spine s
+  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = CAST(s.day AS DATE)
+),
+p AS (
+  SELECT event_type, idx, t_days,
+         ABS(n - pred) AS r,
+         idx > t_days - {_CFP_TEST_DAYS} AS is_test
+  FROM (
+    SELECT event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS idx,
+           COUNT(*) OVER (PARTITION BY event_type) AS t_days,
+           LAG(n, {_FC_LAG_DAYS}) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS pred
+    FROM grid
+  ) WHERE pred IS NOT NULL
+),
+ncal AS (
+  SELECT event_type, COUNT(*) AS n_cal FROM p WHERE NOT is_test GROUP BY 1
+),
+q AS (
+  SELECT c.event_type, ncal.n_cal, c.r AS q_resid FROM (
+    SELECT event_type, r, idx,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY r, idx) AS rk
+    FROM p WHERE NOT is_test
+  ) c
+  JOIN ncal ON ncal.event_type = c.event_type
+  WHERE c.rk = LEAST(CAST(CEIL({_CFP_LEVEL} * (ncal.n_cal + 1)) AS BIGINT),
+                     ncal.n_cal)
+),
+cov AS (
+  SELECT p.event_type, q.n_cal, q.q_resid,
+         COUNT(*) AS n_test,
+         COUNT(CASE WHEN p.r <= q.q_resid THEN 1 END) AS n_covered
+  FROM p JOIN q ON q.event_type = p.event_type
+  WHERE p.is_test
+  GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(n_cal AS BIGINT) AS n_cal,
+       CAST(q_resid AS BIGINT) AS q_resid,
+       CAST(n_test AS BIGINT) AS n_test,
+       CAST(n_covered AS BIGINT) AS n_covered,
+       ROUND(n_covered / (n_test * 1.0), 6) AS coverage
+FROM cov
+ORDER BY event_type
+"""
+
+
 # --- Deterministic Poisson bootstrap ---------------------------------------
 # Replicate count: enough for a discrete 95% band (ranks 2 and R−1), small
 # enough that the replicate fan-out is a constant factor on the scan.
@@ -5612,6 +5750,7 @@ QUERIES = {
     "events_theil_sen_trend": events_theil_sen_trend,
     "bootstrap_ci_order_value": bootstrap_ci_order_value,
     "item_simrank": item_simrank,
+    "events_forecast_conformal": events_forecast_conformal,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "events_hw_forecast": events_hw_forecast,
@@ -5679,6 +5818,8 @@ ORACLES = {
     "bootstrap_ci_order_value": BOOTSTRAP_CI_SQL,
     # round 15: SimRank structural similarity (unrolled pinned iterations)
     "item_simrank": SIMRANK_SQL,
+    # round 15: split-conformal forecast intervals (integer residual quantile)
+    "events_forecast_conformal": FORECAST_CONFORMAL_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     # round 14: Holt-Winters additive weekly seasonality + its holdout

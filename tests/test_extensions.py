@@ -2136,6 +2136,46 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_conformal_coverage_and_regime_break(spark, tmp_path):
+    """On a perfectly weekly-periodic series the lag-7 residuals are all
+    zero: q = 0 and holdout coverage = 1.0. Planting a regime break in
+    the held-out week must collapse coverage to 0 while q stays 0 — the
+    early-warning property the op exists for."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        events_forecast_conformal,
+    )
+
+    cycle = [3, 1, 4, 1, 5, 9, 2]
+
+    def write(sf, burst_last_week):
+        rows, eid = [], 0
+        for d in range(35):
+            cnt = cycle[d % 7] + (10 if burst_last_week and d >= 28 else 0)
+            for _ in range(cnt):
+                eid += 1
+                rows.append((eid, d, 1, "a", 1.0, "{}"))
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, d int, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id",
+            "CAST(DATE_ADD(DATE'2024-01-01', d) AS TIMESTAMP) AS ts",
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    sf_clean = str(tmp_path / "clean")
+    write(sf_clean, burst_last_week=False)
+    (r,) = events_forecast_conformal(spark, sf_clean).collect()
+    assert (r.q_resid, r.n_test, r.coverage) == (0, 7, 1.0), r
+
+    sf_burst = str(tmp_path / "burst")
+    write(sf_burst, burst_last_week=True)
+    (rb,) = events_forecast_conformal(spark, sf_burst).collect()
+    assert rb.q_resid == 0 and rb.coverage == 0.0, rb
+
+
 def test_champion_bm25_scores_are_true_bm25(spark, sf_dir):
     """Champion-list retrieval is inexact only in MEMBERSHIP: every
     (query, doc) it returns must carry exactly the score the full BM25
