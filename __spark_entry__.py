@@ -125,8 +125,8 @@ _PRIORITY = [
     # faces, set ops and ordered limits, the token-stats/Gopher text
     # faces, the lag/lead window, sessionization, the UDTF chunker and
     # the vectorized pandas_udf decode surface — no fresher same-surface
-    # row exists for any of these.  (The 12-entry r15 head squeezed the
-    # in-window (c) block to 23; nine more r10 rows moved to the
+    # row exists for any of these.  (The 13-entry r15 head squeezed the
+    # in-window (c) block to 22; ten more r10 rows moved to the
     # justified tail below as the head grew, per the standing eviction
     # rule.)
     "merge_upsert_orders",
@@ -146,15 +146,17 @@ _PRIORITY = [
     "distinct_rows",
     "sort_limit_topk",
     "set_intersect",
-    "text_token_stats",
     "text_chunk_udtf",
     "text_gopher_quality",
     "window_lag_lead",
     "sessionize",
     "mm_feature_extract",
     # (c)-tail: the r10 rows deferred past the ~50 gate, strongest
-    # fresh same-surface sibling first (re-queued r16).  Nine evicted by
+    # fresh same-surface sibling first (re-queued r16).  Ten evicted by
     # the growing r15 head:
+    # text_token_stats — the per-doc token-count law is r14-green
+    #   vocab_coverage's chain and the r13 chunk/packing faces' budget
+    #   arithmetic;
     # text_tfidf_top_terms — the explode→df-window shape is the BM25
     #   family's (bm25_champion_search r15 head; ql_search r14-green) and
     #   vocab_coverage (r14-green) shares the token/count chain;
@@ -175,6 +177,7 @@ _PRIORITY = [
     # quality_weighted_sample — the md5-uniform acceptance draw is the
     #   r15 head bootstrap_ci_order_value's lane law; score side is the
     #   in-window classifier chain.
+    "text_token_stats",
     "text_tfidf_top_terms",
     "text_repeated_ngrams",
     "text_unigram_logprob",
