@@ -101,6 +101,7 @@ _PRIORITY = [
     "item_simrank",
     "bm25_champion_search",
     "events_forecast_conformal",
+    "events_burst_kleinberg",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",
@@ -125,8 +126,8 @@ _PRIORITY = [
     # faces, set ops and ordered limits, the token-stats/Gopher text
     # faces, the lag/lead window, sessionization, the UDTF chunker and
     # the vectorized pandas_udf decode surface — no fresher same-surface
-    # row exists for any of these.  (The 13-entry r15 head squeezed the
-    # in-window (c) block to 22; ten more r10 rows moved to the
+    # row exists for any of these.  (The 14-entry r15 head squeezed the
+    # in-window (c) block to 21; eleven more r10 rows moved to the
     # justified tail below as the head grew, per the standing eviction
     # rule.)
     "merge_upsert_orders",
@@ -147,13 +148,15 @@ _PRIORITY = [
     "sort_limit_topk",
     "set_intersect",
     "text_chunk_udtf",
-    "text_gopher_quality",
     "window_lag_lead",
     "sessionize",
     "mm_feature_extract",
     # (c)-tail: the r10 rows deferred past the ~50 gate, strongest
-    # fresh same-surface sibling first (re-queued r16).  Ten evicted by
-    # the growing r15 head:
+    # fresh same-surface sibling first (re-queued r16).  Eleven evicted
+    # by the growing r15 head:
+    # text_gopher_quality — its rule expressions are LITERALLY the label
+    #   CTE inside the in-window classifier quartet's oracle
+    #   (TEXT_GOPHER_SQL is the gopher CTE of _train_quality_sql);
     # text_token_stats — the per-doc token-count law is r14-green
     #   vocab_coverage's chain and the r13 chunk/packing faces' budget
     #   arithmetic;
@@ -177,6 +180,7 @@ _PRIORITY = [
     # quality_weighted_sample — the md5-uniform acceptance draw is the
     #   r15 head bootstrap_ci_order_value's lane law; score side is the
     #   in-window classifier chain.
+    "text_gopher_quality",
     "text_token_stats",
     "text_tfidf_top_terms",
     "text_repeated_ngrams",

@@ -5259,6 +5259,272 @@ ORDER BY event_type
 """
 
 
+# Kleinberg 2-state burst automaton: burst-rate multiplier, state-entry
+# cost weight, and the burst-probability ceiling (p1 = min(s·p0, cap)).
+_KB_S = 2.0
+_KB_GAMMA = 1.0
+_KB_P1_CAP = 0.99
+
+
+def events_burst_kleinberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg burst detection per event type (NEW round 15; Kleinberg
+    KDD 2002, the batched 2-state automaton): each day, the type's count
+    n out of the day's total N is scored under a baseline state q0
+    (rate p0 = the type's overall share) and a burst state q1 (rate
+    min(s·p0, cap)); entering the burst state costs γ·ln(T). The
+    minimum-cost state sequence — exact Viterbi, not a threshold — is
+    decoded and reported as burst INTERVALS with their event mass and
+    baseline expectation. This is the principled "is this type bursting,
+    and exactly when" face: unlike the per-day |z| anomaly ranking, the
+    entry cost suppresses one-day blips and merges adjacent hot days
+    into one episode.
+
+    Cross-engine exactness (the HW-fold discipline): the only libm calls
+    are FOUR per-type log constants + one ln(T), all ROUND(9) before
+    use; each forward step rounds both state costs at 9 in a pinned
+    operation order; predecessor choice bits compare the already-rounded
+    doubles with a pinned tie rule (ties prefer staying); the oracle
+    replays the same recurrence as a recursive CTE with LIST state
+    (the ``events_hw_forecast`` precedent) and the same backward decode.
+
+    Scale shape: ONE (type, day) hash agg over the fact; the Viterbi
+    fold runs per type over the calendar-bounded zero-filled series
+    (a JVM ``aggregate`` fold over ≤|days| array cells — the
+    Holt/Holt-Winters shape), and the interval report is a
+    gaps-and-islands window over the decoded flags."""
+    grid = daily_type_grid(load(spark, "events", sf_dir))
+    allday = grid.groupBy("day").agg(F.sum("n").alias("nn"))
+    series = (
+        grid.join(allday, "day")
+        .groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("day", "n", "nn"))
+            ).alias("cells"),
+            F.sum("n").alias("tn"),
+        )
+    )
+    tot = series.agg(F.sum("tn").alias("gt"))
+    t_days = F.size("cells")
+    # clamp p0 below the p1 cap: a single-type corpus has share 1.0 and
+    # ln(1−p0) would be −∞ (0·∞ = NaN downstream); the clamped automaton
+    # still orders the states correctly (p0 < p1 always)
+    p0 = F.least(
+        F.col("tn").cast("double") / F.col("gt").cast("double"),
+        F.lit(_KB_P1_CAP - 0.01),
+    )
+    p1 = F.least(F.lit(_KB_S) * p0, F.lit(_KB_P1_CAP))
+    prm = series.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "cells",
+        F.round(F.log(p0), 9).alias("lp0"),
+        F.round(F.log(1.0 - p0), 9).alias("lq0"),
+        F.round(F.log(p1), 9).alias("lp1"),
+        F.round(F.log(1.0 - p1), 9).alias("lq1"),
+        F.round(F.lit(_KB_GAMMA) * F.log(t_days.cast("double")), 9).alias(
+            "trans"
+        ),
+        F.round(p0, 9).alias("p0"),
+    )
+
+    def day_cost(cell, lp, lq):
+        n = cell["n"].cast("double")
+        rest = (cell["nn"] - cell["n"]).cast("double")
+        return F.round(-(n * lp + rest * lq), 9)
+
+    first = F.element_at("cells", 1)
+    init = F.struct(
+        day_cost(first, F.col("lp0"), F.col("lq0")).alias("c0"),
+        F.round(
+            F.col("trans") + day_cost(first, F.col("lp1"), F.col("lq1")), 9
+        ).alias("c1"),
+        F.array().cast("array<int>").alias("bits"),
+    )
+
+    def fwd_step(acc, cell):
+        c0, c1 = acc["c0"], acc["c1"]
+        cost0 = day_cost(cell, F.col("lp0"), F.col("lq0"))
+        cost1 = day_cost(cell, F.col("lp1"), F.col("lq1"))
+        enter = F.round(c0 + F.col("trans"), 9)
+        b0 = F.when(c1 < c0, F.lit(1)).otherwise(F.lit(0))
+        b1 = F.when(enter < c1, F.lit(0)).otherwise(F.lit(1))
+        return F.struct(
+            F.round(F.least(c0, c1) + cost0, 9).alias("c0"),
+            F.round(F.least(enter, c1) + cost1, 9).alias("c1"),
+            F.concat(acc["bits"], F.array(b0 + 2 * b1)).alias("bits"),
+        )
+
+    folded = prm.select(
+        "event_type",
+        "cells",
+        "p0",
+        F.aggregate(
+            F.slice("cells", 2, F.greatest(t_days - 1, F.lit(0))),
+            init,
+            fwd_step,
+        ).alias("st"),
+    )
+    final_state = F.when(
+        F.col("st.c1") < F.col("st.c0"), F.lit(1)
+    ).otherwise(F.lit(0))
+    bwd_init = F.struct(
+        final_state.alias("cur"), F.array(final_state).alias("flags")
+    )
+
+    def bwd_step(acc, code):
+        prev = F.when(
+            acc["cur"] == 0, F.pmod(code, F.lit(2))
+        ).otherwise(F.floor(code / 2).cast("int"))
+        return F.struct(
+            prev.alias("cur"),
+            F.concat(F.array(prev), acc["flags"]).alias("flags"),
+        )
+
+    decoded = folded.select(
+        "event_type",
+        "cells",
+        "p0",
+        F.aggregate(F.reverse("st.bits"), bwd_init, bwd_step)["flags"].alias(
+            "flags"
+        ),
+    )
+    days = decoded.select(
+        "event_type",
+        "p0",
+        F.posexplode(F.arrays_zip("cells", "flags")).alias("i", "zc"),
+    ).select(
+        "event_type",
+        "p0",
+        "i",
+        F.col("zc.cells.day").alias("day"),
+        F.col("zc.cells.n").alias("n"),
+        F.col("zc.cells.nn").alias("nn"),
+        F.col("zc.flags").alias("flag"),
+    )
+    wisl = Window.partitionBy("event_type", "flag").orderBy("i")
+    return (
+        days.filter(F.col("flag") == 1)
+        .withColumn("grp", F.col("i") - F.row_number().over(wisl))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.min("day").alias("burst_start"),
+            F.max("day").alias("burst_end"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").cast("long").alias("events"),
+            F.round(F.sum(F.col("p0") * F.col("nn")), 6).alias("expected"),
+        )
+        .select(
+            "event_type", "burst_start", "burst_end", "n_days", "events",
+            "expected",
+        )
+        .orderBy("event_type", "burst_start")
+    )
+
+
+BURST_KLEINBERG_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+daily AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT UNNEST(generate_series(
+           (SELECT MIN(day) FROM daily),
+           (SELECT MAX(day) FROM daily),
+           INTERVAL 1 DAY)) AS day
+),
+grid AS (
+  SELECT t.event_type, CAST(s.day AS DATE) AS day, COALESCE(d.n, 0) AS n
+  FROM (SELECT DISTINCT event_type FROM daily) t
+  CROSS JOIN spine s
+  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = CAST(s.day AS DATE)
+),
+allday AS (SELECT day, SUM(n) AS nn FROM grid GROUP BY 1),
+series AS (
+  SELECT g.event_type,
+         ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.day) AS idx,
+         g.day, g.n, a.nn
+  FROM grid g JOIN allday a ON a.day = g.day
+),
+tdays AS (SELECT COUNT(*) AS t_days FROM spine),
+prm AS (
+  SELECT event_type,
+         ROUND(LN(p0), 9) AS lp0, ROUND(LN(1 - p0), 9) AS lq0,
+         ROUND(LN(p1), 9) AS lp1, ROUND(LN(1 - p1), 9) AS lq1,
+         ROUND({_KB_GAMMA} * LN(CAST(t_days AS DOUBLE)), 9) AS trans,
+         ROUND(p0, 9) AS p0
+  FROM (
+    SELECT event_type,
+           LEAST(SUM(n) * 1.0 / (SELECT SUM(n) FROM grid),
+                 {_KB_P1_CAP} - 0.01) AS p0,
+           LEAST({_KB_S} * LEAST(SUM(n) * 1.0 / (SELECT SUM(n) FROM grid),
+                                 {_KB_P1_CAP} - 0.01),
+                 {_KB_P1_CAP}) AS p1
+    FROM grid GROUP BY event_type
+  ), tdays
+),
+fwd AS (
+  SELECT s.event_type, 1 AS t,
+         ROUND(-(s.n * p.lp0 + (s.nn - s.n) * p.lq0), 9) AS c0,
+         ROUND(p.trans + ROUND(-(s.n * p.lp1 + (s.nn - s.n) * p.lq1), 9), 9)
+           AS c1,
+         CAST([] AS INT[]) AS bits
+  FROM series s JOIN prm p ON p.event_type = s.event_type
+  WHERE s.idx = 1
+  UNION ALL
+  SELECT f.event_type, f.t + 1,
+         ROUND(LEAST(f.c0, f.c1)
+               + ROUND(-(s.n * p.lp0 + (s.nn - s.n) * p.lq0), 9), 9),
+         ROUND(LEAST(ROUND(f.c0 + p.trans, 9), f.c1)
+               + ROUND(-(s.n * p.lp1 + (s.nn - s.n) * p.lq1), 9), 9),
+         list_append(f.bits,
+           CASE WHEN f.c1 < f.c0 THEN 1 ELSE 0 END
+           + 2 * CASE WHEN ROUND(f.c0 + p.trans, 9) < f.c1 THEN 0 ELSE 1 END)
+  FROM fwd f
+  JOIN series s ON s.event_type = f.event_type AND s.idx = f.t + 1
+  JOIN prm p ON p.event_type = f.event_type
+),
+lastrow AS (
+  SELECT event_type, t, c0, c1, bits
+  FROM (SELECT f.*, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY t DESC) AS rn FROM fwd f)
+  WHERE rn = 1
+),
+bwd AS (
+  SELECT event_type, t, CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS st, bits
+  FROM lastrow
+  UNION ALL
+  SELECT b.event_type, b.t - 1,
+         CASE WHEN b.st = 0 THEN b.bits[b.t - 1] % 2
+              ELSE b.bits[b.t - 1] // 2 END,
+         b.bits
+  FROM bwd b WHERE b.t > 1
+),
+flagged AS (
+  SELECT s.event_type, s.idx, s.day, s.n, s.nn, b.st, p.p0
+  FROM bwd b
+  JOIN series s ON s.event_type = b.event_type AND s.idx = b.t
+  JOIN prm p ON p.event_type = b.event_type
+  WHERE b.st = 1
+),
+isl AS (
+  SELECT event_type, idx, day, n, nn, p0,
+         idx - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY idx)
+           AS grp
+  FROM flagged
+)
+SELECT event_type,
+       MIN(day) AS burst_start,
+       MAX(day) AS burst_end,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(n) AS BIGINT) AS events,
+       ROUND(SUM(p0 * nn), 6) AS expected
+FROM isl
+GROUP BY event_type, grp
+ORDER BY event_type, burst_start
+"""
+
+
 # --- Deterministic Poisson bootstrap ---------------------------------------
 # Replicate count: enough for a discrete 95% band (ranks 2 and R−1), small
 # enough that the replicate fan-out is a constant factor on the scan.
@@ -5751,6 +6017,7 @@ QUERIES = {
     "bootstrap_ci_order_value": bootstrap_ci_order_value,
     "item_simrank": item_simrank,
     "events_forecast_conformal": events_forecast_conformal,
+    "events_burst_kleinberg": events_burst_kleinberg,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "events_hw_forecast": events_hw_forecast,
@@ -5820,6 +6087,8 @@ ORACLES = {
     "item_simrank": SIMRANK_SQL,
     # round 15: split-conformal forecast intervals (integer residual quantile)
     "events_forecast_conformal": FORECAST_CONFORMAL_SQL,
+    # round 15: Kleinberg 2-state burst Viterbi (recursive-CTE oracle)
+    "events_burst_kleinberg": BURST_KLEINBERG_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     # round 14: Holt-Winters additive weekly seasonality + its holdout

@@ -2136,6 +2136,44 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_kleinberg_burst_finds_planted_episode(spark, tmp_path):
+    """A flat two-type corpus with type 'a' surging 15x on days 10-14
+    must decode to EXACTLY one burst interval covering those days (the
+    Viterbi entry cost merges them into one episode), with no burst rows
+    for the steady background type, events = the interval's true count,
+    and expected < events."""
+    from datetime import date
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        events_burst_kleinberg,
+    )
+
+    rows, eid = [], 0
+    for d in range(30):
+        n_a = 30 if 9 <= d <= 13 else 2
+        for typ, cnt in (("a", n_a), ("b", 10)):
+            for _ in range(cnt):
+                eid += 1
+                rows.append((eid, d, 1, typ, 1.0, "{}"))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, d int, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(DATE_ADD(DATE'2024-03-01', d) AS TIMESTAMP) AS ts",
+        "user_id", "event_type", "value", "props",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    out = events_burst_kleinberg(spark, sf).collect()
+    assert [r.event_type for r in out] == ["a"], out
+    (r,) = out
+    assert (r.burst_start, r.burst_end) == (date(2024, 3, 10), date(2024, 3, 14))
+    assert r.n_days == 5 and r.events == 150
+    assert r.expected < r.events
+
+
 def test_conformal_coverage_and_regime_break(spark, tmp_path):
     """On a perfectly weekly-periodic series the lag-7 residuals are all
     zero: q = 0 and holdout coverage = 1.0. Planting a regime break in
