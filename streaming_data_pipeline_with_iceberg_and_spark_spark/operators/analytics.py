@@ -5259,6 +5259,304 @@ ORDER BY event_type
 """
 
 
+# Markov removal-effect attribution: pinned absorption iterations (the
+# PageRank unroll discipline; removal-effect RATIOS converge much faster
+# than absolute absorption, so a modest pinned K is honest).
+_MRA_ITERS = 12
+
+
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (NEW round 15; the
+    Anderl/Becker data-driven attribution model): build each user's
+    journey over the SHARED touch channels (view/click/signup) up to
+    their first conversion, absorb at 'conv' or 'null', fit the
+    first-order transition matrix, and credit each channel by its
+    REMOVAL EFFECT — how much the start→conv absorption probability
+    drops when every transition into that channel is redirected to
+    'null'. Unlike last-touch (position rule) and linear (equal split),
+    this credits channels by their causal role in the graph: a channel
+    that only ever appears after the sale is already decided earns ~0
+    even if it is frequently the last touch.
+
+    Exactness: journey transitions are integer counts over the
+    deterministic (ts, event_id) order with the family's shared
+    conversion/touch/first-conversion definitions; probabilities divide
+    once; absorption runs ``_MRA_ITERS`` pinned vector-matrix rounds
+    with ROUND(9) per state per round (redirecting preserves row sums,
+    so no renormalization is needed); the oracle unrolls the same
+    rounds per removal scenario.
+
+    Scale shape: ONE user-keyed shuffle builds journeys (the sessionize
+    shape); everything after — the |states|² matrix, the |scenarios| ×
+    |states| absorption vectors, the 12 rounds — runs on
+    vocabulary-bounded metadata frames."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    firstconv = (
+        ev.filter(F.col("event_type") == _ATTR_CONVERSION)
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fc"))
+    )
+    j = (
+        ev.filter(
+            F.col("event_type").isin(list(_ATTR_TOUCHES) + [_ATTR_CONVERSION])
+        )
+        .join(firstconv, "user_id", "left")
+        .filter(
+            F.col("fc").isNull()
+            | (F.struct("ts", "event_id") <= F.col("fc"))
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == _ATTR_CONVERSION, F.lit("conv"))
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = j.withColumn(
+        "prev", F.coalesce(F.lag("state").over(w), F.lit("start"))
+    )
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    terminals = (
+        j.withColumn("rk", F.row_number().over(wlast))
+        .filter((F.col("rk") == 1) & (F.col("state") != "conv"))
+        .select(F.col("state").alias("prev"), F.lit("null").alias("state"))
+    )
+    counts = (
+        steps.select("prev", "state")
+        .unionByName(terminals)
+        .groupBy("prev", "state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev")
+    base_p = counts.select(
+        F.col("prev").alias("src"),
+        F.col("state").alias("dst"),
+        (F.col("n") / F.sum("n").over(wp)).alias("p"),
+    )
+    scen = spark.createDataFrame(
+        [("base",)] + [(t,) for t in _ATTR_TOUCHES], "scenario string"
+    )
+    # removal: every edge INTO the removed channel re-targets 'null'
+    # (row sums preserved — no renormalization); the removed node then
+    # never receives mass, so its outgoing rows are inert
+    trans = (
+        base_p.crossJoin(F.broadcast(scen))
+        .select(
+            "scenario",
+            "src",
+            F.when(
+                F.col("dst") == F.col("scenario"), F.lit("null")
+            ).otherwise(F.col("dst")).alias("dst"),
+            "p",
+        )
+        .groupBy("scenario", "src", "dst")
+        .agg(F.sum("p").alias("p"))
+        # absorbing self-loops so 'conv'/'null' mass persists across
+        # rounds — a LITERAL frame, not a crossJoin (an unhinted cross
+        # join of two 32-slice local relations plans as a 1024-partition
+        # CartesianProduct: measured minutes of pure task scheduling)
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (s, a, a, 1.0)
+                    for s in ["base", *_ATTR_TOUCHES]
+                    for a in ("conv", "null")
+                ],
+                "scenario string, src string, dst string, p double",
+            )
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    v = scen.select(
+        "scenario", F.lit("start").alias("state"), F.lit(1.0).alias("m")
+    )
+    for i in range(_MRA_ITERS):
+        va, ta = v.alias("v"), trans.alias("t")
+        v = (
+            va.join(
+                ta,
+                (F.col("v.scenario") == F.col("t.scenario"))
+                & (F.col("v.state") == F.col("t.src")),
+            )
+            .groupBy(F.col("v.scenario").alias("scenario"), F.col("t.dst"))
+            .agg(F.round(F.sum(F.col("v.m") * F.col("t.p")), 9).alias("m"))
+            .select("scenario", F.col("dst").alias("state"), "m")
+            # ≤ |scenarios|·|states| rows — collapse the shuffle read so
+            # 12 rounds don't schedule 12×32 near-empty tasks
+            .coalesce(1)
+        )
+        if i % 4 == 3:
+            v = v.localCheckpoint(eager=True)
+    # a scenario whose removal kills ALL conversion mass has no 'conv'
+    # row in v (inner joins drop zero-mass states) — LEFT-join the
+    # scenario spine and read absent as exactly 0
+    conv_prob = (
+        scen.join(
+            v.filter(F.col("state") == "conv").select(
+                "scenario", F.col("m").alias("cp")
+            ),
+            "scenario",
+            "left",
+        )
+        .select("scenario", F.coalesce("cp", F.lit(0.0)).alias("cp"))
+    )
+    base = conv_prob.filter(F.col("scenario") == "base").agg(
+        F.coalesce(F.max("cp"), F.lit(0.0)).alias("base_cp")
+    )
+    n_conv = firstconv.count()
+    effects = (
+        conv_prob.filter(F.col("scenario") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            F.round("cp", 6).alias("removal_conv_prob"),
+            F.when(
+                F.col("base_cp") > 0,
+                F.round(1.0 - F.col("cp") / F.col("base_cp"), 9),
+            ).otherwise(F.lit(0.0)).alias("eff"),
+        )
+    )
+    wtot = Window.partitionBy()
+    return (
+        effects.withColumn("tot", F.sum("eff").over(wtot))
+        .select(
+            "channel",
+            "removal_conv_prob",
+            F.round("eff", 6).alias("removal_effect"),
+            F.when(
+                F.col("tot") > 0, F.round(F.col("eff") / F.col("tot"), 6)
+            ).otherwise(F.lit(0.0)).alias("attribution_share"),
+            F.when(
+                F.col("tot") > 0,
+                F.round(F.col("eff") / F.col("tot") * n_conv, 6),
+            ).otherwise(F.lit(0.0)).alias("attributed_conversions"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _markov_removal_sql() -> str:
+    """Unrolled absorption oracle: journey CTEs + per-scenario redirect +
+    ``_MRA_ITERS`` vector rounds."""
+    scen_vals = ", ".join(
+        f"('{s}')" for s in ["base", *_ATTR_TOUCHES]
+    )
+    touch_conv = ", ".join(
+        f"'{t}'" for t in list(_ATTR_TOUCHES) + [_ATTR_CONVERSION]
+    )
+    ctes = [
+        f"""ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+firstconv AS (
+  SELECT user_id, MIN(ROW(ts, event_id)) AS fc FROM ev
+  WHERE event_type = '{_ATTR_CONVERSION}' GROUP BY user_id
+),
+j AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         CASE WHEN e.event_type = '{_ATTR_CONVERSION}' THEN 'conv'
+              ELSE e.event_type END AS state
+  FROM ev e LEFT JOIN firstconv f ON f.user_id = e.user_id
+  WHERE e.event_type IN ({touch_conv})
+    AND (f.fc IS NULL OR ROW(e.ts, e.event_id) <= f.fc)
+),
+steps AS (
+  SELECT COALESCE(LAG(state) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                  'start') AS prev,
+         state
+  FROM j
+),
+terminals AS (
+  SELECT state AS prev, 'null' AS state FROM (
+    SELECT state, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rk
+    FROM j
+  ) WHERE rk = 1 AND state != 'conv'
+),
+cnts AS (
+  SELECT prev, state, COUNT(*) AS n FROM (
+    SELECT prev, state FROM steps
+    UNION ALL SELECT prev, state FROM terminals
+  ) GROUP BY 1, 2
+),
+base_p AS (
+  SELECT prev AS src, state AS dst,
+         n / (SUM(n) OVER (PARTITION BY prev) * 1.0) AS p
+  FROM cnts
+),
+scen(scenario) AS (VALUES {scen_vals}),
+trans AS (
+  SELECT scenario, src, dst, SUM(p) AS p FROM (
+    SELECT s.scenario, b.src,
+           CASE WHEN b.dst = s.scenario THEN 'null' ELSE b.dst END AS dst,
+           b.p
+    FROM base_p b CROSS JOIN scen s
+  ) GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT s.scenario, a.src, a.src AS dst, 1.0 AS p
+  FROM scen s CROSS JOIN (VALUES ('conv'), ('null')) a(src)
+),
+v0 AS (SELECT scenario, 'start' AS state, 1.0 AS m FROM scen)"""
+    ]
+    for i in range(_MRA_ITERS):
+        ctes.append(
+            f"""v{i + 1} AS (
+  SELECT v.scenario, t.dst AS state, ROUND(SUM(v.m * t.p), 9) AS m
+  FROM v{i} v JOIN trans t ON t.scenario = v.scenario AND t.src = v.state
+  GROUP BY 1, 2
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+cp AS (
+  SELECT s.scenario, COALESCE(v.cp, 0.0) AS cp
+  FROM scen s LEFT JOIN (
+    SELECT scenario, m AS cp FROM v{_MRA_ITERS} WHERE state = 'conv'
+  ) v ON v.scenario = s.scenario
+),
+nconv AS (SELECT COUNT(*) AS n_conv FROM firstconv),
+base AS (SELECT COALESCE(MAX(cp), 0.0) AS bcp FROM cp
+         WHERE scenario = 'base'),
+eff AS (
+  SELECT c.scenario AS channel,
+         ROUND(c.cp, 6) AS removal_conv_prob,
+         CASE WHEN b.bcp > 0 THEN ROUND(1.0 - c.cp / b.bcp, 9)
+              ELSE 0.0 END AS e
+  FROM cp c, base b
+  WHERE c.scenario != 'base'
+)
+SELECT channel, removal_conv_prob,
+       ROUND(e, 6) AS removal_effect,
+       CASE WHEN SUM(e) OVER () > 0
+            THEN ROUND(e / SUM(e) OVER (), 6) ELSE 0.0 END
+         AS attribution_share,
+       CASE WHEN SUM(e) OVER () > 0
+            THEN ROUND(e / SUM(e) OVER () * n_conv, 6) ELSE 0.0 END
+         AS attributed_conversions
+FROM eff, nconv
+ORDER BY channel"""
+    )
+
+
+MARKOV_REMOVAL_SQL = _markov_removal_sql()
+
+
 # Kleinberg 2-state burst automaton: burst-rate multiplier, state-entry
 # cost weight, and the burst-probability ceiling (p1 = min(s·p0, cap)).
 _KB_S = 2.0
@@ -6018,6 +6316,7 @@ QUERIES = {
     "item_simrank": item_simrank,
     "events_forecast_conformal": events_forecast_conformal,
     "events_burst_kleinberg": events_burst_kleinberg,
+    "attribution_markov_removal": attribution_markov_removal,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "events_hw_forecast": events_hw_forecast,
@@ -6089,6 +6388,8 @@ ORACLES = {
     "events_forecast_conformal": FORECAST_CONFORMAL_SQL,
     # round 15: Kleinberg 2-state burst Viterbi (recursive-CTE oracle)
     "events_burst_kleinberg": BURST_KLEINBERG_SQL,
+    # round 15: Markov removal-effect attribution (unrolled absorption)
+    "attribution_markov_removal": MARKOV_REMOVAL_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     # round 14: Holt-Winters additive weekly seasonality + its holdout

@@ -2136,6 +2136,45 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_markov_removal_credits_causal_channels(spark, tmp_path):
+    """Every conversion runs start→view→click→conv while signup users
+    never convert: removing view or click must kill ALL conversions
+    (removal effect 1, equal credit), and signup must earn exactly
+    zero — the causal-role property position rules cannot express."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        attribution_markov_removal,
+    )
+
+    rows, eid = [], 0
+    for u in range(10):
+        for i, typ in enumerate(("view", "click", "purchase")):
+            eid += 1
+            rows.append((eid, 3 * u + i, u, typ, 1.0, "{}"))
+    for u in range(10, 20):
+        eid += 1
+        rows.append((eid, 3 * u, u, "signup", 1.0, "{}"))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, m int, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "CAST(TIMESTAMP'2024-05-01 00:00:00' + make_interval(0,0,0,0,0,m,0)"
+        " AS TIMESTAMP) AS ts",
+        "user_id", "event_type", "value", "props",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    out = {r.channel: r for r in attribution_markov_removal(spark, sf).collect()}
+    assert set(out) == {"view", "click", "signup"}
+    assert out["signup"].removal_effect == 0.0
+    assert out["view"].removal_effect == 1.0
+    assert out["click"].removal_effect == 1.0
+    assert out["view"].attribution_share == 0.5
+    assert out["click"].attributed_conversions == 5.0
+    assert out["signup"].attributed_conversions == 0.0
+
+
 def test_kleinberg_burst_finds_planted_episode(spark, tmp_path):
     """A flat two-type corpus with type 'a' surging 15x on days 10-14
     must decode to EXACTLY one burst interval covering those days (the
