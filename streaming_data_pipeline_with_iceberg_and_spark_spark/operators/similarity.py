@@ -2150,13 +2150,24 @@ def knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the exact baseline — no shuffle of the corpus, no Python.
     """
     codes = _sign_coded(load_spread(spark, "embeddings", sf_dir))
-    queries = _sign_coded(load(spark, "embeddings", sf_dir).filter(_query_pred(50))).select(
+    queries = _sign_coded(
+        load(spark, "embeddings", sf_dir).filter(_query_pred(50))
+    )
+    return hamming_rank(codes, queries)
+
+
+def hamming_rank(codes: DataFrame, queries: DataFrame) -> DataFrame:
+    """Hamming top-5 of a (vec_id, w0, w1) code frame against a tiny
+    query-code frame — the shared scoring tail of the batch scan and the
+    maintained-code-index serve face (the 23rd path), so the two cannot
+    disagree about a distance."""
+    q = queries.select(
         F.col("vec_id").alias("q_id"),
         F.col("w0").alias("q_w0"),
         F.col("w1").alias("q_w1"),
     )
     scored = codes.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+        F.broadcast(q), F.col("vec_id") != F.col("q_id")
     ).select(
         "q_id",
         "vec_id",
@@ -2170,6 +2181,15 @@ def knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("q_id", "rank", "vec_id", "hamming")
     )
+
+
+def hamming_from_code_index(codes: DataFrame) -> DataFrame:
+    """`knn_hamming` served from the 23rd path's MAINTAINED code table:
+    the benchmark query set is the same ``_query_pred`` carve of the
+    stored codes, so the whole search touches 16 bytes per vector and
+    the float embeddings are never read — ≡ the batch face over
+    everything ingested (parity test in tests/test_streaming.py)."""
+    return hamming_rank(codes, codes.filter(_query_pred(50)))
 
 
 # Shared oracle CTE: the same MSB-first fold, written as Σ 2^i·bit_i.

@@ -2086,6 +2086,68 @@ def compact_kgram_index(
     t.overwrite(t.read(), batch_id=compaction_id)
 
 
+EMBEDDING_ENVELOPE_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def start_incremental_code_index_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    codes_root: str,
+    schema=EMBEDDING_ENVELOPE_SCHEMA,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "code_index_ingest",
+) -> StreamingQuery:
+    """EXACT incremental binary sign-code index — the TWENTY-THIRD
+    incremental path, append-only-projection class: each embedding batch
+    appends its 64-bit sign codes (``operators.similarity._sign_coded``
+    — the SAME packing the batch ``knn_hamming`` computes on the fly)
+    under the idempotent namespaced batch key.  The code is a pure
+    per-row function of the vector, and each vector arrives once, so
+    per-batch code appends union to exactly the full-corpus code table
+    — no ordering contract, no merge step, replay a no-op.
+
+    ``hamming_from_code_index(codes) ≡ knn_hamming`` over everything
+    ingested (parity test): the binary search face serves from a table
+    that is 16 bytes/vector — the "store the codes next to the vectors"
+    claim of the compression ladder made into maintained state; the
+    float embeddings are never re-read at query time.
+    ``compact_code_index`` collapses file layout between drains."""
+    from ..operators.similarity import _sign_coded
+    from ..sources.snapshots import SnapshotTable
+
+    codes_t = SnapshotTable(spark, codes_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def code_batch(batch_df: DataFrame, batch_id: int) -> None:
+        codes_t.append_batch(
+            _sign_coded(batch_df.filter(F.col("embedding").isNotNull())),
+            f"{stream_id}#{batch_id}",
+        )
+
+    writer = stream.writeStream.foreachBatch(code_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_code_index(
+    spark: SparkSession, codes_root: str, compaction_id=None
+) -> None:
+    """Rewrite the per-batch code files as one compacted set — a
+    semantic no-op (rows unchanged; the overwrite keeps the key log so
+    replay protection survives)."""
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, codes_root)
+    t.overwrite(t.read(), batch_id=compaction_id)
+
+
 def start_incremental_mixture_ingest(
     spark: SparkSession,
     source_dir: str,

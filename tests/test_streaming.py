@@ -2990,6 +2990,71 @@ def test_incremental_revenue_ingest_matches_batch_q5(spark, tmp_path):
     assert [tuple(r) for r in q5_from_revenue_cells(m).collect()] == want
 
 
+def test_incremental_code_index_serves_hamming(spark, tmp_path):
+    """Binary sign codes maintained at ingest (the twenty-third path,
+    append-only projection): hamming_from_code_index over codes ingested
+    in three uneven batches equals batch knn_hamming on the same
+    embeddings; replay appends nothing; compaction changes only layout."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.similarity import (
+        hamming_from_code_index,
+        knn_hamming,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_code_index,
+        start_incremental_code_index_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    src = tmp_path / "env_in"
+    src.mkdir()
+    codes_root = str(tmp_path / "codes")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_code_index_ingest(
+            spark, str(src), codes_root, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    batches = [
+        [r for r in rows if r.vec_id % 3 == i] for i in range(3)
+    ]
+    for i, b in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in b:
+                f.write(
+                    _json.dumps(
+                        {"vec_id": r.vec_id,
+                         "embedding": [float(x) for x in r.embedding]}
+                    )
+                    + "\n"
+                )
+        drain()
+
+    codes_t = SnapshotTable(spark, codes_root)
+    want = [tuple(r) for r in knn_hamming(spark, sf).collect()]
+    got = [tuple(r) for r in hamming_from_code_index(codes_t.read()).collect()]
+    assert got == want and want
+
+    n = codes_t.read().count()
+    assert n == len(rows)
+    drain()
+    assert codes_t.read().count() == n
+    compact_code_index(spark, codes_root)
+    assert codes_t.read().count() == n
+    assert [
+        tuple(r) for r in hamming_from_code_index(codes_t.read()).collect()
+    ] == want
+
+
 def test_incremental_recon_ingest_matches_batch_audit(spark, tmp_path):
     """Order-reconciliation from maintained per-order partials (the
     twenty-second path): reconciliation_from_state over state ingested
