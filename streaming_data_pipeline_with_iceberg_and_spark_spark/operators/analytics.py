@@ -5262,34 +5262,15 @@ ORDER BY event_type
 # Markov removal-effect attribution: pinned absorption iterations (the
 # PageRank unroll discipline; removal-effect RATIOS converge much faster
 # than absolute absorption, so a modest pinned K is honest).
-_MRA_ITERS = 12
+_MRA_ITERS = 8
 
 
-def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Markov removal-effect attribution (NEW round 15; the
-    Anderl/Becker data-driven attribution model): build each user's
-    journey over the SHARED touch channels (view/click/signup) up to
-    their first conversion, absorb at 'conv' or 'null', fit the
-    first-order transition matrix, and credit each channel by its
-    REMOVAL EFFECT — how much the start→conv absorption probability
-    drops when every transition into that channel is redirected to
-    'null'. Unlike last-touch (position rule) and linear (equal split),
-    this credits channels by their causal role in the graph: a channel
-    that only ever appears after the sale is already decided earns ~0
-    even if it is frequently the last touch.
-
-    Exactness: journey transitions are integer counts over the
-    deterministic (ts, event_id) order with the family's shared
-    conversion/touch/first-conversion definitions; probabilities divide
-    once; absorption runs ``_MRA_ITERS`` pinned vector-matrix rounds
-    with ROUND(9) per state per round (redirecting preserves row sums,
-    so no renormalization is needed); the oracle unrolls the same
-    rounds per removal scenario.
-
-    Scale shape: ONE user-keyed shuffle builds journeys (the sessionize
-    shape); everything after — the |states|² matrix, the |scenarios| ×
-    |states| absorption vectors, the 12 rounds — runs on
-    vocabulary-bounded metadata frames."""
+def _attr_journey_base_p(spark: SparkSession, sf_dir: str):
+    """(base_p transition-probability frame, firstconv per-user frame) —
+    the journey model every Markov-graph attribution face shares: touch
+    events up to each user's FIRST conversion, absorbed at 'conv'/'null'
+    with 'start' prepended, over the family's shared touch/conversion
+    definitions and the deterministic (ts, event_id) order."""
     ev = load(spark, "events", sf_dir).filter(
         F.col("user_id").isNotNull()
         & F.col("event_type").isNotNull()
@@ -5343,19 +5324,33 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("dst"),
         (F.col("n") / F.sum("n").over(wp)).alias("p"),
     )
+    return base_p, firstconv
+
+
+def _attr_absorption(
+    spark: SparkSession, base_p: DataFrame, scen_rows: list
+) -> DataFrame:
+    """(scenario, cp) start→conv absorption after ``_MRA_ITERS`` pinned
+    ROUND(9) vector-matrix rounds, one scenario per removal SET:
+    ``scen_rows`` is [(name, (removed_channel, ...)), ...] and every
+    edge INTO a removed channel re-targets 'null' (row sums preserved —
+    no renormalization; the removed node never receives mass so its
+    outgoing rows are inert). Scenarios whose removal kills ALL
+    conversion mass read as exactly 0 via the scenario-spine left join.
+    Shared by the removal-effect face (singleton sets) and the Shapley
+    face (all subsets)."""
     scen = spark.createDataFrame(
-        [("base",)] + [(t,) for t in _ATTR_TOUCHES], "scenario string"
+        [(name, list(removed)) for name, removed in scen_rows],
+        "scenario string, removed array<string>",
     )
-    # removal: every edge INTO the removed channel re-targets 'null'
-    # (row sums preserved — no renormalization); the removed node then
-    # never receives mass, so its outgoing rows are inert
     trans = (
         base_p.crossJoin(F.broadcast(scen))
         .select(
             "scenario",
             "src",
             F.when(
-                F.col("dst") == F.col("scenario"), F.lit("null")
+                F.array_contains(F.col("removed"), F.col("dst")),
+                F.lit("null"),
             ).otherwise(F.col("dst")).alias("dst"),
             "p",
         )
@@ -5368,8 +5363,8 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             spark.createDataFrame(
                 [
-                    (s, a, a, 1.0)
-                    for s in ["base", *_ATTR_TOUCHES]
+                    (name, a, a, 1.0)
+                    for name, _removed in scen_rows
                     for a in ("conv", "null")
                 ],
                 "scenario string, src string, dst string, p double",
@@ -5393,24 +5388,48 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("v.m") * F.col("t.p")), 9).alias("m"))
             .select("scenario", F.col("dst").alias("state"), "m")
             # ≤ |scenarios|·|states| rows — collapse the shuffle read so
-            # 12 rounds don't schedule 12×32 near-empty tasks
+            # the rounds don't schedule near-empty tasks
             .coalesce(1)
         )
         if i % 4 == 3:
             v = v.localCheckpoint(eager=True)
-    # a scenario whose removal kills ALL conversion mass has no 'conv'
-    # row in v (inner joins drop zero-mass states) — LEFT-join the
-    # scenario spine and read absent as exactly 0
-    conv_prob = (
-        scen.join(
-            v.filter(F.col("state") == "conv").select(
-                "scenario", F.col("m").alias("cp")
-            ),
-            "scenario",
-            "left",
-        )
-        .select("scenario", F.coalesce("cp", F.lit(0.0)).alias("cp"))
-    )
+    return scen.select("scenario").join(
+        v.filter(F.col("state") == "conv").select(
+            "scenario", F.col("m").alias("cp")
+        ),
+        "scenario",
+        "left",
+    ).select("scenario", F.coalesce("cp", F.lit(0.0)).alias("cp"))
+
+
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (NEW round 15; the
+    Anderl/Becker data-driven attribution model): build each user's
+    journey over the SHARED touch channels (view/click/signup) up to
+    their first conversion, absorb at 'conv' or 'null', fit the
+    first-order transition matrix, and credit each channel by its
+    REMOVAL EFFECT — how much the start→conv absorption probability
+    drops when every transition into that channel is redirected to
+    'null'. Unlike last-touch (position rule) and linear (equal split),
+    this credits channels by their causal role in the graph: a channel
+    that only ever appears after the sale is already decided earns ~0
+    even if it is frequently the last touch.
+
+    Exactness: journey transitions are integer counts over the
+    deterministic (ts, event_id) order with the family's shared
+    conversion/touch/first-conversion definitions; probabilities divide
+    once; absorption runs ``_MRA_ITERS`` pinned vector-matrix rounds
+    with ROUND(9) per state per round (redirecting preserves row sums,
+    so no renormalization is needed); the oracle unrolls the same
+    rounds per removal scenario.
+
+    Scale shape: ONE user-keyed shuffle builds journeys (the sessionize
+    shape); everything after — the |states|² matrix, the |scenarios| ×
+    |states| absorption vectors, the rounds — runs on vocabulary-bounded
+    metadata frames."""
+    base_p, firstconv = _attr_journey_base_p(spark, sf_dir)
+    scen_rows = [("base", ())] + [(t, (t,)) for t in _ATTR_TOUCHES]
+    conv_prob = _attr_absorption(spark, base_p, scen_rows)
     base = conv_prob.filter(F.col("scenario") == "base").agg(
         F.coalesce(F.max("cp"), F.lit(0.0)).alias("base_cp")
     )
@@ -5446,17 +5465,119 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _markov_removal_sql() -> str:
-    """Unrolled absorption oracle: journey CTEs + per-scenario redirect +
-    ``_MRA_ITERS`` vector rounds."""
-    scen_vals = ", ".join(
-        f"('{s}')" for s in ["base", *_ATTR_TOUCHES]
+def _shapley_subsets():
+    """All subsets of the touch set, named by their sorted '+'-join
+    ('none' for ∅) — the scenario space of the exact Shapley face."""
+    from itertools import combinations
+
+    chans = sorted(_ATTR_TOUCHES)
+    out = []
+    for r in range(len(chans) + 1):
+        for sub in combinations(chans, r):
+            name = "+".join(sub) if sub else "none"
+            removed = tuple(c for c in chans if c not in sub)
+            out.append((name, sub, removed))
+    return out
+
+
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over the Markov journey graph
+    (NEW round 15; Shapley 1953 applied per Zhao et al.'s
+    game-theoretic attribution): the characteristic function
+    v(S) = start→conv absorption with every channel OUTSIDE S removed,
+    evaluated for ALL 2^|channels| coalitions (8 scenarios for the
+    3-channel touch set — exact, no sampling), and each channel earns
+    its Shapley value φ_c = Σ_S |S|!(n−|S|−1)!/n!·[v(S∪c) − v(S)].
+    The axiomatic credit split: efficiency (Σφ = v(full) − v(∅)),
+    symmetry, and zero credit for null players — the properties the
+    heuristic rules (last-touch, linear) and even the removal effect
+    (which double-counts complements) do not guarantee.
+
+    Shares the journey model and the pinned ROUND(9) absorption with
+    ``attribution_markov_removal`` (one helper each — the two faces
+    cannot disagree about a journey or an absorption); the Shapley
+    combination itself is a pivot of the 8 absorption scalars through
+    literal factorial weights, identical in the oracle.
+
+    Scale: the coalition count is exponential in |channels| by
+    definition — with the pinned 3-channel touch set that is 8
+    absorption vectors on metadata-bounded frames (document before
+    widening the channel set; ≥10 channels needs the sampled
+    permutation estimator instead)."""
+    subs = _shapley_subsets()
+    base_p, firstconv = _attr_journey_base_p(spark, sf_dir)
+    conv_prob = _attr_absorption(
+        spark, base_p, [(name, removed) for name, _sub, removed in subs]
     )
-    touch_conv = ", ".join(
-        f"'{t}'" for t in list(_ATTR_TOUCHES) + [_ATTR_CONVERSION]
+    # pivot the 8 scalars into one row: v_<name> columns
+    piv = conv_prob.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("scenario") == name, F.col("cp"))),
+                F.lit(0.0),
+            ).alias(f"v_{name.replace('+', '_')}")
+            for name, _sub, _removed in subs
+        ]
     )
-    ctes = [
-        f"""ev AS (
+    chans = sorted(_ATTR_TOUCHES)
+    n = len(chans)
+    import math
+
+    def vcol(sub: tuple) -> F.Column:
+        name = "+".join(sub) if sub else "none"
+        return F.col(f"v_{name.replace('+', '_')}")
+
+    from itertools import combinations
+
+    phi_rows = []
+    for c in chans:
+        others = [x for x in chans if x != c]
+        terms = []
+        for r in range(len(others) + 1):
+            for sub in combinations(others, r):
+                weight = (
+                    math.factorial(len(sub))
+                    * math.factorial(n - len(sub) - 1)
+                    / math.factorial(n)
+                )
+                with_c = tuple(sorted(sub + (c,)))
+                terms.append(
+                    F.lit(weight) * (vcol(with_c) - vcol(tuple(sub)))
+                )
+        phi = F.round(sum(terms[1:], terms[0]), 9)
+        phi_rows.append((c, phi))
+    stacked = piv.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("channel"), phi.alias("phi")
+                    )
+                    for c, phi in phi_rows
+                ]
+            )
+        ).alias("s")
+    ).select("s.channel", "s.phi")
+    n_conv = firstconv.count()
+    wtot = Window.partitionBy()
+    return (
+        stacked.withColumn("tot", F.sum("phi").over(wtot))
+        .select(
+            "channel",
+            F.round("phi", 6).alias("shapley_value"),
+            F.when(
+                F.col("tot") > 0, F.round(F.col("phi") / F.col("tot"), 6)
+            ).otherwise(F.lit(0.0)).alias("attribution_share"),
+            F.when(
+                F.col("tot") > 0,
+                F.round(F.col("phi") / F.col("tot") * n_conv, 6),
+            ).otherwise(F.lit(0.0)).alias("attributed_conversions"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTR_JOURNEY_CTES = f"""ev AS (
   SELECT user_id, ts, event_id, event_type FROM events
   WHERE user_id IS NOT NULL AND event_type IS NOT NULL
     AND ts IS NOT NULL AND event_id IS NOT NULL
@@ -5470,7 +5591,9 @@ j AS (
          CASE WHEN e.event_type = '{_ATTR_CONVERSION}' THEN 'conv'
               ELSE e.event_type END AS state
   FROM ev e LEFT JOIN firstconv f ON f.user_id = e.user_id
-  WHERE e.event_type IN ({touch_conv})
+  WHERE e.event_type IN ({", ".join(
+      f"'{t}'" for t in list(_ATTR_TOUCHES) + [_ATTR_CONVERSION]
+  )})
     AND (f.fc IS NULL OR ROW(e.ts, e.event_id) <= f.fc)
 ),
 steps AS (
@@ -5497,18 +5620,32 @@ base_p AS (
   SELECT prev AS src, state AS dst,
          n / (SUM(n) OVER (PARTITION BY prev) * 1.0) AS p
   FROM cnts
-),
-scen(scenario) AS (VALUES {scen_vals}),
+)"""
+
+
+def _absorption_sql(scen_rows: list) -> str:
+    """Shared absorption CTE chain for a scenario list
+    [(name, removed tuple)] — scen/trans + the unrolled rounds + the
+    zero-coalesced cp frame."""
+    scen_vals = ", ".join(
+        "('{}', '{}')".format(name, ",".join(removed))
+        for name, removed in scen_rows
+    )
+    loops = ", ".join(f"('{a}')" for a in ("conv", "null"))
+    ctes = [
+        f"""scen(scenario, removed_csv) AS (VALUES {scen_vals}),
 trans AS (
   SELECT scenario, src, dst, SUM(p) AS p FROM (
     SELECT s.scenario, b.src,
-           CASE WHEN b.dst = s.scenario THEN 'null' ELSE b.dst END AS dst,
+           CASE WHEN strpos(',' || s.removed_csv || ',',
+                            ',' || b.dst || ',') > 0
+                THEN 'null' ELSE b.dst END AS dst,
            b.p
     FROM base_p b CROSS JOIN scen s
   ) GROUP BY 1, 2, 3
   UNION ALL
   SELECT s.scenario, a.src, a.src AS dst, 1.0 AS p
-  FROM scen s CROSS JOIN (VALUES ('conv'), ('null')) a(src)
+  FROM scen s CROSS JOIN (VALUES {loops}) a(src)
 ),
 v0 AS (SELECT scenario, 'start' AS state, 1.0 AS m FROM scen)"""
     ]
@@ -5520,16 +5657,25 @@ v0 AS (SELECT scenario, 'start' AS state, 1.0 AS m FROM scen)"""
   GROUP BY 1, 2
 )"""
         )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f""",
-cp AS (
+    ctes.append(
+        f"""cp AS (
   SELECT s.scenario, COALESCE(v.cp, 0.0) AS cp
   FROM scen s LEFT JOIN (
     SELECT scenario, m AS cp FROM v{_MRA_ITERS} WHERE state = 'conv'
   ) v ON v.scenario = s.scenario
-),
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+def _markov_removal_sql() -> str:
+    scen_rows = [("base", ())] + [(t, (t,)) for t in _ATTR_TOUCHES]
+    return (
+        "WITH "
+        + _ATTR_JOURNEY_CTES
+        + ",\n"
+        + _absorption_sql(scen_rows)
+        + """,
 nconv AS (SELECT COUNT(*) AS n_conv FROM firstconv),
 base AS (SELECT COALESCE(MAX(cp), 0.0) AS bcp FROM cp
          WHERE scenario = 'base'),
@@ -5555,6 +5701,63 @@ ORDER BY channel"""
 
 
 MARKOV_REMOVAL_SQL = _markov_removal_sql()
+
+
+def _shapley_sql() -> str:
+    import math
+    from itertools import combinations
+
+    subs = _shapley_subsets()
+    chans = sorted(_ATTR_TOUCHES)
+    n = len(chans)
+    piv_cols = ", ".join(
+        "COALESCE(MAX(CASE WHEN scenario = '{}' THEN cp END), 0.0) AS v_{}"
+        .format(name, name.replace("+", "_"))
+        for name, _sub, _removed in subs
+    )
+    phi_selects = []
+    for c in chans:
+        others = [x for x in chans if x != c]
+        terms = []
+        for r in range(len(others) + 1):
+            for sub in combinations(others, r):
+                w = (
+                    math.factorial(len(sub))
+                    * math.factorial(n - len(sub) - 1)
+                    / math.factorial(n)
+                )
+                with_c = tuple(sorted(sub + (c,)))
+                nm_with = "_".join(with_c)
+                nm_wo = "_".join(sub) if sub else "none"
+                terms.append(f"{w!r} * (v_{nm_with} - v_{nm_wo})")
+        phi_selects.append(
+            f"SELECT '{c}' AS channel, ROUND({' + '.join(terms)}, 9) AS phi"
+            " FROM piv"
+        )
+    scen_rows = [(name, removed) for name, _sub, removed in subs]
+    return (
+        "WITH "
+        + _ATTR_JOURNEY_CTES
+        + ",\n"
+        + _absorption_sql(scen_rows)
+        + f""",
+nconv AS (SELECT COUNT(*) AS n_conv FROM firstconv),
+piv AS (SELECT {piv_cols} FROM cp),
+phi AS ({" UNION ALL ".join(phi_selects)})
+SELECT channel,
+       ROUND(phi, 6) AS shapley_value,
+       CASE WHEN SUM(phi) OVER () > 0
+            THEN ROUND(phi / SUM(phi) OVER (), 6) ELSE 0.0 END
+         AS attribution_share,
+       CASE WHEN SUM(phi) OVER () > 0
+            THEN ROUND(phi / SUM(phi) OVER () * n_conv, 6) ELSE 0.0 END
+         AS attributed_conversions
+FROM phi, nconv
+ORDER BY channel"""
+    )
+
+
+SHAPLEY_SQL = _shapley_sql()
 
 
 # Kleinberg 2-state burst automaton: burst-rate multiplier, state-entry
@@ -6317,6 +6520,7 @@ QUERIES = {
     "events_forecast_conformal": events_forecast_conformal,
     "events_burst_kleinberg": events_burst_kleinberg,
     "attribution_markov_removal": attribution_markov_removal,
+    "attribution_shapley": attribution_shapley,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "events_hw_forecast": events_hw_forecast,
@@ -6390,6 +6594,8 @@ ORACLES = {
     "events_burst_kleinberg": BURST_KLEINBERG_SQL,
     # round 15: Markov removal-effect attribution (unrolled absorption)
     "attribution_markov_removal": MARKOV_REMOVAL_SQL,
+    # round 15: exact Shapley attribution over all 2^n coalitions
+    "attribution_shapley": SHAPLEY_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     # round 14: Holt-Winters additive weekly seasonality + its holdout

@@ -2174,6 +2174,20 @@ def test_markov_removal_credits_causal_channels(spark, tmp_path):
     assert out["click"].attributed_conversions == 5.0
     assert out["signup"].attributed_conversions == 0.0
 
+    # exact Shapley on the same graph: v(S) = 0.5 iff BOTH view and
+    # click ∈ S, so φ_view = φ_click = 0.25, φ_signup = 0 (null
+    # player), and Σφ = v(full) − v(∅) = 0.5 (efficiency axiom)
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        attribution_shapley,
+    )
+
+    sh = {r.channel: r for r in attribution_shapley(spark, sf).collect()}
+    assert sh["view"].shapley_value == 0.25
+    assert sh["click"].shapley_value == 0.25
+    assert sh["signup"].shapley_value == 0.0
+    assert sh["view"].attribution_share == 0.5
+    assert sh["click"].attributed_conversions == 5.0
+
 
 def test_kleinberg_burst_finds_planted_episode(spark, tmp_path):
     """A flat two-type corpus with type 'a' surging 15x on days 10-14
