@@ -104,6 +104,7 @@ _PRIORITY = [
     "events_burst_kleinberg",
     "attribution_markov_removal",
     "attribution_shapley",
+    "proximity_min_window",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",
@@ -128,8 +129,8 @@ _PRIORITY = [
     # faces, set ops and ordered limits, the token-stats/Gopher text
     # faces, the lag/lead window, sessionization, the UDTF chunker and
     # the vectorized pandas_udf decode surface — no fresher same-surface
-    # row exists for any of these.  (The 16-entry r15 head squeezed the
-    # in-window (c) block to 19; thirteen more r10 rows moved to the
+    # row exists for any of these.  (The 17-entry r15 head squeezed the
+    # in-window (c) block to 18; fourteen more r10 rows moved to the
     # justified tail below as the head grew, per the standing eviction
     # rule.)
     "merge_upsert_orders",
@@ -148,12 +149,14 @@ _PRIORITY = [
     "agg_unpivot",
     "distinct_rows",
     "sort_limit_topk",
-    "set_intersect",
     "text_chunk_udtf",
     "mm_feature_extract",
     # (c)-tail: the r10 rows deferred past the ~50 gate, strongest
-    # fresh same-surface sibling first (re-queued r16).  Thirteen
+    # fresh same-surface sibling first (re-queued r16).  Fourteen
     # evicted by the growing r15 head:
+    # set_intersect — the set-op surface is r13-green set_except /
+    #   union_by_name's (same Distinct+join machinery, checked last
+    #   window);
     # sessionize — the session definition is r14-green session_stats' and
     #   sessions_peak_concurrency's (shared _hist_rank_stats /
     #   sessionization CTEs), and the 10th path's ingest parity re-runs
@@ -188,6 +191,7 @@ _PRIORITY = [
     # quality_weighted_sample — the md5-uniform acceptance draw is the
     #   r15 head bootstrap_ci_order_value's lane law; score side is the
     #   in-window classifier chain.
+    "set_intersect",
     "sessionize",
     "window_lag_lead",
     "text_gopher_quality",

@@ -3375,6 +3375,166 @@ def ql_rank_from_index(
     )
 
 
+def proximity_min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional proximity retrieval (NEW round 15): for each pinned
+    benchmark query, rank documents containing ALL query terms by the
+    length of the SMALLEST token window covering every term — the
+    classic positional-index capability (minimal-span ranking, the
+    backbone of phrase/proximity scoring in Lucene-class engines) that
+    pure bag-of-words BM25 cannot express: "spark near table near scan"
+    beats a document mentioning the three terms in unrelated paragraphs.
+
+    The sweep is set-oriented, not per-doc imperative: positions filter
+    to query terms at the scan (INSET pushdown), and for each occurrence
+    the per-term running LAST position (one ``last(ignorenulls)`` window
+    per term index over the (query, doc) position order) gives the
+    candidate window ending there — min over occurrences is the exact
+    minimal span (standard sliding-window identity). Everything is
+    integer token positions; ranking ties break (window, doc) — fully
+    value-exact.
+
+    Scale shape: the shuffle carries only matching-term positions (the
+    BM25 postings sliver); the window frames are per (query, doc)
+    occurrence lists; the final top-k is the WindowGroupLimit shape.
+    |terms per query| is pinned ≤ 3, so the per-term running-last
+    columns are a constant-width projection."""
+    q_terms = {qid: list(ts) for qid, ts in sorted(_BM25_QUERIES.items())}
+    max_t = max(len(ts) for ts in q_terms.values())
+    qmap = spark.createDataFrame(
+        [
+            (qid, t, i + 1)
+            for qid, ts in q_terms.items()
+            for i, t in enumerate(ts)
+        ],
+        "query_id int, term string, ti int",
+    )
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    docs = load_spread(spark, "documents", sf_dir).filter(
+        F.col("text").isNotNull()
+    )
+    pos = (
+        docs.select(
+            "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+        )
+        .filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qmap), "term")
+    )
+    w = (
+        Window.partitionBy("query_id", "doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lasts = [
+        F.last(
+            F.when(F.col("ti") == i + 1, F.col("pos")), ignorenulls=True
+        ).over(w).alias(f"l{i + 1}")
+        for i in range(max_t)
+    ]
+    n_terms = F.size(
+        F.filter(
+            F.array(*[F.col(f"l{i + 1}") for i in range(max_t)]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    # queries with fewer than max_t terms: missing indexes stay NULL
+    # forever — require exactly |terms(q)| seen
+    nt_map = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in q_terms.items()],
+        "query_id int, n_q int",
+    )
+    spans = (
+        pos.select("query_id", "doc_id", "pos", *lasts)
+        .join(F.broadcast(nt_map), "query_id")
+        .filter(n_terms == F.col("n_q"))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("pos")
+                - F.least(
+                    *[F.col(f"l{i + 1}") for i in range(max_t)]
+                )
+                + 1
+            ).alias("win"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("win").cast("long").alias("window_len"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("window_len"), F.asc("doc_id")
+    )
+    return (
+        spans.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "window_len")
+    )
+
+
+def _proximity_sql() -> str:
+    q_terms = {qid: list(ts) for qid, ts in sorted(_BM25_QUERIES.items())}
+    max_t = max(len(ts) for ts in q_terms.values())
+    q_vals = ", ".join(
+        f"({qid}, '{t}', {i + 1})"
+        for qid, ts in q_terms.items()
+        for i, t in enumerate(ts)
+    )
+    nt_vals = ", ".join(f"({qid}, {len(ts)})" for qid, ts in q_terms.items())
+    last_cols = ",\n         ".join(
+        f"LAST_VALUE(CASE WHEN ti = {i + 1} THEN pos END IGNORE NULLS)"
+        f" OVER w AS l{i + 1}"
+        for i in range(max_t)
+    )
+    lvars = ", ".join(f"l{i + 1}" for i in range(max_t))
+    nn = " + ".join(
+        f"CASE WHEN l{i + 1} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(max_t)
+    )
+    return f"""
+WITH q(query_id, term, ti) AS (VALUES {q_vals}),
+nt(query_id, n_q) AS (VALUES {nt_vals}),
+tokpos AS (
+  SELECT doc_id, (t.idx - 1) AS pos, t.tok AS term
+  FROM (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM documents WHERE text IS NOT NULL
+  ), LATERAL (
+    SELECT UNNEST(toks) AS tok,
+           generate_subscripts(toks, 1) AS idx
+  ) t
+),
+p AS (
+  SELECT tp.doc_id, tp.pos, q.query_id, q.ti
+  FROM tokpos tp JOIN q ON q.term = tp.term
+),
+lasts AS (
+  SELECT query_id, doc_id, pos,
+         {last_cols}
+  FROM p
+  WINDOW w AS (PARTITION BY query_id, doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+spans AS (
+  SELECT l.query_id, l.doc_id,
+         CAST(MIN(l.pos - LEAST({lvars}) + 1) AS BIGINT) AS window_len
+  FROM lasts l JOIN nt ON nt.query_id = l.query_id
+  WHERE {nn} = nt.n_q
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, window_len
+FROM (
+  SELECT query_id, doc_id, window_len,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY window_len ASC, doc_id ASC) AS rank
+  FROM spans
+)
+WHERE rank <= {_BM25_TOPK}
+"""
+
+
+PROXIMITY_SQL = _proximity_sql()
+
+
 # Champion-list width: docs kept per term for candidate generation.
 _CHAMP_M = 30
 
@@ -5097,6 +5257,7 @@ QUERIES = {
     "text_topic_plsa": text_topic_plsa,
     "topic_mixture_by_source": topic_mixture_by_source,
     "bm25_champion_search": bm25_champion_search,
+    "proximity_min_window": proximity_min_window,
     "text_pmi_collocations": text_pmi_collocations,
     "lang_id_confusion": lang_id_confusion,
     "lang_id_kappa": lang_id_kappa,
@@ -5153,6 +5314,8 @@ ORACLES = {
     "topic_mixture_by_source": TOPIC_MIXTURE_BY_SOURCE_SQL,
     # round 15: champion-list inexact top-k BM25 (true scores, pruned candidates)
     "bm25_champion_search": BM25_CHAMPION_SQL,
+    # round 15: positional minimal-span proximity ranking
+    "proximity_min_window": PROXIMITY_SQL,
     # round 11: PMI collocation mining (shared tokens/bigram defs)
     "text_pmi_collocations": TEXT_PMI_SQL,
     # round 11: lang-ID eval face (wraps the shared TEXT_LANG_ID_SQL)

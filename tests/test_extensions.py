@@ -2136,6 +2136,34 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_proximity_min_window_hand_case(spark, tmp_path):
+    """Hand-verified minimal spans: doc 1's best window for (spark,
+    table, scan) is 3 tokens (positions 3..5), doc 2 holds the terms
+    far apart (window 9), and a doc missing one term never qualifies."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        proximity_min_window,
+    )
+
+    rows = [
+        (1, "spark x x table scan spark table y scan", "en", "s", 40),
+        (2, "spark a b c table d e f scan", "en", "s", 30),
+        (3, "spark table only here", "en", "s", 20),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = [
+        r
+        for r in proximity_min_window(spark, sf).collect()
+        if r.query_id == 1  # (spark, table, scan)
+    ]
+    assert [(r.rank, r.doc_id, r.window_len) for r in out] == [
+        (1, 1, 3),
+        (2, 2, 9),
+    ]
+
+
 def test_markov_removal_credits_causal_channels(spark, tmp_path):
     """Every conversion runs start→view→click→conv while signup users
     never convert: removing view or click must kill ALL conversions
