@@ -3585,6 +3585,134 @@ ORDER BY channel
 """
 
 
+def experiment_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test on mean per-user event value (NEW round
+    15) — the CONTINUOUS-metric significance readout completing the
+    experimentation family (the z-test handles conversion rates; CUPED
+    adjusts; DiD differences; this answers "did the treatment move
+    spend per user?" without assuming equal variances). Same md5 arm
+    law as the whole family; metric = each user's total event value in
+    integer cents; t = (m̄₁−m̄₀)/√(s₁²/n₁+s₀²/n₀) with the
+    Welch–Satterthwaite degrees of freedom.
+
+    Exactness: per-arm moments are exact integer sums (n, Σx, Σx² in
+    cents), sample variances and the t/df closed forms evaluate in a
+    pinned IEEE operation order with one ROUND(6) each; degenerate arms
+    (n ≤ 1 or both variances zero) emit NULL t/df on both engines.
+
+    Scale shape: one user-keyed collapse over the fact (the
+    activity_pairs discipline), a 2-row hash agg, a 1-row closed form."""
+    ev = load(spark, "events", sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 2
+    )
+    per_arm = users.select(arm.alias("arm"), "cents").groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("sx").alias("sx0"),
+        F.col("sxx").alias("sxx0"),
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("sx").alias("sx1"),
+        F.col("sxx").alias("sxx1"),
+    )
+    m = a.crossJoin(F.broadcast(b))
+
+    def mean(sx, n):
+        return sx.cast("double") / n.cast("double")
+
+    def svar(sxx, sx, n):
+        return (
+            (n.cast("double") * sxx.cast("double")
+             - sx.cast("double") * sx.cast("double"))
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+
+    n0, n1 = F.col("n0"), F.col("n1")
+    m0, m1 = mean(F.col("sx0"), n0), mean(F.col("sx1"), n1)
+    v0 = svar(F.col("sxx0"), F.col("sx0"), n0)
+    v1 = svar(F.col("sxx1"), F.col("sx1"), n1)
+    se2 = v0 / n0.cast("double") + v1 / n1.cast("double")
+    t = (m1 - m0) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v0 / n0.cast("double")) * (v0 / n0.cast("double"))
+        / (n0 - 1).cast("double")
+        + (v1 / n1.cast("double")) * (v1 / n1.cast("double"))
+        / (n1 - 1).cast("double")
+    )
+    ok = (n0 > 1) & (n1 > 1) & (se2 > 0)
+    return m.select(
+        n0.cast("long").alias("n0"),
+        n1.cast("long").alias("n1"),
+        F.round(m0 / 100.0, 4).alias("mean_value_0"),
+        F.round(m1 / 100.0, 4).alias("mean_value_1"),
+        F.when(ok, F.round(t, 6)).alias("t_stat"),
+        F.when(ok, F.round(df, 6)).alias("welch_df"),
+    )
+
+
+WELCH_TTEST_SQL = """
+WITH u AS (
+  SELECT user_id,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY user_id
+),
+pa AS (
+  SELECT (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT)
+          % 2) AS arm,
+         COUNT(*) AS n, SUM(cents) AS sx, SUM(cents * cents) AS sxx
+  FROM u GROUP BY 1
+),
+m AS (
+  SELECT a.n AS n0, a.sx AS sx0, a.sxx AS sxx0,
+         b.n AS n1, b.sx AS sx1, b.sxx AS sxx1
+  FROM (SELECT * FROM pa WHERE arm = 0) a,
+       (SELECT * FROM pa WHERE arm = 1) b
+),
+c AS (
+  SELECT n0, n1,
+         CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+         CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+         (CAST(n0 AS DOUBLE) * CAST(sxx0 AS DOUBLE)
+          - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE))
+         / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) AS v0,
+         (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+          - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+         / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1
+  FROM m
+),
+s AS (
+  SELECT n0, n1, m0, m1, v0, v1,
+         v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE) AS se2
+  FROM c
+)
+SELECT CAST(n0 AS BIGINT) AS n0,
+       CAST(n1 AS BIGINT) AS n1,
+       ROUND(m0 / 100.0, 4) AS mean_value_0,
+       ROUND(m1 / 100.0, 4) AS mean_value_1,
+       CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+            THEN ROUND((m1 - m0) / SQRT(se2), 6) END AS t_stat,
+       CASE WHEN n0 > 1 AND n1 > 1 AND se2 > 0
+            THEN ROUND(se2 * se2 /
+                       ((v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE))
+                        / CAST(n0 - 1 AS DOUBLE)
+                        + (v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                        / CAST(n1 - 1 AS DOUBLE)), 6) END AS welch_df
+FROM s
+"""
+
+
 def experiment_ab_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A/B experiment readout (NEW round 12): users split
     into two arms by an md5 hash of their id (the cross-engine
@@ -6521,6 +6649,7 @@ QUERIES = {
     "events_burst_kleinberg": events_burst_kleinberg,
     "attribution_markov_removal": attribution_markov_removal,
     "attribution_shapley": attribution_shapley,
+    "experiment_welch_ttest": experiment_welch_ttest,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "events_hw_forecast": events_hw_forecast,
@@ -6596,6 +6725,8 @@ ORACLES = {
     "attribution_markov_removal": MARKOV_REMOVAL_SQL,
     # round 15: exact Shapley attribution over all 2^n coalitions
     "attribution_shapley": SHAPLEY_SQL,
+    # round 15: Welch t-test on mean per-user value (integer moments)
+    "experiment_welch_ttest": WELCH_TTEST_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     # round 14: Holt-Winters additive weekly seasonality + its holdout
