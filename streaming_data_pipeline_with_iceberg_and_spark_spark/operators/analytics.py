@@ -3585,6 +3585,103 @@ ORDER BY channel
 """
 
 
+# Benford first-digit probabilities log10(1 + 1/d), pinned as literals
+# (the one libm-free way to share them across engines).
+_BENFORD_P = (0.301029996, 0.176091259, 0.124938737, 0.096910013,
+              0.079181246, 0.066946790, 0.057991947, 0.051152522,
+              0.045757491)
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (NEW round 15) — the
+    classic forensic/data-quality screen: naturally occurring
+    multi-magnitude amounts follow log10(1+1/d); fabricated or
+    truncated data does not. Reports per-digit observed vs expected
+    counts and the overall χ² — on the synthetic fixture (uniform-ish
+    totals) the audit honestly reports a LARGE χ², which is exactly the
+    point: it flags distributions that are not Benford-like.
+
+    Exactness: the first digit comes from the INTEGER-cents string
+    (never floor(log10(x)) — a libm boundary hazard), the nine Benford
+    probabilities are pinned literals, and χ² sums nine closed-form
+    terms in digit order via a window — one ROUND(6).
+
+    Scale: one scan → 9-row hash agg; everything after runs on the
+    9-row digit frame."""
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    first = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        load(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+        .select(first.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    pmap = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_P)],
+        "digit int, p_benford double",
+    )
+    wall = Window.partitionBy()
+    g = (
+        pmap.join(obs, "digit", "left")
+        .select(
+            "digit",
+            "p_benford",
+            F.coalesce("n_obs", F.lit(0).cast("long")).alias("n_obs"),
+        )
+        .withColumn("n_total", F.sum("n_obs").over(wall))
+    )
+    exp = F.col("n_total") * F.col("p_benford")
+    term = (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp
+    return (
+        g.withColumn("chi2_total", F.round(F.sum(term).over(wall), 6))
+        .select(
+            "digit",
+            "n_obs",
+            # floor-of-shifted, never round(): n_total·p lands exactly on
+            # 4th-decimal midpoints and the engines' tie rules differ
+            (F.floor(exp * 10000 + F.lit(0.5)) / 10000.0).alias("expected_n"),
+            F.round(F.col("n_obs") / F.col("n_total"), 6).alias("obs_share"),
+            "p_benford",
+            "chi2_total",
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_VALUES = ", ".join(
+    f"({d + 1}, {p!r})" for d, p in enumerate(_BENFORD_P)
+)
+
+BENFORD_SQL = f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+  GROUP BY 1
+),
+pmap0(digit, p_raw) AS (VALUES {_BENFORD_VALUES}),
+pmap AS (SELECT digit, CAST(p_raw AS DOUBLE) AS p_benford FROM pmap0),
+g AS (
+  SELECT p.digit, p.p_benford, COALESCE(o.n_obs, 0) AS n_obs,
+         SUM(COALESCE(o.n_obs, 0)) OVER () AS n_total
+  FROM pmap p LEFT JOIN obs o ON o.digit = p.digit
+)
+SELECT digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       FLOOR(n_total * p_benford * 10000 + 0.5) / 10000.0 AS expected_n,
+       ROUND(n_obs / (n_total * 1.0), 6) AS obs_share,
+       p_benford,
+       ROUND(SUM((n_obs - n_total * p_benford)
+                 * (n_obs - n_total * p_benford)
+                 / (n_total * p_benford)) OVER (), 6) AS chi2_total
+FROM g
+ORDER BY digit
+"""
+
+
 def experiment_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch two-sample t-test on mean per-user event value (NEW round
     15) — the CONTINUOUS-metric significance readout completing the
@@ -6650,6 +6747,7 @@ QUERIES = {
     "attribution_markov_removal": attribution_markov_removal,
     "attribution_shapley": attribution_shapley,
     "experiment_welch_ttest": experiment_welch_ttest,
+    "benford_digit_audit": benford_digit_audit,
     "recommend_ppr": recommend_ppr,
     "events_holt_forecast": events_holt_forecast,
     "events_hw_forecast": events_hw_forecast,
@@ -6727,6 +6825,8 @@ ORACLES = {
     "attribution_shapley": SHAPLEY_SQL,
     # round 15: Welch t-test on mean per-user value (integer moments)
     "experiment_welch_ttest": WELCH_TTEST_SQL,
+    # round 15: Benford first-digit forensic audit (pinned literals)
+    "benford_digit_audit": BENFORD_SQL,
     "recommend_ppr": RECOMMEND_PPR_SQL,
     "events_holt_forecast": EVENTS_HOLT_SQL,
     # round 14: Holt-Winters additive weekly seasonality + its holdout
