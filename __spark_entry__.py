@@ -107,6 +107,7 @@ _PRIORITY = [
     "proximity_min_window",
     "experiment_welch_ttest",
     "benford_digit_audit",
+    "text_ppmi_similarity",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",
@@ -131,8 +132,8 @@ _PRIORITY = [
     # faces, set ops and ordered limits, the token-stats/Gopher text
     # faces, the lag/lead window, sessionization, the UDTF chunker and
     # the vectorized pandas_udf decode surface — no fresher same-surface
-    # row exists for any of these.  (The 19-entry r15 head squeezed the
-    # in-window (c) block to 16; sixteen more r10 rows moved to the
+    # row exists for any of these.  (The 20-entry r15 head squeezed the
+    # in-window (c) block to 15; seventeen more r10 rows moved to the
     # justified tail below as the head grew, per the standing eviction
     # rule.)
     "merge_upsert_orders",
@@ -148,12 +149,13 @@ _PRIORITY = [
     "agg_collect",
     "agg_conditional",
     "agg_global",
-    "agg_unpivot",
     "text_chunk_udtf",
     "mm_feature_extract",
     # (c)-tail: the r10 rows deferred past the ~50 gate, strongest
-    # fresh same-surface sibling first (re-queued r16).  Sixteen
+    # fresh same-surface sibling first (re-queued r16).  Seventeen
     # evicted by the growing r15 head:
+    # agg_unpivot — the pivot/unpivot (Expand/stack) machinery is
+    #   r14-green agg_pivot's and the grouping-sets family's;
     # distinct_rows — the Deduplicate surface is in-window dedup_exact's
     #   (hash-groupBy over full rows) and the r13-green set-op family's;
     # sort_limit_topk — the TakeOrderedAndProject surface is every
@@ -196,6 +198,7 @@ _PRIORITY = [
     # quality_weighted_sample — the md5-uniform acceptance draw is the
     #   r15 head bootstrap_ci_order_value's lane law; score side is the
     #   in-window classifier chain.
+    "agg_unpivot",
     "distinct_rows",
     "sort_limit_topk",
     "set_intersect",

@@ -1155,29 +1155,12 @@ _TR_TOPK = 20
 _TR_WORD_RX = "[a-z]{3,}"
 
 
-def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextRank corpus keywords (NEW round 13; Mihalcea & Tarau 2004 —
-    PageRank over the word co-occurrence graph, the classic unsupervised
-    keyword extractor; complements the frequency-driven
-    text_tfidf_top_terms with a centrality signal).  Candidate words are
-    ≥3-letter alphabetic tokens minus stopwords, capped to the top
-    ``{vocab}`` by (corpus freq, word) — the vocabulary-bounded-state
-    discipline; edges are ADJACENT candidate pairs within each document
-    (multi-edges kept: adjacency count is the edge weight, exactly the
-    weighted-TextRank formulation), made undirected; then ``{iters}``
-    damped iterations of r ← (1−d)/N + d·Σ r(u)/deg(u) — the
-    item_pagerank machinery on the word graph.
-
-    Output: top {topk} keywords by final score — rank, word, ROUND-8
-    pagerank, adjacency degree.  Determinism: same acceptance as
-    item_pagerank (float-sum order inside the per-destination aggregation
-    absorbed by the final ROUND 8).
-
-    Scale shape: one scan + explode builds the bounded vocabulary, one
-    pair explode (filtered to the broadcast top-set BEFORE the shuffle)
-    builds edges; each iteration is one src-keyed join + one dst-keyed
-    sum over the capped graph — every frame after the explode is
-    vocab-bounded.""".format(vocab=_TR_VOCAB, iters=_TR_ITERS, topk=_TR_TOPK)
+def _tr_word_cograph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped word-adjacency co-occurrence graph (w1, w2, w) — THE
+    word-graph edge definition, shared by TextRank (centrality) and the
+    PPMI distributional-similarity face so the two cannot disagree
+    about an edge: ≥3-letter non-stopword tokens, top-``_TR_VOCAB`` by
+    (freq, word), adjacent in-document pairs with multiplicity."""
     docs = load_spread(spark, "documents", sf_dir)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     cand = F.filter(
@@ -1203,15 +1186,41 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pr")
     ).select("pr.w1", "pr.w2").filter(F.col("w1") != F.col("w2"))
-    co = (
+    return (
         pairs.join(F.broadcast(top.withColumnRenamed("word", "w1")), "w1")
         .join(F.broadcast(top.withColumnRenamed("word", "w2")), "w2")
-        # collapse to WEIGHTED edges before iterating: the adjacency
-        # count is the TextRank edge weight, and the iteration frames
-        # drop from corpus-scale pair rows to the ≤vocab² weighted graph
+        # collapse to WEIGHTED edges: the adjacency count is the edge
+        # weight, and downstream frames drop from corpus-scale pair rows
+        # to the ≤vocab² weighted graph
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (NEW round 13; Mihalcea & Tarau 2004 —
+    PageRank over the word co-occurrence graph, the classic unsupervised
+    keyword extractor; complements the frequency-driven
+    text_tfidf_top_terms with a centrality signal).  Candidate words are
+    ≥3-letter alphabetic tokens minus stopwords, capped to the top
+    ``{vocab}`` by (corpus freq, word) — the vocabulary-bounded-state
+    discipline; edges are ADJACENT candidate pairs within each document
+    (multi-edges kept: adjacency count is the edge weight, exactly the
+    weighted-TextRank formulation), made undirected; then ``{iters}``
+    damped iterations of r ← (1−d)/N + d·Σ r(u)/deg(u) — the
+    item_pagerank machinery on the word graph.
+
+    Output: top {topk} keywords by final score — rank, word, ROUND-8
+    pagerank, adjacency degree.  Determinism: same acceptance as
+    item_pagerank (float-sum order inside the per-destination aggregation
+    absorbed by the final ROUND 8).
+
+    Scale shape: one scan + explode builds the bounded vocabulary, one
+    pair explode (filtered to the broadcast top-set BEFORE the shuffle)
+    builds edges; each iteration is one src-keyed join + one dst-keyed
+    sum over the capped graph — every frame after the explode is
+    vocab-bounded.""".format(vocab=_TR_VOCAB, iters=_TR_ITERS, topk=_TR_TOPK)
+    co = _tr_word_cograph(spark, sf_dir)
     edges = co.select(
         F.col("w1").alias("src"), F.col("w2").alias("dst"), "w"
     ).unionByName(
@@ -1252,13 +1261,11 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checkpoint_release(result, edges, deg)
 
 
-def _textrank_sql() -> str:
-    """Unrolled pinned iterations over the same capped word graph (the
-    _pagerank_sql idiom)."""
-    d = _TR_DAMPING
+def _tr_graph_ctes() -> str:
+    """seqs/top/pairs/co — the ONE word-graph CTE chain both the
+    TextRank oracle and the PPMI oracle interpolate."""
     stop = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
-    ctes = [
-        f"""seqs AS (
+    return f"""seqs AS (
   SELECT list_filter(regexp_extract_all(lower(text), '{_TR_WORD_RX}'),
                      t -> NOT list_contains({stop}, t)) AS ws
   FROM documents WHERE text IS NOT NULL
@@ -1279,7 +1286,15 @@ co AS (
   SELECT w1, w2, COUNT(*) AS w FROM pairs
   WHERE w1 IN (SELECT word FROM top) AND w2 IN (SELECT word FROM top)
   GROUP BY w1, w2
-),
+)"""
+
+
+def _textrank_sql() -> str:
+    """Unrolled pinned iterations over the same capped word graph (the
+    _pagerank_sql idiom)."""
+    d = _TR_DAMPING
+    ctes = [
+        f"""{_tr_graph_ctes()},
 edges AS (
   SELECT w1 AS src, w2 AS dst, w FROM co
   UNION ALL
@@ -1313,6 +1328,159 @@ ORDER BY rank
 
 
 TEXTRANK_SQL = _textrank_sql()
+
+
+# PPMI similarity report size
+_PPMI_TOPK = 25
+
+
+def text_ppmi_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional token similarity from PPMI context vectors (NEW
+    round 15; Levy & Goldberg 2014 — the count-based word-embedding
+    construction): each vocabulary token's context vector is its
+    positive pointwise mutual information against every co-occurring
+    context token, and similarity is the COSINE between two tokens'
+    PPMI vectors — "you shall know a word by the company it keeps".
+    This is SECOND-ORDER similarity: two tokens that never co-occur but
+    share contexts score high (the property raw co-occurrence counts,
+    PMI collocations and the adjacency graph itself cannot see; the
+    `adjacent` flag makes the contrast visible per pair). Built on the
+    SAME capped word-adjacency graph as TextRank (one `_tr_word_cograph`
+    / graph-CTE definition — centrality and semantics cannot disagree
+    about an edge).
+
+    Exactness: counts are integers; each PPMI cell is one ln of an
+    integer ratio ROUND(9) (the classifier's libm acceptance class);
+    cosine sums run over ≤vocab-length vectors of rounded cells with
+    ROUND(6) at the report — the float-sum-order dust class. Ranking
+    ties break (sim, pair).
+
+    Scale shape: everything after the one corpus pair-explode runs on
+    the ≤vocab² weighted graph — PPMI is a join against the two
+    vocab-sized marginals, the cosine is one ctx-keyed self-join of
+    vocab-bounded sparse vectors, and the report is a TakeOrdered
+    top-{k}.""".format(k=_PPMI_TOPK)
+    co = _tr_word_cograph(spark, sf_dir)
+    # group after symmetrizing: (a,b) and (b,a) adjacency counts merge
+    # into ONE coordinate per (tok, ctx) — ungrouped duplicates would
+    # double-count coordinates inside the cosine
+    ed = (
+        co.select(
+            F.col("w1").alias("tok"), F.col("w2").alias("ctx"), "w"
+        )
+        .unionByName(
+            co.select(F.col("w2").alias("tok"), F.col("w1").alias("ctx"), "w")
+        )
+        .groupBy("tok", "ctx")
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = ed.agg(F.sum("w").alias("tw"))
+    marg = ed.groupBy("tok").agg(F.sum("w").alias("m"))
+    p = (
+        ed.join(marg, "tok")
+        .join(
+            marg.select(F.col("tok").alias("ctx"), F.col("m").alias("mc")),
+            "ctx",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "ctx",
+            F.round(
+                F.greatest(
+                    F.log(
+                        (F.col("w") * F.col("tw")).cast("double")
+                        / (F.col("m") * F.col("mc")).cast("double")
+                    ),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("v"),
+        )
+        .filter(F.col("v") > 0)
+    )
+    a = p.select(F.col("tok").alias("ta"), "ctx", F.col("v").alias("va"))
+    b = p.select(F.col("tok").alias("tb"), "ctx", F.col("v").alias("vb"))
+    num = (
+        a.join(b, "ctx")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared_ctx"),
+        )
+    )
+    norms = p.groupBy("tok").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    adj = ed.select(F.col("tok").alias("ta"), F.col("ctx").alias("tb"))
+    out = (
+        num.join(norms.select(F.col("tok").alias("ta"), F.col("nrm").alias("na")), "ta")
+        .join(norms.select(F.col("tok").alias("tb"), F.col("nrm").alias("nb")), "tb")
+        .join(
+            adj.withColumn("adjacent", F.lit(1)).distinct(),
+            ["ta", "tb"],
+            "left",
+        )
+        .select(
+            F.col("ta").alias("tok_a"),
+            F.col("tb").alias("tok_b"),
+            "n_shared_ctx",
+            F.coalesce("adjacent", F.lit(0)).alias("adjacent"),
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("ppmi_cosine"),
+        )
+        .orderBy(F.desc("ppmi_cosine"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(_PPMI_TOPK)
+    )
+    return out
+
+
+def _ppmi_similarity_sql() -> str:
+    return f"""
+WITH {_tr_graph_ctes()},
+ed AS (
+  SELECT tok, ctx, SUM(w) AS w FROM (
+    SELECT w1 AS tok, w2 AS ctx, w FROM co
+    UNION ALL
+    SELECT w2 AS tok, w1 AS ctx, w FROM co
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT SUM(w) AS tw FROM ed),
+marg AS (SELECT tok, SUM(w) AS m FROM ed GROUP BY tok),
+p AS (
+  SELECT e.tok, e.ctx,
+         ROUND(GREATEST(LN(CAST(e.w * t.tw AS DOUBLE)
+                           / CAST(ma.m * mc.m AS DOUBLE)), 0.0), 9) AS v
+  FROM ed e
+  JOIN marg ma ON ma.tok = e.tok
+  JOIN marg mc ON mc.tok = e.ctx
+  CROSS JOIN tot t
+),
+pp AS (SELECT * FROM p WHERE v > 0),
+num AS (
+  SELECT a.tok AS ta, b.tok AS tb,
+         SUM(a.v * b.v) AS dot, COUNT(*) AS n_shared_ctx
+  FROM pp a JOIN pp b ON b.ctx = a.ctx AND a.tok < b.tok
+  GROUP BY 1, 2
+),
+norms AS (SELECT tok, SQRT(SUM(v * v)) AS nrm FROM pp GROUP BY tok),
+adj AS (SELECT DISTINCT tok AS ta, ctx AS tb FROM ed)
+SELECT n.ta AS tok_a, n.tb AS tok_b,
+       CAST(n.n_shared_ctx AS BIGINT) AS n_shared_ctx,
+       CASE WHEN adj.ta IS NOT NULL THEN 1 ELSE 0 END AS adjacent,
+       ROUND(n.dot / (na.nrm * nb.nrm), 6) AS ppmi_cosine
+FROM num n
+JOIN norms na ON na.tok = n.ta
+JOIN norms nb ON nb.tok = n.tb
+LEFT JOIN adj ON adj.ta = n.ta AND adj.tb = n.tb
+ORDER BY ppmi_cosine DESC, tok_a ASC, tok_b ASC
+LIMIT {_PPMI_TOPK}
+"""
+
+
+PPMI_SIMILARITY_SQL = _ppmi_similarity_sql()
 
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5258,6 +5426,7 @@ QUERIES = {
     "topic_mixture_by_source": topic_mixture_by_source,
     "bm25_champion_search": bm25_champion_search,
     "proximity_min_window": proximity_min_window,
+    "text_ppmi_similarity": text_ppmi_similarity,
     "text_pmi_collocations": text_pmi_collocations,
     "lang_id_confusion": lang_id_confusion,
     "lang_id_kappa": lang_id_kappa,
@@ -5316,6 +5485,8 @@ ORACLES = {
     "bm25_champion_search": BM25_CHAMPION_SQL,
     # round 15: positional minimal-span proximity ranking
     "proximity_min_window": PROXIMITY_SQL,
+    # round 15: PPMI distributional similarity on the shared word graph
+    "text_ppmi_similarity": PPMI_SIMILARITY_SQL,
     # round 11: PMI collocation mining (shared tokens/bigram defs)
     "text_pmi_collocations": TEXT_PMI_SQL,
     # round 11: lang-ID eval face (wraps the shared TEXT_LANG_ID_SQL)

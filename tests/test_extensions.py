@@ -2136,6 +2136,32 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_ppmi_similarity_second_order(spark, tmp_path):
+    """'cat' and 'dog' never co-occur but share exactly the contexts
+    {food, water}: the PPMI-cosine face must score the pair high with
+    adjacent = 0 — the second-order signal raw co-occurrence cannot
+    see."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.textops import (
+        text_ppmi_similarity,
+    )
+
+    rows = []
+    for i in range(20):
+        animal = "cat" if i % 2 == 0 else "dog"
+        rows.append(
+            (i, f"{animal} food {animal} water", "en", "s", 20)
+        )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    out = {(r.tok_a, r.tok_b): r for r in text_ppmi_similarity(spark, sf).collect()}
+    r = out[("cat", "dog")]
+    assert r.adjacent == 0
+    assert r.n_shared_ctx == 2
+    assert r.ppmi_cosine > 0.9, r
+
+
 def test_proximity_min_window_hand_case(spark, tmp_path):
     """Hand-verified minimal spans: doc 1's best window for (spark,
     table, scan) is 3 tokens (positions 3..5), doc 2 holds the terms
