@@ -108,6 +108,7 @@ _PRIORITY = [
     "experiment_welch_ttest",
     "benford_digit_audit",
     "text_ppmi_similarity",
+    "join_session_overlap",
     # (b) the 15 r9-era rows — the r14 window's justified deferrals, now
     # the registry's oldest; every one gets its re-check this round.
     "matryoshka_recall_eval",
@@ -132,8 +133,8 @@ _PRIORITY = [
     # faces, set ops and ordered limits, the token-stats/Gopher text
     # faces, the lag/lead window, sessionization, the UDTF chunker and
     # the vectorized pandas_udf decode surface — no fresher same-surface
-    # row exists for any of these.  (The 20-entry r15 head squeezed the
-    # in-window (c) block to 15; seventeen more r10 rows moved to the
+    # row exists for any of these.  (The 21-entry r15 head squeezed the
+    # in-window (c) block to 14; eighteen more r10 rows moved to the
     # justified tail below as the head grew, per the standing eviction
     # rule.)
     "merge_upsert_orders",
@@ -148,12 +149,14 @@ _PRIORITY = [
     "case_when_banding",
     "agg_collect",
     "agg_conditional",
-    "agg_global",
     "text_chunk_udtf",
     "mm_feature_extract",
     # (c)-tail: the r10 rows deferred past the ~50 gate, strongest
-    # fresh same-surface sibling first (re-queued r16).  Seventeen
+    # fresh same-surface sibling first (re-queued r16).  Eighteen
     # evicted by the growing r15 head:
+    # agg_global — the no-group 1-row aggregate surface is every closed
+    #   form's (r15 head experiment_welch_ttest; r14-green
+    #   events_type_dow_chisq, text_zipf_fit);
     # agg_unpivot — the pivot/unpivot (Expand/stack) machinery is
     #   r14-green agg_pivot's and the grouping-sets family's;
     # distinct_rows — the Deduplicate surface is in-window dedup_exact's
@@ -198,6 +201,7 @@ _PRIORITY = [
     # quality_weighted_sample — the md5-uniform acceptance draw is the
     #   r15 head bootstrap_ci_order_value's lane law; score side is the
     #   in-window classifier chain.
+    "agg_global",
     "agg_unpivot",
     "distinct_rows",
     "sort_limit_topk",

@@ -2136,6 +2136,38 @@ def test_theil_sen_resists_planted_outlier(spark):
     assert abs(r.ols_slope - 2.0) > 1.0, "OLS should be dragged by the spike"
 
 
+def test_session_overlap_prune_is_exact(spark, sf_dir):
+    """The length-pruned top-20 must equal a brute-force O(n²) pairwise
+    sweep over the same sessionized frame — the prune is an exactness
+    proof (overlap ≤ min length), not a heuristic."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.windows import (
+        _OVL_TOPK,
+        join_session_overlap,
+        session_rollup,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    got = [tuple(r) for r in join_session_overlap(spark, sf_dir).collect()]
+    sess = [
+        (r.user_id, r.session_id,
+         int(r.session_start.timestamp() * 1_000_000),
+         int(r.session_end.timestamp() * 1_000_000))
+        for r in session_rollup(load(spark, "events", sf_dir)).collect()
+    ]
+    brute = []
+    for i in range(len(sess)):
+        for j in range(len(sess)):
+            ua, sa, sta, ena = sess[i]
+            ub, sb, stb, enb = sess[j]
+            if ua < ub and sta <= enb and stb <= ena:
+                brute.append(
+                    (ua, sa, ub, sb, min(ena, enb) - max(sta, stb))
+                )
+    brute.sort(key=lambda t: (-t[4], t[0], t[1], t[2], t[3]))
+    want = [(a, b, c, d, e) for a, b, c, d, e in brute[:_OVL_TOPK]]
+    assert got == want and got
+
+
 def test_ppmi_similarity_second_order(spark, tmp_path):
     """'cat' and 'dog' never co-occur but share exactly the contexts
     {food, water}: the PPMI-cosine face must score the pair high with
