@@ -3608,15 +3608,40 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one scan → 9-row hash agg; everything after runs on the
     9-row digit frame."""
+    obs = benford_digit_cells(load(spark, "orders", sf_dir))
+    return benford_from_digit_cells(spark, obs)
+
+
+def benford_digit_cells(orders: DataFrame) -> DataFrame:
+    """(digit, n_obs) first-digit count partials from an orders frame —
+    the leaf pass the batch audit and the TWENTY-FOURTH incremental path
+    share. Counts are additive integer sums: partials from any batch
+    split merge by addition forever (mergeable-sums IVM class; the
+    fraud monitor's entire state is ≤ 9 rows of counters)."""
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     first = F.substring(cents.cast("string"), 1, 1).cast("int")
-    obs = (
-        load(spark, "orders", sf_dir)
-        .filter(F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0))
+    return (
+        orders.filter(
+            F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+        )
         .select(first.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n_obs"))
     )
+
+
+def merge_benford_cells(state: DataFrame) -> DataFrame:
+    """Collapse appended digit partials — the serve-side merge (and the
+    whole job of ``compact_benford_cells``)."""
+    return state.groupBy("digit").agg(F.sum("n_obs").alias("n_obs"))
+
+
+def benford_from_digit_cells(spark: SparkSession, state: DataFrame) -> DataFrame:
+    """The audit served from (possibly partial) digit cells — ≡ batch
+    ``benford_digit_audit`` over everything ingested (parity test in
+    tests/test_streaming.py): the forensic screen refreshes from a
+    9-row counter table, never re-scanning the fact."""
+    obs = merge_benford_cells(state)
     pmap = spark.createDataFrame(
         [(d + 1, p) for d, p in enumerate(_BENFORD_P)],
         "digit int, p_benford double",

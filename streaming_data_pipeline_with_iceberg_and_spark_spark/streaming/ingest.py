@@ -2086,6 +2086,66 @@ def compact_kgram_index(
     t.overwrite(t.read(), batch_id=compaction_id)
 
 
+ORDERS_ENVELOPE_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string,"
+    " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def start_incremental_benford_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    cells_root: str,
+    schema=ORDERS_ENVELOPE_SCHEMA,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 10,
+    stream_id: str = "benford_ingest",
+) -> StreamingQuery:
+    """EXACT incremental Benford digit counters — the TWENTY-FOURTH
+    incremental path, mergeable-sums class at its most extreme: each
+    order batch appends its (digit, n_obs) first-digit partials
+    (``operators.analytics.benford_digit_cells`` — the SAME leaf pass
+    the batch audit runs) under the idempotent namespaced batch key.
+    Counts are additive, so late/out-of-order orders merge exactly with
+    no ordering contract, and the ENTIRE maintained state is ≤ 9
+    counter rows — the forensic monitor (`benford_from_digit_cells` ≡
+    batch ``benford_digit_audit``) refreshes per drain from metadata,
+    never re-scanning the fact. A fabricated-amounts injection shows up
+    as a χ² jump on the next drain."""
+    from ..operators.analytics import benford_digit_cells
+    from ..sources.snapshots import SnapshotTable
+
+    cells_t = SnapshotTable(spark, cells_root)
+    stream = read_stream(
+        spark, source_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def benford_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cells_t.append_batch(
+            benford_digit_cells(batch_df), f"{stream_id}#{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(benford_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_benford_cells(
+    spark: SparkSession, cells_root: str, compaction_id=None
+) -> None:
+    """Collapse the digit partials log to ≤9 rows — a semantic no-op
+    (additive sums; overwrite keeps the key log, replay-safe)."""
+    from ..operators.analytics import merge_benford_cells
+    from ..sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, cells_root)
+    t.overwrite(merge_benford_cells(t.read()), batch_id=compaction_id)
+
+
 EMBEDDING_ENVELOPE_SCHEMA = "vec_id long, embedding array<float>"
 
 

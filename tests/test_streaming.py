@@ -2990,6 +2990,88 @@ def test_incremental_revenue_ingest_matches_batch_q5(spark, tmp_path):
     assert [tuple(r) for r in q5_from_revenue_cells(m).collect()] == want
 
 
+def test_incremental_benford_cells_match_batch(spark, tmp_path):
+    """Benford digit counters at ingest (the twenty-fourth path,
+    mergeable integer sums — whole state ≤ 9 rows): the audit served
+    from cells ingested across three uneven batches equals the batch
+    audit; replay appends nothing; compaction collapses to ≤9 rows with
+    the report unchanged; a planted fabricated batch (all totals led by
+    digit 9) visibly inflates chi2 on the next drain."""
+    import json as _json
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.analytics import (
+        benford_digit_audit,
+        benford_from_digit_cells,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.streaming.ingest import (
+        compact_benford_cells,
+        start_incremental_benford_ingest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/orders.parquet").collect()
+    src = tmp_path / "env_in"
+    src.mkdir()
+    cells_root = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_incremental_benford_ingest(
+            spark, str(src), cells_root, checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    def env(r):
+        return {
+            "o_orderkey": r.o_orderkey,
+            "o_custkey": r.o_custkey,
+            "o_orderstatus": r.o_orderstatus,
+            "o_totalprice": r.o_totalprice,
+            "o_orderdate": r.o_orderdate.isoformat() if r.o_orderdate else None,
+            "o_orderpriority": r.o_orderpriority,
+        }
+
+    for i in range(3):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in rows:
+                if r.o_orderkey % 3 == i:
+                    f.write(_json.dumps(env(r)) + "\n")
+        drain()
+
+    cells_t = SnapshotTable(spark, cells_root)
+    want = [tuple(r) for r in benford_digit_audit(spark, sf).collect()]
+    got = [
+        tuple(r)
+        for r in benford_from_digit_cells(spark, cells_t.read()).collect()
+    ]
+    assert got == want and want
+
+    n = cells_t.read().count()
+    drain()
+    assert cells_t.read().count() == n
+    compact_benford_cells(spark, cells_root)
+    assert cells_t.read().count() <= 9
+    assert [
+        tuple(r)
+        for r in benford_from_digit_cells(spark, cells_t.read()).collect()
+    ] == want
+
+    # fabricated batch: every total starts with 9 → chi2 jumps
+    chi_before = want[0][-1]
+    with open(src / "b3.json", "w") as f:
+        for k in range(500):
+            fake = dict(env(rows[0]))
+            fake["o_orderkey"] = 10**9 + k
+            fake["o_totalprice"] = 9000.0 + k
+            f.write(_json.dumps(fake) + "\n")
+    drain()
+    after = benford_from_digit_cells(spark, cells_t.read()).collect()
+    assert after[0].chi2_total > chi_before
+
+
 def test_incremental_code_index_serves_hamming(spark, tmp_path):
     """Binary sign codes maintained at ingest (the twenty-third path,
     append-only projection): hamming_from_code_index over codes ingested
