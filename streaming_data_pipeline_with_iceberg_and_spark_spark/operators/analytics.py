@@ -5515,12 +5515,48 @@ ORDER BY event_type
 _MRA_ITERS = 8
 
 
+_ATTR_JOURNEY_CACHE: dict = {}
+
+
+def clear_attr_journey_cache() -> None:
+    _ATTR_JOURNEY_CACHE.clear()
+
+
 def _attr_journey_base_p(spark: SparkSession, sf_dir: str):
-    """(base_p transition-probability frame, firstconv per-user frame) —
-    the journey model every Markov-graph attribution face shares: touch
+    """(base_p transition-probability frame, n_converting_users) — the
+    journey model every Markov-graph attribution face shares: touch
     events up to each user's FIRST conversion, absorbed at 'conv'/'null'
     with 'start' prepended, over the family's shared touch/conversion
-    definitions and the deterministic (ts, event_id) order."""
+    definitions and the deterministic (ts, event_id) order. MEMOIZED
+    per corpus version (the ``_BPE_STATE_CACHE`` discipline) with the
+    ≤|states|² probability frame checkpointed: the removal and Shapley
+    faces pay the corpus pass once per session."""
+    from ..io import data_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        data_fingerprint(sf_dir, "events"),
+    )
+    hit = _ATTR_JOURNEY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for k in list(_ATTR_JOURNEY_CACHE):
+        try:
+            stale = (
+                _ATTR_JOURNEY_CACHE[k][0].sparkSession.sparkContext._jsc
+                is None
+            )
+        except Exception:
+            stale = True
+        if stale or k[:2] == key[:2]:
+            _ATTR_JOURNEY_CACHE.pop(k, None)
+    result = _attr_journey_build(spark, sf_dir)
+    _ATTR_JOURNEY_CACHE[key] = result
+    return result
+
+
+def _attr_journey_build(spark: SparkSession, sf_dir: str):
     ev = load(spark, "events", sf_dir).filter(
         F.col("user_id").isNotNull()
         & F.col("event_type").isNotNull()
@@ -5573,8 +5609,8 @@ def _attr_journey_base_p(spark: SparkSession, sf_dir: str):
         F.col("prev").alias("src"),
         F.col("state").alias("dst"),
         (F.col("n") / F.sum("n").over(wp)).alias("p"),
-    )
-    return base_p, firstconv
+    ).coalesce(1).localCheckpoint(eager=True)
+    return base_p, firstconv.count()
 
 
 def _attr_absorption(
@@ -5584,72 +5620,39 @@ def _attr_absorption(
     ROUND(9) vector-matrix rounds, one scenario per removal SET:
     ``scen_rows`` is [(name, (removed_channel, ...)), ...] and every
     edge INTO a removed channel re-targets 'null' (row sums preserved —
-    no renormalization; the removed node never receives mass so its
-    outgoing rows are inert). Scenarios whose removal kills ALL
-    conversion mass read as exactly 0 via the scenario-spine left join.
-    Shared by the removal-effect face (singleton sets) and the Shapley
-    face (all subsets)."""
-    scen = spark.createDataFrame(
-        [(name, list(removed)) for name, removed in scen_rows],
-        "scenario string, removed array<string>",
-    )
-    trans = (
-        base_p.crossJoin(F.broadcast(scen))
-        .select(
-            "scenario",
-            "src",
-            F.when(
-                F.array_contains(F.col("removed"), F.col("dst")),
-                F.lit("null"),
-            ).otherwise(F.col("dst")).alias("dst"),
-            "p",
-        )
-        .groupBy("scenario", "src", "dst")
-        .agg(F.sum("p").alias("p"))
-        # absorbing self-loops so 'conv'/'null' mass persists across
-        # rounds — a LITERAL frame, not a crossJoin (an unhinted cross
-        # join of two 32-slice local relations plans as a 1024-partition
-        # CartesianProduct: measured minutes of pure task scheduling)
-        .unionByName(
-            spark.createDataFrame(
-                [
-                    (name, a, a, 1.0)
-                    for name, _removed in scen_rows
-                    for a in ("conv", "null")
-                ],
-                "scenario string, src string, dst string, p double",
-            )
-        )
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
-    v = scen.select(
-        "scenario", F.lit("start").alias("state"), F.lit(1.0).alias("m")
-    )
-    for i in range(_MRA_ITERS):
-        va, ta = v.alias("v"), trans.alias("t")
-        v = (
-            va.join(
-                ta,
-                (F.col("v.scenario") == F.col("t.scenario"))
-                & (F.col("v.state") == F.col("t.src")),
-            )
-            .groupBy(F.col("v.scenario").alias("scenario"), F.col("t.dst"))
-            .agg(F.round(F.sum(F.col("v.m") * F.col("t.p")), 9).alias("m"))
-            .select("scenario", F.col("dst").alias("state"), "m")
-            # ≤ |scenarios|·|states| rows — collapse the shuffle read so
-            # the rounds don't schedule near-empty tasks
-            .coalesce(1)
-        )
-        if i % 4 == 3:
-            v = v.localCheckpoint(eager=True)
-    return scen.select("scenario").join(
-        v.filter(F.col("state") == "conv").select(
-            "scenario", F.col("m").alias("cp")
-        ),
-        "scenario",
-        "left",
-    ).select("scenario", F.coalesce("cp", F.lit(0.0)).alias("cp"))
+    no renormalization). The transition matrix is ≤|states|² rows, so
+    the rounds run DRIVER-SIDE on the collected matrix (the
+    ``_tqc_fit`` constant-bounded-driver-state discipline — the
+    dataflow form spent ~8 s/warm-call on ~30 one-task codegen stages
+    for arithmetic over ≤36 numbers) and the result returns as a
+    literal frame; the oracle unrolls the same rounds in SQL, with the
+    per-round ROUND(9) pinning the trajectory across all three
+    evaluators. Shared by the removal-effect face (singleton sets) and
+    the Shapley face (all subsets)."""
+    P = {
+        (r["src"], r["dst"]): float(r["p"]) for r in base_p.collect()
+    }  # ≤ |states|² rows — constant-bounded driver state by construction
+    out = []
+    for name, removed in scen_rows:
+        rs = set(removed)
+        pm: dict = {}
+        for (src, dst), pv in P.items():
+            d2 = "null" if dst in rs else dst
+            pm[(src, d2)] = pm.get((src, d2), 0.0) + pv
+        v = {"start": 1.0}
+        for _ in range(_MRA_ITERS):
+            nv: dict = {}
+            for st, m in v.items():
+                if st in ("conv", "null"):
+                    # absorbing self-loop: mass persists across rounds
+                    nv[st] = nv.get(st, 0.0) + m
+                    continue
+                for (src, dst), pv in pm.items():
+                    if src == st:
+                        nv[dst] = nv.get(dst, 0.0) + m * pv
+            v = {k: round(x, 9) for k, x in sorted(nv.items())}
+        out.append((name, float(v.get("conv", 0.0))))
+    return spark.createDataFrame(out, "scenario string, cp double")
 
 
 def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5677,13 +5680,12 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape); everything after — the |states|² matrix, the |scenarios| ×
     |states| absorption vectors, the rounds — runs on vocabulary-bounded
     metadata frames."""
-    base_p, firstconv = _attr_journey_base_p(spark, sf_dir)
+    base_p, n_conv = _attr_journey_base_p(spark, sf_dir)
     scen_rows = [("base", ())] + [(t, (t,)) for t in _ATTR_TOUCHES]
     conv_prob = _attr_absorption(spark, base_p, scen_rows)
     base = conv_prob.filter(F.col("scenario") == "base").agg(
         F.coalesce(F.max("cp"), F.lit(0.0)).alias("base_cp")
     )
-    n_conv = firstconv.count()
     effects = (
         conv_prob.filter(F.col("scenario") != "base")
         .crossJoin(F.broadcast(base))
@@ -5755,7 +5757,7 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     widening the channel set; ≥10 channels needs the sampled
     permutation estimator instead)."""
     subs = _shapley_subsets()
-    base_p, firstconv = _attr_journey_base_p(spark, sf_dir)
+    base_p, n_conv = _attr_journey_base_p(spark, sf_dir)
     conv_prob = _attr_absorption(
         spark, base_p, [(name, removed) for name, _sub, removed in subs]
     )
@@ -5808,7 +5810,6 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.channel", "s.phi")
-    n_conv = firstconv.count()
     wtot = Window.partitionBy()
     return (
         stacked.withColumn("tot", F.sum("phi").over(wtot))
