@@ -3657,7 +3657,12 @@ def benford_from_digit_cells(spark: SparkSession, state: DataFrame) -> DataFrame
         .withColumn("n_total", F.sum("n_obs").over(wall))
     )
     exp = F.col("n_total") * F.col("p_benford")
-    term = (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp
+    # empty-corpus guard: ANSI mode makes x/0 THROW, so every division
+    # gates on n_total > 0 (an empty audit emits NULL shares/chi2)
+    nonempty = F.col("n_total") > 0
+    term = F.when(
+        nonempty, (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp
+    )
     return (
         g.withColumn("chi2_total", F.round(F.sum(term).over(wall), 6))
         .select(
@@ -3666,7 +3671,8 @@ def benford_from_digit_cells(spark: SparkSession, state: DataFrame) -> DataFrame
             # floor-of-shifted, never round(): n_total·p lands exactly on
             # 4th-decimal midpoints and the engines' tie rules differ
             (F.floor(exp * 10000 + F.lit(0.5)) / 10000.0).alias("expected_n"),
-            F.round(F.col("n_obs") / F.col("n_total"), 6).alias("obs_share"),
+            F.when(nonempty, F.round(F.col("n_obs") / F.col("n_total"), 6))
+            .alias("obs_share"),
             "p_benford",
             "chi2_total",
         )
@@ -3697,11 +3703,14 @@ g AS (
 SELECT digit,
        CAST(n_obs AS BIGINT) AS n_obs,
        FLOOR(n_total * p_benford * 10000 + 0.5) / 10000.0 AS expected_n,
-       ROUND(n_obs / (n_total * 1.0), 6) AS obs_share,
+       CASE WHEN n_total > 0
+            THEN ROUND(n_obs / (n_total * 1.0), 6) END AS obs_share,
        p_benford,
-       ROUND(SUM((n_obs - n_total * p_benford)
-                 * (n_obs - n_total * p_benford)
-                 / (n_total * p_benford)) OVER (), 6) AS chi2_total
+       ROUND(SUM(CASE WHEN n_total > 0
+                      THEN (n_obs - n_total * p_benford)
+                           * (n_obs - n_total * p_benford)
+                           / (n_total * p_benford) END) OVER (), 6)
+         AS chi2_total
 FROM g
 ORDER BY digit
 """
