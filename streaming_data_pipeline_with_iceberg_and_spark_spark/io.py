@@ -124,6 +124,33 @@ def data_fingerprint(sf_dir: str, name: str) -> str:
     return repr(sorted(entries))
 
 
+def compact_checkpoint(
+    df: DataFrame, rows_per_partition: int = 500_000
+) -> DataFrame:
+    """Eagerly localCheckpoint ``df``, then coalesce the materialized frame
+    to a row-count-derived partition count (r15 optimization round, guide
+    §2.2/§2.4).
+
+    Bounded frames that feed ITERATIVE consumers (graph edge lists, degree
+    tables) used to inherit the corpus shuffle partitioning (32+ partitions)
+    from the groupBy that built them, so every downstream iteration
+    scheduled 32-64 near-empty tasks per pass and the planner fell back to
+    SortMergeJoin over the scattered cache blocks.  Counting the
+    checkpointed blocks is one cheap metadata-sized job (amortized by the
+    callers' session memos), and the coalesce is lazy — no second
+    materialization, downstream scans simply merge blocks into
+    ``ceil(n / rows_per_partition)`` tasks.  Scale-adaptive by construction:
+    a genuinely large frame keeps its parallelism (the coalesce only ever
+    shrinks), so the local win does not become a cluster regression."""
+    out = df.localCheckpoint(eager=True)
+    n = out.count()
+    cur = out.rdd.getNumPartitions()
+    parts = max(1, min(cur, (n + rows_per_partition - 1) // rows_per_partition))
+    if parts < cur:
+        out = out.coalesce(parts)
+    return out
+
+
 def checkpoint_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize ``result`` eagerly, then release per-call cache entries.
 

@@ -870,14 +870,20 @@ def _taste_graph(spark: SparkSession, sf_dir: str):
     for k in list(_TASTE_GRAPH_CACHE):
         if k[:2] == key[:2] and k != key:
             _TASTE_GRAPH_CACHE.pop(k, None)
+    from ..io import compact_checkpoint
+
     baskets = _user_baskets(spark, sf_dir)
     try:
-        co = _basket_pairs(baskets).localCheckpoint(eager=True)
-        cnt = (
+        # r15 optimization round: compact the materialized bundle to a
+        # row-count-derived partition count (io.compact_checkpoint) — the
+        # iterative faces (PageRank/PPR/SimRank/LPA) otherwise schedule
+        # 32-64 near-empty tasks per iteration over the inherited shuffle
+        # partitioning and plan SortMergeJoins over the scattered blocks.
+        co = compact_checkpoint(_basket_pairs(baskets))
+        cnt = compact_checkpoint(
             baskets.select(F.explode("items").alias("item"))
             .groupBy("item")
             .agg(F.count("*").alias("cnt"))
-            .localCheckpoint(eager=True)
         )
         n_users = baskets.agg(F.count("*").alias("n_users")).localCheckpoint(
             eager=True
@@ -1043,34 +1049,40 @@ def item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     to float-sum order inside the per-destination aggregation; the final
     round at 8 decimals absorbs that (~1e-16 relative) on both engines."""
     co, _cnt, _n = _taste_graph(spark, sf_dir)
+    # r15 optimization round (guide §2.2/§2.4, same rework as
+    # text_textrank_keywords): the compacted memoized graph feeds a
+    # loop-invariant edges⋈deg join hoisted out of the iteration, and the
+    # 1-row node count is collected once (constant-bounded driver state)
+    # instead of re-broadcast every iteration — r/deg multiply order and
+    # the 1/n // (1−d)/n doubles are unchanged, so output is bit-identical.
     edges = co.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionByName(
         co.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
     ).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
-    nn = deg.agg(F.count("*").alias("n"))
+    ed = edges.join(deg, "src").select("src", "dst", "deg").persist()
+    n = deg.count() or 1
     d = _PR_DAMPING
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
-        F.col("src").alias("item"), (F.lit(1.0) / F.col("n")).alias("r")
+    ranks = deg.select(
+        F.col("src").alias("item"), (F.lit(1.0) / F.lit(float(n))).alias("r")
     )
     for _ in range(_PR_ITERS):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("item", "src"), "src")
+            ed.join(ranks.withColumnRenamed("item", "src"), "src")
             .select("dst", (F.col("r") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = contrib.crossJoin(F.broadcast(nn)).select(
+        ranks = contrib.select(
             F.col("dst").alias("item"),
-            ((1.0 - d) / F.col("n") + d * F.col("s")).alias("r"),
+            (F.lit((1.0 - d) / float(n)) + d * F.col("s")).alias("r"),
         )
     result = (
         ranks.join(deg.withColumnRenamed("src", "item"), "item")
         .select("item", F.round("r", 8).alias("pagerank"), "deg")
     )
-    return checkpoint_release(result, edges, deg)
+    return checkpoint_release(result, edges, deg, ed)
 
 
 def _pagerank_sql() -> str:
@@ -1296,12 +1308,20 @@ def ppr_over_edges(co: DataFrame):
     incremental co-occurrence state serves PPR recs with no new state;
     parity asserted in the co-occurrence ingest test).  Returns
     (result, frames-to-release)."""
+    # r15 optimization round: loop-invariant edges⋈deg hoisted out of the
+    # iteration (guide §2.4; same rework as item_pagerank — r/deg multiply
+    # order unchanged, output bit-identical)
     edges = co.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionByName(
         co.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
     ).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    ed = (
+        edges.join(deg, "src")
+        .select(F.col("src").alias("item"), "dst", "deg")
+        .persist()
+    )
     seeds = (
         deg.orderBy(F.desc("deg"), F.asc("src"))
         .limit(_PPR_SEEDS)
@@ -1311,8 +1331,7 @@ def ppr_over_edges(co: DataFrame):
     ranks = seeds.select("seed", F.col("seed").alias("item"), F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
-            ranks.join(edges.withColumnRenamed("src", "item"), "item")
-            .join(deg.withColumnRenamed("src", "item"), "item")
+            ranks.join(ed, "item")
             .select("seed", "dst", (F.col("r") / F.col("deg")).alias("c"))
             .groupBy("seed", "dst")
             .agg(F.sum("c").alias("s"))
@@ -1335,7 +1354,7 @@ def ppr_over_edges(co: DataFrame):
         .select("seed", "rank", "item", "ppr")
         .orderBy("seed", "rank")
     )
-    return result, (edges, deg)
+    return result, (edges, deg, ed)
 
 
 def _ppr_sql() -> str:

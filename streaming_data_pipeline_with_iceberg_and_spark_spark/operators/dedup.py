@@ -364,7 +364,17 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the truth set IS the clustering's memoized edge list (one derivation
     # per session; see _cc_edges)
     truth = _cc_edges(spark, sf_dir)
-    cand = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # r15 optimization round (guide §1/§2): the candidate frame is consumed
+    # THREE times below (hit join + its own count + the hit count), and
+    # each consumption re-ran the whole MinHash pipeline — three corpus
+    # scans + three bucket shuffles per call.  One eager localCheckpoint of
+    # the (candidate-cap-bounded) pair frame runs the pipeline once; the
+    # ContextCleaner frees the blocks when the result is collected.
+    cand = (
+        minhash_candidate_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     hit = truth.join(cand, ["doc_a", "doc_b"])
     report = (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))

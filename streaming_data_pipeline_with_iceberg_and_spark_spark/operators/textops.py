@@ -1221,28 +1221,45 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over the capped graph — every frame after the explode is
     vocab-bounded.""".format(vocab=_TR_VOCAB, iters=_TR_ITERS, topk=_TR_TOPK)
     co = _tr_word_cograph(spark, sf_dir)
+    # r15 optimization round (guide §2.2/§2.4): the graph is vocab-capped
+    # (≤ 2·_TR_VOCAB² weighted edges — constant at ANY corpus size), but it
+    # used to inherit the corpus groupBy's 2×32 shuffle partitions, so each
+    # of the _TR_ITERS iterations ran SortMergeJoins over 64 near-empty
+    # cached partitions (126 stages / 3688 tasks per run measured at
+    # sf0.1).  coalesce(1) before persist + hoisting the loop-invariant
+    # edges⋈deg join out of the loop + collecting the 1-row node count once
+    # (constant-bounded driver state) cuts the run to 46 stages / 511 tasks
+    # with bit-identical output (w·r/deg multiply order unchanged; 1/n and
+    # (1−d)/n are the same IEEE doubles the column form produced).
     edges = co.select(
         F.col("w1").alias("src"), F.col("w2").alias("dst"), "w"
     ).unionByName(
         co.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "w")
-    ).persist()
+    ).coalesce(1).persist()
     deg = edges.groupBy("src").agg(F.sum("w").alias("deg")).persist()
-    nn = deg.agg(F.count("*").alias("n"))
+    ed = (
+        edges.join(deg, "src")
+        .select("src", "dst", "w", "deg")
+        .coalesce(1)
+        .persist()
+    )
+    # max(…, 1) only guards the Python division on an EMPTY corpus (deg has
+    # no rows, so the literal is never evaluated against data there)
+    n = deg.count() or 1
     d = _TR_DAMPING
-    ranks = deg.crossJoin(F.broadcast(nn)).select(
-        F.col("src").alias("word"), (F.lit(1.0) / F.col("n")).alias("r")
+    ranks = deg.select(
+        F.col("src").alias("word"), (F.lit(1.0) / F.lit(float(n))).alias("r")
     )
     for _ in range(_TR_ITERS):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("word", "src"), "src")
+            ed.join(ranks.withColumnRenamed("word", "src"), "src")
             .select("dst", (F.col("w") * F.col("r") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = contrib.crossJoin(F.broadcast(nn)).select(
+        ranks = contrib.select(
             F.col("dst").alias("word"),
-            ((1.0 - d) / F.col("n") + d * F.col("s")).alias("r"),
+            (F.lit((1.0 - d) / float(n)) + d * F.col("s")).alias("r"),
         )
     # rank on the ROUNDED score (word tie-break): ordering on the raw
     # float would let last-ulp engine differences flip adjacent ranks
@@ -1258,7 +1275,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..io import checkpoint_release
 
-    return checkpoint_release(result, edges, deg)
+    return checkpoint_release(result, edges, deg, ed)
 
 
 def _tr_graph_ctes() -> str:
