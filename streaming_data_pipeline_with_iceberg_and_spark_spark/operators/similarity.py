@@ -375,96 +375,6 @@ def _seq_half_sq(c) -> float:
     return _seq_fold_dot(c, c) / 2.0
 
 
-def _pinned_cells_array(cents: list):
-    """The pinned centroid list as a constant-foldable
-    ``array<struct<cell,c,chalf>>`` literal (r15 optimization round).
-
-    Shipping the ≤ ``_IVF_MAX_CELLS`` cells as ONE folded literal lets the
-    assignment run as a per-row array fold — a pure map-side projection —
-    instead of a corpus×k ``crossJoin`` whose argmax then needs a window
-    (n·k rows through an Exchange) or a ``max_by`` hash agg (corpus-sized
-    shuffle of (embedding, c) structs).  Catalyst constant-folds the whole
-    array once; the fold body is a loop in codegen, so plan size stays O(1)
-    in k."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cents[j]]).alias("c"),
-                F.lit(_seq_half_sq(cents[j])).alias("chalf"),
-            )
-            for j in range(len(cents))
-        ]
-    )
-
-
-def _pinned_scored_cells(cents: list, emb_col: str = "embedding"):
-    """array<struct<score,cell,c>> of fold-exact assignment scores
-    x·c − ½|c|² per pinned cell — one sequential-fold dot per cell,
-    arithmetic identical to the crossJoin form it replaces (same
-    functions.vector.dot fold, same ``_seq_half_sq`` constant)."""
-    return F.transform(
-        _pinned_cells_array(cents),
-        lambda cl: F.struct(
-            (dot(emb_col, cl["c"]) - cl["chalf"]).alias("score"),
-            cl["cell"].alias("cell"),
-            cl["c"].alias("c"),
-        ),
-    )
-
-
-def _pinned_best_cell(cents: list, emb_col: str = "embedding"):
-    """Per-row argmax over the scored-cells array with the canonical
-    (score DESC, cell ASC) tie rule: cells fold in ascending cell order and
-    only a STRICTLY greater score displaces the incumbent — exactly
-    ``max_by(struct(score, −cell))`` and the SQL twin's rank-1."""
-    scored = _pinned_scored_cells(cents, emb_col)
-    return F.aggregate(
-        F.slice(scored, 2, F.greatest(F.size(scored) - 1, F.lit(0))),
-        F.element_at(scored, 1),
-        lambda acc, s: F.when(s["score"] > acc["score"], s).otherwise(acc),
-    )
-
-
-def _pinned_top2_cells(cents: list, emb_col: str = "embedding"):
-    """The best-2 probe cells per row ((score DESC, cell ASC) order — the
-    window twin's rn ≤ 2) as a map-side fold carrying (best, runner-up):
-    a strictly greater score displaces best (demoting it to runner-up) or
-    the runner-up alone; ties keep the earlier = lower cell, matching
-    ``row_number``.  Replaces the corpus×k window (n·k rows through an
-    Exchange + sort) in ``label_purity_ivf_audit``.  Hard-wired to
-    ``_IVF_NPROBE == 2`` — the module constant the SQL twins interpolate."""
-    assert _IVF_NPROBE == 2, "top-2 fold is specialized to nprobe=2"
-    scored = _pinned_scored_cells(cents, emb_col)
-    first = F.element_at(scored, 1)
-    init = F.struct(
-        first.alias("b1"),
-        F.struct(
-            F.lit(float("-inf")).alias("score"),
-            F.lit(-1).alias("cell"),
-            first["c"].alias("c"),
-        ).alias("b2"),
-    )
-    folded = F.aggregate(
-        F.slice(scored, 2, F.greatest(F.size(scored) - 1, F.lit(0))),
-        init,
-        lambda acc, s: F.when(
-            s["score"] > acc["b1"]["score"],
-            F.struct(s.alias("b1"), acc["b1"].alias("b2")),
-        )
-        .when(
-            s["score"] > acc["b2"]["score"],
-            F.struct(acc["b1"].alias("b1"), s.alias("b2")),
-        )
-        .otherwise(acc),
-    )
-    # cell −1 only survives when k == 1 (fewer cells than probes)
-    return F.filter(
-        F.array(folded["b1"]["cell"], folded["b2"]["cell"]),
-        lambda c: c >= 0,
-    )
-
-
 def _ivf_assign_fn(cent_mat, nprobe: int, round_scores: bool = False):
     """mapInPandas closure: nearest ``nprobe`` cells per vector via one GEMM
     against the (tiny, broadcast-in-closure) centroid matrix.
@@ -1719,32 +1629,63 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pinned_fold_assign(spark: SparkSession, emb: DataFrame, cents: list) -> DataFrame:
+def pinned_fold_assign(
+    spark: SparkSession,
+    emb: DataFrame,
+    cents: list,
+    extra_cols: tuple = (),
+) -> DataFrame:
     """Nearest pinned centroid per vector by the SEQUENTIAL-FOLD score
-    x·c − ½|c|² with (score DESC, cell ASC) ties — the shared assignment
-    step of ``kmeans_cluster_profile`` and the pinned ``dedup_semantic``
-    blocking.  Returns (vec_id, embedding, cell, c).
+    x·c − ½|c|² with (score DESC, cell ASC) ties: max_by over a
+    (score, −cell) struct key is the SQL twin's rank-1, the key is unique
+    per pair, and the fold-exact scores make the pick bit-identical to
+    DuckDB's `list_inner_product` argmax — the shared assignment step of
+    ``kmeans_cluster_profile`` and the pinned ``dedup_semantic`` blocking.
+    Map-side combine collapses the corpus×k pairs back to one row per
+    vector BEFORE any shuffle (no rank window, no per-vector sort).
+    Returns (vec_id, embedding, cell, c, *extra_cols).
 
-    r15 optimization round (guide §2.4 — remove shuffles outright): the
-    centroids ship as a constant-folded array literal and the argmax is a
-    per-row fold (``_pinned_best_cell``) — a pure map-side projection with
-    ZERO shuffle.  The previous form crossJoined a broadcast cell frame and
-    took ``max_by`` in a hash agg, which (even with map-side combine)
-    shuffled one (embedding, c) struct row per vector — a full corpus pass
-    through an Exchange per assignment call, ×4 per kmeans run.  Arithmetic
-    and the tie rule are unchanged (same fold dot, same strict-> keeps the
-    lower cell), so the pick stays bit-identical to DuckDB's
-    ``list_inner_product`` argmax."""
-    best = _pinned_best_cell(cents)
-    return emb.select(
-        "vec_id",
-        "embedding",
-        best.alias("__b"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.col("__b.cell").alias("cell"),
-        F.col("__b.c").alias("c"),
+    ``extra_cols`` ride along through the aggregation as additional group
+    keys (each functionally dependent on the unique ``vec_id``, so the
+    grouping is unchanged) — r15 optimization round: lets
+    ``label_purity_ivf_audit`` keep its label without a corpus self-join
+    back onto the assignment output.
+
+    A note for future optimizers (r15, measured): re-expressing this as a
+    per-row fold over a constant array-of-structs literal ("zero shuffle")
+    ran 3-5× SLOWER at sf0.1 — higher-order functions evaluate interpreted,
+    outside whole-stage codegen, while this crossJoin+max_by pipeline is
+    fully codegen'd and its shuffle carries only one combined row per
+    vector. Keep the codegen'd form."""
+    cells = spark.createDataFrame(
+        [(j, cents[j], _seq_half_sq(cents[j])) for j in range(len(cents))],
+        "cell int, c array<double>, chalf double",
+    )
+    return (
+        emb.select("vec_id", "embedding", *extra_cols)
+        .crossJoin(F.broadcast(cells))
+        .select(
+            "vec_id",
+            "embedding",
+            *extra_cols,
+            "cell",
+            "c",
+            (dot("embedding", "c") - F.col("chalf")).alias("score"),
+        )
+        .groupBy("vec_id", *extra_cols)
+        .agg(
+            F.max_by(
+                F.struct("cell", "c", "embedding"),
+                F.struct(F.col("score"), (-F.col("cell")).alias("negcell")),
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.embedding").alias("embedding"),
+            F.col("b.cell").alias("cell"),
+            F.col("b.c").alias("c"),
+            *extra_cols,
+        )
     )
 
 
@@ -2656,30 +2597,44 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     k = _ivf_n_cells(n)
     cents = pinned_forgy_seeds(emb, k)
-    # r15 optimization round (guide §2.4): probe selection used to crossJoin
-    # a broadcast cell frame into corpus×k rows and rank them with a window
-    # (n·k (embedding, nrm, score) rows through an Exchange + sort).  The
-    # top-2 cells are now a per-row fold over the constant-folded centroid
-    # array (``_pinned_top2_cells``) — same fold-exact scores, same
-    # (score DESC, cell ASC) order, ZERO shuffle; the n·√n dot products
-    # (the audit's documented O(n^1.5) contract) are unchanged.
-    probes = emb.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_vec"),
-        norm("embedding").alias("q_nrm"),
-        F.explode(_pinned_top2_cells(cents)).alias("cell"),
+    cells = spark.createDataFrame(
+        [(j, cents[j], _seq_half_sq(cents[j])) for j in range(len(cents))],
+        "cell int, c array<double>, chalf double",
     )
-    # r15: member assignment is the same per-row fold, so the label rides
-    # along in ONE projection — the former emb⋈emb self-join (a corpus
-    # shuffle just to re-attach nb_label) is gone
-    members = emb.select(
-        "vec_id",
-        F.col("label").alias("nb_label"),
-        "embedding",
-        _pinned_best_cell(cents)["cell"].alias("cell"),
-        norm("embedding").alias("nrm"),
+    scored_cells = (
+        emb.select("vec_id", "label", "embedding")
+        .withColumn("nrm", norm("embedding"))
+        .crossJoin(F.broadcast(cells))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "nrm",
+            "cell",
+            (dot("embedding", "c") - F.col("chalf")).alias("score"),
+        )
     )
+    wp = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    probes = (
+        scored_cells.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+            "cell",
+        )
+    )
+    # r15 optimization round: nb_label rides through the assignment agg as
+    # an extra (vec_id-dependent) group key, dropping the corpus self-join
+    # that existed only to re-attach the label to the assignment output
+    members = pinned_fold_assign(
+        spark,
+        emb.select("vec_id", "embedding", F.col("label").alias("nb_label")),
+        cents,
+        extra_cols=("nb_label",),
+    ).withColumn("nrm", norm("embedding"))
     cands = probes.join(members, "cell").filter(
         F.col("vec_id") != F.col("q_id")
     ).select(

