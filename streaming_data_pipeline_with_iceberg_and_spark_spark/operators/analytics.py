@@ -1308,20 +1308,18 @@ def ppr_over_edges(co: DataFrame):
     incremental co-occurrence state serves PPR recs with no new state;
     parity asserted in the co-occurrence ingest test).  Returns
     (result, frames-to-release)."""
-    # r15 optimization round: loop-invariant edges⋈deg hoisted out of the
-    # iteration (guide §2.4; same rework as item_pagerank — r/deg multiply
-    # order unchanged, output bit-identical)
+    # r15 optimization round NOTE (measured, kept as-is): hoisting a
+    # persisted edges⋈deg out of this loop (the item_pagerank rework) was
+    # tried and REVERTED — here `ranks` is the small side (≤ seeds·items
+    # rows) and drives the joins, so the per-iteration cost was already
+    # ranks-bounded and the hoist only added a materialization job
+    # (tally: 284 → 314 tasks).
     edges = co.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionByName(
         co.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
     ).persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
-    ed = (
-        edges.join(deg, "src")
-        .select(F.col("src").alias("item"), "dst", "deg")
-        .persist()
-    )
     seeds = (
         deg.orderBy(F.desc("deg"), F.asc("src"))
         .limit(_PPR_SEEDS)
@@ -1331,7 +1329,8 @@ def ppr_over_edges(co: DataFrame):
     ranks = seeds.select("seed", F.col("seed").alias("item"), F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
-            ranks.join(ed, "item")
+            ranks.join(edges.withColumnRenamed("src", "item"), "item")
+            .join(deg.withColumnRenamed("src", "item"), "item")
             .select("seed", "dst", (F.col("r") / F.col("deg")).alias("c"))
             .groupBy("seed", "dst")
             .agg(F.sum("c").alias("s"))
@@ -1354,7 +1353,7 @@ def ppr_over_edges(co: DataFrame):
         .select("seed", "rank", "item", "ppr")
         .orderBy("seed", "rank")
     )
-    return result, (edges, deg, ed)
+    return result, (edges, deg)
 
 
 def _ppr_sql() -> str:
