@@ -255,6 +255,33 @@ HEADLINE = [
     "ql_search",
     # Appended round 14, sixth segment: asymmetric containment pairs.
     "dedup_containment",
+    # Appended round 15 (the interrupted build wave's entries, added in the
+    # optimization round so the driver's scaling runs see them; the stdout
+    # line still carries only the frozen 39-query prefix): span-level
+    # decontamination trio, Hamming kNN pair, robust trend/CI/topic/
+    # sampling/similarity/retrieval faces, burst detection, attribution
+    # pair, proximity ranking, Welch/Benford audits, PPMI, interval join.
+    "decontaminate_spans",
+    "decontamination_report",
+    "decontaminate_spans_apply",
+    "knn_hamming",
+    "ann_hamming_rerank",
+    "events_theil_sen_trend",
+    "bootstrap_ci_order_value",
+    "text_topic_plsa",
+    "topic_mixture_by_source",
+    "sample_neyman_allocation",
+    "item_simrank",
+    "bm25_champion_search",
+    "events_forecast_conformal",
+    "events_burst_kleinberg",
+    "attribution_markov_removal",
+    "attribution_shapley",
+    "proximity_min_window",
+    "experiment_welch_ttest",
+    "benford_digit_audit",
+    "text_ppmi_similarity",
+    "join_session_overlap",
 ]
 
 # The cross-round-comparable stdout set: the stable-21 anchor subset plus the
