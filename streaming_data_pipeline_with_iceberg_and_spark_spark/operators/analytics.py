@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket16, md5_bucket32
-from ..io import checkpoint_release, load, load_spread, parquet_row_count
+from ..io import (
+    checkpoint_release,
+    compact_checkpoint,
+    load,
+    load_spread,
+    parquet_row_count,
+)
 
 _FUNNEL = ["view", "click", "purchase"]
 
@@ -1142,20 +1148,25 @@ def item_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the ONE shared edge definition (``_CO_CTES``) keeps the
     item universe vocabulary-bounded (≤ |items|² similarity pairs — a
     metadata frame, the Markov/transition-matrix class, NOT corpus
-    mass); each iteration is edges⋈edges⋈scores — Σ deg_a·deg_b =
-    (2|E|)² worst-case intermediate rows over the bounded edge list —
-    followed by one pair-keyed hash agg. The report ranks ALL
+    mass); each iteration runs the GEMM S' ∝ A·S·Aᵀ as TWO half-hops
+    with a partial agg between them (edge⋈scores grouped by (a,v), then
+    the second edge leg), so the per-iteration intermediate is
+    2·|S|·avg_deg rows instead of the single-hop Σ deg_a·deg_b ≈ (2|E|)²
+    expansion (r15 optimization round). The report ranks ALL
     positive-scoring unordered pairs — including pairs with NO
     co-occurrence edge, which is precisely SimRank's point — carrying
     co_users (0 for never-together pairs) so the contrast with the
     direct-overlap family is visible in the output itself."""
     co, _cnt, _n = _taste_graph(spark, sf_dir)
+    # r15 optimization round: coalesce(1) the bounded graph frames before
+    # persist (the textrank/item_pagerank treatment, guide §2.2) so the
+    # pinned iterations do not schedule 32+ near-empty tasks per pass.
     edges = co.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionByName(
         co.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
-    ).persist()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    ).coalesce(1).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).coalesce(1).persist()
     nodes = deg.select(F.col("src").alias("item"))
     # s0 = identity on the full ordered pair space
     s = (
@@ -1174,14 +1185,31 @@ def item_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_SR_ITERS):
         # join order matters: edge⋈scores first (zero scores dropped —
         # they contribute nothing), then the second edge leg; never the
-        # literal (2|E|)² cross product
-        contrib = (
+        # literal (2|E|)² cross product.
+        # r15 optimization round (guide §2.3, aggregate before you
+        # shuffle): the recurrence is the GEMM S' ∝ A·S·Aᵀ, so it runs as
+        # TWO half-hops with a partial aggregation between them — Σ_u
+        # s(u,v) grouped by (a,v) first, then the second edge leg over
+        # the collapsed halves.  The single-hop form fed Σ_{(u,v)}
+        # deg(u)·deg(v) rows per iteration into one agg (~98M at sf0.1,
+        # where the 100-item graph is complete); the half-hop feeds
+        # |s|·deg twice (~2M).  Pure float-sum regrouping of UNROUNDED
+        # partials inside one iteration — the accumulation-order dust the
+        # per-iteration ROUND(9) trajectory pin already absorbs (same
+        # acceptance class as the hash-agg's own partial/merge order,
+        # which neither engine fixes); oracle re-verified value-exact at
+        # all three SFs.
+        half = (
             ea.join(
                 s.filter(F.col("s") != 0), F.col("u") == F.col("x")
             )
-            .join(eb, F.col("v") == F.col("y"))
+            .groupBy("a", "y")
+            .agg(F.sum("s").alias("h"))
+        )
+        contrib = (
+            half.join(eb, F.col("v") == F.col("y"))
             .groupBy("a", "b")
-            .agg(F.sum("s").alias("t"))
+            .agg(F.sum("h").alias("t"))
         )
         s = (
             contrib.join(deg.withColumnRenamed("src", "a").withColumnRenamed("deg", "da"), "a")
@@ -1201,8 +1229,12 @@ def item_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("s"))
                 .alias("s"),
             )
-            .localCheckpoint(eager=True)
         )
+        # compact the ≤|items|² score frame between iterations so the next
+        # pass does not schedule 32 near-empty tasks over the checkpoint
+        # blocks (scale-adaptive: a genuinely large pair space keeps its
+        # partitioning)
+        s = compact_checkpoint(s)
     out = (
         s.filter((F.col("x") < F.col("y")) & (F.col("s") > 0))
         .join(
