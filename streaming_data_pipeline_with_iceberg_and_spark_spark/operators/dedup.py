@@ -1717,14 +1717,29 @@ def exact_substr_spans(rows: DataFrame) -> DataFrame:
     """Maximal shared-run coalescing over k-gram postings: shared =
     hash in ≥2 distinct docs (ONE hash groupBy), then gaps-and-islands
     per doc over only the shared positions.  Returns
-    (doc_id, start_tok, end_tok)."""
-    shared = (
+    (doc_id, start_tok, end_tok).
+
+    r15 optimization round (guide §2.4): the old shared-groupBy +
+    semi-join form consumed ``rows`` through TWO differing subtrees, so
+    the corpus tokenize + per-position k-gram md5 pass ran twice per
+    call (AQE's exchange reuse cannot collapse a partial-agg subtree
+    with a join-probe subtree).  Riding the occurrence list through the
+    ONE h-keyed groupBy and re-exploding the survivors runs the k-gram
+    pass once — group payload is bounded by that hash's posting count
+    (duplicate mass, the same skew the semi-join's build side carried),
+    and the surviving (doc_id, pos) set is identical by construction
+    (integer/string semantics, no floats)."""
+    grouped = (
         rows.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        .agg(
+            F.collect_list(F.struct("doc_id", "pos")).alias("occ"),
+            F.size(F.collect_set("doc_id")).alias("nd"),
+        )
         .filter(F.col("nd") >= 2)
-        .select("h")
     )
-    marked = rows.join(shared, "h", "semi")
+    marked = grouped.select(F.explode("occ").alias("o")).select(
+        F.col("o.doc_id").alias("doc_id"), F.col("o.pos").alias("pos")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = marked.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
@@ -1788,18 +1803,39 @@ def span_decon_manifest(rows: DataFrame, toked: DataFrame) -> DataFrame:
     docs only."""
     from .sampling import _split_of
 
+    # r15 optimization round (guide §2.4): the old train/eval split-then-
+    # join form consumed ``rows`` through two differing subtrees, so the
+    # corpus tokenize + k-gram md5 pass ran twice per call.  ONE h-keyed
+    # groupBy carries the train occurrences and the distinct eval-doc set
+    # together; survivors (hashes present on BOTH sides) re-explode into
+    # the identical (train doc, eval doc, pos) hit set — integer/string
+    # semantics, no floats (collect_list/collect_set skip the NULLs the
+    # split-conditional WHENs emit for the other side's rows).
     tagged = rows.withColumn("split", _split_of(F.col("doc_id")))
-    train = tagged.filter(F.col("split") == "train").select(
-        "doc_id", "pos", "h"
+    grouped = (
+        tagged.groupBy("h")
+        .agg(
+            F.collect_list(
+                F.when(
+                    F.col("split") == "train", F.struct("doc_id", "pos")
+                )
+            ).alias("tr"),
+            F.collect_set(
+                F.when(F.col("split") != "train", F.col("doc_id"))
+            ).alias("ev"),
+        )
+        .filter((F.size("tr") > 0) & (F.size("ev") > 0))
     )
-    ev = (
-        tagged.filter(F.col("split") != "train")
-        .select(F.col("doc_id").alias("eval_doc_id"), "h")
+    hits = (
+        grouped.select(F.explode("tr").alias("t"), "ev")
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("t.pos").alias("pos"),
+            F.explode("ev").alias("eval_doc_id"),
+        )
+        .select("doc_id", "eval_doc_id", "pos")
         .distinct()
     )
-    hits = train.join(ev, "h").select(
-        "doc_id", "eval_doc_id", "pos"
-    ).distinct()
     w = Window.partitionBy("doc_id", "eval_doc_id").orderBy("pos")
     islands = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
     spans = islands.groupBy("doc_id", "eval_doc_id", "grp").agg(
