@@ -1043,6 +1043,16 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(F.col("is_c"))
         .withColumn("grp", F.col("pos") - F.row_number().over(wd))
     )
+    # r15 optimization round (guide §2.4): derive the per-word occurrence
+    # rows by re-splitting the phrase string instead of joining the
+    # corpus-scale ``runs`` back on the run key — words are [a-z]+ so the
+    # space join/split is lossless: the identical (w, plen) multiset with
+    # one SortMergeJoin and one corpus posexplode+window pass removed
+    # (439 → 205 tasks, 14 → 9 jobs at sf0.1).  Deliberately NOT
+    # persisted: AQE's runtime exchange reuse already shares the phrases
+    # aggregation between its two consumers (a persist variant measured
+    # 449 tasks — the persist-the-shingles negative-result class).
+    # Oracle re-verified value-exact at all 3 SFs.
     phrases = runs.groupBy("doc_id", "grp").agg(
         F.array_join(
             F.transform(
@@ -1053,7 +1063,9 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count(F.lit(1)).alias("plen"),
     )
-    occ = runs.join(phrases, ["doc_id", "grp"]).select("w", "plen")
+    occ = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    )
     wscore = occ.groupBy("w").agg(
         (F.sum("plen") / F.count(F.lit(1))).alias("ws")
     )
@@ -2346,6 +2358,14 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs rounds at 6dp (the text_unigram_logprob precedent); perplexity is
     exp(−mean) computed FROM the rounded mean, so it adds no independent
     rounding risk."""
+    # r15 optimization round, tried and REVERTED (the persist-the-shingles
+    # negative-result class, OPTIMIZATION_r15.md): persisting the
+    # tokenized base + scoring each distinct bigram once on the
+    # vocab-bounded count frame measured WORSE (338 → 562 tasks, 12 → 19
+    # jobs, 2.1 → 3.0 s interleaved A/B at sf0.1) — AQE's runtime
+    # exchange reuse already deduplicates the identical pairs/vocab
+    # subtrees inside the single action, and the persist + eager result
+    # checkpoint replaced that free reuse with real materialization jobs.
     docs = load_spread(spark, "documents", sf_dir)
     toks = tokens("text")
     base = docs.select("doc_id", toks.alias("t"))
