@@ -331,6 +331,17 @@ GROUP BY user_id, session_id
 # _OVL_PROBE longest sessions seed the exact lower bound).
 _OVL_TOPK = 20
 _OVL_PROBE = 100
+# Candidate-blocking granularity in epoch-µs (r16 optimization round,
+# guide §2.1/§3): HOUR buckets instead of calendar days. Bucket width only
+# affects which pairs are EVALUATED, never the result — two sessions
+# overlap ⟺ they share the bucket containing max(st_a, st_b), and
+# multi-bucket double-matches dedupe on the pair key — so a finer grain
+# trades a ~(en−st)/width explode factor for a quadratic drop in
+# per-bucket pair work (measured at sf0.1, 95,465 sessions: 304.1M
+# day-bucket join rows evaluated → 13.1M hour-bucket ones, a 23× cut,
+# while the exploded input grows only 95.5k → 96.6k rows — the same
+# 20-row answer either way).
+_OVL_BUCKET_US = 3_600_000_000
 
 
 def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,10 +353,19 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     meeting detection and resource-contention audits.
 
     Scale shape — two layers, both load-bearing. (1) Bucketing: each
-    session explodes to the calendar DAYS it touches, the join is an
-    EQUI-join on day with the overlap predicate as a post-filter, and
-    multi-day double-matches dedupe on the pair key — never a
-    nested-loop over |sessions|². (2) LENGTH PRUNING kills the
+    session explodes to the ``_OVL_BUCKET_US``-wide time buckets it
+    touches, the join is an EQUI-join on bucket with the overlap
+    predicate as a post-filter, and multi-bucket double-matches dedupe
+    on the pair key — never a nested-loop over |sessions|². The
+    candidate join's inputs are explicitly repartitioned on the bucket
+    key at a PINNED width (r16 optimization round, guide §2.1): the
+    exploded frames are a few MB even when the pair filter inside the
+    join evaluates tens of millions of rows, so AQE's byte-based
+    coalescing — blind to the join's explode factor — used to collapse
+    the whole pair evaluation into ONE task (measured 5.8 s serial at
+    sf0.1); a repartition-by-num is exempt from coalescing and the join
+    reuses its partitioning, so the pair work spreads across the
+    cluster at any data:core ratio. (2) LENGTH PRUNING kills the
     quadratic-in-co-presence ambush (dense buckets make all-pairs
     explode): overlap(a,b) ≤ min(len_a, len_b), so every global top-k
     pair has BOTH lengths ≥ L, where L = the k-th best overlap among
@@ -365,21 +385,26 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.unix_micros("session_start").alias("st"),
         F.unix_micros("session_end").alias("en"),
-        F.to_date("session_start").alias("d0"),
-        F.to_date("session_end").alias("d1"),
     ).persist()
 
     def overlap_pairs(frame_a: DataFrame, bcast: bool = False) -> DataFrame:
         a = frame_a.select(
             F.col("user_id").alias("ua"), F.col("session_id").alias("sa"),
-            F.col("st").alias("sta"), F.col("en").alias("ena"), "day",
+            F.col("st").alias("sta"), F.col("en").alias("ena"), "bkt",
         )
         b = frame_a.select(
             F.col("user_id").alias("ub"), F.col("session_id").alias("sb"),
-            F.col("st").alias("stb"), F.col("en").alias("enb"), "day",
+            F.col("st").alias("stb"), F.col("en").alias("enb"), "bkt",
         )
+        if bcast:
+            joined = a.join(F.broadcast(b), "bkt")
+        else:
+            # pinned-width repartition on the join key: see the docstring —
+            # keeps AQE from serializing the explode-heavy pair filter
+            p = frame_a.sparkSession.sparkContext.defaultParallelism
+            joined = a.repartition(p, "bkt").join(b.repartition(p, "bkt"), "bkt")
         return (
-            a.join(F.broadcast(b) if bcast else b, "day")
+            joined
             .filter(
                 (F.col("ua") < F.col("ub"))
                 & (F.col("sta") <= F.col("enb"))
@@ -395,11 +420,15 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def bucketed(frame: DataFrame) -> DataFrame:
+        # st/en are non-negative epoch-µs longs, so integer DIV is floor
         return frame.select(
             "user_id", "session_id", "st", "en",
             F.explode(
-                F.expr("sequence(d0, d1, interval 1 day)")
-            ).alias("day"),
+                F.expr(
+                    f"sequence(st div {_OVL_BUCKET_US},"
+                    f" en div {_OVL_BUCKET_US})"
+                )
+            ).alias("bkt"),
         )
 
     probe = (
