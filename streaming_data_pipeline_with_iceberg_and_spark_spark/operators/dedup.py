@@ -780,13 +780,35 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     plen = n - F.floor((n * _PFX_NUM + _PFX_DEN - 1) / _PFX_DEN).cast(
         "int"
     ) + 1
+    # r16 optimization round (guide §3 — prune before the pair shuffle):
+    # postings carry (pos, n) so two more AllPairs/PPJoin filters run
+    # INSIDE the candidate join, before the distinct and the verify joins.
+    # Both are provably exactness-preserving (the verify is exact anyway,
+    # so only provably-below-θ pairs are dropped):
+    #  · LENGTH: J ≥ num/den ⟹ den·min(|A|,|B|) ≥ num·max(|A|,|B|)
+    #    (|A∩B| ≤ min, |A∪B| ≥ max).
+    #  · POSITIONAL (PPJoin, Xiao et al. 2008): all common shingles sit at
+    #    global-order positions ≥ those of the FIRST common shingle, so at
+    #    that match |A∩B| ≤ 1 + min(|A|−pa, |B|−pb); J ≥ num/den ⟹
+    #    (den+num)·|A∩B| ≥ num·(|A|+|B|).  Keeping a pair when ANY of its
+    #    prefix matches passes is sound because the first common match
+    #    always passes for a truly-similar pair.
+    # Integer arithmetic throughout — float θ never enters.
     prefixes = ordered.select(
-        "doc_id", F.explode(F.slice("osh", 1, plen)).alias("shingle")
-    )
+        "doc_id",
+        n.alias("nsh"),
+        F.posexplode(F.slice("osh", 1, plen)).alias("p0", "shingle"),
+    ).select("doc_id", "nsh", (F.col("p0") + 1).alias("pos"), "shingle")
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    na, nb = F.col("a.nsh"), F.col("b.nsh")
+    ubound = 1 + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
     cands = (
-        prefixes.alias("a")
-        .join(prefixes.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(na, nb) * _PFX_DEN >= F.greatest(na, nb) * _PFX_NUM)
+            & (ubound * (_PFX_DEN + _PFX_NUM) >= (na + nb) * _PFX_NUM)
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -1723,22 +1745,30 @@ def exact_substr_spans(rows: DataFrame) -> DataFrame:
     semi-join form consumed ``rows`` through TWO differing subtrees, so
     the corpus tokenize + per-position k-gram md5 pass ran twice per
     call (AQE's exchange reuse cannot collapse a partial-agg subtree
-    with a join-probe subtree).  Riding the occurrence list through the
-    ONE h-keyed groupBy and re-exploding the survivors runs the k-gram
-    pass once — group payload is bounded by that hash's posting count
-    (duplicate mass, the same skew the semi-join's build side carried),
-    and the surviving (doc_id, pos) set is identical by construction
-    (integer/string semantics, no floats)."""
-    grouped = (
-        rows.groupBy("h")
-        .agg(
-            F.collect_list(F.struct("doc_id", "pos")).alias("occ"),
-            F.size(F.collect_set("doc_id")).alias("nd"),
-        )
-        .filter(F.col("nd") >= 2)
-    )
-    marked = grouped.select(F.explode("occ").alias("o")).select(
-        F.col("o.doc_id").alias("doc_id"), F.col("o.pos").alias("pos")
+    with a join-probe subtree).
+
+    r16 optimization round (guide §2.5/§5 — the r15 verdict's hot-hash
+    skew order): r15's single pass rode a ``collect_list`` of every
+    (doc_id, pos) occurrence per hash — ONE aggregation-buffer array per
+    k-gram, which a boilerplate k-gram shared across a large fraction of
+    a 100 TB corpus would concentrate into one unsplittable, value-size-
+    limited row (the old semi-join build side only ever held DISTINCT
+    hashes, so this was a new risk, not an inherited one).  The shared
+    marker is now a window min/max over the h partition: shared ⟺ ≥2
+    distinct docs ⟺ min(doc_id) ≠ max(doc_id).  Still exactly ONE
+    corpus k-gram pass and one h-keyed exchange, no join — but a hot
+    hash is now many ROWS in WindowExec's disk-spillable buffer instead
+    of one array value (tests/test_extensions.py plants a 100k-posting
+    hash to pin this).  Survivor (doc_id, pos) multiset identical by
+    construction: min≠max ⟺ |collect_set(doc_id)| ≥ 2 (both skip NULL
+    doc_ids), and the rows pass through unchanged instead of being
+    packed and re-exploded."""
+    wh = Window.partitionBy("h")
+    marked = (
+        rows.withColumn("dmin", F.min("doc_id").over(wh))
+        .withColumn("dmax", F.max("doc_id").over(wh))
+        .filter(F.col("dmin") != F.col("dmax"))
+        .select("doc_id", "pos")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = marked.withColumn(
@@ -1805,34 +1835,49 @@ def span_decon_manifest(rows: DataFrame, toked: DataFrame) -> DataFrame:
 
     # r15 optimization round (guide §2.4): the old train/eval split-then-
     # join form consumed ``rows`` through two differing subtrees, so the
-    # corpus tokenize + k-gram md5 pass ran twice per call.  ONE h-keyed
-    # groupBy carries the train occurrences and the distinct eval-doc set
-    # together; survivors (hashes present on BOTH sides) re-explode into
-    # the identical (train doc, eval doc, pos) hit set — integer/string
-    # semantics, no floats (collect_list/collect_set skip the NULLs the
-    # split-conditional WHENs emit for the other side's rows).
-    tagged = rows.withColumn("split", _split_of(F.col("doc_id")))
-    grouped = (
-        tagged.groupBy("h")
-        .agg(
-            F.collect_list(
-                F.when(
-                    F.col("split") == "train", F.struct("doc_id", "pos")
-                )
-            ).alias("tr"),
-            F.collect_set(
-                F.when(F.col("split") != "train", F.col("doc_id"))
-            ).alias("ev"),
-        )
-        .filter((F.size("tr") > 0) & (F.size("ev") > 0))
+    # corpus tokenize + k-gram md5 pass ran twice per call.
+    #
+    # r16 optimization round (guide §2.5/§5 — the r15 verdict's hot-hash
+    # skew order): r15 carried ALL train occurrences + the eval-doc set of
+    # a hash in one aggregation-row payload (unsplittable at 100 TB for a
+    # boilerplate k-gram).  Now one window over the h partition marks the
+    # hashes present on BOTH sides (rows stay rows — WindowExec's buffer
+    # spills to disk per partition, no single-value limit), and the
+    # train-positions × distinct-eval-docs expansion runs as an h-keyed
+    # JOIN over only the surviving rows (contamination mass).  The marked
+    # frame is eagerly localCheckpoint'ed — it is bounded by contamination
+    # mass, and without the checkpoint the two join consumers re-ran the
+    # corpus window pass each (measured: 313 → 497 tasks, +0.8 s; AQE
+    # reuses the exchange but not the window sort above it — the
+    # dedup_lsh_recall_eval class, r15 change #5).  The join's row
+    # explosion is shuffle-visible where AQE skew handling can split it.
+    # Hit set identical: is_tr/is_ev mirror the old WHEN conditions —
+    # in particular a NULL doc_id (split 'test' by _split_of's otherwise
+    # branch) counted on NEITHER side there (collect_set skips NULLs),
+    # so the eval flag requires a non-null doc_id explicitly.
+    split = _split_of(F.col("doc_id"))
+    tagged = rows.withColumn(
+        "is_tr", (split == "train").cast("int")
+    ).withColumn(
+        "is_ev",
+        ((split != "train") & F.col("doc_id").isNotNull()).cast("int"),
+    )
+    wh = Window.partitionBy("h")
+    marked = (
+        tagged.withColumn("has_tr", F.max("is_tr").over(wh))
+        .withColumn("has_ev", F.max("is_ev").over(wh))
+        .filter((F.col("has_tr") == 1) & (F.col("has_ev") == 1))
+        .select("h", "doc_id", "pos", "is_tr", "is_ev")
+        .localCheckpoint(eager=True)
+    )
+    tr = marked.filter(F.col("is_tr") == 1).select("h", "doc_id", "pos")
+    ev = (
+        marked.filter(F.col("is_ev") == 1)
+        .select("h", F.col("doc_id").alias("eval_doc_id"))
+        .distinct()
     )
     hits = (
-        grouped.select(F.explode("tr").alias("t"), "ev")
-        .select(
-            F.col("t.doc_id").alias("doc_id"),
-            F.col("t.pos").alias("pos"),
-            F.explode("ev").alias("eval_doc_id"),
-        )
+        tr.join(ev, "h")
         .select("doc_id", "eval_doc_id", "pos")
         .distinct()
     )

@@ -772,6 +772,70 @@ def test_dedup_exact_substr_planted_spans(spark, tmp_path):
         assert out[d].n_dropped == 0
 
 
+def test_kgram_cores_hot_hash_skew(spark):
+    """r16 skew fixture (the r15 verdict's hot-hash order): a boilerplate
+    k-gram with ~10⁵ postings must flow through the ExactSubstr and
+    span-decon cores as plain ROWS (window marker + spillable buffers),
+    never as one per-hash aggregation-buffer array — the r15 collect_list
+    form concentrated a hot hash's full duplicate mass into a single
+    unsplittable value. Plants one hash with 100k postings (1000 docs ×
+    100 positions) and checks the exact maximal-span output."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.dedup import (
+        _ES_K,
+        exact_substr_spans,
+        span_decon_manifest,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators.sampling import (
+        _split_of,
+    )
+
+    n_docs, n_pos = 1000, 100
+    end = n_pos + _ES_K - 1
+    rows = (
+        spark.range(n_docs)
+        .selectExpr("id AS doc_id", f"explode(sequence(1, {n_pos})) AS pos")
+        .withColumn("h", F.lit("hot"))
+    )
+    spans = exact_substr_spans(rows).collect()
+    assert len(spans) == n_docs
+    assert all((r.start_tok, r.end_tok) == (1, end) for r in spans)
+
+    # span-decon core under the same hot hash: every train doc carries
+    # the 100 positions, two eval docs share the hash — one maximal span
+    # per (train doc, eval doc) pair, nothing concentrated per hash
+    splits = {
+        r.doc_id: r.split
+        for r in spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"), _split_of(F.col("id")).alias("split")
+        )
+        .collect()
+    }
+    train = sorted(d for d, s in splits.items() if s == "train")
+    evals = sorted(d for d, s in splits.items() if s != "train")[:2]
+    assert train and len(evals) == 2
+    tr_rows = (
+        spark.createDataFrame([(d,) for d in train], "doc_id long")
+        .selectExpr("doc_id", f"explode(sequence(1, {n_pos})) AS pos")
+        .withColumn("h", F.lit("hot"))
+    )
+    ev_rows = spark.createDataFrame(
+        [(d, 1, "hot") for d in evals], "doc_id long, pos int, h string"
+    )
+    toked = spark.createDataFrame([(d,) for d in train], "doc_id long").select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(end)),
+            lambda i: F.concat(F.lit("w"), i.cast("string")),
+        ).alias("t"),
+    )
+    out = span_decon_manifest(tr_rows.unionByName(ev_rows), toked).collect()
+    assert len(out) == len(train) * 2
+    assert all(
+        (r.start_tok, r.n_tokens, r.span_ord) == (1, end, 1) for r in out
+    )
+
+
 def test_scale_adaptive_fill_sliced_equals_windowed(spark, sf_dir, monkeypatch):
     """The greedy budget fills' two layers are bit-identical (r15, VERDICT
     r14 What's-wrong #3): forcing the sliced prefix-sum plan (approx-
