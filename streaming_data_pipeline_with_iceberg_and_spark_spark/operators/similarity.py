@@ -433,6 +433,57 @@ def _ivf_n_cells(n: int) -> int:
     return max(4, min(_IVF_MAX_CELLS, int(n**0.5)))
 
 
+# r16 optimization round (guide §2.2 — the r15 verdict's ANN order): the
+# ad-hoc ANN faces (ann_ivf / ann_pq / ann_ivfpq) used to re-fit their
+# quantizer AND re-encode the whole corpus on EVERY call, so each call paid
+# 3-4 corpus passes of 32-wide tiny tasks — the family ran 1.3-1.9× FASTER
+# on 8 cores than 32 at sf0.1 (pure task/Python-worker overhead, the r15
+# scaling block's finding).  The learned index state — centroid matrix,
+# codebooks, the assigned/encoded corpus — is exactly what a serving
+# deployment materializes once and queries many times (ann_ivf's docstring
+# has promised "the assigned corpus would be written out partitioned by
+# cell and reused across query batches" since round 2), so it now lives in
+# a session memo under the established discipline (_PINNED_IVF_CACHE /
+# _BM25_INDEX_CACHE / _TR_COGRAPH_CACHE): keyed by (applicationId, sf_dir,
+# face, corpus fingerprint); a stopped session or a same-session corpus
+# rewrite evicts; the bounded encoded frames are compact_checkpoint'ed so
+# the per-query scan schedules row-count-derived tasks instead of 32 empty
+# ones.  Evicted entries drop their references and the checkpointed RDD
+# blocks are freed by GC + ContextCleaner (the documented reliance, same
+# as the cograph memo — entries are ≤ one encoded-corpus frame per face).
+_ANN_SERVE_CACHE: dict = {}
+
+
+def clear_ann_serve_cache() -> None:
+    """Drop all memoized ANN serving state — test hook and the escape
+    hatch for in-place corpus mutation without an mtime bump."""
+    _ANN_SERVE_CACHE.clear()
+
+
+def _ann_serve_memo(spark: SparkSession, sf_dir: str, face: str, build):
+    """Session memo for one ANN face's serving state (see block comment)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        face,
+        data_fingerprint(sf_dir, "embeddings"),
+    )
+    hit = _ANN_SERVE_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    for k in list(_ANN_SERVE_CACHE):
+        try:
+            stale = _ANN_SERVE_CACHE[k][0].sparkContext._jsc is None
+        except Exception:
+            stale = True
+        # displaced corpus version for the same (session, sf_dir, face)
+        if stale or k[:3] == key[:3]:
+            _ANN_SERVE_CACHE.pop(k, None)
+    state = build()
+    _ANN_SERVE_CACHE[key] = (spark, state)
+    return state
+
+
 def _kmeans_centroids(
     spark: SparkSession,
     sf_dir: str,
@@ -491,6 +542,39 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str, emb: DataFrame | None = Non
     return _kmeans_centroids(spark, sf_dir, emb, k=None, iters=1)
 
 
+def _ivf_serve_state(spark: SparkSession, sf_dir: str):
+    """ann_ivf's session-memoized serving state: (centroid matrix,
+    assigned+normed corpus frame).  The build — count, seed pick, one
+    Lloyd refinement, the corpus assignment pass — runs ONCE per
+    (session, corpus version); the assigned frame is compact_checkpoint'ed
+    so per-query candidate scans schedule row-count-derived tasks.  This
+    is the in-session realization of the docstring's "written out
+    partitioned by cell and reused across query batches"."""
+    from ..io import compact_checkpoint
+
+    def build():
+        emb = load_spread(spark, "embeddings", sf_dir).persist()
+        try:
+            cent_mat = _ivf_centroids(spark, sf_dir, emb)
+            assigned = (
+                emb.select("vec_id", "embedding")
+                .mapInPandas(
+                    _ivf_assign_fn(cent_mat, 1),
+                    schema=(
+                        "vec_id long, probe_rank int, cell int, "
+                        "embedding array<float>"
+                    ),
+                )
+                .select("vec_id", "cell", "embedding")
+                .withColumn("nrm", norm("embedding"))
+            )
+            return (cent_mat, compact_checkpoint(assigned))
+        finally:
+            emb.unpersist()
+
+    return _ann_serve_memo(spark, sf_dir, "ivf", build)
+
+
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) coarse quantization: k-means-style cells,
     corpus assigned to its nearest cell, each query probes its ``nprobe``
@@ -499,30 +583,15 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py.
 
     Scale shape: the quantizer (≤ _IVF_MAX_CELLS vectors, constant-bounded)
-    is the only driver-side state; assignment is one Arrow/GEMM pass over
-    the corpus; the candidate
-    join is keyed on cell (never all-pairs) with the tiny probe side
-    broadcast. At 100 TB the assigned corpus would be written out
-    partitioned by cell and reused across query batches."""
-    # One scan+spread, persisted and shared across the 4 corpus passes
-    # (count, seed pick, Lloyd assign, final assign+score) — without this the
-    # parquet scan AND its repartition shuffle run once per pass. Released
-    # via checkpoint_release before returning (≤ |Q|·5 result rows); at
-    # 100 TB the equivalent is writing the assigned corpus out partitioned
-    # by cell once.
-    emb = load_spread(spark, "embeddings", sf_dir).persist()
-    cent_mat = _ivf_centroids(spark, sf_dir, emb)
-    corpus = (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(
-            _ivf_assign_fn(cent_mat, 1),
-            schema="vec_id long, probe_rank int, cell int, embedding array<float>",
-        )
-        .select("vec_id", "cell", "embedding")
-        .withColumn("nrm", norm("embedding"))
-    )
+    is the only driver-side state; the assigned corpus is built once per
+    (session, corpus version) and served from the ``_ANN_SERVE_CACHE``
+    memo (r16 — a query batch used to re-fit and re-assign everything, 4
+    corpus passes per call); the candidate join is keyed on cell (never
+    all-pairs) with the tiny probe side broadcast."""
+    cent_mat, corpus = _ivf_serve_state(spark, sf_dir)
     probes = (
-        emb.filter(_query_pred(50))
+        load(spark, "embeddings", sf_dir)
+        .filter(_query_pred(50))
         .select("vec_id", "embedding")
         .mapInPandas(
             _ivf_assign_fn(cent_mat, _IVF_NPROBE),
@@ -548,11 +617,10 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     ).dropDuplicates(["q_id", "vec_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return checkpoint_release(
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
-        .select("q_id", "rank", "vec_id", "cos_sim"),
-        emb,
+        .select("q_id", "rank", "vec_id", "cos_sim")
     )
 
 
@@ -587,6 +655,48 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame):
     return [full[:, s * sub : (s + 1) * sub] for s in range(_PQ_M)], sub
 
 
+def _pq_serve_state(spark: SparkSession, sf_dir: str):
+    """ann_pq's session-memoized serving state: (codebooks, subspace
+    width, encoded corpus frame) — the encode pass runs once per
+    (session, corpus version), realizing the docstring's "the encode pass
+    runs once and would be persisted" in-session (r16)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..io import compact_checkpoint
+
+    def build():
+        emb = load_spread(spark, "embeddings", sf_dir).persist()
+        try:
+            books, sub = _pq_codebooks(spark, sf_dir, emb)
+            if books is None:
+                return (None, 0, None)
+
+            def encode(batches):
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                    codes = np.empty((len(pdf), _PQ_M), dtype=np.int32)
+                    for s, book in enumerate(books):
+                        seg = mat[:, s * sub : (s + 1) * sub]
+                        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² const/row
+                        d2 = -2.0 * (seg @ book.T) + (book**2).sum(axis=1)
+                        codes[:, s] = np.argmin(d2, axis=1)
+                    yield pd.DataFrame(
+                        {"vec_id": pdf["vec_id"], "codes": list(codes)}
+                    )
+
+            encoded = emb.select("vec_id", "embedding").mapInPandas(
+                encode, schema="vec_id long, codes array<int>"
+            )
+            return (books, sub, compact_checkpoint(encoded))
+        finally:
+            emb.unpersist()
+
+    return _ann_serve_memo(spark, sf_dir, "pq", build)
+
+
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via product quantization (Jégou et al., TPAMI 2011 shape): each
     corpus vector is compressed to _PQ_M 4-bit codebook ids; queries score
@@ -596,43 +706,26 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact L2 baseline asserted in tests/test_extensions.py.
 
     Scale shape: the corpus scan reads 8 BYTES per vector instead of 256
-    (the encode pass runs once and would be persisted); scoring is pure
-    table lookup — no floats from the corpus touch the query path. Encode
-    and score are each one Arrow/GEMM pass; per-partition partial top-k
-    bounds what leaves each executor to k·|Q| rows."""
+    (the encode pass runs once per session/corpus version — the
+    ``_ANN_SERVE_CACHE`` memo, r16); scoring is pure table lookup — no
+    floats from the corpus touch the query path, and the per-partition
+    partial top-k bounds what leaves each executor to k·|Q| rows."""
     import numpy as np
     import pandas as pd
 
-    emb = load_spread(spark, "embeddings", sf_dir).persist()
-    books, sub = _pq_codebooks(spark, sf_dir, emb)
+    books, sub, encoded = _pq_serve_state(spark, sf_dir)
     if books is None:
-        emb.unpersist()
         return spark.createDataFrame(
             [], "q_id long, rank int, vec_id long, approx_l2 double"
         )
 
-    def encode(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            codes = np.empty((len(pdf), _PQ_M), dtype=np.int32)
-            for s, book in enumerate(books):
-                seg = mat[:, s * sub : (s + 1) * sub]
-                # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
-                d2 = -2.0 * (seg @ book.T) + (book**2).sum(axis=1)
-                codes[:, s] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "codes": list(codes)}
-            )
-
-    encoded = emb.select("vec_id", "embedding").mapInPandas(
-        encode, schema="vec_id long, codes array<int>"
+    q_rows = (
+        load(spark, "embeddings", sf_dir)
+        .filter(_query_pred(50))
+        .select("vec_id", "embedding")
+        .collect()
     )
-
-    q_rows = emb.filter(_query_pred(50)).select("vec_id", "embedding").collect()
     if not q_rows:
-        emb.unpersist()
         return spark.createDataFrame(
             [], "q_id long, rank int, vec_id long, approx_l2 double"
         )
@@ -675,11 +768,10 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, schema="q_id long, vec_id long, approx_l2 double"
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2"), F.asc("vec_id"))
-    return checkpoint_release(
+    return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "vec_id", "approx_l2"),
-        emb,
+        .select("q_id", "rank", "vec_id", "approx_l2")
     )
 
 
@@ -698,64 +790,91 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches nprobe/C of the corpus and reads no corpus floats at all.
     Driver-side state stays constant-bounded: ≤ _IVF_MAX_CELLS centroids +
     _PQ_M·_PQ_K codebook rows + the ≤ _Q_CAP query batch; ADC tables are
-    |Q|·nprobe·M·K floats, closure-shipped. Encode and score are each one
-    Arrow/numpy pass with per-partition partial top-k."""
+    |Q|·nprobe·M·K floats, closure-shipped. The quantizer fit and the
+    encode pass run once per (session, corpus version) — the
+    ``_ANN_SERVE_CACHE`` memo (r16); scoring is one Arrow/numpy pass with
+    per-partition partial top-k."""
     import numpy as np
     import pandas as pd
 
     out_schema = "q_id long, rank int, vec_id long, approx_l2 double"
-    emb = load_spread(spark, "embeddings", sf_dir).persist()
-    cent_mat = _ivf_centroids(spark, sf_dir, emb)  # (C, d) float64
-    if cent_mat.ndim < 2:
-        # empty corpus (routine at scale after a filter): no quantizer
-        emb.unpersist()
+
+    def build():
+        emb = load_spread(spark, "embeddings", sf_dir).persist()
+        try:
+            cent_mat = _ivf_centroids(spark, sf_dir, emb)  # (C, d) float64
+            if cent_mat.ndim < 2:
+                # empty corpus (routine at scale after a filter): no quantizer
+                return (None, None, 0, None)
+            cent_half = 0.5 * (cent_mat**2).sum(axis=1)
+
+            # PQ codebooks trained on RESIDUALS of a bounded hash-ordered
+            # sample (residuals are what gets encoded, so codebooks must
+            # live in that space).
+            seeds = (
+                emb.select("vec_id", "embedding")
+                .orderBy(
+                    F.pmod(F.xxhash64(F.col("vec_id") + 13), F.lit(983)),
+                    "vec_id",
+                )
+                .limit(_PQ_K)
+                .collect()
+            )
+            if not seeds:
+                return (None, None, 0, None)
+            seed_mat = np.array(
+                [r["embedding"] for r in sorted(seeds, key=lambda r: r["vec_id"])],
+                dtype=np.float64,
+            )
+            seed_cells = np.argmax(seed_mat @ cent_mat.T - cent_half, axis=1)
+            resid = seed_mat - cent_mat[seed_cells]
+            d = seed_mat.shape[1]
+            sub = d // _PQ_M
+            books = [resid[:, s * sub : (s + 1) * sub] for s in range(_PQ_M)]
+
+            def encode(batches):
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                    cells = np.argmax(mat @ cent_mat.T - cent_half, axis=1)
+                    res = mat - cent_mat[cells]
+                    codes = np.empty((len(pdf), _PQ_M), dtype=np.int32)
+                    for s, book in enumerate(books):
+                        seg = res[:, s * sub : (s + 1) * sub]
+                        d2 = -2.0 * (seg @ book.T) + (book**2).sum(axis=1)
+                        codes[:, s] = np.argmin(d2, axis=1)
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"],
+                            "cell": cells,
+                            "codes": list(codes),
+                        }
+                    )
+
+            from ..io import compact_checkpoint
+
+            encoded = emb.select("vec_id", "embedding").mapInPandas(
+                encode, schema="vec_id long, cell int, codes array<int>"
+            )
+            return (cent_mat, books, sub, compact_checkpoint(encoded))
+        finally:
+            emb.unpersist()
+
+    cent_mat, books, sub, encoded = _ann_serve_memo(
+        spark, sf_dir, "ivfpq", build
+    )
+    if books is None:
         return spark.createDataFrame([], out_schema)
     cent_half = 0.5 * (cent_mat**2).sum(axis=1)
 
-    # PQ codebooks trained on RESIDUALS of a bounded hash-ordered sample
-    # (residuals are what gets encoded, so codebooks must live in that space).
-    seeds = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.pmod(F.xxhash64(F.col("vec_id") + 13), F.lit(983)), "vec_id")
-        .limit(_PQ_K)
+    q_rows = (
+        load(spark, "embeddings", sf_dir)
+        .filter(_query_pred(50))
+        .select("vec_id", "embedding")
         .collect()
     )
-    if not seeds:
-        emb.unpersist()
-        return spark.createDataFrame([], out_schema)
-    seed_mat = np.array(
-        [r["embedding"] for r in sorted(seeds, key=lambda r: r["vec_id"])],
-        dtype=np.float64,
-    )
-    seed_cells = np.argmax(seed_mat @ cent_mat.T - cent_half, axis=1)
-    resid = seed_mat - cent_mat[seed_cells]
-    d = seed_mat.shape[1]
-    sub = d // _PQ_M
-    books = [resid[:, s * sub : (s + 1) * sub] for s in range(_PQ_M)]
-
-    def encode(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            cells = np.argmax(mat @ cent_mat.T - cent_half, axis=1)
-            res = mat - cent_mat[cells]
-            codes = np.empty((len(pdf), _PQ_M), dtype=np.int32)
-            for s, book in enumerate(books):
-                seg = res[:, s * sub : (s + 1) * sub]
-                d2 = -2.0 * (seg @ book.T) + (book**2).sum(axis=1)
-                codes[:, s] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": cells, "codes": list(codes)}
-            )
-
-    encoded = emb.select("vec_id", "embedding").mapInPandas(
-        encode, schema="vec_id long, cell int, codes array<int>"
-    )
-
-    q_rows = emb.filter(_query_pred(50)).select("vec_id", "embedding").collect()
     if not q_rows:
-        emb.unpersist()
         return spark.createDataFrame([], out_schema)
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
@@ -814,11 +933,10 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, schema="q_id long, vec_id long, approx_l2 double"
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("approx_l2"), F.asc("vec_id"))
-    return checkpoint_release(
+    return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "rank", "vec_id", "approx_l2"),
-        emb,
+        .select("q_id", "rank", "vec_id", "approx_l2")
     )
 
 
@@ -1647,9 +1765,10 @@ def pinned_fold_assign(
 
     ``extra_cols`` ride along through the aggregation as additional group
     keys (each functionally dependent on the unique ``vec_id``, so the
-    grouping is unchanged) — r15 optimization round: lets
-    ``label_purity_ivf_audit`` keep its label without a corpus self-join
-    back onto the assignment output.
+    grouping is unchanged) — r15 optimization round, for callers that
+    need a passthrough column without a self-join back onto the
+    assignment output (label_purity_ivf_audit used it until r16 moved
+    its members side onto the materialized pinned index).
 
     A note for future optimizers (r15, measured): re-expressing this as a
     per-row fold over a constant array-of-structs literal ("zero shuffle")
@@ -2578,27 +2697,37 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate, and mean neighbor agreement — the label-health dashboard a
     training-data team reads before trusting a labeled corpus.
 
-    Scale shape: assignment and probing are the inherent IVF n×k dot
-    products (broadcast centroid frame, WindowGroupLimit keeps nprobe
-    rows per vector); candidates join on the cell key (never all-pairs;
-    candidate count per vector ≈ nprobe·n/k ≈ 2√n at the √n cell rule);
-    the verdict and label rollup run on ≤ n·k then ≤ |labels| rows.
-    Driver state = the ≤ k·d pinned seed list (the bounded-collect
-    contract). Same round-5 cosine + vec_id ties as every knn face."""
+    Scale shape: probing is the inherent IVF n×k dot products (broadcast
+    centroid frame, WindowGroupLimit keeps nprobe rows per vector); the
+    MEMBERS side serves from the session's materialized pinned IVF index
+    (r16 optimization round — the monitor face's serve path applied to
+    the full audit: same seeds/assignment/tie contract, so the candidate
+    set is unchanged, but the per-call n×k assignment fold and the
+    count/seed jobs are replaced by one manifest scan; neighbor labels
+    re-attach via an n·k-row join). Candidates join on the cell key
+    (never all-pairs; candidate count per vector ≈ nprobe·n/k ≈ 2√n at
+    the √n cell rule); the verdict and label rollup run on ≤ n·k then
+    ≤ |labels| rows. Driver state = the ≤ k·d stored centroid matrix
+    (the bounded-collect contract). Same round-5 cosine + vec_id ties
+    as every knn face."""
     emb = load_spread(spark, "embeddings", sf_dir).filter(
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     )
-    n = emb.count()
     out_schema = (
         "label int, n_audited bigint, n_suspect bigint, "
         "suspect_rate double, mean_agree double"
     )
-    if n == 0:
+    idx = _pinned_ivf_index(spark, sf_dir)
+    try:
+        cent_mat = idx._load_centroids()
+    except ValueError:
+        # empty/pre-build index ⟺ no indexable vectors — empty report
         return spark.createDataFrame([], out_schema)
-    k = _ivf_n_cells(n)
-    cents = pinned_forgy_seeds(emb, k)
     cells = spark.createDataFrame(
-        [(j, cents[j], _seq_half_sq(cents[j])) for j in range(len(cents))],
+        [
+            (j, [float(x) for x in cent_mat[j]], _seq_half_sq(cent_mat[j]))
+            for j in range(cent_mat.shape[0])
+        ],
         "cell int, c array<double>, chalf double",
     )
     scored_cells = (
@@ -2626,22 +2755,19 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
         )
     )
-    # r15 optimization round: nb_label rides through the assignment agg as
-    # an extra (vec_id-dependent) group key, dropping the corpus self-join
-    # that existed only to re-attach the label to the assignment output
-    members = pinned_fold_assign(
-        spark,
-        emb.select("vec_id", "embedding", F.col("label").alias("nb_label")),
-        cents,
-        extra_cols=("nb_label",),
-    ).withColumn("nrm", norm("embedding"))
+    # members = the stored assignment (vec_id, cell, embedding, nrm) —
+    # identical rows to the inline pinned_fold_assign this replaces (the
+    # index build is the same seeds + fold score + (score DESC, cell ASC)
+    # rank-1; NULL-vec_id rows can never match `vec_id != q_id` on either
+    # form, so the filter keeps the candidate sets equal even if the
+    # corpus carried them)
+    members = idx.table.read().select("vec_id", "cell", "embedding", "nrm")
     cands = probes.join(members, "cell").filter(
         F.col("vec_id") != F.col("q_id")
     ).select(
         "q_id",
         "q_label",
         "vec_id",
-        "nb_label",
         F.round(
             dot(F.col("q_vec"), F.col("embedding"))
             / (F.col("q_nrm") * F.col("nrm")),
@@ -2649,8 +2775,12 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     wn = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    nbrs = cands.withColumn("rank", F.row_number().over(wn)).filter(
-        F.col("rank") <= _PURITY_K
+    nbrs = (
+        cands.withColumn("rank", F.row_number().over(wn))
+        .filter(F.col("rank") <= _PURITY_K)
+        .join(
+            emb.select("vec_id", F.col("label").alias("nb_label")), "vec_id"
+        )
     )
     return _purity_label_rollup(nbrs)
 
