@@ -2864,10 +2864,25 @@ def train_quality_model(spark: SparkSession, sf_dir: str):
     docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
     toks = tokens("text")
     n_tokens = F.size(toks)
+    # r15 ADVICE guard: the sentinel-key epoch metrics divide by n_docs
+    # assuming every margin (and so every per-row metric term) is
+    # non-NULL, which holds only while n ≥ 1 for every kept doc — true
+    # for the whitespace tokens() (≥1 element on non-null text) but an
+    # implementation detail a regex tokenizer would silently break,
+    # deflating epoch metrics. Enforce it loudly instead of by comment.
+    n_guarded = F.when(n_tokens >= 1, n_tokens.cast("double")).otherwise(
+        F.raise_error(
+            F.lit(
+                "train_quality_model: tokenizer yielded an empty token "
+                "list — the one-job-per-epoch metric rewrite requires "
+                "n >= 1 for every non-null-text document"
+            )
+        )
+    )
     _, _, _, keep = _gopher_signals()
     base = docs.select(
         keep.cast("double").alias("y"),
-        n_tokens.cast("double").alias("n"),
+        n_guarded.alias("n"),
         F.transform(toks, lambda t: F.pmod(md5_bucket16(t), F.lit(_TQC_DIM))).alias(
             "bks"
         ),
@@ -3510,14 +3525,24 @@ def bm25_rank(
 
 
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: BM25 top-10 per pinned benchmark query (registry face of
-    :func:`bm25_rank`; the pinned set keeps the driver oracle reproducible)."""
+    """L4: BM25 top-10 per pinned benchmark query — served from the
+    session-materialized inverted index (r16 optimization round: the face
+    used to re-tokenize the corpus twice per call via the on-the-fly
+    :func:`bm25_rank`; ``bm25_rank_from_index`` over the materialized
+    postings returns EXACTLY the same ranking by the mergeable-postings
+    contract — parity-tested in tests/test_streaming.py /
+    tests/test_textops-adjacent suites — while the query-time scan reads
+    only the query terms' row groups). The pinned set keeps the driver
+    oracle reproducible; ``bm25_rank`` itself remains the on-the-fly
+    operator for ad-hoc corpora."""
     qmap = spark.createDataFrame(
         [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
         "query_id int, term string",
     )
-    return bm25_rank(
-        load_spread(spark, "documents", sf_dir),
+    postings, stats_partials = materialized_bm25_index(spark, sf_dir)
+    return bm25_rank_from_index(
+        postings,
+        stats_partials,
         qmap,
         terms=sorted({t for ts in _BM25_QUERIES.values() for t in ts}),
         # qmap and terms come from the SAME pinned literal — the coverage
