@@ -52,9 +52,15 @@ def main() -> int:
 
     jtracker = sc._jsc.sc().statusTracker()
 
-    def counts():
-        jobs = jtracker.getJobIdsForGroup(None)
-        n_jobs = len(jobs)
+    # r16 (r15 ADVICE): count jobs via a per-measurement job GROUP instead
+    # of the null group since session start — with many measured queries
+    # the UI store evicts old jobs/stages past spark.ui.retainedJobs and a
+    # since-start delta silently undercounts. A fresh group id per run
+    # enumerates exactly that run's jobs; stages/tasks are read while the
+    # run's entries are the newest in the store, so eviction cannot touch
+    # them.
+    def group_counts(group_id):
+        jobs = jtracker.getJobIdsForGroup(group_id)
         stage_ids = set()
         n_tasks = 0
         for jid in jobs:
@@ -67,7 +73,7 @@ def main() -> int:
             si = jtracker.getStageInfo(s)
             if not si.isEmpty():
                 n_tasks += si.get().numTasks()
-        return n_jobs, len(stage_ids), n_tasks
+        return len(jobs), len(stage_ids), n_tasks
 
     print("query\tjobs\tstages\ttasks\twall_s")
     for name in args.queries:
@@ -76,14 +82,14 @@ def main() -> int:
             print(f"{name}\tMISSING")
             continue
         best = None
-        for _ in range(max(1, args.runs)):
-            sc.setJobDescription(f"tally: {name}")
-            j0, s0, t0 = counts()
+        for run in range(max(1, args.runs)):
+            gid = f"tally-{name}-{run}"
+            sc.setJobGroup(gid, f"tally: {name}")
             t = time.perf_counter()
             force(fn(spark, args.sf))
             wall = time.perf_counter() - t
-            j1, s1, t1 = counts()
-            cur = (j1 - j0, s1 - s0, t1 - t0, wall)
+            sc._jsc.clearJobGroup()
+            cur = (*group_counts(gid), wall)
             if best is None or cur[3] < best[3]:
                 best = cur
         print(f"{name}\t{best[0]}\t{best[1]}\t{best[2]}\t{best[3]:.2f}", flush=True)
