@@ -116,6 +116,17 @@ def hybrid_rank(
 
     # Fusion: both sides are ≤ |Q|·k rows — a constant-bounded join at any
     # corpus size. RRF contribution is 0 for the list a doc missed.
+    #
+    # r16 negative result (measured, kept for future optimizers): eagerly
+    # localCheckpoint-ing the two bounded arms before the fusion — the
+    # dedup_lsh_recall_eval recipe — made the face SLOWER (hybrid 2.2 →
+    # 3.3 s, retrieval_eval 2.9 → 4.2 s wall at sf0.1, tasks ~flat).  The
+    # downstream consumers' re-evaluations of the arm subtrees run as
+    # CONCURRENT AQE broadcast-build jobs that overlap on idle cores, so
+    # the redundant work was not on the wall-clock path, while the eager
+    # checkpoints serialized the two arms and added their materialization
+    # barriers to it.  The lazy form stands (the r15 persist-the-shingles
+    # lesson, broadcast-build variant).
     fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",

@@ -3004,6 +3004,13 @@ def _tqc_fit(spark: SparkSession, base: DataFrame):
     w = [0.0] * _TQC_DIM
     bias = 0.0
     metrics = []
+    # r16 negative result (measured, kept for future optimizers): feeding
+    # the epoch's weights through a broadcast 1-row frame (crossJoin) so
+    # whole-stage codegen stops embedding — and recompiling on — the
+    # updated literals each epoch made the face 2× SLOWER (60 → 316
+    # tasks, 4.4 → 7.9 s wall at sf0.1): the per-epoch broadcast build +
+    # BNLJ stage cost far more than the ~0.3 s/epoch replan it saved.
+    # The literal-array form stands.
     for it in range(_TQC_ITERS):
         warr = F.array(*[F.lit(x) for x in w])
         margin = F.lit(bias) + F.aggregate(
