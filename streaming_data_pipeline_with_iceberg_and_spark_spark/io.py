@@ -64,6 +64,7 @@ def load_spread(
     name: str,
     sf_dir: str | None = None,
     key: str | None = None,
+    min_rows: int = 1,
 ) -> DataFrame:
     """Load + repartition across all cores before CPU-heavy per-row work.
 
@@ -75,9 +76,22 @@ def load_spread(
     downstream ``groupBy(key)`` reuses (no second shuffle). On a real
     multi-split 100 TB scan this helper is unnecessary — callers use it
     only where per-row compute dominates scan width.
-    """
+
+    ``min_rows`` (r16 optimization round, guide §2.2): a caller whose
+    per-row work is CHEAP (vectorized GEMM batches, not per-row md5/fold
+    CPU) can ask for at least ``min_rows`` rows per partition — the
+    spread width then derives from the parquet footer's row count
+    (metadata-only, no job), so a small corpus schedules a few fat Arrow
+    batches instead of ``defaultParallelism`` tiny Python tasks, while a
+    large one keeps every core (the clamp only ever shrinks, and an
+    unknown row count keeps the full spread).  Scale-adaptive by
+    construction — never a local[32] constant."""
     df = load(spark, name, sf_dir)
     n = spark.sparkContext.defaultParallelism
+    if min_rows > 1:
+        rows = parquet_row_count(name, sf_dir)
+        if rows < (1 << 62):  # footer readable — else keep the full spread
+            n = max(1, min(n, (rows + min_rows - 1) // min_rows))
     return df.repartition(n, key) if key else df.repartition(n)
 
 

@@ -344,7 +344,12 @@ def knn_bruteforce_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     partial = (
-        load_spread(spark, "embeddings", sf_dir)
+        # r16: the scoring pass is one BLAS GEMM per Arrow batch — fat
+        # batches beat 32 tiny Python tasks (measured: the stage burned
+        # ~8.6 s of summed task time on 62-row batches at sf0.1, almost
+        # all per-task dispatch); min_rows derives the width from the
+        # footer row count, so a big corpus still spreads to every core
+        load_spread(spark, "embeddings", sf_dir, min_rows=512)
         .select("vec_id", "embedding")
         .mapInPandas(score, schema=out_schema)
     )

@@ -1176,7 +1176,11 @@ _TR_WORD_RX = "[a-z]{3,}"
 # pipeline 2-3×.  The _taste_graph memo discipline: one build per
 # (session, corpus content), compact_checkpoint so iterative consumers
 # schedule single-block tasks, fingerprint key rebuilds on a same-session
-# corpus rewrite.
+# corpus rewrite.  Eviction drops the dict reference only; the popped
+# frame's localCheckpoint RDD blocks are freed by GC + ContextCleaner
+# rather than synchronously (r15 ADVICE, documented reliance): each entry
+# is ≤ _TR_VOCAB² edge rows, so a same-session rewrite pins at most one
+# superseded cograph until the next GC cycle — bounded, not a leak.
 _TR_COGRAPH_CACHE: dict = {}
 
 
