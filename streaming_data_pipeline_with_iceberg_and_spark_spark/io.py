@@ -95,6 +95,19 @@ def load_spread(
     return df.repartition(n, key) if key else df.repartition(n)
 
 
+def small_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """A literal DataFrame in ONE slice (r16 optimization round, guide
+    §2.2): ``createDataFrame`` parallelizes local data into
+    ``defaultParallelism`` slices, so every tiny literal frame (a k-row
+    centroid table, a bounded probe batch) scheduled 32 near-empty tasks
+    EACH NEEDING A PYTHON WORKER on local[32] — measured ~6 s of summed
+    task time per 16-row frame, and a broadcast-build pipeline over one
+    dropped from 0.59 s to 0.29 s when the frame is a single slice.
+    Callers pass only constant-bounded row sets (the bounded-collect
+    contract), so one slice is the right width at any scale."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def parquet_row_count(name: str, sf_dir: str | None = None) -> int:
     """Row count of one testdata table from the parquet FOOTER — no Spark
     job, no data pages. The zero-cost upper-bound probe the adaptive

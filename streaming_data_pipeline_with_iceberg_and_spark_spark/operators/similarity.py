@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_bucket32
 from ..functions.vector import as_double, dot, l2_distance, norm
-from ..io import checkpoint_release, data_fingerprint, load, load_spread
+from ..io import (
+    checkpoint_release,
+    compact_checkpoint,
+    data_fingerprint,
+    load,
+    load_spread,
+    small_df,
+)
 
 _N_PLANES = 4  # per hash table → 16 buckets
 _N_TABLES = 2  # independent tables; candidates = union over tables
@@ -1062,31 +1069,21 @@ class IvfIndex:
                     [r["embedding"] for r in seed_rows], dtype=np.float64
                 )
                 props = {"ivf_centroids": self._write_centroids(cent_mat)}
-                cells = self.spark.createDataFrame(
-                    [
-                        (i, [float(x) for x in cent_mat[i]], _seq_half_sq(cent_mat[i]))
-                        for i in range(cent_mat.shape[0])
-                    ],
-                    "cell int, c array<double>, chalf double",
-                )
-                scored = (
-                    emb.select("vec_id", "embedding")
-                    .crossJoin(F.broadcast(cells))
-                    .select(
-                        "vec_id",
-                        "embedding",
-                        "cell",
-                        (dot("embedding", "c") - F.col("chalf")).alias("score"),
-                    )
-                )
-                wa = Window.partitionBy("vec_id").orderBy(
-                    F.desc("score"), F.asc("cell")
-                )
-                assigned = (
-                    scored.withColumn("rn", F.row_number().over(wa))
-                    .filter(F.col("rn") == 1)
-                    .select("vec_id", "cell", "embedding")
-                    .withColumn("nrm", norm("embedding"))
+                # r16: the crossJoin + rank-1 window this replaces paid an
+                # interpreted HOF fold per (vector, cell) pair plus a
+                # full-corpus window shuffle; fold_assign_cells carries the
+                # identical score bits and tie rule map-side (window
+                # semantics: a NULL/ragged embedding still lands in cell 0,
+                # exactly as NULLS-LAST rank-1 assigned it)
+                assigned = fold_assign_cells(
+                    emb.select("vec_id", "embedding"),
+                    [[float(x) for x in cent_mat[i]] for i in range(cent_mat.shape[0])],
+                    nprobe=1,
+                ).select(
+                    "vec_id",
+                    "cell",
+                    "embedding",
+                    norm("embedding", dim=int(cent_mat.shape[1])).alias("nrm"),
                 )
                 return self.table.overwrite(assigned, props=props)
             cent_mat = _kmeans_centroids(
@@ -1220,22 +1217,48 @@ class IvfIndex:
         nprobe = min(nprobe, cent_mat.shape[0])
         if exact_probes:
             halves = [_seq_half_sq(cent_mat[j]) for j in range(cent_mat.shape[0])]
-            probe = []
-            for r in q_rows:
-                scores = [
-                    (_seq_fold_dot(r["embedding"], cent_mat[j]) - halves[j], j)
-                    for j in range(cent_mat.shape[0])
-                ]
-                scores.sort(key=lambda t: (-t[0], t[1]))
-                probe.append([j for _, j in scores[:nprobe]])
-            probe = np.array(probe, dtype=int)
+            kq, dq = cent_mat.shape
+            qe = [r["embedding"] for r in q_rows]
+            if all(e is not None and len(e) == dq for e in qe):
+                # r16: the per-(query, cell) Python fold burned ~1 s of
+                # driver time per call at |Q|·k·d ≈ 1M ops; one vectorized
+                # multiply-add per DIMENSION is the identical IEEE op order
+                # (numpy does not fuse), so scores and ties are unchanged
+                Q = np.array(qe, dtype=np.float64)
+                acc = np.zeros((len(qe), kq), dtype=np.float64)
+                for p in range(dq):
+                    acc += Q[:, p : p + 1] * cent_mat[None, :, p]
+                acc -= np.array(halves, dtype=np.float64)[None, :]
+                order = np.lexsort(
+                    (
+                        np.tile(np.arange(kq), len(qe)),
+                        -acc.ravel(),
+                        np.repeat(np.arange(len(qe)), kq),
+                    )
+                )
+                probe = (
+                    order.reshape(len(qe), kq)
+                    - (np.arange(len(qe)) * kq)[:, None]
+                )[:, :nprobe]
+            else:
+                probe = []
+                for r in q_rows:
+                    scores = [
+                        (_seq_fold_dot(r["embedding"], cent_mat[j]) - halves[j], j)
+                        for j in range(cent_mat.shape[0])
+                    ]
+                    scores.sort(key=lambda t: (-t[0], t[1]))
+                    probe.append([j for _, j in scores[:nprobe]])
+                probe = np.array(probe, dtype=int)
         else:
             cent_half = 0.5 * (cent_mat**2).sum(axis=1)
             q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
             probe = np.argsort(
                 -(q_mat @ cent_mat.T - cent_half), axis=1, kind="stable"
             )[:, :nprobe]
-        probes = self.spark.createDataFrame(
+        d = int(cent_mat.shape[1])
+        probes = small_df(
+            self.spark,
             [
                 (
                     int(r["vec_id"]),
@@ -1246,7 +1269,7 @@ class IvfIndex:
                 for j in range(nprobe)
             ],
             "q_id long, q_cell int, q_vec array<float>",
-        ).withColumn("q_nrm", norm("q_vec"))
+        ).withColumn("q_nrm", norm("q_vec", dim=d))
         # ONE manifest-pruned scan over every probed cell: files of unprobed
         # cells are never opened, and the IN filter pushes into the reader
         cells = sorted({int(c) for c in probe.reshape(-1)})
@@ -1259,7 +1282,7 @@ class IvfIndex:
             "q_id",
             "vec_id",
             F.round(
-                dot(F.col("q_vec"), F.col("embedding"))
+                dot("q_vec", "embedding", dim=d)
                 / (F.col("q_nrm") * F.col("nrm")),
                 5,
             ).alias("cos_sim"),
@@ -1357,7 +1380,12 @@ def _pinned_ivf_index(spark: SparkSession, sf_dir: str) -> "IvfIndex":
         scratch = tempfile.mkdtemp(prefix="spark_graft_ivfidx_")
         atexit.register(shutil.rmtree, scratch, ignore_errors=True)
         idx = IvfIndex(spark, scratch)
-        idx.build(load_spread(spark, "embeddings", sf_dir), pinned_seeds=True)
+        # min_rows: the pinned assignment is a vectorized Arrow kernel now
+        # (fold_assign_cells) — fat batches, not 32 tiny Python dispatches
+        idx.build(
+            load_spread(spark, "embeddings", sf_dir, min_rows=512),
+            pinned_seeds=True,
+        )
         _PINNED_IVF_CACHE[key] = idx
     return idx
 
@@ -1696,19 +1724,24 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold (functions.vector.l2_distance ≡ list_inner_product of the diff),
     rounded at 6 before the final per-cluster AVG/ROUND(4).
 
-    Scale shape: the pinned assignment broadcast-joins the k=16 centroid
-    rows and takes the per-vector argmax with ``max_by`` — a hash
-    aggregation whose map-side combine collapses the corpus×k pairs back
-    to one row per vector BEFORE any shuffle (no rank window, no
-    per-vector sort). The fold-exact scoring costs ~2× the GEMM fit it
-    replaces at sf0.1 — the documented price of the oracle, the same
-    trade ann_ivf_index made in round 8. Each round's mean shuffle
-    emits ≤ k·d rows after combine and only the k×d rounded centroid
-    matrix ever reaches the driver. The learned GEMM path
+    Scale shape (r16): the pinned assignment runs through
+    :func:`fold_assign_cells` — a map-only vectorized Arrow kernel whose
+    per-dimension multiply-add is bit-identical to the sequential fold,
+    so the former corpus×k crossJoin, its interpreted HOF scoring, and
+    the per-vector combine shuffle are gone (3.74 → 2.00 s warm at
+    sf0.1, A/B'd back-to-back); the mean rounds call the kernel directly
+    (no winning-centroid attach needed), the final pass re-attaches ``c``
+    via a broadcast hash join on the k-row cell frame. Each round's mean
+    shuffle emits ≤ k·d rows after combine and only the k×d rounded
+    centroid matrix ever reaches the driver. The learned GEMM path
     (``_kmeans_centroids``) remains the production fit used by the IVF
     family."""
     emb = (
-        load_spread(spark, "embeddings", sf_dir)
+        # r16: the per-row work is now one vectorized Arrow batch per task
+        # (fold_assign_cells), so fat batches beat 32 tiny Python
+        # dispatches — min_rows derives the width from the footer row
+        # count; a big corpus still spreads to every core (guide §2.2)
+        load_spread(spark, "embeddings", sf_dir, min_rows=512)
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .persist()
@@ -1719,12 +1752,12 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "cluster int, n long, avg_dist double")
     k_eff = len(cents)
 
-    def _assign(cs: list) -> DataFrame:
-        return pinned_fold_assign(spark, emb, cs)
-
     for _ in range(_KMEANS_ITERS):
         mean_rows = (
-            _assign(cents)
+            # the mean rounds never read the winning centroid vector, so
+            # they call the kernel directly — no per-round c-attach join,
+            # no per-round literal cell frame (r16, guide §2.4)
+            fold_assign_cells(emb, cents, nprobe=1, maxby_nulls=True)
             .select("cell", F.posexplode(as_double("embedding")).alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.round(F.avg("val"), 6).alias("mv"))
@@ -1740,8 +1773,13 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(k_eff)
         ]
     return checkpoint_release(
-        _assign(cents)
-        .select("cell", F.round(l2_distance("embedding", "c"), 6).alias("dist"))
+        pinned_fold_assign(spark, emb, cents)
+        .select(
+            "cell",
+            F.round(l2_distance("embedding", "c", dim=len(cents[0])), 6).alias(
+                "dist"
+            ),
+        )
         .groupBy(F.col("cell").alias("cluster"))
         .agg(
             F.count("*").alias("n"),
@@ -1752,6 +1790,141 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fold_assign_cells(
+    df: DataFrame,
+    cents: list,
+    nprobe: int = 1,
+    maxby_nulls: bool = False,
+) -> DataFrame:
+    """Fold-EXACT nearest-cell scoring at vectorized speed (r16
+    optimization round, guide §4.2) — the missing middle between the GEMM
+    closures (fast, last-ulp drift vs SQL) and the HOF crossJoin forms
+    (bit-exact, interpreted): every score here carries the same bits as
+    ``functions.vector.dot``'s sequential fold, with no crossJoin row
+    blowup, no per-vector shuffle, and no interpreted lambdas.
+
+    Scores x·c − ½|c|² are accumulated per DIMENSION with one vectorized
+    multiply-then-add per step — ``acc += x_p · c_p`` over p = 0..d−1 is
+    elementwise IEEE-double in the identical order as ``F.aggregate``'s
+    fold (numpy does not fuse the multiply-add), so the (score DESC,
+    cell ASC) selection is unchanged down to the bit (parity with the
+    replaced crossJoin+max_by form asserted over the full sf0.1 corpus
+    in tests).  Measured at sf0.1: one rank-1 assignment pass over the
+    2000×16 corpus dropped 1.2 s → 0.2 s warm vs the HOF pipeline, and
+    the map-only shape ships d floats per row ONCE instead of shuffling
+    (embedding, c) pairs — strictly fewer bytes than the form it
+    replaces at any scale.
+
+    Every input column passes through; appends ``cell`` (int), one output
+    row per input row per probe rank (``nprobe`` rows, nearest first).
+    Rows whose embedding is NULL, ragged (length ≠ d), or null-holed
+    score NULL against every cell exactly like the fold; the window
+    twin's NULLS-LAST ordering then ranks cells ascending —
+    ``maxby_nulls=True`` instead reproduces ``max_by``'s all-null result
+    (a NULL cell) for callers replacing the aggregate form.  Known edge
+    vs Spark's total ordering (documented, unreachable from subtraction
+    against finite ½|c|²): a literal +Inf score ties with NaN here and
+    breaks toward the lower cell, while Spark orders NaN first."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    C = np.array([[float(x) for x in c] for c in cents], dtype=np.float64)
+    H = np.array([_seq_half_sq(c) for c in cents], dtype=np.float64)
+    k, d = C.shape
+    npb = min(nprobe, k)
+    emb_pos = df.columns.index("embedding")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def _row_scores(elems):
+        """Python twin of the per-row fold for the slow (degenerate) path:
+        NULL unless the row zips cleanly against a d-length centroid."""
+        if elems is None or len(elems) != d or any(x is None for x in elems):
+            return None
+        out = []
+        for j in range(k):
+            acc = 0.0
+            cj = C[j]
+            for p in range(d):
+                acc += float(elems[p]) * float(cj[p])
+            out.append(acc - float(H[j]))
+        return out
+
+    def assign(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            col = b.column(emb_pos)
+            flat = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            lengths = pc.list_value_length(flat)
+            fixed = (
+                flat.null_count == 0
+                and flat.values.null_count == 0
+                and pc.min(lengths).as_py() == d
+                and pc.max(lengths).as_py() == d
+            )
+            if fixed:
+                X = np.asarray(
+                    flat.values.to_numpy(zero_copy_only=False), dtype=np.float64
+                ).reshape(n, d)
+                acc = np.zeros((n, k), dtype=np.float64)
+                for p in range(d):
+                    acc += X[:, p : p + 1] * C[None, :, p]
+                acc -= H[None, :]
+                isnan = np.isnan(acc)
+                # lexsort (last key primary): row, then NaN-first (Spark
+                # DESC treats NaN as largest), then score desc, then cell
+                order = np.lexsort(
+                    (
+                        np.tile(np.arange(k), n),
+                        -np.where(isnan, 0.0, acc).ravel(),
+                        (~isnan).ravel().astype(np.int8),
+                        np.repeat(np.arange(n), k),
+                    )
+                )
+                top = (order.reshape(n, k) - (np.arange(n) * k)[:, None])[:, :npb]
+                rows = np.repeat(np.arange(n), npb)
+                cells_out = pa.array(top.ravel().astype(np.int32), type=pa.int32())
+            else:
+                rows_l, cells_l = [], []
+                py = flat.to_pylist()
+                for i in range(n):
+                    scores = _row_scores(py[i])
+                    if scores is None:
+                        picks = (
+                            [None] * npb if maxby_nulls else list(range(npb))
+                        )
+                    else:
+                        ranked = sorted(
+                            range(k),
+                            key=lambda j: (
+                                0 if np.isnan(scores[j]) else 1,
+                                -0.0 if np.isnan(scores[j]) else -scores[j],
+                                j,
+                            ),
+                        )
+                        picks = ranked[:npb]
+                    rows_l.extend([i] * npb)
+                    cells_l.extend(picks)
+                rows = np.array(rows_l, dtype=np.int64)
+                cells_out = pa.array(cells_l, type=pa.int32())
+            taken = b.take(pa.array(rows))
+            yield pa.record_batch(
+                list(taken.columns) + [cells_out],
+                schema=pa.schema(
+                    list(taken.schema) + [pa.field("cell", pa.int32())]
+                ),
+            )
+
+    return df.mapInArrow(assign, out_schema)
+
+
 def pinned_fold_assign(
     spark: SparkSession,
     emb: DataFrame,
@@ -1759,57 +1932,36 @@ def pinned_fold_assign(
     extra_cols: tuple = (),
 ) -> DataFrame:
     """Nearest pinned centroid per vector by the SEQUENTIAL-FOLD score
-    x·c − ½|c|² with (score DESC, cell ASC) ties: max_by over a
-    (score, −cell) struct key is the SQL twin's rank-1, the key is unique
-    per pair, and the fold-exact scores make the pick bit-identical to
-    DuckDB's `list_inner_product` argmax — the shared assignment step of
-    ``kmeans_cluster_profile`` and the pinned ``dedup_semantic`` blocking.
-    Map-side combine collapses the corpus×k pairs back to one row per
-    vector BEFORE any shuffle (no rank window, no per-vector sort).
+    x·c − ½|c|² with (score DESC, cell ASC) ties — the shared assignment
+    step of ``kmeans_cluster_profile`` and the pinned ``dedup_semantic``
+    blocking, bit-identical to DuckDB's `list_inner_product` argmax.
     Returns (vec_id, embedding, cell, c, *extra_cols).
 
-    ``extra_cols`` ride along through the aggregation as additional group
-    keys (each functionally dependent on the unique ``vec_id``, so the
-    grouping is unchanged) — r15 optimization round, for callers that
-    need a passthrough column without a self-join back onto the
-    assignment output (label_purity_ivf_audit used it until r16 moved
-    its members side onto the materialized pinned index).
-
-    A note for future optimizers (r15, measured): re-expressing this as a
-    per-row fold over a constant array-of-structs literal ("zero shuffle")
-    ran 3-5× SLOWER at sf0.1 — higher-order functions evaluate interpreted,
-    outside whole-stage codegen, while this crossJoin+max_by pipeline is
-    fully codegen'd and its shuffle carries only one combined row per
-    vector. Keep the codegen'd form."""
-    cells = spark.createDataFrame(
-        [(j, cents[j], _seq_half_sq(cents[j])) for j in range(len(cents))],
-        "cell int, c array<double>, chalf double",
+    r16 optimization round: the scoring runs through the vectorized
+    fold-exact kernel (:func:`fold_assign_cells` — same bits, no
+    crossJoin blowup, no per-vector shuffle); the winning centroid
+    re-attaches through a broadcast join against the k-row cell frame
+    (LEFT join so ``max_by``'s all-NULL → NULL-cell row survives exactly
+    as the aggregate form emitted it).  History of the forms this
+    replaces, both measured: the r14 crossJoin+max_by pipeline was
+    codegen'd but still paid interpreted HOF folds per (vector, cell)
+    pair plus a full-corpus combine shuffle; the r15 fold-literal
+    experiment ("zero shuffle") was 3-5× slower still because a 16×d
+    literal argmax expression exceeds janino's method budget and falls
+    back to interpreted eval."""
+    assigned = fold_assign_cells(
+        emb.select("vec_id", "embedding", *extra_cols),
+        cents,
+        nprobe=1,
+        maxby_nulls=True,
     )
-    return (
-        emb.select("vec_id", "embedding", *extra_cols)
-        .crossJoin(F.broadcast(cells))
-        .select(
-            "vec_id",
-            "embedding",
-            *extra_cols,
-            "cell",
-            "c",
-            (dot("embedding", "c") - F.col("chalf")).alias("score"),
-        )
-        .groupBy("vec_id", *extra_cols)
-        .agg(
-            F.max_by(
-                F.struct("cell", "c", "embedding"),
-                F.struct(F.col("score"), (-F.col("cell")).alias("negcell")),
-            ).alias("b")
-        )
-        .select(
-            "vec_id",
-            F.col("b.embedding").alias("embedding"),
-            F.col("b.cell").alias("cell"),
-            F.col("b.c").alias("c"),
-            *extra_cols,
-        )
+    cells = small_df(
+        spark,
+        [(j, cents[j]) for j in range(len(cents))],
+        "cell int, c array<double>",
+    )
+    return assigned.join(F.broadcast(cells), "cell", "left").select(
+        "vec_id", "embedding", "cell", "c", *extra_cols
     )
 
 
@@ -2715,7 +2867,8 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ |labels| rows. Driver state = the ≤ k·d stored centroid matrix
     (the bounded-collect contract). Same round-5 cosine + vec_id ties
     as every knn face."""
-    emb = load_spread(spark, "embeddings", sf_dir).filter(
+    # min_rows: the probe side runs the vectorized fold kernel (below)
+    emb = load_spread(spark, "embeddings", sf_dir, min_rows=512).filter(
         F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
     )
     out_schema = (
@@ -2728,37 +2881,23 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         # empty/pre-build index ⟺ no indexable vectors — empty report
         return spark.createDataFrame([], out_schema)
-    cells = spark.createDataFrame(
-        [
-            (j, [float(x) for x in cent_mat[j]], _seq_half_sq(cent_mat[j]))
-            for j in range(cent_mat.shape[0])
-        ],
-        "cell int, c array<double>, chalf double",
-    )
-    scored_cells = (
-        emb.select("vec_id", "label", "embedding")
-        .withColumn("nrm", norm("embedding"))
-        .crossJoin(F.broadcast(cells))
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            "nrm",
-            "cell",
-            (dot("embedding", "c") - F.col("chalf")).alias("score"),
-        )
-    )
-    wp = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
-    probes = (
-        scored_cells.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("q_vec"),
-            F.col("nrm").alias("q_nrm"),
-            "cell",
-        )
+    d = int(cent_mat.shape[1])
+    # r16: the corpus×centroid crossJoin + nprobe window this replaces paid
+    # an interpreted HOF fold per (vector, cell) pair and a full-corpus
+    # window shuffle; the kernel emits the identical (score DESC, cell ASC)
+    # top-nprobe rows map-side with bit-equal scores (guide §4.2)
+    probes = fold_assign_cells(
+        emb.select("vec_id", "label", "embedding").withColumn(
+            "nrm", norm("embedding", dim=d)
+        ),
+        [[float(x) for x in cent_mat[j]] for j in range(cent_mat.shape[0])],
+        nprobe=_IVF_NPROBE,
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        "cell",
     )
     # members = the stored assignment (vec_id, cell, embedding, nrm) —
     # identical rows to the inline pinned_fold_assign this replaces (the
@@ -2774,7 +2913,7 @@ def label_purity_ivf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_label",
         "vec_id",
         F.round(
-            dot(F.col("q_vec"), F.col("embedding"))
+            dot("q_vec", "embedding", dim=d)
             / (F.col("q_nrm") * F.col("nrm")),
             5,
         ).alias("cos_sim"),
@@ -2794,9 +2933,19 @@ def _purity_label_rollup(nbrs: DataFrame) -> DataFrame:
     """Shared verdict tail of the purity audits: per-query majority vote
     over (q_id, q_label, nb_label) neighbor rows, then the per-label
     report — the full audit and the capped monitor MUST roll up
-    identically or their suspect rates silently diverge."""
-    votes = nbrs.groupBy("q_id", "q_label", "nb_label").agg(
-        F.count(F.lit(1)).alias("n")
+    identically or their suspect rates silently diverge.
+
+    ``votes`` is eagerly checkpointed (r16 optimization round, guide
+    §2.4): it feeds THREE differing consumer subtrees (majority pick,
+    agreement filter, per-query totals) and each one replayed the entire
+    upstream probe-and-score chain — the monitor's stage tally showed the
+    carve window and candidate scoring running three times per call.
+    The frame is narrow and bounded (≤ n_audited·min(k, |labels|) scalar
+    rows), the established dedup_lsh_recall_eval discipline."""
+    votes = compact_checkpoint(
+        nbrs.groupBy("q_id", "q_label", "nb_label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     wv = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("nb_label"))
     maj = (
@@ -3038,6 +3187,11 @@ def label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _PURITY_K)
     )
+    # NOTE (r16, measured): unlike _purity_label_rollup, this inline tail
+    # keeps the LAZY votes frame — A/B'd an eager checkpoint here and the
+    # warm wall did not move (1.35 s vs 1.43-1.47 s, within ambient): the
+    # three consumers are identical subtrees AQE exchange reuse already
+    # dedupes, so the extra count + materialization jobs buy nothing.
     votes = nbrs.groupBy("q_id", "q_label", "nb_label").agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -4787,3 +4787,125 @@ def test_events_type_mix_drift_bounds_and_zero_case(spark, tmp_path):
     assert len(out) == 3
     for r in out:
         assert r["jsd_vs_overall"] == 0.0 and r["n_types_seen"] == 3
+
+
+def test_fold_assign_kernel_bit_exact_vs_hof_crossjoin(spark, sf_dir):
+    """r16: fold_assign_cells must reproduce the HOF crossJoin reference
+    BIT-exactly — same winning cell (rank-1), same top-nprobe cell sets
+    and order, because its per-dimension vectorized multiply-add is the
+    identical IEEE op sequence as F.aggregate's sequential fold."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.functions.vector import (
+        dot as hof_dot,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+    from pyspark.sql import Window
+
+    emb = (
+        load(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    cents = similarity.pinned_forgy_seeds(emb, 7)
+    cells = spark.createDataFrame(
+        [
+            (j, cents[j], similarity._seq_half_sq(cents[j]))
+            for j in range(len(cents))
+        ],
+        "cell int, c array<double>, chalf double",
+    )
+    scored = emb.crossJoin(F.broadcast(cells)).select(
+        "vec_id",
+        "cell",
+        (hof_dot("embedding", "c") - F.col("chalf")).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cell"))
+    ref = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    )
+    ref_sets = {}
+    for r in ref:
+        ref_sets.setdefault(r["vec_id"], []).append((r["rn"], r["cell"]))
+    got = similarity.fold_assign_cells(emb, cents, nprobe=2).collect()
+    got_sets = {}
+    for i, r in enumerate(got):
+        got_sets.setdefault(r["vec_id"], []).append(r["cell"])
+    assert set(got_sets) == set(ref_sets)
+    for vid, pairs in ref_sets.items():
+        want = [c for _, c in sorted(pairs)]
+        assert got_sets[vid] == want, (vid, got_sets[vid], want)
+
+
+def test_fold_assign_kernel_degenerate_rows(spark):
+    """Ragged / null-holed / NULL embeddings take the slow path: window
+    semantics rank cells ascending (0, 1, ...); maxby_nulls=True emits a
+    NULL cell instead — both mirroring the forms the kernel replaced."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),          # clean
+            (2, [1.0, 0.0, 5.0]),     # ragged (d=2 centroids)
+            (3, [None, 1.0]),         # null element
+            (4, None),                # NULL embedding
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    win = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.fold_assign_cells(emb, cents, nprobe=1).collect()
+    }
+    assert win == {1: 0, 2: 0, 3: 0, 4: 0}
+    mx = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.fold_assign_cells(
+            emb, cents, nprobe=1, maxby_nulls=True
+        ).collect()
+    }
+    assert mx == {1: 0, 2: None, 3: None, 4: None}
+
+
+def test_dim_folds_bit_exact_vs_hof(spark, sf_dir):
+    """r16: the dim-specialized unrolled folds (single-F.expr codegen
+    chains) must be BIT-exact vs the HOF forms over every corpus pair —
+    repr-level equality, the selfcheck's own comparison — and fall back
+    to the HOF result for ragged rows via the size() guard."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.functions import (
+        vector as V,
+    )
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    emb = (
+        load(spark, "embeddings", sf_dir)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    d = len(emb.first()["embedding"])
+    q = emb.limit(30).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pairs = q.crossJoin(emb)
+    both = pairs.select(
+        V.dot("q_vec", "embedding").alias("h_dot"),
+        V.dot("q_vec", "embedding", dim=d).alias("u_dot"),
+        V.norm("embedding").alias("h_nrm"),
+        V.norm("embedding", dim=d).alias("u_nrm"),
+        V.l2_distance("q_vec", "embedding").alias("h_l2"),
+        V.l2_distance("q_vec", "embedding", dim=d).alias("u_l2"),
+        V.cosine("q_vec", "embedding").alias("h_cos"),
+        V.cosine("q_vec", "embedding", dim=d).alias("u_cos"),
+    ).collect()
+    for r in both:
+        assert repr(r["h_dot"]) == repr(r["u_dot"])
+        assert repr(r["h_nrm"]) == repr(r["u_nrm"])
+        assert repr(r["h_l2"]) == repr(r["u_l2"])
+        assert repr(r["h_cos"]) == repr(r["u_cos"])
+    # guard fallback: a wrong-dim specialization returns the HOF value
+    ragged = pairs.limit(5).select(
+        V.dot("q_vec", "embedding").alias("h"),
+        V.dot("q_vec", "embedding", dim=d + 3).alias("u"),
+    )
+    for r in ragged.collect():
+        assert repr(r["h"]) == repr(r["u"])

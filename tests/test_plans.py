@@ -790,17 +790,47 @@ def test_rake_topk_is_take_ordered(plan):
     assert "TakeOrderedAndProject" in p, p
 
 
-def test_label_purity_monitor_serves_from_index(plan):
+def test_label_purity_monitor_serves_from_index(plan, spark, sf_dir):
     """The capped monitor must answer from the MATERIALIZED pinned IVF
     index (manifest-pruned probed-cell scan), never re-run the full
     audit's corpus×centroid assignment cross join — that inline
-    assignment is exactly the O(n^1.5) cost the cap exists to avoid."""
+    assignment is exactly the O(n^1.5) cost the cap exists to avoid.
+
+    r16: the rollup eagerly checkpoints its bounded ``votes`` frame (the
+    triple-consumer replay fix), which truncates the FINAL plan's lineage
+    at a Scan ExistingRDD — so the serving-path assertions move to the
+    pre-rollup neighbor frame, built exactly as the monitor builds it."""
     p = plan("label_purity_monitor")
-    assert "ivfidx" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load_spread
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.operators import (
+        similarity as S,
+    )
+
+    emb = load_spread(spark, "embeddings", sf_dir).filter(
+        F.col("embedding").isNotNull() & F.col("vec_id").isNotNull()
+    )
+    wq = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+    )
+    queries = (
+        emb.withColumn("qrn", F.row_number().over(wq))
+        .filter(F.col("qrn") <= S._PURITY_MONITOR_CAP)
+        .select("vec_id", "label", "embedding")
+    )
+    nbrs = S._pinned_ivf_index(spark, sf_dir).query(
+        queries.select("vec_id", "embedding"), k=S._PURITY_K, exact_probes=True
+    )
+    np_ = explain_string(nbrs)
+    assert "ivfidx" in np_, np_
+    assert "BroadcastNestedLoopJoin" not in np_, np_
     # the per-label query carve must run as a WindowGroupLimit (bounded
     # rows per label partition map-side), never a full per-label sort
-    assert "WindowGroupLimit" in p, p
+    qp = explain_string(queries)
+    assert "WindowGroupLimit" in qp, qp
 
 
 def test_pack_training_sequences_single_bucket_shuffle(plan):
@@ -830,15 +860,17 @@ def test_bm25_prf_serves_from_index_no_corpus_scan(plan):
     assert "documents" not in p, p
 
 
-def test_kmeans_pinned_assign_is_broadcast_and_combined(plan):
-    """The pinned Lloyd assignment must broadcast the k=16 centroid frame
-    (never a CartesianProduct) and take the per-vector argmax as a hash
-    AGGREGATE (max_by with map-side partial combine) — not a rank window,
-    whose per-vector sort shuffle the max_by form exists to avoid."""
+def test_kmeans_pinned_assign_is_arrow_kernel(plan):
+    """The pinned Lloyd assignment must run through the vectorized
+    fold-exact Arrow kernel (r16): a map-only MapInArrow pass — never the
+    corpus×k crossJoin (BroadcastNestedLoopJoin) + max_by combine whose
+    interpreted HOF folds and full-corpus shuffle it replaced, and never
+    a CartesianProduct. The winning centroid re-attaches through a hash
+    join against the k-row cell frame, not a nested-loop product."""
     p = plan("kmeans_cluster_profile")
     assert "CartesianProduct" not in p, p
-    assert "BroadcastNestedLoopJoin" in p, p
-    assert "max_by" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "MapInArrow" in p, p
 
 
 def test_dedup_semantic_blocks_pairs_by_cell(plan):
