@@ -53,8 +53,11 @@ def _c(v: Column | str) -> Column:
 
 
 def _q(name: str) -> str:
-    """Backtick-quote a plain column name for the generated SQL."""
-    return "`" + name.replace("`", "``") + "`"
+    """Backtick-quote a column name for the generated SQL; a dotted name
+    is treated as an alias-qualified reference (`a`.`embedding`)."""
+    return ".".join(
+        "`" + part.replace("`", "``") + "`" for part in name.split(".")
+    )
 
 
 def _dot_sql(a: str, b: str) -> str:

@@ -125,6 +125,43 @@ def parquet_row_count(name: str, sf_dir: str | None = None) -> int:
         return (1 << 63) - 1
 
 
+_EMB_DIM_CACHE: dict = {}
+
+
+def embedding_dim(sf_dir: str | None = None, name: str = "embeddings") -> int | None:
+    """Vector width of a table's ``embedding`` column, from the FIRST row
+    of the parquet file (footer + one data page, no Spark job), memoized
+    per content fingerprint (r16 optimization round).
+
+    Feeds the dim-specialized fold expressions in ``functions.vector`` —
+    the value is a plan-time SPECIALIZATION hint, never an assumption:
+    every dim form carries a ``size() == dim`` guard that falls back to
+    the HOF fold for rows of any other width, so a wrong (or stale) dim
+    costs speed, not correctness.  ``None`` (missing/empty/unreadable
+    table) keeps callers on the plain HOF forms."""
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    key = (sf_dir, name, data_fingerprint(sf_dir, name))
+    if key in _EMB_DIM_CACHE:
+        return _EMB_DIM_CACHE[key]
+    dim = None
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet"))
+        for batch in pf.iter_batches(batch_size=64, columns=["embedding"]):
+            col = batch.column(0)
+            for i in range(len(col)):
+                if col[i].is_valid:
+                    dim = len(col[i])
+                    break
+            if dim is not None:
+                break
+    except Exception:
+        dim = None
+    _EMB_DIM_CACHE[key] = dim
+    return dim
+
+
 def data_fingerprint(sf_dir: str, name: str) -> str:
     """Cheap content-version fingerprint of a table's parquet path: every
     file's (relative name, size, mtime_ns), sorted. Session-lifetime memos

@@ -25,7 +25,13 @@ from pyspark.sql.window import Window
 
 from ..functions.text import md5_bucket16, md5_bucket32, normalize, shingles, tokens
 from ..functions.vector import dot, norm
-from ..io import checkpoint_release, data_fingerprint, load, load_spread
+from ..io import (
+    checkpoint_release,
+    data_fingerprint,
+    embedding_dim,
+    load,
+    load_spread,
+)
 
 # MinHash parameters: 32 permutations in 8 bands of 4 rows; fixed seeds.
 _MH_PERMS = 32
@@ -1323,7 +1329,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-probed candidate generation)."""
     # norm precomputed per row before the pair join (1 array pass per pair
     # instead of 3 — same trick as knn_bruteforce)
-    emb = load(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
+    d = embedding_dim(sf_dir)
+    emb = load(spark, "embeddings", sf_dir).withColumn(
+        "nrm", norm("embedding", dim=d)
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -1337,7 +1346,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
+                dot("a.embedding", "b.embedding", dim=d)
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 5,
             ).alias("cos_sim"),
@@ -2266,7 +2275,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="vec_id long, probe_rank int, cell int, embedding array<float>",
         )
         .select("vec_id", "cell", "embedding")
-        .withColumn("nrm", norm("embedding"))
+        .withColumn("nrm", norm("embedding", dim=embedding_dim(sf_dir)))
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     drops = (
@@ -2278,7 +2287,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.round(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
+                dot("a.embedding", "b.embedding", dim=embedding_dim(sf_dir))
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             ).alias("cos_sim"),

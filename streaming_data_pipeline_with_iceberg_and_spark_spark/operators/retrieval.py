@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot, norm
-from ..io import load, load_spread
+from ..io import embedding_dim, load, load_spread, small_df
 from .textops import _BM25_B, _BM25_K1, _BM25_QUERIES, bm25_rank
 
 # Per-list retrieval depth (k of each underlying top-k), RRF smoothing
@@ -58,6 +58,7 @@ def hybrid_rank(
     c: int = _RRF_C,
     postings: DataFrame | None = None,
     stats_partials: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """RRF-fuse BM25 top-``k`` with cosine top-``k`` — the reusable operator.
 
@@ -82,7 +83,7 @@ def hybrid_rank(
 
     corpus = (
         emb.filter(F.col("embedding").isNotNull())
-        .withColumn("nrm", norm("embedding"))
+        .withColumn("nrm", norm("embedding", dim=dim))
     )
     qside = (
         emb.filter(F.col("embedding").isNotNull())
@@ -91,7 +92,7 @@ def hybrid_rank(
             "query_id",
             "qvec_id",
             F.col("embedding").alias("q_vec"),
-            norm("embedding").alias("q_nrm"),
+            norm("embedding", dim=dim).alias("q_nrm"),
         )
     )
     scored = corpus.join(
@@ -100,7 +101,7 @@ def hybrid_rank(
         "query_id",
         F.col("vec_id").alias("doc_id"),
         F.round(
-            dot(F.col("q_vec"), F.col("embedding"))
+            dot("q_vec", "embedding", dim=dim)
             / (F.col("q_nrm") * F.col("nrm")),
             5,
         ).alias("cos_sim"),
@@ -152,12 +153,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval capstone: RRF fusion of the pinned BM25 benchmark
     queries with their pinned dense query vectors (registry face of
     :func:`hybrid_rank`)."""
-    qterms = spark.createDataFrame(
+    qterms = small_df(
+        spark,
         [(qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts],
         "query_id int, term string",
     )
-    qvecs = spark.createDataFrame(
-        sorted(_HYBRID_QVECS.items()), "query_id int, qvec_id long"
+    qvecs = small_df(
+        spark, sorted(_HYBRID_QVECS.items()), "query_id int, qvec_id long"
     )
     from .textops import materialized_bm25_index
 
@@ -169,6 +171,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         qvecs,
         postings=postings,
         stats_partials=stats_partials,
+        dim=embedding_dim(sf_dir),
     )
 
 
@@ -263,6 +266,7 @@ def mmr_rerank(
     k: int = _MMR_K,
     steps: int = _MMR_STEPS,
     lam: float = _MMR_LAMBDA,
+    dim: int | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversification (Carbonell & Goldstein
     1998) of a dense top-``k``: greedily select ``steps`` results where
@@ -292,7 +296,7 @@ def mmr_rerank(
     on (score, vec_id), so the selection sequence is deterministic — full
     value oracle, no rows-only carve-out."""
     corpus = emb.filter(F.col("embedding").isNotNull()).withColumn(
-        "nrm", norm("embedding")
+        "nrm", norm("embedding", dim=dim)
     )
     qside = (
         emb.filter(F.col("embedding").isNotNull())
@@ -301,7 +305,7 @@ def mmr_rerank(
             "query_id",
             "qvec_id",
             F.col("embedding").alias("q_vec"),
-            norm("embedding").alias("q_nrm"),
+            norm("embedding", dim=dim).alias("q_nrm"),
         )
     )
     scored = corpus.join(
@@ -310,7 +314,7 @@ def mmr_rerank(
         "query_id",
         "vec_id",
         F.round(
-            dot(F.col("q_vec"), F.col("embedding"))
+            dot("q_vec", "embedding", dim=dim)
             / (F.col("q_nrm") * F.col("nrm")),
             5,
         ).alias("rel"),
@@ -354,7 +358,7 @@ def mmr_rerank(
             "a",
             "b",
             F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 5
+                dot("ea", "eb", dim=dim) / (F.col("na") * F.col("nb")), 5
             ).alias("sim"),
         )
     )
@@ -419,10 +423,12 @@ def mmr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified retrieval for the pinned dense query set (registry
     face of :func:`mmr_rerank`) — the third stage of the retrieval story
     (BM25 → hybrid RRF → diversified context selection)."""
-    qvecs = spark.createDataFrame(
-        sorted(_HYBRID_QVECS.items()), "query_id int, qvec_id long"
+    qvecs = small_df(
+        spark, sorted(_HYBRID_QVECS.items()), "query_id int, qvec_id long"
     )
-    return mmr_rerank(load(spark, "embeddings", sf_dir), qvecs)
+    return mmr_rerank(
+        load(spark, "embeddings", sf_dir), qvecs, dim=embedding_dim(sf_dir)
+    )
 
 
 def _mmr_sql() -> str:
@@ -599,7 +605,8 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDCG@10 / MRR / recall@10 of the hybrid RRF ranking against the
     pinned `_QRELS` judgments — closes the retrieval story (rank → fuse →
     diversify → EVALUATE) with a fully value-checked metric frame."""
-    qrels = spark.createDataFrame(
+    qrels = small_df(
+        spark,
         [(q, d, g) for (q, d), g in sorted(_QRELS.items())],
         "query_id int, doc_id long, grade int",
     )

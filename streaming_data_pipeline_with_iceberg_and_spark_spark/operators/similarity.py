@@ -27,6 +27,7 @@ from ..io import (
     checkpoint_release,
     compact_checkpoint,
     data_fingerprint,
+    embedding_dim,
     load,
     load_spread,
     small_df,
@@ -60,6 +61,11 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would re-walk both arrays per pair (3 higher-order passes instead of 1).
     # Corpus side is spread across cores (single-split file would serialize
     # the scoring); the tiny query side reads the file directly.
+    # NOTE (r16, measured): dim-specialized folds LOSE on this |Q|-bounded
+    # shape — interleaved A/B showed warm 0.77-0.83 s (HOF) vs 0.91-0.99 s
+    # (dim) and a ~2 s janino-compile cold penalty; the pair count here
+    # (|Q|·n ≈ 40k at sf0.1) is too small to amortize the giant codegen'd
+    # chain.  Keep dim folds for the >=100k-pair faces only.
     emb = load_spread(spark, "embeddings", sf_dir).withColumn("nrm", norm("embedding"))
     queries = load(spark, "embeddings", sf_dir).withColumn(
         "nrm", norm("embedding")
@@ -578,7 +584,7 @@ def _ivf_serve_state(spark: SparkSession, sf_dir: str):
                     ),
                 )
                 .select("vec_id", "cell", "embedding")
-                .withColumn("nrm", norm("embedding"))
+                .withColumn("nrm", norm("embedding", dim=embedding_dim(sf_dir)))
             )
             return (cent_mat, compact_checkpoint(assigned))
         finally:
@@ -1527,6 +1533,10 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded division. Scale shape: two audited corpus scans and a
     |Q|·k-bounded join — zero extra corpus-keyed work; at 100 TB the
     truncated scan reads 4× fewer vector bytes, which is the point."""
+    # NOTE (r16, measured): do NOT dim-specialize folds over tv here —
+    # tv is a COMPUTED alias (slice), and CollapseProject inlines the
+    # slice into every get() term of the unrolled chain (0.97 -> 1.55 s
+    # warm).  dim folds are only safe over direct data columns.
     emb = load_spread(spark, "embeddings", sf_dir).select(
         "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("tv")
     ).withColumn("nrm", norm("tv"))
@@ -2274,6 +2284,10 @@ def quantization_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited corpus scans + a |Q|·k-bounded comparison join; at 100 TB the
     quantized scan reads 4× fewer vector bytes — the point of shipping
     int8."""
+    # NOTE (r16, measured): dq/q_vec are COMPUTED aliases (transform over
+    # the int8 decode) — dim-specializing these folds made the face 1.5x
+    # SLOWER (1.30 -> 2.03 s warm): CollapseProject inlines the decode
+    # into every get() term.  Keep the HOF folds over computed arrays.
     codes = _int8_scaled(load_spread(spark, "embeddings", sf_dir)).select(
         "vec_id",
         F.transform(_int8_qvec(), lambda q: q.cast("double")).alias("dq"),
@@ -3155,12 +3169,13 @@ def label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join instead. Neighbor selection reuses the exact-baseline fold:
     round-5 cosine, vec_id tie-break — the oracle replays it verbatim;
     the votes/majority stage runs on the ≤ _Q_CAP·k row frame."""
+    d = embedding_dim(sf_dir)
     emb = load_spread(spark, "embeddings", sf_dir).withColumn(
-        "nrm", norm("embedding")
+        "nrm", norm("embedding", dim=d)
     )
     queries = (
         load(spark, "embeddings", sf_dir)
-        .withColumn("nrm", norm("embedding"))
+        .withColumn("nrm", norm("embedding", dim=d))
         .filter(_query_pred(25))
         .select(
             F.col("vec_id").alias("q_id"),
@@ -3177,7 +3192,7 @@ def label_knn_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("label").alias("nb_label"),
         F.round(
-            dot(F.col("q_vec"), F.col("embedding"))
+            dot("q_vec", "embedding", dim=d)
             / (F.col("q_nrm") * F.col("nrm")),
             5,
         ).alias("cos_sim"),
