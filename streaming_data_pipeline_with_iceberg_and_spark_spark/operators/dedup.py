@@ -769,6 +769,14 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the whole L1/L2 family (`_doc_shingles`).""".format(
         num=_PFX_NUM, den=_PFX_DEN
     )
+    # r16 negative result (measured, kept for future optimizers): eagerly
+    # checkpointing the shingled corpus — it feeds the postings chain and
+    # both verify sides, and the tally shows the shingle map running twice
+    # even with AQE reuse — made the face SLOWER (2.98 -> 3.67 s warm
+    # A/B): the duplicate consumers run as concurrent AQE jobs that
+    # overlap on idle cores, while the eager checkpoint serializes the
+    # full pass onto the wall-clock path (the hybrid_rank r16 finding).
+    # Lazy form stands.
     sh = _doc_shingles(spark, sf_dir).filter(F.size("sh") > 0)
     inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))

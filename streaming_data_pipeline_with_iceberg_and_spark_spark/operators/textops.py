@@ -12,7 +12,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, md5_bucket16, mg_fold, tokens
-from ..io import data_fingerprint, load, load_spread, parquet_row_count
+from ..io import (
+    compact_checkpoint,
+    data_fingerprint,
+    load,
+    load_spread,
+    parquet_row_count,
+    small_df,
+)
 
 # marker stopwords per language for the n-gram/stopword language-ID heuristic
 _LANG_MARKERS = {
@@ -2865,7 +2872,11 @@ def train_quality_model(spark: SparkSession, sf_dir: str):
     to :func:`score_with_linear_model`. (The registry query
     ``train_quality_classifier`` returns only the metrics frame, per the
     driver contract.)"""
-    docs = load(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
+    # r16: tokenization/hashing materializes WIDE (per-row md5 CPU), then
+    # the epoch loop reads a row-count-compacted checkpoint — 8 sequential
+    # epochs each dispatch ONE Arrow task per ~500k cached rows instead of
+    # re-reading the single-split file in one serialized task (guide §2.2)
+    docs = load_spread(spark, "documents", sf_dir).filter(F.col("text").isNotNull())
     toks = tokens("text")
     n_tokens = F.size(toks)
     # r15 ADVICE guard: the sentinel-key epoch metrics divide by n_docs
@@ -2884,17 +2895,16 @@ def train_quality_model(spark: SparkSession, sf_dir: str):
         )
     )
     _, _, _, keep = _gopher_signals()
-    base = docs.select(
-        keep.cast("double").alias("y"),
-        n_guarded.alias("n"),
-        F.transform(toks, lambda t: F.pmod(md5_bucket16(t), F.lit(_TQC_DIM))).alias(
-            "bks"
-        ),
-    ).persist()
-    try:
-        return _tqc_fit(spark, base)
-    finally:
-        base.unpersist()
+    base = compact_checkpoint(
+        docs.select(
+            keep.cast("double").alias("y"),
+            n_guarded.alias("n"),
+            F.transform(toks, lambda t: F.pmod(md5_bucket16(t), F.lit(_TQC_DIM))).alias(
+                "bks"
+            ),
+        )
+    )
+    return _tqc_fit(spark, base)
 
 
 def _linear_score_expr(weights, bias: float):
@@ -3008,78 +3018,122 @@ def _tqc_fit(spark: SparkSession, base: DataFrame):
     w = [0.0] * _TQC_DIM
     bias = 0.0
     metrics = []
-    # r16 negative result (measured, kept for future optimizers): feeding
-    # the epoch's weights through a broadcast 1-row frame (crossJoin) so
-    # whole-stage codegen stops embedding — and recompiling on — the
-    # updated literals each epoch made the face 2× SLOWER (60 → 316
-    # tasks, 4.4 → 7.9 s wall at sf0.1): the per-epoch broadcast build +
-    # BNLJ stage cost far more than the ~0.3 s/epoch replan it saved.
-    # The literal-array form stands.
-    for it in range(_TQC_ITERS):
-        warr = F.array(*[F.lit(x) for x in w])
-        margin = F.lit(bias) + F.aggregate(
-            F.transform("bks", lambda b: F.element_at(warr, b + 1)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ) / F.col("n")
-        p = 1.0 / (1.0 + F.exp(-margin))
-        scored = base.select("y", "n", "bks", (p - F.col("y")).alias("r"), p.alias("p"))
+    # r16 optimization round (guide §4.2): each epoch is now ONE vectorized
+    # Arrow pass over the cached (y, n, bks) frame.  The replaced JVM form
+    # re-embedded the updated weights as a literal array every epoch, so
+    # whole-stage codegen RECOMPILED per epoch (~0.3 s × 8 — the r15
+    # sentinel-key rewrite had already merged the epoch's three actions
+    # into one job, and a broadcast-weights variant measured 2× slower:
+    # per-epoch broadcast build + BNLJ cost more than the replans saved).
+    # The kernel keeps the epoch's weights in its closure (nothing
+    # recompiles), reproduces the margin fold EXACTLY — one vectorized add
+    # per token POSITION over 0.0-padded per-position weight columns, the
+    # same IEEE accumulation order as the sequential HOF fold (x + 0.0 is
+    # exact for every finite x, and a -0.0 sum flipped to +0.0 by padding
+    # cannot change any emitted value: margins only feed exp/division,
+    # never a sign-of-zero-visible output) — and emits per-batch PARTIAL
+    # sums on the same sentinel keys (-1 logloss, -2 accuracy, -3 bias
+    # gradient) plus per-bucket gradient partials, ≤ _TQC_DIM + 3 rows per
+    # batch.  The accuracy term replicates F.round's HALF_UP-on-shortest-
+    # decimal exactly via Decimal(repr(p)) per row.  p itself crosses
+    # exp/log implementations (numpy vs JVM vs DuckDB) that may differ in
+    # the last ulp — the SAME cross-engine dust the round-9 parameter pin
+    # and round-6 metric report were built to absorb (re-verified
+    # value-exact at all three SFs).  Regrouped partial-sum order is the
+    # dust class the r15 rewrite already established.
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField("b", T.IntegerType()), T.StructField("v", T.DoubleType())]
+    )
+
+    def _epoch_fn(w_now: list, bias_now: float, final: bool):
+        W = np.array(w_now, dtype=np.float64)
         eps = 1e-12
-        # logloss / accuracy terms; the accuracy compares the ROUNDED
-        # probability (round 9): the two engines' exp() may differ in the
-        # last ulp, and an unrounded p >= 0.5 at that boundary would flip
-        # a whole count — the same round-then-compare contract the
-        # shipped scorer uses
-        ll_term = -(
-            F.col("y") * F.log(F.col("p") + F.lit(eps))
-            + (1.0 - F.col("y")) * F.log(1.0 - F.col("p") + F.lit(eps))
-        )
-        acc_term = (
-            (F.round(F.col("p"), 9) >= 0.5).cast("double") == F.col("y")
-        ).cast("double")
-        if it == _TQC_ITERS - 1:
-            # the final epoch's metrics are measured; its weight update
-            # would feed nothing — skip the corpus-wide gradient shuffle
-            agg = scored.agg(
-                F.avg(ll_term).alias("logloss"), F.avg(acc_term).alias("acc")
-            ).first()
-            metrics.append((it, float(agg["logloss"]), float(agg["acc"])))
-            break
-        # ONE job per epoch (r15 optimization round, guide §1.2/§2.4):
-        # the epoch metrics, the bias gradient and the full-batch feature
-        # gradient all reduce the SAME scored scan, but as two separate
-        # actions each re-ran the per-row margin fold (a 16-element
-        # interpreted higher-order aggregate — the epoch's dominant
-        # per-row cost) over the cached corpus.  Sentinel keys (-1
-        # logloss, -2 accuracy, -3 bias gradient) ride the one
-        # wordcount-shaped bucket shuffle instead, so each epoch is one
-        # cached scan + one hash agg.  avg ≡ sum/n_docs here (p is never
-        # NULL: text IS NOT NULL ⇒ ≥1 token ⇒ n ≥ 1), and the regrouped
-        # float-sum order is the dust class the per-epoch ROUND(9)
-        # parameter pin and the round-6 metric report already absorb —
-        # oracle re-verified value-exact at all three SFs.
-        kv = F.concat(
-            F.transform(
-                "bks",
-                lambda b: F.struct(
-                    b.cast("int").alias("b"),
-                    (F.col("r") / F.col("n")).alias("v"),
-                ),
-            ),
-            F.array(
-                F.struct(F.lit(-1).cast("int").alias("b"), ll_term.alias("v")),
-                F.struct(F.lit(-2).cast("int").alias("b"), acc_term.alias("v")),
-                F.struct(F.lit(-3).cast("int").alias("b"), F.col("r").alias("v")),
-            ),
-        )
+
+        def fn(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q9 = Decimal("1e-9")
+            for bt in batches:
+                nr = bt.num_rows
+                if nr == 0:
+                    continue
+                cols = {bt.schema.names[i]: bt.column(i) for i in range(bt.num_columns)}
+                y = np.asarray(cols["y"].to_numpy(zero_copy_only=False), dtype=np.float64)
+                nn = np.asarray(cols["n"].to_numpy(zero_copy_only=False), dtype=np.float64)
+                bks = cols["bks"]
+                lens = np.asarray(
+                    pc.list_value_length(bks).to_numpy(zero_copy_only=False),
+                    dtype=np.int64,
+                )
+                flat = np.asarray(
+                    bks.values.to_numpy(zero_copy_only=False), dtype=np.int64
+                )
+                wv = W[flat]
+                maxlen = int(lens.max()) if nr else 0
+                pad = np.zeros((nr, maxlen), dtype=np.float64)
+                starts = np.concatenate(([0], np.cumsum(lens)))
+                idx = np.arange(maxlen)
+                mask = idx[None, :] < lens[:, None]
+                pad[mask] = wv
+                acc = np.zeros(nr, dtype=np.float64)
+                for ppos in range(maxlen):
+                    acc = acc + pad[:, ppos]
+                margin = bias_now + acc / nn
+                p = 1.0 / (1.0 + np.exp(-margin))
+                ll = -(y * np.log(p + eps) + (1.0 - y) * np.log(1.0 - p + eps))
+                accf = np.array(
+                    [
+                        float(
+                            (
+                                float(
+                                    Decimal(repr(float(pi))).quantize(
+                                        q9, rounding=ROUND_HALF_UP
+                                    )
+                                )
+                                >= 0.5
+                            )
+                            == bool(yi)
+                        )
+                        for pi, yi in zip(p, y)
+                    ],
+                    dtype=np.float64,
+                )
+                out_b = [-1, -2]
+                out_v = [float(ll.sum()), float(accf.sum())]
+                if not final:
+                    r = p - y
+                    g = np.zeros(_TQC_DIM, dtype=np.float64)
+                    np.add.at(g, flat, np.repeat(r / nn, lens))
+                    out_b = list(range(_TQC_DIM)) + [-1, -2, -3]
+                    out_v = [float(x) for x in g] + out_v[:2] + [float(r.sum())]
+                yield pa.record_batch(
+                    [
+                        pa.array(out_b, type=pa.int32()),
+                        pa.array(out_v, type=pa.float64()),
+                    ],
+                    names=["b", "v"],
+                )
+
+        return fn
+
+    for it in range(_TQC_ITERS):
+        final = it == _TQC_ITERS - 1
         grad_rows = (
-            scored.select(F.explode(kv).alias("kv"))
-            .groupBy(F.col("kv.b").alias("b"))
-            .agg(F.sum("kv.v").alias("g"))
+            base.mapInArrow(_epoch_fn(w, bias, final), out_schema)
+            .groupBy("b")
+            .agg(F.sum("v").alias("g"))
             .collect()  # ≤ _TQC_DIM + 3 rows — constant-bounded by construction
         )
         g = {int(r["b"]): float(r["g"]) for r in grad_rows}
         metrics.append((it, g.get(-1, 0.0) / n_docs, g.get(-2, 0.0) / n_docs))
+        if final:
+            break
         agg = {"gb": g.get(-3, 0.0)}
         # ROUND the updated parameters (9 decimals) on every epoch: the
         # gradient is a float reduction whose accumulation order differs
@@ -3095,7 +3149,8 @@ def _tqc_fit(spark: SparkSession, base: DataFrame):
         if not all(math.isfinite(x) for x in w + [bias]):
             raise RuntimeError("quality-classifier training diverged")
     return (
-        spark.createDataFrame(
+        small_df(
+            spark,
             [(i, round(l, 6), round(a, 6)) for i, l, a in metrics],
             "iter int, logloss double, accuracy double",
         ),
