@@ -106,19 +106,105 @@ GROUP BY 1
 def minhash_sig_bands(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-row MinHash signature + LSH band signatures from a text column —
     the shared core of batch `dedup_minhash_lsh` and the streaming
-    near-dup-at-ingest path. Pure per-row column expressions (shingle →
-    31-bit hash → 32 permuted mins → 8 band hashes): map-side only, NO
-    shuffle — the caller decides what to group or join on. Every hash is
-    md5-derived (cross-engine stable), so the full pipeline is reproducible
-    by the DuckDB oracle — md5 costs more per shingle than xxhash64, but
-    the signature stage stays a pure map-side projection either way and
-    the corpus is read once, so the asymptotic 100 TB shape is unchanged
-    (measured at sf0.1: within noise of the xxhash64 variant). Appends
-    ``band0..band{B-1}`` (md5 hex string) and ``sig`` (array<long>, 32);
-    rows with NULL/whitespace-only text are dropped (no signature exists —
-    without the guard, a null token array degenerates into one ""
-    shingle via concat_ws and every empty doc would near-match every
-    other)."""
+    near-dup-at-ingest path. Map-side only, NO shuffle — the caller
+    decides what to group or join on. Every hash is md5-derived
+    (cross-engine stable), so the full pipeline is reproducible by the
+    DuckDB oracle. Appends ``band0..band{B-1}`` (md5 hex string) and
+    ``sig`` (array<long>, 32); rows with NULL/whitespace-only text are
+    dropped (no signature exists — without the guard, a null token array
+    degenerates into one "" shingle via concat_ws and every empty doc
+    would near-match every other).
+
+    r16 optimization round (guide §4.2): the signature now computes in
+    ONE vectorized Arrow pass.  The former column-expression form
+    evaluated ~|shingles|·(1 + _MH_PERMS) interpreted higher-order
+    lambdas per document (transform/array_min run outside whole-stage
+    codegen) — ~16 s of summed task time per corpus pass at sf0.1, the
+    dominant cost of every LSH face.  The kernel is INTEGER/STRING exact
+    by construction, not merely ulp-close: tokens replicate
+    split(lower(trim(s)), '\\s+') with Java semantics (trim strips
+    0x20 only; ASCII \\s; split keeps leading/trailing empties), hashes
+    are the same md5-hex-prefix integers, the permuted mins are int64
+    (a·h + b < 2⁶³, no wrap), and band signatures hash the same
+    comma-joined decimal strings.  Parity with the expression form is
+    pinned over the full sf0.1 corpus in tests; the one accepted
+    divergence class is exotic-unicode lowercasing (Python str.lower vs
+    UTF8String.toLowerCase), the same class the DuckDB oracle already
+    carries vs the JVM."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    A = np.array([a for a, _ in _MH_AB], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in _MH_AB], dtype=np.int64)[:, None]
+    t_idx = df.columns.index(text_col)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(f"band{b}", T.StringType()) for b in range(_MH_BANDS)]
+        + [T.StructField("sig", T.ArrayType(T.LongType()))]
+    )
+
+    def sig_fn(batches):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for bt in batches:
+            texts = bt.column(t_idx).to_pylist()
+            keep, band_cols, sigs = [], [[] for _ in range(_MH_BANDS)], []
+            for i, t in enumerate(texts):
+                if t is None or t.strip(" ") == "":
+                    continue
+                toks = ws.split(t.strip(" ").lower())
+                shs = {
+                    " ".join(toks[j : j + 3])
+                    for j in range(max(len(toks) - 3, 0) + 1)
+                }
+                if not shs:
+                    continue
+                hs = np.array(
+                    [
+                        int(hashlib.md5(x.encode("utf-8")).hexdigest()[:8], 16)
+                        % (1 << 31)
+                        for x in shs
+                    ],
+                    dtype=np.int64,
+                )
+                mins = ((A * hs[None, :] + B) % _MH_P).min(axis=1)
+                keep.append(i)
+                sigs.append([int(m) for m in mins])
+                for b in range(_MH_BANDS):
+                    band_cols[b].append(
+                        hashlib.md5(
+                            ",".join(
+                                str(int(m))
+                                for m in mins[b * _MH_ROWS : (b + 1) * _MH_ROWS]
+                            ).encode("utf-8")
+                        ).hexdigest()
+                    )
+            if not keep:
+                continue
+            taken = bt.take(pa.array(keep, type=pa.int64()))
+            yield pa.record_batch(
+                list(taken.columns)
+                + [pa.array(band_cols[b], type=pa.string()) for b in range(_MH_BANDS)]
+                + [pa.array(sigs, type=pa.list_(pa.int64()))],
+                schema=pa.schema(
+                    list(taken.schema)
+                    + [pa.field(f"band{b}", pa.string()) for b in range(_MH_BANDS)]
+                    + [pa.field("sig", pa.list_(pa.int64()))]
+                ),
+            )
+
+    return df.mapInArrow(sig_fn, out_schema)
+
+
+def _minhash_sig_bands_expr(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The pre-r16 pure-column-expression signature pipeline, kept as the
+    parity reference for the Arrow kernel above (tests assert both forms
+    agree byte-for-byte over the full sf0.1 corpus)."""
     sh_df = (
         df.filter(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
         .withColumn("__sh", F.array_distinct(shingles(tokens(text_col), 3)))

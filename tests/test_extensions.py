@@ -4909,3 +4909,31 @@ def test_dim_folds_bit_exact_vs_hof(spark, sf_dir):
     )
     for r in ragged.collect():
         assert repr(r["h"]) == repr(r["u"])
+
+
+def test_minhash_arrow_kernel_parity_with_expr_form(spark, sf_dir):
+    """r16: the Arrow MinHash signature kernel must agree BYTE-for-byte
+    with the pure-column-expression pipeline it replaced — same kept
+    rows, same band hashes, same 32-long signatures (the pipeline is
+    integer/string exact, so parity is equality, not closeness)."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    degenerate = spark.createDataFrame(
+        [(9001, None), (9002, "   "), (9003, "\t"), (9004, "one"),
+         (9005, "two tokens"), (9006, "a b c d e")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(degenerate)
+    key = lambda r: (  # noqa: E731
+        tuple(r[f"band{b}"] for b in range(8)),
+        tuple(r["sig"]),
+    )
+    new = {r["doc_id"]: key(r) for r in dedup.minhash_sig_bands(both).collect()}
+    old = {
+        r["doc_id"]: key(r)
+        for r in dedup._minhash_sig_bands_expr(both).collect()
+    }
+    assert new == old
+    assert 9001 not in new and 9002 not in new  # null/space-only drop
+    assert 9003 in new and 9004 in new  # tab survives Spark's space-only trim
