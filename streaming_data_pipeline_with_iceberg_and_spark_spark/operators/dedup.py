@@ -1824,7 +1824,66 @@ def es_tokenized(docs: DataFrame) -> DataFrame:
 def kgram_rows(toked: DataFrame) -> DataFrame:
     """Sliding ``_ES_K``-token k-gram postings (doc_id, pos, h) over a
     tokenized frame — the leaf pass the EIGHTEENTH incremental path
-    appends per batch (tokenize + hash once at ingest, never again)."""
+    appends per batch (tokenize + hash once at ingest, never again).
+
+    r16 optimization round (guide §4.2): the postings now compute in one
+    vectorized Arrow pass.  The former transform/slice/concat_ws/md5
+    column pipeline evaluated an interpreted higher-order lambda per
+    (doc, position) — three ~11 s summed-task-time stages per
+    decontaminate_spans_apply call at sf0.1.  The kernel emits the SAME
+    md5-hex strings over the same space-joined token windows
+    (string-exact by construction; parity with the retained expression
+    form pinned in tests), requires ``doc_id`` + ``t`` as the frame's
+    only columns (enforced), and preserves the <k-token → zero-rows
+    contract."""
+    from pyspark.sql import types as T
+
+    if toked.columns != ["doc_id", "t"]:
+        raise ValueError(f"kgram_rows expects (doc_id, t), got {toked.columns}")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("h", T.StringType()),
+        ]
+    )
+
+    def kg_fn(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for bt in batches:
+            ids = bt.column(0).to_pylist()
+            tarrs = bt.column(1).to_pylist()
+            out_id, out_pos, out_h = [], [], []
+            for did, toks in zip(ids, tarrs):
+                if toks is None or len(toks) < _ES_K:
+                    continue
+                for i in range(len(toks) - (_ES_K - 1)):
+                    out_id.append(did)
+                    out_pos.append(i + 1)
+                    out_h.append(
+                        hashlib.md5(
+                            " ".join(toks[i : i + _ES_K]).encode("utf-8")
+                        ).hexdigest()
+                    )
+            if out_id:
+                yield pa.record_batch(
+                    [
+                        pa.array(out_id, type=pa.int64()),
+                        pa.array(out_pos, type=pa.int32()),
+                        pa.array(out_h, type=pa.string()),
+                    ],
+                    names=["doc_id", "pos", "h"],
+                )
+
+    return toked.mapInArrow(kg_fn, out_schema)
+
+
+def _kgram_rows_expr(toked: DataFrame) -> DataFrame:
+    """The pre-r16 column-expression postings pipeline, kept as the parity
+    reference for the Arrow kernel above."""
     n = F.size("t")
     kgram_hashes = F.when(
         n >= _ES_K,

@@ -4937,3 +4937,24 @@ def test_minhash_arrow_kernel_parity_with_expr_form(spark, sf_dir):
     assert new == old
     assert 9001 not in new and 9002 not in new  # null/space-only drop
     assert 9003 in new and 9004 in new  # tab survives Spark's space-only trim
+
+
+def test_kgram_arrow_kernel_parity_with_expr_form(spark, sf_dir):
+    """r16: the Arrow k-gram postings kernel must agree exactly with the
+    column-expression pipeline it replaced — same (doc_id, pos, h) rows,
+    including the <k-token and NULL-text zero-row contracts."""
+    from streaming_data_pipeline_with_iceberg_and_spark_spark.io import load
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    degenerate = spark.createDataFrame(
+        [(9101, None), (9102, "short doc"), (9103, " ".join(["tok"] * 8)),
+         (9104, " ".join(f"w{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    toked = dedup.es_tokenized(docs.unionByName(degenerate))
+    new = sorted(map(tuple, dedup.kgram_rows(toked).collect()))
+    old = sorted(map(tuple, dedup._kgram_rows_expr(toked).collect()))
+    assert new == old
+    new_ids = {r[0] for r in new}
+    assert 9101 not in new_ids and 9102 not in new_ids
+    assert 9103 in new_ids and 9104 in new_ids
